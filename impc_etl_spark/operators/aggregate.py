@@ -1,0 +1,104 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+The reference's dominant aggregate is ``groupBy().agg(collect_set(...))``
+(A1), with conditional distinct counts (A2), post-agg array algebra (A4),
+one pivot (A5), mode-by-count (A6) and two-level re-aggregation (A7). All are
+built-in Spark; the engine adds determinism (sorted sets) and scale notes.
+
+Scale: ``collect_set``/``collect_list`` materialize the whole group in one
+task — at 100 TB, bound group cardinality first (pre-aggregate, or cap with
+``slice(sort_array(...), 1, k)``); ``bounded_collect`` below does exactly
+that. Conditional counts use ``count_distinct(when(...))`` which plans as a
+partial/final aggregate (map-side combine) — no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sorted_set(col: str | Column) -> Column:
+    """Deterministic collect_set: sorted on collection. The reference relies
+    on unordered ``collect_set`` + post-hoc ``sort_array`` in some places
+    and nondeterministic ordering in others (SURVEY §7 risk register)."""
+    return F.sort_array(F.collect_set(col))
+
+
+def bounded_collect(col: str | Column, k: int, ascending: bool = True) -> Column:
+    """collect_set capped at k elements after sorting — bounds per-group
+    state so a skewed key can't OOM an executor."""
+    arr = F.sort_array(F.collect_set(col), asc=ascending)
+    return F.slice(arr, 1, k)
+
+
+def conditional_count_distinct(cond: Column, col: str | Column) -> Column:
+    """``size(collect_set(when(cond, col)))`` from the reference
+    (stats_results_mapper.py:315-341), expressed as count_distinct over a
+    conditional — identical semantics (when() yields null on false, and
+    both collect_set and count_distinct drop nulls), but keeps map-side
+    partial aggregation instead of shipping full sets."""
+    return F.count_distinct(F.when(cond, col))
+
+
+def mode_by_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    out: str = "mode_value",
+    tie_breaker_desc: bool = False,
+) -> DataFrame:
+    """Most frequent ``value`` per key group (A6 — the 'normal category'
+    pattern, stats_results_mapper.py:1699-1709). Two shuffles: count by
+    (keys, value), then window top-1 by (count desc, value) — value in the
+    ordering makes ties deterministic, which the reference's bare
+    ``first over (order by count desc)`` is not."""
+    counted = df.groupBy(*keys, value).agg(F.count(F.lit(1)).alias("__cnt"))
+    value_order = F.col(value).desc() if tie_breaker_desc else F.col(value).asc()
+    w = Window.partitionBy(*keys).orderBy(F.col("__cnt").desc(), value_order)
+    return (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*keys, F.col(value).alias(out))
+    )
+
+
+def two_level_agg(
+    df: DataFrame,
+    inner_keys: Sequence[str],
+    inner_aggs: Sequence[Column],
+    outer_keys: Sequence[str],
+    outer_aggs: Sequence[Column],
+) -> DataFrame:
+    """Chained groupBy (A7): dedupe/bundle at a fine grain, then re-aggregate
+    to a coarser key (stats_results_mapper.py:315-381 observation-metadata
+    pattern). When ``outer_keys ⊆ inner_keys`` the second aggregation reuses
+    the first shuffle's partitioning (no second exchange)."""
+    inner = df.groupBy(*inner_keys).agg(*inner_aggs)
+    return inner.groupBy(*outer_keys).agg(*outer_aggs)
+
+
+def pivot_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str] | None,
+    agg: Column,
+) -> DataFrame:
+    """groupBy().pivot().agg() (A5 — mp_mapper search-index property table).
+    Always pass ``values`` at scale: without them Spark runs an extra
+    distinct job over 100 TB just to discover the pivot domain."""
+    g = df.groupBy(*keys)
+    p = g.pivot(pivot_col, list(values)) if values else g.pivot(pivot_col)
+    return p.agg(agg)
+
+
+def json_bundle(cols: Sequence[str | Column], sort: bool = True) -> Column:
+    """``to_json(collect_set(struct(...)))`` (A8 — gene datasets_raw_data,
+    gene_mapper.py:649-668) with deterministic ordering."""
+    s = F.collect_set(F.struct(*cols))
+    if sort:
+        s = F.sort_array(s)
+    return F.to_json(s)

@@ -1,0 +1,146 @@
+"""Vector similarity search over embedding columns (north star).
+
+The embeddings table is (vec_id, embedding array<float>, label). Two paths:
+
+- Brute-force cosine top-k: JVM-side ``zip_with``+``aggregate`` dot product
+  — a single scan + TakeOrdered, the exact baseline. Linear per query; use
+  for correctness and small query sets.
+- LSH-bucketed (random hyperplane / SimHash for vectors): sign-bit sketch
+  over D seeded hyperplanes → bucket equi-join → exact re-rank inside
+  buckets. This is the 100 TB path: candidate generation is a hash join on
+  the sketch, exact cosine only on candidates.
+
+Hyperplanes are generated from a seeded PRNG on the driver and inlined as
+literal arrays (a few KB) — broadcast-free determinism.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns — zip_with + aggregate,
+    fully codegen'd (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    Plan: one scan, per-row closed-form cosine, TakeOrdered(k) — no shuffle
+    of the data itself (only k rows reach the driver-side ordering).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """All-pairs cosine above threshold (a < b) — embedding near-dup.
+
+    Unblocked this is O(n²): acceptable for verification sets; at scale
+    pass ``block_col`` (e.g. an LSH bucket from `hyperplane_sketch`) so the
+    self-join is per-block equi rather than cartesian.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = (F.col("a.blk") == F.col("b.blk")) & cond
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def hyperplane_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (unit Gaussian, seeded)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / s for x in v])
+    return planes
+
+
+def hyperplane_sketch(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH sketch: sign bit per plane, concatenated to a
+    bucket string. Rows in the same bucket are cosine-near with high
+    probability; join buckets, then exact re-rank with `cosine`/`cosine_pairs`."""
+    bits = []
+    for p in hyperplane_planes(dim, n_planes, seed):
+        plane = F.array(*[F.lit(x) for x in p])
+        bits.append(F.when(dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn(out, F.concat(*bits))
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket, exact cosine
+    inside. Recall < 1.0 by construction; raise recall with fewer planes or
+    multi-probe. The bucket filter is a pushable equality predicate."""
+    planes = hyperplane_planes(len(query_vec), n_planes, seed)
+    qbits = "".join(
+        "1" if sum(q * p for q, p in zip(query_vec, plane)) >= 0 else "0"
+        for plane in planes
+    )
+    sketched = hyperplane_sketch(df, len(query_vec), n_planes, seed, vec_col)
+    return cosine_topk(
+        sketched.where(F.col("lsh_bucket") == qbits), query_vec, k, vec_col, id_col
+    )

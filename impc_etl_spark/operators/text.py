@@ -1,0 +1,127 @@
+"""Text analysis operators for training-data pipelines (north star).
+
+All expressions are JVM-side Column algebra (split/regexp/higher-order
+functions) — no Python in the hot path, so they run at scan speed over
+100 TB of documents. The tokenizer is the single source of truth shared by
+the dedup operators so signatures stay consistent.
+
+Deterministic + SQL-mirrorable by design: every op here has an equivalent
+ANSI-SQL form (see __spark_entry__.oracle_sql) used as the correctness
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small multilingual stopword marker sets for the n-gram/stopword language
+# heuristic. Deliberately tiny + high-precision: function words that are
+# near-unique per language.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with", "for", "was"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "que", "pour", "avec"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es": ("el", "los", "las", "es", "una", "por", "para", "con", "del", "como"),
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Canonical tokenizer: lowercase, split on non-alphanumeric, drop empties.
+
+    Matches the oracle SQL form
+    ``list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace/punct token count — the 'token counting' primitive."""
+    return F.size(tokens(col))
+
+
+def word_shingles(toks: Column, k: int) -> Column:
+    """k-token shingles joined by single spaces: one entry per window start.
+
+    ``transform(sequence(1, n-k+1), i -> concat_ws(' ', slice(toks, i, k)))``;
+    empty array when the doc has fewer than k tokens.
+    """
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def normalized_text(col: str | Column) -> Column:
+    """Canonical normal form: tokens re-joined with single spaces. Used by
+    exact dedup and fingerprinting so trivial whitespace/punct variants
+    collapse."""
+    return F.array_join(tokens(col), " ")
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Document fingerprint = md5 of the normalized text — stable across
+    formatting noise, byte-identical across engines."""
+    return F.md5(normalized_text(col))
+
+
+def add_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach quality-scoring signals: n_chars, n_tokens, mean token length,
+    alpha ratio, punctuation ratio, stopword ratio, and a composite
+    ``quality_score`` in [0,1]. All closed-form Column math."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    punct_chars = F.length(F.regexp_replace(c, "[^.,;:!?'\"()]", ""))
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    punct_ratio = punct_chars / F.greatest(n_chars, F.lit(1))
+    mean_tok_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+        / F.greatest(n_tokens, F.lit(1))
+    ).cast("double")
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.lit(0.25) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.25) * alpha_ratio
+        + F.lit(0.25) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * 4.0, F.lit(1.0)))
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        F.round(mean_tok_len, 4).alias("q_mean_token_len"),
+        F.round(alpha_ratio, 4).alias("q_alpha_ratio"),
+        F.round(punct_ratio, 4).alias("q_punct_ratio"),
+        F.round(stop_ratio, 4).alias("q_stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Marker-word language ID: count hits per language's marker set, pick
+    the argmax (ties → lexicographically first language; 'und' when no
+    marker hits). Pure set-intersection algebra — no model, no UDF."""
+    toks = tokens(text_col)
+
+    def _hits(markers: Column) -> Column:
+        # count token OCCURRENCES in the marker set (frequency-sensitive);
+        # single-arg lambda — a 2-arg lambda would bind (element, index)
+        return F.size(F.filter(toks, lambda x: F.array_contains(markers, x)))
+
+    hit_cols = [
+        (lang, _hits(F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])))
+        for lang in sorted(LANG_MARKERS)
+    ]
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang, hits in hit_cols:  # first-wins on ties due to strict >
+        is_better = hits > best_hits
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return df.withColumn(out, best)

@@ -1,0 +1,932 @@
+"""Named queries exercising every engine operator, with DuckDB oracles.
+
+Each entry in QUERIES maps a SURVEY.md §2 operator (or north-star op) to a
+runnable query over the driver's testdata tables; ORACLE holds the
+equivalent ANSI SQL executed by DuckDB as the correctness gate. Column
+names/aliases are kept identical on both sides, doubles are rounded at the
+source, and timestamps are exported as epoch seconds or formatted strings so
+value hashes compare across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impc_etl_spark.operators import aggregate as agg_ops
+from impc_etl_spark.operators import clean as clean_ops
+from impc_etl_spark.operators import conform as conform_ops
+from impc_etl_spark.operators import dedup as dedup_ops
+from impc_etl_spark.operators import joins as join_ops
+from impc_etl_spark.operators import keys as key_ops
+from impc_etl_spark.operators import similarity as sim_ops
+from impc_etl_spark.operators import text as text_ops
+from impc_etl_spark.operators import timeseries as ts_ops
+from impc_etl_spark.operators import windows as win_ops
+from impc_etl_spark.operators.derivation import compile_derivation
+
+
+def _rnd(c, n: int):
+    """Portable rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
+
+    Spark's round() does decimal-string HALF_UP while DuckDB rounds the
+    binary double — they disagree on boundary values (…x.00005). This
+    closed-form floor expression is computed identically (same double ops)
+    by both engines; every oracle uses the same formula.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    s = 10 ** n
+    return F.floor(c * s + F.lit(0.5)) / s
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ts normalized to TimestampType.
+
+    The driver writes ts as parquet TIMESTAMP(NANOS); Spark has no ns
+    timestamp, so the session reads it as long nanos
+    (spark.sql.legacy.parquet.nanosAsLong) and we truncate to µs with
+    integer arithmetic (a double division would lose precision at 1e18 ns).
+    """
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev
+
+
+# ---------------------------------------------------------------------------
+# Relational parity queries (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(spark, sf_dir):
+    """A3 aggregations + pushable filter (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            _rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _rnd(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def region_revenue(spark, sf_dir):
+    """J1 multi-join chain with broadcast dims + A3 agg (flagship)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        _rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count_distinct("o_orderkey").alias("n_orders"),
+    )
+
+
+def top_customers_per_nation(spark, sf_dir):
+    """W5 row_number top-k per group."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(_rnd(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return win_ops.top_k_per_group(
+        rev, ["n_name"], [F.col("revenue").desc(), F.col("c_custkey")], k=3, rank_col="rk"
+    )
+
+
+def segment_big_spenders(spark, sf_dir):
+    """A2 conditional count-distinct."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        agg_ops.conditional_count_distinct(F.col("o_totalprice") > 200000, F.col("o_custkey")).alias("big_spenders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def nation_segments_bundle(spark, sf_dir):
+    """A1/A4 sorted collect_set bundle, exported as a string."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return j.groupBy("n_name").agg(
+        F.array_join(agg_ops.sorted_set("c_mktsegment"), ",").alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+def top_lineitem_per_order(spark, sf_dir):
+    """W5/J4 top-1 per key via window."""
+    li = _t(spark, sf_dir, "lineitem")
+    top = win_ops.top_k_per_group(
+        li, ["l_orderkey"], [F.col("l_extendedprice").desc(), F.col("l_linenumber")], k=1
+    )
+    return top.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+def supplier_lineitem_window(spark, sf_dir):
+    """W3/W6 unordered partition-window aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = win_ops.window_agg(
+        li,
+        ["l_suppkey"],
+        {
+            "n_supp_items": F.count(F.lit(1)),
+            "supp_max_price": F.max("l_extendedprice"),
+        },
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_suppkey", "n_supp_items", "supp_max_price")
+
+
+def modal_priority_per_segment(spark, sf_dir):
+    """A6 mode-by-count with deterministic tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return agg_ops.mode_by_count(j, ["c_mktsegment"], "o_orderpriority", out="modal_priority")
+
+
+def best_customer_per_nation(spark, sf_dir):
+    """J4 dedup-by-priority via window (replaces self-join pattern)."""
+    cust = _t(spark, sf_dir, "customer")
+    best = clean_ops.dedup_by_priority(
+        cust, ["c_nationkey"], [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    )
+    return best.select("c_nationkey", "c_custkey", _rnd("c_acctbal", 2).alias("c_acctbal"))
+
+
+def segment_rewrite(spark, sf_dir):
+    """P4 when/otherwise conditional rewrite."""
+    cust = _t(spark, sf_dir, "customer")
+    rewritten = clean_ops.conditional_rewrite(
+        cust,
+        "c_mktsegment",
+        [
+            (F.col("c_acctbal") < 0, F.lit("DELINQUENT")),
+            (F.col("c_acctbal") > 9000, F.lit("PREMIUM")),
+        ],
+    )
+    return rewritten.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+def part_type_prefix(spark, sf_dir):
+    """P5 regexp_extract + group count."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.withColumn("type_prefix", F.regexp_extract(F.col("p_type"), r"^(\S+)", 1))
+        .groupBy("type_prefix")
+        .agg(F.count(F.lit(1)).alias("n"), _rnd(F.avg("p_retailprice"), 4).alias("avg_price"))
+    )
+
+
+def null_required_filter(spark, sf_dir):
+    """P2 null-required-field drops (nulls synthesized via NULLIF)."""
+    orders = _t(spark, sf_dir, "orders")
+    with_nulls = orders.withColumn(
+        "o_orderpriority", F.expr("nullif(o_orderpriority, '1-URGENT')")
+    )
+    kept = clean_ops.drop_null_rows(with_nulls, ["o_orderpriority", "o_custkey"])
+    return kept.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+def nation_blocklist(spark, sf_dir):
+    """P3 blocklist filter."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    kept = clean_ops.blocklist_filter(j, "n_name", ["FRANCE", "GERMANY", "CHINA"])
+    return kept.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def order_surrogate_keys(spark, sf_dir):
+    """md5 surrogate keys with stable date formatting (§1.2)."""
+    orders = _t(spark, sf_dir, "orders")
+    prepped = orders.withColumn("o_date_str", F.date_format("o_orderdate", "yyyy-MM-dd"))
+    keyed = key_ops.surrogate_key(prepped, "order_sk", ["o_orderkey", "o_custkey", "o_date_str"])
+    return keyed.select("o_orderkey", "order_sk")
+
+
+def union_customers_suppliers(spark, sf_dir):
+    """§2.7 unionByName with missing-column null padding."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("kind"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        _rnd("c_acctbal", 2).alias("acctbal"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("kind"),
+        _rnd("s_acctbal", 2).alias("acctbal"),
+    )
+    return conform_ops.union_conform([cust, supp])
+
+
+def customers_without_orders(spark, sf_dir):
+    """J7 left_anti join (vs finished orders, so the result is non-trivial)."""
+    cust = _t(spark, sf_dir, "customer")
+    finished = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return join_ops.anti_join(cust, finished, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+def priority_customer_lookup(spark, sf_dir):
+    """J3 disjunctive lookup → priority equi-joins + coalesce."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_custkey_x2", F.col("o_custkey") * 2
+    )
+    cust = _t(spark, sf_dir, "customer")
+    out = join_ops.priority_lookup_join(
+        orders,
+        cust,
+        key_pairs=[("o_custkey_x2", "c_custkey"), ("o_custkey", "c_custkey")],
+        value_cols=["c_name"],
+    )
+    return out.select("o_orderkey", "c_name")
+
+
+def purchase_attribution_asof(spark, sf_dir):
+    """J8 as-of join: latest click at-or-before each purchase, per user."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = join_ops.asof_join(
+        purchases, clicks, on=["user_id"], left_time="ts", right_time="click_ts",
+        direction="backward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("purchase_epoch"),
+        F.unix_timestamp(F.col("click_ts").cast("timestamp")).alias("click_epoch"),
+    )
+
+
+def segment_status_pivot(spark, sf_dir):
+    """A5 pivot with explicit value domain."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    p = agg_ops.pivot_agg(j, ["c_mktsegment"], "o_orderstatus", ["O", "F", "P"], F.count(F.lit(1)))
+    return p.select(
+        "c_mktsegment",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+def part_type_tokens(spark, sf_dir):
+    """S2-style explode to rows (canonical tokenizer)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.explode(text_ops.tokens("p_type")).alias("token")
+    )
+
+
+def part_token_stats(spark, sf_dir):
+    """P6 higher-order array functions (filter/transform/aggregate)."""
+    part = _t(spark, sf_dir, "part")
+    toks = text_ops.tokens("p_type")
+    return part.select(
+        "p_partkey",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long_tokens"),
+        F.array_max(F.transform(toks, lambda x: F.length(x))).alias("max_token_len"),
+    )
+
+
+def derived_unit_margin(spark, sf_dir):
+    """Derivation-DSL compiler → arithmetic Column (§2.10 JVM UDF parity)."""
+    li = _t(spark, sf_dir, "lineitem")
+    expr = compile_derivation("div(mul('l_extendedprice', sub(1, 'l_discount')), 'l_quantity')")
+    return li.select(
+        "l_orderkey", "l_linenumber", _rnd(expr, 4).alias("unit_net_price")
+    )
+
+
+def order_quantity_auc(spark, sf_dir):
+    """Derivation DSL aggregating form: areaUnderCurve over (pos, qty)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(F.col("l_linenumber").alias("increment"), F.col("l_quantity").alias("value"))
+        ).alias("pts")
+    )
+    auc = compile_derivation("areaUnderCurve('pts')")
+    return pts.select("l_orderkey", _rnd(auc, 4).alias("auc"))
+
+
+def order_date_parts(spark, sf_dir):
+    """§2.8 date/time scalar surface."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+    )
+
+
+def date_cascade_parse(spark, sf_dir):
+    """Multi-format date cascade (LEGACY-cascade parity, §1.2)."""
+    from impc_etl_spark.functions.dates import parse_date_cascade
+
+    orders = _t(spark, sf_dir, "orders")
+    mixed = orders.withColumn(
+        "date_str",
+        F.when(F.col("o_orderkey") % 2 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(F.date_format("o_orderdate", "dd/MM/yyyy")),
+    )
+    parsed = parse_date_cascade("date_str", ["yyyy-MM-dd", "dd/MM/yyyy"])
+    return mixed.select(
+        "o_orderkey", "date_str", F.date_format(parsed, "yyyy-MM-dd").alias("parsed_date")
+    )
+
+
+def customer_order_rollup(spark, sf_dir):
+    """A7 two-level re-aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    return agg_ops.two_level_agg(
+        orders,
+        inner_keys=["o_custkey", "o_orderstatus"],
+        inner_aggs=[F.count(F.lit(1)).alias("cnt")],
+        outer_keys=["o_custkey"],
+        outer_aggs=[
+            F.count(F.lit(1)).alias("n_statuses"),
+            F.sum("cnt").alias("n_orders"),
+            F.max("cnt").alias("max_status_orders"),
+        ],
+    )
+
+
+def hourly_event_stats(spark, sf_dir):
+    """Tumbling window aggregation over events (batch window())."""
+    ev = _events(spark, sf_dir)
+    return ts_ops.tumbling_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"), _rnd(F.sum("value"), 2).alias("sum_value")],
+    ).select("window_start", "event_type", "n_events", "sum_value")
+
+
+def sliding_event_counts(spark, sf_dir):
+    """Sliding window aggregation (1h window, 30m slide)."""
+    ev = _events(spark, sf_dir)
+    return ts_ops.sliding_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")],
+    ).select("window_start", "event_type", "n_events")
+
+
+def user_sessions(spark, sf_dir):
+    """Session windows (10-minute gap) per user, batch session_window."""
+    ev = _events(spark, sf_dir)
+    out = ts_ops.sessionize(
+        ev,
+        "ts",
+        "10 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select("user_id", "session_start", "n_events")
+
+
+def events_json_extract(spark, sf_dir):
+    """§2.8 JSON surface: get_json_object over the props column."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"), _rnd(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star: documents (dedup / text analysis)
+# ---------------------------------------------------------------------------
+
+def docs_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(docs, "text", "doc_id", normalize=True)
+
+
+def docs_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5)
+
+
+def docs_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.lsh_candidate_pairs(docs, "text", "doc_id", k=3, num_hashes=12, bands=4)
+
+
+def docs_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash(docs, "text", "doc_id", bits=32)
+
+
+def docs_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.language_id(docs, "text").select("doc_id", "lang_pred")
+
+
+def docs_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count("text").alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+def docs_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.add_quality_signals(docs, "text").select(
+        "doc_id", "q_n_tokens", "q_alpha_ratio", "q_stopword_ratio", "quality_score"
+    )
+
+
+def docs_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text_ops.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: embeddings (similarity search)
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+
+
+def emb_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def emb_near_dup_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_pairs(emb, threshold=0.4)
+
+
+def emb_ann_topk(spark, sf_dir):
+    """LSH-bucketed ANN (no SQL oracle — approximate; rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.ann_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "region_revenue": region_revenue,
+    "top_customers_per_nation": top_customers_per_nation,
+    "segment_big_spenders": segment_big_spenders,
+    "nation_segments_bundle": nation_segments_bundle,
+    "top_lineitem_per_order": top_lineitem_per_order,
+    "supplier_lineitem_window": supplier_lineitem_window,
+    "modal_priority_per_segment": modal_priority_per_segment,
+    "best_customer_per_nation": best_customer_per_nation,
+    "segment_rewrite": segment_rewrite,
+    "part_type_prefix": part_type_prefix,
+    "null_required_filter": null_required_filter,
+    "nation_blocklist": nation_blocklist,
+    "order_surrogate_keys": order_surrogate_keys,
+    "union_customers_suppliers": union_customers_suppliers,
+    "customers_without_orders": customers_without_orders,
+    "priority_customer_lookup": priority_customer_lookup,
+    "purchase_attribution_asof": purchase_attribution_asof,
+    "segment_status_pivot": segment_status_pivot,
+    "part_type_tokens": part_type_tokens,
+    "part_token_stats": part_token_stats,
+    "derived_unit_margin": derived_unit_margin,
+    "order_quantity_auc": order_quantity_auc,
+    "order_date_parts": order_date_parts,
+    "date_cascade_parse": date_cascade_parse,
+    "customer_order_rollup": customer_order_rollup,
+    "hourly_event_stats": hourly_event_stats,
+    "sliding_event_counts": sliding_event_counts,
+    "user_sessions": user_sessions,
+    "events_json_extract": events_json_extract,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_minhash_lsh": docs_minhash_lsh,
+    "docs_simhash": docs_simhash,
+    "docs_lang_id": docs_lang_id,
+    "docs_token_stats": docs_token_stats,
+    "docs_quality": docs_quality,
+    "docs_fingerprint": docs_fingerprint,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_near_dup_pairs": emb_near_dup_pairs,
+    "emb_ann_topk": emb_ann_topk,
+}
+
+# Canonical tokenizer in DuckDB SQL (must mirror operators.text.tokens).
+_TOKS = "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+_DOC_TOKS = _TOKS.format(col="text")
+_SHINGLES3 = (
+    "[array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]"
+)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    ndigits = bits // 4
+    votes = []
+    for d in range(ndigits):
+        for j in (3, 2, 1, 0):
+            idx = d * 4 + j
+            votes.append(
+                f"sum(CASE WHEN (strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1) "
+                f"& {1 << j} > 0 THEN 1 ELSE -1 END) AS b_{idx}"
+            )
+    bit_concat = " || ".join(
+        f"(CASE WHEN b_{i} > 0 THEN '1' ELSE '0' END)" for i in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DOC_TOKS}) AS t FROM documents),
+h AS (SELECT doc_id, substr(md5(t), 1, {ndigits}) AS h FROM tok),
+v AS (SELECT doc_id, {', '.join(votes)} FROM h GROUP BY doc_id)
+SELECT doc_id, {bit_concat} AS simhash FROM v
+"""
+
+
+def _lang_id_sql() -> str:
+    from impc_etl_spark.operators.text import LANG_MARKERS
+
+    hit_exprs = []
+    for lang in sorted(LANG_MARKERS):
+        arr = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+        hit_exprs.append(
+            f"len(list_filter(toks, x -> list_contains({arr}, x))) AS {lang}_h"
+        )
+    langs = sorted(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"{s}_h" for s in langs) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und' "
+    for lang in langs[:-1]:
+        case += f"WHEN {lang}_h = {g} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+hits AS (SELECT doc_id, {', '.join(hit_exprs)} FROM tok)
+SELECT doc_id, {case} AS lang_pred FROM hits
+"""
+
+
+_EN_MARKERS_SQL = "['the','and','of','to','is','in','that','with','for','was']"
+
+ORACLE = {
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+       floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+       floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+       floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "region_revenue": """
+SELECT r_name, n_name,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    "top_customers_per_nation": """
+WITH rev AS (
+  SELECT n_name, c_custkey, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey)
+SELECT n_name, c_custkey, revenue, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rk
+  FROM rev) WHERE rk <= 3
+""",
+    "segment_big_spenders": """
+SELECT c_mktsegment,
+       count(DISTINCT CASE WHEN o_totalprice > 200000 THEN o_custkey END) AS big_spenders,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    "nation_segments_bundle": """
+SELECT n_name,
+       array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+       count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "top_lineitem_per_order": """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+  FROM lineitem) WHERE rn = 1
+""",
+    "supplier_lineitem_window": """
+SELECT l_orderkey, l_linenumber, l_suppkey,
+       count(*) OVER (PARTITION BY l_suppkey) AS n_supp_items,
+       max(l_extendedprice) OVER (PARTITION BY l_suppkey) AS supp_max_price
+FROM lineitem
+""",
+    "modal_priority_per_segment": """
+WITH counted AS (
+  SELECT c_mktsegment, o_orderpriority, count(*) AS cnt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2)
+SELECT c_mktsegment, o_orderpriority AS modal_priority FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY cnt DESC, o_orderpriority) AS rn
+  FROM counted) WHERE rn = 1
+""",
+    "best_customer_per_nation": """
+SELECT c_nationkey, c_custkey, floor((c_acctbal) * 100 + 0.5) / 100 AS c_acctbal FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer) WHERE rn = 1
+""",
+    "segment_rewrite": """
+SELECT CASE WHEN c_acctbal < 0 THEN 'DELINQUENT'
+            WHEN c_acctbal > 9000 THEN 'PREMIUM'
+            ELSE c_mktsegment END AS c_mktsegment,
+       count(*) AS n
+FROM customer GROUP BY 1
+""",
+    "part_type_prefix": """
+SELECT regexp_extract(p_type, '^(\\S+)', 1) AS type_prefix,
+       count(*) AS n, floor((avg(p_retailprice)) * 10000 + 0.5) / 10000 AS avg_price
+FROM part GROUP BY 1
+""",
+    "null_required_filter": """
+SELECT o_orderpriority, count(*) AS n FROM (
+  SELECT nullif(o_orderpriority, '1-URGENT') AS o_orderpriority, o_custkey FROM orders)
+WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+GROUP BY 1
+""",
+    "nation_blocklist": """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name NOT IN ('FRANCE', 'GERMANY', 'CHINA')
+GROUP BY 1
+""",
+    "order_surrogate_keys": """
+SELECT o_orderkey,
+       md5(o_orderkey::VARCHAR || o_custkey::VARCHAR || strftime(o_orderdate, '%Y-%m-%d')) AS order_sk
+FROM orders
+""",
+    "union_customers_suppliers": """
+SELECT c_custkey AS id, c_name AS name, 'customer' AS kind,
+       c_mktsegment AS mktsegment, floor((c_acctbal) * 100 + 0.5) / 100 AS acctbal
+FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, 'supplier', NULL, floor((s_acctbal) * 100 + 0.5) / 100 FROM supplier
+""",
+    "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+""",
+    "priority_customer_lookup": """
+SELECT o.o_orderkey, coalesce(c1.c_name, c2.c_name) AS c_name
+FROM orders o
+LEFT JOIN customer c1 ON c1.c_custkey = o.o_custkey * 2
+LEFT JOIN customer c2 ON c2.c_custkey = o.o_custkey
+""",
+    "purchase_attribution_asof": """
+SELECT p.event_id, p.user_id,
+       floor(epoch(p.ts))::BIGINT AS purchase_epoch,
+       floor(epoch(c.ts))::BIGINT AS click_epoch
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    "segment_status_pivot": """
+SELECT c_mktsegment,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    "part_type_tokens": f"""
+SELECT p_partkey, unnest({_TOKS.format(col='p_type')}) AS token FROM part
+""",
+    "part_token_stats": f"""
+WITH t AS (SELECT p_partkey, {_TOKS.format(col='p_type')} AS toks FROM part)
+SELECT p_partkey, len(toks) AS n_tokens,
+       len(list_filter(toks, x -> length(x) > 4)) AS n_long_tokens,
+       list_max(list_transform(toks, x -> length(x))) AS max_token_len
+FROM t
+""",
+    "derived_unit_margin": """
+SELECT l_orderkey, l_linenumber,
+       floor((l_extendedprice * (1 - l_discount) / l_quantity) * 10000 + 0.5) / 10000 AS unit_net_price
+FROM lineitem
+""",
+    "order_quantity_auc": """
+WITH w AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         lag(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS prev_ln,
+         lag(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS prev_q
+  FROM lineitem)
+SELECT l_orderkey,
+       floor((sum(CASE WHEN prev_ln IS NULL THEN 0
+                 ELSE (l_linenumber - prev_ln) * (l_quantity + prev_q) / 2 END)) * 10000 + 0.5) / 10000 AS auc
+FROM w GROUP BY l_orderkey
+""",
+    "order_date_parts": """
+SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+       day(o_orderdate) AS d,
+       datediff('day', DATE '1995-01-01', o_orderdate) AS days_since
+FROM orders
+""",
+    "date_cascade_parse": """
+WITH s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+              ELSE strftime(o_orderdate, '%d/%m/%Y') END AS date_str
+  FROM orders)
+SELECT o_orderkey, date_str,
+       strftime(coalesce(try_strptime(date_str, '%Y-%m-%d'),
+                         try_strptime(date_str, '%d/%m/%Y')), '%Y-%m-%d') AS parsed_date
+FROM s
+""",
+    "customer_order_rollup": """
+WITH inner_agg AS (
+  SELECT o_custkey, o_orderstatus, count(*) AS cnt
+  FROM orders GROUP BY 1, 2)
+SELECT o_custkey, count(*) AS n_statuses, sum(cnt) AS n_orders,
+       max(cnt) AS max_status_orders
+FROM inner_agg GROUP BY o_custkey
+""",
+    "hourly_event_stats": """
+SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS window_start,
+       event_type, count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "sliding_event_counts": """
+SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS window_start,
+       event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2
+UNION ALL
+SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')))::BIGINT,
+       event_type, count(*)
+FROM events GROUP BY 1, 2
+""",
+    "user_sessions": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    "events_json_extract": """
+SELECT json_extract_string(props, '$.k')::INT AS k,
+       count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+FROM events GROUP BY 1
+""",
+    "docs_exact_dedup": f"""
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string({_DOC_TOKS}, ' ')) AS f
+  FROM documents)
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM fp GROUP BY f
+""",
+    "docs_ngram_jaccard": f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS shingle
+  FROM tok WHERE len(toks) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000 + 0.5) / 1000000 >= 0.5
+""",
+    "docs_minhash_lsh": f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS shingle
+  FROM tok WHERE len(toks) >= 3),
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s
+  GROUP BY doc_id, s.seed),
+bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, seed // 3)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    "docs_simhash": _simhash_sql(32),
+    "docs_lang_id": _lang_id_sql(),
+    "docs_token_stats": f"""
+SELECT doc_id, len({_DOC_TOKS}) AS n_tokens, length(text) AS len_chars
+FROM documents
+""",
+    "docs_quality": f"""
+WITH t AS (
+  SELECT doc_id, text, {_DOC_TOKS} AS toks, length(text) AS n_chars FROM documents),
+sig AS (
+  SELECT doc_id, len(toks) AS q_n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
+         length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(list_distinct(toks), x -> list_contains({_EN_MARKERS_SQL}, x))) * 1.0
+             / greatest(len(toks), 1) AS stop_ratio
+  FROM t)
+SELECT doc_id, q_n_tokens,
+       floor((alpha_ratio) * 10000 + 0.5) / 10000 AS q_alpha_ratio,
+       floor((stop_ratio) * 10000 + 0.5) / 10000 AS q_stopword_ratio,
+       floor((0.25 * least(q_n_tokens / 50.0, 1.0)
+           + 0.25 * alpha_ratio
+           + 0.25 * least(stop_ratio * 5.0, 1.0)
+           + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score
+FROM sig
+""",
+    "docs_fingerprint": f"""
+SELECT doc_id, md5(array_to_string({_DOC_TOKS}, ' ')) AS fp FROM documents
+""",
+    "emb_cosine_topk": """
+WITH q AS (
+  SELECT unnest(embedding)::DOUBLE AS qe, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0),
+e AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS ve, generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+d AS (
+  SELECT vec_id, sum(ve * qe) AS dp, sum(ve * ve) AS nv, sum(qe * qe) AS nq
+  FROM e JOIN q USING (i) GROUP BY vec_id)
+SELECT vec_id, floor((dp / (sqrt(nv) * sqrt(nq))) * 1000000 + 0.5) / 1000000 AS cos_sim
+FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+    "emb_near_dup_pairs": """
+WITH e AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         sum(a.v * b.v) AS dp, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2)
+SELECT vec_a, vec_b, floor((dp / (sqrt(na) * sqrt(nb))) * 1000000 + 0.5) / 1000000 AS cos_sim
+FROM p WHERE floor((dp / (sqrt(na) * sqrt(nb))) * 1000000 + 0.5) / 1000000 >= 0.4
+""",
+    # emb_ann_topk: approximate (LSH bucket probe) — intentionally no oracle.
+}

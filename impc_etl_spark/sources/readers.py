@@ -1,0 +1,98 @@
+"""Readers: parquet / CSV / TSV / JSON-lines / XML entities.
+
+Reference shapes: S1 XML ingest (spark-xml, rowTag centre, source-file
+tagging), S3 headerless TSV with explicit schema DROPMALFORMED
+(shared/utils.py:20-33), S4 headered CSV, S6 JSON-lines statpackets, S9
+parquet boundaries.
+
+Source-file tagging uses ``input_file_name()`` + regexp (JVM-side) instead
+of the reference's Python path-parsing UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    sep: str = ",",
+    mode: str = "DROPMALFORMED",
+) -> DataFrame:
+    reader = spark.read.option("header", header).option("sep", sep).option("mode", mode)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """Headered/headerless TSV (S3 — shared/utils.py:20-33)."""
+    return read_csv(spark, path, schema=schema, header=header, sep="\t")
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    strip_prefix_regex: str | None = None,
+) -> DataFrame:
+    """JSON-lines ingest (S6 statpackets). The reference reads text, strips a
+    prefix by regex on the driver RDD, then re-parses; here the strip is a
+    Column regexp and the parse is ``from_json`` with an explicit schema
+    (or schema-inferred spark.read.json when schema is None)."""
+    if strip_prefix_regex is None and schema is None:
+        return spark.read.json(path)
+    text = spark.read.text(path)
+    value = F.col("value")
+    if strip_prefix_regex:
+        value = F.regexp_replace(value, strip_prefix_regex, "")
+    if schema is None:
+        # schema inference still needs the cleaned text: one extra pass
+        cleaned = text.select(value.alias("value"))
+        return spark.read.json(cleaned.rdd.map(lambda r: r.value))
+    return text.select(F.from_json(value, schema).alias("j")).select("j.*")
+
+
+def tag_source_file(df: DataFrame, col_name: str = "_source_file") -> DataFrame:
+    """Attach the input file basename (S1 tagging) — regexp over
+    input_file_name(), no Python UDF."""
+    return df.withColumn(col_name, F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1))
+
+
+def read_xml_entities(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "centre",
+    schema: StructType | None = None,
+) -> DataFrame:
+    """XML ingest (S1). Uses Spark 4's built-in XML source when present,
+    else the spark-xml package if installed; raises a clear error otherwise
+    (the container has no XML test corpus — entity explosion itself is
+    covered by operators.explode over parquet fixtures)."""
+    try:
+        reader = spark.read.format("xml").option("rowTag", row_tag)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return tag_source_file(reader.load(path))
+    except Exception as exc:  # pragma: no cover - depends on runtime jars
+        raise NotImplementedError(
+            "No XML datasource available in this runtime; provide spark-xml "
+            "or Spark 4 xml format"
+        ) from exc

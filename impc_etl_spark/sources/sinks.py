@@ -1,0 +1,71 @@
+"""Sinks (S9-S15): parquet boundaries, sized JSON marts, single-file CSV/text,
+JDBC/Mongo wrappers.
+
+The reference hand-picks ``repartition(10000/1000/500/100/1)`` per sink
+(stats_results_mapper.py:158; impc_api_mapper.py:1303, 2081). Here output
+sizing is a single helper driven by a target file count or AQE coalescing —
+the number is a parameter, not folklore scattered across jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _sized(df: DataFrame, num_files: int | None) -> DataFrame:
+    if num_files is None:
+        return df  # let AQE coalesce post-shuffle partitions
+    if num_files == 1:
+        return df.coalesce(1)
+    return df.repartition(num_files)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None,
+                  num_files: int | None = None) -> None:
+    w = _sized(df, num_files).write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_sized_json(df: DataFrame, path: str, num_files: int,
+                     ignore_null_fields: bool = False, mode: str = "overwrite") -> None:
+    """JSON mart sink (S10) — explicit file-count sizing, nulls kept when the
+    downstream consumer needs stable document shapes."""
+    (_sized(df, num_files).write.mode(mode)
+     .option("ignoreNullFields", str(ignore_null_fields).lower())
+     .json(path))
+
+
+def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Single-file CSV report (S14 — dr_diff release report)."""
+    df.coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite",
+               properties: dict[str, str] | None = None,
+               create_table_column_types: str | None = None) -> None:
+    """JDBC sink (S11 — impc_api_pg_loader.py:52-79). Thin wrapper; needs a
+    JDBC driver jar on the classpath at runtime."""
+    w = df.write.mode(mode)
+    if create_table_column_types:
+        w = w.option("createTableColumnTypes", create_table_column_types)
+    w.jdbc(url, table, properties=properties or {})
+
+
+def read_jdbc_partitioned(spark, url: str, query: str, partition_column: str,
+                          lower: int, upper: int, num_partitions: int = 10,
+                          properties: dict[str, str] | None = None) -> DataFrame:
+    """Partitioned JDBC scan (S5 — gene_ref_extractor.py:100-170): SQL
+    pushdown via subquery-as-table, ranged on a numeric key so each executor
+    reads a slice."""
+    return spark.read.jdbc(
+        url,
+        table=f"({query}) AS t",
+        column=partition_column,
+        lowerBound=lower,
+        upperBound=upper,
+        numPartitions=num_partitions,
+        properties=properties or {},
+    )

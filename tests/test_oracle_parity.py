@@ -1,0 +1,85 @@
+"""Mirror of the driver's correctness gate: run each queries() entry on
+Spark and its oracle_sql() on DuckDB at sf0.001 (fast), compare row count,
+column names, and order-insensitive values.
+
+This is the engine's golden-output harness (SURVEY.md §5 implication): if
+this passes at sf0.001 it should pass the driver's sf0.01 check identically.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0/0.0 and represent at fixed precision
+        return f"{v + 0.0:.6f}"
+    return v
+
+
+def _canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+def _all_pairs():
+    from impc_etl_spark import queries as q
+
+    for name in q.QUERIES:
+        if name in q.ORACLE:
+            yield name
+
+
+@pytest.mark.parametrize("name", list(_all_pairs()))
+def test_query_matches_oracle(spark, name):
+    from impc_etl_spark import queries as q
+
+    sdf = q.QUERIES[name](spark, SF_SMOKE)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    con = _duck(SF_SMOKE)
+    rel = con.sql(q.ORACLE[name])
+    duck_cols = rel.columns
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    sc = _canon(spark_rows, spark_cols)
+    dc = _canon(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
+    assert sc == dc, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+def test_every_query_has_entry_or_documented_exception():
+    from impc_etl_spark import queries as q
+
+    no_oracle = set(q.QUERIES) - set(q.ORACLE)
+    # approximate / non-SQL-expressible ops only
+    assert no_oracle <= {"emb_ann_topk"}, no_oracle
