@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over all benchmarked queries; per-query
+seconds are in ``queries``. Each query is forced with a count() action (no
+driver-side collect of the full result). Queries run twice when
+$SPARK_GRAFT_BENCH_WARMUP=1 is set; default is a single timed run per query
+after one untimed session warm-up query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from impc_etl_spark.queries import QUERIES
+    from impc_etl_spark.session import get_spark
+
+    spark = get_spark("impc-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Headline set: the heaviest representative per operator family
+    # (join chain, agg, window, as-of, sessionization, dedup, similarity).
+    headline = [
+        "pricing_summary",
+        "region_revenue",
+        "top_customers_per_nation",
+        "supplier_lineitem_window",
+        "purchase_attribution_asof",
+        "user_sessions",
+        "customer_order_rollup",
+        "docs_minhash_lsh",
+        "docs_quality",
+        "emb_cosine_topk",
+    ]
+    names = [n for n in headline if n in QUERIES]
+
+    # Warm the JVM/session once (tiny query, untimed).
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
