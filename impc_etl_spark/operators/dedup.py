@@ -22,7 +22,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from impc_etl_spark.operators.text import fingerprint, tokens, word_shingles
+from impc_etl_spark.operators.text import bind, fingerprint, tokens, word_shingles
+
+
+def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """Expand each bucket's sorted id array into ordered pairs (a < b).
+
+    Row-local combination generation (`transform` over indices) — replaces
+    the classic equi-self-join, which evaluates the bucket-building plan
+    twice and shuffles both sides. Output columns: doc_a, doc_b.
+    """
+    ids = F.col(ids_col)
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b")
 
 
 def exact_dedup(
@@ -76,13 +96,23 @@ def ngram_jaccard_pairs(
     globally.
     """
     sh = shingle_table(df, text_col, id_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # |A| per doc is row-local (size of the distinct shingle array) — no
+    # extra shuffle over the exploded shingle table.
+    sizes = df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(word_shingles(tokens(text_col), k))).alias("n_shingles"),
+    ).where(F.col("n_shingles") > 0)
+    # Group docs per shingle, emit in-bucket pairs, count co-occurrences.
+    # Same pair cardinality as the textbook shingle self-join but the
+    # shingle table is computed/shuffled ONCE instead of twice.
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        _bucket_pairs(buckets)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
@@ -105,19 +135,34 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 12,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed s, min over shingles of
-    md5(s ‖ ':' ‖ shingle) (lexicographic min of hex strings).
+    """Per-doc MinHash signature: for seed s, min over distinct shingles of
+    md5(s ‖ ':' ‖ shingle) (lexicographic min of hex strings). Returns
+    (id_col, minhash: array<string> of length num_hashes).
 
-    Linear in corpus size: explode shingles once, aggregate num_hashes mins
-    in ONE groupBy pass (no per-seed shuffle). Docs with no shingles are
-    dropped (they can't near-dup match anything).
+    Computed entirely row-local with array higher-order functions — the
+    shingle set never leaves its row, so signature generation needs ZERO
+    shuffles (vs the classic explode→distinct→groupBy formulation, which
+    shuffles the full shingle corpus twice). At 100 TB this is the
+    difference between a map-only stage and shuffling ~10× the input. The
+    shingle array is let-bound so it is built once per row, not once per
+    seed. Docs with no shingles are dropped (they can't near-dup match
+    anything).
     """
-    sh = shingle_table(df, text_col, id_col, k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh_{s}")
-        for s in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    seeds = F.array(*[F.lit(f"{s}:") for s in range(num_hashes)])
+    sig = bind(
+        F.array_distinct(word_shingles(tokens(text_col), k)),
+        lambda sh: F.transform(
+            seeds,
+            lambda s: F.array_min(F.transform(sh, lambda x: F.md5(F.concat(s, x)))),
+        ),
+    )
+    # Pre-filter on a cheap exact condition (shingles exist iff ≥ k tokens)
+    # instead of post-filtering on the signature — a post-filter would be
+    # pushed below the projection and re-evaluate the whole signature.
+    return (
+        df.where(F.size(tokens(text_col)) >= k)
+        .select(F.col(id_col), sig.alias("minhash"))
+    )
 
 
 def lsh_candidate_pairs(
@@ -144,24 +189,32 @@ def lsh_candidate_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    band_entries = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_entries.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_key")))
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[
+                    F.element_at(F.col("minhash"), b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ])
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_entries)).alias("bk")
     ).select(id_col, "bk.band", "bk.band_key")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
+    # Bucketize per (band, band_key) and expand pairs in-bucket: ONE
+    # aggregation shuffle over ~bands×n_docs tiny rows, signature pipeline
+    # evaluated once (a self-join would run it twice). At 100 TB, cap or
+    # salt giant buckets (boilerplate docs) before expansion; candidates
+    # then feed ngram_jaccard_pairs for exact verification.
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
+    return _bucket_pairs(buckets).distinct()
 
 
 def _hex_digit_value(c: Column) -> Column:
@@ -180,30 +233,35 @@ def simhash(
     each bit votes ±1; sign of the sum is the output bit. Returns
     (id, simhash) with the hash as a bits-length bitstring column.
 
-    One explode + one groupBy — linear. Near-dup = small hamming distance;
-    pair search at scale goes through band equality on substrings of the
-    bitstring (same LSH trick as minhash).
+    Computed row-local: the token array never leaves its row (per-token md5
+    via `transform`, per-bit votes via `aggregate`) — a map-only stage with
+    no shuffle, vs the classic explode+groupBy which shuffles every token.
+    Near-dup = small hamming distance; pair search at scale goes through
+    band equality on substrings of the bitstring (same LSH trick as
+    minhash).
     """
     ndigits = bits // 4
-    toks = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-        .withColumn("h", F.substring(F.md5(F.col("tok")), 1, ndigits))
-    )
-    # vote per bit: digit d (0..ndigits-1), bit j (0..3): +1 if set else -1
-    bit_votes = [
-        F.sum(
-            F.when(
-                ((_hex_digit_value(F.substring(F.col("h"), d + 1, 1))
-                  .bitwiseAND(F.lit(1 << j))) > 0),
-                1,
-            ).otherwise(-1)
-        ).alias(f"b_{d * 4 + j}")
-        for d in range(ndigits)
-        for j in (3, 2, 1, 0)
-    ]
-    votes = toks.groupBy(id_col).agg(*bit_votes)
+    hs = F.transform(tokens(text_col), lambda t: F.substring(F.md5(t), 1, ndigits))
+    # vote per bit: digit d (0..ndigits-1), bit j (0..3, LSB-first to match
+    # the b_{d*4+j} output ordering): +1 if set else -1
+    def vote(d: int, j: int) -> Column:
+        return F.aggregate(
+            F.col("__hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                (_hex_digit_value(F.substring(h, d + 1, 1)).bitwiseAND(F.lit(1 << j))) > 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
     bitstr = F.concat(*[
-        F.when(F.col(f"b_{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(bits)
+        F.when(vote(d, j) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in range(ndigits)
+        for j in (0, 1, 2, 3)
     ])
-    return votes.select(F.col(id_col), bitstr.alias("simhash"))
+    return (
+        df.select(F.col(id_col), hs.alias("__hs"))
+        .where(F.size("__hs") > 0)
+        .select(F.col(id_col), bitstr.alias("simhash"))
+    )

@@ -26,6 +26,20 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def bind(expr: Column, fn) -> Column:
+    """Let-binding for Column algebra: evaluate ``expr`` once per row and
+    feed the result to ``fn``.
+
+    Built from a single-element ``transform`` — Spark evaluates the input
+    array exactly once, then the lambda over it, so an expensive
+    subexpression (tokenization, hashing) referenced many times inside
+    ``fn`` is not re-evaluated per reference. Catalyst has no common
+    subexpression elimination across expression trees in a projection; at
+    100 TB a triple-evaluated regexp tokenizer is a 3× scan-CPU bill.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def tokens(col: str | Column) -> Column:
     """Canonical tokenizer: lowercase, split on non-alphanumeric, drop empties.
 
@@ -45,13 +59,21 @@ def word_shingles(toks: Column, k: int) -> Column:
     """k-token shingles joined by single spaces: one entry per window start.
 
     ``transform(sequence(1, n-k+1), i -> concat_ws(' ', slice(toks, i, k)))``;
-    empty array when the doc has fewer than k tokens.
+    empty array when the doc has fewer than k tokens. The token array is
+    let-bound so the (often regex-derived) ``toks`` expression is evaluated
+    once, not once per reference.
     """
-    n = F.size(toks)
-    return F.when(n >= k, F.transform(
-        F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )).otherwise(F.array().cast("array<string>"))
+    def mk(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind(toks, mk)
 
 
 def normalized_text(col: str | Column) -> Column:
