@@ -14,10 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (region/nation revenue rollup) on sf0.001."""
-    from impc_etl_spark.queries import region_revenue
+    """Flagship: the observation-mapping plan (nested experiment docs →
+    flat observation fact table — the reference's semantic core) on
+    sf0.001."""
+    from impc_etl_spark.queries import observations_pipeline
 
-    return region_revenue(spark, "/root/testdata/sf0.001")
+    return observations_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,166 @@
+"""The observation-mapping plan: nested experiment docs → flat fact table.
+
+This is the semantic core of the reference pipeline (the IMPC
+``ExperimentToObservationMapper``, jobs/load/observation_mapper.py:1187-1520):
+experiments arrive as nested documents with arrays of typed parameter
+structs; the engine explodes each parameter family to one row per measured
+value, mints a stable position-derived observation id
+(observation_mapper.py:1026-1082), classifies the observation type
+(observation_mapper.py:519-542), resolves family-specific typed values
+(simple :544-607, time series :655-811), attaches the experiment's
+metadata-group hash (specimen_experiment_cross_ref.py:116-195), conforms
+every branch to one fixed column contract (unify_schema,
+observation_mapper.py:419-424), and unions the branches.
+
+Here the same dataflow runs over the driver's star schema: orders play the
+experiment documents, lineitems the parameter entries. ``nest_experiments``
+builds the nested representation (proving the engine handles
+array<struct> documents end-to-end), ``map_to_observations`` flattens it
+back through the real operator chain. Every step is pure DataFrame algebra
+— the whole plan is two shuffles (the nest groupBy + the orders join) and
+is oracle-checked against DuckDB on the flat tables.
+
+Scale notes (100 TB): the nest groupBy shuffles on the experiment key —
+the natural partitioning for everything downstream (explodes are row-local,
+conform/union are projections). Families are processed from ONE nested
+frame, so the source is scanned once, not once per family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StringType
+
+from impc_etl_spark.operators.conform import conform_to_schema, contract, union_conform
+from impc_etl_spark.operators.explode import explode_params
+
+#: The fixed observation contract (a compact analog of the reference's
+#: 66-column OBSERVATION_COLUMNS, config/constants.py:360-426).
+OBSERVATION_CONTRACT = contract(
+    ("observation_id", StringType()),
+    ("experiment_id", StringType()),
+    ("parameter_family", StringType()),
+    ("parameter_seq", IntegerType()),
+    ("observation_type", StringType()),
+    ("data_point", DoubleType()),
+    ("category", StringType()),
+    ("time_point", DoubleType()),
+    ("discrete_point", DoubleType()),
+    ("metadata_group", StringType()),
+)
+
+
+def metadata_group_hash(items: Column) -> Column:
+    """md5 over the sorted metadata item array — the metadata-group scheme
+    (cross_ref_helper.py:162-193: accumulate items, sort, hash) as a single
+    row-local expression."""
+    return F.md5(F.concat_ws("|", F.sort_array(items)))
+
+
+def nest_experiments(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Build nested experiment documents from the flat star schema.
+
+    One row per order with:
+      - ``simpleParameter``  array<struct<seq,qty,flag,price>> (sorted by seq)
+      - ``seriesParameter``  array<struct<increment,value>> (sorted)
+      - ``metadata_group``   hash of the experiment-level metadata items
+
+    The sort keys are unique within a document, so the arrays — and every
+    position-derived id downstream — are deterministic under re-runs.
+    """
+    entry = F.struct(
+        F.col("l_linenumber").alias("seq"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    series_entry = F.struct(
+        F.col("l_linenumber").alias("increment"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    nested = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(entry)).alias("simpleParameter"),
+        F.sort_array(F.collect_list(series_entry)).alias("seriesParameter"),
+    )
+    meta_items = F.array(
+        F.concat(F.lit("priority="), F.col("o_orderpriority")),
+        F.concat(F.lit("status="), F.col("o_orderstatus")),
+    )
+    docs = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        metadata_group_hash(meta_items).alias("metadata_group"),
+    )
+    return nested.join(docs, "l_orderkey").select(
+        F.col("l_orderkey").cast("string").alias("experiment_id"),
+        "simpleParameter",
+        "seriesParameter",
+        "metadata_group",
+    )
+
+
+def _simple_observations(nested: DataFrame) -> DataFrame:
+    """simpleParameter family: classify categorical vs unidimensional and
+    resolve the typed value (observation_mapper.py:519-607)."""
+    ex = explode_params(
+        nested,
+        "simpleParameter",
+        parent_key="experiment_id",
+        keep_cols=["metadata_group"],
+        value_col="p",
+    )
+    is_cat = F.col("p.qty") < 10
+    return conform_to_schema(
+        ex.select(
+            "observation_id",
+            "experiment_id",
+            F.lit("simpleParameter").alias("parameter_family"),
+            F.col("p.seq").alias("parameter_seq"),
+            F.when(is_cat, "categorical").otherwise("unidimensional").alias("observation_type"),
+            F.when(~is_cat, F.col("p.qty")).alias("data_point"),
+            F.when(is_cat, F.col("p.flag")).alias("category"),
+            "metadata_group",
+        ),
+        OBSERVATION_CONTRACT,
+    )
+
+
+def _series_observations(nested: DataFrame) -> DataFrame:
+    """seriesParameter family: one time_series observation per increment,
+    discrete_point = position (observation_mapper.py:655-811)."""
+    ex = explode_params(
+        nested,
+        "seriesParameter",
+        parent_key="experiment_id",
+        keep_cols=["metadata_group"],
+        value_col="p",
+    )
+    return conform_to_schema(
+        ex.select(
+            "observation_id",
+            "experiment_id",
+            F.lit("seriesParameter").alias("parameter_family"),
+            F.col("p.increment").alias("parameter_seq"),
+            F.lit("time_series").alias("observation_type"),
+            F.col("p.value").alias("data_point"),
+            F.col("p.increment").cast("double").alias("time_point"),
+            F.col("_pos").cast("double").alias("discrete_point"),
+            "metadata_group",
+        ),
+        OBSERVATION_CONTRACT,
+    )
+
+
+def map_to_observations(nested: DataFrame) -> DataFrame:
+    """Explode every parameter family of the nested docs into the flat
+    observation fact table (the union of all family branches, each
+    conformed to OBSERVATION_CONTRACT)."""
+    return union_conform([
+        _simple_observations(nested),
+        _series_observations(nested),
+    ])
+
+
+def observations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Full plan: flat star schema → nested docs → observation fact table."""
+    return map_to_observations(nest_experiments(orders, lineitem))

@@ -439,6 +439,69 @@ def events_json_extract(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# IMPC semantic core: nested docs → observation fact table; mart assembly
+# ---------------------------------------------------------------------------
+
+def observations_pipeline(spark, sf_dir):
+    """§3 entry point 2: nest orders/lineitems into experiment documents,
+    explode every parameter family back out through the observation-mapper
+    plan (position ids, type classification, typed-value resolution,
+    metadata groups, contract conformance, union)."""
+    from impc_etl_spark.plans.observations import observations
+
+    return observations(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+def lineitem_part_mart(spark, sf_dir):
+    """Mart enrichment (map_to_stats pattern): broadcast-join dims onto the
+    fact, projecting renamed column subsets."""
+    from impc_etl_spark.plans.marts import enrich
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    out = enrich(
+        li, part, F.col("l_partkey") == F.col("p_partkey"),
+        {"part_name": "p_name", "part_type": "p_type"},
+    )
+    out = enrich(
+        out, supp, F.col("l_suppkey") == F.col("s_suppkey"),
+        {"supplier_name": "s_name"},
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "part_name", "part_type", "supplier_name"
+    )
+
+
+def supplier_rule_calls(spark, sf_dir):
+    """A9 rule-based manual calls: grouped threshold measures + a
+    first-match-wins rule ladder (viability/fertility-call shape)."""
+    from impc_etl_spark.plans.marts import rule_calls
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = rule_calls(
+        li,
+        group_keys=["l_suppkey"],
+        measures={
+            "n_items": F.count(F.lit(1)),
+            "n_returned": F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)),
+        },
+        rules=[
+            (F.col("n_returned") >= 20, {"call": F.lit("high_return"), "p_value": F.lit(0.0)}),
+            (F.col("n_returned") >= 5, {"call": F.lit("elevated"), "p_value": F.lit(0.05)}),
+        ],
+        defaults={
+            "call": F.lit("normal"),
+            "p_value": F.lit(1.0),
+            "effect_size": _rnd(F.col("n_returned") / F.col("n_items"), 6),
+        },
+    )
+    return out.select("l_suppkey", "n_items", "n_returned", "call", "p_value", "effect_size")
+
+
+# ---------------------------------------------------------------------------
 # North-star: documents (dedup / text analysis)
 # ---------------------------------------------------------------------------
 
@@ -548,6 +611,9 @@ QUERIES = {
     "sliding_event_counts": sliding_event_counts,
     "user_sessions": user_sessions,
     "events_json_extract": events_json_extract,
+    "observations_pipeline": observations_pipeline,
+    "lineitem_part_mart": lineitem_part_mart,
+    "supplier_rule_calls": supplier_rule_calls,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_minhash_lsh": docs_minhash_lsh,
@@ -835,6 +901,60 @@ FROM s GROUP BY user_id, sid
 SELECT json_extract_string(props, '$.k')::INT AS k,
        count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
 FROM events GROUP BY 1
+""",
+    "observations_pipeline": """
+WITH p AS (
+  -- pos must replicate Spark's lexicographic struct sort, so each branch
+  -- orders by its own struct field sequence (linenumber is NOT unique)
+  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_quantity, l_returnflag, l_extendedprice) - 1 AS pos,
+         row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_extendedprice) - 1 AS spos
+  FROM lineitem),
+m AS (
+  SELECT o_orderkey,
+         md5(array_to_string(list_sort(['priority=' || o_orderpriority,
+                                        'status=' || o_orderstatus]), '|')) AS metadata_group
+  FROM orders)
+SELECT md5(l_orderkey::VARCHAR || '#simpleParameter#' || pos::VARCHAR) AS observation_id,
+       l_orderkey::VARCHAR AS experiment_id,
+       'simpleParameter' AS parameter_family,
+       l_linenumber AS parameter_seq,
+       CASE WHEN l_quantity < 10 THEN 'categorical' ELSE 'unidimensional' END AS observation_type,
+       CASE WHEN l_quantity < 10 THEN NULL ELSE l_quantity END AS data_point,
+       CASE WHEN l_quantity < 10 THEN l_returnflag END AS category,
+       NULL::DOUBLE AS time_point,
+       NULL::DOUBLE AS discrete_point,
+       metadata_group
+FROM p JOIN m ON l_orderkey = o_orderkey
+UNION ALL
+SELECT md5(l_orderkey::VARCHAR || '#seriesParameter#' || spos::VARCHAR),
+       l_orderkey::VARCHAR, 'seriesParameter', l_linenumber, 'time_series',
+       l_extendedprice, NULL, l_linenumber::DOUBLE, spos::DOUBLE, metadata_group
+FROM p JOIN m ON l_orderkey = o_orderkey
+""",
+    "lineitem_part_mart": """
+SELECT l_orderkey, l_linenumber, p_name AS part_name, p_type AS part_type,
+       s_name AS supplier_name
+FROM lineitem
+LEFT JOIN part ON l_partkey = p_partkey
+LEFT JOIN supplier ON l_suppkey = s_suppkey
+""",
+    "supplier_rule_calls": """
+WITH agg AS (
+  SELECT l_suppkey, count(*) AS n_items,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_returned
+  FROM lineitem GROUP BY l_suppkey)
+SELECT l_suppkey, n_items, n_returned,
+       CASE WHEN n_returned >= 20 THEN 'high_return'
+            WHEN n_returned >= 5 THEN 'elevated'
+            ELSE 'normal' END AS call,
+       (CASE WHEN n_returned >= 20 THEN 0.0
+            WHEN n_returned >= 5 THEN 0.05
+            ELSE 1.0 END)::DOUBLE AS p_value,
+       floor((n_returned * 1.0 / n_items) * 1000000 + 0.5) / 1000000 AS effect_size
+FROM agg
 """,
     "docs_exact_dedup": f"""
 WITH fp AS (
