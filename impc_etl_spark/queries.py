@@ -552,6 +552,28 @@ def docs_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# North-star: multimodal (binary payloads via Arrow-batched mapInPandas)
+# ---------------------------------------------------------------------------
+
+def media_feature_extract(spark, sf_dir):
+    """Binary payload → per-item features through mapInPandas (real Arrow
+    plumbing; codec stubbed as deterministic md5-derived dimensions)."""
+    from impc_etl_spark.multimodal.media import attach_binary, media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return media_features(attach_binary(docs, "text", "doc_id"))
+
+
+def media_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: one input row → n 'frame' rows via
+    mapInPandas (the multi-row expansion shape of a video sampler)."""
+    from impc_etl_spark.multimodal.media import attach_binary, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(attach_binary(docs, "text", "doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # North-star: embeddings (similarity search)
 # ---------------------------------------------------------------------------
 
@@ -622,6 +644,8 @@ QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_quality": docs_quality,
     "docs_fingerprint": docs_fingerprint,
+    "media_feature_extract": media_feature_extract,
+    "media_frame_sample": media_frame_sample,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_ann_topk": emb_ann_topk,
@@ -1022,6 +1046,33 @@ FROM sig
 """,
     "docs_fingerprint": f"""
 SELECT doc_id, md5(array_to_string({_DOC_TOKS}, ' ')) AS fp FROM documents
+""",
+    "media_feature_extract": """
+WITH h AS (
+  SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes,
+         md5(text) AS content_md5
+  FROM documents),
+v AS (
+  SELECT *,
+    (strpos('0123456789abcdef', substr(content_md5, 1, 1)) - 1) * 4096
+    + (strpos('0123456789abcdef', substr(content_md5, 2, 1)) - 1) * 256
+    + (strpos('0123456789abcdef', substr(content_md5, 3, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(content_md5, 4, 1)) - 1) AS w4,
+    (strpos('0123456789abcdef', substr(content_md5, 5, 1)) - 1) * 4096
+    + (strpos('0123456789abcdef', substr(content_md5, 6, 1)) - 1) * 256
+    + (strpos('0123456789abcdef', substr(content_md5, 7, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(content_md5, 8, 1)) - 1) AS h4
+  FROM h)
+SELECT media_id, n_bytes, content_md5,
+       (w4 % 1920 + 1)::INT AS fake_width,
+       (h4 % 1080 + 1)::INT AS fake_height
+FROM v
+""",
+    "media_frame_sample": """
+SELECT doc_id AS media_id,
+       unnest(range(octet_length(encode(text)) % 4 + 1))::INT AS frame_idx,
+       md5(text || ':' || unnest(range(octet_length(encode(text)) % 4 + 1))::VARCHAR) AS frame_md5
+FROM documents
 """,
     "emb_cosine_topk": """
 WITH q AS (

@@ -1,0 +1,133 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has NO streaming (SURVEY.md §2.9) — its "time series" are
+batch arrays. These operators are the north-star streaming surface: the
+same tumbling/sliding/session aggregations the batch layer exposes
+(operators/timeseries.py), lifted onto an unbounded source with
+watermarked state, plus a custom stateful operator via
+``applyInPandasWithState``.
+
+Batch/stream parity is by construction: the transformation bodies are the
+same ``window()``/``session_window()`` expressions, so a backfill (batch
+over parquet) and the live stream produce identical frames — tested by
+running each stream with ``Trigger.AvailableNow`` against the batch
+result. At scale, state lives in the state store partitioned by group key;
+watermarks bound it — every operator here requires one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str, schema: str = EVENTS_DDL) -> DataFrame:
+    """File-stream the events table (parquet dir). ``ts`` arrives as long
+    nanoseconds (TIMESTAMP(NANOS) parquet + nanosAsLong, see session.py);
+    normalize to a µs timestamp here."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per key — the streaming twin
+    of timeseries.tumbling_window_agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+) -> DataFrame:
+    """Watermarked session windows per key — streaming twin of
+    timeseries.sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            key,
+            "n_events",
+        )
+    )
+
+
+def stateful_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` (the escape hatch for semantics windowed
+    aggs can't express — cross-batch accumulators, custom eviction).
+
+    State is one (count, sum) pair per user in the state store; output one
+    updated row per user per micro-batch.
+    """
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> None:
+    """Drain the source with Trigger.AvailableNow into an in-memory table
+    named ``query_name`` (test/backfill harness; use ``append`` for
+    non-aggregated streams)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
