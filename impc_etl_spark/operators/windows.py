@@ -45,6 +45,13 @@ def ranked_first(
     return df.withColumn(out, F.first(value).over(w))
 
 
+def ordered_window(keys: Sequence[str], order_by: Sequence[str | Column]):
+    """Partitioned+ordered WindowSpec for analytic offsets (lag/lead/
+    running aggs). Include a unique tie-breaker in ``order_by`` — an
+    ambiguous order makes lag/lead nondeterministic across runs."""
+    return Window.partitionBy(*keys).orderBy(*order_by)
+
+
 def window_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
     """Unordered partition-window aggregates attached per-row (W3/W6 —
     min ontology level per doc, publication counts per year). For multiple

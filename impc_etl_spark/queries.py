@@ -438,6 +438,150 @@ def events_json_extract(spark, sf_dir):
     )
 
 
+def null_tolerant_join(spark, sf_dir):
+    """J2 null-safe equality join (eqNullSafe replaces the reference's
+    when/isNull chains in join conditions)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("nullif(o_custkey % 50, 0)").alias("nk")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(F.expr("nullif(c_custkey % 50, 0)").alias("nk2"))
+        .groupBy("nk2")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    out = orders.join(F.broadcast(cust), orders.nk.eqNullSafe(cust.nk2), "left_outer")
+    return out.select("o_orderkey", "nk", "n_cust")
+
+
+def conditional_predicate_join(spark, sf_dir):
+    """J2 conditional predicate inside the join condition (dataSource-waiver
+    pattern): equi key + a when/otherwise residual."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cond = (orders.o_custkey == cust.c_custkey) & (
+        F.when(orders.o_orderstatus == "O", F.lit(True)).otherwise(cust.c_acctbal > 0)
+    )
+    return (
+        orders.join(F.broadcast(cust), cond)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def computed_key_join(spark, sf_dir):
+    """J5 expression join: equi join on a computed key (option-lookup
+    pattern — Catalyst plans it as a plain hash join on the projection)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    out = li.join(F.broadcast(part), part.p_partkey == F.pmod(li.l_orderkey, 50) + 1)
+    return out.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        _rnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def array_membership_join(spark, sf_dir):
+    """J6 array-overlap join: join a fact to a small dim on an array
+    membership predicate (broadcast nested-loop — only valid for small
+    dims; the scale path explodes the array into an equi join)."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    dim = nation.groupBy(
+        F.col("n_regionkey").alias("dim_regionkey")
+    ).agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+    named = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    out = named.join(
+        F.broadcast(dim), F.array_contains(dim.nations, named.n_name)
+    )
+    return out.groupBy(
+        F.col("dim_regionkey").alias("n_regionkey")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def customer_order_gaps(spark, sf_dir):
+    """§2.5 analytic offsets: lag/lead over per-customer order history."""
+    orders = _t(spark, sf_dir, "orders")
+    w = win_ops.ordered_window(["o_custkey"], ["o_orderdate", "o_orderkey"])
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+def segment_status_rollup(spark, sf_dir):
+    """§2.4 grouping sets: ROLLUP with subtotal rows labeled 'ALL'."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        j.rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+def statpacket_restructure(spark, sf_dir):
+    """S6 statpacket-style ingest: schema-driven from_json over a raw JSON
+    string column, restructured through a named struct and re-flattened
+    (replaces the reference's RDD+json.loads restructuring loop)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json(F.col("props"), "k int"))
+    packet = parsed.select(
+        "event_id",
+        F.struct(
+            F.col("p.k").alias("param_id"),
+            F.col("event_type").alias("kind"),
+        ).alias("packet"),
+        "value",
+    )
+    return packet.select(
+        "event_id",
+        F.col("packet.param_id").alias("param_id"),
+        F.col("packet.kind").alias("kind"),
+        _rnd("value", 4).alias("value"),
+    )
+
+
+def customer_order_bundle(spark, sf_dir):
+    """A8 JSON-bundle aggregation: to_json over a sorted collect_list of
+    named structs (named BEFORE to_json — fixing the reference's
+    arrays_zip '0'/'1' key regex rewrite)."""
+    orders = _t(spark, sf_dir, "orders")
+    bundle = agg_ops.json_bundle(["o_orderkey", "o_orderstatus"])
+    return orders.groupBy("o_custkey").agg(bundle.alias("bundle"))
+
+
+def customer_order_bundle_gz(spark, sf_dir):
+    """A8 + compression UDF: gzip+base64 of the JSON bundle (no SQL oracle
+    — DuckDB has no gzip; determinism is unit-tested via roundtrip)."""
+    from impc_etl_spark.functions.bundles import gzip_b64_udf
+
+    return customer_order_bundle(spark, sf_dir).select(
+        "o_custkey", gzip_b64_udf(F.col("bundle")).alias("bundle_gz")
+    )
+
+
+def orders_approx_distinct(spark, sf_dir):
+    """Sketch aggregate for the 100 TB path: approx_count_distinct (HLL++)
+    per group (no SQL oracle — estimator is implementation-specific;
+    accuracy bound unit-tested vs the exact count)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IMPC semantic core: nested docs → observation fact table; mart assembly
 # ---------------------------------------------------------------------------
@@ -633,6 +777,16 @@ QUERIES = {
     "sliding_event_counts": sliding_event_counts,
     "user_sessions": user_sessions,
     "events_json_extract": events_json_extract,
+    "null_tolerant_join": null_tolerant_join,
+    "conditional_predicate_join": conditional_predicate_join,
+    "computed_key_join": computed_key_join,
+    "array_membership_join": array_membership_join,
+    "customer_order_gaps": customer_order_gaps,
+    "segment_status_rollup": segment_status_rollup,
+    "statpacket_restructure": statpacket_restructure,
+    "customer_order_bundle": customer_order_bundle,
+    "customer_order_bundle_gz": customer_order_bundle_gz,
+    "orders_approx_distinct": orders_approx_distinct,
     "observations_pipeline": observations_pipeline,
     "lineitem_part_mart": lineitem_part_mart,
     "supplier_rule_calls": supplier_rule_calls,
@@ -925,6 +1079,66 @@ FROM s GROUP BY user_id, sid
 SELECT json_extract_string(props, '$.k')::INT AS k,
        count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
 FROM events GROUP BY 1
+""",
+    "null_tolerant_join": """
+WITH l AS (SELECT o_orderkey, nullif(o_custkey % 50, 0) AS nk FROM orders),
+r AS (SELECT nullif(c_custkey % 50, 0) AS nk2, count(*) AS n_cust
+      FROM customer GROUP BY 1)
+SELECT o_orderkey, nk, n_cust
+FROM l LEFT JOIN r ON l.nk IS NOT DISTINCT FROM r.nk2
+""",
+    "conditional_predicate_join": """
+SELECT c_mktsegment, count(*) AS n
+FROM orders JOIN customer
+  ON o_custkey = c_custkey
+ AND (CASE WHEN o_orderstatus = 'O' THEN TRUE ELSE c_acctbal > 0 END)
+GROUP BY c_mktsegment
+""",
+    "computed_key_join": """
+SELECT p_partkey, count(*) AS n,
+       floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price
+FROM lineitem JOIN part ON p_partkey = (l_orderkey % 50) + 1
+GROUP BY p_partkey
+""",
+    "array_membership_join": """
+WITH dim AS (
+  SELECT n_regionkey, list_sort(list_distinct(list(n_name))) AS nations
+  FROM nation GROUP BY 1)
+SELECT dim.n_regionkey, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN dim ON list_contains(dim.nations, n_name)
+GROUP BY dim.n_regionkey
+""",
+    "customer_order_gaps": """
+SELECT o_orderkey, o_custkey,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate)::INT AS gap_days,
+       lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+FROM orders
+""",
+    "segment_status_rollup": """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n,
+       floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+""",
+    "statpacket_restructure": """
+SELECT event_id,
+       json_extract_string(props, '$.k')::INT AS param_id,
+       event_type AS kind,
+       floor((value) * 10000 + 0.5) / 10000 AS value
+FROM events
+""",
+    "customer_order_bundle": """
+SELECT o_custkey,
+       to_json(list(struct_pack(o_orderkey := o_orderkey,
+                                o_orderstatus := o_orderstatus)
+                    ORDER BY o_orderkey)) AS bundle
+FROM orders GROUP BY o_custkey
 """,
     "observations_pipeline": """
 WITH p AS (

@@ -1,0 +1,128 @@
+"""Operator-level unit tests for paths the SQL-oracle harness can't cover:
+no-oracle queries (gzip bundles, approx sketches), derivation-DSL errors,
+as-of join directions, and schema-contract conformance."""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StringType
+
+from tests.conftest import SF_SMOKE
+
+
+def test_gzip_bundle_roundtrip(spark):
+    from impc_etl_spark.queries import customer_order_bundle, customer_order_bundle_gz
+
+    plain = {
+        r["o_custkey"]: r["bundle"]
+        for r in customer_order_bundle(spark, SF_SMOKE).collect()
+    }
+    packed = {
+        r["o_custkey"]: r["bundle_gz"]
+        for r in customer_order_bundle_gz(spark, SF_SMOKE).collect()
+    }
+    assert set(plain) == set(packed)
+    for k in list(plain)[:50]:
+        decoded = gzip.decompress(base64.b64decode(packed[k])).decode("utf-8")
+        assert decoded == plain[k]
+        json.loads(decoded)  # bundle is valid JSON
+
+
+def test_gzip_bundle_deterministic(spark):
+    from impc_etl_spark.queries import customer_order_bundle_gz
+
+    a = sorted(map(tuple, customer_order_bundle_gz(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, customer_order_bundle_gz(spark, SF_SMOKE).collect()))
+    assert a == b
+
+
+def test_approx_distinct_within_bound(spark):
+    from impc_etl_spark.queries import orders_approx_distinct
+
+    approx = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in orders_approx_distinct(spark, SF_SMOKE).collect()
+    }
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(5, 0.1 * e), (k, approx[k], e)
+
+
+def test_derivation_dsl_rejects_unknown_fn():
+    from impc_etl_spark.operators.derivation import DerivationError, compile_derivation
+
+    with pytest.raises(DerivationError):
+        compile_derivation("frobnicate('a', 'b')")
+
+
+def test_derivation_dsl_arithmetic(spark):
+    from impc_etl_spark.operators.derivation import compile_derivation
+
+    df = spark.createDataFrame([(10.0, 4.0)], ["a", "b"])
+    expr = compile_derivation("mul(div(sub('a','b'),'a'),100)")
+    assert df.select(expr.alias("x")).collect()[0]["x"] == pytest.approx(60.0)
+
+
+def test_asof_join_forward(spark):
+    from impc_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 20)], ["k", "t"])
+    right = spark.createDataFrame([(1, 12), (1, 19), (1, 25)], ["k", "rt"])
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="rt",
+                    direction="forward")
+    got = {r["t"]: r["rt"] for r in out.collect()}
+    assert got == {10: 12, 20: 25}
+
+
+def test_asof_join_tolerance(spark):
+    from impc_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 100)], ["k", "t"])
+    right = spark.createDataFrame([(1, 8), (1, 50)], ["k", "rt"])
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="rt",
+                    direction="backward", tolerance=F.expr("t - rt <= 5"))
+    got = {r["t"]: r["rt"] for r in out.collect()}
+    assert got == {10: 8, 100: None}
+
+
+def test_conform_strict_types(spark):
+    from impc_etl_spark.operators.conform import conform_to_schema, contract
+
+    df = spark.createDataFrame([("5", "x", 1)], ["a", "drop_me", "b"])
+    c = contract(("a", IntegerType()), ("b", DoubleType()), ("missing", StringType()))
+    out = conform_to_schema(df, c, strict_types=True)
+    assert [f.name for f in out.schema.fields] == ["a", "b", "missing"]
+    row = out.collect()[0]
+    assert row["a"] == 5 and row["b"] == 1.0 and row["missing"] is None
+
+
+def test_rule_calls_first_match_wins(spark):
+    from impc_etl_spark.plans.marts import rule_calls
+
+    df = spark.createDataFrame(
+        [("s1", "R"), ("s1", "R"), ("s2", "N")], ["k", "flag"]
+    )
+    out = rule_calls(
+        df,
+        group_keys=["k"],
+        measures={"n_r": F.sum(F.when(F.col("flag") == "R", 1).otherwise(0))},
+        rules=[
+            (F.col("n_r") >= 2, {"call": F.lit("high")}),
+            (F.col("n_r") >= 1, {"call": F.lit("mid")}),
+        ],
+        defaults={"call": F.lit("normal")},
+    )
+    got = {r["k"]: r["call"] for r in out.collect()}
+    assert got == {"s1": "high", "s2": "normal"}
