@@ -39,8 +39,10 @@ def main() -> int:
         "purchase_attribution_asof",
         "user_sessions",
         "customer_order_rollup",
+        "observations_pipeline",
         "docs_minhash_lsh",
         "docs_quality",
+        "media_feature_extract",
         "emb_cosine_topk",
     ]
     names = [n for n in headline if n in QUERIES]

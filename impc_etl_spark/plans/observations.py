@@ -154,13 +154,84 @@ def _series_observations(nested: DataFrame) -> DataFrame:
 def map_to_observations(nested: DataFrame) -> DataFrame:
     """Explode every parameter family of the nested docs into the flat
     observation fact table (the union of all family branches, each
-    conformed to OBSERVATION_CONTRACT)."""
+    conformed to OBSERVATION_CONTRACT).
+
+    Reference-shaped (one branch per family + union). NOTE: Spark plans
+    each union branch as an independent subtree, so the nested source is
+    scanned and shuffled once PER FAMILY — fine for a handful of families
+    over checkpointed parquet (the reference's situation), wrong at 100 TB
+    straight off the fact table. ``map_to_observations_fused`` is the
+    single-scan variant; ``observations()`` uses it.
+    """
     return union_conform([
         _simple_observations(nested),
         _series_observations(nested),
     ])
 
 
+def map_to_observations_fused(nested: DataFrame) -> DataFrame:
+    """Single-scan observation mapping: build every family's observation
+    structs row-locally (`transform` with index = the family-relative
+    position), concatenate, and explode ONCE.
+
+    Produces byte-identical rows to ``map_to_observations`` (same ids,
+    same typed values) from one scan + one Generate — the union version's
+    per-family subtree duplication (2 scans, 2 nest shuffles, 2 joins at
+    2 families; k× at k families) collapses into a plan that touches the
+    source once. This is the variant that survives a 100× scale-up.
+    """
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+    simple = F.transform(
+        F.col("simpleParameter"),
+        lambda p, i: F.struct(
+            F.lit("simpleParameter").alias("family"),
+            i.alias("pos"),
+            p["seq"].alias("parameter_seq"),
+            F.when(p["qty"] < 10, "categorical").otherwise("unidimensional").alias("observation_type"),
+            F.when(~(p["qty"] < 10), p["qty"]).alias("data_point"),
+            F.when(p["qty"] < 10, p["flag"]).alias("category"),
+            nd.alias("time_point"),
+            nd.alias("discrete_point"),
+        ),
+    )
+    series = F.transform(
+        F.col("seriesParameter"),
+        lambda p, i: F.struct(
+            F.lit("seriesParameter").alias("family"),
+            i.alias("pos"),
+            p["increment"].alias("parameter_seq"),
+            F.lit("time_series").alias("observation_type"),
+            p["value"].alias("data_point"),
+            ns.alias("category"),
+            p["increment"].cast("double").alias("time_point"),
+            i.cast("double").alias("discrete_point"),
+        ),
+    )
+    exploded = nested.select(
+        "experiment_id",
+        "metadata_group",
+        F.explode(F.concat(simple, series)).alias("o"),
+    )
+    return exploded.select(
+        F.md5(
+            F.concat_ws(
+                "#", F.col("experiment_id"), F.col("o.family"), F.col("o.pos").cast("string")
+            )
+        ).alias("observation_id"),
+        "experiment_id",
+        F.col("o.family").alias("parameter_family"),
+        F.col("o.parameter_seq").alias("parameter_seq"),
+        F.col("o.observation_type").alias("observation_type"),
+        F.col("o.data_point").alias("data_point"),
+        F.col("o.category").alias("category"),
+        F.col("o.time_point").alias("time_point"),
+        F.col("o.discrete_point").alias("discrete_point"),
+        "metadata_group",
+    )
+
+
 def observations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """Full plan: flat star schema → nested docs → observation fact table."""
-    return map_to_observations(nest_experiments(orders, lineitem))
+    """Full plan: flat star schema → nested docs → observation fact table
+    (fused single-scan mapping)."""
+    return map_to_observations_fused(nest_experiments(orders, lineitem))
