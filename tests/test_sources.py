@@ -1,0 +1,89 @@
+"""Source/sink coverage that needs real files: XML ingest + entity
+explosion (S1/S2), TSV with explicit schema (S3), sized JSON sink (S10),
+single-file CSV sink (S14)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+XML_DOC = """<?xml version="1.0" encoding="UTF-8"?>
+<root>
+  <centre centreID="C1" pipeline="P1">
+    <experiment experimentID="E1" procedureID="PR_001">
+      <simpleParameter parameterID="SP1"><value>4.2</value></simpleParameter>
+      <simpleParameter parameterID="SP2"><value>7.0</value></simpleParameter>
+    </experiment>
+    <experiment experimentID="E2" procedureID="PR_002">
+      <simpleParameter parameterID="SP1"><value>1.5</value></simpleParameter>
+    </experiment>
+  </centre>
+  <centre centreID="C2" pipeline="P2">
+    <experiment experimentID="E3" procedureID="PR_001">
+      <simpleParameter parameterID="SP3"><value>9.9</value></simpleParameter>
+    </experiment>
+  </centre>
+</root>
+"""
+
+
+@pytest.fixture(scope="module")
+def xml_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("xml_src")
+    (d / "c1.xml").write_text(XML_DOC)
+    return str(d)
+
+
+def test_xml_ingest_and_entity_explode(spark, xml_dir):
+    from impc_etl_spark.operators.explode import explode_entities
+    from impc_etl_spark.sources.readers import read_xml_entities
+
+    try:
+        centres = read_xml_entities(spark, f"{xml_dir}/*.xml", row_tag="centre")
+    except NotImplementedError:
+        pytest.skip("no XML datasource in runtime")
+    assert "_source_file" in centres.columns
+    exps = explode_entities(
+        centres, "experiment", keep_cols=["_centreID", "_pipeline"], type_tag="experiment"
+    )
+    rows = {r["_experimentID"]: r for r in exps.collect()}
+    assert set(rows) == {"E1", "E2", "E3"}
+    assert rows["E1"]["_centreID"] == "C1" and rows["E3"]["_centreID"] == "C2"
+    assert rows["E1"]["_type"] == "experiment"
+    # nested parameter arrays survive for explode_params downstream
+    assert len(rows["E1"]["simpleParameter"]) == 2
+
+
+def test_tsv_with_schema(spark, tmp_path):
+    from impc_etl_spark.sources.readers import read_tsv
+
+    p = tmp_path / "strain.tsv"
+    p.write_text("MGI:1\tC57BL/6J\t6\nMGI:2\tBALB/c\toops\n")
+    schema = StructType([
+        StructField("id", StringType()),
+        StructField("name", StringType()),
+        StructField("code", IntegerType()),
+    ])
+    df = read_tsv(spark, str(p), schema=schema, header=False)
+    got = sorted((r["id"], r["code"]) for r in df.collect())
+    # DROPMALFORMED keeps both rows; the bad int cell becomes NULL under
+    # permissive CSV casting or the row is dropped — either way no crash
+    assert ("MGI:1", 6) in got
+
+
+def test_sized_json_sink_and_single_csv(spark, tmp_path):
+    from impc_etl_spark.sources.sinks import write_single_csv, write_sized_json
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    jdir = str(tmp_path / "j")
+    write_sized_json(df, jdir, num_files=4)
+    assert len(glob.glob(f"{jdir}/part-*")) == 4
+    assert spark.read.json(jdir).count() == 100
+
+    cdir = str(tmp_path / "c")
+    write_single_csv(df, cdir)
+    assert len(glob.glob(f"{cdir}/part-*")) == 1
+    assert spark.read.csv(cdir, header=True).count() == 100
