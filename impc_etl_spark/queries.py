@@ -438,6 +438,94 @@ def events_json_extract(spark, sf_dir):
     )
 
 
+def reference_range_selection(spark, sf_dir):
+    """least/greatest selection (Reference-Range p-value/effect pattern,
+    stats_results_mapper.py:727-754)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _rnd(F.least("l_discount", "l_tax"), 4).alias("min_rate"),
+        _rnd(F.greatest("l_discount", "l_tax"), 4).alias("max_rate"),
+        _rnd(
+            F.when(F.col("l_discount") <= F.col("l_tax"), F.col("l_discount") * 2)
+            .otherwise(F.col("l_tax") * 2),
+            4,
+        ).alias("selected"),
+    )
+
+
+def priority_map_normalize(spark, sf_dir):
+    """P4/§2.10 literal-map value normalization (create_map replaces the
+    reference's dict-lookup UDF)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = clean_ops.map_normalize(
+        orders,
+        "o_orderpriority",
+        {"1-URGENT": "U", "2-HIGH": "H", "3-MEDIUM": "M"},
+    )
+    return out.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+def clerk_string_surface(spark, sf_dir):
+    """§2.8 string scalar surface: prefix strip, regex group extract,
+    basename, substring/lower/concat_ws."""
+    from impc_etl_spark.functions import strings as S
+
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        S.strip_prefix(F.col("p_name"), "forest ").alias("name_stripped"),
+        S.extract_group(F.col("p_type"), r"^(\S+) (\S+)", 2).alias("type_mid"),
+        S.basename(F.concat(F.lit("/data/parts/"), F.col("p_name"))).alias("base"),
+        F.concat_ws("::", F.lower(F.substring("p_name", 1, 5)), "p_type").alias("composed"),
+    )
+
+
+def order_mean_of_increments(spark, sf_dir):
+    """Derivation DSL aggregating form: meanOfIncrements over the
+    (increment, value) series array."""
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(F.col("l_linenumber").alias("increment"), F.col("l_quantity").alias("value"))
+        ).alias("pts")
+    )
+    moi = compile_derivation("meanOfIncrements('pts')")
+    return pts.select("l_orderkey", _rnd(moi, 6).alias("mean_increments"))
+
+
+def nation_bounded_segments(spark, sf_dir):
+    """A4 bounded collect: sorted set capped at k (skew-safe group state)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return j.groupBy("n_name").agg(
+        F.array_join(agg_ops.bounded_collect("c_mktsegment", 3), ",").alias("top3_segments")
+    )
+
+
+def orders_valid_dates(spark, sf_dir):
+    """Date validation + T00:00:00Z suffixing (observation_mapper
+    :999-1024)."""
+    from impc_etl_spark.functions.dates import valid_date_str
+
+    orders = _t(spark, sf_dir, "orders")
+    mixed = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("date_str"),
+    )
+    return mixed.select(
+        "o_orderkey",
+        valid_date_str("date_str").alias("is_valid"),
+        F.when(
+            valid_date_str("date_str"), F.concat(F.col("date_str"), F.lit("T00:00:00Z"))
+        ).alias("date_time"),
+    )
+
+
 def null_tolerant_join(spark, sf_dir):
     """J2 null-safe equality join (eqNullSafe replaces the reference's
     when/isNull chains in join conditions)."""
@@ -777,6 +865,12 @@ QUERIES = {
     "sliding_event_counts": sliding_event_counts,
     "user_sessions": user_sessions,
     "events_json_extract": events_json_extract,
+    "reference_range_selection": reference_range_selection,
+    "priority_map_normalize": priority_map_normalize,
+    "clerk_string_surface": clerk_string_surface,
+    "order_mean_of_increments": order_mean_of_increments,
+    "nation_bounded_segments": nation_bounded_segments,
+    "orders_valid_dates": orders_valid_dates,
     "null_tolerant_join": null_tolerant_join,
     "conditional_predicate_join": conditional_predicate_join,
     "computed_key_join": computed_key_join,
@@ -1079,6 +1173,53 @@ FROM s GROUP BY user_id, sid
 SELECT json_extract_string(props, '$.k')::INT AS k,
        count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
 FROM events GROUP BY 1
+""",
+    "reference_range_selection": """
+SELECT l_orderkey, l_linenumber,
+       floor((least(l_discount, l_tax)) * 10000 + 0.5) / 10000 AS min_rate,
+       floor((greatest(l_discount, l_tax)) * 10000 + 0.5) / 10000 AS max_rate,
+       floor((CASE WHEN l_discount <= l_tax THEN l_discount * 2 ELSE l_tax * 2 END) * 10000 + 0.5) / 10000 AS selected
+FROM lineitem
+""",
+    "priority_map_normalize": """
+SELECT CASE o_orderpriority WHEN '1-URGENT' THEN 'U' WHEN '2-HIGH' THEN 'H'
+            WHEN '3-MEDIUM' THEN 'M' ELSE o_orderpriority END AS o_orderpriority,
+       count(*) AS n
+FROM orders GROUP BY 1
+""",
+    "clerk_string_surface": """
+SELECT p_partkey,
+       regexp_replace(p_name, '^forest ', '') AS name_stripped,
+       coalesce(regexp_extract(p_type, '^(\\S+) (\\S+)', 2), '') AS type_mid,
+       coalesce(regexp_extract('/data/parts/' || p_name, '([^/]+)$', 1), '') AS base,
+       lower(substr(p_name, 1, 5)) || '::' || p_type AS composed
+FROM part
+""",
+    "order_mean_of_increments": """
+SELECT l_orderkey,
+       floor((sum(l_quantity) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_increments
+FROM lineitem GROUP BY l_orderkey
+""",
+    "nation_bounded_segments": """
+WITH s AS (
+  SELECT n_name, list_sort(list_distinct(list(c_mktsegment))) AS segs
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name, array_to_string(segs[1:3], ',') AS top3_segments FROM s
+""",
+    "orders_valid_dates": """
+WITH s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-date'
+              ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date_str
+  FROM orders)
+SELECT o_orderkey,
+       (regexp_matches(date_str, '^\\d{4}-\\d{2}-\\d{2}')
+        AND try_strptime(substr(date_str, 1, 10), '%Y-%m-%d') IS NOT NULL) AS is_valid,
+       CASE WHEN regexp_matches(date_str, '^\\d{4}-\\d{2}-\\d{2}')
+                 AND try_strptime(substr(date_str, 1, 10), '%Y-%m-%d') IS NOT NULL
+            THEN date_str || 'T00:00:00Z' END AS date_time
+FROM s
 """,
     "null_tolerant_join": """
 WITH l AS (SELECT o_orderkey, nullif(o_custkey % 50, 0) AS nk FROM orders),
