@@ -95,6 +95,36 @@ def pivot_agg(
     return p.agg(agg)
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, Column]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-stage skew-proof aggregation: shuffle on (keys, salt) first, then
+    merge per key.
+
+    ``aggs`` maps output name → (partial_agg, merge_agg over the partial
+    column), e.g. ``{"n": (F.count(F.lit(1)), F.sum("n"))}``. A hot key
+    (the reference's 'baseline' colony; a boilerplate shingle) splits
+    across ``buckets`` reducers in stage 1 instead of landing on one task;
+    stage 2 shuffles only ``buckets`` rows per hot key. AQE's skew handling
+    covers joins but NOT single-key aggregation blowups — this does.
+    """
+    # Algebraic aggregates (sum/count/min/max) already combine map-side;
+    # salting matters for HOLISTIC aggregates (collect_set/list, exact
+    # distinct bundles) whose per-key state must otherwise fit one reducer.
+    salt = (F.spark_partition_id() % buckets).alias("__salt")
+    stage1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[p.alias(name) for name, (p, _) in aggs.items()])
+    )
+    return stage1.groupBy(*keys).agg(
+        *[m.alias(name) for name, (_, m) in aggs.items()]
+    )
+
+
 def json_bundle(cols: Sequence[str | Column], sort: bool = True) -> Column:
     """``to_json(collect_set(struct(...)))`` (A8 — gene datasets_raw_data,
     gene_mapper.py:649-668) with deterministic ordering."""

@@ -131,6 +131,26 @@ def asof_join(
     )
 
 
+def release_diff(
+    current: DataFrame,
+    previous: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Release regression diff (jobs/compare/dr_diff.py:57-167): key tuples
+    added/removed between two releases, tagged with a ``change`` column.
+
+    Implemented with left_anti joins on the key projection (explicit and
+    broadcast-able) rather than the reference's ``subtract`` of whole
+    frames — anti joins shuffle only the keys and skip the full-row
+    distinct EXCEPT requires.
+    """
+    cur = current.select(*keys).distinct()
+    prev = previous.select(*keys).distinct()
+    added = anti_join(cur, prev, list(keys)).withColumn("change", F.lit("added"))
+    removed = anti_join(prev, cur, list(keys)).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)
+
+
 def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
     """Explicit left_semi — the reference approximates this with inner joins
     on key-only frames (mp_mapper tested-terms join)."""

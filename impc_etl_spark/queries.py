@@ -526,6 +526,36 @@ def orders_valid_dates(spark, sf_dir):
     )
 
 
+def orders_release_diff(spark, sf_dir):
+    """J7/§2.7 release regression diff: keys added/removed between two
+    'releases' (here: all orders vs the finished subset)."""
+    orders = _t(spark, sf_dir, "orders")
+    previous = orders.where(F.col("o_orderstatus") == "F")
+    return join_ops.release_diff(orders, previous, ["o_orderkey", "o_custkey"])
+
+
+def salted_segment_bundles(spark, sf_dir):
+    """Skew-proof two-stage holistic aggregation: per-salt partial
+    collect_set merged per key — same result as a single collect_set, but a
+    hot key's state is split across reducers."""
+    orders = _t(spark, sf_dir, "orders")
+    out = agg_ops.salted_agg(
+        orders,
+        keys=["o_orderstatus"],
+        aggs={
+            "n_orders": (F.count(F.lit(1)), F.sum("n_orders")),
+            "priorities": (
+                F.collect_set("o_orderpriority"),
+                F.array_join(
+                    F.array_sort(F.array_distinct(F.flatten(F.collect_list("priorities")))), ","
+                ),
+            ),
+        },
+        buckets=8,
+    )
+    return out.select("o_orderstatus", "n_orders", "priorities")
+
+
 def null_tolerant_join(spark, sf_dir):
     """J2 null-safe equality join (eqNullSafe replaces the reference's
     when/isNull chains in join conditions)."""
@@ -871,6 +901,8 @@ QUERIES = {
     "order_mean_of_increments": order_mean_of_increments,
     "nation_bounded_segments": nation_bounded_segments,
     "orders_valid_dates": orders_valid_dates,
+    "orders_release_diff": orders_release_diff,
+    "salted_segment_bundles": salted_segment_bundles,
     "null_tolerant_join": null_tolerant_join,
     "conditional_predicate_join": conditional_predicate_join,
     "computed_key_join": computed_key_join,
@@ -1220,6 +1252,22 @@ SELECT o_orderkey,
                  AND try_strptime(substr(date_str, 1, 10), '%Y-%m-%d') IS NOT NULL
             THEN date_str || 'T00:00:00Z' END AS date_time
 FROM s
+""",
+    "orders_release_diff": """
+WITH cur AS (SELECT DISTINCT o_orderkey, o_custkey FROM orders),
+prev AS (SELECT DISTINCT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT o_orderkey, o_custkey, 'added' AS change
+FROM cur WHERE NOT EXISTS (SELECT 1 FROM prev WHERE prev.o_orderkey = cur.o_orderkey
+                                              AND prev.o_custkey = cur.o_custkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, 'removed'
+FROM prev WHERE NOT EXISTS (SELECT 1 FROM cur WHERE cur.o_orderkey = prev.o_orderkey
+                                               AND cur.o_custkey = prev.o_custkey)
+""",
+    "salted_segment_bundles": """
+SELECT o_orderstatus, count(*) AS n_orders,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities
+FROM orders GROUP BY o_orderstatus
 """,
     "null_tolerant_join": """
 WITH l AS (SELECT o_orderkey, nullif(o_custkey % 50, 0) AS nk FROM orders),

@@ -43,6 +43,27 @@ def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.coalesce(1).write.mode(mode).option("header", True).csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (optionally sorted) managed table.
+
+    Two facts bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle (and without even a sort when ``sort_cols`` match the
+    join key) — this is how repeated 100 TB fact-fact joins amortize their
+    exchange: pay the clustering once at write time, never again at read.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite",
                properties: dict[str, str] | None = None,
                create_table_column_types: str | None = None) -> None:
