@@ -1,0 +1,86 @@
+"""DAG runner: topological execution, parquet-target memoization, forced
+reruns, cycle detection — a reference-shaped mini-pipeline end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _build(spark, root):
+    from impc_etl_spark.plans.runner import Pipeline
+
+    p = Pipeline(spark, root)
+    calls = []
+
+    @p.task("orders_clean")
+    def orders_clean(s):
+        calls.append("orders_clean")
+        return (
+            s.read.parquet(f"{SF_SMOKE}/orders.parquet")
+            .where(F.col("o_custkey").isNotNull())
+        )
+
+    @p.task("lineitem_clean")
+    def lineitem_clean(s):
+        calls.append("lineitem_clean")
+        return s.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+
+    @p.task("observations", inputs=["orders_clean", "lineitem_clean"])
+    def observations(s, orders, lineitem):
+        calls.append("observations")
+        from impc_etl_spark.plans.observations import observations as obs
+
+        return obs(orders, lineitem)
+
+    @p.task("obs_summary", inputs=["observations"])
+    def obs_summary(s, obs):
+        calls.append("obs_summary")
+        return obs.groupBy("parameter_family", "observation_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    return p, calls
+
+
+def test_runner_end_to_end_and_memoization(spark, tmp_path):
+    root = str(tmp_path / "dag")
+    p, calls = _build(spark, root)
+    st = p.run("obs_summary")
+    assert st == {
+        "orders_clean": "ran", "lineitem_clean": "ran",
+        "observations": "ran", "obs_summary": "ran",
+    }
+    rows = {(r["parameter_family"], r["observation_type"]): r["n"]
+            for r in p.read("obs_summary").collect()}
+    assert sum(rows.values()) == p.read("observations").count()
+    assert ("seriesParameter", "time_series") in rows
+
+    # second run: everything cached, no task bodies re-invoked
+    calls.clear()
+    st2 = p.run("obs_summary")
+    assert set(st2.values()) == {"cached"} and calls == []
+
+    # force one mid-DAG task: only it reruns (downstream still cached —
+    # the operator model leaves invalidation policy to the caller)
+    st3 = p.run("obs_summary", force=["observations"])
+    assert st3["observations"] == "ran" and st3["obs_summary"] == "cached"
+
+
+def test_runner_cycle_detection(spark, tmp_path):
+    from impc_etl_spark.plans.runner import Pipeline
+
+    p = Pipeline(spark, str(tmp_path / "dag2"))
+
+    @p.task("a", inputs=["b"])
+    def a(s, b):  # pragma: no cover
+        return None
+
+    @p.task("b", inputs=["a"])
+    def b(s, a):  # pragma: no cover
+        return None
+
+    with pytest.raises(ValueError, match="cycle"):
+        p.run("a")
