@@ -6,9 +6,11 @@ Prints ONE JSON line:
 
 ``value`` is the total wall-clock over all benchmarked queries; per-query
 seconds are in ``queries``. Each query is forced with a count() action (no
-driver-side collect of the full result). Queries run twice when
-$SPARK_GRAFT_BENCH_WARMUP=1 is set; default is a single timed run per query
-after one untimed session warm-up query.
+driver-side collect of the full result).
+
+By default every query runs once untimed (JVM JIT + Python worker pool
+spin-up) and once timed — steady-state numbers, which is what matters for
+long-running pipelines. Set $SPARK_GRAFT_BENCH_WARMUP=0 for cold timings.
 """
 
 from __future__ import annotations
@@ -49,6 +51,10 @@ def main() -> int:
 
     # Warm the JVM/session once (tiny query, untimed).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        for name in names:
+            QUERIES[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from impc_etl_spark.operators.partitioning import fan_out
+
 FEATURE_SCHEMA = (
     "media_id bigint, n_bytes bigint, content_md5 string, "
     "fake_width int, fake_height int"
@@ -39,7 +41,11 @@ FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_md5 string"
 def attach_binary(df: DataFrame, src_col: str, id_col: str, out: str = "content") -> DataFrame:
     """Materialize a binary payload column (here: UTF-8 bytes of a string
     column — in production the bytes come from object-store reads)."""
-    return df.select(F.col(id_col).alias("media_id"), F.encode(F.col(src_col), "UTF-8").alias(out))
+    # fan narrow inputs out first: the downstream Pandas stages are
+    # CPU-bound per row and must not run on one input split
+    return fan_out(df).select(
+        F.col(id_col).alias("media_id"), F.encode(F.col(src_col), "UTF-8").alias(out)
+    )
 
 
 def _decode_stub(kind: str):

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from impc_etl_spark.operators.partitioning import fan_out
 from impc_etl_spark.operators.text import bind, fingerprint, tokens, word_shingles
 
 
@@ -60,7 +61,7 @@ def exact_dedup(
     """
     key = fingerprint(text_col) if normalize else F.md5(F.col(text_col))
     return (
-        df.withColumn("__fp", key)
+        fan_out(df).withColumn("__fp", key)
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .drop("__fp")
@@ -75,7 +76,8 @@ def shingle_table(
 ) -> DataFrame:
     """(id, shingle) pairs, distinct — the shared base for jaccard/minhash."""
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(tokens(text_col), k)).alias("shingle"))
+        fan_out(df)
+        .select(F.col(id_col), F.explode(word_shingles(tokens(text_col), k)).alias("shingle"))
         .distinct()
     )
 
@@ -160,7 +162,8 @@ def minhash_signatures(
     # instead of post-filtering on the signature — a post-filter would be
     # pushed below the projection and re-evaluate the whole signature.
     return (
-        df.where(F.size(tokens(text_col)) >= k)
+        fan_out(df)
+        .where(F.size(tokens(text_col)) >= k)
         .select(F.col(id_col), sig.alias("minhash"))
     )
 
@@ -261,7 +264,7 @@ def simhash(
         for j in (0, 1, 2, 3)
     ])
     return (
-        df.select(F.col(id_col), hs.alias("__hs"))
+        fan_out(df).select(F.col(id_col), hs.alias("__hs"))
         .where(F.size("__hs") > 0)
         .select(F.col(id_col), bitstr.alias("simhash"))
     )

@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from impc_etl_spark.operators.partitioning import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns — zip_with + aggregate,
@@ -52,12 +54,15 @@ def cosine_topk(
     """Brute-force cosine top-k against a literal query vector.
 
     Plan: one scan, per-row closed-form cosine, TakeOrdered(k) — no shuffle
-    of the data itself (only k rows reach the driver-side ordering).
+    of the data itself (only k rows reach the driver-side ordering). The
+    query norm is a Python-side constant (not an aggregate re-evaluated
+    per row).
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    scored = fan_out(df).select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        F.round(dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qnorm)), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -75,10 +80,18 @@ def cosine_pairs(
     pass ``block_col`` (e.g. an LSH bucket from `hyperplane_sketch`) so the
     self-join is per-block equi rather than cartesian.
     """
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    # Pre-compute each row's norm ONCE before the join — computing
+    # cosine() per pair would redo both norms n times each (O(n²·d)
+    # wasted); with norms precomputed the pair stage is just a dot + two
+    # multiplies.
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    base = df.select(*cols)
+    base = fan_out(df).select(*cols)
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
@@ -88,7 +101,9 @@ def cosine_pairs(
         .select(
             F.col("a.id").alias("vec_a"),
             F.col("b.id").alias("vec_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
