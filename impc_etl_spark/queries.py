@@ -290,6 +290,34 @@ def purchase_attribution_asof(spark, sf_dir):
     )
 
 
+def purchase_attribution_windowed(spark, sf_dir):
+    """J8 full as-of semantics: nearest click within ±30 minutes of each
+    purchase, ties broken toward the EARLIER click then by event id — the
+    body-weight-association shape (±N-day window + priority tie-breaks,
+    experiment_bw_age_calculator.py:291-396) on the events table."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    out = join_ops.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="click_ts",
+        direction="nearest",
+        tolerance=F.expr("abs(unix_micros(ts) - unix_micros(click_ts)) <= 30 * 60 * 1000000"),
+        tie_breakers=[F.col("click_ts").asc(), F.col("click_id").asc()],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        F.unix_timestamp(F.col("click_ts").cast("timestamp")).alias("click_epoch"),
+    )
+
+
 def segment_status_pivot(spark, sf_dir):
     """A5 pivot with explicit value domain."""
     orders = _t(spark, sf_dir, "orders")
@@ -883,6 +911,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "priority_customer_lookup": priority_customer_lookup,
     "purchase_attribution_asof": purchase_attribution_asof,
+    "purchase_attribution_windowed": purchase_attribution_windowed,
     "segment_status_pivot": segment_status_pivot,
     "part_type_tokens": part_type_tokens,
     "part_token_stats": part_token_stats,
@@ -1113,6 +1142,21 @@ SELECT p.event_id, p.user_id,
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    "purchase_attribution_windowed": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT p.event_id, c.click_id, c.click_ts,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(p.ts) - epoch_us(c.click_ts)), c.click_ts, c.click_id
+         ) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND abs(epoch_us(p.ts) - epoch_us(c.click_ts)) <= 30 * 60 * 1000000)
+SELECT p.event_id, p.user_id, best.click_id,
+       floor(epoch(best.click_ts))::BIGINT AS click_epoch
+FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) best USING (event_id)
 """,
     "segment_status_pivot": """
 SELECT c_mktsegment,
