@@ -220,6 +220,59 @@ def lsh_candidate_pairs(
     return _bucket_pairs(buckets).distinct()
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list → (doc_id,
+    group_id = min id reachable). The cluster-assignment step after LSH:
+    near-dup PAIRS become dedup GROUPS (keep min id, drop the rest).
+
+    Iterative min-label propagation: each round joins every node's label
+    against its neighbors' labels and keeps the min; converges in
+    O(log diameter) rounds for the star/chain shapes near-dup graphs have.
+    Driver code only steers the loop (a `count` per round checks
+    convergence); all data movement is joins/groupBys. Each round
+    localCheckpoints the label frame — without it the lineage doubles per
+    iteration and the plan explodes.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left_outer")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("group_id"))
+
+
 def _hex_digit_value(c: Column) -> Column:
     """Value 0-15 of one lowercase hex digit via position arithmetic —
     portable to ANSI SQL (no engine-specific hex parse)."""

@@ -810,6 +810,15 @@ def docs_minhash_lsh(spark, sf_dir):
     return dedup_ops.lsh_candidate_pairs(docs, "text", "doc_id", k=3, num_hashes=12, bands=4)
 
 
+def docs_dup_groups(spark, sf_dir):
+    """Near-dup GROUP assignment: connected components (iterative min-label
+    propagation) over the MinHash-LSH candidate pairs."""
+    pairs = dedup_ops.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, num_hashes=12, bands=4
+    )
+    return dedup_ops.connected_components(pairs)
+
+
 def docs_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.simhash(docs, "text", "doc_id", bits=32)
@@ -948,6 +957,7 @@ QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_minhash_lsh": docs_minhash_lsh,
+    "docs_dup_groups": docs_dup_groups,
     "docs_simhash": docs_simhash,
     "docs_lang_id": docs_lang_id,
     "docs_token_stats": docs_token_stats,
@@ -1465,6 +1475,32 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    "docs_dup_groups": f"""
+WITH RECURSIVE tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS shingle
+  FROM tok WHERE len(toks) >= 3),
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s
+  GROUP BY doc_id, s.seed),
+bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, seed // 3),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+SELECT id AS doc_id, min(lbl) AS group_id FROM walk GROUP BY id
 """,
     "docs_simhash": _simhash_sql(32),
     "docs_lang_id": _lang_id_sql(),
