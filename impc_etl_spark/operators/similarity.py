@@ -109,6 +109,44 @@ def cosine_pairs(
     )
 
 
+def batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k per query for a whole QUERY TABLE (the production search
+    shape): broadcast the queries, score corpus×queries, take k per query
+    via window.
+
+    Norms are precomputed per side (never per pair); the corpus is
+    fanned out so scoring parallelizes; row_number-over-window plans as
+    WindowGroupLimit (partial top-k before the shuffle). At scale the
+    corpus side stays partition-local — only queries broadcast.
+    """
+    c = fan_out(corpus).select(
+        F.col(id_col), F.col(vec_col).alias("__cv"), norm(F.col(vec_col)).alias("__cn")
+    )
+    q = queries.select(
+        F.col(q_id_col), F.col(q_vec_col).alias("__qv"), norm(F.col(q_vec_col)).alias("__qn")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")), 6).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
 def hyperplane_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (unit Gaussian, seeded)."""
     rng = random.Random(seed)

@@ -891,6 +891,17 @@ def emb_near_dup_pairs(spark, sf_dir):
     return sim_ops.cosine_pairs(emb, threshold=0.4)
 
 
+def emb_batch_topk(spark, sf_dir):
+    """Batch similarity search: top-3 corpus vectors per query for a
+    5-query table (broadcast queries × fanned-out corpus + windowed
+    top-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim_ops.batch_topk(emb, queries, k=3)
+
+
 def emb_ann_topk(spark, sf_dir):
     """LSH-bucketed ANN (no SQL oracle — approximate; rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -967,6 +978,7 @@ QUERIES = {
     "media_frame_sample": media_frame_sample,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
+    "emb_batch_topk": emb_batch_topk,
     "emb_ann_topk": emb_ann_topk,
 }
 
@@ -1581,6 +1593,27 @@ p AS (
   GROUP BY 1, 2)
 SELECT vec_a, vec_b, floor((dp / (sqrt(na) * sqrt(nb))) * 1000000 + 0.5) / 1000000 AS cos_sim
 FROM p WHERE floor((dp / (sqrt(na) * sqrt(nb))) * 1000000 + 0.5) / 1000000 >= 0.4
+""",
+    "emb_batch_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, unnest(embedding)::DOUBLE AS qe,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id < 5),
+e AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS ve,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         sum(ve * qe) AS dp, sum(ve * ve) AS nv, sum(qe * qe) AS nq
+  FROM e JOIN q USING (i) GROUP BY q.query_id, e.vec_id),
+s AS (
+  SELECT query_id, vec_id,
+         floor((dp / (sqrt(nv) * sqrt(nq))) * 1000000 + 0.5) / 1000000 AS cos_sim
+  FROM d)
+SELECT query_id, vec_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM s) WHERE rk <= 3
 """,
     # emb_ann_topk: approximate (LSH bucket probe) — intentionally no oracle.
 }
