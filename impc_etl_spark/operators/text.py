@@ -76,6 +76,61 @@ def word_shingles(toks: Column, k: int) -> Column:
     return bind(toks, mk)
 
 
+#: BPE-ish pre-tokenizer (GPT-2 shape): contractions, letter runs, digit
+#: runs, punctuation runs — each with optional leading space. Counting
+#: these is the standard cheap proxy for subword token counts.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Count BPE-style pre-tokens via regexp_count — the 'token budget'
+    estimator for training-data pipelines (pure regex, scan-speed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PATTERN))
+
+
+def rolling_hashes(col: str | Column, k: int = 8) -> Column:
+    """Per-position k-char rolling window hashes over the normalized text
+    (md5-based so it is portable; a production rolling hash would use
+    Karp-Rabin, but the *selection* logic below is the interesting part).
+    """
+    normed = normalized_text(col)
+
+    def mk(t: Column) -> Column:
+        n = F.length(t)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.md5(t.substr(i, F.lit(k))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind(normed, mk)
+
+
+def winnowing_fingerprint(col: str | Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): the
+    set of per-window minima over k-gram rolling hashes — the standard
+    near-dup/plagiarism fingerprint selection. Row-local array algebra:
+    hashes → sliding windows of w → min per window → distinct, sorted.
+    """
+    hashes = rolling_hashes(col, k)
+
+    def mk(h: Column) -> Column:
+        n = F.size(h)
+        mins = F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(w - 1)),
+                lambda i: F.array_min(F.slice(h, i, w)),
+            ),
+        ).otherwise(F.when(n > 0, F.array(F.array_min(h))).otherwise(h))
+        return F.array_sort(F.array_distinct(mins))
+
+    return bind(hashes, mk)
+
+
 def normalized_text(col: str | Column) -> Column:
     """Canonical normal form: tokens re-joined with single spaces. Used by
     exact dedup and fingerprinting so trivial whitespace/punct variants

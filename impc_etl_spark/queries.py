@@ -850,6 +850,26 @@ def docs_fingerprint(spark, sf_dir):
     return docs.select("doc_id", text_ops.fingerprint("text").alias("fp"))
 
 
+def docs_bpe_token_count(spark, sf_dir):
+    """BPE-ish subword token counting (regexp_count, scan-speed)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.bpe_token_count("text").alias("n_bpe_tokens"),
+        text_ops.token_count("text").alias("n_word_tokens"),
+    )
+
+
+def docs_winnowing(spark, sf_dir):
+    """Winnowing fingerprint: per-window minima over k-gram rolling hashes
+    (Schleimer et al. SIGMOD'03), exported as a joined string."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_join(text_ops.winnowing_fingerprint("text", k=8, w=4), ",").alias("fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: multimodal (binary payloads via Arrow-batched mapInPandas)
 # ---------------------------------------------------------------------------
@@ -974,6 +994,8 @@ QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_quality": docs_quality,
     "docs_fingerprint": docs_fingerprint,
+    "docs_bpe_token_count": docs_bpe_token_count,
+    "docs_winnowing": docs_winnowing,
     "media_feature_extract": media_feature_extract,
     "media_frame_sample": media_frame_sample,
     "emb_cosine_topk": emb_cosine_topk,
@@ -1541,6 +1563,30 @@ FROM sig
 """,
     "docs_fingerprint": f"""
 SELECT doc_id, md5(array_to_string({_DOC_TOKS}, ' ')) AS fp FROM documents
+""",
+    "docs_bpe_token_count": (
+        "SELECT doc_id,\n"
+        "       len(regexp_extract_all(text, '"
+        + __import__("impc_etl_spark.operators.text", fromlist=["BPE_PATTERN"]).BPE_PATTERN.replace("'", "''")
+        + "')) AS n_bpe_tokens,\n"
+        f"       len({_DOC_TOKS}) AS n_word_tokens\n"
+        "FROM documents"
+    ),
+    "docs_winnowing": f"""
+WITH t AS (
+  SELECT doc_id, array_to_string({_DOC_TOKS}, ' ') AS txt FROM documents),
+h AS (
+  SELECT doc_id,
+         [md5(substr(txt, i, 8)) FOR i IN range(1, length(txt) - 6)] AS hs
+  FROM t),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN [list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)]
+              WHEN len(hs) > 0 THEN [list_min(hs)]
+              ELSE hs END AS mins
+  FROM h)
+SELECT doc_id, array_to_string(list_sort(list_distinct(mins)), ',') AS fp FROM m
 """,
     "media_feature_extract": """
 WITH h AS (
