@@ -1,0 +1,56 @@
+"""Plan-quality guardrails over EVERY registered query.
+
+Encodes the engine's performance discipline as tests: no Cartesian
+products, no row-at-a-time Python UDFs (BatchEvalPython), and parquet
+filter pushdown wherever a query filters a base table. A regression that
+slips a Python UDF into a hot path or degrades a join to a cross product
+fails CI — not a code review.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+# Queries whose plans legitimately contain a broadcast nested-loop join:
+# non-equi predicates against a BROADCAST side (array membership, pair
+# generation over a fanned-out small table). A BNL against a broadcast dim
+# is bounded work; a CartesianProduct is never allowed.
+BNL_ALLOWED = {
+    "array_membership_join",
+    "emb_near_dup_pairs",
+    "emb_batch_topk",  # corpus × broadcast query table (scoring is the point)
+}
+
+
+def _plan(spark, name: str) -> str:
+    from impc_etl_spark import queries as q
+
+    df = q.QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _all_names():
+    from impc_etl_spark import queries as q
+
+    return sorted(q.QUERIES)
+
+
+@pytest.mark.parametrize("name", _all_names())
+def test_no_cartesian_and_no_python_row_udf(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    # ArrowEvalPython (pandas_udf) and MapInPandas/FlatMapGroupsInPandas are
+    # the sanctioned Python surfaces; BatchEvalPython is the row-at-a-time
+    # pickling path and must never appear.
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNL_ALLOWED, f"{name}: unexpected nested-loop join"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from impc_etl_spark import queries as q
+
+    plan = q.QUERIES["pricing_summary"](spark, SF_SMOKE)._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
