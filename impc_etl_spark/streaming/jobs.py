@@ -113,6 +113,37 @@ def stateful_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: every click by the same user within
+    ``window`` BEFORE a purchase (ad-attribution shape). Both sides carry
+    watermarks and the join condition carries the time range — that pair
+    is what lets Spark evict join state; without them state grows forever.
+
+    (The batch as-of join keeps only the nearest click; stream-stream
+    joins emit ALL matches in the window — the nearest-selection is a
+    downstream aggregation if needed.)
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts - INTERVAL {window} AND c_ts <= p_ts"
+        ),
+    ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

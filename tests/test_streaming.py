@@ -108,3 +108,39 @@ def test_stateful_user_totals_matches_batch(spark, events_dir, tmp_path):
     )
     want = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_interval_join_matches_batch(spark, events_dir, tmp_path):
+    from impc_etl_spark.streaming.jobs import (
+        interval_join, read_event_stream, run_available_now,
+    )
+
+    src = read_event_stream(spark, events_dir)
+    stream = interval_join(
+        src.where(F.col("event_type") == "purchase"),
+        src.where(F.col("event_type") == "click"),
+    )
+    run_available_now(stream, "ij", str(tmp_path / "ckpt"), output_mode="append")
+    got = {
+        (r["purchase_id"], r["click_id"]) for r in spark.table("ij").collect()
+    }
+
+    ev = _batch_events(spark)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            F.expr(
+                "p_user = c_user AND c_ts >= p_ts - INTERVAL 30 minutes AND c_ts <= p_ts"
+            ),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
