@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY.md §5: it had none): random-input equivalence of the
+derivation-DSL compiler against direct Python evaluation, and of the
+as-of join against pandas.merge_asof."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+# --- derivation DSL: random expression trees --------------------------------
+
+def _formula(depth: int) -> st.SearchStrategy:
+    leaf = st.sampled_from(["'a'", "'b'", "'c'", "2", "10", "0.5"])
+    if depth == 0:
+        return leaf
+    sub = _formula(depth - 1)
+    binop = st.sampled_from(["mul", "sum", "sub", "min", "max"])
+    return st.one_of(
+        leaf,
+        st.tuples(binop, sub, sub).map(lambda t: f"{t[0]}({t[1]},{t[2]})"),
+        sub.map(lambda x: f"abs({x})"),
+        sub.map(lambda x: f"neg({x})"),
+    )
+
+
+def _py_eval(node: str, env: dict[str, float]) -> float:
+    node = node.strip()
+    if node.startswith("'"):
+        return env[node.strip("'")]
+    if "(" not in node:
+        return float(node)
+    fn, rest = node.split("(", 1)
+    body = rest[:-1]
+    args, depth, cur = [], 0, ""
+    for ch in body:
+        if ch == "," and depth == 0:
+            args.append(cur)
+            cur = ""
+        else:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            cur += ch
+    args.append(cur)
+    vals = [_py_eval(a, env) for a in args]
+    return {
+        "mul": lambda v: v[0] * v[1],
+        "sum": lambda v: v[0] + v[1],
+        "sub": lambda v: v[0] - v[1],
+        "min": lambda v: min(v),
+        "max": lambda v: max(v),
+        "abs": lambda v: abs(v[0]),
+        "neg": lambda v: -v[0],
+    }[fn](vals)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(formula=_formula(3), a=finite, b=finite, c=finite)
+def test_derivation_matches_python(spark, formula, a, b, c):
+    from impc_etl_spark.operators.derivation import compile_derivation
+
+    df = spark.createDataFrame([(a, b, c)], ["a", "b", "c"])
+    got = df.select(compile_derivation(formula).cast("double").alias("x")).collect()[0]["x"]
+    want = _py_eval(formula, {"a": a, "b": b, "c": c})
+    assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+# --- as-of join vs pandas.merge_asof ----------------------------------------
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lts=st.lists(st.integers(0, 300), min_size=1, max_size=12, unique=True),
+    rts=st.lists(st.integers(0, 300), min_size=1, max_size=12, unique=True),
+    keys=st.lists(st.integers(0, 2), min_size=1, max_size=12),
+)
+def test_asof_backward_matches_pandas(spark, lts, rts, keys):
+    from impc_etl_spark.operators.joins import asof_join
+
+    left_rows = [(keys[i % len(keys)], t) for i, t in enumerate(sorted(lts))]
+    right_rows = [(keys[(i + 1) % len(keys)], t) for i, t in enumerate(sorted(rts))]
+    left = spark.createDataFrame(left_rows, ["k", "t"])
+    right = spark.createDataFrame(right_rows, ["k", "rt"])
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="rt",
+                    direction="backward")
+    got = {(r["k"], r["t"]): r["rt"] for r in out.collect()}
+
+    lp = pd.DataFrame(left_rows, columns=["k", "t"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["k", "rt"]).sort_values("rt")
+    merged = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k",
+                           direction="backward")
+    want = {
+        (r.k, r.t): (None if pd.isna(r.rt) else int(r.rt))
+        for r in merged.itertuples()
+    }
+    assert got == want
