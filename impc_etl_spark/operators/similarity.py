@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from impc_etl_spark.operators.partitioning import fan_out
+from impc_etl_spark.operators.text import bind
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -174,6 +175,86 @@ def hyperplane_sketch(
         plane = F.array(*[F.lit(x) for x in p])
         bits.append(F.when(dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return df.withColumn(out, F.concat(*bits))
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_build(
+    df: DataFrame,
+    nlist: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means (Lloyd, fixed iterations) over the
+    corpus, returning (corpus + ``ivf_cluster`` column, centroids).
+
+    Assignment is row-local (distances to centroid LITERALS — centroids
+    are model state, a few KB, and live in the plan, not a join).
+    Re-centering posexplodes to (cluster, dim, value) and averages —
+    one narrow shuffle of nlist×dim aggregates per iteration; only the
+    centroid matrix is collected (never the data). Deterministic init:
+    first nlist vectors by id.
+    """
+    init = (
+        df.orderBy(id_col).limit(nlist)
+        .select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iterations):
+        assigned = ivf_assign(df, centroids, vec_col)
+        dim_means = (
+            assigned.select("ivf_cluster", F.posexplode(vec_col).alias("d", "v"))
+            .groupBy("ivf_cluster", "d")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        for r in dim_means:
+            new_c[r["ivf_cluster"]][r["d"]] = float(r["m"])
+        centroids = new_c
+    return ivf_assign(df, centroids, vec_col), centroids
+
+
+def ivf_assign(df: DataFrame, centroids: Sequence[Sequence[float]], vec_col: str = "embedding") -> DataFrame:
+    """Tag each row with its nearest centroid index (0-based), row-local."""
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    dists = F.transform(cents, lambda c: _l2sq(F.col(vec_col), c))
+    # bind the distance array so array_min doesn't recompute all distances
+    assigned = bind(dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"))
+    return df.withColumn("ivf_cluster", assigned)
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: rank centroids by distance to the query driver-side,
+    scan only the ``nprobe`` nearest clusters, exact cosine inside. The
+    cluster filter is a pushable IN predicate — with the index partitioned
+    by ``ivf_cluster`` on disk this prunes partitions, the IVF point."""
+    scored = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((q - c) ** 2 for q, c in zip(query_vec, centroids[i])),
+    )
+    probes = scored[:nprobe]
+    return cosine_topk(
+        indexed.where(F.col("ivf_cluster").isin(probes)), query_vec, k, vec_col, id_col
+    )
 
 
 def ann_topk(

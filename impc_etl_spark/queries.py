@@ -928,6 +928,17 @@ def emb_ann_topk(spark, sf_dir):
     return sim_ops.ann_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=8)
 
 
+def emb_ivf_topk(spark, sf_dir):
+    """IVF (k-means coarse quantizer) search with FULL probe — must equal
+    the exact brute-force top-k, so it shares that oracle; the
+    reduced-probe approximate path is recall-tested in unit tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    indexed, centroids = sim_ops.ivf_build(emb, nlist=8, iterations=2)
+    return sim_ops.ivf_topk(
+        indexed, centroids, _query_vec(spark, sf_dir), k=10, nprobe=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -1002,6 +1013,7 @@ QUERIES = {
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_batch_topk": emb_batch_topk,
     "emb_ann_topk": emb_ann_topk,
+    "emb_ivf_topk": emb_ivf_topk,
 }
 
 # Canonical tokenizer in DuckDB SQL (must mirror operators.text.tokens).
@@ -1663,3 +1675,4 @@ SELECT query_id, vec_id, cos_sim, rk FROM (
 """,
     # emb_ann_topk: approximate (LSH bucket probe) — intentionally no oracle.
 }
+ORACLE["emb_ivf_topk"] = ORACLE["emb_cosine_topk"]

@@ -126,3 +126,47 @@ def test_rule_calls_first_match_wins(spark):
     )
     got = {r["k"]: r["call"] for r in out.collect()}
     assert got == {"s1": "high", "s2": "normal"}
+
+
+def test_ivf_recall_and_full_probe_exact(spark):
+    from impc_etl_spark.operators.similarity import cosine_topk, ivf_build, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    indexed, centroids = ivf_build(emb, nlist=8, iterations=2)
+    indexed = indexed.localCheckpoint(eager=True)  # reuse index across probes
+
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    # probing ALL clusters must reproduce the exact result
+    full = [r["vec_id"] for r in ivf_topk(indexed, centroids, q, k=10, nprobe=8).collect()]
+    assert full == exact
+    # probing a few clusters keeps decent recall (deterministic seed data)
+    approx = [r["vec_id"] for r in ivf_topk(indexed, centroids, q, k=10, nprobe=2).collect()]
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.5, recall
+
+
+def test_salted_agg_equals_plain(spark):
+    from impc_etl_spark.operators.aggregate import salted_agg
+
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    out = salted_agg(
+        df, ["o_orderstatus"],
+        {"n": (F.count(F.lit(1)), F.sum("n")),
+         "mx": (F.max("o_totalprice"), F.max("mx"))},
+        buckets=4,
+    )
+    got = {r["o_orderstatus"]: (r["n"], r["mx"]) for r in out.collect()}
+    plain = df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.max("o_totalprice").alias("mx"))
+    want = {r["o_orderstatus"]: (r["n"], r["mx"]) for r in plain.collect()}
+    assert got == want
+
+
+def test_fan_out_noop_on_wide_input(spark):
+    from impc_etl_spark.operators.partitioning import fan_out
+
+    wide = spark.range(1000).repartition(64)
+    assert fan_out(wide) is wide
+    narrow = spark.range(1000).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() >= 8
