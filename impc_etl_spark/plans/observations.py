@@ -235,3 +235,40 @@ def observations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Full plan: flat star schema → nested docs → observation fact table
     (fused single-scan mapping)."""
     return map_to_observations_fused(nest_experiments(orders, lineitem))
+
+
+def synthesize_curve_observations(obs: DataFrame) -> DataFrame:
+    """Derive per-experiment summary observations from the series family —
+    the body-weight-curve synthesis pattern
+    (observation_mapper.py:1084-1185: derived rows minted FROM existing
+    observations and unioned back in). One aggregation over the series
+    rows produces a 'curve' observation per experiment whose data_point is
+    the trapezoid AUC over (time_point, data_point) and whose id is minted
+    from the experiment key with a reserved family tag.
+    """
+    series = obs.where(F.col("parameter_family") == "seriesParameter")
+    pts = series.groupBy("experiment_id", "metadata_group").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("time_point").alias("t"), F.col("data_point").alias("v")))
+        ).alias("pts")
+    )
+    auc = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("pts"), 1, F.size("pts") - 1),
+            F.slice(F.col("pts"), 2, F.size("pts") - 1),
+            lambda a, b: (b["t"] - a["t"]) * (a["v"] + b["v"]) / 2.0,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    derived = pts.select(
+        F.md5(F.concat_ws("#", F.col("experiment_id"), F.lit("derivedCurve"), F.lit("0")))
+        .alias("observation_id"),
+        "experiment_id",
+        F.lit("derivedCurve").alias("parameter_family"),
+        F.lit(0).alias("parameter_seq"),
+        F.lit("curve_summary").alias("observation_type"),
+        auc.alias("data_point"),
+        "metadata_group",
+    )
+    return conform_to_schema(derived, OBSERVATION_CONTRACT)

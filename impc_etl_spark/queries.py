@@ -382,6 +382,11 @@ def order_date_parts(spark, sf_dir):
         F.month("o_orderdate").alias("m"),
         F.dayofmonth("o_orderdate").alias("d"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        # age-in-weeks derivation (floor(datediff/7) — replaces the
+        # reference's Python UDF, experiment_bw_age_calculator.py:283-288)
+        F.floor(
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")) / 7
+        ).alias("weeks_since"),
     )
 
 
@@ -742,6 +747,23 @@ def observations_pipeline(spark, sf_dir):
     return observations(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
 
 
+def observations_with_curves(spark, sf_dir):
+    """Observation table + synthesized per-experiment curve observations
+    (derived-row minting + union — the BW-curve synthesis shape)."""
+    from impc_etl_spark.plans.observations import observations, synthesize_curve_observations
+
+    obs = observations(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+    curves = synthesize_curve_observations(obs)
+    return conform_ops.union_conform([obs, curves]).select(
+        "observation_id",
+        "experiment_id",
+        "parameter_family",
+        "observation_type",
+        _rnd("data_point", 4).alias("data_point"),
+        "metadata_group",
+    )
+
+
 def lineitem_part_mart(spark, sf_dir):
     """Mart enrichment (map_to_stats pattern): broadcast-join dims onto the
     fact, projecting renamed column subsets."""
@@ -994,6 +1016,7 @@ QUERIES = {
     "customer_order_bundle_gz": customer_order_bundle_gz,
     "orders_approx_distinct": orders_approx_distinct,
     "observations_pipeline": observations_pipeline,
+    "observations_with_curves": observations_with_curves,
     "lineitem_part_mart": lineitem_part_mart,
     "supplier_rule_calls": supplier_rule_calls,
     "docs_exact_dedup": docs_exact_dedup,
@@ -1251,7 +1274,8 @@ FROM w GROUP BY l_orderkey
     "order_date_parts": """
 SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
        day(o_orderdate) AS d,
-       datediff('day', DATE '1995-01-01', o_orderdate) AS days_since
+       datediff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+       floor(datediff('day', DATE '1995-01-01', o_orderdate) / 7)::BIGINT AS weeks_since
 FROM orders
 """,
     "date_cascade_parse": """
@@ -1460,6 +1484,49 @@ SELECT md5(l_orderkey::VARCHAR || '#seriesParameter#' || spos::VARCHAR),
        l_orderkey::VARCHAR, 'seriesParameter', l_linenumber, 'time_series',
        l_extendedprice, NULL, l_linenumber::DOUBLE, spos::DOUBLE, metadata_group
 FROM p JOIN m ON l_orderkey = o_orderkey
+""",
+    "observations_with_curves": """
+WITH p AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_quantity, l_returnflag, l_extendedprice) - 1 AS pos,
+         row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_extendedprice) - 1 AS spos
+  FROM lineitem),
+m AS (
+  SELECT o_orderkey,
+         md5(array_to_string(list_sort(['priority=' || o_orderpriority,
+                                        'status=' || o_orderstatus]), '|')) AS metadata_group
+  FROM orders),
+curve_w AS (
+  SELECT l_orderkey, l_linenumber::DOUBLE AS t, l_extendedprice AS v,
+         lag(l_linenumber::DOUBLE) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber::DOUBLE, l_extendedprice) AS pt,
+         lag(l_extendedprice) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber::DOUBLE, l_extendedprice) AS pv
+  FROM lineitem),
+curve AS (
+  SELECT l_orderkey,
+         sum(CASE WHEN pt IS NULL THEN 0 ELSE (t - pt) * (v + pv) / 2 END) AS auc
+  FROM curve_w GROUP BY l_orderkey)
+SELECT md5(l_orderkey::VARCHAR || '#simpleParameter#' || pos::VARCHAR) AS observation_id,
+       l_orderkey::VARCHAR AS experiment_id,
+       'simpleParameter' AS parameter_family,
+       CASE WHEN l_quantity < 10 THEN 'categorical' ELSE 'unidimensional' END AS observation_type,
+       CASE WHEN l_quantity < 10 THEN NULL
+            ELSE floor(l_quantity * 10000 + 0.5) / 10000 END AS data_point,
+       metadata_group
+FROM p JOIN m ON l_orderkey = o_orderkey
+UNION ALL
+SELECT md5(l_orderkey::VARCHAR || '#seriesParameter#' || spos::VARCHAR),
+       l_orderkey::VARCHAR, 'seriesParameter', 'time_series',
+       floor(l_extendedprice * 10000 + 0.5) / 10000, metadata_group
+FROM p JOIN m ON l_orderkey = o_orderkey
+UNION ALL
+SELECT md5(l_orderkey::VARCHAR || '#derivedCurve#0'),
+       l_orderkey::VARCHAR, 'derivedCurve', 'curve_summary',
+       floor(auc * 10000 + 0.5) / 10000, metadata_group
+FROM curve JOIN m ON l_orderkey = o_orderkey
 """,
     "lineitem_part_mart": """
 SELECT l_orderkey, l_linenumber, p_name AS part_name, p_type AS part_type,
