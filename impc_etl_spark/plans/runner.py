@@ -55,6 +55,17 @@ class Pipeline:
 
         return deco
 
+    def sql_task(self, name: str, sql: str, inputs: Sequence[str] = ()) -> None:
+        """Register a task whose body is a SQL statement over its parents
+        (each parent task is visible as a temp view under its own name) —
+        the config-driven task form; see ``pipeline_from_spec``."""
+        def fn(spark: SparkSession, *parents: DataFrame) -> DataFrame:
+            for pname, pdf in zip(inputs, parents):
+                pdf.createOrReplaceTempView(pname)
+            return spark.sql(sql)
+
+        self._tasks[name] = Task(name, fn, tuple(inputs))
+
     def target(self, name: str) -> str:
         return os.path.join(self.root, f"{name}.parquet")
 
@@ -101,3 +112,28 @@ class Pipeline:
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.target(name))
+
+
+def pipeline_from_spec(spark: SparkSession, root: str, spec: dict) -> Pipeline:
+    """Build a Pipeline from a declarative spec (dict or parsed JSON/YAML):
+
+    ``{"tasks": [{"name": ..., "sql": ..., "inputs": [...]}
+                 | {"name": ..., "source": "<parquet path>"}]}``
+
+    ``source`` tasks read external parquet; ``sql`` tasks compute over
+    their parents. This is the whole orchestration config surface — a
+    release pipeline is data, reviewable and diffable, not code.
+    """
+    p = Pipeline(spark, root)
+    for t in spec["tasks"]:
+        name = t["name"]
+        if "source" in t:
+            path = t["source"]
+
+            def mk_src(pth):
+                return lambda s: s.read.parquet(pth)
+
+            p._tasks[name] = Task(name, mk_src(path), ())
+        else:
+            p.sql_task(name, t["sql"], t.get("inputs", ()))
+    return p

@@ -60,6 +60,17 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the star-schema tables as temp views — the SQL front door.
+
+    After this, every engine capability is reachable from ``spark.sql``
+    (SURVEY.md §4: no custom planner needed — Spark SQL over views IS the
+    query API).
+    """
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Read the driver's parquet tables from ``sf_dir``; returns dict.
 

@@ -84,3 +84,49 @@ def test_runner_cycle_detection(spark, tmp_path):
 
     with pytest.raises(ValueError, match="cycle"):
         p.run("a")
+
+
+def test_pipeline_from_spec_sql_tasks(spark, tmp_path):
+    import json
+
+    from impc_etl_spark.plans.runner import pipeline_from_spec
+
+    spec = json.loads(json.dumps({  # round-trip: spec is plain JSON data
+        "tasks": [
+            {"name": "orders", "source": f"{SF_SMOKE}/orders.parquet"},
+            {"name": "customer", "source": f"{SF_SMOKE}/customer.parquet"},
+            {"name": "clean_orders",
+             "sql": "SELECT * FROM orders WHERE o_custkey IS NOT NULL",
+             "inputs": ["orders"]},
+            {"name": "seg_rollup",
+             "sql": """
+               SELECT c_mktsegment, count(*) AS n
+               FROM clean_orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment
+             """,
+             "inputs": ["clean_orders", "customer"]},
+        ]
+    }))
+    p = pipeline_from_spec(spark, str(tmp_path / "dag3"), spec)
+    st = p.run("seg_rollup")
+    assert st["seg_rollup"] == "ran"
+    got = {r["c_mktsegment"]: r["n"] for r in p.read("seg_rollup").collect()}
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    want = {
+        r["c_mktsegment"]: r["n"]
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_sql_front_door(spark):
+    from impc_etl_spark.session import register_views
+
+    register_views(spark, SF_SMOKE, "region", "nation")
+    got = spark.sql(
+        "SELECT r_name, count(*) AS n FROM region JOIN nation "
+        "ON r_regionkey = n_regionkey GROUP BY r_name"
+    ).collect()
+    assert sum(r["n"] for r in got) == spark.table("nation").count()
