@@ -118,3 +118,21 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_jsonl_statpacket_ingest(spark, tmp_path):
+    from impc_etl_spark.sources.readers import read_jsonl
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    p = tmp_path / "packets.jsonl"
+    p.write_text(
+        'STATPACKET: {"procedure": "IMPC_001", "p_value": 0.03}\n'
+        'STATPACKET: {"procedure": "IMPC_002", "p_value": 0.9}\n'
+    )
+    schema = StructType([
+        StructField("procedure", StringType()),
+        StructField("p_value", DoubleType()),
+    ])
+    df = read_jsonl(spark, str(p), schema=schema, strip_prefix_regex=r"^STATPACKET: ")
+    got = {r["procedure"]: r["p_value"] for r in df.collect()}
+    assert got == {"IMPC_001": 0.03, "IMPC_002": 0.9}
