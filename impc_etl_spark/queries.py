@@ -559,6 +559,23 @@ def orders_valid_dates(spark, sf_dir):
     )
 
 
+def customer_key_ancestry(spark, sf_dir):
+    """Ontology-closure pattern (§7 step 4): transitive closure + per-node
+    ancestor arrays over a synthetic binary-tree hierarchy (key → key/2),
+    computed by path-doubling joins."""
+    from impc_etl_spark.operators.graph import ancestor_arrays, transitive_closure
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    edges = cust.where(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("child"),
+        (F.col("c_custkey") / 2).cast("bigint").alias("parent"),
+    )
+    closure = transitive_closure(edges)
+    return ancestor_arrays(closure).select(
+        "node", F.array_join(F.col("ancestors").cast("array<string>"), ",").alias("ancestors")
+    )
+
+
 def orders_release_diff(spark, sf_dir):
     """J7/§2.7 release regression diff: keys added/removed between two
     'releases' (here: all orders vs the finished subset)."""
@@ -1003,6 +1020,7 @@ QUERIES = {
     "order_mean_of_increments": order_mean_of_increments,
     "nation_bounded_segments": nation_bounded_segments,
     "orders_valid_dates": orders_valid_dates,
+    "customer_key_ancestry": customer_key_ancestry,
     "orders_release_diff": orders_release_diff,
     "salted_segment_bundles": salted_segment_bundles,
     "null_tolerant_join": null_tolerant_join,
@@ -1376,6 +1394,18 @@ SELECT o_orderkey,
                  AND try_strptime(substr(date_str, 1, 10), '%Y-%m-%d') IS NOT NULL
             THEN date_str || 'T00:00:00Z' END AS date_time
 FROM s
+""",
+    "customer_key_ancestry": """
+WITH RECURSIVE e AS (
+  SELECT c_custkey AS child, (c_custkey // 2)::BIGINT AS parent
+  FROM customer WHERE c_custkey <= 200 AND c_custkey >= 2),
+walk(node, anc) AS (
+  SELECT child, parent FROM e
+  UNION
+  SELECT w.node, e.parent FROM walk w JOIN e ON e.child = w.anc)
+SELECT node,
+       array_to_string(list_transform(list_sort(list(DISTINCT anc)), x -> x::VARCHAR), ',') AS ancestors
+FROM walk GROUP BY node
 """,
     "orders_release_diff": """
 WITH cur AS (SELECT DISTINCT o_orderkey, o_custkey FROM orders),
