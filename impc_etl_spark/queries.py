@@ -559,6 +559,20 @@ def orders_valid_dates(spark, sf_dir):
     )
 
 
+def segment_price_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (quality-threshold
+    computation; §2.4 extension — the reference has no quantiles)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return j.groupBy("c_mktsegment").agg(
+        _rnd(F.element_at(pct, 1), 4).alias("p25"),
+        _rnd(F.element_at(pct, 2), 4).alias("p50"),
+        _rnd(F.element_at(pct, 3), 4).alias("p75"),
+    )
+
+
 def customer_key_ancestry(spark, sf_dir):
     """Ontology-closure pattern (§7 step 4): transitive closure + per-node
     ancestor arrays over a synthetic binary-tree hierarchy (key → key/2),
@@ -1020,6 +1034,7 @@ QUERIES = {
     "order_mean_of_increments": order_mean_of_increments,
     "nation_bounded_segments": nation_bounded_segments,
     "orders_valid_dates": orders_valid_dates,
+    "segment_price_quantiles": segment_price_quantiles,
     "customer_key_ancestry": customer_key_ancestry,
     "orders_release_diff": orders_release_diff,
     "salted_segment_bundles": salted_segment_bundles,
@@ -1394,6 +1409,14 @@ SELECT o_orderkey,
                  AND try_strptime(substr(date_str, 1, 10), '%Y-%m-%d') IS NOT NULL
             THEN date_str || 'T00:00:00Z' END AS date_time
 FROM s
+""",
+    "segment_price_quantiles": """
+SELECT c_mktsegment,
+       floor(quantile_cont(o_totalprice, 0.25) * 10000 + 0.5) / 10000 AS p25,
+       floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+       floor(quantile_cont(o_totalprice, 0.75) * 10000 + 0.5) / 10000 AS p75
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
 """,
     "customer_key_ancestry": """
 WITH RECURSIVE e AS (
