@@ -31,11 +31,21 @@ EVENTS_DDL = (
 )
 
 
-def read_event_stream(spark: SparkSession, source_dir: str, schema: str = EVENTS_DDL) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = EVENTS_DDL,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-stream the events table (parquet dir). ``ts`` arrives as long
     nanoseconds (TIMESTAMP(NANOS) parquet + nanosAsLong, see session.py);
-    normalize to a µs timestamp here."""
-    raw = spark.readStream.schema(schema).parquet(source_dir)
+    normalize to a µs timestamp here. ``max_files_per_trigger`` throttles
+    ingestion (and, with availableNow, forces multiple micro-batches —
+    useful to exercise cross-batch state)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 

@@ -144,3 +144,55 @@ def test_interval_join_matches_batch(spark, events_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_totals_accumulate_across_micro_batches(spark, tmp_path):
+    """Split the source into two files and force one file per trigger: the
+    applyInPandasWithState accumulator must carry state across the
+    micro-batch boundary (final per-user totals == whole-table batch agg)."""
+    from impc_etl_spark.queries import _events
+    from impc_etl_spark.streaming.jobs import (
+        read_event_stream, run_available_now, stateful_user_totals,
+    )
+
+    ev = _events(spark, SF_SMOKE)
+    half_a = ev.where(F.col("event_id") % 2 == 0)
+    half_b = ev.where(F.col("event_id") % 2 == 1)
+    src = tmp_path / "split_src"
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    raw.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(src / "a"))
+    raw.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(src / "b"))
+    import glob as g
+    import shutil
+    flat = tmp_path / "flat_src"
+    flat.mkdir()
+    for i, f in enumerate(sorted(g.glob(str(src / "*" / "part-*.parquet")))):
+        shutil.copy(f, flat / f"f{i}.parquet")
+
+    stream = stateful_user_totals(
+        read_event_stream(spark, str(flat), max_files_per_trigger=1)
+    )
+    run_available_now(stream, "ut2", str(tmp_path / "ckpt"))
+    rows = spark.table("ut2").collect()
+    # update mode emits one row per user per batch it appears in; the LAST
+    # emission per user carries the accumulated total. Users in both halves
+    # must have 2 emissions (proves >1 micro-batch ran).
+    per_user = {}
+    emissions = {}
+    for r in rows:
+        per_user[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
+        emissions[r["user_id"]] = emissions.get(r["user_id"], 0) + 1
+    # final-state extraction: take max n_events per user (monotone counter)
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
+
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+    want = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in batch.collect()}
+    assert final == want
+    both = {r["user_id"] for r in half_a.select("user_id").distinct().collect()} & {
+        r["user_id"] for r in half_b.select("user_id").distinct().collect()}
+    assert both and all(emissions[u] == 2 for u in both)
