@@ -130,3 +130,24 @@ def test_sql_front_door(spark):
         "ON r_regionkey = n_regionkey GROUP BY r_name"
     ).collect()
     assert sum(r["n"] for r in got) == spark.table("nation").count()
+
+
+def test_release_pipeline_example(spark, tmp_path):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "release_pipeline",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "examples", "release_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    p = mod.build(spark, SF_SMOKE, str(tmp_path / "rel"))
+    st = p.run("stats_input", "release_diff", "mart")
+    assert all(v == "ran" for v in st.values())
+    obs = p.read("observations_final")
+    assert p.read("stats_input").count() == obs.count()
+    # diff picks out exactly the synthesized curve rows
+    assert (p.read("release_diff").count()
+            == obs.where(F.col("parameter_family") == "derivedCurve").count())
