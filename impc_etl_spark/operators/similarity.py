@@ -68,6 +68,40 @@ def cosine_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def cosine_topk_pandas(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k scored by an Arrow-batched NumPy pandas_udf.
+
+    Same results as `cosine_topk` (JVM zip_with/aggregate). Trade-off:
+    the JVM path stays in whole-stage codegen with zero serialization;
+    this path pays one Arrow hop but scores the whole batch as a single
+    (n×d)·d matrix-vector product — for wide vectors (d ≳ 512) the BLAS
+    kernel wins. Pick per deployment; both are one scan + TakeOrdered.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+
+    @pandas_udf("double")
+    def score(vecs):
+        m = np.vstack(vecs.to_numpy())
+        dots = m.astype(np.float64) @ q
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        return pd.Series(np.round(dots / (norms * qn), 6))
+
+    scored = fan_out(df).select(F.col(id_col), score(F.col(vec_col)).alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.95,

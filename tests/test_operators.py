@@ -170,3 +170,15 @@ def test_fan_out_noop_on_wide_input(spark):
     assert fan_out(wide) is wide
     narrow = spark.range(1000).coalesce(1)
     assert fan_out(narrow).rdd.getNumPartitions() >= 8
+
+
+def test_cosine_topk_pandas_matches_jvm(spark):
+    from impc_etl_spark.operators.similarity import cosine_topk, cosine_topk_pandas
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    jvm = cosine_topk(emb, q, k=10).collect()
+    pnd = cosine_topk_pandas(emb, q, k=10).collect()
+    assert [r["vec_id"] for r in jvm] == [r["vec_id"] for r in pnd]
+    for a, b in zip(jvm, pnd):
+        assert a["cos_sim"] == pytest.approx(b["cos_sim"], abs=2e-6)
