@@ -25,7 +25,10 @@ def conform_to_schema(df: DataFrame, contract: StructType, strict_types: bool = 
     extra columns are dropped, column order matches the contract.
 
     With ``strict_types=True`` existing columns are also cast to the
-    contract's type (otherwise their current type is kept).
+    contract's type (otherwise their current type is kept). Casts are
+    ``try_cast``: a malformed value conforms to NULL instead of failing
+    the job under ANSI mode — a schema CONTRACT must accept dirty input
+    (the cleaning layer decides what to drop).
     """
     existing = {f.name: f.dataType for f in df.schema.fields}
     cols = []
@@ -33,7 +36,7 @@ def conform_to_schema(df: DataFrame, contract: StructType, strict_types: bool = 
         if field.name in existing:
             c = F.col(field.name)
             if strict_types and existing[field.name] != field.dataType:
-                c = c.cast(field.dataType)
+                c = c.try_cast(field.dataType)
             cols.append(c.alias(field.name))
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))

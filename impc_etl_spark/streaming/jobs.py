@@ -123,6 +123,18 @@ def stateful_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within the
+    watermark window (``dropDuplicatesWithinWatermark`` — state holds one
+    entry per key and is EVICTED once the watermark passes it, unlike
+    ``dropDuplicates`` whose streaming state grows forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
 def interval_join(
     purchases: DataFrame,
     clicks: DataFrame,

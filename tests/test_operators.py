@@ -182,3 +182,28 @@ def test_cosine_topk_pandas_matches_jvm(spark):
     assert [r["vec_id"] for r in jvm] == [r["vec_id"] for r in pnd]
     for a, b in zip(jvm, pnd):
         assert a["cos_sim"] == pytest.approx(b["cos_sim"], abs=2e-6)
+
+
+def test_union_conform_empty_raises(spark):
+    from impc_etl_spark.operators.conform import union_conform
+
+    with pytest.raises(ValueError):
+        union_conform([])
+
+
+def test_asof_join_empty_right(spark):
+    from impc_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], ["k", "t"])
+    right = spark.createDataFrame([], "k int, rt int")
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="rt")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["rt"] is None
+
+
+def test_conform_invalid_cast_yields_null(spark):
+    from impc_etl_spark.operators.conform import conform_to_schema, contract
+
+    df = spark.createDataFrame([("not-a-number",)], ["a"])
+    out = conform_to_schema(df, contract(("a", IntegerType())), strict_types=True)
+    assert out.collect()[0]["a"] is None

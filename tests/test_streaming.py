@@ -196,3 +196,24 @@ def test_stateful_totals_accumulate_across_micro_batches(spark, tmp_path):
     both = {r["user_id"] for r in half_a.select("user_id").distinct().collect()} & {
         r["user_id"] for r in half_b.select("user_id").distinct().collect()}
     assert both and all(emissions[u] == 2 for u in both)
+
+
+def test_dedup_stream_drops_replayed_batch(spark, tmp_path):
+    """Duplicate the whole source file: streaming dedup must emit each
+    event_id once (the replayed copies arrive within the watermark)."""
+    import shutil
+
+    from impc_etl_spark.streaming.jobs import (
+        dedup_stream, read_event_stream, run_available_now,
+    )
+
+    d = tmp_path / "dup_src"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "b.parquet")
+
+    stream = dedup_stream(read_event_stream(spark, str(d)))
+    run_available_now(stream, "dd", str(tmp_path / "ckpt"), output_mode="append")
+    got = spark.table("dd").count()
+    want = _batch_events(spark).select("event_id").distinct().count()
+    assert got == want
