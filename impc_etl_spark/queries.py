@@ -818,6 +818,53 @@ def lineitem_part_mart(spark, sf_dir):
     )
 
 
+def stats_results_mart(spark, sf_dir):
+    """Wide stats-results mart assembly: rule-based calls per (supplier,
+    returnflag) dataset, enriched with the supplier dimension, doc_id
+    minted from the identifying columns, significant flag derived — the
+    get_stats_results_core composition (rule ladder + enrich + md5 doc id
+    + wide projection) in one plan."""
+    from impc_etl_spark.plans.marts import enrich, rule_calls
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    calls = rule_calls(
+        li,
+        group_keys=["l_suppkey", "l_returnflag"],
+        measures={
+            "n_items": F.count(F.lit(1)),
+            "sum_qty": _rnd(F.sum("l_quantity"), 2),
+        },
+        rules=[
+            (F.col("n_items") >= 40, {"status": F.lit("Successful"), "p_value": F.lit(0.01)}),
+            (F.col("n_items") >= 10, {"status": F.lit("Successful"), "p_value": F.lit(0.2)}),
+        ],
+        defaults={
+            "status": F.lit("NotEnoughData"),
+            "p_value": F.lit(1.0),
+        },
+    )
+    wide = enrich(
+        calls, supp, F.col("l_suppkey") == F.col("s_suppkey"),
+        {"supplier_name": "s_name", "supplier_nation": "s_nationkey"},
+    )
+    keyed = key_ops.surrogate_key(
+        wide, "doc_id", ["l_suppkey", "l_returnflag", "status"], sep="-"
+    )
+    return keyed.select(
+        "doc_id",
+        "l_suppkey",
+        "l_returnflag",
+        "n_items",
+        "sum_qty",
+        "status",
+        "p_value",
+        (F.col("p_value") < 0.05).alias("significant"),
+        "supplier_name",
+        "supplier_nation",
+    )
+
+
 def supplier_rule_calls(spark, sf_dir):
     """A9 rule-based manual calls: grouped threshold measures + a
     first-match-wins rule ladder (viability/fertility-call shape)."""
@@ -1052,6 +1099,7 @@ QUERIES = {
     "observations_with_curves": observations_with_curves,
     "lineitem_part_mart": lineitem_part_mart,
     "supplier_rule_calls": supplier_rule_calls,
+    "stats_results_mart": stats_results_mart,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_minhash_lsh": docs_minhash_lsh,
@@ -1587,6 +1635,23 @@ SELECT l_orderkey, l_linenumber, p_name AS part_name, p_type AS part_type,
 FROM lineitem
 LEFT JOIN part ON l_partkey = p_partkey
 LEFT JOIN supplier ON l_suppkey = s_suppkey
+""",
+    "stats_results_mart": """
+WITH agg AS (
+  SELECT l_suppkey, l_returnflag, count(*) AS n_items,
+         floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+  FROM lineitem GROUP BY 1, 2),
+calls AS (
+  SELECT *,
+         CASE WHEN n_items >= 10 THEN 'Successful' ELSE 'NotEnoughData' END AS status,
+         (CASE WHEN n_items >= 40 THEN 0.01
+               WHEN n_items >= 10 THEN 0.2 ELSE 1.0 END)::DOUBLE AS p_value
+  FROM agg)
+SELECT md5(l_suppkey::VARCHAR || '-' || l_returnflag || '-' || status) AS doc_id,
+       l_suppkey, l_returnflag, n_items, sum_qty, status, p_value,
+       p_value < 0.05 AS significant,
+       s_name AS supplier_name, s_nationkey AS supplier_nation
+FROM calls LEFT JOIN supplier ON l_suppkey = s_suppkey
 """,
     "supplier_rule_calls": """
 WITH agg AS (
