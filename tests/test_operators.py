@@ -207,3 +207,52 @@ def test_conform_invalid_cast_yields_null(spark):
     df = spark.createDataFrame([("not-a-number",)], ["a"])
     out = conform_to_schema(df, contract(("a", IntegerType())), strict_types=True)
     assert out.collect()[0]["a"] is None
+
+
+def test_ann_topk_subset_of_exact_ranking(spark):
+    from impc_etl_spark.operators.similarity import ann_topk, cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact_scores = {
+        r["vec_id"]: r["cos_sim"] for r in cosine_topk(emb, q, k=2000).collect()
+    }
+    approx = ann_topk(emb, q, k=10, n_planes=4).collect()
+    assert approx, "query bucket must not be empty"
+    ids = [r["vec_id"] for r in approx]
+    assert 0 in ids  # the query vector itself shares its own bucket
+    # ANN scores are EXACT cosines (probe filters candidates, never alters
+    # scores), and the output is ranked
+    for r in approx:
+        assert r["cos_sim"] == pytest.approx(exact_scores[r["vec_id"]], abs=1e-9)
+    sims = [r["cos_sim"] for r in approx]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_blocked_cosine_pairs_subset_with_recall(spark):
+    from impc_etl_spark.operators.similarity import cosine_pairs, hyperplane_sketch
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    dim = len(emb.select("embedding").head()[0])
+    exact = {(r["vec_a"], r["vec_b"]) for r in cosine_pairs(emb, threshold=0.4).collect()}
+    sketched = hyperplane_sketch(emb, dim, n_planes=2)
+    blocked = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_pairs(sketched, threshold=0.4, block_col="lsh_bucket").collect()
+    }
+    assert blocked <= exact            # blocking never invents pairs
+    if exact:
+        # 2-plane blocking: P(same bucket) ≈ (1 - θ/π)² ≈ 0.4 at cos 0.4
+        assert len(blocked) / len(exact) >= 0.15
+
+
+def test_surrogate_key_matches_hashlib(spark):
+    import hashlib
+
+    from impc_etl_spark.operators.keys import surrogate_key
+
+    df = spark.createDataFrame([("a", None, 3), ("x", "y", None)], ["c1", "c2", "c3"])
+    out = surrogate_key(df, "sk", ["c1", "c2", "c3"], null_sentinel="NA")
+    got = {(r["c1"]): r["sk"] for r in out.collect()}
+    assert got["a"] == hashlib.md5(b"aNA3").hexdigest()
+    assert got["x"] == hashlib.md5(b"xyNA").hexdigest()
