@@ -43,6 +43,12 @@ def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.coalesce(1).write.mode(mode).option("header", True).csv(path)
 
 
+def write_single_text(df: DataFrame, path: str, column: str, mode: str = "overwrite") -> None:
+    """One text file from one string column (S15 — the mp_chooser JSON-blob
+    sink, jobs/load/mp_chooser_mapper.py:138-143)."""
+    df.select(column).coalesce(1).write.mode(mode).format("text").save(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -136,3 +136,15 @@ def test_jsonl_statpacket_ingest(spark, tmp_path):
     df = read_jsonl(spark, str(p), schema=schema, strip_prefix_regex=r"^STATPACKET: ")
     got = {r["procedure"]: r["p_value"] for r in df.collect()}
     assert got == {"IMPC_001": 0.03, "IMPC_002": 0.9}
+
+
+def test_single_text_sink(spark, tmp_path):
+    from impc_etl_spark.sources.sinks import write_single_text
+
+    df = spark.createDataFrame([('{"a": 1}',), ('{"b": 2}',)], ["blob"])
+    out = str(tmp_path / "txt")
+    write_single_text(df, out, "blob")
+    parts = glob.glob(f"{out}/part-*")
+    assert len(parts) == 1
+    lines = set(open(parts[0]).read().splitlines())
+    assert lines == {'{"a": 1}', '{"b": 2}'}
