@@ -891,6 +891,59 @@ def supplier_rule_calls(spark, sf_dir):
     return out.select("l_suppkey", "n_items", "n_returned", "call", "p_value", "effect_size")
 
 
+def user_event_funnel(spark, sf_dir):
+    """Ordered funnel over the event stream: per user, did view → click →
+    purchase happen in timestamp order (first occurrence of each)?
+    Conditional min aggregates + boolean stage algebra — one shuffle."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & F.col("t_buy").isNotNull() & (F.col("t_buy") > F.col("t_click"))
+    return firsts.select(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("int")).alias("stage_view"),
+        F.sum(s2.cast("int")).alias("stage_click"),
+        F.sum(s3.cast("int")).alias("stage_purchase"),
+    )
+
+
+def user_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity hour, counted by
+    hours-since-cohort activity offsets (two-level agg + datediff-style
+    bucketing over the event stream)."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = ev.join(firsts, "user_id")
+    cohort = F.date_trunc("hour", F.col("first_ts"))
+    offset = F.floor(
+        (F.unix_timestamp("ts") - F.unix_timestamp(cohort)) / 3600
+    ).cast("int")
+    return (
+        j.select(cohort.alias("c"), offset.alias("offset_h"), "user_id")
+        .groupBy(F.unix_timestamp("c").alias("cohort_epoch"), "offset_h")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+def order_extreme_lines(spark, sf_dir):
+    """min_by/max_by (§2.6 deterministic top-1 without a window): the
+    line numbers carrying each order's cheapest and priciest item."""
+    li = _t(spark, sf_dir, "lineitem")
+    # break extendedprice ties deterministically with the line number
+    pair = F.struct(F.col("l_extendedprice").alias("p"), F.col("l_linenumber").alias("n"))
+    return li.groupBy("l_orderkey").agg(
+        F.min_by("l_linenumber", pair).alias("cheapest_line"),
+        F.max_by("l_linenumber", pair).alias("priciest_line"),
+        _rnd(F.min("l_extendedprice"), 2).alias("min_price"),
+        _rnd(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: documents (dedup / text analysis)
 # ---------------------------------------------------------------------------
@@ -1100,6 +1153,9 @@ QUERIES = {
     "lineitem_part_mart": lineitem_part_mart,
     "supplier_rule_calls": supplier_rule_calls,
     "stats_results_mart": stats_results_mart,
+    "user_event_funnel": user_event_funnel,
+    "user_cohort_retention": user_cohort_retention,
+    "order_extreme_lines": order_extreme_lines,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_minhash_lsh": docs_minhash_lsh,
@@ -1667,6 +1723,45 @@ SELECT l_suppkey, n_items, n_returned,
             ELSE 1.0 END)::DOUBLE AS p_value,
        floor((n_returned * 1.0 / n_items) * 1000000 + 0.5) / 1000000 AS effect_size
 FROM agg
+""",
+    "user_event_funnel": """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id)
+SELECT count(*) AS n_users,
+       sum((t_view IS NOT NULL)::INT)::BIGINT AS stage_view,
+       sum((t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view)::INT)::BIGINT AS stage_click,
+       sum((t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+            AND t_buy IS NOT NULL AND t_buy > t_click)::INT)::BIGINT AS stage_purchase
+FROM f
+""",
+    "user_cohort_retention": """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+j AS (
+  SELECT e.user_id, date_trunc('hour', f.first_ts) AS c,
+         floor((epoch(e.ts) - epoch(date_trunc('hour', f.first_ts))) / 3600)::INT AS offset_h
+  FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT floor(epoch(c))::BIGINT AS cohort_epoch, offset_h,
+       count(DISTINCT user_id) AS active_users
+FROM j GROUP BY 1, 2
+""",
+    "order_extreme_lines": """
+WITH r AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_extendedprice, l_linenumber) AS rn_a,
+         row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_extendedprice DESC, l_linenumber DESC) AS rn_d
+  FROM lineitem)
+SELECT l_orderkey,
+       min(CASE WHEN rn_a = 1 THEN l_linenumber END) AS cheapest_line,
+       min(CASE WHEN rn_d = 1 THEN l_linenumber END) AS priciest_line,
+       floor(min(l_extendedprice) * 100 + 0.5) / 100 AS min_price,
+       floor(max(l_extendedprice) * 100 + 0.5) / 100 AS max_price
+FROM r GROUP BY l_orderkey
 """,
     "docs_exact_dedup": f"""
 WITH fp AS (
