@@ -64,6 +64,33 @@ def union_conform(frames: Sequence[DataFrame]) -> DataFrame:
     return out
 
 
+def merge_upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Incremental release merge: rows from ``updates`` replace same-key
+    rows in ``existing``; everything else is kept (MERGE/upsert semantics
+    on plain parquet stores).
+
+    unionByName + one priority-dedup window on the keys — a single
+    shuffle. Pair with the DAG runner to publish a new release on top of
+    the previous one without rebuilding the store. Assumes ``updates`` is
+    key-unique (dedupe it first if not).
+    """
+    from pyspark.sql import Window
+
+    tagged = updates.withColumn("__prio", F.lit(0)).unionByName(
+        existing.withColumn("__prio", F.lit(1)), allowMissingColumns=True
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__prio"))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__prio", "__rn")
+    )
+
+
 def select_rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     """Single-select column mapping: ``{target: source_expr}``.
 

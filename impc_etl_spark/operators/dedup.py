@@ -220,6 +220,73 @@ def lsh_candidate_pairs(
     return _bucket_pairs(buckets).distinct()
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: docs within ``max_hamming`` bit flips.
+
+    Pigeonhole banding: two hashes within d flips agree on at least one of
+    d+1 bands, so candidates come from equality joins on band substrings
+    (``bands`` should be > max_hamming); exact hamming distance verifies
+    in-bucket. Same bucket-expansion shape as MinHash-LSH — no pairwise
+    scan outside buckets.
+    """
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming (pigeonhole)")
+    width = bits // bands
+    sh = simhash(df, text_col, id_col, bits)
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * width + 1, width).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*band_entries)).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.band_key")
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("h")))).alias("entries"))
+        .where(F.size("entries") >= 2)
+    )
+    ids = F.col("entries")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda b: F.struct(
+                    a["id"].alias("doc_a"), b["id"].alias("doc_b"),
+                    a["h"].alias("h_a"), b["h"].alias("h_b"),
+                ),
+            ),
+        )
+    )
+    expanded = buckets.select(F.explode(pairs).alias("p")).select(
+        "p.doc_a", "p.doc_b", "p.h_a", "p.h_b"
+    ).distinct()
+    # exact hamming distance over the bitstrings, row-local
+    idxs = F.sequence(F.lit(1), F.lit(bits))
+    hamming = F.aggregate(
+        idxs,
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(F.col("h_a").substr(i, F.lit(1)) != F.col("h_b").substr(i, F.lit(1)), 1).otherwise(0),
+    )
+    return (
+        expanded.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -590,6 +590,19 @@ def customer_key_ancestry(spark, sf_dir):
     )
 
 
+def orders_upsert_merge(spark, sf_dir):
+    """Incremental release merge: 'updated' open orders (priority rewritten)
+    upserted over the existing store — update rows win per key, untouched
+    rows survive."""
+    orders = _t(spark, sf_dir, "orders")
+    updates = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .withColumn("o_orderpriority", F.lit("0-REVISED"))
+    )
+    merged = conform_ops.merge_upsert(orders, updates, ["o_orderkey"])
+    return merged.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
 def orders_release_diff(spark, sf_dir):
     """J7/§2.7 release regression diff: keys added/removed between two
     'releases' (here: all orders vs the finished subset)."""
@@ -963,6 +976,12 @@ def docs_minhash_lsh(spark, sf_dir):
     return dedup_ops.lsh_candidate_pairs(docs, "text", "doc_id", k=3, num_hashes=12, bands=4)
 
 
+def docs_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: pigeonhole banding + exact hamming verify."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_pairs(docs, "text", "doc_id", bits=32, bands=4, max_hamming=3)
+
+
 def docs_dup_groups(spark, sf_dir):
     """Near-dup GROUP assignment: connected components (iterative min-label
     propagation) over the MinHash-LSH candidate pairs."""
@@ -1136,6 +1155,7 @@ QUERIES = {
     "orders_valid_dates": orders_valid_dates,
     "segment_price_quantiles": segment_price_quantiles,
     "customer_key_ancestry": customer_key_ancestry,
+    "orders_upsert_merge": orders_upsert_merge,
     "orders_release_diff": orders_release_diff,
     "salted_segment_bundles": salted_segment_bundles,
     "null_tolerant_join": null_tolerant_join,
@@ -1159,6 +1179,7 @@ QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_minhash_lsh": docs_minhash_lsh,
+    "docs_simhash_pairs": docs_simhash_pairs,
     "docs_dup_groups": docs_dup_groups,
     "docs_simhash": docs_simhash,
     "docs_lang_id": docs_lang_id,
@@ -1533,6 +1554,13 @@ walk(node, anc) AS (
 SELECT node,
        array_to_string(list_transform(list_sort(list(DISTINCT anc)), x -> x::VARCHAR), ',') AS ancestors
 FROM walk GROUP BY node
+""",
+    "orders_upsert_merge": """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN '0-REVISED' ELSE o_orderpriority END AS o_orderpriority
+  FROM orders)
+SELECT o_orderpriority, count(*) AS n FROM merged GROUP BY 1
 """,
     "orders_release_diff": """
 WITH cur AS (SELECT DISTINCT o_orderkey, o_custkey FROM orders),
@@ -1956,3 +1984,21 @@ SELECT query_id, vec_id, cos_sim, rk FROM (
     # emb_ann_topk: approximate (LSH bucket probe) — intentionally no oracle.
 }
 ORACLE["emb_ivf_topk"] = ORACLE["emb_cosine_topk"]
+ORACLE["docs_simhash_pairs"] = f"""
+WITH sh AS ({_simhash_sql(32)}),
+banded AS (
+  SELECT doc_id, simhash, b.band,
+         substr(simhash, b.band * 8 + 1, 8) AS band_key
+  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS h_a, b.simhash AS h_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+ham AS (
+  SELECT doc_a, doc_b,
+         len([i FOR i IN range(1, 33) IF substr(h_a, i, 1) <> substr(h_b, i, 1)]) AS hamming
+  FROM cand)
+SELECT doc_a, doc_b, hamming::INT AS hamming FROM ham WHERE hamming <= 3
+"""
+
