@@ -590,6 +590,16 @@ def customer_key_ancestry(spark, sf_dir):
     )
 
 
+def orders_profile(spark, sf_dir):
+    """Per-column QA profile (rows/nulls/distincts) in one aggregation."""
+    from impc_etl_spark.operators.profile import profile
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_maybe_null", F.expr("nullif(o_orderpriority, '1-URGENT')")
+    )
+    return profile(orders, ["o_orderkey", "o_orderstatus", "o_maybe_null"])
+
+
 def orders_upsert_merge(spark, sf_dir):
     """Incremental release merge: 'updated' open orders (priority rewritten)
     upserted over the existing store — update rows win per key, untouched
@@ -1155,6 +1165,7 @@ QUERIES = {
     "orders_valid_dates": orders_valid_dates,
     "segment_price_quantiles": segment_price_quantiles,
     "customer_key_ancestry": customer_key_ancestry,
+    "orders_profile": orders_profile,
     "orders_upsert_merge": orders_upsert_merge,
     "orders_release_diff": orders_release_diff,
     "salted_segment_bundles": salted_segment_bundles,
@@ -1554,6 +1565,18 @@ walk(node, anc) AS (
 SELECT node,
        array_to_string(list_transform(list_sort(list(DISTINCT anc)), x -> x::VARCHAR), ',') AS ancestors
 FROM walk GROUP BY node
+""",
+    "orders_profile": """
+WITH src AS (SELECT *, nullif(o_orderpriority, '1-URGENT') AS o_maybe_null FROM orders)
+SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+       sum((o_orderkey IS NULL)::INT)::BIGINT AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct FROM src
+UNION ALL
+SELECT 'o_orderstatus', count(*), sum((o_orderstatus IS NULL)::INT)::BIGINT,
+       count(DISTINCT o_orderstatus) FROM src
+UNION ALL
+SELECT 'o_maybe_null', count(*), sum((o_maybe_null IS NULL)::INT)::BIGINT,
+       count(DISTINCT o_maybe_null) FROM src
 """,
     "orders_upsert_merge": """
 WITH merged AS (

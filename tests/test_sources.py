@@ -148,3 +148,17 @@ def test_single_text_sink(spark, tmp_path):
     assert len(parts) == 1
     lines = set(open(parts[0]).read().splitlines())
     assert lines == {'{"a": 1}', '{"b": 2}'}
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from impc_etl_spark.sources.sinks import write_parquet
+    from tests.conftest import SF_SMOKE
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    out = str(tmp_path / "orders_part")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().toString()
+    # partition filter must prune at planning time, not scan-and-filter
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert back.count() == orders.where(F.col("o_orderstatus") == "F").count()
