@@ -22,8 +22,15 @@ def _sized(df: DataFrame, num_files: int | None) -> DataFrame:
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: list[str] | None = None,
-                  num_files: int | None = None) -> None:
+                  num_files: int | None = None,
+                  max_records_per_file: int | None = None) -> None:
+    """Parquet sink. Sizing levers, in preference order at scale:
+    ``max_records_per_file`` (rotates files inside each task — caps file
+    size without any extra shuffle), AQE coalescing (num_files=None), and
+    only then an explicit ``num_files`` repartition."""
     w = _sized(df, num_files).write.mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

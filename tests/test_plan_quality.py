@@ -54,3 +54,30 @@ def test_filter_pushdown_reaches_scan(spark):
 
     plan = q.QUERIES["pricing_summary"](spark, SF_SMOKE)._jdf.queryExecution().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_explain_summary_shapes(spark):
+    from impc_etl_spark import queries as q
+    from impc_etl_spark.plans.inspect import explain_summary
+
+    s = explain_summary(q.QUERIES["region_revenue"](spark, SF_SMOKE))
+    assert s["broadcast_joins"] >= 3      # all dims broadcast
+    assert s["cartesian_products"] == 0 and s["python_row_udfs"] == 0
+    assert any("l_orderkey" in f for f in s["pushed_filters"])
+
+    s2 = explain_summary(q.QUERIES["observations_pipeline"](spark, SF_SMOKE))
+    assert s2["generates"] >= 1           # fused single explode
+    assert s2["exchanges"] <= 2           # one nest shuffle (+AQE reads)
+
+
+def test_max_records_per_file(spark, tmp_path):
+    import glob
+
+    from impc_etl_spark.sources.sinks import write_parquet
+
+    df = spark.range(1000).coalesce(1)
+    out = str(tmp_path / "rot")
+    write_parquet(df, out, max_records_per_file=250)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 4                # rotated inside the single task
+    assert spark.read.parquet(out).count() == 1000
