@@ -98,6 +98,35 @@ def media_features(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(compute, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "media_id bigint, width int, height int, thumb_md5 string"
+
+
+def resize_media(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    content_col: str = "content",
+) -> DataFrame:
+    """Resize plumbing: one resized-thumbnail record per payload via
+    mapInPandas. The resample kernel is stubbed (no codec libs): the
+    'thumbnail' is the deterministic digest md5(payload ‖ ':WxH') so the
+    batch shape, schema, and partitioning are real and oracle-checkable —
+    a real implementation swaps the digest line for PIL's resize."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f":{width}x{height}".encode()
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": width,
+                "height": height,
+                "thumb_md5": [
+                    hashlib.md5(bytes(p) + tag).hexdigest() for p in pdf[content_col]
+                ],
+            })
+
+    return df.mapInPandas(compute, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Frame sampling plumbing: expand each payload into n_bytes%4+1
     'frames' (multi-row output per input row — the mapInPandas shape a

@@ -1065,6 +1065,48 @@ def media_feature_extract(spark, sf_dir):
     return media_features(attach_binary(docs, "text", "doc_id"))
 
 
+def media_resize(spark, sf_dir):
+    """Resize stage plumbing (mapInPandas; resample kernel stubbed as a
+    deterministic digest)."""
+    from impc_etl_spark.multimodal.media import attach_binary, resize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return resize_media(attach_binary(docs, "text", "doc_id"), width=64, height=64)
+
+
+def corpus_prepare(spark, sf_dir):
+    """END-TO-END training-corpus preparation in ONE plan: quality filter →
+    exact dedup (keep min id per fingerprint) → near-dup removal (drop the
+    non-min side of every LSH candidate pair) → per-doc token budget.
+    The composite north-star pipeline; every stage is the tested operator."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_ops.add_quality_signals(docs, "text")
+    kept = scored.where(F.col("quality_score") >= 0.3)
+    # exact dedup: keep the min doc_id of each normalized fingerprint
+    from pyspark.sql import Window
+
+    kept = (
+        kept.withColumn(
+            "__keeper",
+            F.min("doc_id").over(Window.partitionBy(text_ops.fingerprint("text"))),
+        )
+        .where(F.col("doc_id") == F.col("__keeper"))
+        .drop("__keeper")
+    )
+    # near-dup removal: greedy — drop any doc that is the larger id of a pair
+    losers = (
+        dedup_ops.lsh_candidate_pairs(kept, "text", "doc_id", k=3, num_hashes=12, bands=4)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = join_ops.anti_join(kept, losers, ["doc_id"])
+    return final.select(
+        "doc_id",
+        text_ops.token_count("text").alias("n_tokens"),
+        _rnd("quality_score", 4).alias("quality_score"),
+    )
+
+
 def media_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: one input row → n 'frame' rows via
     mapInPandas (the multi-row expansion shape of a video sampler)."""
@@ -1200,6 +1242,8 @@ QUERIES = {
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_winnowing": docs_winnowing,
     "media_feature_extract": media_feature_extract,
+    "media_resize": media_resize,
+    "corpus_prepare": corpus_prepare,
     "media_frame_sample": media_frame_sample,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
@@ -2007,6 +2051,9 @@ SELECT query_id, vec_id, cos_sim, rk FROM (
     # emb_ann_topk: approximate (LSH bucket probe) — intentionally no oracle.
 }
 ORACLE["emb_ivf_topk"] = ORACLE["emb_cosine_topk"]
+ORACLE["media_resize"] = "\nSELECT doc_id AS media_id, 64 AS width, 64 AS height,\n       md5(text || ':64x64') AS thumb_md5\nFROM documents\n"
+ORACLE["corpus_prepare"] = '\nWITH t AS (\n  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), \'[^a-z0-9]+\'), x -> x <> \'\') AS toks, length(text) AS n_chars FROM documents),\nsig AS (\n  SELECT doc_id, text, toks, len(toks) AS q_n_tokens,\n         length(regexp_replace(text, \'[^A-Za-z]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,\n         length(regexp_replace(text, \'[^.,;:!?\'\'"()]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,\n         len(list_filter(list_distinct(toks), x -> list_contains([\'the\',\'and\',\'of\',\'to\',\'is\',\'in\',\'that\',\'with\',\'for\',\'was\'], x))) * 1.0\n             / greatest(len(toks), 1) AS stop_ratio\n  FROM t),\nscored AS (\n  SELECT doc_id, text, toks, q_n_tokens,\n         floor((0.25 * least(q_n_tokens / 50.0, 1.0)\n             + 0.25 * alpha_ratio\n             + 0.25 * least(stop_ratio * 5.0, 1.0)\n             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score\n  FROM sig),\nq1 AS (SELECT * FROM scored WHERE quality_score >= 0.3),\nq2 AS (\n  SELECT * FROM (\n    SELECT *, min(doc_id) OVER (PARTITION BY md5(array_to_string(toks, \' \'))) AS keeper\n    FROM q1) WHERE doc_id = keeper),\nsh AS (\n  SELECT DISTINCT doc_id, unnest([array_to_string(toks[i:i+2], \' \') FOR i IN range(1, len(toks) - 1)]) AS shingle\n  FROM q2 WHERE len(toks) >= 3),\nmh AS (\n  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || \':\' || shingle)) AS mh\n  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s\n  GROUP BY doc_id, s.seed),\nbands AS (\n  SELECT doc_id, seed // 3 AS band,\n         md5(string_agg(mh, \'|\' ORDER BY seed)) AS band_key\n  FROM mh GROUP BY doc_id, seed // 3),\nlosers AS (\n  SELECT DISTINCT b.doc_id\n  FROM bands a JOIN bands b\n    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)\nSELECT doc_id, len(toks) AS n_tokens, quality_score\nFROM q2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)\n'
+
 ORACLE["docs_simhash_pairs"] = f"""
 WITH sh AS ({_simhash_sql(32)}),
 banded AS (
