@@ -44,6 +44,7 @@ def main() -> int:
         "observations_pipeline",
         "docs_minhash_lsh",
         "docs_quality",
+        "corpus_prepare",
         "media_feature_extract",
         "emb_cosine_topk",
     ]

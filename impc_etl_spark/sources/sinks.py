@@ -50,6 +50,30 @@ def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.coalesce(1).write.mode(mode).option("header", True).csv(path)
 
 
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Compact a small-file parquet dataset into ~target-sized files.
+
+    The 100 TB hygiene job: streaming/incremental writers leave thousands
+    of KB-sized files that wreck scan planning (one task per file, driver
+    listing cost). File count = ceil(total_bytes / target); returns it.
+    Run per partition directory for partitioned stores.
+    """
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
 def write_single_text(df: DataFrame, path: str, column: str, mode: str = "overwrite") -> None:
     """One text file from one string column (S15 — the mp_chooser JSON-blob
     sink, jobs/load/mp_chooser_mapper.py:138-143)."""

@@ -162,3 +162,16 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # partition filter must prune at planning time, not scan-and-filter
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
     assert back.count() == orders.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_compact_parquet(spark, tmp_path):
+    from impc_etl_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "many")
+    spark.range(20000).repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_bytes=10**12)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == 20000
