@@ -136,6 +136,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 12,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: for seed s, min over distinct shingles of
     md5(s ‖ ':' ‖ shingle) (lexicographic min of hex strings). Returns
@@ -150,9 +151,10 @@ def minhash_signatures(
     seed. Docs with no shingles are dropped (they can't near-dup match
     anything).
     """
+    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
     seeds = F.array(*[F.lit(f"{s}:") for s in range(num_hashes)])
     sig = bind(
-        F.array_distinct(word_shingles(tokens(text_col), k)),
+        F.array_distinct(word_shingles(toks, k)),
         lambda sh: F.transform(
             seeds,
             lambda s: F.array_min(F.transform(sh, lambda x: F.md5(F.concat(s, x)))),
@@ -163,7 +165,7 @@ def minhash_signatures(
     # pushed below the projection and re-evaluate the whole signature.
     return (
         fan_out(df)
-        .where(F.size(tokens(text_col)) >= k)
+        .where(F.size(toks) >= k)
         .select(F.col(id_col), sig.alias("minhash"))
     )
 
@@ -175,6 +177,7 @@ def lsh_candidate_pairs(
     k: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b), distinct.
 
@@ -191,7 +194,7 @@ def lsh_candidate_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, tokens_col)
     band_entries = [
         F.struct(
             F.lit(b).alias("band"),

@@ -144,12 +144,18 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(normalized_text(col))
 
 
-def add_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+def add_quality_signals(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """Attach quality-scoring signals: n_chars, n_tokens, mean token length,
     alpha ratio, punctuation ratio, stopword ratio, and a composite
-    ``quality_score`` in [0,1]. All closed-form Column math."""
+    ``quality_score`` in [0,1]. All closed-form Column math.
+
+    Pass ``tokens_col`` (a materialized ``tokens()`` column) when composing
+    with other token-consuming stages — tokenize once, reuse everywhere.
+    """
     c = F.col(text_col)
-    toks = tokens(text_col)
+    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
     n_chars = F.length(c)
     n_tokens = F.size(toks)
     alpha_chars = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))

@@ -1079,30 +1079,36 @@ def corpus_prepare(spark, sf_dir):
     exact dedup (keep min id per fingerprint) → near-dup removal (drop the
     non-min side of every LSH candidate pair) → per-doc token budget.
     The composite north-star pipeline; every stage is the tested operator."""
-    docs = _t(spark, sf_dir, "documents")
-    scored = text_ops.add_quality_signals(docs, "text")
+    # Tokenize ONCE into a column; every stage (quality, fingerprint,
+    # LSH signature, token budget) consumes it. Trade-off: the token array
+    # rides through the dedup-window shuffle instead of being recomputed
+    # per stage — at sf0.1 the two are within noise; materialization wins
+    # as documents get longer (regex cost grows, array adds ~1× text size
+    # to the one shuffle).
+    docs = _t(spark, sf_dir, "documents").withColumn("toks", text_ops.tokens("text"))
+    scored = text_ops.add_quality_signals(docs, "text", tokens_col="toks")
     kept = scored.where(F.col("quality_score") >= 0.3)
     # exact dedup: keep the min doc_id of each normalized fingerprint
     from pyspark.sql import Window
 
+    fp = F.md5(F.array_join(F.col("toks"), " "))
     kept = (
-        kept.withColumn(
-            "__keeper",
-            F.min("doc_id").over(Window.partitionBy(text_ops.fingerprint("text"))),
-        )
+        kept.withColumn("__keeper", F.min("doc_id").over(Window.partitionBy(fp)))
         .where(F.col("doc_id") == F.col("__keeper"))
         .drop("__keeper")
     )
     # near-dup removal: greedy — drop any doc that is the larger id of a pair
     losers = (
-        dedup_ops.lsh_candidate_pairs(kept, "text", "doc_id", k=3, num_hashes=12, bands=4)
+        dedup_ops.lsh_candidate_pairs(
+            kept, "text", "doc_id", k=3, num_hashes=12, bands=4, tokens_col="toks"
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
     final = join_ops.anti_join(kept, losers, ["doc_id"])
     return final.select(
         "doc_id",
-        text_ops.token_count("text").alias("n_tokens"),
+        F.size("toks").alias("n_tokens"),
         _rnd("quality_score", 4).alias("quality_score"),
     )
 
