@@ -70,6 +70,30 @@ def read_jsonl(
     return text.select(F.from_json(value, schema).alias("j")).select("j.*")
 
 
+def rest_crawl_to_df(
+    spark: SparkSession,
+    fetch_page,
+    schema: StructType,
+    max_pages: int = 10_000,
+) -> DataFrame:
+    """REST crawl → DataFrame (S7, the IMPReSS-extractor pattern).
+
+    ``fetch_page(page_index) -> list[Row-like] | None`` is called on the
+    DRIVER until it returns None/empty; rows land in a DataFrame with an
+    EXPLICIT schema (never inference-by-example like the reference,
+    impress_extractor.py:303-321). Ingestion utility by design: paged REST
+    APIs are tiny versus the engine's data — parallelizing the fetch
+    belongs to the API client, not the query engine.
+    """
+    rows: list = []
+    for page in range(max_pages):
+        batch = fetch_page(page)
+        if not batch:
+            break
+        rows.extend(batch)
+    return spark.createDataFrame(rows, schema)
+
+
 def tag_source_file(df: DataFrame, col_name: str = "_source_file") -> DataFrame:
     """Attach the input file basename (S1 tagging) — regexp over
     input_file_name(), no Python UDF."""

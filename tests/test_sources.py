@@ -175,3 +175,63 @@ def test_compact_parquet(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(f"{dst}/part-*.parquet")) == 1
     assert spark.read.parquet(dst).count() == 20000
+
+
+OBO_SAMPLE = """format-version: 1.2
+
+[Term]
+id: MP:0000001
+name: mammalian phenotype
+
+[Term]
+id: MP:0000010
+name: skeleton phenotype
+is_a: MP:0000001 ! mammalian phenotype
+
+[Term]
+id: MP:0000020
+name: long bones
+is_a: MP:0000010 ! skeleton phenotype
+
+[Term]
+id: MP:0000099
+name: dead term
+is_a: MP:0000001
+is_obsolete: true
+
+[Typedef]
+id: part_of
+"""
+
+
+def test_obo_ingest_and_closure(spark):
+    from impc_etl_spark.operators.graph import ancestor_arrays, transitive_closure
+    from impc_etl_spark.sources.ontology import ontology_dataframe, term_edges
+
+    terms = ontology_dataframe(spark, OBO_SAMPLE)
+    assert terms.count() == 4
+    edges = term_edges(terms)   # obsolete term excluded
+    assert edges.count() == 2
+    anc = {
+        r["node"]: r["ancestors"]
+        for r in ancestor_arrays(transitive_closure(edges)).collect()
+    }
+    assert anc["MP:0000020"] == ["MP:0000001", "MP:0000010"]
+    assert anc["MP:0000010"] == ["MP:0000001"]
+
+
+def test_rest_crawl_to_df(spark):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from impc_etl_spark.sources.readers import rest_crawl_to_df
+
+    pages = [[(1, "a"), (2, "b")], [(3, "c")], []]
+
+    def fetch(i):
+        return pages[i] if i < len(pages) else None
+
+    schema = StructType([
+        StructField("id", IntegerType()), StructField("v", StringType())
+    ])
+    df = rest_crawl_to_df(spark, fetch, schema)
+    assert sorted((r["id"], r["v"]) for r in df.collect()) == [(1, "a"), (2, "b"), (3, "c")]
