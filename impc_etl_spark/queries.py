@@ -1097,6 +1097,11 @@ def corpus_prepare(spark, sf_dir):
         .where(F.col("doc_id") == F.col("__keeper"))
         .drop("__keeper")
     )
+    # `kept` feeds BOTH the LSH loser derivation and the anti-join left
+    # side; without materialization Spark evaluates the whole
+    # quality+dedup subtree twice (no automatic CTE reuse) — checkpoint it
+    # once (this is the runner's per-stage-parquet pattern, in-plan).
+    kept = kept.localCheckpoint(eager=True)
     # near-dup removal: greedy — drop any doc that is the larger id of a pair
     losers = (
         dedup_ops.lsh_candidate_pairs(
