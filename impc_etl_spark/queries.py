@@ -40,6 +40,13 @@ def _rnd(c, n: int):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive: the harness may hand us a session built without the
+    # nanosAsLong flag, and events.parquet is TIMESTAMP(NANOS) — reading
+    # it would throw PARQUET_TYPE_ILLEGAL. The conf is runtime-settable.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
