@@ -40,11 +40,14 @@ def _rnd(c, n: int):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Defensive: the harness may hand us a session built without the
-    # nanosAsLong flag, and events.parquet is TIMESTAMP(NANOS) — reading
-    # it would throw PARQUET_TYPE_ILLEGAL. The conf is runtime-settable.
+    # Defensive: the harness may hand us a session built without our
+    # configs. nanosAsLong: events.parquet is TIMESTAMP(NANOS) and would
+    # throw PARQUET_TYPE_ILLEGAL otherwise. UTC: epoch outputs
+    # (unix_timestamp) must not depend on the host timezone — the oracle
+    # treats naive timestamps as UTC. Both are runtime-settable.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
