@@ -299,16 +299,30 @@ def ann_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket, exact cosine
-    inside. Recall < 1.0 by construction; raise recall with fewer planes or
-    multi-probe. The bucket filter is a pushable equality predicate."""
+    """Approximate top-k: probe the query's LSH bucket, exact cosine
+    inside. ``multiprobe=d`` additionally probes every bucket within d bit
+    flips (the standard multi-probe LSH recall lever: 1 flip probes
+    n_planes+1 buckets and typically recovers most boundary losses without
+    touching index layout). The bucket filter stays a pushable IN
+    predicate."""
     planes = hyperplane_planes(len(query_vec), n_planes, seed)
     qbits = "".join(
         "1" if sum(q * p for q, p in zip(query_vec, plane)) >= 0 else "0"
         for plane in planes
     )
+    probes = {qbits}
+    frontier = {qbits}
+    for _ in range(multiprobe):
+        nxt = set()
+        for b in frontier:
+            for i in range(n_planes):
+                nxt.add(b[:i] + ("0" if b[i] == "1" else "1") + b[i + 1:])
+        probes |= nxt
+        frontier = nxt
     sketched = hyperplane_sketch(df, len(query_vec), n_planes, seed, vec_col)
     return cosine_topk(
-        sketched.where(F.col("lsh_bucket") == qbits), query_vec, k, vec_col, id_col
+        sketched.where(F.col("lsh_bucket").isin(sorted(probes))),
+        query_vec, k, vec_col, id_col,
     )

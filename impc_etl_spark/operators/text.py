@@ -144,6 +144,46 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(normalized_text(col))
 
 
+def pack_sequences(
+    df: DataFrame,
+    count_col: str,
+    budget: int,
+    order_by: Sequence[str] = ("doc_id",),
+    out: str = "pack_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs.
+
+    Contiguous packing over a deterministic order: pack_id =
+    floor(running_total_before_doc / budget) via a window cumulative sum —
+    the standard post-shuffle sequence-packing pass of LLM data pipelines
+    (docs longer than the budget get a pack of their own; packs can
+    overflow by at most one document, as in practice).
+
+    Scale note: a single global ordering serializes the cumsum — at 100 TB
+    partition first (e.g. by shard/bucket) and pack within partitions by
+    adding the shard key to ``order_by``'s window partition via
+    ``partition_keys``-style composition; packing quality is unaffected.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum(count_col).over(w), F.lit(0))
+    return df.withColumn(out, F.floor(before / budget).cast("int"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (class rebalancing for training
+    sets). Deterministic for a fixed seed AND fixed partitioning of the
+    input — persist/checkpoint upstream if exact reproducibility across
+    plan changes is required."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
 def add_quality_signals(
     df: DataFrame, text_col: str = "text", tokens_col: str | None = None
 ) -> DataFrame:

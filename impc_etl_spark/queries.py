@@ -1042,6 +1042,19 @@ def docs_fingerprint(spark, sf_dir):
     return docs.select("doc_id", text_ops.fingerprint("text").alias("fp"))
 
 
+def corpus_pack_sequences(spark, sf_dir):
+    """Sequence packing: assign docs to 512-token training packs over a
+    deterministic order (window cumsum), then summarize pack fill."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text_ops.token_count("text").alias("n_tokens")
+    )
+    packed = text_ops.pack_sequences(docs, "n_tokens", budget=512)
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
 def docs_bpe_token_count(spark, sf_dir):
     """BPE-ish subword token counting (regexp_count, scan-speed)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1260,6 +1273,7 @@ QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_quality": docs_quality,
     "docs_fingerprint": docs_fingerprint,
+    "corpus_pack_sequences": corpus_pack_sequences,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_winnowing": docs_winnowing,
     "media_feature_extract": media_feature_extract,
@@ -2072,6 +2086,18 @@ SELECT query_id, vec_id, cos_sim, rk FROM (
     # emb_ann_topk: approximate (LSH bucket probe) — intentionally no oracle.
 }
 ORACLE["emb_ivf_topk"] = ORACLE["emb_cosine_topk"]
+ORACLE["corpus_pack_sequences"] = f"""
+WITH t AS (SELECT doc_id, len({_DOC_TOKS}) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t)
+SELECT floor(before / 512)::INT AS pack_id, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS pack_tokens
+FROM c GROUP BY 1
+"""
+
 ORACLE["media_resize"] = "\nSELECT doc_id AS media_id, 64 AS width, 64 AS height,\n       md5(text || ':64x64') AS thumb_md5\nFROM documents\n"
 ORACLE["corpus_prepare"] = '\nWITH t AS (\n  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), \'[^a-z0-9]+\'), x -> x <> \'\') AS toks, length(text) AS n_chars FROM documents),\nsig AS (\n  SELECT doc_id, text, toks, len(toks) AS q_n_tokens,\n         length(regexp_replace(text, \'[^A-Za-z]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,\n         length(regexp_replace(text, \'[^.,;:!?\'\'"()]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,\n         len(list_filter(list_distinct(toks), x -> list_contains([\'the\',\'and\',\'of\',\'to\',\'is\',\'in\',\'that\',\'with\',\'for\',\'was\'], x))) * 1.0\n             / greatest(len(toks), 1) AS stop_ratio\n  FROM t),\nscored AS (\n  SELECT doc_id, text, toks, q_n_tokens,\n         floor((0.25 * least(q_n_tokens / 50.0, 1.0)\n             + 0.25 * alpha_ratio\n             + 0.25 * least(stop_ratio * 5.0, 1.0)\n             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score\n  FROM sig),\nq1 AS (SELECT * FROM scored WHERE quality_score >= 0.3),\nq2 AS (\n  SELECT * FROM (\n    SELECT *, min(doc_id) OVER (PARTITION BY md5(array_to_string(toks, \' \'))) AS keeper\n    FROM q1) WHERE doc_id = keeper),\nsh AS (\n  SELECT DISTINCT doc_id, unnest([array_to_string(toks[i:i+2], \' \') FOR i IN range(1, len(toks) - 1)]) AS shingle\n  FROM q2 WHERE len(toks) >= 3),\nmh AS (\n  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || \':\' || shingle)) AS mh\n  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s\n  GROUP BY doc_id, s.seed),\nbands AS (\n  SELECT doc_id, seed // 3 AS band,\n         md5(string_agg(mh, \'|\' ORDER BY seed)) AS band_key\n  FROM mh GROUP BY doc_id, seed // 3),\nlosers AS (\n  SELECT DISTINCT b.doc_id\n  FROM bands a JOIN bands b\n    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)\nSELECT doc_id, len(toks) AS n_tokens, quality_score\nFROM q2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)\n'
 

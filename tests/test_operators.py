@@ -256,3 +256,39 @@ def test_surrogate_key_matches_hashlib(spark):
     got = {(r["c1"]): r["sk"] for r in out.collect()}
     assert got["a"] == hashlib.md5(b"aNA3").hexdigest()
     assert got["x"] == hashlib.md5(b"xyNA").hexdigest()
+
+
+def test_stratified_sample_reproducible_and_proportional(spark):
+    from impc_etl_spark.operators.text import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    fr = {"en": 0.5, "fr": 1.0, "de": 0.1, "es": 0.0}
+    a = sorted(r["doc_id"] for r in stratified_sample(docs, "lang", fr, seed=7).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, "lang", fr, seed=7).collect())
+    assert a == b and len(a) > 0   # same seed + partitioning -> same rows
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, "lang", fr, seed=7)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "es" not in by_lang                      # 0.0 stratum dropped
+    assert by_lang.get("fr", 0) == totals.get("fr") # 1.0 stratum kept whole
+    if totals.get("en", 0) >= 50:
+        ratio = by_lang.get("en", 0) / totals["en"]
+        assert 0.3 <= ratio <= 0.7                  # Bernoulli(0.5) bound
+
+
+def test_ann_multiprobe_improves_recall(spark):
+    from impc_etl_spark.operators.similarity import ann_topk, cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    r0 = {r["vec_id"] for r in ann_topk(emb, q, k=10, n_planes=4).collect()}
+    r1 = {r["vec_id"] for r in ann_topk(emb, q, k=10, n_planes=4, multiprobe=1).collect()}
+    rec0 = len(r0 & set(exact)) / 10
+    rec1 = len(r1 & set(exact)) / 10
+    assert rec1 >= rec0          # probing neighbor buckets never hurts
+    # measured on the fixed seed data: 0.3 -> 0.5 with one extra flip
+    assert rec1 >= rec0 + 0.1 or rec1 >= 0.5, (rec0, rec1)
