@@ -223,6 +223,42 @@ def lsh_candidate_pairs(
     return _bucket_pairs(buckets).distinct()
 
 
+def verified_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full scale composition: MinHash-LSH candidate generation, then
+    EXACT Jaccard verification computed only on the candidates.
+
+    Verification joins each candidate pair to the two docs' distinct
+    shingle ARRAYS (two broadcast-able hash joins keyed by id) and
+    computes |A∩B| row-locally with `array_intersect` — no global
+    shingle-level self-join ever happens, so the quadratic step is gone
+    entirely: cost = O(corpus) signatures + O(candidates) verifications.
+    Output: (doc_a, doc_b, jaccard ≥ threshold).
+    """
+    cands = lsh_candidate_pairs(df, text_col, id_col, k, num_hashes, bands)
+    shingle_sets = fan_out(df).select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(tokens(text_col), k)).alias("sh"),
+    )
+    a = shingle_sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shingle_sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter / union, 6)
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

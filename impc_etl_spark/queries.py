@@ -996,6 +996,15 @@ def docs_minhash_lsh(spark, sf_dir):
     return dedup_ops.lsh_candidate_pairs(docs, "text", "doc_id", k=3, num_hashes=12, bands=4)
 
 
+def docs_verified_near_dups(spark, sf_dir):
+    """LSH candidates + exact in-candidate Jaccard verification — the
+    composed scale path (no global shingle self-join anywhere)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.verified_near_dups(
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4, threshold=0.5
+    )
+
+
 def docs_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: pigeonhole banding + exact hamming verify."""
     docs = _t(spark, sf_dir, "documents")
@@ -1266,6 +1275,7 @@ QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_minhash_lsh": docs_minhash_lsh,
+    "docs_verified_near_dups": docs_verified_near_dups,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_dup_groups": docs_dup_groups,
     "docs_simhash": docs_simhash,
@@ -2086,6 +2096,39 @@ SELECT query_id, vec_id, cos_sim, rk FROM (
     # emb_ann_topk: approximate (LSH bucket probe) — intentionally no oracle.
 }
 ORACLE["emb_ivf_topk"] = ORACLE["emb_cosine_topk"]
+ORACLE["docs_verified_near_dups"] = f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS shingle
+  FROM tok WHERE len(toks) >= 3),
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s
+  GROUP BY doc_id, s.seed),
+bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, seed // 3),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+              JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         floor((coalesce(i, 0) * 1.0 / (sa.n + sb.n - coalesce(i, 0))) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM cand c
+  LEFT JOIN common USING (doc_a, doc_b)
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
 ORACLE["corpus_pack_sequences"] = f"""
 WITH t AS (SELECT doc_id, len({_DOC_TOKS}) AS n_tokens FROM documents),
 c AS (
