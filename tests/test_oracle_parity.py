@@ -90,3 +90,25 @@ def test_every_query_has_entry_or_documented_exception():
     assert no_oracle <= {
         "emb_ann_topk", "customer_order_bundle_gz", "orders_approx_distinct",
     }, no_oracle
+
+
+# Queries whose operators have nondeterminism POTENTIAL (set collection,
+# iterative convergence, sampling of plan-dependent state): assert two
+# executions in one session agree. A full-registry audit at sf0.01 found
+# zero nondeterministic queries; this keeps the risky subset pinned in CI.
+RISK_PRONE = [
+    "nation_segments_bundle", "customer_order_bundle", "salted_segment_bundles",
+    "nation_bounded_segments", "docs_minhash_lsh", "docs_dup_groups",
+    "emb_ivf_topk", "customer_key_ancestry",
+]
+
+
+@pytest.mark.parametrize("name", RISK_PRONE)
+def test_deterministic_across_runs(spark, name):
+    from impc_etl_spark import queries as q
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+    assert canon(q.QUERIES[name](spark, SF_SMOKE)) == canon(q.QUERIES[name](spark, SF_SMOKE))
