@@ -107,3 +107,59 @@ def test_asof_backward_matches_pandas(spark, lts, rts, keys):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+# --- connected components vs a reference union-find -------------------------
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=40))
+def test_connected_components_matches_union_find(spark, edges):
+    from impc_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["group_id"] for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+# --- sequence packing invariants --------------------------------------------
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=st.lists(st.integers(1, 700), min_size=1, max_size=30))
+def test_pack_sequences_invariants(spark, counts):
+    from impc_etl_spark.operators.text import pack_sequences
+
+    budget = 512
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(counts)], ["doc_id", "n_tokens"]
+    )
+    out = pack_sequences(df, "n_tokens", budget).collect()
+    assert sum(r["n_tokens"] for r in out) == sum(counts)   # nothing lost
+    by_pack: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        by_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    pack_ids = sorted(by_pack)
+    assert pack_ids[0] == 0
+    # pack ids are contiguous and, before its last doc, a pack is under budget
+    for pid in pack_ids:
+        assert sum(by_pack[pid][:-1]) < budget
