@@ -1,0 +1,89 @@
+"""End-to-end training-corpus pipeline — the north-star flow as a DAG.
+
+  documents ─ profile (QA stats)
+            ─ quality+dedup (score → filter → exact+near dedup)
+            ─ packed (512-token sequence packs)
+            ─ features (multimodal payload features via mapInPandas)
+
+Run:  python examples/training_corpus_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def build(spark, sf_dir: str, out_dir: str):
+    from impc_etl_spark.operators import text as T
+    from impc_etl_spark.operators.dedup import lsh_candidate_pairs
+    from impc_etl_spark.operators.joins import anti_join
+    from impc_etl_spark.operators.profile import profile
+    from impc_etl_spark.multimodal.media import attach_binary, media_features
+    from impc_etl_spark.plans.runner import Pipeline
+    from pyspark.sql import Window
+
+    p = Pipeline(spark, out_dir)
+
+    @p.task("documents")
+    def documents(s):
+        return s.read.parquet(f"{sf_dir}/documents.parquet")
+
+    @p.task("profile", inputs=["documents"])
+    def doc_profile(s, docs):
+        return profile(docs, ["doc_id", "text", "lang", "source"])
+
+    @p.task("clean_corpus", inputs=["documents"])
+    def clean_corpus(s, docs):
+        docs = docs.withColumn("toks", T.tokens("text"))
+        scored = T.add_quality_signals(docs, "text", tokens_col="toks")
+        kept = scored.where(F.col("quality_score") >= 0.3)
+        fp = F.md5(F.array_join(F.col("toks"), " "))
+        kept = (
+            kept.withColumn("__k", F.min("doc_id").over(Window.partitionBy(fp)))
+            .where(F.col("doc_id") == F.col("__k")).drop("__k")
+            .localCheckpoint(eager=True)
+        )
+        losers = (
+            lsh_candidate_pairs(kept, "text", "doc_id", tokens_col="toks")
+            .select(F.col("doc_b").alias("doc_id")).distinct()
+        )
+        return anti_join(kept, losers, ["doc_id"]).select(
+            "doc_id", "text", "lang", F.size("toks").alias("n_tokens"),
+            "quality_score",
+        )
+
+    @p.task("packed", inputs=["clean_corpus"])
+    def packed(s, corpus):
+        return T.pack_sequences(corpus, "n_tokens", budget=512)
+
+    @p.task("features", inputs=["clean_corpus"])
+    def features(s, corpus):
+        return media_features(attach_binary(corpus, "text", "doc_id"))
+
+    return p
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/corpus_demo"
+    from impc_etl_spark.session import get_spark
+
+    spark = get_spark("training-corpus-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    p = build(spark, sf_dir, out_dir)
+    statuses = p.run("profile", "packed", "features")
+    for task, st in statuses.items():
+        print(f"{task:15s} {st:6s} rows={p.read(task).count()}")
+    packs = p.read("packed").groupBy("pack_id").agg(F.sum("n_tokens").alias("t"))
+    print("packs:", packs.count(), "avg fill:",
+          round(packs.agg(F.avg("t")).collect()[0][0], 1), "/ 512 budget target")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

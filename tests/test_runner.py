@@ -151,3 +151,25 @@ def test_release_pipeline_example(spark, tmp_path):
     # diff picks out exactly the synthesized curve rows
     assert (p.read("release_diff").count()
             == obs.where(F.col("parameter_family") == "derivedCurve").count())
+
+
+def test_training_corpus_pipeline_example(spark, tmp_path):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "training_corpus_pipeline",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "examples", "training_corpus_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    p = mod.build(spark, SF_SMOKE, str(tmp_path / "corpus"))
+    st = p.run("profile", "packed", "features")
+    assert all(v == "ran" for v in st.values())
+    clean = p.read("clean_corpus")
+    assert p.read("packed").count() == clean.count()
+    assert p.read("features").count() == clean.count()
+    # packing conserves tokens
+    assert (p.read("packed").agg(F.sum("n_tokens")).collect()[0][0]
+            == clean.agg(F.sum("n_tokens")).collect()[0][0])
