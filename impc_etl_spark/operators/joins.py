@@ -84,6 +84,7 @@ def asof_join(
     tolerance: Column | None = None,
     tie_breakers: Sequence[Column] = (),
     how: str = "left_outer",
+    left_key: Sequence[str] | None = None,
 ) -> DataFrame:
     """Nearest-match join: for each left row, the best right row sharing
     ``on`` keys, ordered by time proximity.
@@ -92,9 +93,17 @@ def asof_join(
     'forward' (right_time >= left_time, earliest wins), or 'nearest'
     (min |Δt|, ``tie_breakers`` then decide).
 
+    ``left_key`` names columns that UNIQUELY identify each left row (a
+    primary key). The best-candidate dedup window partitions by it, so the
+    shuffle key is a few narrow columns. When omitted, the window falls
+    back to partitioning by EVERY left column — correct only when left rows
+    are distinct (byte-identical duplicate left rows collapse to one output
+    row), and the shuffle key is the whole row: always pass ``left_key`` at
+    scale.
+
     Implementation: equi join on ``on`` (+ optional ``tolerance`` range
     predicate, e.g. ``F.expr("abs(datediff(l_t, r_t)) <= 5")`` — the ±5-day
-    body-weight window) then ``row_number`` over the left row's unique key.
+    body-weight window) then ``row_number`` over ``left_key``.
     The range predicate is applied as a join condition so Catalyst can use
     it for pruning; the window dedup shuffles once on the left key.
 
@@ -122,8 +131,8 @@ def asof_join(
     if tolerance is not None:
         cond = cond & tolerance
     joined = l.join(r, cond, how)
-    left_cols = [F.col(f"__l.{c}") for c in left.columns]
-    w = Window.partitionBy(*left_cols).orderBy(*order, *tie_breakers)
+    part_cols = [F.col(f"__l.{c}") for c in (left_key or left.columns)]
+    w = Window.partitionBy(*part_cols).orderBy(*order, *tie_breakers)
     out = joined.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
     return out.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],

@@ -12,6 +12,8 @@ oracle.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -150,6 +152,7 @@ def pack_sequences(
     budget: int,
     order_by: Sequence[str] = ("doc_id",),
     out: str = "pack_id",
+    partition_keys: Sequence[str] = (),
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training packs.
 
@@ -159,13 +162,29 @@ def pack_sequences(
     (docs longer than the budget get a pack of their own; packs can
     overflow by at most one document, as in practice).
 
-    Scale note: a single global ordering serializes the cumsum — at 100 TB
-    partition first (e.g. by shard/bucket) and pack within partitions by
-    adding the shard key to ``order_by``'s window partition via
-    ``partition_keys``-style composition; packing quality is unaffected.
+    ``partition_keys`` shards the packing: pack ids are computed WITHIN
+    each shard (window partitioned by the shard key), and ``out`` becomes a
+    globally-unique string id ``"<shard>-…-<local_pack>"``. This is the
+    100 TB form — an unpartitioned window cumsum serializes the whole
+    corpus onto one task, while per-shard packing runs one independent
+    cumsum per shard and packing quality is unaffected (packs never span
+    shards by design, matching how training shards are written). Without
+    ``partition_keys`` the global form is kept for small inputs, and
+    ``out`` is an int pack id.
     """
     from pyspark.sql import Window
 
+    if partition_keys:
+        w = (
+            Window.partitionBy(*partition_keys)
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        before = F.coalesce(F.sum(count_col).over(w), F.lit(0))
+        local = F.floor(before / budget).cast("int")
+        return df.withColumn(
+            out, F.concat_ws("-", *[F.col(k) for k in partition_keys], local)
+        )
     w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, -1)
     before = F.coalesce(F.sum(count_col).over(w), F.lit(0))
     return df.withColumn(out, F.floor(before / budget).cast("int"))

@@ -290,7 +290,7 @@ def purchase_attribution_asof(spark, sf_dir):
     )
     out = join_ops.asof_join(
         purchases, clicks, on=["user_id"], left_time="ts", right_time="click_ts",
-        direction="backward",
+        direction="backward", left_key=["event_id"],
     )
     return out.select(
         "event_id",
@@ -319,6 +319,7 @@ def purchase_attribution_windowed(spark, sf_dir):
         direction="nearest",
         tolerance=F.expr("abs(unix_micros(ts) - unix_micros(click_ts)) <= 30 * 60 * 1000000"),
         tie_breakers=[F.col("click_ts").asc(), F.col("click_id").asc()],
+        left_key=["event_id"],
     )
     return out.select(
         "event_id",
@@ -1052,12 +1053,17 @@ def docs_fingerprint(spark, sf_dir):
 
 
 def corpus_pack_sequences(spark, sf_dir):
-    """Sequence packing: assign docs to 512-token training packs over a
-    deterministic order (window cumsum), then summarize pack fill."""
+    """Sequence packing: assign docs to 512-token training packs, sharded
+    (pack ids computed within doc_id%8 shards so no global single-task
+    window cumsum exists in the plan), then summarize pack fill."""
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", text_ops.token_count("text").alias("n_tokens")
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("shard"),
+        text_ops.token_count("text").alias("n_tokens"),
     )
-    packed = text_ops.pack_sequences(docs, "n_tokens", budget=512)
+    packed = text_ops.pack_sequences(
+        docs, "n_tokens", budget=512, partition_keys=["shard"]
+    )
     return packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
@@ -2145,14 +2151,15 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
 """
 
 ORACLE["corpus_pack_sequences"] = f"""
-WITH t AS (SELECT doc_id, len({_DOC_TOKS}) AS n_tokens FROM documents),
+WITH t AS (SELECT doc_id, (doc_id % 8)::INT AS shard, len({_DOC_TOKS}) AS n_tokens
+           FROM documents),
 c AS (
-  SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
   FROM t)
-SELECT floor(before / 512)::INT AS pack_id, count(*) AS n_docs,
-       sum(n_tokens)::BIGINT AS pack_tokens
+SELECT shard::VARCHAR || '-' || floor(before / 512)::INT::VARCHAR AS pack_id,
+       count(*) AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens
 FROM c GROUP BY 1
 """
 

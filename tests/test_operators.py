@@ -97,6 +97,25 @@ def test_asof_join_tolerance(spark):
     assert got == {10: 8, 100: None}
 
 
+def test_asof_join_left_key_preserves_duplicate_payloads(spark):
+    """With an explicit unique left_key, rows that are duplicates in every
+    NON-key column each keep their own match (pandas merge_asof behavior);
+    the fallback (partition by all columns) would collapse them. The window
+    also shuffles on the narrow key, not the whole left row."""
+    from impc_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 10)], ["id", "k", "t"]  # same (k, t) payload
+    )
+    right = spark.createDataFrame([(1, 8)], ["k", "rt"])
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="rt",
+                    direction="backward", left_key=["id"])
+    got = {r["id"]: r["rt"] for r in out.collect()}
+    assert got == {1: 8, 2: 8}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(id" in plan  # narrow shuffle key
+
+
 def test_conform_strict_types(spark):
     from impc_etl_spark.operators.conform import conform_to_schema, contract
 

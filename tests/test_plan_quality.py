@@ -70,6 +70,22 @@ def test_explain_summary_shapes(spark):
     assert s2["exchanges"] <= 2           # one nest shuffle (+AQE reads)
 
 
+def test_pack_sequences_window_is_sharded(spark):
+    """The registered packing query must not plan a global (single
+    partition) window — the cumsum runs one task per shard."""
+    plan = _plan(spark, "corpus_pack_sequences")
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(shard" in plan
+
+
+def test_asof_window_partitions_by_left_key(spark):
+    """asof queries shuffle the dedup window on the narrow left key, not
+    the whole left row."""
+    for name in ("purchase_attribution_asof", "purchase_attribution_windowed"):
+        plan = _plan(spark, name)
+        assert "windowspecdefinition(event_id" in plan, name
+
+
 def test_max_records_per_file(spark, tmp_path):
     import glob
 

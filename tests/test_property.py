@@ -163,3 +163,33 @@ def test_pack_sequences_invariants(spark, counts):
     # pack ids are contiguous and, before its last doc, a pack is under budget
     for pid in pack_ids:
         assert sum(by_pack[pid][:-1]) < budget
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=st.lists(st.integers(1, 700), min_size=1, max_size=30))
+def test_pack_sequences_sharded_invariants(spark, counts):
+    """The sharded form preserves the packing invariants WITHIN each shard
+    and equals the global form applied per-shard (packs never span shards)."""
+    from impc_etl_spark.operators.text import pack_sequences
+
+    budget = 512
+    rows = [(i, i % 3, n) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tokens"])
+    out = pack_sequences(
+        df, "n_tokens", budget, partition_keys=["shard"]
+    ).collect()
+    assert sum(r["n_tokens"] for r in out) == sum(counts)   # nothing lost
+    by_pack: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        assert r["pack_id"].startswith(f"{r['shard']}-")    # packs don't span shards
+        by_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for pid, sizes in by_pack.items():
+        assert sum(sizes[:-1]) < budget
+    # each shard's packing starts at local id 0 (ids may skip after an
+    # over-budget doc, exactly like the global form)
+    for shard in {r["shard"] for r in out}:
+        locals_ = sorted(
+            int(p.split("-")[1]) for p in by_pack if p.startswith(f"{shard}-")
+        )
+        assert locals_[0] == 0
