@@ -144,6 +144,76 @@ def cosine_pairs(
     )
 
 
+def cosine_banded_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bands: int = 8,
+    band_width: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Banded hyperplane-LSH near-dup pairs — the scale form of
+    `cosine_pairs`.
+
+    The sketch is split into ``bands`` bands of ``band_width`` sign bits;
+    rows agreeing on ANY band become candidates (equi-join on
+    (band, band_key), realized as bucket grouping + in-bucket pair
+    expansion — the same shape as MinHash-LSH, no BroadcastNestedLoopJoin
+    anywhere). Exact cosine then verifies ONLY the candidates, joining each
+    id back to its vector with precomputed norms.
+
+    Recall/cost knobs: P(candidate) per band is p^band_width where
+    p = 1 - angle/π; more bands raises recall, wider bands cuts false
+    candidates — grow ``band_width`` with corpus size. Deterministic for a
+    fixed seed, so the result is exactly reproducible in ANSI SQL (the
+    planes are literals).
+    """
+    from impc_etl_spark.operators.dedup import _bucket_pairs
+
+    n_planes = bands * band_width
+    sk = hyperplane_sketch(fan_out(df), dim, n_planes, seed, vec_col, out="__bucket")
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("__bucket", b * band_width + 1, band_width).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sk.select(
+        F.col(id_col), F.explode(F.array(*band_entries)).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    cands = _bucket_pairs(buckets).distinct().select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    side = fan_out(df).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    a = side.select(
+        F.col("__id").alias("vec_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    b = side.select(
+        F.col("__id").alias("vec_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    return (
+        cands.join(a, "vec_a").join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def batch_topk(
     corpus: DataFrame,
     queries: DataFrame,

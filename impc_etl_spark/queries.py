@@ -1180,8 +1180,14 @@ def emb_cosine_topk(spark, sf_dir):
 
 
 def emb_near_dup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs via banded hyperplane LSH + exact cosine on
+    candidates only — the 100 TB shape (bucket grouping, no O(n²)
+    BroadcastNestedLoopJoin; the unblocked `cosine_pairs` form is kept as
+    the recall oracle in tests). Testdata embeddings are dim-64."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim_ops.cosine_pairs(emb, threshold=0.4)
+    return sim_ops.cosine_banded_pairs(
+        emb, dim=64, threshold=0.4, bands=8, band_width=4, seed=42
+    )
 
 
 def emb_batch_topk(spark, sf_dir):
@@ -2081,18 +2087,8 @@ d AS (
 SELECT vec_id, floor((dp / (sqrt(nv) * sqrt(nq))) * 1000000 + 0.5) / 1000000 AS cos_sim
 FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10
 """,
-    "emb_near_dup_pairs": """
-WITH e AS (
-  SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i
-  FROM embeddings),
-p AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         sum(a.v * b.v) AS dp, sum(a.v * a.v) AS na, sum(b.v * b.v) AS nb
-  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-  GROUP BY 1, 2)
-SELECT vec_a, vec_b, floor((dp / (sqrt(na) * sqrt(nb))) * 1000000 + 0.5) / 1000000 AS cos_sim
-FROM p WHERE floor((dp / (sqrt(na) * sqrt(nb))) * 1000000 + 0.5) / 1000000 >= 0.4
-""",
+    # emb_near_dup_pairs: banded-LSH form, oracle generated below (plane
+    # literals are deterministic, so the banding replays exactly in SQL).
     "emb_batch_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, unnest(embedding)::DOUBLE AS qe,
@@ -2165,6 +2161,52 @@ FROM c GROUP BY 1
 
 ORACLE["media_resize"] = "\nSELECT doc_id AS media_id, 64 AS width, 64 AS height,\n       md5(text || ':64x64') AS thumb_md5\nFROM documents\n"
 ORACLE["corpus_prepare"] = '\nWITH t AS (\n  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), \'[^a-z0-9]+\'), x -> x <> \'\') AS toks, length(text) AS n_chars FROM documents),\nsig AS (\n  SELECT doc_id, text, toks, len(toks) AS q_n_tokens,\n         length(regexp_replace(text, \'[^A-Za-z]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,\n         length(regexp_replace(text, \'[^.,;:!?\'\'"()]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,\n         len(list_filter(list_distinct(toks), x -> list_contains([\'the\',\'and\',\'of\',\'to\',\'is\',\'in\',\'that\',\'with\',\'for\',\'was\'], x))) * 1.0\n             / greatest(len(toks), 1) AS stop_ratio\n  FROM t),\nscored AS (\n  SELECT doc_id, text, toks, q_n_tokens,\n         floor((0.25 * least(q_n_tokens / 50.0, 1.0)\n             + 0.25 * alpha_ratio\n             + 0.25 * least(stop_ratio * 5.0, 1.0)\n             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score\n  FROM sig),\nq1 AS (SELECT * FROM scored WHERE quality_score >= 0.3),\nq2 AS (\n  SELECT * FROM (\n    SELECT *, min(doc_id) OVER (PARTITION BY md5(array_to_string(toks, \' \'))) AS keeper\n    FROM q1) WHERE doc_id = keeper),\nsh AS (\n  SELECT DISTINCT doc_id, unnest([array_to_string(toks[i:i+2], \' \') FOR i IN range(1, len(toks) - 1)]) AS shingle\n  FROM q2 WHERE len(toks) >= 3),\nmh AS (\n  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || \':\' || shingle)) AS mh\n  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s\n  GROUP BY doc_id, s.seed),\nbands AS (\n  SELECT doc_id, seed // 3 AS band,\n         md5(string_agg(mh, \'|\' ORDER BY seed)) AS band_key\n  FROM mh GROUP BY doc_id, seed // 3),\nlosers AS (\n  SELECT DISTINCT b.doc_id\n  FROM bands a JOIN bands b\n    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)\nSELECT doc_id, len(toks) AS n_tokens, quality_score\nFROM q2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)\n'
+
+def _banded_pairs_sql(
+    dim: int = 64, bands: int = 8, band_width: int = 4, seed: int = 42,
+    threshold: float = 0.4,
+) -> str:
+    """Replay cosine_banded_pairs in DuckDB: the hyperplanes are seeded
+    literals, so the banding (sign-bit sketch → band equality → exact
+    cosine on candidates) reproduces byte-identically in ANSI SQL."""
+    from impc_etl_spark.operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(dim, bands * band_width, seed)
+    vals = ", ".join(
+        f"({p}, {i + 1}, {w!r})"
+        for p, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    cos = "floor((dp / (sqrt(na) * sqrt(nb))) * 1000000 + 0.5) / 1000000"
+    return f"""
+WITH planes(p, i, w) AS (VALUES {vals}),
+e AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+dots AS (
+  SELECT e.vec_id, planes.p, sum(e.v * planes.w) AS dp
+  FROM e JOIN planes USING (i) GROUP BY 1, 2),
+sk AS (
+  SELECT vec_id, string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM dots GROUP BY vec_id),
+banded AS (
+  SELECT vec_id, b.band, substr(bucket, b.band * {band_width} + 1, {band_width}) AS band_key
+  FROM sk CROSS JOIN (SELECT unnest(range({bands})) AS band) b),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+pc AS (
+  SELECT c.vec_a, c.vec_b,
+         sum(x.v * y.v) AS dp, sum(x.v * x.v) AS na, sum(y.v * y.v) AS nb
+  FROM cand c JOIN e x ON x.vec_id = c.vec_a
+              JOIN e y ON y.vec_id = c.vec_b AND y.i = x.i
+  GROUP BY 1, 2)
+SELECT vec_a, vec_b, {cos} AS cos_sim FROM pc WHERE {cos} >= {threshold}
+"""
+
+
+ORACLE["emb_near_dup_pairs"] = _banded_pairs_sql()
 
 ORACLE["docs_simhash_pairs"] = f"""
 WITH sh AS ({_simhash_sql(32)}),

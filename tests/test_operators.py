@@ -265,6 +265,31 @@ def test_blocked_cosine_pairs_subset_with_recall(spark):
         assert len(blocked) / len(exact) >= 0.15
 
 
+def test_banded_pairs_recall_vs_unblocked_oracle(spark):
+    """cosine_banded_pairs (the registered scale form) vs the unblocked
+    O(n²) oracle: candidates are a subset with the same exact scores, and
+    8 bands × 4 bits keeps recall well above the analytic floor
+    (any-band P ≈ 0.75 at cos 0.4 on seed-42 planes)."""
+    from impc_etl_spark.operators.similarity import cosine_banded_pairs, cosine_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    dim = len(emb.select("embedding").head()[0])
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in cosine_pairs(emb, threshold=0.4).collect()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in cosine_banded_pairs(
+            emb, dim=dim, threshold=0.4, bands=8, band_width=4
+        ).collect()
+    }
+    assert set(banded) <= set(exact)          # never invents pairs
+    for pair, sim in banded.items():
+        assert sim == exact[pair]             # exact re-rank, not approximate scores
+    assert len(banded) / len(exact) >= 0.5, len(banded) / len(exact)
+
+
 def test_surrogate_key_matches_hashlib(spark):
     import hashlib
 

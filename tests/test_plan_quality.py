@@ -19,7 +19,6 @@ from tests.conftest import SF_SMOKE
 # is bounded work; a CartesianProduct is never allowed.
 BNL_ALLOWED = {
     "array_membership_join",
-    "emb_near_dup_pairs",
     "emb_batch_topk",  # corpus × broadcast query table (scoring is the point)
 }
 
