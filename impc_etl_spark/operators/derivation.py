@@ -152,6 +152,44 @@ def compile_derivation(
     return _compile(_parse(formula), resolver)
 
 
+def merge_struct_array(arr: Column, updates: Column, key_field: str) -> Column:
+    """Key-matched overwrite of entries in an ``array<struct>`` — the
+    native form of the reference's ``_merge_simple_parameters`` row UDF
+    (experiment_parameter_derivator.py:114-149), used there to merge
+    derived parameter values back into an experiment's parameter array.
+
+    Semantics (exactly the reference's): entries of ``arr`` whose
+    ``key_field`` appears in ``updates`` are replaced in place (last update
+    with that key wins, like the reference's dict build); other entries
+    keep their position; updates with keys not present in ``arr`` are
+    appended in update order. Null handling mirrors the reference's caller:
+    null ``arr`` → ``updates``; null ``updates`` → ``arr``. Keys must be
+    non-null.
+
+    Pure higher-order Column algebra (transform/filter/exists) — row-local,
+    codegen'd, no UDF and no ``map_from_entries``/mapKeyDedupPolicy
+    dependence. Both sides must share the struct type, as in the reference
+    (it reuses the column's own schema for the UDF return type).
+    """
+    replaced = F.transform(
+        arr,
+        lambda e: F.coalesce(
+            F.try_element_at(
+                F.filter(updates, lambda u: u[key_field] == e[key_field]), F.lit(-1)
+            ),
+            e,
+        ),
+    )
+    appended = F.filter(
+        updates, lambda u: ~F.exists(arr, lambda e: e[key_field] == u[key_field])
+    )
+    return (
+        F.when(arr.isNull(), updates)
+        .when(updates.isNull(), arr)
+        .otherwise(F.concat(replaced, appended))
+    )
+
+
 def extract_parameters(formula: str) -> list[str]:
     """All quoted parameter names referenced by a formula (mirrors the
     reference's extract_parameters_from_derivation, shared/utils.py:71-72)."""

@@ -140,6 +140,69 @@ def asof_join(
     )
 
 
+def subset_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_arr: str,
+    right_arr: str,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """J6 subset-containment join: pair (l, r) matches when r's array is
+    fully contained in l's array — the reference's parent-phenotype rollup
+    condition ``size(array_intersect(child_ids, mp_term_id_options)) ==
+    size(mp_term_id_options)`` (impc_api_mapper.py:1078-1083).
+
+    ``strategy='broadcast'`` keeps the reference's non-equi condition
+    against a BROADCAST right side — bounded work when the right is a dim
+    (ontology-sized); the plan is a BroadcastNestedLoopJoin, never a
+    cartesian.
+
+    ``strategy='explode'`` is the big-right path: explode both arrays to
+    distinct (key, element) rows, equi-join on element, and keep (l, r)
+    pairs whose match count equals size(r.arr) — all hash joins and one
+    aggregation, no nested loop. ``left_key``/``right_key`` must uniquely
+    identify rows. Skewed common elements dominate the element join at
+    scale — pre-filter stop-elements or salt.
+
+    Matching semantics mirror the reference exactly: a right array with
+    duplicates can never match (its size exceeds the distinct
+    intersection). Divergence: an EMPTY right array matches everything
+    under 'broadcast' (0 == 0, vacuous subset) but nothing under 'explode'
+    (no rows to join); the reference guards size > 0 upstream — do the
+    same.
+    """
+    if strategy == "broadcast":
+        cond = (
+            F.size(F.array_intersect(left[left_arr], right[right_arr]))
+            == F.size(right[right_arr])
+        )
+        return left.join(F.broadcast(right), cond, how)
+    if strategy != "explode":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if how not in ("inner", "left_outer"):
+        raise ValueError("explode strategy supports how='inner'|'left_outer'")
+    l_ex = left.select(
+        F.col(left_key), F.explode(F.array_distinct(F.col(left_arr))).alias("__e")
+    )
+    r_ex = right.select(
+        F.col(right_key),
+        F.size(F.col(right_arr)).alias("__need"),
+        F.explode(F.array_distinct(F.col(right_arr))).alias("__e"),
+    )
+    matched = (
+        l_ex.join(r_ex, "__e")
+        .groupBy(left_key, right_key)
+        .agg(F.count(F.lit(1)).alias("__got"), F.first("__need").alias("__need"))
+        .where(F.col("__got") == F.col("__need"))
+        .select(left_key, right_key)
+    )
+    enriched = matched.join(right, right_key)
+    return left.join(enriched, left_key, how)
+
+
 def release_diff(
     current: DataFrame,
     previous: DataFrame,

@@ -715,6 +715,71 @@ def array_membership_join(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_customers"))
 
 
+def part_required_tokens_join(spark, sf_dir):
+    """J6 EXACT subset-containment join (reference condition
+    size(array_intersect(l,r))==size(r), impc_api_mapper.py:1078-1083):
+    parts whose name tokens contain each required token set, via the
+    explode strategy — hash joins + one aggregation, no nested loop."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", text_ops.tokens("p_name").alias("name_tokens")
+    )
+    req = spark.createDataFrame(
+        [
+            ("s1", ["small", "ring"]),
+            ("s2", ["red", "widget"]),
+            ("s3", ["hot"]),
+            ("s4", ["blue", "bolt"]),
+        ],
+        ["set_id", "required"],
+    )
+    out = join_ops.subset_join(
+        part, req, left_arr="name_tokens", right_arr="required",
+        left_key="p_partkey", right_key="set_id", how="inner",
+        strategy="explode",
+    )
+    return out.select("set_id", "p_partkey")
+
+
+def order_params_merged(spark, sf_dir):
+    """UDF-surface parity: _merge_simple_parameters
+    (experiment_parameter_derivator.py:114-149) as native array<struct>
+    algebra composed with the derivation compiler. Each order's lineitem
+    (pid=linenumber, val=quantity) array gets derived entries merged in —
+    pid 1 overwritten with a compiled formula, pid 99 appended — then
+    exploded to rows for the oracle compare."""
+    from impc_etl_spark.operators.derivation import merge_struct_array
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    params = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("l_linenumber").alias("pid"), F.col("l_quantity").alias("val"))
+            )
+        ).alias("params")
+    )
+    derived = orders.select(
+        "o_orderkey",
+        F.array(
+            F.struct(
+                F.lit(1).alias("pid"),
+                _rnd(compile_derivation("div('o_totalprice', 1000)"), 2).alias("val"),
+            ),
+            F.struct(F.lit(99).alias("pid"), F.col("o_custkey").cast("double").alias("val")),
+        ).alias("updates"),
+    )
+    joined = derived.join(
+        params, derived.o_orderkey == params.l_orderkey, "left_outer"
+    )
+    return (
+        joined.select(
+            "o_orderkey",
+            F.explode(merge_struct_array(F.col("params"), F.col("updates"), "pid")).alias("e"),
+        )
+        .select("o_orderkey", F.col("e.pid").alias("pid"), F.col("e.val").alias("val"))
+    )
+
+
 def customer_order_gaps(spark, sf_dir):
     """§2.5 analytic offsets: lag/lead over per-customer order history."""
     orders = _t(spark, sf_dir, "orders")
@@ -1277,6 +1342,9 @@ QUERIES = {
     "user_sessions": user_sessions,
     "statpacket_restructure": statpacket_restructure,
     "customer_key_ancestry": customer_key_ancestry,
+    # -- new this round (operators closing VERDICT gaps) ---------------------
+    "part_required_tokens_join": part_required_tokens_join,
+    "order_params_merged": order_params_merged,
     # ======================================================================
     # Entries below are outside the driver's 50-query window (all were
     # driver-PASS in CORRECTNESS_r01.json and remain locally oracle-checked).
@@ -2207,6 +2275,36 @@ SELECT vec_a, vec_b, {cos} AS cos_sim FROM pc WHERE {cos} >= {threshold}
 
 
 ORACLE["emb_near_dup_pairs"] = _banded_pairs_sql()
+
+ORACLE["order_params_merged"] = """
+WITH params AS (
+  SELECT l_orderkey AS o_orderkey, l_linenumber AS pid, l_quantity AS val
+  FROM lineitem),
+upd AS (
+  SELECT o_orderkey, 1 AS pid,
+         floor((o_totalprice / 1000) * 100 + 0.5) / 100 AS val
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 99 AS pid, o_custkey::DOUBLE AS val FROM orders),
+kept AS (
+  SELECT p.o_orderkey, p.pid, coalesce(u.val, p.val) AS val
+  FROM params p LEFT JOIN upd u ON u.o_orderkey = p.o_orderkey AND u.pid = p.pid),
+appended AS (
+  SELECT u.o_orderkey, u.pid, u.val
+  FROM upd u LEFT JOIN params p ON p.o_orderkey = u.o_orderkey AND p.pid = u.pid
+  WHERE p.pid IS NULL)
+SELECT o_orderkey, pid, val FROM kept
+UNION ALL
+SELECT o_orderkey, pid, val FROM appended
+"""
+
+ORACLE["part_required_tokens_join"] = f"""
+WITH p AS (SELECT p_partkey, {_TOKS.format(col='p_name')} AS toks FROM part),
+r(set_id, required) AS (VALUES
+  ('s1', ['small', 'ring']), ('s2', ['red', 'widget']),
+  ('s3', ['hot']), ('s4', ['blue', 'bolt']))
+SELECT r.set_id, p.p_partkey FROM p JOIN r ON list_has_all(p.toks, r.required)
+"""
 
 ORACLE["docs_simhash_pairs"] = f"""
 WITH sh AS ({_simhash_sql(32)}),

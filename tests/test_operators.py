@@ -97,6 +97,79 @@ def test_asof_join_tolerance(spark):
     assert got == {10: 8, 100: None}
 
 
+def test_merge_struct_array_matches_reference_algorithm(spark):
+    """merge_struct_array vs a Python transliteration of the reference's
+    _merge_simple_parameters (experiment_parameter_derivator.py:114-149):
+    in-place overwrite, last-update-wins on duplicate keys, append of new
+    keys, and null passthrough on either side."""
+    from impc_etl_spark.operators.derivation import merge_struct_array
+
+    def ref_merge(existing, updates):
+        if updates is None or existing is None:
+            return updates if existing is None else existing
+        upd_by_key = {u[0]: u for u in updates}
+        out = [upd_by_key.get(e[0], e) for e in existing]
+        seen = {e[0] for e in existing}
+        out += [u for u in updates if u[0] not in seen]
+        return out
+
+    cases = [
+        ([(1, 10.0), (2, 20.0)], [(2, 99.0), (3, 30.0)]),
+        ([(1, 10.0)], [(1, 5.0), (1, 7.0)]),      # dup update key: last wins
+        ([(1, 10.0)], []),
+        ([], [(4, 40.0)]),
+        (None, [(4, 40.0)]),
+        ([(1, 10.0)], None),
+        (None, None),
+    ]
+    schema = (
+        "id int, arr array<struct<pid:int,val:double>>, "
+        "upd array<struct<pid:int,val:double>>"
+    )
+    df = spark.createDataFrame(
+        [(i, a, u) for i, (a, u) in enumerate(cases)], schema
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", merge_struct_array(F.col("arr"), F.col("upd"), "pid").alias("m")
+        ).collect()
+    }
+    for i, (a, u) in enumerate(cases):
+        want = ref_merge(a, u)
+        got_i = None if got[i] is None else [(e["pid"], e["val"]) for e in got[i]]
+        assert got_i == want, (i, got_i, want)
+
+
+def test_subset_join_strategies_agree(spark):
+    """broadcast and explode strategies give identical pairs; a right array
+    with duplicates never matches (reference semantics: size(intersect) ==
+    size(arr)); left_outer keeps unmatched left rows."""
+    from impc_etl_spark.operators.joins import subset_join
+
+    left = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a", "b"]), (3, ["x"])], ["lid", "larr"]
+    )
+    right = spark.createDataFrame(
+        [(10, ["a", "b"]), (20, ["c"]), (30, ["a", "a"]), (40, ["zz"])],
+        ["rid", "rarr"],
+    )
+    want = {(1, 10), (2, 10), (1, 20)}   # rid=30 has dups -> never matches
+    for strategy in ("broadcast", "explode"):
+        got = {
+            (r["lid"], r["rid"])
+            for r in subset_join(
+                left, right, "larr", "rarr", "lid", "rid", strategy=strategy
+            ).collect()
+        }
+        assert got == want, strategy
+    outer = subset_join(
+        left, right, "larr", "rarr", "lid", "rid",
+        how="left_outer", strategy="explode",
+    )
+    assert {(r["lid"], r["rid"]) for r in outer.collect()} == want | {(3, None)}
+
+
 def test_asof_join_left_key_preserves_duplicate_payloads(spark):
     """With an explicit unique left_key, rows that are duplicates in every
     NON-key column each keep their own match (pandas merge_asof behavior);
