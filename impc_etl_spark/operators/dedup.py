@@ -26,15 +26,25 @@ from impc_etl_spark.operators.partitioning import fan_out
 from impc_etl_spark.operators.text import bind, fingerprint, tokens, word_shingles
 
 
-def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+def _bucket_pairs(
+    buckets: DataFrame, ids_col: str = "ids", max_bucket_size: int | None = None
+) -> DataFrame:
     """Expand each bucket's sorted id array into ordered pairs (a < b).
 
     Row-local combination generation (`transform` over indices) — replaces
     the classic equi-self-join, which evaluates the bucket-building plan
     twice and shuffles both sides. Output columns: doc_a, doc_b.
+
+    ``max_bucket_size`` is the mega-bucket guard: buckets larger than it
+    (boilerplate documents — at web scale a single template can put 10⁶
+    docs in one bucket, making quadratic expansion fatal) emit STAR edges
+    (min id ↔ every other id, O(n) per bucket) instead of all O(n²) pairs.
+    A star keeps every member connected to the bucket representative, so
+    connected-components dup-group assignment is unchanged; only per-pair
+    completeness within the giant bucket is given up.
     """
     ids = F.col(ids_col)
-    pairs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             ids,
             lambda a, i: F.transform(
@@ -43,6 +53,14 @@ def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
             ),
         )
     )
+    if max_bucket_size is None:
+        pairs = all_pairs
+    else:
+        star = F.transform(
+            F.slice(ids, 2, F.size(ids)),
+            lambda b: F.struct(F.element_at(ids, 1).alias("doc_a"), b.alias("doc_b")),
+        )
+        pairs = F.when(F.size(ids) > max_bucket_size, star).otherwise(all_pairs)
     return buckets.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b")
 
 
@@ -178,6 +196,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     tokens_col: str | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b), distinct.
 
@@ -187,9 +206,11 @@ def lsh_candidate_pairs(
     as a hash join; no pairwise scan. Tune (num_hashes, bands) for the
     target similarity threshold ~ (1/bands)^(bands/num_hashes).
 
-    At 100 TB: candidate generation is shuffle-bound on band keys; giant
-    buckets (boilerplate docs) should be capped or salted before the join —
-    compose with `ngram_jaccard_pairs` on the candidates to verify.
+    At 100 TB: candidate generation is shuffle-bound on band keys; set
+    ``max_bucket_size`` so giant buckets (boilerplate docs) emit O(n) star
+    edges instead of O(n²) pairs (see `_bucket_pairs`) — dup-group
+    connectivity is preserved, expansion stays bounded. Compose with
+    `ngram_jaccard_pairs` on the candidates to verify.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -220,7 +241,7 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    return _bucket_pairs(buckets).distinct()
+    return _bucket_pairs(buckets, max_bucket_size=max_bucket_size).distinct()
 
 
 def verified_near_dups(
@@ -231,6 +252,7 @@ def verified_near_dups(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The full scale composition: MinHash-LSH candidate generation, then
     EXACT Jaccard verification computed only on the candidates.
@@ -242,7 +264,10 @@ def verified_near_dups(
     entirely: cost = O(corpus) signatures + O(candidates) verifications.
     Output: (doc_a, doc_b, jaccard ≥ threshold).
     """
-    cands = lsh_candidate_pairs(df, text_col, id_col, k, num_hashes, bands)
+    cands = lsh_candidate_pairs(
+        df, text_col, id_col, k, num_hashes, bands,
+        max_bucket_size=max_bucket_size,
+    )
     shingle_sets = fan_out(df).select(
         F.col(id_col),
         F.array_distinct(word_shingles(tokens(text_col), k)).alias("sh"),
@@ -266,6 +291,7 @@ def simhash_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: docs within ``max_hamming`` bit flips.
 
@@ -273,7 +299,10 @@ def simhash_pairs(
     d+1 bands, so candidates come from equality joins on band substrings
     (``bands`` should be > max_hamming); exact hamming distance verifies
     in-bucket. Same bucket-expansion shape as MinHash-LSH — no pairwise
-    scan outside buckets.
+    scan outside buckets. ``max_bucket_size`` caps giant buckets to O(n)
+    star edges against the bucket's min-id representative (hamming verify
+    still applies per edge), bounding expansion on boilerplate-heavy
+    corpora.
     """
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming (pigeonhole)")
@@ -308,6 +337,16 @@ def simhash_pairs(
             ),
         )
     )
+    if max_bucket_size is not None:
+        rep = F.element_at(ids, 1)
+        star = F.transform(
+            F.slice(ids, 2, F.size(ids)),
+            lambda b: F.struct(
+                rep["id"].alias("doc_a"), b["id"].alias("doc_b"),
+                rep["h"].alias("h_a"), b["h"].alias("h_b"),
+            ),
+        )
+        pairs = F.when(F.size(ids) > max_bucket_size, star).otherwise(pairs)
     expanded = buckets.select(F.explode(pairs).alias("p")).select(
         "p.doc_a", "p.doc_b", "p.h_a", "p.h_b"
     ).distinct()

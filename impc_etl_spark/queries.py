@@ -740,6 +740,38 @@ def part_required_tokens_join(spark, sf_dir):
     return out.select("set_id", "p_partkey")
 
 
+def solr_doc_shape(spark, sf_dir):
+    """S13 Solr document shaping (workflow/load.py:66-122): schema-field
+    projection + Solr-numeric-type casts (plong→double, plongs→
+    array<double>); the uuid-fill branch is unit-tested separately (its
+    output is nondeterministic by design)."""
+    from impc_etl_spark.sources.sinks import shape_solr_documents
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "custkey_arr", F.array(F.col("o_custkey"))
+    )
+    return shape_solr_documents(
+        orders,
+        schema_fields={
+            "o_orderkey": "plong",
+            "o_totalprice": "pdouble",
+            "o_orderpriority": "string",
+            "custkey_arr": "plongs",
+        },
+        unique_field="o_orderkey",
+    )
+
+
+def mongo_doc_shape(spark, sf_dir):
+    """S12 Mongo document shaping (impc_bulk_api_mongo_load.py:55-66):
+    the Spring Data _class discriminator attached to a projected frame
+    (the connector write itself is environment-gated)."""
+    from impc_etl_spark.sources.sinks import shape_mongo_documents
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return shape_mongo_documents(orders, "org.impc.api.GeneBundle")
+
+
 def order_params_merged(spark, sf_dir):
     """UDF-surface parity: _merge_simple_parameters
     (experiment_parameter_derivator.py:114-149) as native array<struct>
@@ -1345,6 +1377,8 @@ QUERIES = {
     # -- new this round (operators closing VERDICT gaps) ---------------------
     "part_required_tokens_join": part_required_tokens_join,
     "order_params_merged": order_params_merged,
+    "solr_doc_shape": solr_doc_shape,
+    "mongo_doc_shape": mongo_doc_shape,
     # ======================================================================
     # Entries below are outside the driver's 50-query window (all were
     # driver-PASS in CORRECTNESS_r01.json and remain locally oracle-checked).
@@ -2275,6 +2309,17 @@ SELECT vec_a, vec_b, {cos} AS cos_sim FROM pc WHERE {cos} >= {threshold}
 
 
 ORACLE["emb_near_dup_pairs"] = _banded_pairs_sql()
+
+ORACLE["solr_doc_shape"] = """
+SELECT o_orderkey::DOUBLE AS o_orderkey, o_totalprice, o_orderpriority,
+       [o_custkey::DOUBLE] AS custkey_arr
+FROM orders
+"""
+
+ORACLE["mongo_doc_shape"] = """
+SELECT o_orderkey, o_orderstatus, 'org.impc.api.GeneBundle' AS _class
+FROM orders
+"""
 
 ORACLE["order_params_merged"] = """
 WITH params AS (

@@ -101,6 +101,84 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+#: Solr schema numeric type names that the loader casts to double
+#: (workflow/load.py:94-105 — plain and array ("pints"/"plongs"/…) variants).
+SOLR_NUMERIC_TYPES = frozenset({
+    "pint", "plong", "pfloat", "pdouble",
+    "pints", "plongs", "pfloats", "pdoubles",
+})
+
+
+def shape_solr_documents(
+    df: DataFrame,
+    schema_fields: dict[str, str],
+    unique_field: str,
+    deterministic_ids: bool = False,
+) -> DataFrame:
+    """Project a frame onto a Solr core schema (S13 —
+    workflow/load.py:66-122): keep only columns present in the schema's
+    field list, cast Solr numeric field types to double (array-aware:
+    ``array<…>`` columns become ``array<double>``), and fill the core's
+    unique field with ``uuid()`` when the frame lacks it.
+
+    ``schema_fields`` maps field name → Solr type (what the reference
+    fetches from ``/solr/<core>/schema/fields``; here a plain dict so the
+    shaping is testable without a Solr service). ``deterministic_ids``
+    swaps ``uuid()`` for an md5 over the row's JSON — reproducible ids for
+    tests/oracles (production keeps uuid, matching the reference).
+    """
+    from pyspark.sql import functions as F
+
+    cols = [c for c in df.columns if c in schema_fields]
+    out = df.select(*cols)
+    dtypes = dict(out.dtypes)
+    for name in cols:
+        if schema_fields[name] in SOLR_NUMERIC_TYPES:
+            target = "array<double>" if dtypes[name].startswith("array") else "double"
+            out = out.withColumn(name, F.col(name).cast(target))
+    if unique_field not in out.columns:
+        id_col = (
+            F.md5(F.to_json(F.struct(*[F.col(c) for c in out.columns])))
+            if deterministic_ids
+            else F.expr("uuid()")
+        )
+        out = out.withColumn(unique_field, id_col)
+    return out
+
+
+def shape_mongo_documents(df: DataFrame, class_name: str) -> DataFrame:
+    """Mongo document shaping (S12 — impc_bulk_api_mongo_load.py:55-66):
+    attach the Spring Data ``_class`` discriminator column. Kept separate
+    from the connector write so the document shape is testable without a
+    Mongo service."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn("_class", F.lit(class_name))
+
+
+def write_mongo(
+    df: DataFrame,
+    uri: str,
+    database: str,
+    collection: str,
+    class_name: str,
+    mode: str = "overwrite",
+) -> None:
+    """Mongo sink wrapper (S12 — impc_bulk_api_mongo_load.py:55-66):
+    ``_class`` discriminator + majority write concern. Needs the
+    spark-mongodb connector on the classpath at runtime (absent in this
+    environment; the shaping above is the testable part)."""
+    (
+        shape_mongo_documents(df, class_name)
+        .write.format("mongodb").mode(mode)
+        .option("spark.mongodb.write.uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+        .option("writeConcern.w", "majority")
+        .save()
+    )
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite",
                properties: dict[str, str] | None = None,
                create_table_column_types: str | None = None) -> None:

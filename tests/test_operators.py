@@ -97,6 +97,48 @@ def test_asof_join_tolerance(spark):
     assert got == {10: 8, 100: None}
 
 
+def test_lsh_mega_bucket_cap_bounds_expansion_and_keeps_groups(spark):
+    """A boilerplate-heavy corpus (40 copies of one template) with
+    max_bucket_size set: candidate expansion collapses from O(n²) pairs to
+    O(n) star edges, capped pairs are a subset of the uncapped ones, and
+    connected-components group assignment is IDENTICAL — the recall floor
+    that matters for dedup."""
+    from impc_etl_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        simhash_pairs,
+    )
+
+    boiler = "terms of service apply to all users of this website always"
+    rows = [(i, boiler) for i in range(40)] + [
+        (100, "a quiet fox naps under warm sun beside the old river stone"),
+        (101, "a quiet fox naps under warm sun beside the old river stone"),
+        (200, "completely unrelated text about gradient descent optimizers"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = lsh_candidate_pairs(docs, "text", "doc_id").collect()
+    capped = lsh_candidate_pairs(docs, "text", "doc_id", max_bucket_size=10).collect()
+    as_set = lambda res: {(r["doc_a"], r["doc_b"]) for r in res}
+    assert as_set(capped) <= as_set(uncapped)
+    # 40 identical docs: 780 pairs uncapped vs 39 star edges (+1 for the
+    # fox pair, whose bucket is under the cap)
+    assert len(as_set(uncapped)) == 780 + 1
+    assert len(as_set(capped)) == 39 + 1
+    groups = lambda pairs: {
+        r["doc_id"]: r["group_id"]
+        for r in connected_components(spark.createDataFrame(
+            sorted(pairs), ["doc_a", "doc_b"])).collect()
+    }
+    assert groups(as_set(capped)) == groups(as_set(uncapped))
+
+    sim_capped = simhash_pairs(docs, "text", "doc_id", max_bucket_size=10).collect()
+    sim_uncapped = simhash_pairs(docs, "text", "doc_id").collect()
+    assert as_set(sim_capped) <= as_set(sim_uncapped)
+    assert len(as_set(sim_capped)) < len(as_set(sim_uncapped))
+    assert groups(as_set(sim_capped)) == groups(as_set(sim_uncapped))
+
+
 def test_merge_struct_array_matches_reference_algorithm(spark):
     """merge_struct_array vs a Python transliteration of the reference's
     _merge_simple_parameters (experiment_parameter_derivator.py:114-149):

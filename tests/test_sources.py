@@ -235,3 +235,43 @@ def test_rest_crawl_to_df(spark):
     ])
     df = rest_crawl_to_df(spark, fetch, schema)
     assert sorted((r["id"], r["v"]) for r in df.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_shape_solr_documents_projects_casts_and_fills_id(spark):
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.sources.sinks import shape_solr_documents
+
+    df = spark.createDataFrame(
+        [(1, 10, "x", [1, 2]), (2, 20, "y", [3])],
+        ["k", "n", "s", "arr"],
+    ).withColumn("dropped", F.lit("not in schema"))
+    schema_fields = {"k": "plong", "n": "pint", "s": "string", "arr": "plongs",
+                     "doc_id": "string"}
+
+    out = shape_solr_documents(df, schema_fields, unique_field="k")
+    dt = dict(out.dtypes)
+    assert "dropped" not in dt                      # schema projection
+    assert dt["k"] == "double" and dt["n"] == "double"
+    assert dt["arr"] == "array<double>" and dt["s"] == "string"
+
+    # missing unique field -> uuid per row (nondeterministic branch)
+    filled = shape_solr_documents(df, schema_fields, unique_field="doc_id")
+    ids = [r["doc_id"] for r in filled.collect()]
+    assert len(set(ids)) == 2 and all(len(i) == 36 for i in ids)
+
+    # deterministic_ids: stable across runs
+    d1 = {r["k"]: r["doc_id"] for r in shape_solr_documents(
+        df, schema_fields, "doc_id", deterministic_ids=True).collect()}
+    d2 = {r["k"]: r["doc_id"] for r in shape_solr_documents(
+        df, schema_fields, "doc_id", deterministic_ids=True).collect()}
+    assert d1 == d2 and len(set(d1.values())) == 2
+
+
+def test_shape_mongo_documents_adds_class_discriminator(spark):
+    from impc_etl_spark.sources.sinks import shape_mongo_documents
+
+    df = spark.createDataFrame([(1,)], ["a"])
+    out = shape_mongo_documents(df, "org.impc.api.Doc")
+    assert out.columns == ["a", "_class"]
+    assert out.head()["_class"] == "org.impc.api.Doc"
