@@ -105,3 +105,70 @@ def regex_clean(df: DataFrame, column: str, pattern: str, replacement: str) -> D
     """regexp_replace in place (specimen_cleaner.py:225-233 `MGI:` strip,
     HTML-entity unescape)."""
     return df.withColumn(column, F.regexp_replace(F.col(column), pattern, replacement))
+
+
+#: Path separator for flattened dict-tree keys (unit separator — never
+#: appears in real key strings).
+_TREE_SEP = "\x1f"
+
+
+def _flatten_tree(tree: dict, path: tuple = ()):
+    """Leaf paths of a nested dict: yields (key_path_tuple, leaf_value)."""
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten_tree(v, path + (str(k),))
+        else:
+            yield path + (str(k),), v
+
+
+def dict_tree_lookup(
+    tree: dict, keys: Sequence[Column], default: Column | None = None
+) -> Column:
+    """Deep-nested dict chooser (§2.10 — the mp_chooser pattern,
+    stats_results_mapper.py:453-487, 2659-2666: a broadcast JSON tree
+    indexed by a key path inside a row UDF), re-expressed as a row-local
+    literal-map lookup: the tree is flattened to leaf paths once on the
+    driver and inlined as a ``create_map`` literal keyed on the joined
+    path. No Python in the hot path, no join, and Catalyst constant-folds
+    the map. For trees too large to inline (≳10⁴ leaves of plan bloat) use
+    `nested_dict_lookup_join`.
+    """
+    entries: list[Column] = []
+    for path, v in _flatten_tree(tree):
+        entries += [F.lit(_TREE_SEP.join(path)), F.lit(v)]
+    m = F.create_map(*entries)
+    got = m[F.concat_ws(_TREE_SEP, *keys)]
+    return F.coalesce(got, default) if default is not None else got
+
+
+def nested_dict_lookup_join(
+    df: DataFrame, tree: dict, key_cols: Sequence[str], out: str
+) -> DataFrame:
+    """Broadcast-join variant of `dict_tree_lookup` for big dict trees:
+    leaf paths become a small DataFrame broadcast-left-joined on the key
+    columns. All paths must share the depth of ``key_cols``."""
+    rows = [tuple(path) + (v,) for path, v in _flatten_tree(tree)]
+    depth = len(key_cols)
+    if any(len(r) - 1 != depth for r in rows):
+        raise ValueError("tree leaf depth must equal len(key_cols)")
+    names = [f"__k{i}" for i in range(depth)] + [out]
+    dim = df.sparkSession.createDataFrame(rows, names)
+    cond = None
+    for i, kc in enumerate(key_cols):
+        c = df[kc] == dim[f"__k{i}"]
+        cond = c if cond is None else cond & c
+    return df.join(F.broadcast(dim), cond, "left_outer").drop(
+        *[f"__k{i}" for i in range(depth)]
+    )
+
+
+def collapse_struct_array(arr: Column, overrides: dict[str, Column]) -> Column:
+    """Keep-one collapse of an ``array<struct>`` — the chooser's return
+    shape (_select_collapsed_mp_term, stats_results_mapper.py:2639-2691:
+    first entry kept, selected fields overridden — sex → not_considered,
+    term → chosen — re-wrapped as a single-entry array). Null and empty
+    arrays pass through, like the reference's early return."""
+    entry = F.try_element_at(arr, F.lit(1))
+    for name, c in overrides.items():
+        entry = entry.withField(name, c)
+    return F.when(arr.isNull() | (F.size(arr) == 0), arr).otherwise(F.array(entry))

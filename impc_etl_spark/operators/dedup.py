@@ -375,14 +375,23 @@ def connected_components(
     group_id = min id reachable). The cluster-assignment step after LSH:
     near-dup PAIRS become dedup GROUPS (keep min id, drop the rest).
 
-    Iterative min-label propagation: each round joins every node's label
-    against its neighbors' labels and keeps the min; converges in
-    O(log diameter) rounds for the star/chain shapes near-dup graphs have.
-    Driver code only steers the loop (a `count` per round checks
+    Each round does (1) min-label propagation — every node takes the min
+    of its own and its neighbors' labels — and (2) pointer doubling —
+    ``l(v) ← min(l(v), l(l(v)))``, the label table joined to itself —
+    which halves remaining chain lengths, so convergence is O(log
+    diameter) rounds (plain propagation alone is O(diameter): one hop per
+    round). Driver code only steers the loop (a `count` per round checks
     convergence); all data movement is joins/groupBys. Each round
     localCheckpoints the label frame — without it the lineage doubles per
-    iteration and the plan explodes.
+    iteration and the plan explodes; on a real cluster prefer reliable
+    ``checkpoint()``.
+
+    If the loop hits ``max_iterations`` with labels still changing the
+    result may split true groups — a ``RuntimeWarning`` is raised so the
+    caller can't miss it.
     """
+    import warnings
+
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -392,17 +401,28 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left_outer")
             .select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+        )
+        mapping = propagated.select(
+            F.col("id").alias("mid"), F.col("lbl").alias("mlbl")
+        )
+        new_labels = (
+            propagated.join(mapping, propagated.lbl == mapping.mid, "left_outer")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("mlbl"), F.col("lbl"))).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
@@ -415,6 +435,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        warnings.warn(
+            f"connected_components stopped after {max_iterations} rounds with "
+            f"{changed} labels still changing — groups may be split; raise "
+            "max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("group_id"))
 
 

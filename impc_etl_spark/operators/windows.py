@@ -62,3 +62,27 @@ def window_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> D
     for name, agg in aggs.items():
         out = out.withColumn(name, agg.over(w))
     return out
+
+
+def running_collect_set(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    value: str,
+    out: str,
+    sorted_out: bool = True,
+) -> DataFrame:
+    """W1 exact shape — ``collect_set(value)`` over an ORDERED window
+    (cross_ref_helper.py:162-169): each row receives the distinct values
+    seen up to its order position. The default frame of an ordered window
+    is RANGE (unbounded preceding → current), so order-PEERS are included
+    in each other's sets, exactly like the reference's metadata-item
+    accumulation. ``sorted_out`` sort_arrays the set for deterministic
+    output (collect_set order is otherwise partition-dependent).
+
+    One shuffle on ``keys``; per-row set state is bounded by the group's
+    distinct values, so memory follows group cardinality, not row count.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    c = F.collect_set(value).over(w)
+    return df.withColumn(out, F.sort_array(c) if sorted_out else c)

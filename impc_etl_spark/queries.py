@@ -740,6 +740,65 @@ def part_required_tokens_join(spark, sf_dir):
     return out.select("set_id", "p_partkey")
 
 
+def customer_status_running_sets(spark, sf_dir):
+    """W1 EXACT shape (cross_ref_helper.py:162-169): collect_set over an
+    ordered window — each order row carries the distinct statuses its
+    customer has shown up to that order date (RANGE frame: date-peers
+    included), plus the reference's md5 metadata-group key."""
+    orders = _t(spark, sf_dir, "orders")
+    out = win_ops.running_collect_set(
+        orders, ["o_custkey"], [F.col("o_orderdate")], "o_orderstatus",
+        "statuses_so_far",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "statuses_so_far",
+        F.md5(F.concat_ws("|", "statuses_so_far")).alias("metadata_group"),
+    )
+
+
+def segment_term_chooser(spark, sf_dir):
+    """§2.10 deep-dict chooser (stats_results_mapper.py:453-487,
+    2639-2691): customers with MULTIPLE distinct order statuses get their
+    term from a nested dict keyed by (segment, 'MULTI') — a broadcast-free
+    literal-map path lookup — and the struct array collapses to one entry
+    with overridden fields, exactly the keep-one UDF's return shape."""
+    from impc_etl_spark.operators.clean import collapse_struct_array, dict_tree_lookup
+
+    tree = {
+        "AUTOMOBILE": {"MULTI": "TERM_AUTO"},
+        "BUILDING": {"MULTI": "TERM_BUILD"},
+        "FURNITURE": {"MULTI": "TERM_FURN"},
+        "HOUSEHOLD": {"MULTI": "TERM_HOUSE"},
+        "MACHINERY": {"MULTI": "TERM_MACH"},
+    }
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("terms")
+    )
+    seg = cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    base = per_cust.join(F.broadcast(seg), "o_custkey")
+    arr = F.transform(
+        F.col("terms"),
+        lambda t: F.struct(t.alias("term"), F.lit("per_status").alias("scope")),
+    )
+    chosen = F.when(
+        F.size("terms") > 1,
+        dict_tree_lookup(tree, [F.col("c_mktsegment"), F.lit("MULTI")]),
+    ).otherwise(F.element_at("terms", 1))
+    collapsed = collapse_struct_array(
+        arr, {"term": chosen, "scope": F.lit("not_considered")}
+    )
+    one = F.element_at(collapsed, 1)
+    return base.select(
+        "o_custkey",
+        one["term"].alias("term"),
+        one["scope"].alias("scope"),
+    )
+
+
 def solr_doc_shape(spark, sf_dir):
     """S13 Solr document shaping (workflow/load.py:66-122): schema-field
     projection + Solr-numeric-type casts (plong→double, plongs→
@@ -1379,6 +1438,8 @@ QUERIES = {
     "order_params_merged": order_params_merged,
     "solr_doc_shape": solr_doc_shape,
     "mongo_doc_shape": mongo_doc_shape,
+    "customer_status_running_sets": customer_status_running_sets,
+    "segment_term_chooser": segment_term_chooser,
     # ======================================================================
     # Entries below are outside the driver's 50-query window (all were
     # driver-PASS in CORRECTNESS_r01.json and remain locally oracle-checked).
@@ -2309,6 +2370,31 @@ SELECT vec_a, vec_b, {cos} AS cos_sim FROM pc WHERE {cos} >= {threshold}
 
 
 ORACLE["emb_near_dup_pairs"] = _banded_pairs_sql()
+
+ORACLE["customer_status_running_sets"] = """
+SELECT a.o_orderkey, a.o_custkey,
+       list_sort(list_distinct(list(b.o_orderstatus))) AS statuses_so_far,
+       md5(array_to_string(list_sort(list_distinct(list(b.o_orderstatus))), '|'))
+           AS metadata_group
+FROM orders a JOIN orders b
+  ON b.o_custkey = a.o_custkey AND b.o_orderdate <= a.o_orderdate
+GROUP BY a.o_orderkey, a.o_custkey
+"""
+
+ORACLE["segment_term_chooser"] = """
+WITH t AS (
+  SELECT o_custkey, list_sort(list_distinct(list(o_orderstatus))) AS terms
+  FROM orders GROUP BY 1),
+m(seg, term) AS (VALUES
+  ('AUTOMOBILE', 'TERM_AUTO'), ('BUILDING', 'TERM_BUILD'),
+  ('FURNITURE', 'TERM_FURN'), ('HOUSEHOLD', 'TERM_HOUSE'),
+  ('MACHINERY', 'TERM_MACH'))
+SELECT t.o_custkey,
+       CASE WHEN len(terms) > 1 THEN m.term ELSE terms[1] END AS term,
+       'not_considered' AS scope
+FROM t JOIN customer ON c_custkey = t.o_custkey
+LEFT JOIN m ON m.seg = c_mktsegment
+"""
 
 ORACLE["solr_doc_shape"] = """
 SELECT o_orderkey::DOUBLE AS o_orderkey, o_totalprice, o_orderpriority,

@@ -451,3 +451,106 @@ def test_ann_multiprobe_improves_recall(spark):
     assert rec1 >= rec0          # probing neighbor buckets never hurts
     # measured on the fixed seed data: 0.3 -> 0.5 with one extra flip
     assert rec1 >= rec0 + 0.1 or rec1 >= 0.5, (rec0, rec1)
+
+
+def test_running_collect_set_includes_order_peers(spark):
+    """RANGE default frame: rows tied on the order value see each other's
+    contributions (the reference's metadata accumulation behavior)."""
+    from impc_etl_spark.operators.windows import running_collect_set
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (1, 20, "c"), (2, 5, "z")],
+        ["k", "ord", "v"],
+    )
+    out = running_collect_set(df, ["k"], [F.col("ord")], "v", "seen")
+    got = {(r["k"], r["ord"], r["v"]): r["seen"] for r in out.collect()}
+    assert got[(1, 10, "a")] == ["a", "b"]       # peer included
+    assert got[(1, 10, "b")] == ["a", "b"]
+    assert got[(1, 20, "c")] == ["a", "b", "c"]
+    assert got[(2, 5, "z")] == ["z"]
+
+
+def test_dict_tree_lookup_matches_join_variant(spark):
+    from impc_etl_spark.operators.clean import (
+        dict_tree_lookup,
+        nested_dict_lookup_join,
+    )
+
+    tree = {
+        "p1": {"proc1": {"param1": "MP:1"}, "proc2": {"param1": "MP:2"}},
+        "p2": {"proc1": {"param9": "MP:9"}},
+    }
+    df = spark.createDataFrame(
+        [("p1", "proc1", "param1"), ("p1", "proc2", "param1"),
+         ("p2", "proc1", "param9"), ("p2", "proc1", "nope")],
+        ["a", "b", "c"],
+    )
+    lit_path = {
+        (r["a"], r["b"], r["c"]): r["term"]
+        for r in df.select(
+            "a", "b", "c",
+            dict_tree_lookup(tree, [F.col("a"), F.col("b"), F.col("c")]).alias("term"),
+        ).collect()
+    }
+    join_path = {
+        (r["a"], r["b"], r["c"]): r["term"]
+        for r in nested_dict_lookup_join(df, tree, ["a", "b", "c"], "term").collect()
+    }
+    assert lit_path == join_path
+    assert lit_path[("p1", "proc2", "param1")] == "MP:2"
+    assert lit_path[("p2", "proc1", "nope")] is None
+    # default fallback on the literal path
+    with_default = df.select(dict_tree_lookup(
+        tree, [F.col("a"), F.col("b"), F.col("c")], default=F.lit("NONE")
+    ).alias("t")).collect()
+    assert {r["t"] for r in with_default} == {"MP:1", "MP:2", "MP:9", "NONE"}
+
+
+def test_collapse_struct_array_keep_one(spark):
+    from impc_etl_spark.operators.clean import collapse_struct_array
+
+    df = spark.createDataFrame(
+        [(0, [("t1", "m"), ("t2", "f")]), (1, []), (2, None)],
+        "id int, arr array<struct<term:string,sex:string>>",
+    )
+    out = df.select(
+        "id",
+        collapse_struct_array(
+            F.col("arr"), {"sex": F.lit("not_considered")}
+        ).alias("c"),
+    ).collect()
+    got = {r["id"]: r["c"] for r in out}
+    assert [(e["term"], e["sex"]) for e in got[0]] == [("t1", "not_considered")]
+    assert got[1] == []                  # empty passes through
+    assert got[2] is None                # null passes through
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 60-node chain has diameter 59: one-hop propagation alone could not
+    converge in 20 rounds — pointer doubling must (O(log n))."""
+    import warnings
+
+    from impc_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], ["doc_a", "doc_b"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)   # non-convergence fails
+        got = {r["doc_id"]: r["group_id"]
+               for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_connected_components_warns_when_iteration_capped(spark):
+    import warnings
+
+    from impc_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["doc_a", "doc_b"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iterations=2).collect()
+    assert any("still changing" in str(w.message) for w in caught)
