@@ -43,10 +43,13 @@ def main() -> int:
         "customer_order_rollup",
         "observations_pipeline",
         "docs_minhash_lsh",
+        "docs_verified_near_dups",
+        "docs_dup_groups",
         "docs_quality",
         "corpus_prepare",
         "media_feature_extract",
         "emb_cosine_topk",
+        "emb_batch_topk",
     ]
     names = [n for n in headline if n in QUERIES]
 
