@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from impc_etl_spark.operators.partitioning import fan_out
+
 # Small multilingual stopword marker sets for the n-gram/stopword language
 # heuristic. Deliberately tiny + high-precision: function words that are
 # near-unique per language.
@@ -243,6 +245,81 @@ def add_quality_signals(
         F.round(stop_ratio, 4).alias("q_stopword_ratio"),
         F.round(score, 4).alias("quality_score"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    excessive repetition marks low-quality/generated text. Attaches
+
+    - ``top_token_frac``  — occurrences of the most frequent token / tokens
+    - ``top_bigram_frac`` — occurrences of the most frequent bigram /
+      bigrams (null when the doc has < 2 tokens)
+    - ``distinct_ratio``  — distinct tokens / tokens
+
+    All row-local array algebra (mode via per-distinct-element counts —
+    O(n·distinct) inside the row, nothing leaves it), so the scoring runs
+    at scan speed; rows with zero tokens are dropped like the dedup path.
+    """
+    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
+
+    def top_count(arr: Column) -> Column:
+        return bind(
+            arr,
+            lambda t: F.array_max(
+                F.transform(
+                    F.array_distinct(t),
+                    lambda d: F.size(F.filter(t, lambda x: x == d)),
+                )
+            ),
+        )
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000
+
+    out = (
+        fan_out(df)
+        .withColumn("__toks", toks)
+        .where(F.size("__toks") > 0)
+        .withColumn("__bi", word_shingles(F.col("__toks"), 2))
+    )
+    n = F.size("__toks")
+    return out.select(
+        df["*"],
+        n.alias("n_tokens"),
+        frac(top_count(F.col("__toks")), n).alias("top_token_frac"),
+        F.when(
+            F.size("__bi") > 0, frac(top_count(F.col("__bi")), F.size("__bi"))
+        ).alias("top_bigram_frac"),
+        frac(F.size(F.array_distinct("__toks")), n).alias("distinct_ratio"),
+    )
+
+
+#: PII redaction patterns, applied in order (SSN before phone — the phone
+#: pattern would otherwise consume SSN-shaped digit runs). RE2-compatible
+#: so the same patterns run in Spark (Java regex) and ANSI-SQL oracles.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+)
+
+
+def scrub_pii(
+    col: str | Column,
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> Column:
+    """Redact PII spans with ``<KIND>`` tokens — the standard pre-training
+    scrubbing pass. A chain of ``regexp_replace`` (global by default in
+    Spark), evaluated in pattern order inside one projection: scan-speed,
+    no UDF. Pattern order is semantic — earlier patterns consume text
+    before later ones see it."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind, pat in patterns:
+        c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    return c
 
 
 def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:

@@ -1208,6 +1208,28 @@ def docs_fingerprint(spark, sf_dir):
     return docs.select("doc_id", text_ops.fingerprint("text").alias("fp"))
 
 
+def docs_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (top token/bigram fraction,
+    distinct-token ratio) — row-local array algebra at scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.repetition_signals(docs, "text").select(
+        "doc_id", "n_tokens", "top_token_frac", "top_bigram_frac", "distinct_ratio"
+    )
+
+
+def docs_pii_scrub(spark, sf_dir):
+    """PII scrubbing pass: deterministic injected spans (email, SSN, IP,
+    phone) redacted by kind via an ordered regexp_replace chain."""
+    docs = _t(spark, sf_dir, "documents")
+    inject = F.concat(
+        F.col("text"),
+        F.lit(
+            " contact bob@example.com or +1 415-555-2671 ssn 123-45-6789 host 10.0.0.1"
+        ),
+    )
+    return docs.select("doc_id", text_ops.scrub_pii(inject).alias("clean_text"))
+
+
 def corpus_pack_sequences(spark, sf_dir):
     """Sequence packing: assign docs to 512-token training packs, sharded
     (pack ids computed within doc_id%8 shards so no global single-task
@@ -1440,10 +1462,12 @@ QUERIES = {
     "mongo_doc_shape": mongo_doc_shape,
     "customer_status_running_sets": customer_status_running_sets,
     "segment_term_chooser": segment_term_chooser,
+    "docs_repetition": docs_repetition,
     # ======================================================================
     # Entries below are outside the driver's 50-query window (all were
     # driver-PASS in CORRECTNESS_r01.json and remain locally oracle-checked).
     # ======================================================================
+    "docs_pii_scrub": docs_pii_scrub,
     "segment_big_spenders": segment_big_spenders,
     "nation_segments_bundle": nation_segments_bundle,
     "top_lineitem_per_order": top_lineitem_per_order,
@@ -2370,6 +2394,41 @@ SELECT vec_a, vec_b, {cos} AS cos_sim FROM pc WHERE {cos} >= {threshold}
 
 
 ORACLE["emb_near_dup_pairs"] = _banded_pairs_sql()
+
+ORACLE["docs_repetition"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM base),
+tf AS (SELECT doc_id, max(c) AS topc
+       FROM (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1),
+bg AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS b
+       FROM base WHERE n >= 2),
+bf AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS topb
+       FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+dr AS (SELECT doc_id, len(list_distinct(toks)) AS nd FROM base)
+SELECT base.doc_id, n AS n_tokens,
+       floor(topc * 1.0 / n * 1000000 + 0.5) / 1000000 AS top_token_frac,
+       floor(topb * 1.0 / nb * 1000000 + 0.5) / 1000000 AS top_bigram_frac,
+       floor(nd * 1.0 / n * 1000000 + 0.5) / 1000000 AS distinct_ratio
+FROM base JOIN tf USING (doc_id) LEFT JOIN bf USING (doc_id) JOIN dr USING (doc_id)
+"""
+
+
+def _pii_scrub_sql() -> str:
+    """Replay scrub_pii's ordered regexp_replace chain in DuckDB ('g' flag
+    — Spark's regexp_replace is global by default; patterns are
+    RE2-compatible by construction)."""
+    from impc_etl_spark.operators.text import PII_PATTERNS
+
+    expr = ("text || ' contact bob@example.com or +1 415-555-2671 "
+            "ssn 123-45-6789 host 10.0.0.1'")
+    for kind, pat in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{esc}', '<{kind.upper()}>', 'g')"
+    return f"SELECT doc_id, {expr} AS clean_text FROM documents"
+
+
+ORACLE["docs_pii_scrub"] = _pii_scrub_sql()
 
 ORACLE["customer_status_running_sets"] = """
 SELECT a.o_orderkey, a.o_custkey,

@@ -554,3 +554,33 @@ def test_connected_components_warns_when_iteration_capped(spark):
         warnings.simplefilter("always")
         connected_components(pairs, max_iterations=2).collect()
     assert any("still changing" in str(w.message) for w in caught)
+
+
+def test_scrub_pii_redacts_in_order(spark):
+    """SSN is redacted before the phone pattern could consume it; each kind
+    gets its own token; clean text passes through untouched."""
+    from impc_etl_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail a.b@x.io call +44 (0) 20 7946 0958 ssn 123-45-6789 at 8.8.8.8"),
+         (1, "no pii here at all")],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", scrub_pii("text").alias("c")).collect()}
+    assert got[0] == "mail <EMAIL> call <PHONE> ssn <SSN> at <IP>"
+    assert got[1] == "no pii here at all"
+
+
+def test_repetition_signals_values(spark):
+    from impc_etl_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(0, "spam spam spam eggs"), (1, "one"), (2, "all words differ here")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df, "text").collect()}
+    assert got[0]["top_token_frac"] == 0.75            # spam 3/4
+    assert got[0]["top_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[0]["distinct_ratio"] == 0.5             # 2 distinct / 4
+    assert got[1]["top_bigram_frac"] is None           # single token: no bigrams
+    assert got[2]["distinct_ratio"] == 1.0
