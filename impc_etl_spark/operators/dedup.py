@@ -284,6 +284,46 @@ def verified_near_dups(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = 8,
+    mark_only: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop (or with ``mark_only`` flag) training
+    docs sharing ANY k-token shingle with an eval/benchmark set — the
+    standard n-gram overlap test-set filter of LLM training pipelines
+    (GPT-3 appendix C shape).
+
+    Shingles are md5-hashed row-locally before the join so the shuffle/
+    broadcast key is 16 bytes, never text. Benchmark sets are small (eval
+    suites), so their distinct shingle-hash table broadcasts and the
+    contamination probe is a map-side semi join over one corpus scan; the
+    corpus never shuffles.
+    """
+    def sh(col: str | Column) -> Column:
+        return word_shingles(tokens(col), k)
+
+    bench_sh = F.broadcast(
+        benchmark.select(F.explode(sh(bench_text_col)).alias("__s"))
+        .select(F.md5("__s").alias("__h"))
+        .distinct()
+    )
+    doc_sh = fan_out(df).select(
+        F.col(id_col), F.explode(F.array_distinct(sh(text_col))).alias("__s")
+    ).select(id_col, F.md5("__s").alias("__h"))
+    contaminated = doc_sh.join(bench_sh, "__h", "left_semi").select(id_col).distinct()
+    if mark_only:
+        flag = contaminated.withColumn("is_contaminated", F.lit(True))
+        return df.join(flag, id_col, "left_outer").withColumn(
+            "is_contaminated", F.coalesce(F.col("is_contaminated"), F.lit(False))
+        )
+    return df.join(contaminated, id_col, "left_anti")
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -192,6 +192,32 @@ def pack_sequences(
     return df.withColumn(out, F.floor(before / budget).cast("int"))
 
 
+def budget_select(
+    df: DataFrame,
+    count_col: str,
+    budget: int,
+    order_by: Sequence[Column | str],
+    partition_keys: Sequence[str] = (),
+    out: str = "selected",
+) -> DataFrame:
+    """Greedy token-budget selection: walk rows in priority order (e.g.
+    quality desc) and flag each row whose running total BEFORE it is under
+    ``budget`` — 'fill a 10B-token training mix by quality', the companion
+    of `pack_sequences` (same overflow-by-at-most-one-doc semantics).
+
+    ``partition_keys`` gives each shard (language, source, domain) its own
+    budget and its own window cumsum task — the scale form; without it the
+    single global ordering serializes onto one task (small inputs only).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_keys) if partition_keys else Window.partitionBy()
+    ).orderBy(*order_by).rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum(count_col).over(w), F.lit(0))
+    return df.withColumn(out, before < budget)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

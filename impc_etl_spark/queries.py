@@ -1230,6 +1230,32 @@ def docs_pii_scrub(spark, sf_dir):
     return docs.select("doc_id", text_ops.scrub_pii(inject).alias("clean_text"))
 
 
+def docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C shape): flag training
+    docs sharing any 8-token shingle with a 'benchmark' set (here: the
+    first 20 docs). Broadcast hashed benchmark shingles + map-side semi
+    probe — the corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 20)
+    out = dedup_ops.decontaminate(docs, bench, k=8, mark_only=True)
+    return out.select("doc_id", "is_contaminated")
+
+
+def corpus_budget_select(spark, sf_dir):
+    """Greedy per-language token-budget selection: longest docs first until
+    each language's 5000-token budget fills (one window cumsum task per
+    lang shard — no global ordering)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", text_ops.token_count("text").alias("n_tokens")
+    )
+    out = text_ops.budget_select(
+        docs, "n_tokens", budget=5000,
+        order_by=[F.col("n_tokens").desc(), F.col("doc_id")],
+        partition_keys=["lang"],
+    )
+    return out.where("selected").select("doc_id", "lang", "n_tokens")
+
+
 def corpus_pack_sequences(spark, sf_dir):
     """Sequence packing: assign docs to 512-token training packs, sharded
     (pack ids computed within doc_id%8 shards so no global single-task
@@ -1453,8 +1479,8 @@ QUERIES = {
     "region_revenue": region_revenue,
     "top_customers_per_nation": top_customers_per_nation,
     "user_sessions": user_sessions,
-    "statpacket_restructure": statpacket_restructure,
-    "customer_key_ancestry": customer_key_ancestry,
+    "docs_decontaminate": docs_decontaminate,
+    "corpus_budget_select": corpus_budget_select,
     # -- new this round (operators closing VERDICT gaps) ---------------------
     "part_required_tokens_join": part_required_tokens_join,
     "order_params_merged": order_params_merged,
@@ -1468,6 +1494,8 @@ QUERIES = {
     # driver-PASS in CORRECTNESS_r01.json and remain locally oracle-checked).
     # ======================================================================
     "docs_pii_scrub": docs_pii_scrub,
+    "statpacket_restructure": statpacket_restructure,
+    "customer_key_ancestry": customer_key_ancestry,
     "segment_big_spenders": segment_big_spenders,
     "nation_segments_bundle": nation_segments_bundle,
     "top_lineitem_per_order": top_lineitem_per_order,
@@ -2429,6 +2457,29 @@ def _pii_scrub_sql() -> str:
 
 
 ORACLE["docs_pii_scrub"] = _pii_scrub_sql()
+
+ORACLE["docs_decontaminate"] = f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]) AS s
+  FROM tok WHERE len(toks) >= 8),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+cont AS (SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM bench))
+SELECT t.doc_id, (cont.doc_id IS NOT NULL) AS is_contaminated
+FROM tok t LEFT JOIN cont ON cont.doc_id = t.doc_id
+"""
+
+ORACLE["corpus_budget_select"] = f"""
+WITH t AS (SELECT doc_id, lang, len({_DOC_TOKS}) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY lang
+             ORDER BY n_tokens DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t)
+SELECT doc_id, lang, n_tokens FROM c WHERE before < 5000
+"""
 
 ORACLE["customer_status_running_sets"] = """
 SELECT a.o_orderkey, a.o_custkey,

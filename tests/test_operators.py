@@ -584,3 +584,48 @@ def test_repetition_signals_values(spark):
     assert got[0]["distinct_ratio"] == 0.5             # 2 distinct / 4
     assert got[1]["top_bigram_frac"] is None           # single token: no bigrams
     assert got[2]["distinct_ratio"] == 1.0
+
+
+def test_decontaminate_drops_and_marks(spark):
+    from impc_etl_spark.operators.dedup import decontaminate
+
+    eight = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(0, f"prefix {eight} suffix words here"),    # contains benchmark 8-gram
+         (1, "totally different content with no overlap at all whatsoever yes"),
+         (2, "short doc")],                            # < 8 tokens: can't match
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(0, f"intro {eight} outro")], ["bid", "text"])
+    kept = {r["doc_id"] for r in decontaminate(docs, bench).collect()}
+    assert kept == {1, 2}
+    marked = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in decontaminate(docs, bench, mark_only=True).collect()
+    }
+    assert marked == {0: True, 1: False, 2: False}
+
+
+def test_budget_select_matches_greedy(spark):
+    from impc_etl_spark.operators.text import budget_select
+
+    rows = [(i, "a" if i % 2 else "b", c)
+            for i, c in enumerate([300, 200, 500, 100, 400, 250, 50, 600])]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n"])
+    out = budget_select(
+        df, "n", budget=600,
+        order_by=[F.col("n").desc(), F.col("doc_id")],
+        partition_keys=["shard"],
+    ).collect()
+    got = {r["doc_id"] for r in out if r["selected"]}
+
+    want = set()
+    for shard in ("a", "b"):
+        total = 0
+        for did, _, n in sorted(
+            (r for r in rows if r[1] == shard), key=lambda r: (-r[2], r[0])
+        ):
+            if total < 600:
+                want.add(did)
+            total += n
+    assert got == want
