@@ -1,8 +1,11 @@
 """End-to-end training-corpus pipeline — the north-star flow as a DAG.
 
   documents ─ profile (QA stats)
-            ─ quality+dedup (score → filter → exact+near dedup)
-            ─ packed (512-token sequence packs)
+            ─ clean_corpus (PII scrub → quality+repetition filter →
+                            exact+near dedup)
+            ─ decontaminated (benchmark 8-gram overlap filter)
+            ─ selected (per-language token-budget selection, quality-first)
+            ─ packed (512-token sequence packs, sharded by language)
             ─ features (multimodal payload features via mapInPandas)
 
 Run:  python examples/training_corpus_pipeline.py [sf_dir] [out_dir]
@@ -20,7 +23,7 @@ from pyspark.sql import functions as F
 
 def build(spark, sf_dir: str, out_dir: str):
     from impc_etl_spark.operators import text as T
-    from impc_etl_spark.operators.dedup import lsh_candidate_pairs
+    from impc_etl_spark.operators.dedup import decontaminate, lsh_candidate_pairs
     from impc_etl_spark.operators.joins import anti_join
     from impc_etl_spark.operators.profile import profile
     from impc_etl_spark.multimodal.media import attach_binary, media_features
@@ -39,9 +42,13 @@ def build(spark, sf_dir: str, out_dir: str):
 
     @p.task("clean_corpus", inputs=["documents"])
     def clean_corpus(s, docs):
+        docs = docs.withColumn("text", T.scrub_pii("text"))
         docs = docs.withColumn("toks", T.tokens("text"))
         scored = T.add_quality_signals(docs, "text", tokens_col="toks")
-        kept = scored.where(F.col("quality_score") >= 0.3)
+        rep = T.repetition_signals(scored, "text", tokens_col="toks")
+        kept = rep.where(
+            (F.col("quality_score") >= 0.3) & (F.col("top_token_frac") <= 0.5)
+        )
         fp = F.md5(F.array_join(F.col("toks"), " "))
         kept = (
             kept.withColumn("__k", F.min("doc_id").over(Window.partitionBy(fp)))
@@ -57,11 +64,29 @@ def build(spark, sf_dir: str, out_dir: str):
             "quality_score",
         )
 
-    @p.task("packed", inputs=["clean_corpus"])
-    def packed(s, corpus):
-        return T.pack_sequences(corpus, "n_tokens", budget=512)
+    @p.task("decontaminated", inputs=["clean_corpus", "documents"])
+    def decontaminated(s, corpus, docs):
+        # hold out a 'benchmark' slice (stand-in for an eval suite) and
+        # strip any training doc sharing an 8-gram with it
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        return decontaminate(corpus, bench, k=8)
 
-    @p.task("features", inputs=["clean_corpus"])
+    @p.task("selected", inputs=["decontaminated"])
+    def selected(s, corpus):
+        out = T.budget_select(
+            corpus, "n_tokens", budget=50_000,
+            order_by=[F.col("quality_score").desc(), F.col("doc_id")],
+            partition_keys=["lang"],
+        )
+        return out.where("selected").drop("selected")
+
+    @p.task("packed", inputs=["selected"])
+    def packed(s, corpus):
+        return T.pack_sequences(
+            corpus, "n_tokens", budget=512, partition_keys=["lang"]
+        )
+
+    @p.task("features", inputs=["selected"])
     def features(s, corpus):
         return media_features(attach_binary(corpus, "text", "doc_id"))
 

@@ -137,7 +137,7 @@ def dict_tree_lookup(
     for path, v in _flatten_tree(tree):
         entries += [F.lit(_TREE_SEP.join(path)), F.lit(v)]
     m = F.create_map(*entries)
-    got = m[F.concat_ws(_TREE_SEP, *keys)]
+    got = F.try_element_at(m, F.concat_ws(_TREE_SEP, *keys))
     return F.coalesce(got, default) if default is not None else got
 
 

@@ -167,9 +167,14 @@ def test_training_corpus_pipeline_example(spark, tmp_path):
     p = mod.build(spark, SF_SMOKE, str(tmp_path / "corpus"))
     st = p.run("profile", "packed", "features")
     assert all(v == "ran" for v in st.values())
-    clean = p.read("clean_corpus")
-    assert p.read("packed").count() == clean.count()
-    assert p.read("features").count() == clean.count()
-    # packing conserves tokens
-    assert (p.read("packed").agg(F.sum("n_tokens")).collect()[0][0]
-            == clean.agg(F.sum("n_tokens")).collect()[0][0])
+    clean = p.read("clean_corpus").count()
+    decon = p.read("decontaminated").count()
+    selected = p.read("selected").count()
+    assert 0 < selected <= decon <= clean          # each stage only filters
+    assert p.read("packed").count() == selected
+    assert p.read("features").count() == selected
+    # packing conserves tokens and shards by language
+    packed = p.read("packed")
+    assert (packed.agg(F.sum("n_tokens")).collect()[0][0]
+            == p.read("selected").agg(F.sum("n_tokens")).collect()[0][0])
+    assert packed.where(~F.col("pack_id").startswith(F.col("lang"))).count() == 0
