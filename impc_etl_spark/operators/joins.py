@@ -140,6 +140,40 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi join: salt the (big, skewed) left side into
+    ``buckets`` sub-keys and replicate each right row once per bucket, so
+    a hot key ('baseline' colony, a common strain — the reference's risk
+    register) spreads over ``buckets`` reducers instead of one straggler
+    task.
+
+    Semantically identical to ``left.join(right, on, how)`` for inner and
+    left_outer (the salt is internal). Cost: the right side is written
+    ``buckets``× into the shuffle — use when the right is the smaller side
+    but too big to broadcast and AQE's skew split doesn't apply (e.g. the
+    shuffle feeds a bucketed/sorted write, or the skew is in a
+    sort-merge join AQE already planned around). Prefer plain broadcast
+    for dim-sized rights and AQE skew-join first; this is the explicit
+    fallback.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError("salted_join supports how='inner'|'left_outer'")
+    salted_l = left.withColumn(
+        "__salt", (F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(buckets)))
+    )
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    out = salted_l.join(salted_r, [*on, "__salt"], how)
+    return out.drop("__salt")
+
+
 def subset_join(
     left: DataFrame,
     right: DataFrame,

@@ -871,6 +871,21 @@ def order_params_merged(spark, sf_dir):
     )
 
 
+def salted_fact_join(spark, sf_dir):
+    """Skew-proof salted equi join (risk register: 'baseline'-colony hot
+    keys): lineitem×orders spread over 8 salt buckets, result identical to
+    the plain join — the oracle is the unsalted SQL."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = join_ops.salted_join(li, orders, ["l_orderkey"], buckets=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def customer_order_gaps(spark, sf_dir):
     """§2.5 analytic offsets: lag/lead over per-customer order history."""
     orders = _t(spark, sf_dir, "orders")
@@ -1537,6 +1552,7 @@ QUERIES = {
     "array_membership_join": array_membership_join,
     "customer_order_gaps": customer_order_gaps,
     "segment_status_rollup": segment_status_rollup,
+    "salted_fact_join": salted_fact_join,
 }
 
 # Canonical tokenizer in DuckDB SQL (must mirror operators.text.tokens).
@@ -2457,6 +2473,13 @@ def _pii_scrub_sql() -> str:
 
 
 ORACLE["docs_pii_scrub"] = _pii_scrub_sql()
+
+ORACLE["salted_fact_join"] = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
 
 ORACLE["docs_decontaminate"] = f"""
 WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),

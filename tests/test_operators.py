@@ -629,3 +629,18 @@ def test_budget_select_matches_greedy(spark):
                 want.add(did)
             total += n
     assert got == want
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting is invisible: inner and left_outer results equal the plain
+    join on skewed data (one hot key with most of the rows)."""
+    from impc_etl_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(2, 900), (3, 901)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold")], ["k", "name"])
+    for how in ("inner", "left_outer"):
+        plain = sorted(map(tuple, left.join(right, ["k"], how).collect()))
+        salted = sorted(map(tuple, salted_join(left, right, ["k"], buckets=4, how=how).collect()))
+        assert salted == plain, how
