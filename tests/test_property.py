@@ -193,3 +193,99 @@ def test_pack_sequences_sharded_invariants(spark, counts):
             int(p.split("-")[1]) for p in by_pack if p.startswith(f"{shard}-")
         )
         assert locals_[0] == 0
+
+
+# --- subset-containment join vs Python set logic ----------------------------
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lefts=st.lists(st.lists(st.sampled_from("abcdef"), max_size=5),
+                   min_size=1, max_size=8),
+    rights=st.lists(st.lists(st.sampled_from("abcdef"), max_size=4),
+                    min_size=1, max_size=6),
+)
+def test_subset_join_matches_python_reference(spark, lefts, rights):
+    """Both strategies equal the reference condition evaluated in Python:
+    match iff |set(l) ∩ set(r)| == len(r) (duplicates in r never match,
+    empty r under 'broadcast' matches everything)."""
+    from impc_etl_spark.operators.joins import subset_join
+
+    left = spark.createDataFrame(
+        [(i, arr) for i, arr in enumerate(lefts)],
+        "lid int, larr array<string>",
+    )
+    right = spark.createDataFrame(
+        [(i, arr) for i, arr in enumerate(rights)],
+        "rid int, rarr array<string>",
+    )
+    want = {
+        (li, ri)
+        for li, larr in enumerate(lefts)
+        for ri, rarr in enumerate(rights)
+        if len(set(larr) & set(rarr)) == len(rarr)
+    }
+    got_b = {
+        (r["lid"], r["rid"])
+        for r in subset_join(left, right, "larr", "rarr", "lid", "rid",
+                             strategy="broadcast").collect()
+    }
+    assert got_b == want
+    # explode path: identical except empty right arrays never match
+    want_e = {(li, ri) for li, ri in want if len(rights[ri]) > 0}
+    got_e = {
+        (r["lid"], r["rid"])
+        for r in subset_join(left, right, "larr", "rarr", "lid", "rid",
+                             strategy="explode").collect()
+    }
+    assert got_e == want_e
+
+
+# --- struct-array merge vs the reference algorithm --------------------------
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    arrs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)), max_size=5),
+        ),
+        min_size=1, max_size=6,
+    ),
+    upds=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.tuples(st.integers(0, 5), st.integers(100, 199)), max_size=5),
+        ),
+        min_size=1, max_size=6,
+    ),
+)
+def test_merge_struct_array_matches_reference_random(spark, arrs, upds):
+    from impc_etl_spark.operators.derivation import merge_struct_array
+
+    def ref_merge(existing, updates):
+        if updates is None or existing is None:
+            return updates if existing is None else existing
+        upd_by_key = {u[0]: u for u in updates}
+        out = [upd_by_key.get(e[0], e) for e in existing]
+        seen = {e[0] for e in existing}
+        out += [u for u in updates if u[0] not in seen]
+        return out
+
+    n = min(len(arrs), len(upds))
+    cases = list(zip(arrs[:n], upds[:n]))
+    df = spark.createDataFrame(
+        [(i, a, u) for i, (a, u) in enumerate(cases)],
+        "id int, arr array<struct<pid:int,val:int>>, upd array<struct<pid:int,val:int>>",
+    )
+    got = {
+        r["id"]: (None if r["m"] is None else [(e["pid"], e["val"]) for e in r["m"]])
+        for r in df.select(
+            "id", merge_struct_array(F.col("arr"), F.col("upd"), "pid").alias("m")
+        ).collect()
+    }
+    for i, (a, u) in enumerate(cases):
+        want = ref_merge(list(a) if a is not None else None,
+                         list(u) if u is not None else None)
+        assert got[i] == want, (i, a, u, got[i], want)
