@@ -348,6 +348,49 @@ def scrub_pii(
     return c
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword/topic signal
+    for corpus curation. tf = in-doc term count; idf = ln((N+1)/(df+1))+1
+    (smoothed); rank by rounded score desc, term asc (rounding BEFORE
+    ranking so engine-level ulp differences in ln can't flip ties).
+
+    Plan: one explode + two aggregations (term counts per doc; document
+    frequency per term) + a 1-row broadcast for N — no collect. At 100 TB
+    the doc-frequency table is vocabulary-sized: prune terms under a
+    min-df before the join-back, and the top-k window runs as
+    WindowGroupLimit.
+    """
+    from pyspark.sql import Window
+
+    ex = fan_out(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        ex.select(id_col, "term").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    )
+    n = ex.select(id_col).distinct().agg(F.count(F.lit(1)).alias("__n"))
+    score = F.col("tf") * (
+        F.log((F.col("__n") + F.lit(1.0)) / (F.col("__df") + F.lit(1.0))) + F.lit(1.0)
+    )
+    rounded = F.floor(score * 1000000 + F.lit(0.5)) / 1000000
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(F.col(id_col), F.col("term"), rounded.alias("tfidf"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
     """Marker-word language ID: count hits per language's marker set, pick
     the argmax (ties → lexicographically first language; 'und' when no

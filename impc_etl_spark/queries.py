@@ -1245,6 +1245,24 @@ def docs_pii_scrub(spark, sf_dir):
     return docs.select("doc_id", text_ops.scrub_pii(inject).alias("clean_text"))
 
 
+def emb_dup_groups(spark, sf_dir):
+    """Embedding near-dup GROUPS: banded-LSH cosine pairs → connected
+    components — the full scale composition on the vector side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim_ops.cosine_banded_pairs(
+        emb, dim=64, threshold=0.4, bands=8, band_width=4, seed=42
+    )
+    groups = dedup_ops.connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    return groups.select(F.col("doc_id").alias("vec_id"), "group_id")
+
+
+def docs_tfidf_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (smoothed idf, deterministic
+    rounded-score ranking)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.tfidf_top_terms(docs, "text", "doc_id", k=5)
+
+
 def docs_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix C shape): flag training
     docs sharing any 8-token shingle with a 'benchmark' set (here: the
@@ -1509,6 +1527,8 @@ QUERIES = {
     # driver-PASS in CORRECTNESS_r01.json and remain locally oracle-checked).
     # ======================================================================
     "docs_pii_scrub": docs_pii_scrub,
+    "emb_dup_groups": emb_dup_groups,
+    "docs_tfidf_terms": docs_tfidf_terms,
     "statpacket_restructure": statpacket_restructure,
     "customer_key_ancestry": customer_key_ancestry,
     "segment_big_spenders": segment_big_spenders,
@@ -2393,13 +2413,16 @@ FROM c GROUP BY 1
 ORACLE["media_resize"] = "\nSELECT doc_id AS media_id, 64 AS width, 64 AS height,\n       md5(text || ':64x64') AS thumb_md5\nFROM documents\n"
 ORACLE["corpus_prepare"] = '\nWITH t AS (\n  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), \'[^a-z0-9]+\'), x -> x <> \'\') AS toks, length(text) AS n_chars FROM documents),\nsig AS (\n  SELECT doc_id, text, toks, len(toks) AS q_n_tokens,\n         length(regexp_replace(text, \'[^A-Za-z]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,\n         length(regexp_replace(text, \'[^.,;:!?\'\'"()]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,\n         len(list_filter(list_distinct(toks), x -> list_contains([\'the\',\'and\',\'of\',\'to\',\'is\',\'in\',\'that\',\'with\',\'for\',\'was\'], x))) * 1.0\n             / greatest(len(toks), 1) AS stop_ratio\n  FROM t),\nscored AS (\n  SELECT doc_id, text, toks, q_n_tokens,\n         floor((0.25 * least(q_n_tokens / 50.0, 1.0)\n             + 0.25 * alpha_ratio\n             + 0.25 * least(stop_ratio * 5.0, 1.0)\n             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score\n  FROM sig),\nq1 AS (SELECT * FROM scored WHERE quality_score >= 0.3),\nq2 AS (\n  SELECT * FROM (\n    SELECT *, min(doc_id) OVER (PARTITION BY md5(array_to_string(toks, \' \'))) AS keeper\n    FROM q1) WHERE doc_id = keeper),\nsh AS (\n  SELECT DISTINCT doc_id, unnest([array_to_string(toks[i:i+2], \' \') FOR i IN range(1, len(toks) - 1)]) AS shingle\n  FROM q2 WHERE len(toks) >= 3),\nmh AS (\n  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || \':\' || shingle)) AS mh\n  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s\n  GROUP BY doc_id, s.seed),\nbands AS (\n  SELECT doc_id, seed // 3 AS band,\n         md5(string_agg(mh, \'|\' ORDER BY seed)) AS band_key\n  FROM mh GROUP BY doc_id, seed // 3),\nlosers AS (\n  SELECT DISTINCT b.doc_id\n  FROM bands a JOIN bands b\n    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)\nSELECT doc_id, len(toks) AS n_tokens, quality_score\nFROM q2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)\n'
 
-def _banded_pairs_sql(
+_BANDED_COS = "floor((dp / (sqrt(na) * sqrt(nb))) * 1000000 + 0.5) / 1000000"
+
+
+def _banded_ctes(
     dim: int = 64, bands: int = 8, band_width: int = 4, seed: int = 42,
-    threshold: float = 0.4,
 ) -> str:
-    """Replay cosine_banded_pairs in DuckDB: the hyperplanes are seeded
-    literals, so the banding (sign-bit sketch → band equality → exact
-    cosine on candidates) reproduces byte-identically in ANSI SQL."""
+    """CTE chain replaying cosine_banded_pairs in DuckDB: the hyperplanes
+    are seeded literals, so the banding (sign-bit sketch → band equality →
+    exact cosine on candidates) reproduces byte-identically in ANSI SQL.
+    Final CTE ``pc`` holds (vec_a, vec_b, dp, na, nb)."""
     from impc_etl_spark.operators.similarity import hyperplane_planes
 
     planes = hyperplane_planes(dim, bands * band_width, seed)
@@ -2408,9 +2431,7 @@ def _banded_pairs_sql(
         for p, plane in enumerate(planes)
         for i, w in enumerate(plane)
     )
-    cos = "floor((dp / (sqrt(na) * sqrt(nb))) * 1000000 + 0.5) / 1000000"
-    return f"""
-WITH planes(p, i, w) AS (VALUES {vals}),
+    return f"""planes(p, i, w) AS (VALUES {vals}),
 e AS (
   SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i
   FROM embeddings),
@@ -2432,12 +2453,26 @@ pc AS (
          sum(x.v * y.v) AS dp, sum(x.v * x.v) AS na, sum(y.v * y.v) AS nb
   FROM cand c JOIN e x ON x.vec_id = c.vec_a
               JOIN e y ON y.vec_id = c.vec_b AND y.i = x.i
-  GROUP BY 1, 2)
-SELECT vec_a, vec_b, {cos} AS cos_sim FROM pc WHERE {cos} >= {threshold}
+  GROUP BY 1, 2)"""
+
+
+ORACLE["emb_near_dup_pairs"] = f"""
+WITH {_banded_ctes()}
+SELECT vec_a, vec_b, {_BANDED_COS} AS cos_sim FROM pc WHERE {_BANDED_COS} >= 0.4
 """
 
-
-ORACLE["emb_near_dup_pairs"] = _banded_pairs_sql()
+ORACLE["emb_dup_groups"] = f"""
+WITH RECURSIVE {_banded_ctes()},
+goodpairs AS (SELECT vec_a, vec_b FROM pc WHERE {_BANDED_COS} >= 0.4),
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM goodpairs
+          UNION SELECT vec_b, vec_a FROM goodpairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+SELECT id AS vec_id, min(lbl) AS group_id FROM walk GROUP BY id
+"""
 
 ORACLE["docs_repetition"] = f"""
 WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
@@ -2473,6 +2508,20 @@ def _pii_scrub_sql() -> str:
 
 
 ORACLE["docs_pii_scrub"] = _pii_scrub_sql()
+
+ORACLE["docs_tfidf_terms"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_DOC_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfq FROM tok GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor((tf * (ln((n.n + 1.0) / (dfq + 1.0)) + 1.0)) * 1000000 + 0.5) / 1000000 AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored) WHERE rk <= 5
+"""
 
 ORACLE["salted_fact_join"] = """
 SELECT o_orderpriority, count(*) AS n_lines,

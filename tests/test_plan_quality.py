@@ -20,6 +20,7 @@ from tests.conftest import SF_SMOKE
 BNL_ALLOWED = {
     "array_membership_join",
     "emb_batch_topk",  # corpus × broadcast query table (scoring is the point)
+    "docs_tfidf_terms",  # cross join with a broadcast 1-ROW scalar (corpus N)
 }
 
 
