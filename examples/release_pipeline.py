@@ -11,6 +11,8 @@ Stage shape (each a checkpointed DAG task, parquet between stages):
                                   '::'-joined metadata, one row per obs)
     → release_diff               (regression net vs the 'previous release')
     → mart                       (wide denormalized summary per experiment)
+    → solr_docs / mongo_docs     (publication shaping: schema projection +
+                                  casts; _class discriminator)
 
 Run:  python examples/release_pipeline.py [sf_dir] [out_dir]
 """
@@ -80,6 +82,28 @@ def build(spark, sf_dir: str, out_dir: str):
             F.max(F.when(F.col("parameter_family") == "derivedCurve", F.col("data_point"))).alias("curve_auc"),
         )
 
+    @p.task("solr_docs", inputs=["mart"])
+    def solr_docs(s, mart_df):
+        from impc_etl_spark.sources.sinks import shape_solr_documents
+
+        return shape_solr_documents(
+            mart_df,
+            schema_fields={
+                "experiment_id": "string",
+                "n_observations": "plong",
+                "curve_auc": "pdouble",
+                "doc_id": "string",
+            },
+            unique_field="doc_id",
+            deterministic_ids=True,
+        )
+
+    @p.task("mongo_docs", inputs=["mart"])
+    def mongo_docs(s, mart_df):
+        from impc_etl_spark.sources.sinks import shape_mongo_documents
+
+        return shape_mongo_documents(mart_df, "org.impc.api.ExperimentSummary")
+
     return p
 
 
@@ -91,7 +115,7 @@ def main() -> int:
     spark = get_spark("release-pipeline-demo")
     spark.sparkContext.setLogLevel("ERROR")
     p = build(spark, sf_dir, out_dir)
-    statuses = p.run("stats_input", "release_diff", "mart")
+    statuses = p.run("stats_input", "release_diff", "solr_docs", "mongo_docs")
     for task, st in statuses.items():
         print(f"{task:20s} {st:6s} rows={p.read(task).count()}")
     return 0

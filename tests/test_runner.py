@@ -144,13 +144,21 @@ def test_release_pipeline_example(spark, tmp_path):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     p = mod.build(spark, SF_SMOKE, str(tmp_path / "rel"))
-    st = p.run("stats_input", "release_diff", "mart")
+    st = p.run("stats_input", "release_diff", "solr_docs", "mongo_docs")
     assert all(v == "ran" for v in st.values())
     obs = p.read("observations_final")
     assert p.read("stats_input").count() == obs.count()
     # diff picks out exactly the synthesized curve rows
     assert (p.read("release_diff").count()
             == obs.where(F.col("parameter_family") == "derivedCurve").count())
+    # publication shaping: schema projection + casts + filled unique field
+    solr = p.read("solr_docs")
+    dt = dict(solr.dtypes)
+    assert dt == {"experiment_id": "string", "n_observations": "double",
+                  "curve_auc": "double", "doc_id": "string"}
+    assert solr.where(F.col("doc_id").isNull()).count() == 0
+    mongo = p.read("mongo_docs")
+    assert mongo.select("_class").distinct().collect()[0][0] == "org.impc.api.ExperimentSummary"
 
 
 def test_training_corpus_pipeline_example(spark, tmp_path):
