@@ -871,6 +871,44 @@ def order_params_merged(spark, sf_dir):
     )
 
 
+def customer_spend_quartiles(spark, sf_dir):
+    """§2.5 ntile analytic: spend quartile per customer within their
+    nation (deterministic order: spend desc, custkey)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        _rnd(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    j = spend.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")),
+        "o_custkey",
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("spend").desc(), F.col("o_custkey")
+    )
+    return j.select(
+        "o_custkey", "c_nationkey", "spend", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+def segment_status_cube(spark, sf_dir):
+    """§2.4 grouping sets: full CUBE with subtotal rows labeled 'ALL'."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        j.cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+        )
+    )
+
+
 def salted_fact_join(spark, sf_dir):
     """Skew-proof salted equi join (risk register: 'baseline'-colony hot
     keys): lineitem×orders spread over 8 salt buckets, result identical to
@@ -1573,6 +1611,8 @@ QUERIES = {
     "customer_order_gaps": customer_order_gaps,
     "segment_status_rollup": segment_status_rollup,
     "salted_fact_join": salted_fact_join,
+    "customer_spend_quartiles": customer_spend_quartiles,
+    "segment_status_cube": segment_status_cube,
 }
 
 # Canonical tokenizer in DuckDB SQL (must mirror operators.text.tokens).
@@ -2521,6 +2561,24 @@ scored AS (
 SELECT doc_id, term, tfidf FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
   FROM scored) WHERE rk <= 5
+"""
+
+ORACLE["customer_spend_quartiles"] = """
+WITH spend AS (
+  SELECT o_custkey, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS spend
+  FROM orders GROUP BY 1)
+SELECT o_custkey, c_nationkey, spend,
+       ntile(4) OVER (PARTITION BY c_nationkey ORDER BY spend DESC, o_custkey)
+           AS quartile
+FROM spend JOIN customer ON c_custkey = o_custkey
+"""
+
+ORACLE["segment_status_cube"] = """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE(c_mktsegment, o_orderstatus)
 """
 
 ORACLE["salted_fact_join"] = """
