@@ -1,0 +1,130 @@
+"""Deterministic dataset splitting and hash bucketing.
+
+Training pipelines need reproducible train/val/test assignment that is a
+pure function of the row key — NOT of partitioning, plan shape, or seed
+state (``randomSplit`` re-draws when the plan re-executes; ``sampleBy`` is
+partition-sensitive).  The standard trick at scale is hash bucketing: the
+split label derives from ``md5(key)``, so the assignment is stable across
+runs, engines, and cluster sizes, and a row never migrates between splits
+when the dataset grows (critical for avoiding eval-set contamination as a
+corpus is re-crawled — the reference re-derives marts per data release,
+``impc_etl/jobs/load/*``, with the same run-to-run stability contract).
+
+Everything here is pure Column algebra (md5 + conv + modulo) — JVM-side,
+whole-stage-codegen, zero shuffle: the split is a narrow ``withColumn``
+over the scan, so it costs nothing at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket-space resolution. 10_000 buckets -> split fractions are honoured
+#: to 0.01%; small enough that conv()'s 15-hex-digit (60-bit) value
+#: distributes uniformly over it.
+NUM_BUCKETS = 10_000
+
+
+def hash_bucket(key_cols: Sequence[str | Column], salt: str = "",
+                num_buckets: int = NUM_BUCKETS) -> Column:
+    """Uniform deterministic bucket in ``[0, num_buckets)`` from md5 of the
+    concatenated key (15 hex digits = 60 bits, fits a signed 64-bit int).
+
+    The same expression is reproducible in any engine with md5 — the DuckDB
+    oracle replays it as ``CAST('0x' || substring(md5(..),1,15) AS BIGINT)``.
+    """
+    key = F.concat_ws("|", F.lit(salt), *[F.col(c) if isinstance(c, str) else c
+                                          for c in key_cols])
+    return (F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+            % num_buckets)
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weights: Mapping[str, float],
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with probability proportional to
+    ``weights`` (e.g. ``{"train": .98, "val": .01, "test": .01}``), as a
+    pure function of ``key_cols`` + ``salt``.
+
+    Properties that matter for training data:
+    - **Stable under growth**: a row's split never changes when other rows
+      are added/removed (unlike ``randomSplit``/``ntile``).
+    - **Engine-independent**: md5 is md5 everywhere; the oracle can verify
+      the exact assignment, not just the proportions.
+    - **Keyed families stay together**: pass the family key (e.g. a URL
+      domain or dup-group id) as ``key_cols`` to keep near-duplicates out
+      of both train and test at once.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    bucket = hash_bucket(key_cols, salt=salt)
+    # Cumulative thresholds over the bucket space; last split takes the
+    # remainder so rounding never drops a bucket.
+    names = list(weights)
+    expr: Column | None = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cut = int(round(acc * NUM_BUCKETS))
+        cond = bucket < cut
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None else expr.otherwise(names[-1]))
+    return df.withColumn(out, expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fraction: float | None = None,
+    rates: Mapping[str, float] | None = None,
+    stratum_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Keyed Bernoulli sampling: keep a row iff its hash bucket falls under
+    the (per-stratum) rate. Unlike ``df.sample``/``sampleBy`` the decision
+    is a pure function of the key — re-runs, repartitions, and engine
+    changes keep the exact same rows, and raising a stratum's rate only
+    ADDS rows (nested samples, so a 1% debug corpus is a strict subset of
+    the 10% one).
+
+    This is the domain-mixing primitive for corpus construction: pass
+    ``rates={"en": 1.0, "code": 0.5, ...}`` with ``stratum_col`` to
+    up/down-weight sources. Narrow map, zero shuffle.
+    """
+    if (fraction is None) == (rates is None):
+        raise ValueError("pass exactly one of fraction= or rates=")
+    bucket = hash_bucket(key_cols, salt=salt)
+    if fraction is not None:
+        return df.where(bucket < int(round(fraction * NUM_BUCKETS)))
+    if stratum_col is None:
+        raise ValueError("rates= requires stratum_col=")
+    cut: Column = F.lit(0)
+    expr = None
+    for name, rate in rates.items():
+        c = int(round(rate * NUM_BUCKETS))
+        expr = F.when(F.col(stratum_col) == name, c) if expr is None \
+            else expr.when(F.col(stratum_col) == name, c)
+    cut = expr.otherwise(0)
+    return df.where(bucket < cut)
+
+
+def split_thresholds(weights: Mapping[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bucket bound) pairs — exposed so oracles and
+    downstream writers can replay the exact same cuts."""
+    total = float(sum(weights.values()))
+    out: list[tuple[str, int]] = []
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        out.append((name, int(round(acc * NUM_BUCKETS))))
+    out.append((names[-1], NUM_BUCKETS))
+    return out

@@ -19,6 +19,7 @@ from impc_etl_spark.operators import conform as conform_ops
 from impc_etl_spark.operators import dedup as dedup_ops
 from impc_etl_spark.operators import joins as join_ops
 from impc_etl_spark.operators import keys as key_ops
+from impc_etl_spark.operators import sampling as sample_ops
 from impc_etl_spark.operators import similarity as sim_ops
 from impc_etl_spark.operators import text as text_ops
 from impc_etl_spark.operators import timeseries as ts_ops
@@ -1301,6 +1302,30 @@ def docs_tfidf_terms(spark, sf_dir):
     return text_ops.tfidf_top_terms(docs, "text", "doc_id", k=5)
 
 
+def docs_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment as a pure function of
+    md5(doc_id) — stable across runs, engines, and corpus growth (rows
+    never migrate between splits when the dataset is re-crawled). Narrow
+    map over the scan: zero shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample_ops.hash_split(
+        docs.select("doc_id"), ["doc_id"],
+        {"train": 0.9, "val": 0.05, "test": 0.05}, salt="r2",
+    )
+
+
+def docs_domain_mix(spark, sf_dir):
+    """Domain-mixing sample: keyed deterministic Bernoulli with per-language
+    rates (up-weight en, down-weight the rest). Nested property: raising a
+    rate strictly grows the sample; rows never churn between runs."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample_ops.deterministic_sample(
+        docs.select("doc_id", "lang"), ["doc_id"],
+        rates={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25},
+        stratum_col="lang", salt="mix",
+    )
+
+
 def docs_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix C shape): flag training
     docs sharing any 8-token shingle with a 'benchmark' set (here: the
@@ -1613,6 +1638,8 @@ QUERIES = {
     "salted_fact_join": salted_fact_join,
     "customer_spend_quartiles": customer_spend_quartiles,
     "segment_status_cube": segment_status_cube,
+    "docs_split_assign": docs_split_assign,
+    "docs_domain_mix": docs_domain_mix,
 }
 
 # Canonical tokenizer in DuckDB SQL (must mirror operators.text.tokens).
@@ -2452,6 +2479,32 @@ FROM c GROUP BY 1
 
 ORACLE["media_resize"] = "\nSELECT doc_id AS media_id, 64 AS width, 64 AS height,\n       md5(text || ':64x64') AS thumb_md5\nFROM documents\n"
 ORACLE["corpus_prepare"] = '\nWITH t AS (\n  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), \'[^a-z0-9]+\'), x -> x <> \'\') AS toks, length(text) AS n_chars FROM documents),\nsig AS (\n  SELECT doc_id, text, toks, len(toks) AS q_n_tokens,\n         length(regexp_replace(text, \'[^A-Za-z]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,\n         length(regexp_replace(text, \'[^.,;:!?\'\'"()]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,\n         len(list_filter(list_distinct(toks), x -> list_contains([\'the\',\'and\',\'of\',\'to\',\'is\',\'in\',\'that\',\'with\',\'for\',\'was\'], x))) * 1.0\n             / greatest(len(toks), 1) AS stop_ratio\n  FROM t),\nscored AS (\n  SELECT doc_id, text, toks, q_n_tokens,\n         floor((0.25 * least(q_n_tokens / 50.0, 1.0)\n             + 0.25 * alpha_ratio\n             + 0.25 * least(stop_ratio * 5.0, 1.0)\n             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score\n  FROM sig),\nq1 AS (SELECT * FROM scored WHERE quality_score >= 0.3),\nq2 AS (\n  SELECT * FROM (\n    SELECT *, min(doc_id) OVER (PARTITION BY md5(array_to_string(toks, \' \'))) AS keeper\n    FROM q1) WHERE doc_id = keeper),\nsh AS (\n  SELECT DISTINCT doc_id, unnest([array_to_string(toks[i:i+2], \' \') FOR i IN range(1, len(toks) - 1)]) AS shingle\n  FROM q2 WHERE len(toks) >= 3),\nmh AS (\n  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || \':\' || shingle)) AS mh\n  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s\n  GROUP BY doc_id, s.seed),\nbands AS (\n  SELECT doc_id, seed // 3 AS band,\n         md5(string_agg(mh, \'|\' ORDER BY seed)) AS band_key\n  FROM mh GROUP BY doc_id, seed // 3),\nlosers AS (\n  SELECT DISTINCT b.doc_id\n  FROM bands a JOIN bands b\n    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)\nSELECT doc_id, len(toks) AS n_tokens, quality_score\nFROM q2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)\n'
+
+ORACLE["docs_split_assign"] = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(concat_ws('|', 'r2', doc_id::VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+ORACLE["docs_domain_mix"] = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substring(md5(concat_ws('|', 'mix', doc_id::VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, lang
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                         WHEN 'fr' THEN 5000 WHEN 'es' THEN 2500
+                         WHEN 'zh' THEN 2500 ELSE 0 END
+"""
 
 _BANDED_COS = "floor((dp / (sqrt(na) * sqrt(nb))) * 1000000 + 0.5) / 1000000"
 

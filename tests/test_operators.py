@@ -644,3 +644,75 @@ def test_salted_join_matches_plain_join(spark):
         plain = sorted(map(tuple, left.join(right, ["k"], how).collect()))
         salted = sorted(map(tuple, salted_join(left, right, ["k"], buckets=4, how=how).collect()))
         assert salted == plain, how
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from impc_etl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = sampling.hash_split(docs, ["doc_id"], w, salt="s").collect()
+    b = sampling.hash_split(docs.repartition(7), ["doc_id"], w, salt="s").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # a row's split is a pure function of its key: subsetting cannot change it
+    subset = sampling.hash_split(docs.where("doc_id % 2 = 0"), ["doc_id"], w, salt="s")
+    full = {r.doc_id: r.split for r in a}
+    assert all(full[r.doc_id] == r.split for r in subset.collect())
+
+
+def test_hash_split_proportions_and_thresholds(spark):
+    from impc_etl_spark.operators import sampling
+
+    docs = spark.range(20000).withColumnRenamed("id", "k")
+    out = sampling.hash_split(docs, ["k"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    frac = {r["split"]: r["n"] / 20000 for r in
+            out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
+    cuts = sampling.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert cuts == [("train", 8000), ("val", 9000), ("test", 10000)]
+
+
+def test_hash_split_keeps_keyed_family_together(spark):
+    from impc_etl_spark.operators import sampling
+
+    rows = spark.createDataFrame(
+        [(i, i // 10) for i in range(1000)], "doc_id INT, group_id INT")
+    out = sampling.hash_split(rows, ["group_id"], {"train": 0.5, "test": 0.5})
+    n_mixed = (out.groupBy("group_id")
+               .agg(F.countDistinct("split").alias("k"))
+               .where("k > 1").count())
+    assert n_mixed == 0
+
+
+def test_hash_split_plan_is_narrow(spark):
+    from impc_etl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id")
+    out = sampling.hash_split(docs, ["doc_id"], {"a": 0.5, "b": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure narrow map over the scan
+
+
+def test_deterministic_sample_nested_and_stratified(spark):
+    from impc_etl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    small = sampling.deterministic_sample(docs, ["doc_id"], fraction=0.2, salt="z")
+    big = sampling.deterministic_sample(docs, ["doc_id"], fraction=0.6, salt="z")
+    small_ids = {r.doc_id for r in small.select("doc_id").collect()}
+    big_ids = {r.doc_id for r in big.select("doc_id").collect()}
+    assert small_ids <= big_ids  # nested samples: raising the rate only adds rows
+
+    mixed = sampling.deterministic_sample(
+        docs, ["doc_id"], rates={"en": 1.0, "de": 0.0}, stratum_col="lang")
+    langs = {r.lang for r in mixed.select("lang").distinct().collect()}
+    assert "en" in langs and "de" not in langs
+    n_en = docs.where("lang = 'en'").count()
+    assert mixed.where("lang = 'en'").count() == n_en  # rate 1.0 keeps all
+
+    with pytest.raises(ValueError):
+        sampling.deterministic_sample(docs, ["doc_id"])
+    with pytest.raises(ValueError):
+        sampling.deterministic_sample(docs, ["doc_id"], rates={"en": 1.0})

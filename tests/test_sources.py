@@ -275,3 +275,45 @@ def test_shape_mongo_documents_adds_class_discriminator(spark):
     out = shape_mongo_documents(df, "org.impc.api.Doc")
     assert out.columns == ["a", "_class"]
     assert out.head()["_class"] == "org.impc.api.Doc"
+
+
+def test_write_sorted_parquet_files_are_range_disjoint(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions must yield files whose
+    key ranges do not overlap — the property that makes row-group min/max
+    stats prune point/range scans."""
+    import pyarrow.parquet as pq
+
+    from impc_etl_spark.sources.sinks import write_sorted_parquet
+    from tests.conftest import SF_SMOKE
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    out = str(tmp_path / "orders_sorted")
+    write_sorted_parquet(orders, out, ["o_orderkey"], num_files=4)
+
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/*.parquet")):
+        md = pq.read_metadata(f)
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # globally disjoint key ranges
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from impc_etl_spark.sources.sinks import read_orc, write_orc
+    from tests.conftest import SF_SMOKE
+
+    nation = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    out = str(tmp_path / "nation_orc")
+    write_orc(nation, out)
+    back = read_orc(spark, out).where(F.col("n_regionkey") == 1).select("n_name")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_regionkey" in plan
+    assert back.count() == nation.where("n_regionkey = 1").count()
