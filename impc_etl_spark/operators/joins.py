@@ -237,6 +237,151 @@ def subset_join(
     return left.join(enriched, left_key, how)
 
 
+def _bin_of(df: DataFrame, col_name: str, bin_width: int) -> Column:
+    """Map a time/numeric column to a long bin id, monotonically.
+
+    date → days since epoch; timestamp → epoch seconds; numeric → trunc to
+    long. Only used for the equi-join bucketing — the exact range predicate
+    always re-checks the ORIGINAL columns, so truncation here can never
+    change results, only candidate fan-out.
+    """
+    dt = dict(df.dtypes)[col_name]
+    c = F.col(col_name)
+    if dt == "date":
+        longs = F.datediff(c, F.to_date(F.lit("1970-01-01")))
+    elif dt.startswith("timestamp"):
+        # NTZ values are interpreted in the session timezone (pinned UTC by
+        # the engine session) — consistent with oracles treating naive
+        # timestamps as UTC.
+        longs = F.unix_seconds(c.cast("timestamp"))
+    else:
+        longs = c.cast("long")
+    return F.floor(longs / F.lit(bin_width)).cast("long")
+
+
+def _point_pred(point: Column, start: Column, end: Column, closed: str) -> Column:
+    if closed == "both":
+        return (start <= point) & (point <= end)
+    if closed == "left":
+        return (start <= point) & (point < end)
+    if closed == "right":
+        return (start < point) & (point <= end)
+    if closed == "neither":
+        return (start < point) & (point < end)
+    raise ValueError(f"unknown closed mode {closed!r}")
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    on: Sequence[str] = (),
+    bin_width: int = 86400,
+    closed: str = "both",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join WITHOUT a nested loop: bin both sides onto a
+    shared time grid so Catalyst plans a hash join on ``(on…, bin)``, then
+    re-check the exact range predicate.
+
+    A pure range join (``i.start <= p.t AND p.t <= i.end`` with no equi
+    key) degenerates to BroadcastNestedLoopJoin — O(|points|·|intervals|)
+    comparisons, a scale-killer. Instead each interval is exploded into the
+    ``bin_width``-sized buckets it spans (``sequence(bin(start),
+    bin(end))``) and each point lands in exactly ONE bucket, so every
+    matching (point, interval) pair meets in exactly one bucket: no
+    post-join dedup, and the join is an ordinary shuffled/broadcast hash
+    join.
+
+    ``bin_width`` is in days for date columns, seconds for timestamps,
+    value units for numerics. Pick it near the TYPICAL interval length:
+    cost per interval row is ``len/bin_width + 1`` exploded rows, cost per
+    bucket is the candidate fan-in. ``closed`` picks boundary semantics
+    ('both'|'left'|'right'|'neither').
+
+    At 100 TB: both sides shuffle on (on…, bin) — time-local, so a day's
+    data co-locates; hot buckets (flash-sale days) are ordinary key skew,
+    handled by AQE skew-join. Unbounded intervals must be clamped upstream,
+    exactly like watermarking bounds stream state.
+    """
+    if how not in ("inner", "left_outer", "left_semi", "left_anti"):
+        # the intervals side is exploded: interval-preserving outer joins
+        # would emit one row per unmatched bucket — disallow them.
+        raise ValueError("interval_point_join supports inner/left_outer/left_semi/left_anti")
+    p_bin = _bin_of(points, point_col, bin_width)
+    s_bin = _bin_of(intervals, start_col, bin_width)
+    e_bin = _bin_of(intervals, end_col, bin_width)
+    p = points.withColumn("__bin", p_bin).alias("__p")
+    iv = intervals.withColumn("__bin", F.explode(F.sequence(s_bin, e_bin))).alias("__i")
+    cond = F.col("__p.__bin") == F.col("__i.__bin")
+    for k in on:
+        cond = cond & (F.col(f"__p.{k}") == F.col(f"__i.{k}"))
+    cond = cond & _point_pred(
+        F.col(f"__p.{point_col}"), F.col(f"__i.{start_col}"), F.col(f"__i.{end_col}"), closed
+    )
+    joined = p.join(iv, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return joined.select(*[F.col(f"__p.{c}").alias(c) for c in points.columns])
+    return joined.select(
+        *[F.col(f"__p.{c}").alias(c) for c in points.columns],
+        *[F.col(f"__i.{c}").alias(c) for c in intervals.columns if c not in set(points.columns)],
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: Sequence[str] = (),
+    bin_width: int = 86400,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-overlap join (closed intervals: ``l.start <= r.end AND
+    r.start <= l.end``) on the same binned-grid plan as
+    ``interval_point_join``.
+
+    Both sides explode into the buckets they span, join on ``(on…, bin)``,
+    and — since two overlapping intervals share EVERY bucket in their
+    overlap — each pair is kept only in the FIRST common bucket
+    (``bin == greatest(bin(l.start), bin(r.start))``), which both sides are
+    guaranteed to contain. One hash join, no dedup shuffle, no nested loop.
+    """
+    if how != "inner":
+        # both sides are exploded: any outer variant would emit one row per
+        # unmatched bucket, not per unmatched interval.
+        raise ValueError("interval_overlap_join supports how='inner' only")
+    ls_bin, le_bin = _bin_of(left, left_start, bin_width), _bin_of(left, left_end, bin_width)
+    rs_bin, re_bin = _bin_of(right, right_start, bin_width), _bin_of(right, right_end, bin_width)
+    l = (
+        left.withColumn("__sbin", ls_bin)
+        .withColumn("__bin", F.explode(F.sequence(F.col("__sbin"), le_bin)))
+        .alias("__l")
+    )
+    r = (
+        right.withColumn("__sbin", rs_bin)
+        .withColumn("__bin", F.explode(F.sequence(F.col("__sbin"), re_bin)))
+        .alias("__r")
+    )
+    cond = F.col("__l.__bin") == F.col("__r.__bin")
+    for k in on:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    cond = cond & (
+        F.col("__l.__bin") == F.greatest(F.col("__l.__sbin"), F.col("__r.__sbin"))
+    )
+    cond = cond & (F.col(f"__l.{left_start}") <= F.col(f"__r.{right_end}"))
+    cond = cond & (F.col(f"__r.{right_start}") <= F.col(f"__l.{left_end}"))
+    joined = l.join(r, cond, how)
+    return joined.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__r.{c}").alias(c) for c in right.columns if c not in set(left.columns)],
+    )
+
+
 def release_diff(
     current: DataFrame,
     previous: DataFrame,

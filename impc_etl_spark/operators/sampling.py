@@ -116,6 +116,43 @@ def deterministic_sample(
     return df.where(bucket < cut)
 
 
+def per_key_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    n: int,
+    id_cols: Sequence[str],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic cap of at most ``n`` rows per key — the per-domain /
+    per-source document cap of corpus construction ("take ≤N pages per
+    host"), done as a pure function of the row identity instead of
+    ``sample``'s partition-sensitive RNG.
+
+    Rows rank within each key by ``md5(salt:id)`` (ties impossible when
+    ``id_cols`` is unique; ``id_cols`` breaks residual ties determinist-
+    ically) and ranks > n drop. Same guarantees as ``hash_split``: stable
+    across runs/engines/partitionings, and because each row's rank key is
+    independent of the rest, the kept set under cap n is a SUPERSET of the
+    kept set under any smaller cap (nested samples).
+
+    Scale: one shuffle on ``key_cols``; Spark ≥3.5 plans the rank filter as
+    WindowGroupLimit, so each map task pre-trims to its local top-n before
+    the exchange — hot keys (giant domains) ship ~n rows per mapper, not
+    the whole domain.
+    """
+    from pyspark.sql import Window
+
+    rank_key = F.md5(
+        F.concat_ws(":", F.lit(salt), *[F.col(c).cast("string") for c in id_cols])
+    )
+    w = Window.partitionBy(*key_cols).orderBy(rank_key, *[F.col(c) for c in id_cols])
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
 def split_thresholds(weights: Mapping[str, float]) -> list[tuple[str, int]]:
     """(name, exclusive upper bucket bound) pairs — exposed so oracles and
     downstream writers can replay the exact same cuts."""

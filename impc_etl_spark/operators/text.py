@@ -93,6 +93,37 @@ def bpe_token_count(col: str | Column) -> Column:
     return F.regexp_count(c, F.lit(BPE_PATTERN))
 
 
+def char_entropy(col: str | Column) -> Column:
+    """Shannon entropy (bits/char) of the lowercased character distribution
+    — the cheap 'is this natural language or noise/boilerplate?' quality
+    signal (low entropy ⇒ repeated filler, high ⇒ random bytes/base64).
+
+    Pure row-local HOF algebra: split to chars once (let-bound), count each
+    distinct char with ``filter``/``size``, fold ``-Σ p·log2 p`` with
+    ``aggregate``. O(distinct_chars × len) per row — distinct chars is
+    bounded (~100 for real text), so this stays scan-speed; no shuffle, no
+    UDF. Mirrored 1:1 by the DuckDB oracle (list comprehension + list_sum).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.filter(F.split(F.lower(c), ""), lambda x: x != "")
+
+    def ent(ch: Column) -> Column:
+        n = F.size(ch).cast("double")
+        counts = F.transform(
+            F.array_distinct(ch), lambda d: F.size(F.filter(ch, lambda x: x == d))
+        )
+        return F.when(
+            n > 0,
+            F.aggregate(
+                counts,
+                F.lit(0.0),
+                lambda acc, k: acc - (k / n) * F.log2(k / n),
+            ),
+        ).otherwise(F.lit(0.0))
+
+    return bind(chars, ent)
+
+
 def rolling_hashes(col: str | Column, k: int = 8) -> Column:
     """Per-position k-char rolling window hashes over the normalized text
     (md5-based so it is portable; a production rolling hash would use

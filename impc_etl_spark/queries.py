@@ -741,6 +741,98 @@ def part_required_tokens_join(spark, sf_dir):
     return out.select("set_id", "p_partkey")
 
 
+def campaign_order_attribution(spark, sf_dir):
+    """Binned interval join (point-in-range, NO nested loop): every order
+    attributed to each 'campaign' — an urgent big-ticket order — whose
+    14-day window contains its date. The interval side explodes onto a
+    7-day grid, the point side lands in exactly one bucket, and Catalyst
+    plans a plain hash join on the bucket; the exact range predicate
+    re-checks on the original timestamps."""
+    orders = _t(spark, sf_dir, "orders")
+    camp = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000)
+    ).select(
+        F.col("o_orderkey").alias("campaign_id"),
+        F.col("o_orderdate").alias("camp_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 13 DAYS")).alias("camp_end"),
+    )
+    pts = orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+    hits = join_ops.interval_point_join(
+        pts, camp, "o_orderdate", "camp_start", "camp_end",
+        bin_width=7 * 86400, closed="both",
+    )
+    return hits.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _rnd(F.sum("o_totalprice"), 2).alias("window_revenue"),
+    )
+
+
+def shipment_transit_overlap(spark, sf_dir):
+    """Binned interval-OVERLAP join: pairs of heavy shipments from the same
+    supplier whose synthetic transit windows [shipdate, shipdate+20d]
+    overlap. Each pair meets in exactly one grid bucket (the first common
+    one), so the plan is one hash join on (suppkey, bucket) — no dedup
+    shuffle and no BroadcastNestedLoopJoin."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48)
+    line_id = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id")
+    base = li.select(
+        "l_suppkey", line_id,
+        F.col("l_shipdate").alias("t_start"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 20 DAYS")).alias("t_end"),
+    )
+    right = (
+        base.withColumnRenamed("line_id", "line_b")
+        .withColumnRenamed("t_start", "b_start")
+        .withColumnRenamed("t_end", "b_end")
+    )
+    pairs = join_ops.interval_overlap_join(
+        base, right, "t_start", "t_end", "b_start", "b_end",
+        on=["l_suppkey"], bin_width=14 * 86400,
+    )
+    return pairs.where(F.col("line_id") < F.col("line_b")).select(
+        "l_suppkey",
+        F.col("line_id").alias("line_a"),
+        "line_b",
+    )
+
+
+def docs_per_domain_cap(spark, sf_dir):
+    """Per-source document cap (corpus construction: '≤15 docs per host'),
+    deterministic by md5 rank — stable across runs/partitionings, nested
+    under larger caps; WindowGroupLimit pre-trims map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_ops.per_key_sample(
+        docs.select("doc_id", "source"), ["source"], n=15, id_cols=["doc_id"],
+        salt="cap",
+    )
+    return out.select("doc_id", "source")
+
+
+def docs_entropy(spark, sf_dir):
+    """Character-entropy quality signal (bits/char) — flags noise/base64
+    (high) and boilerplate filler (low) at scan speed, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _rnd(text_ops.char_entropy("text"), 6).alias("char_entropy")
+    )
+
+
+def emb_semantic_dedup(spark, sf_dir):
+    """Semantic dedup (SemDeDup shape): banded-LSH cosine pairs → connected
+    components → keep one representative per near-dup group (the min id,
+    which IS the component label) and drop the rest. Returns the surviving
+    embedding rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim_ops.cosine_banded_pairs(
+        emb, dim=64, threshold=0.4, bands=8, band_width=4, seed=42
+    )
+    groups = dedup_ops.connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    losers = groups.where(F.col("doc_id") != F.col("group_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id", "label")
+
+
 def customer_status_running_sets(spark, sf_dir):
     """W1 EXACT shape (cross_ref_helper.py:162-169): collect_set over an
     ordered window — each order row carries the distinct statuses its
@@ -1538,8 +1630,6 @@ QUERIES = {
     "user_cohort_retention": user_cohort_retention,
     "order_extreme_lines": order_extreme_lines,
     "customer_order_bundle": customer_order_bundle,
-    "customer_order_bundle_gz": customer_order_bundle_gz,
-    "orders_approx_distinct": orders_approx_distinct,
     # -- north star: dedup / text -------------------------------------------
     "docs_exact_dedup": docs_exact_dedup,
     "docs_ngram_jaccard": docs_ngram_jaccard,
@@ -1558,18 +1648,21 @@ QUERIES = {
     "corpus_prepare": corpus_prepare,
     # -- north star: multimodal ---------------------------------------------
     "media_feature_extract": media_feature_extract,
-    "media_resize": media_resize,
-    "media_frame_sample": media_frame_sample,
     # -- north star: similarity search --------------------------------------
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_batch_topk": emb_batch_topk,
     "emb_ann_topk": emb_ann_topk,
     "emb_ivf_topk": emb_ivf_topk,
+    "emb_semantic_dedup": emb_semantic_dedup,
     # -- round-1 FAIL (oracle type artifact, fixed) + changed operators -----
     "customer_order_rollup": customer_order_rollup,
     "purchase_attribution_asof": purchase_attribution_asof,
-    "purchase_attribution_windowed": purchase_attribution_windowed,
+    # -- new this round: interval joins, sampling caps, entropy --------------
+    "campaign_order_attribution": campaign_order_attribution,
+    "shipment_transit_overlap": shipment_transit_overlap,
+    "docs_per_domain_cap": docs_per_domain_cap,
+    "docs_entropy": docs_entropy,
     # -- relational representatives (one per operator family) ---------------
     "pricing_summary": pricing_summary,
     "region_revenue": region_revenue,
@@ -1591,6 +1684,11 @@ QUERIES = {
     # ======================================================================
     "docs_pii_scrub": docs_pii_scrub,
     "emb_dup_groups": emb_dup_groups,
+    "purchase_attribution_windowed": purchase_attribution_windowed,
+    "customer_order_bundle_gz": customer_order_bundle_gz,
+    "orders_approx_distinct": orders_approx_distinct,
+    "media_resize": media_resize,
+    "media_frame_sample": media_frame_sample,
     "docs_tfidf_terms": docs_tfidf_terms,
     "statpacket_restructure": statpacket_restructure,
     "customer_key_ancestry": customer_key_ancestry,
@@ -2565,6 +2663,75 @@ walk(id, lbl) AS (
   UNION
   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
 SELECT id AS vec_id, min(lbl) AS group_id FROM walk GROUP BY id
+"""
+
+ORACLE["campaign_order_attribution"] = """
+WITH camp AS (
+  SELECT o_orderkey AS campaign_id, o_orderdate AS camp_start,
+         o_orderdate + INTERVAL 13 DAY AS camp_end
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000)
+SELECT c.campaign_id,
+       count(*) AS n_orders,
+       floor(sum(o.o_totalprice) * 100 + 0.5) / 100 AS window_revenue
+FROM orders o JOIN camp c
+  ON o.o_orderdate >= c.camp_start AND o.o_orderdate <= c.camp_end
+GROUP BY c.campaign_id
+"""
+
+ORACLE["shipment_transit_overlap"] = """
+WITH s AS (
+  SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS line_id,
+         l_shipdate AS t_start, l_shipdate + INTERVAL 20 DAY AS t_end
+  FROM lineitem WHERE l_quantity >= 48)
+SELECT a.l_suppkey, a.line_id AS line_a, b.line_id AS line_b
+FROM s a JOIN s b
+  ON a.l_suppkey = b.l_suppkey
+ AND a.t_start <= b.t_end AND b.t_start <= a.t_end
+ AND a.line_id < b.line_id
+"""
+
+ORACLE["docs_per_domain_cap"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap' || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 15
+"""
+
+ORACLE["docs_entropy"] = """
+WITH c AS (
+  SELECT doc_id,
+         [substr(lower(text), i, 1) FOR i IN range(1, length(text) + 1)] AS ch
+  FROM documents),
+e AS (
+  SELECT doc_id, len(ch) * 1.0 AS n,
+         list_transform(list_distinct(ch),
+                        d -> len(list_filter(ch, x -> x = d))) AS counts
+  FROM c)
+SELECT doc_id,
+       floor((CASE WHEN n > 0 THEN
+           -list_sum(list_transform(counts, k -> (k / n) * log2(k / n)))
+         ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS char_entropy
+FROM e
+"""
+
+ORACLE["emb_semantic_dedup"] = f"""
+WITH RECURSIVE {_banded_ctes()},
+goodpairs AS (SELECT vec_a, vec_b FROM pc WHERE {_BANDED_COS} >= 0.4),
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM goodpairs
+          UNION SELECT vec_b, vec_a FROM goodpairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+groups AS (SELECT id, min(lbl) AS grp FROM walk GROUP BY id),
+losers AS (SELECT id FROM groups WHERE id <> grp)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM losers)
 """
 
 ORACLE["docs_repetition"] = f"""

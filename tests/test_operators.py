@@ -716,3 +716,104 @@ def test_deterministic_sample_nested_and_stratified(spark):
         sampling.deterministic_sample(docs, ["doc_id"])
     with pytest.raises(ValueError):
         sampling.deterministic_sample(docs, ["doc_id"], rates={"en": 1.0})
+
+
+def test_interval_point_join_matches_naive(spark):
+    """Binned plan == naive non-equi join on every closed mode, including
+    intervals spanning many bins and points on bin boundaries."""
+    from impc_etl_spark.operators import joins
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0, 1, 5, 10, 14, 15, 29, 30, 100])],
+        "pid INT, t DOUBLE")
+    ivs = spark.createDataFrame(
+        [(1, 0.0, 15.0), (2, 10.0, 10.0), (3, 14.0, 31.0), (4, 50.0, 60.0)],
+        "iid INT, s DOUBLE, e DOUBLE")
+    for closed, lo, hi in [("both", "<=", "<="), ("left", "<=", "<"),
+                           ("right", "<", "<="), ("neither", "<", "<")]:
+        got = sorted(map(tuple, joins.interval_point_join(
+            pts, ivs, "t", "s", "e", bin_width=7, closed=closed,
+        ).select("pid", "iid").collect()))
+        want = sorted(map(tuple, pts.join(
+            ivs, F.expr(f"s {lo} t AND t {hi} e")).select("pid", "iid").collect()))
+        assert got == want, closed
+
+
+def test_interval_point_join_left_outer_and_semi(spark):
+    from impc_etl_spark.operators import joins
+
+    pts = spark.createDataFrame([(1, 5.0), (2, 99.0)], "pid INT, t DOUBLE")
+    ivs = spark.createDataFrame([(7, 0.0, 10.0)], "iid INT, s DOUBLE, e DOUBLE")
+    outer = joins.interval_point_join(pts, ivs, "t", "s", "e", bin_width=4,
+                                      how="left_outer")
+    rows = {r.pid: r.iid for r in outer.collect()}
+    assert rows == {1: 7, 2: None}
+    anti = joins.interval_point_join(pts, ivs, "t", "s", "e", bin_width=4,
+                                     how="left_anti")
+    assert [r.pid for r in anti.collect()] == [2]
+    with pytest.raises(ValueError):
+        joins.interval_point_join(pts, ivs, "t", "s", "e", how="full_outer")
+
+
+def test_interval_overlap_join_matches_naive_no_dups(spark):
+    """Each overlapping pair must appear EXACTLY once (first-common-bin
+    dedup), across bin-width choices that do and don't align with the
+    interval lengths."""
+    from impc_etl_spark.operators import joins
+
+    import itertools
+    data = [(i, float(s), float(s + ln)) for i, (s, ln) in enumerate(
+        itertools.product(range(0, 40, 3), [0, 2, 9, 25]))]
+    left = spark.createDataFrame(data, "lid INT, ls DOUBLE, le DOUBLE")
+    right = spark.createDataFrame(
+        [(100 + i, s, e) for i, s, e in data], "rid INT, rs DOUBLE, re DOUBLE")
+    want = sorted(map(tuple, left.join(
+        right, F.expr("ls <= re AND rs <= le")).select("lid", "rid").collect()))
+    for w in (1, 5, 13):
+        got = sorted(map(tuple, joins.interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bin_width=w,
+        ).select("lid", "rid").collect()))
+        assert got == want, f"bin_width={w}"
+    with pytest.raises(ValueError):
+        joins.interval_overlap_join(left, right, "ls", "le", "rs", "re",
+                                    how="left_outer")
+
+
+def test_per_key_sample_cap_nested_and_stable(spark):
+    from impc_etl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source")
+    cap5 = sampling.per_key_sample(docs, ["source"], 5, ["doc_id"], salt="s")
+    cap10 = sampling.per_key_sample(docs, ["source"], 10, ["doc_id"], salt="s")
+    per_key = cap5.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per_key)
+    ids5 = {r.doc_id for r in cap5.collect()}
+    ids10 = {r.doc_id for r in cap10.collect()}
+    assert ids5 <= ids10  # nested: a smaller cap is a subset of a larger one
+    again = {r.doc_id for r in sampling.per_key_sample(
+        docs.repartition(7), ["source"], 5, ["doc_id"], salt="s").collect()}
+    assert ids5 == again  # partitioning-invariant
+
+
+def test_char_entropy_values(spark):
+    import math
+
+    from impc_etl_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, ""), (5, "Aa")],
+        "id INT, t STRING")
+    got = {r.id: r.e for r in df.select(
+        "id", text.char_entropy("t").alias("e")).collect()}
+    assert got[1] == 0.0          # single symbol
+    assert got[2] == 1.0          # two equiprobable symbols
+    assert abs(got[3] - 2.0) < 1e-12
+    assert got[4] == 0.0          # empty string guard
+    assert got[5] == 0.0          # lowercased first: 'Aa' -> 'aa'
+    # mixed distribution vs math.log2 reference
+    s = "aab"
+    want = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    got2 = df.sparkSession.createDataFrame([(s,)], "t STRING").select(
+        text.char_entropy("t").alias("e")).collect()[0].e
+    assert abs(got2 - want) < 1e-12
