@@ -86,6 +86,66 @@ def exact_dedup(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    out: str = "clean_text",
+) -> DataFrame:
+    """Corpus-wide segment (line/paragraph) dedup, C4-style: split every
+    document on ``sep``, keep each distinct normalized segment only at its
+    FIRST occurrence (min ``(id, position)`` across the whole corpus), and
+    reassemble the surviving segments per document in original order.
+    Documents whose every segment was seen earlier disappear entirely.
+
+    This removes boilerplate (nav bars, cookie banners, license headers)
+    that exact/near whole-doc dedup can't touch — the single highest-yield
+    cleaning pass on web corpora after URL dedup.
+
+    Scale shape: segments shuffle ONCE on ``md5(normalized segment)``
+    (16-byte key, never the raw line) for an unordered window-min — a
+    single exchange and a single evaluation of the explode, where the
+    equivalent groupBy+self-join would ship the exploded corpus twice.
+    Survivors shuffle back on the doc id for reassembly. Both exchanges
+    are unavoidable for corpus-global first-occurrence semantics; no
+    global-order window, no UDF.
+    """
+    from pyspark.sql import Window
+
+    segs = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__seg"),
+        )
+        .where(F.trim(F.col("__seg")) != "")
+        .withColumn("__key", F.md5(F.lower(F.trim(F.col("__seg")))))
+    )
+    w = Window.partitionBy("__key")
+    kept = (
+        segs.withColumn(
+            "__first", F.min(F.struct(F.col(id_col), F.col("__pos"))).over(w)
+        )
+        .where(
+            (F.col(id_col) == F.col(f"__first.{id_col}"))
+            & (F.col("__pos") == F.col("__first.__pos"))
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                    lambda s: s["__seg"],
+                ),
+                sep,
+            ).alias(out)
+        )
+    )
+
+
 def shingle_table(
     df: DataFrame,
     text_col: str = "text",

@@ -116,6 +116,30 @@ def deterministic_sample(
     return df.where(bucket < cut)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: str | Column,
+    salt: str = "",
+) -> DataFrame:
+    """Keyed Bernoulli sampling with a PER-ROW keep probability — the
+    quality/importance-weighted selection step of corpus mixing (keep a
+    document with probability equal to its quality score, DoReMi-style
+    domain reweighting with per-row weights, etc.).
+
+    Keep iff ``hash_bucket(key) < clamp(weight, 0, 1) · NUM_BUCKETS``. Same
+    contract as ``deterministic_sample``: a pure function of key + salt, so
+    re-runs/repartitions keep identical rows, and raising any row's weight
+    can only ADD it (nested in the weight). Narrow map, zero shuffle.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
+    bucket = hash_bucket(key_cols, salt=salt)
+    # floor() on BOTH engines: DuckDB's CAST(x AS INT) rounds, Spark's
+    # truncates — an explicit floor is the only portable cutoff.
+    return df.where(bucket < F.floor(w * NUM_BUCKETS))
+
+
 def per_key_sample(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -1418,6 +1418,43 @@ def docs_domain_mix(spark, sf_dir):
     )
 
 
+def docs_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide LINE dedup: re-segment each document into
+    8-word lines (the synthetic corpus has no newlines; the re-lining is
+    deterministic and replayed by the oracle), keep every distinct
+    normalized line only at its first (doc_id, position) occurrence, and
+    reassemble — the boilerplate-removal pass whole-doc dedup can't do."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    relined = docs.select(
+        "doc_id",
+        text_ops.bind(
+            words,
+            lambda ws: F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(ws) / F.lit(8.0)).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+                ),
+                "\n",
+            ),
+        ).alias("text"),
+    )
+    return dedup_ops.line_dedup(relined, "text", "doc_id", sep="\n")
+
+
+def docs_quality_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus sampling: keep each document with
+    probability equal to its quality score (keyed deterministic Bernoulli
+    — re-runs keep identical rows; raising a score only ADDs docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_ops.add_quality_signals(docs, "text")
+    out = sample_ops.weighted_sample(scored, ["doc_id"], "quality_score", salt="qw")
+    return out.select("doc_id", "quality_score")
+
+
 def docs_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix C shape): flag training
     docs sharing any 8-token shingle with a 'benchmark' set (here: the
@@ -1637,11 +1674,11 @@ QUERIES = {
     "docs_verified_near_dups": docs_verified_near_dups,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_dup_groups": docs_dup_groups,
-    "docs_simhash": docs_simhash,
+    "docs_line_dedup": docs_line_dedup,
     "docs_lang_id": docs_lang_id,
     "docs_token_stats": docs_token_stats,
     "docs_quality": docs_quality,
-    "docs_fingerprint": docs_fingerprint,
+    "docs_quality_weighted_sample": docs_quality_weighted_sample,
     "corpus_pack_sequences": corpus_pack_sequences,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_winnowing": docs_winnowing,
@@ -1685,6 +1722,8 @@ QUERIES = {
     "docs_pii_scrub": docs_pii_scrub,
     "emb_dup_groups": emb_dup_groups,
     "purchase_attribution_windowed": purchase_attribution_windowed,
+    "docs_simhash": docs_simhash,
+    "docs_fingerprint": docs_fingerprint,
     "customer_order_bundle_gz": customer_order_bundle_gz,
     "orders_approx_distinct": orders_approx_distinct,
     "media_resize": media_resize,
@@ -2663,6 +2702,53 @@ walk(id, lbl) AS (
   UNION
   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
 SELECT id AS vec_id, min(lbl) AS group_id FROM walk GROUP BY id
+"""
+
+ORACLE["docs_line_dedup"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+r AS (
+  SELECT doc_id,
+         array_to_string(
+           [array_to_string(ws[i*8+1 : i*8+8], ' ')
+            FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS INT))],
+           chr(10)) AS text
+  FROM w),
+l AS (
+  SELECT doc_id, unnest(segs) AS seg, generate_subscripts(segs, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS segs FROM r)),
+n AS (SELECT doc_id, pos, seg FROM l WHERE trim(seg) <> ''),
+k AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY md5(lower(trim(seg))) ORDER BY doc_id, pos) AS rn
+  FROM n)
+SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS clean_text
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+ORACLE["docs_quality_weighted_sample"] = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+         length(text) AS n_chars
+  FROM documents),
+sig AS (
+  SELECT doc_id, len(toks) AS q_n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
+         length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(list_distinct(toks), x -> list_contains(['the','and','of','to','is','in','that','with','for','was'], x))) * 1.0
+             / greatest(len(toks), 1) AS stop_ratio
+  FROM t),
+scored AS (
+  SELECT doc_id,
+         floor((0.25 * least(q_n_tokens / 50.0, 1.0)
+             + 0.25 * alpha_ratio
+             + 0.25 * least(stop_ratio * 5.0, 1.0)
+             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score
+  FROM sig)
+SELECT doc_id, quality_score FROM scored
+WHERE CAST(concat('0x', substring(md5(concat_ws('|', 'qw', doc_id::VARCHAR)), 1, 15)) AS BIGINT) % 10000
+      < floor(least(greatest(quality_score, 0.0), 1.0) * 10000)
 """
 
 ORACLE["campaign_order_attribution"] = """

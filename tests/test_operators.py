@@ -817,3 +817,51 @@ def test_char_entropy_values(spark):
     got2 = df.sparkSession.createDataFrame([(s,)], "t STRING").select(
         text.char_entropy("t").alias("e")).collect()[0].e
     assert abs(got2 - want) < 1e-12
+
+
+def test_line_dedup_keeps_first_occurrence_and_reassembles(spark):
+    from impc_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\nBOILERPLATE\nunique one"),
+            (2, "boilerplate\nsecond doc line"),   # norm-dup of doc1's banner
+            (3, "BOILERPLATE\nKeep Me"),           # every line seen before -> doc vanishes
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r.doc_id: r.clean_text for r in dedup.line_dedup(docs).collect()}
+    assert out[1] == "keep me\nBOILERPLATE\nunique one"  # first occurrences all kept
+    assert out[2] == "second doc line"                   # banner stripped
+    assert 3 not in out                                  # fully-duplicate doc disappears
+
+
+def test_line_dedup_intra_doc_repeats_and_blank_lines(spark):
+    from impc_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\n\na\nb"), (2, "  \nb\nc")], "doc_id INT, text STRING")
+    out = {r.doc_id: r.clean_text for r in dedup.line_dedup(docs).collect()}
+    assert out[1] == "a\nb"   # repeat within the doc dropped, blank dropped
+    assert out[2] == "c"      # whitespace-only line dropped, 'b' seen in doc1
+
+
+def test_weighted_sample_bounds_and_nesting(spark):
+    from impc_etl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id")
+    none = docs.withColumn("w", F.lit(0.0))
+    all_ = docs.withColumn("w", F.lit(1.0))
+    assert sampling.weighted_sample(none, ["doc_id"], "w").count() == 0
+    assert sampling.weighted_sample(all_, ["doc_id"], "w").count() == docs.count()
+    # clamped above 1.0 keeps everything; below 0 keeps nothing
+    assert sampling.weighted_sample(
+        docs.withColumn("w", F.lit(7.5)), ["doc_id"], "w").count() == docs.count()
+    # nesting: raising the weight only adds rows
+    lo = {r.doc_id for r in sampling.weighted_sample(
+        docs.withColumn("w", F.lit(0.3)), ["doc_id"], "w", salt="n").collect()}
+    hi = {r.doc_id for r in sampling.weighted_sample(
+        docs.withColumn("w", F.lit(0.7)), ["doc_id"], "w", salt="n").collect()}
+    assert lo <= hi
+    n = docs.count()
+    assert abs(len(lo) / n - 0.3) < 0.12 and abs(len(hi) / n - 0.7) < 0.12
