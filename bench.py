@@ -41,11 +41,13 @@ def main() -> int:
         "purchase_attribution_asof",
         "user_sessions",
         "customer_order_rollup",
+        "campaign_order_attribution",
         "observations_pipeline",
         "docs_minhash_lsh",
         "docs_verified_near_dups",
         "docs_dup_groups",
         "docs_quality",
+        "docs_line_dedup",
         "corpus_prepare",
         "media_feature_extract",
         "emb_cosine_topk",

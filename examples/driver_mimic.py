@@ -1,0 +1,87 @@
+"""Mimic the driver's correctness gate at sf0.01 over the first N registry
+entries (the driver's checked window): run each queries() entry on Spark and
+its oracle_sql() on DuckDB, compare rows / columns / order-insensitive values.
+
+Usage: python examples/driver_mimic.py [N] [SF_DIR]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v + 0.0:.6f}"
+    return v
+
+
+def _canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from impc_etl_spark.session import get_spark
+    from impc_etl_spark import queries as q
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    results = {}
+    names = list(q.QUERIES)[:n]
+    for name in names:
+        try:
+            sdf = q.QUERIES[name](spark, sf_dir)
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_cols = sdf.columns
+            if name not in q.ORACLE:
+                results[name] = {"rows": len(spark_rows), "oracle": None}
+                print(f"{name}: NO-ORACLE rows={len(spark_rows)}", flush=True)
+                continue
+            rel = con.sql(q.ORACLE[name])
+            duck_cols = rel.columns
+            duck_rows = rel.fetchall()
+            rows_match = len(spark_rows) == len(duck_rows)
+            schema_match = sorted(spark_cols) == sorted(duck_cols)
+            hash_match = False
+            if rows_match and schema_match:
+                hash_match = _canon(spark_rows, spark_cols) == _canon(duck_rows, duck_cols)
+            results[name] = {
+                "rows_match": rows_match,
+                "schema_match": schema_match,
+                "hash_match": hash_match,
+                "spark_rows": len(spark_rows),
+                "oracle_rows": len(duck_rows),
+            }
+            flag = "OK" if (rows_match and schema_match and hash_match) else "FAIL"
+            print(f"{name}: {flag} spark={len(spark_rows)} duck={len(duck_rows)}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"err": f"{type(e).__name__}: {e}"[:300]}
+            print(f"{name}: ERROR {type(e).__name__}: {e}", flush=True)
+
+    bad = [k for k, v in results.items() if v.get("err") or v.get("hash_match") is False]
+    print(json.dumps({"checked": len(names), "bad": bad}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -492,9 +492,15 @@ def connected_components(
     """
     import warnings
 
-    edges = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    # Materialize the edge list ONCE: `pairs` usually sits on top of an
+    # expensive candidate-generation plan (MinHash/LSH banding), and every
+    # round's neighbor join would otherwise re-execute that whole subtree —
+    # measured 2× end-to-end on the LSH dup-groups bench query.
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
