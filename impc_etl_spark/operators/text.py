@@ -223,6 +223,57 @@ def pack_sequences(
     return df.withColumn(out, F.floor(before / budget).cast("int"))
 
 
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 256,
+    stride: int | None = None,
+    idx: str = "chunk_id",
+    out: str = "chunk_text",
+    count: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Split each document into fixed token-budget chunks (context-window
+    slicing for training / RAG indexing): chunk ``i`` covers tokens
+    ``[1 + i*stride, 1 + i*stride + size)``; ``stride < size`` gives
+    overlapping chunks. ``stride`` defaults to ``size`` (disjoint).
+
+    Row-local Column algebra, zero shuffle: tokenize once (let-bound),
+    build the start grid with ``sequence(1, n, stride)``, slice per start,
+    and ``posexplode`` — the chunk id is the explode position. Documents
+    with no tokens produce no chunks (explode of an empty array). Output
+    row count is ~``n_tokens/stride`` per doc, so the fan-out is bounded
+    and proportional to corpus size — a pure map stage at 100 TB.
+    """
+    if size <= 0 or (stride is not None and stride <= 0):
+        raise ValueError("size and stride must be positive")
+    step = size if stride is None else stride
+
+    def mk(t: Column) -> Column:
+        # sequence(1, 0, step) is illegal in Spark, so the grid is built
+        # over greatest(n, 1) and the artificial empty chunk from
+        # zero-token docs is filtered out array-side (→ explode drops the
+        # doc entirely).
+        grid = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(step))
+        chunks = F.transform(
+            grid,
+            lambda s: bind(
+                F.slice(t, s, size),
+                lambda piece: F.struct(
+                    F.concat_ws(" ", piece).alias("ct"),
+                    F.size(piece).alias("n"),
+                ),
+            ),
+        )
+        return F.filter(chunks, lambda c: c["n"] > 0)
+
+    exploded = df.select(
+        "*", F.posexplode(bind(tokens(text_col), mk)).alias(idx, "__chunk")
+    )
+    return exploded.withColumn(out, F.col("__chunk.ct")).withColumn(
+        count, F.col("__chunk.n")
+    ).drop("__chunk")
+
+
 def budget_select(
     df: DataFrame,
     count_col: str,

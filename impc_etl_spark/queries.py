@@ -1455,6 +1455,16 @@ def docs_quality_weighted_sample(spark, sf_dir):
     return out.select("doc_id", "quality_score")
 
 
+def docs_chunks(spark, sf_dir):
+    """Context-window chunking: split every document into 40-token chunks
+    with a 30-token stride (10-token overlap) — the RAG-indexing /
+    training-window slicing pass. Row-local HOF algebra (tokenize once,
+    sequence start grid, slice per start, one posexplode): zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text_ops.chunk_text(docs, "text", size=40, stride=30)
+    return out.select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+
+
 def docs_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix C shape): flag training
     docs sharing any 8-token shingle with a 'benchmark' set (here: the
@@ -1679,6 +1689,7 @@ QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_quality": docs_quality,
     "docs_quality_weighted_sample": docs_quality_weighted_sample,
+    "docs_chunks": docs_chunks,
     "corpus_pack_sequences": corpus_pack_sequences,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_winnowing": docs_winnowing,
@@ -2749,6 +2760,19 @@ scored AS (
 SELECT doc_id, quality_score FROM scored
 WHERE CAST(concat('0x', substring(md5(concat_ws('|', 'qw', doc_id::VARCHAR)), 1, 15)) AS BIGINT) % 10000
       < floor(least(greatest(quality_score, 0.0), 1.0) * 10000)
+"""
+
+ORACLE["docs_chunks"] = f"""
+WITH t AS (
+  SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks), 30)) AS s
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+       CAST((s - 1) // 30 AS INT) AS chunk_id,
+       array_to_string(toks[s:s+39], ' ') AS chunk_text,
+       len(toks[s:s+39]) AS n_chunk_tokens
+FROM g
 """
 
 ORACLE["campaign_order_attribution"] = """

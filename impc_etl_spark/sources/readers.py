@@ -100,6 +100,46 @@ def tag_source_file(df: DataFrame, col_name: str = "_source_file") -> DataFrame:
     return df.withColumn(col_name, F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1))
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+    with_name_meta: bool = True,
+) -> DataFrame:
+    """Raw media ingest via Spark's ``binaryFile`` source: one row per
+    file with ``path / modificationTime / length / content(binary)`` —
+    the entry point of the multimodal pipeline (content then flows into
+    ``multimodal.media`` mapInPandas stages as an opaque binary column).
+
+    ``glob`` maps to ``pathGlobFilter`` (e.g. ``*.png``) so non-media
+    files are pruned at listing time, before any bytes are read.
+    ``with_name_meta`` adds ``file_name`` / ``file_ext`` parsed from the
+    path JVM-side (regexp, no UDF) — the typed-metadata convention used
+    throughout the media operators.
+
+    Scale notes: the listing is distributed and each file is one task
+    input split; for millions of small files prefer consolidating into
+    parquet-with-binary-column early (exactly what `media_ingest`-style
+    jobs do), because file-per-row listing is a driver-memory cost.
+    ``spark.sql.files.maxPartitionBytes`` controls batching of small
+    files into tasks.
+    """
+    reader = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", "true" if recursive else "false"
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if with_name_meta:
+        df = df.withColumn(
+            "file_name", F.regexp_extract(F.col("path"), r"([^/]+)$", 1)
+        ).withColumn(
+            "file_ext", F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+        )
+    return df
+
+
 def read_xml_entities(
     spark: SparkSession,
     path: str,

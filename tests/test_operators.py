@@ -865,3 +865,44 @@ def test_weighted_sample_bounds_and_nesting(spark):
     assert lo <= hi
     n = docs.count()
     assert abs(len(lo) / n - 0.3) < 0.12 and abs(len(hi) / n - 0.7) < 0.12
+
+
+def test_chunk_text_overlap_and_edges(spark):
+    from impc_etl_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 tokens
+            (2, "x y"),             # shorter than one chunk
+            (3, ""),                # no tokens -> no chunks
+            (4, None),              # null text -> no chunks
+        ],
+        "doc_id int, text string",
+    )
+    out = chunk_text(df, "text", size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts at tokens 1,4,7 -> 3 chunks; last is the 1-token tail
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in c1] == ["a b c d", "d e f g", "g"]
+    assert [r.n_chunk_tokens for r in c1] == [4, 4, 1]
+    assert [r.chunk_id for r in c1] == [0, 1, 2]
+    # every consecutive pair overlaps by size-stride=1 token
+    assert c1[0].chunk_text.split()[-1] == c1[1].chunk_text.split()[0]
+    assert by_doc[2][0].chunk_text == "x y"
+    assert 3 not in by_doc and 4 not in by_doc
+    # disjoint default: stride=size
+    dis = chunk_text(df, "text", size=4).collect()
+    d1 = sorted((r for r in dis if r.doc_id == 1), key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in d1] == ["a b c d", "e f g"]
+
+
+def test_chunk_text_rejects_bad_params(spark):
+    from impc_etl_spark.operators.text import chunk_text
+
+    df = spark.range(1).withColumn("text", F.lit("a"))
+    with pytest.raises(ValueError):
+        chunk_text(df, "text", size=0)
+    with pytest.raises(ValueError):
+        chunk_text(df, "text", size=4, stride=-1)

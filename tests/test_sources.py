@@ -317,3 +317,23 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "n_regionkey" in plan
     assert back.count() == nation.where("n_regionkey = 1").count()
+
+
+def test_read_binary_files_roundtrip(spark, tmp_path):
+    from impc_etl_spark.sources.readers import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.png").write_bytes(b"\x89PNG\r\n\x1a\nfakepixels")
+    (media / "b.wav").write_bytes(b"RIFF....WAVEfakeaudio")
+    (media / "notes.txt").write_text("not media")
+
+    df = read_binary_files(spark, str(media), glob="*.{png,wav}")
+    rows = {r.file_name: r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.wav"}
+    assert rows["a.png"].content == b"\x89PNG\r\n\x1a\nfakepixels"
+    assert rows["a.png"].file_ext == "png"
+    assert rows["b.wav"].length == len(b"RIFF....WAVEfakeaudio")
+    # listing-time prune: the glob keeps the .txt from ever being read
+    cols = set(df.columns)
+    assert {"path", "modificationTime", "length", "content"} <= cols
