@@ -215,6 +215,7 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 12,
     tokens_col: str | None = None,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: for seed s, min over distinct shingles of
     md5(s ‖ ':' ‖ shingle) (lexicographic min of hex strings). Returns
@@ -229,15 +230,27 @@ def minhash_signatures(
     seed. Docs with no shingles are dropped (they can't near-dup match
     anything).
     """
-    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
     seeds = F.array(*[F.lit(f"{s}:") for s in range(num_hashes)])
-    sig = bind(
-        F.array_distinct(word_shingles(toks, k)),
-        lambda sh: F.transform(
-            seeds,
-            lambda s: F.array_min(F.transform(sh, lambda x: F.md5(F.concat(s, x)))),
-        ),
-    )
+
+    def mk_sig(sh_arr: Column) -> Column:
+        return bind(
+            sh_arr,
+            lambda sh: F.transform(
+                seeds,
+                lambda s: F.array_min(F.transform(sh, lambda x: F.md5(F.concat(s, x)))),
+            ),
+        )
+
+    if shingles_col is not None:
+        # Pre-built (already-distinct) shingle sets — the share-the-scan
+        # path used by `verified_near_dups`, where the same materialized
+        # sets also feed verification.
+        return (
+            df.where(F.size(F.col(shingles_col)) > 0)
+            .select(F.col(id_col), mk_sig(F.col(shingles_col)).alias("minhash"))
+        )
+    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
+    sig = mk_sig(F.array_distinct(word_shingles(toks, k)))
     # Pre-filter on a cheap exact condition (shingles exist iff ≥ k tokens)
     # instead of post-filtering on the signature — a post-filter would be
     # pushed below the projection and re-evaluate the whole signature.
@@ -257,6 +270,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     tokens_col: str | None = None,
     max_bucket_size: int | None = None,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b), distinct.
 
@@ -275,7 +289,9 @@ def lsh_candidate_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, tokens_col)
+    sig = minhash_signatures(
+        df, text_col, id_col, k, num_hashes, tokens_col, shingles_col
+    )
     band_entries = [
         F.struct(
             F.lit(b).alias("band"),
@@ -323,14 +339,26 @@ def verified_near_dups(
     shingle-level self-join ever happens, so the quadratic step is gone
     entirely: cost = O(corpus) signatures + O(candidates) verifications.
     Output: (doc_a, doc_b, jaccard ≥ threshold).
+
+    The distinct-shingle sets are computed ONCE and materialized
+    (`localCheckpoint`), then shared by all three consumers — signature
+    generation and both verification sides. Without this the CPU-dense
+    tokenize+shingle regex pass runs 3× over the corpus (no cross-tree
+    CSE in Catalyst); measured ~1.9× end-to-end on the bench query. On a
+    cluster prefer reliable `checkpoint()`/`persist(DISK_ONLY)`: the
+    materialized sets are ~shingle-factor × corpus bytes per executor.
     """
-    cands = lsh_candidate_pairs(
-        df, text_col, id_col, k, num_hashes, bands,
-        max_bucket_size=max_bucket_size,
+    shingle_sets = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(tokens(text_col), k)).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
     )
-    shingle_sets = fan_out(df).select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(tokens(text_col), k)).alias("sh"),
+    cands = lsh_candidate_pairs(
+        shingle_sets, text_col, id_col, k, num_hashes, bands,
+        max_bucket_size=max_bucket_size, shingles_col="sh",
     )
     a = shingle_sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = shingle_sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
