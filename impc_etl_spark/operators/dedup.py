@@ -535,6 +535,21 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # Convergence check: labels under min-propagation are NON-INCREASING
+    # per node, so for numeric ids the global label sum strictly decreases
+    # until the fixpoint — one cheap aggregate per round replaces a
+    # join+count job. Non-numeric ids (e.g. md5 strings) fall back to the
+    # join-based diff count.
+    numeric_ids = dict(labels.dtypes)["lbl"] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).head()[0]
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
     changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
@@ -560,19 +575,24 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        if numeric_ids:
+            new_sum = _label_sum(new_labels)
+            changed = int(new_sum != prev_sum)
+            prev_sum = new_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                .where(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
         labels = new_labels
         if changed == 0:
             break
     if changed:
         warnings.warn(
             f"connected_components stopped after {max_iterations} rounds with "
-            f"{changed} labels still changing — groups may be split; raise "
+            f"labels still changing — groups may be split; raise "
             "max_iterations",
             RuntimeWarning,
             stacklevel=2,
