@@ -223,6 +223,63 @@ def pack_sequences(
     return df.withColumn(out, F.floor(before / budget).cast("int"))
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+    vocab_text_col: str | None = None,
+    smoothing: float = 0.5,
+    out: str = "avg_logprob",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """LM-perplexity quality proxy (CCNet shape): score each document by
+    the mean log10 probability of its token OCCURRENCES under an additive-
+    smoothed unigram model — low scores flag gibberish/boilerplate, the
+    classic cheap stand-in for a KenLM perplexity filter.
+
+    The model is fit on ``vocab_df`` (default: the scored corpus itself):
+    p(t) = (count(t) + a) / (N + a·V). Unseen tokens get the smoothing
+    floor a / (N + a·V), so scoring corpus B against corpus A's model is
+    well-defined.
+
+    Scale shape: ONE shuffle builds the vocab (explode → groupBy token);
+    N and V ride along as a broadcast 1-row cross join (same pattern as
+    tf-idf's corpus-N). Scoring joins the exploded corpus to the vocab on
+    token — broadcast when ``broadcast_vocab`` (real vocabs are ≤ a few
+    hundred MB even at web scale; disable to let AQE pick a shuffle join)
+    — then one groupBy(doc) average. No collect anywhere.
+    """
+    src = vocab_df if vocab_df is not None else df
+    src_text = vocab_text_col or text_col
+    vocab = (
+        src.select(F.explode(tokens(src_text)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = vocab.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    # Totals ride on the TOKEN side (not the vocab side): an unseen token
+    # misses the vocab join entirely, and the smoothing floor still needs
+    # N and V on that row.
+    tok_tbl = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .crossJoin(F.broadcast(totals))
+    )
+    a = float(smoothing)
+    scored = tok_tbl.join(vocab, "tok", "left").select(
+        F.col(id_col),
+        F.log10(
+            (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(a))
+            / (F.col("__n") + F.lit(a) * F.col("__v"))
+        ).alias("__lp"),
+    )
+    return scored.groupBy(id_col).agg(F.avg("__lp").alias(out))
+
+
 def chunk_text(
     df: DataFrame,
     text_col: str = "text",

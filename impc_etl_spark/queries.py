@@ -1465,6 +1465,15 @@ def docs_chunks(spark, sf_dir):
     return out.select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
 
 
+def docs_unigram_logprob(spark, sf_dir):
+    """LM-perplexity quality proxy: mean log10 token probability per doc
+    under an additive-smoothed corpus unigram model (CCNet-style filter).
+    One vocab shuffle + broadcast scoring join; N/V as a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text_ops.unigram_logprob(docs, "text", "doc_id", smoothing=0.5)
+    return out.select("doc_id", _rnd(F.col("avg_logprob"), 4).alias("avg_logprob"))
+
+
 def docs_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix C shape): flag training
     docs sharing any 8-token shingle with a 'benchmark' set (here: the
@@ -1690,6 +1699,7 @@ QUERIES = {
     "docs_quality": docs_quality,
     "docs_quality_weighted_sample": docs_quality_weighted_sample,
     "docs_chunks": docs_chunks,
+    "docs_unigram_logprob": docs_unigram_logprob,
     "corpus_pack_sequences": corpus_pack_sequences,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_winnowing": docs_winnowing,
@@ -2773,6 +2783,18 @@ SELECT doc_id,
        array_to_string(toks[s:s+39], ' ') AS chunk_text,
        len(toks[s:s+39]) AS n_chunk_tokens
 FROM g
+"""
+
+ORACLE["docs_unigram_logprob"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents),
+vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab)
+SELECT doc_id,
+       floor(avg(log10((c + 0.5) / (n + 0.5 * v))) * 10000 + 0.5) / 10000
+           AS avg_logprob
+FROM tok JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY doc_id
 """
 
 ORACLE["campaign_order_attribution"] = """

@@ -906,3 +906,23 @@ def test_chunk_text_rejects_bad_params(spark):
         chunk_text(df, "text", size=0)
     with pytest.raises(ValueError):
         chunk_text(df, "text", size=4, stride=-1)
+
+
+def test_unigram_logprob_model_and_unseen_floor(spark):
+    import math
+
+    from impc_etl_spark.operators.text import unigram_logprob
+
+    corpus = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id int, text string"
+    )
+    # model on corpus: counts a=2 b=2 c=1, N=5, V=3, a(smooth)=0.5
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob(corpus).collect()}
+    p = lambda c: (c + 0.5) / (5 + 0.5 * 3)
+    exp1 = (2 * math.log10(p(2)) + math.log10(p(2))) / 3
+    assert abs(out[1] - exp1) < 1e-12
+    # scoring an external doc: unseen token gets the smoothing floor
+    other = spark.createDataFrame([(9, "a zzz")], "doc_id int, text string")
+    got = unigram_logprob(other, vocab_df=corpus).collect()[0].avg_logprob
+    exp9 = (math.log10(p(2)) + math.log10(p(0))) / 2
+    assert abs(got - exp9) < 1e-12

@@ -289,3 +289,44 @@ def test_merge_struct_array_matches_reference_random(spark, arrs, upds):
         want = ref_merge(list(a) if a is not None else None,
                          list(u) if u is not None else None)
         assert got[i] == want, (i, a, u, got[i], want)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=8
+    ),
+    size=st.integers(min_value=1, max_value=6),
+    overlap=st.integers(min_value=0, max_value=5),
+)
+def test_chunk_text_invariants(spark, texts, size, overlap):
+    """Disjoint-mode chunks concatenate back to the token stream; strided
+    chunks start exactly stride apart and tile every token."""
+    from impc_etl_spark.operators.text import chunk_text, tokens
+
+    stride = max(1, size - overlap)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    toks = {
+        r.doc_id: r.t
+        for r in df.select("doc_id", tokens("text").alias("t")).collect()
+    }
+    rows = chunk_text(df, "text", size=size, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, t in toks.items():
+        got = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_id)
+        if not t:
+            assert got == []
+            continue
+        # chunk i covers tokens [i*stride, i*stride+size)
+        for i, r in enumerate(got):
+            assert r.chunk_id == i
+            expect = t[i * stride : i * stride + size]
+            assert r.chunk_text.split(" ") == expect
+            assert r.n_chunk_tokens == len(expect)
+        # tiling: last chunk reaches the end of the token stream
+        assert (len(got) - 1) * stride + got[-1].n_chunk_tokens == len(t)
