@@ -20,9 +20,21 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition to ``min_partitions`` (default: the
-    session's default parallelism) iff the input has fewer partitions."""
+    session's default parallelism) iff the input has fewer partitions.
+
+    The guard is tiered by cost: for file-backed plans with ≥ target
+    files, each file is at least one split, so this is a no-op decided
+    from the listing alone. Only narrow candidates (few/zero files) pay
+    the exact ``.rdd.getNumPartitions()`` probe — that conversion forces
+    plan analysis, which is fine for the small inputs it fires on but
+    would be waste on every 100 TB scan."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:  # non-file-backed plan — fall through to exact probe
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
