@@ -47,6 +47,8 @@ def main() -> int:
         "docs_verified_near_dups",
         "docs_dup_groups",
         "docs_quality",
+        "docs_unigram_logprob",
+        "docs_chunks",
         "docs_line_dedup",
         "corpus_prepare",
         "media_feature_extract",

@@ -23,6 +23,7 @@ from impc_etl_spark.operators import sampling as sample_ops
 from impc_etl_spark.operators import similarity as sim_ops
 from impc_etl_spark.operators import text as text_ops
 from impc_etl_spark.operators import timeseries as ts_ops
+from impc_etl_spark.operators.partitioning import fan_out
 from impc_etl_spark.operators import windows as win_ops
 from impc_etl_spark.operators.derivation import compile_derivation
 
@@ -1460,7 +1461,7 @@ def docs_chunks(spark, sf_dir):
     with a 30-token stride (10-token overlap) — the RAG-indexing /
     training-window slicing pass. Row-local HOF algebra (tokenize once,
     sequence start grid, slice per start, one posexplode): zero shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     out = text_ops.chunk_text(docs, "text", size=40, stride=30)
     return out.select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
 
@@ -1469,7 +1470,7 @@ def docs_unigram_logprob(spark, sf_dir):
     """LM-perplexity quality proxy: mean log10 token probability per doc
     under an additive-smoothed corpus unigram model (CCNet-style filter).
     One vocab shuffle + broadcast scoring join; N/V as a 1-row broadcast."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     out = text_ops.unigram_logprob(docs, "text", "doc_id", smoothing=0.5)
     return out.select("doc_id", _rnd(F.col("avg_logprob"), 4).alias("avg_logprob"))
 

@@ -304,6 +304,12 @@ def test_fan_out_noop_on_wide_input(spark):
     assert fan_out(wide) is wide
     narrow = spark.range(1000).coalesce(1)
     assert fan_out(narrow).rdd.getNumPartitions() >= 8
+    # file-backed fast path: many files >= target decides no-op from the
+    # listing alone (identity return)
+    manyfiles = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    n_files = len(manyfiles.inputFiles())
+    fanned = fan_out(manyfiles, min_partitions=min(n_files, 2))
+    assert fanned is manyfiles
 
 
 def test_cosine_topk_pandas_matches_jvm(spark):
