@@ -166,6 +166,22 @@ def interval_join(
     ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a broadcast
+    batch dimension (the streaming twin of ``marts.enrich``). The static
+    side is re-read per micro-batch by Spark, so a dimension backed by a
+    parquet/Delta path picks up slowly-changing updates without a restart;
+    broadcasting keeps the join shuffle-free — the stream never
+    repartitions. No watermark is needed: stream-static joins are
+    stateless (nothing is buffered waiting for the other side)."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

@@ -217,3 +217,21 @@ def test_dedup_stream_drops_replayed_batch(spark, tmp_path):
     got = spark.table("dd").count()
     want = _batch_events(spark).select("event_id").distinct().count()
     assert got == want
+
+
+def test_enrich_stream_matches_batch_join(spark, events_dir, tmp_path):
+    from impc_etl_spark.streaming.jobs import (
+        enrich_stream, read_event_stream, run_available_now,
+    )
+
+    dim = spark.createDataFrame(
+        [(i, f"seg_{i % 3}") for i in range(50)], "user_id long, segment string"
+    )
+    stream = enrich_stream(read_event_stream(spark, events_dir), dim)
+    run_available_now(stream, "enriched", str(tmp_path / "ckpt"), output_mode="append")
+    got = spark.table("enriched")
+    batch = _batch_events(spark).join(dim, "user_id", "left")
+    assert got.count() == batch.count()
+    g = {(r.event_id, r.segment) for r in got.select("event_id", "segment").collect()}
+    b = {(r.event_id, r.segment) for r in batch.select("event_id", "segment").collect()}
+    assert g == b
