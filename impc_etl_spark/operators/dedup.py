@@ -412,6 +412,60 @@ def decontaminate(
     return df.join(contaminated, id_col, "left_anti")
 
 
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection: for every k-token window, find the
+    windows that occur in >= ``min_docs`` distinct documents, and score each
+    document by the fraction of its windows that are corpus-duplicated —
+    the fixed-window adaptation of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022), which whole-doc and near-dup passes cannot see (a long
+    quote or license block inside otherwise-unique pages).
+
+    Returns ``(id, n_spans, dup_spans, dup_frac)`` — one row per document
+    that has at least one window; downstream passes trim or drop documents
+    with high ``dup_frac``.
+
+    Scale shape: windows are md5-hashed row-locally (16-byte keys, never
+    text). Stage 1 pre-aggregates to one row per (hash, doc) with an
+    occurrence count — map-side combine collapses intra-doc repeats before
+    the shuffle. Stage 2 counts distinct docs per hash with an unordered
+    window over that already-reduced table (no join back to the raw span
+    table, which would ship the exploded corpus a second time). Stage 3
+    re-aggregates per doc. Three exchanges, each over the (hash, doc)
+    reduction — never over raw spans — and no self-join.
+    """
+    from pyspark.sql import Window
+
+    spans = fan_out(df).select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(text_col), k)).alias("__s"),
+    ).select(id_col, F.md5("__s").alias("__h"))
+    per_doc = spans.groupBy("__h", id_col).agg(F.count("*").alias("__c"))
+    with_docs = per_doc.withColumn(
+        "__ndocs", F.count("*").over(Window.partitionBy("__h"))
+    )
+    dup = (F.col("__ndocs") >= min_docs).cast("long")
+    return (
+        with_docs.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_spans"),
+            F.sum(F.col("__c") * dup).alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            # portable floor(x*1e6+0.5)/1e6 rounding (see queries._rnd)
+            F.floor(F.col("dup_spans") / F.col("n_spans") * 1000000 + F.lit(0.5))
+            / 1000000,
+        )
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -530,6 +530,105 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 retrieval over the corpus for one fixed term query — the
+    lexical half of retrieval-augmented curation (find training docs
+    matching an eval probe, rank seed documents for a domain).
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Robertson/Lucene form, never
+    negative); tf is the in-doc occurrence count; dl/avgdl length
+    normalization. Score is rounded to 6 dp BEFORE ranking and ties break
+    on the id, so the top-k cut is engine-portable.
+
+    Scale shape: per-term tf's are computed ROW-LOCALLY with array
+    intersections (the query is a literal — no corpus explode, no
+    (doc x term) shuffle). Corpus stats (N, avgdl, per-term df) reduce to
+    ONE row via map-side-combined conditional counts, broadcast back, and
+    the final top-k is a TakeOrdered — the corpus itself never shuffles.
+    """
+    terms = sorted(set(query_terms))
+    toks = tokens(text_col)
+
+    def tf_of(term: str) -> Column:
+        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(term)))
+
+    scored = fan_out(df).withColumn("__toks", toks).withColumn(
+        "__dl", F.size(F.col("__toks"))
+    )
+    for i, t in enumerate(terms):
+        scored = scored.withColumn(f"__tf{i}", tf_of(t))
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
+            / (F.col(f"__df{i}") + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+        )
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / norm
+    rounded = F.floor(score * 1000000 + F.lit(0.5)) / 1000000
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), rounded.alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(top_k)
+    )
+
+
+def collapse_repeats(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = " ",
+    out: str = "clean_text",
+) -> DataFrame:
+    """Collapse CONSECUTIVE repeated segments inside each document
+    ("batch batch batch" -> "batch" at ``sep=' '``; repeated boilerplate
+    paragraphs at ``sep='\\n\\n'``) — the intra-document half of repetition
+    cleaning (the Gopher repetition filters flag these docs;
+    this operator repairs them instead of dropping).
+
+    Pure row-local array algebra: split once (let-bound), keep element i
+    iff i == 0 or it differs from element i-1, rejoin. Zero shuffles, no
+    UDF — runs at scan speed inside whole-stage codegen.
+    """
+    def mk(a: Column) -> Column:
+        # F.get is 0-based and null-safe at -1 (element_at(a, 0) would
+        # throw under ANSI); `true OR null` keeps element 0.
+        return F.array_join(
+            F.filter(a, lambda x, i: (i == F.lit(0)) | (x != F.get(a, i - 1))),
+            sep,
+        )
+
+    return df.withColumn(out, bind(F.split(F.col(text_col), re_escape(sep)), mk))
+
+
+def re_escape(s: str) -> str:
+    """Escape a literal separator for ``F.split``'s regex argument."""
+    import re
+
+    return re.escape(s)
+
+
 def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
     """Marker-word language ID: count hits per language's marker set, pick
     the argmax (ties → lexicographically first language; 'und' when no

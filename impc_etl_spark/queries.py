@@ -64,8 +64,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic (a double division would lose precision at 1e18 ns).
     """
     ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type and ts_type != "timestamp":
+        # Builds that ignore nanosAsLong surface TIMESTAMP(NANOS) as
+        # TIMESTAMP_NTZ (µs-truncated); session TZ is pinned UTC so the
+        # cast is the same instant the oracle computes.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
@@ -1364,6 +1370,39 @@ def docs_repetition(spark, sf_dir):
     )
 
 
+def docs_dup_spans(spark, sf_dir):
+    """Exact duplicate-SPAN scores (fixed-window substring dedup, Lee et
+    al. 2022 shape): per-doc fraction of 8-token windows that appear in
+    >= 2 distinct documents. Catches shared quotes/boilerplate inside
+    otherwise-unique documents that whole-doc and MinHash passes miss."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.dup_spans(docs, "text", "doc_id", k=8, min_docs=2)
+
+
+def docs_bm25_search(spark, sf_dir):
+    """BM25 top-10 for a fixed probe query — lexical retrieval over the
+    corpus with zero corpus shuffles (row-local tfs + 1-row stats
+    broadcast + TakeOrdered)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.bm25_topk(
+        docs, ["spark", "window", "stream"], "text", "doc_id", top_k=10
+    )
+
+
+def docs_collapse_repeats(spark, sf_dir):
+    """Intra-doc consecutive-repeat collapse ("batch batch batch" ->
+    "batch") — row-local repair pass for the docs the Gopher repetition
+    filters would otherwise drop."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.collapse_repeats(docs, "text", sep=" ").select(
+        "doc_id",
+        "clean_text",
+        (text_ops.token_count("text") - text_ops.token_count("clean_text")).alias(
+            "n_removed"
+        ),
+    )
+
+
 def docs_pii_scrub(spark, sf_dir):
     """PII scrubbing pass: deterministic injected spans (email, SSN, IP,
     phone) redacted by kind via an ordered regexp_replace chain."""
@@ -1702,8 +1741,8 @@ QUERIES = {
     "docs_chunks": docs_chunks,
     "docs_unigram_logprob": docs_unigram_logprob,
     "corpus_pack_sequences": corpus_pack_sequences,
-    "docs_bpe_token_count": docs_bpe_token_count,
-    "docs_winnowing": docs_winnowing,
+    "docs_dup_spans": docs_dup_spans,
+    "docs_bm25_search": docs_bm25_search,
     "corpus_prepare": corpus_prepare,
     # -- north star: multimodal ---------------------------------------------
     "media_feature_extract": media_feature_extract,
@@ -1721,7 +1760,7 @@ QUERIES = {
     "campaign_order_attribution": campaign_order_attribution,
     "shipment_transit_overlap": shipment_transit_overlap,
     "docs_per_domain_cap": docs_per_domain_cap,
-    "docs_entropy": docs_entropy,
+    "segment_term_chooser": segment_term_chooser,
     # -- relational representatives (one per operator family) ---------------
     "pricing_summary": pricing_summary,
     "region_revenue": region_revenue,
@@ -1735,12 +1774,15 @@ QUERIES = {
     "solr_doc_shape": solr_doc_shape,
     "mongo_doc_shape": mongo_doc_shape,
     "customer_status_running_sets": customer_status_running_sets,
-    "segment_term_chooser": segment_term_chooser,
     "docs_repetition": docs_repetition,
     # ======================================================================
     # Entries below are outside the driver's 50-query window (all were
     # driver-PASS in CORRECTNESS_r01.json and remain locally oracle-checked).
     # ======================================================================
+    "docs_entropy": docs_entropy,
+    "docs_bpe_token_count": docs_bpe_token_count,
+    "docs_winnowing": docs_winnowing,
+    "docs_collapse_repeats": docs_collapse_repeats,
     "docs_pii_scrub": docs_pii_scrub,
     "emb_dup_groups": emb_dup_groups,
     "purchase_attribution_windowed": purchase_attribution_windowed,
@@ -3048,3 +3090,63 @@ ham AS (
 SELECT doc_a, doc_b, hamming::INT AS hamming FROM ham WHERE hamming <= 3
 """
 
+
+ORACLE["docs_dup_spans"] = f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sp AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]) AS s
+  FROM tok WHERE len(toks) >= 8),
+pd AS (SELECT md5(s) AS h, doc_id, count(*) AS c FROM sp GROUP BY 1, 2),
+nd AS (SELECT h, count(*) AS ndocs FROM pd GROUP BY 1)
+SELECT pd.doc_id,
+       CAST(sum(pd.c) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN nd.ndocs >= 2 THEN pd.c ELSE 0 END) AS BIGINT) AS dup_spans,
+       floor(sum(CASE WHEN nd.ndocs >= 2 THEN pd.c ELSE 0 END) / sum(pd.c)
+             * 1000000 + 0.5) / 1000000 AS dup_frac
+FROM pd JOIN nd USING (h)
+GROUP BY 1
+"""
+
+ORACLE["docs_bm25_search"] = f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+d AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, x -> x = 'spark')) AS tf0,
+         len(list_filter(toks, x -> x = 'stream')) AS tf1,
+         len(list_filter(toks, x -> x = 'window')) AS tf2
+  FROM tok),
+st AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM d),
+scored AS (
+  SELECT doc_id,
+         floor((0.0
+           + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+             * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+             * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+             * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ) * 1000000 + 0.5) / 1000000 AS bm25
+  FROM d CROSS JOIN st)
+SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+_CLEAN_TOKS = _TOKS.format(col="clean_text")
+ORACLE["docs_collapse_repeats"] = f"""
+WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS a FROM documents),
+c AS (
+  SELECT doc_id, text,
+         array_to_string(
+           [a[i] FOR i IN range(1, len(a) + 1) IF i = 1 OR a[i] <> a[i - 1]],
+           ' ') AS clean_text
+  FROM s)
+SELECT doc_id, clean_text,
+       len({_DOC_TOKS}) - len({_CLEAN_TOKS}) AS n_removed
+FROM c
+"""

@@ -932,3 +932,62 @@ def test_unigram_logprob_model_and_unseen_floor(spark):
     got = unigram_logprob(other, vocab_df=corpus).collect()[0].avg_logprob
     exp9 = (math.log10(p(2)) + math.log10(p(0))) / 2
     assert abs(got - exp9) < 1e-12
+
+
+def test_dup_spans_scores_shared_windows(spark):
+    from impc_etl_spark.operators.dedup import dup_spans
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    rows = [
+        (1, shared + " tail1 alpha beta"),
+        (2, "lead2 " + shared + " other words here"),
+        (3, "wholly unrelated text with enough tokens to form windows ok"),
+        (4, "short text"),  # < 8 tokens: no row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dup_spans(df, k=8, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1: 11 tokens -> 4 windows, 1 duplicated (the shared 8-gram)
+    assert out[1]["n_spans"] == 4 and out[1]["dup_spans"] == 1
+    assert out[2]["dup_spans"] == 1
+    assert out[3]["dup_spans"] == 0 and out[3]["dup_frac"] == 0.0
+    assert abs(out[1]["dup_frac"] - 1 / 4) < 1e-6
+
+
+def test_dup_spans_counts_intra_doc_repeats_once_per_doc(spark):
+    from impc_etl_spark.operators.dedup import dup_spans
+
+    # the same 2-gram repeated in ONE doc only: not a cross-doc duplicate
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "p q r s")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dup_spans(df, k=2, min_docs=2).collect()}
+    assert out[1]["dup_spans"] == 0  # "x y" occurs twice but in one doc
+    assert out[1]["n_spans"] == 3
+
+
+def test_bm25_ranks_heavier_match_first(spark):
+    from impc_etl_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark runs fast"),
+            (2, "spark appears once in this slightly longer document body"),
+            (3, "no relevant terms at all in here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(df, ["spark"], top_k=10).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]  # doc 3 filtered (score 0)
+    assert out[0]["bm25"] > out[1]["bm25"] > 0
+
+
+def test_collapse_repeats_consecutive_only(spark):
+    from impc_etl_spark.operators.text import collapse_repeats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c a"), (2, "x y z")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in collapse_repeats(df).collect()}
+    assert out[1] == "a b c a"  # non-consecutive repeat of 'a' survives
+    assert out[2] == "x y z"
