@@ -1403,6 +1403,17 @@ def docs_collapse_repeats(spark, sf_dir):
     )
 
 
+def docs_global_ids(spark, sf_dir):
+    """Dense consecutive sample ids over (source, doc_id) WITHOUT a
+    global single-task sort: range-partition + per-partition Arrow-local
+    ranks + tiny offset prefix-sum (operators.partitioning
+    assign_global_ids) — the scalable zipWithIndex replacement."""
+    from impc_etl_spark.operators.partitioning import assign_global_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_global_ids(docs, ["source", "doc_id"], num_partitions=8)
+
+
 def docs_pii_scrub(spark, sf_dir):
     """PII scrubbing pass: deterministic injected spans (email, SSN, IP,
     phone) redacted by kind via an ordered regexp_replace chain."""
@@ -1783,6 +1794,7 @@ QUERIES = {
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_winnowing": docs_winnowing,
     "docs_collapse_repeats": docs_collapse_repeats,
+    "docs_global_ids": docs_global_ids,
     "docs_pii_scrub": docs_pii_scrub,
     "emb_dup_groups": emb_dup_groups,
     "purchase_attribution_windowed": purchase_attribution_windowed,
@@ -3149,4 +3161,11 @@ c AS (
 SELECT doc_id, clean_text,
        len({_DOC_TOKS}) - len({_CLEAN_TOKS}) AS n_removed
 FROM c
+"""
+
+
+ORACLE["docs_global_ids"] = """
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS global_id
+FROM documents
 """

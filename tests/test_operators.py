@@ -991,3 +991,21 @@ def test_collapse_repeats_consecutive_only(spark):
     out = {r["doc_id"]: r["clean_text"] for r in collapse_repeats(df).collect()}
     assert out[1] == "a b c a"  # non-consecutive repeat of 'a' survives
     assert out[2] == "x y z"
+
+
+def test_assign_global_ids_dense_ordered_deterministic(spark):
+    from impc_etl_spark.operators.partitioning import assign_global_ids
+
+    df = spark.range(0, 500).selectExpr(
+        "cast(id * 7919 % 500 as long) as k", "id as v"
+    )
+    out = assign_global_ids(df, ["k", "v"], num_partitions=8)
+    rows = sorted(((r.k, r.v), r.global_id) for r in out.collect())
+    # dense 0..N-1, assigned in (k, v) order
+    assert [g for _, g in rows] == list(range(500))
+    # key order and id order agree
+    keys = [kv for kv, _ in rows]
+    assert keys == sorted(keys)
+    # deterministic across re-evaluation
+    again = assign_global_ids(df, ["k", "v"], num_partitions=8)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
