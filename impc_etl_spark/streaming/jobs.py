@@ -34,19 +34,32 @@ EVENTS_DDL = (
 def read_event_stream(
     spark: SparkSession,
     source_dir: str,
-    schema: str = EVENTS_DDL,
+    schema: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-stream the events table (parquet dir). ``ts`` arrives as long
-    nanoseconds (TIMESTAMP(NANOS) parquet + nanosAsLong, see session.py);
-    normalize to a µs timestamp here. ``max_files_per_trigger`` throttles
-    ingestion (and, with availableNow, forces multiple micro-batches —
-    useful to exercise cross-batch state)."""
+    """File-stream the events table (parquet dir), ``ts`` normalized to a
+    µs TimestampType whatever the reader surfaced: Spark builds honoring
+    ``nanosAsLong`` deliver TIMESTAMP(NANOS) as long nanos (divide to µs
+    with integer arithmetic); 4.1-era builds µs-truncate to TIMESTAMP_NTZ
+    (cast — session TZ is pinned UTC). The declared-schema choice is made
+    by a driver-side batch footer probe of the same directory (streams
+    can't infer schema; one listing, no job). ``max_files_per_trigger``
+    throttles ingestion (and, with availableNow, forces multiple
+    micro-batches — useful to exercise cross-batch state)."""
+    if schema is None:
+        probed = dict(spark.read.parquet(source_dir).dtypes).get("ts")
+        schema = (
+            EVENTS_DDL
+            if probed == "bigint"
+            else EVENTS_DDL.replace("ts bigint", "ts timestamp_ntz")
+        )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(source_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(
