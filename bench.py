@@ -54,6 +54,8 @@ def main() -> int:
         "media_feature_extract",
         "emb_cosine_topk",
         "emb_batch_topk",
+        "docs_dup_spans",
+        "docs_bm25_search",
     ]
     names = [n for n in headline if n in QUERIES]
 
