@@ -213,3 +213,72 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def upsert_sink(
+    stream_df: DataFrame,
+    store_dir: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    dedup_order: list[str] | None = None,
+) -> None:
+    """Stream → parquet-store MERGE: drain the stream with AvailableNow,
+    upserting each micro-batch into ``store_dir`` by key
+    (``conform.merge_upsert`` inside ``foreachBatch``) — continuous
+    ingestion into a keyed store without a transactional table format.
+
+    Within a micro-batch the LATEST row per key wins (``dedup_order``
+    descending, e.g. the event time — merge_upsert requires key-unique
+    updates); across batches the newer batch replaces same-key rows. The
+    swap is write-new/replace (non-atomic on plain parquet): crash-safe
+    resumption comes from the checkpoint replaying the last batch, whose
+    merge is idempotent. On clusters point ``store_dir`` at a path
+    rename/commit layer (or a table format) for atomic swap; the merge
+    plan itself — one unionByName + one key-window shuffle per batch —
+    is unchanged.
+    """
+    import shutil
+    import tempfile
+
+    from impc_etl_spark.operators.conform import merge_upsert
+
+    spark = stream_df.sparkSession
+
+    def do_merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        updates = batch_df
+        if dedup_order:
+            w = Window.partitionBy(*keys).orderBy(
+                *[F.col(c).desc() for c in dedup_order]
+            )
+            updates = (
+                updates.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        try:
+            existing = spark.read.parquet(store_dir)
+        except Exception:  # first batch: no store yet
+            existing = None
+        merged = (
+            updates
+            if existing is None
+            else merge_upsert(existing, updates, keys)
+        )
+        tmp = tempfile.mkdtemp(prefix="upsert_stage_")
+        try:
+            merged.write.mode("overwrite").parquet(tmp)
+            staged = spark.read.parquet(tmp)
+            staged.write.mode("overwrite").parquet(store_dir)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(do_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -235,3 +235,51 @@ def test_enrich_stream_matches_batch_join(spark, events_dir, tmp_path):
     g = {(r.event_id, r.segment) for r in got.select("event_id", "segment").collect()}
     b = {(r.event_id, r.segment) for r in batch.select("event_id", "segment").collect()}
     assert g == b
+
+
+def test_upsert_sink_merges_waves_latest_wins(spark, tmp_path):
+    """foreachBatch upsert: two update waves streamed as separate
+    micro-batches land in a keyed parquet store with MERGE semantics —
+    overlapping keys take the newer wave's row, and an in-batch duplicate
+    is collapsed to its latest event before merging."""
+    import time as _time
+
+    from impc_etl_spark.streaming.jobs import upsert_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wave1 = spark.createDataFrame(
+        [(k, "old", 100) for k in range(1, 101)], "k long, v string, ts long"
+    )
+    wave1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    import shutil as _sh
+
+    for f in (tmp_path / "w1").glob("*.parquet"):
+        _sh.copy(f, src / "wave1.parquet")
+    _time.sleep(1.1)  # file-stream batches follow modification-time order
+    # wave2 overlaps keys 51..150 and carries an in-batch duplicate for 60
+    wave2 = spark.createDataFrame(
+        [(k, "new", 200) for k in range(51, 151)] + [(60, "newest", 300)],
+        "k long, v string, ts long",
+    )
+    wave2.coalesce(1).write.parquet(str(tmp_path / "w2"))
+    for f in (tmp_path / "w2").glob("*.parquet"):
+        _sh.copy(f, src / "wave2.parquet")
+
+    stream = (
+        spark.readStream.schema("k long, v string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "store")
+    upsert_sink(
+        stream, store, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"),
+        dedup_order=["ts"],
+    )
+
+    got = {r["k"]: (r["v"], r["ts"]) for r in spark.read.parquet(store).collect()}
+    assert len(got) == 150
+    assert got[1] == ("old", 100)          # untouched by wave2
+    assert got[51] == ("new", 200)         # overlapped: newer wave wins
+    assert got[60] == ("newest", 300)      # in-batch dup: latest ts wins
+    assert got[150] == ("new", 200)        # pure insert
