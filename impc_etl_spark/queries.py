@@ -1427,6 +1427,17 @@ def docs_pii_scrub(spark, sf_dir):
     return docs.select("doc_id", text_ops.scrub_pii(inject).alias("clean_text"))
 
 
+def emb_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (4x memory/shuffle compression
+    for ANN state) — row-local HOF algebra, portable rounding."""
+    from impc_etl_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "embedding").select(
+        "vec_id", "emb_scale", "emb_q"
+    )
+
+
 def emb_dup_groups(spark, sf_dir):
     """Embedding near-dup GROUPS: banded-LSH cosine pairs → connected
     components — the full scale composition on the vector side."""
@@ -1796,6 +1807,7 @@ QUERIES = {
     "docs_collapse_repeats": docs_collapse_repeats,
     "docs_global_ids": docs_global_ids,
     "docs_pii_scrub": docs_pii_scrub,
+    "emb_quantize": emb_quantize,
     "emb_dup_groups": emb_dup_groups,
     "purchase_attribution_windowed": purchase_attribution_windowed,
     "docs_simhash": docs_simhash,
@@ -3168,4 +3180,19 @@ ORACLE["docs_global_ids"] = """
 SELECT doc_id, source,
        CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS global_id
 FROM documents
+"""
+
+
+ORACLE["emb_quantize"] = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings)
+SELECT vec_id,
+       ma / 127.0 AS emb_scale,
+       CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS INT))
+       END AS emb_q
+FROM m
 """

@@ -1009,3 +1009,31 @@ def test_assign_global_ids_dense_ordered_deterministic(spark):
     # deterministic across re-evaluation
     again = assign_global_ids(df, ["k", "v"], num_partitions=8)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_quantize_embeddings_roundtrip_cosine_error(spark):
+    from impc_etl_spark.operators.similarity import (
+        cosine,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = quantize_embeddings(emb, "embedding")
+    # int8 range respected, zero-scale only for zero vectors
+    bad = q.where(
+        F.exists("emb_q", lambda x: (x > 127) | (x < -127))
+    ).count()
+    assert bad == 0
+    deq = dequantize_embeddings(q, out="emb_hat")
+    err = (
+        deq.select(
+            F.abs(
+                cosine(F.col("embedding"), F.col("emb_hat")) - F.lit(1.0)
+            ).alias("e")
+        )
+        .agg(F.max("e"))
+        .collect()[0][0]
+    )
+    # self-cosine of the dequantized vector vs original: < 1% distortion
+    assert err < 0.01, err
