@@ -1356,6 +1356,40 @@ def docs_quality(spark, sf_dir):
     )
 
 
+def corpus_stats(spark, sf_dir):
+    """Corpus composition mart: per-(lang, source) doc/token counts, mean
+    quality and high-quality share — the curation dashboard aggregate
+    (one scan, map-side partials into a tiny group space)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_ops.add_quality_signals(docs, "text")
+    return scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("q_n_tokens").alias("total_tokens"),
+        _rnd(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.sum((F.col("quality_score") >= F.lit(0.3)).cast("long")).alias(
+            "n_quality_pass"
+        ),
+    )
+
+
+def docs_quality_select(spark, sf_dir):
+    """Percentile-threshold curation: keep the top 20% by quality WITHIN
+    each source (percent_rank over source partitions — per-stratum
+    thresholds without a global sort, deterministic tie-break on id)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_ops.add_quality_signals(docs, "text")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("__pr", F.percent_rank().over(w))
+        .where(F.col("__pr") <= F.lit(0.2))
+        .select("doc_id", "source", "quality_score")
+    )
+
+
 def docs_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", text_ops.fingerprint("text").alias("fp"))
@@ -1802,6 +1836,8 @@ QUERIES = {
     # driver-PASS in CORRECTNESS_r01.json and remain locally oracle-checked).
     # ======================================================================
     "docs_entropy": docs_entropy,
+    "corpus_stats": corpus_stats,
+    "docs_quality_select": docs_quality_select,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_winnowing": docs_winnowing,
     "docs_collapse_repeats": docs_collapse_repeats,
@@ -3195,4 +3231,62 @@ SELECT vec_id,
                    x -> CAST(floor(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS INT))
        END AS emb_q
 FROM m
+"""
+
+
+ORACLE["corpus_stats"] = """
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+         length(text) AS n_chars
+  FROM documents),
+sig AS (
+  SELECT doc_id, lang, source, len(toks) AS q_n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
+         length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(list_distinct(toks), x -> list_contains(['the','and','of','to','is','in','that','with','for','was'], x))) * 1.0
+             / greatest(len(toks), 1) AS stop_ratio
+  FROM t),
+scored AS (
+  SELECT doc_id, lang, source, q_n_tokens,
+         floor((0.25 * least(q_n_tokens / 50.0, 1.0)
+             + 0.25 * alpha_ratio
+             + 0.25 * least(stop_ratio * 5.0, 1.0)
+             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score
+  FROM sig)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q_n_tokens) AS BIGINT) AS total_tokens,
+       floor(avg(quality_score) * 1000000 + 0.5) / 1000000 AS avg_quality,
+       CAST(sum(CASE WHEN quality_score >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+FROM scored
+GROUP BY 1, 2
+"""
+
+ORACLE["docs_quality_select"] = """
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+         length(text) AS n_chars
+  FROM documents),
+sig AS (
+  SELECT doc_id, lang, source, len(toks) AS q_n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
+         length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(list_distinct(toks), x -> list_contains(['the','and','of','to','is','in','that','with','for','was'], x))) * 1.0
+             / greatest(len(toks), 1) AS stop_ratio
+  FROM t),
+scored AS (
+  SELECT doc_id, lang, source, q_n_tokens,
+         floor((0.25 * least(q_n_tokens / 50.0, 1.0)
+             + 0.25 * alpha_ratio
+             + 0.25 * least(stop_ratio * 5.0, 1.0)
+             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score
+  FROM sig)
+SELECT doc_id, source, quality_score FROM (
+  SELECT doc_id, source, quality_score,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY quality_score DESC, doc_id) AS pr
+  FROM scored)
+WHERE pr <= 0.2
 """
