@@ -1,10 +1,12 @@
 """End-to-end training-corpus pipeline — the north-star flow as a DAG.
 
   documents ─ profile (QA stats)
-            ─ clean_corpus (PII scrub → quality+repetition filter →
-                            exact+near dedup)
+            ─ clean_corpus (repeat-collapse repair → PII scrub →
+                            quality+repetition filter → exact+near dedup →
+                            duplicate-span trim gate)
             ─ decontaminated (benchmark 8-gram overlap filter)
             ─ selected (per-language token-budget selection, quality-first)
+            ─ indexed (dense global sample ids — shard-stable ordering)
             ─ packed (512-token sequence packs, sharded by language)
             ─ features (multimodal payload features via mapInPandas)
 
@@ -23,7 +25,12 @@ from pyspark.sql import functions as F
 
 def build(spark, sf_dir: str, out_dir: str):
     from impc_etl_spark.operators import text as T
-    from impc_etl_spark.operators.dedup import decontaminate, lsh_candidate_pairs
+    from impc_etl_spark.operators.dedup import (
+        decontaminate,
+        dup_spans,
+        lsh_candidate_pairs,
+    )
+    from impc_etl_spark.operators.partitioning import assign_global_ids
     from impc_etl_spark.operators.joins import anti_join
     from impc_etl_spark.operators.profile import profile
     from impc_etl_spark.multimodal.media import attach_binary, media_features
@@ -42,6 +49,10 @@ def build(spark, sf_dir: str, out_dir: str):
 
     @p.task("clean_corpus", inputs=["documents"])
     def clean_corpus(s, docs):
+        # repair consecutive-repeat runs BEFORE scoring so repetition
+        # filters judge the cleaned text
+        docs = T.collapse_repeats(docs, "text", out="text2").drop("text")
+        docs = docs.withColumnRenamed("text2", "text")
         docs = docs.withColumn("text", T.scrub_pii("text"))
         docs = docs.withColumn("toks", T.tokens("text"))
         scored = T.add_quality_signals(docs, "text", tokens_col="toks")
@@ -59,7 +70,12 @@ def build(spark, sf_dir: str, out_dir: str):
             lsh_candidate_pairs(kept, "text", "doc_id", tokens_col="toks")
             .select(F.col("doc_b").alias("doc_id")).distinct()
         )
-        return anti_join(kept, losers, ["doc_id"]).select(
+        deduped = anti_join(kept, losers, ["doc_id"])
+        # duplicate-SPAN gate: drop docs that are mostly corpus-shared
+        # 8-grams (boilerplate survivors near-dup passes can't see)
+        spans = dup_spans(deduped, "text", "doc_id", k=8, min_docs=2)
+        spanny = spans.where(F.col("dup_frac") > 0.8).select("doc_id")
+        return anti_join(deduped, spanny, ["doc_id"]).select(
             "doc_id", "text", "lang", F.size("toks").alias("n_tokens"),
             "quality_score",
         )
@@ -79,6 +95,10 @@ def build(spark, sf_dir: str, out_dir: str):
             partition_keys=["lang"],
         )
         return out.where("selected").drop("selected")
+
+    @p.task("indexed", inputs=["selected"])
+    def indexed(s, corpus):
+        return assign_global_ids(corpus, ["lang", "doc_id"], out="sample_id")
 
     @p.task("packed", inputs=["selected"])
     def packed(s, corpus):
@@ -101,7 +121,7 @@ def main() -> int:
     spark = get_spark("training-corpus-demo")
     spark.sparkContext.setLogLevel("ERROR")
     p = build(spark, sf_dir, out_dir)
-    statuses = p.run("profile", "packed", "features")
+    statuses = p.run("profile", "indexed", "packed", "features")
     for task, st in statuses.items():
         print(f"{task:15s} {st:6s} rows={p.read(task).count()}")
     packs = p.read("packed").groupBy("pack_id").agg(F.sum("n_tokens").alias("t"))
