@@ -330,3 +330,76 @@ def test_chunk_text_invariants(spark, texts, size, overlap):
             assert r.n_chunk_tokens == len(expect)
         # tiling: last chunk reaches the end of the token stream
         assert (len(got) - 1) * stride + got[-1].n_chunk_tokens == len(t)
+
+
+# --- collapse_repeats: random token sequences vs Python reference -----------
+
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_collapse_repeats_matches_python(spark, seqs):
+    from impc_etl_spark.operators.text import collapse_repeats
+
+    def py_collapse(toks):
+        out = [t for i, t in enumerate(toks) if i == 0 or t != toks[i - 1]]
+        return " ".join(out)
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(seqs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["clean_text"] for r in collapse_repeats(df).collect()}
+    for i, toks in enumerate(seqs):
+        assert got[i] == py_collapse(toks), (toks, got[i])
+        # idempotence: collapsing clean text changes nothing
+    df2 = spark.createDataFrame(
+        [(i, v) for i, v in got.items()], ["doc_id", "text"]
+    )
+    again = {r["doc_id"]: r["clean_text"] for r in collapse_repeats(df2).collect()}
+    assert again == got
+
+
+# --- dup_spans: invariants + Python reference -------------------------------
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=10),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dup_spans_matches_python(spark, docs, k):
+    from collections import Counter, defaultdict
+
+    from impc_etl_spark.operators.dedup import dup_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"])
+        for r in dup_spans(df, k=k, min_docs=2).collect()
+    }
+
+    spans_by_doc = {
+        i: [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        for i, toks in enumerate(docs)
+    }
+    docs_per_span = defaultdict(set)
+    for i, spans in spans_by_doc.items():
+        for s in spans:
+            docs_per_span[s].add(i)
+    want = {}
+    for i, spans in spans_by_doc.items():
+        if not spans:
+            continue
+        c = Counter(spans)
+        dup = sum(n for s, n in c.items() if len(docs_per_span[s]) >= 2)
+        want[i] = (len(spans), dup)
+    assert got == want
