@@ -1561,6 +1561,18 @@ def docs_chunks(spark, sf_dir):
     return out.select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
 
 
+def docs_bigram_logprob(spark, sf_dir):
+    """Bigram conditional-LM quality proxy: mean log10 p(t_i | t_(i-1))
+    under an additive-smoothed corpus bigram model — catches scrambled
+    token order the unigram proxy can't see. One bigram-count shuffle;
+    context counts re-aggregate from it; model rides broadcast joins."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    out = text_ops.bigram_logprob(docs, "text", "doc_id", smoothing=0.5)
+    return out.select(
+        "doc_id", _rnd(F.col("avg_bigram_logprob"), 4).alias("avg_bigram_logprob")
+    )
+
+
 def docs_unigram_logprob(spark, sf_dir):
     """LM-perplexity quality proxy: mean log10 token probability per doc
     under an additive-smoothed corpus unigram model (CCNet-style filter).
@@ -1837,6 +1849,7 @@ QUERIES = {
     # ======================================================================
     "docs_entropy": docs_entropy,
     "corpus_stats": corpus_stats,
+    "docs_bigram_logprob": docs_bigram_logprob,
     "docs_quality_select": docs_quality_select,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_winnowing": docs_winnowing,
@@ -3289,4 +3302,24 @@ SELECT doc_id, source, quality_score FROM (
                               ORDER BY quality_score DESC, doc_id) AS pr
   FROM scored)
 WHERE pr <= 0.2
+"""
+
+
+ORACLE["docs_bigram_logprob"] = f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS big
+  FROM tok WHERE len(toks) >= 2),
+bc AS (SELECT big, count(*) AS c2 FROM bg GROUP BY 1),
+cc AS (SELECT split_part(big, ' ', 1) AS ctx, sum(c2) AS c1 FROM bc GROUP BY 1),
+vt AS (SELECT count(DISTINCT tok) AS v
+       FROM (SELECT unnest(toks) AS tok FROM tok))
+SELECT doc_id,
+       floor(avg(log10((c2 + 0.5) / (c1 + 0.5 * v))) * 10000 + 0.5) / 10000
+           AS avg_bigram_logprob
+FROM bg JOIN bc USING (big)
+JOIN cc ON split_part(bg.big, ' ', 1) = cc.ctx
+CROSS JOIN vt
+GROUP BY doc_id
 """

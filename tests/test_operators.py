@@ -1037,3 +1037,17 @@ def test_quantize_embeddings_roundtrip_cosine_error(spark):
     )
     # self-cosine of the dequantized vector vs original: < 1% distortion
     assert err < 0.01, err
+
+
+def test_bigram_logprob_prefers_frequent_transitions(spark):
+    from impc_etl_spark.operators.text import bigram_logprob
+
+    rows = [(i, "x y") for i in range(5)] + [(99, "y x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["avg_bigram_logprob"] for r in bigram_logprob(df).collect()}
+    # model self-fit: c(x,y)=5 with ctx c(x)=5; c(y,x)=1 with ctx c(y)=1; V=2
+    import math
+
+    assert got[0] == pytest.approx(math.log10((5 + 0.5) / (5 + 0.5 * 2)))
+    assert got[99] == pytest.approx(math.log10((1 + 0.5) / (1 + 0.5 * 2)))
+    assert got[0] > got[99]
