@@ -1356,6 +1356,26 @@ def docs_quality(spark, sf_dir):
     )
 
 
+def orders_quality_checks(spark, sf_dir):
+    """Declarative data-quality gate (Deequ/dbt-test shape, operators/
+    checks.py): N expectations evaluate in ONE scan + one tiny reduce —
+    nullness, key uniqueness, accepted status domain, price range, and a
+    broadcast FK probe against customer."""
+    from impc_etl_spark.operators import checks as C
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    marked, fk = C.bind_referential(orders, "o_custkey", customer, "c_custkey")
+    suite = [
+        *C.not_null("o_orderkey", "o_custkey", "o_orderdate"),
+        C.unique_key("o_orderkey"),
+        C.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        C.in_range("o_totalprice", 0.0, None),
+        fk,
+    ]
+    return C.run_checks(marked, suite)
+
+
 def corpus_stats(spark, sf_dir):
     """Corpus composition mart: per-(lang, source) doc/token counts, mean
     quality and high-quality share — the curation dashboard aggregate
@@ -1850,6 +1870,7 @@ QUERIES = {
     "docs_entropy": docs_entropy,
     "corpus_stats": corpus_stats,
     "docs_bigram_logprob": docs_bigram_logprob,
+    "orders_quality_checks": orders_quality_checks,
     "docs_quality_select": docs_quality_select,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_winnowing": docs_winnowing,
@@ -3322,4 +3343,38 @@ FROM bg JOIN bc USING (big)
 JOIN cc ON split_part(bg.big, ' ', 1) = cc.ctx
 CROSS JOIN vt
 GROUP BY doc_id
+"""
+
+
+ORACLE["orders_quality_checks"] = """
+WITH base AS (
+  SELECT o.*,
+         (c.c_custkey IS NOT NULL) AS fk_ok,
+         count(*) OVER (PARTITION BY o_orderkey) AS key_n
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey),
+v AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn_key,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn_cust,
+         sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_nn_date,
+         sum(CASE WHEN key_n = 1 THEN 0 ELSE 1 END) AS v_uniq,
+         sum(CASE WHEN o_orderstatus IN ('O','F','P') OR o_orderstatus IS NULL
+                  THEN 0 ELSE 1 END) AS v_status,
+         sum(CASE WHEN o_totalprice >= 0.0 OR o_totalprice IS NULL
+                  THEN 0 ELSE 1 END) AS v_price,
+         sum(CASE WHEN fk_ok THEN 0 ELSE 1 END) AS v_fk
+  FROM base)
+SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS pass
+FROM (
+  SELECT 'not_null_o_orderkey' AS check_name, n_rows, v_nn_key AS n_violations FROM v
+  UNION ALL SELECT 'not_null_o_custkey', n_rows, v_nn_cust FROM v
+  UNION ALL SELECT 'not_null_o_orderdate', n_rows, v_nn_date FROM v
+  UNION ALL SELECT 'unique_o_orderkey', n_rows, v_uniq FROM v
+  UNION ALL SELECT 'accepted_o_orderstatus', n_rows, v_status FROM v
+  UNION ALL SELECT 'range_o_totalprice', n_rows, v_price FROM v
+  UNION ALL SELECT 'referential_o_custkey', n_rows, v_fk FROM v)
 """

@@ -1051,3 +1051,45 @@ def test_bigram_logprob_prefers_frequent_transitions(spark):
     assert got[0] == pytest.approx(math.log10((5 + 0.5) / (5 + 0.5 * 2)))
     assert got[99] == pytest.approx(math.log10((1 + 0.5) / (1 + 0.5 * 2)))
     assert got[0] > got[99]
+
+
+def test_checks_suite_counts_violations_in_one_pass(spark):
+    from impc_etl_spark.operators import checks as C
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (1, "A", 5.0),      # duplicate key
+            (2, None, -3.0),    # null col + negative price
+            (3, "Z", 7.0),      # bad status
+        ],
+        "k long, status string, price double",
+    )
+    suite = [
+        *C.not_null("status"),
+        C.unique_key("k"),
+        C.accepted_values("status", ["A", "B"]),
+        C.in_range("price", 0.0, None),
+    ]
+    got = {r["check_name"]: r for r in C.run_checks(df, suite).collect()}
+    assert got["not_null_status"]["n_violations"] == 1
+    assert got["unique_k"]["n_violations"] == 2      # both dup rows flagged
+    assert got["accepted_status"]["n_violations"] == 1  # Z (null is allowed)
+    assert got["range_price"]["n_violations"] == 1
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert not got["unique_k"]["pass"]
+
+    bad = C.violations(df, suite).collect()
+    by_key = {(r["k"], r["price"]): set(r["failed_checks"]) for r in bad}
+    assert by_key[(2, -3.0)] == {"not_null_status", "range_price"}
+    assert {"unique_k"} <= by_key[(1, 10.0)]
+
+
+def test_bind_referential_flags_orphans(spark):
+    from impc_etl_spark.operators import checks as C
+
+    fact = spark.createDataFrame([(1, 10), (2, 99)], "id long, fk long")
+    dim = spark.createDataFrame([(10,)], "key long")
+    marked, fk = C.bind_referential(fact, "fk", dim, "key")
+    got = {r["check_name"]: r["n_violations"] for r in C.run_checks(marked, [fk]).collect()}
+    assert got["referential_fk"] == 1
