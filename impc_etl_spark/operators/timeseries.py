@@ -80,3 +80,65 @@ def sessionize(
         .withColumn("session_end", F.unix_timestamp(F.col("__w.end")))
         .drop("__w")
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    tie_cols: Sequence[str] = (),
+    out_time: str = "bucket_start",
+    out_value: str = "value_ffill",
+) -> DataFrame:
+    """Regularize a per-key series onto a fixed time grid with forward
+    fill: one row per (key, grid bucket) between that key's first and
+    last observation; empty buckets carry the last observed value —
+    gap-filling for downstream window math that assumes dense series.
+
+    In-bucket collisions resolve deterministically to the LATEST
+    observation (``max_by`` on (time, *tie_cols)). Scale shape: one
+    (key, bucket) pre-aggregation shuffle, a tiny per-key bounds agg, a
+    grid explode bounded by span/step per key, an equi join back on
+    (key, bucket), and the forward-fill window partitioned BY KEY — no
+    global window anywhere. Keys with century-long spans at second steps
+    would explode the grid: bound ``step`` to the span you query.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(k) for k in key_cols]
+    bucket = F.date_trunc(
+        {"1 hour": "hour", "1 day": "day", "1 minute": "minute"}.get(step, "hour"),
+        F.col(time_col),
+    )
+    pts = (
+        df.withColumn("__b", bucket)
+        .groupBy(*keys, F.col("__b"))
+        .agg(
+            F.max_by(
+                F.col(value_col),
+                F.struct(F.col(time_col), *[F.col(c) for c in tie_cols]),
+            ).alias("__v")
+        )
+    )
+    bounds = pts.groupBy(*keys).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+        ).alias("__b"),
+    )
+    joined = grid.join(pts, [*key_cols, "__b"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *key_cols,
+        F.col("__b").alias(out_time),
+        F.last("__v", ignorenulls=True).over(w).alias(out_value),
+    )

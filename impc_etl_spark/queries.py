@@ -1356,6 +1356,18 @@ def docs_quality(spark, sf_dir):
     )
 
 
+def events_hourly_ffill(spark, sf_dir):
+    """Gap-filled per-user hourly series: dense grid between each user's
+    first and last event with forward-filled values (resample_ffill —
+    per-key windows only, grid bounded by span/step)."""
+    from impc_etl_spark.operators.timeseries import resample_ffill
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") % 20 == 0)
+    return resample_ffill(
+        ev, ["user_id"], "ts", "value", step="1 hour", tie_cols=["event_id"]
+    )
+
+
 def orders_quality_checks(spark, sf_dir):
     """Declarative data-quality gate (Deequ/dbt-test shape, operators/
     checks.py): N expectations evaluate in ONE scan + one tiny reduce —
@@ -1871,6 +1883,7 @@ QUERIES = {
     "corpus_stats": corpus_stats,
     "docs_bigram_logprob": docs_bigram_logprob,
     "orders_quality_checks": orders_quality_checks,
+    "events_hourly_ffill": events_hourly_ffill,
     "docs_quality_select": docs_quality_select,
     "docs_bpe_token_count": docs_bpe_token_count,
     "docs_winnowing": docs_winnowing,
@@ -3377,4 +3390,29 @@ FROM (
   UNION ALL SELECT 'accepted_o_orderstatus', n_rows, v_status FROM v
   UNION ALL SELECT 'range_o_totalprice', n_rows, v_price FROM v
   UNION ALL SELECT 'referential_o_custkey', n_rows, v_fk FROM v)
+"""
+
+
+ORACLE["events_hourly_ffill"] = """
+WITH ev AS (
+  SELECT user_id, event_id, value, ts::TIMESTAMP AS ts
+  FROM events WHERE user_id % 20 = 0),
+pts AS (
+  SELECT user_id, bucket, v FROM (
+    SELECT user_id, date_trunc('hour', ts) AS bucket, value AS v,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1),
+b AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM pts GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM b),
+j AS (
+  SELECT g.user_id, g.bucket, p.v
+  FROM grid g LEFT JOIN pts p ON g.user_id = p.user_id AND g.bucket = p.bucket)
+SELECT user_id, bucket AS bucket_start,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM j
 """

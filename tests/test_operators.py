@@ -1093,3 +1093,26 @@ def test_bind_referential_flags_orphans(spark):
     marked, fk = C.bind_referential(fact, "fk", dim, "key")
     got = {r["check_name"]: r["n_violations"] for r in C.run_checks(marked, [fk]).collect()}
     assert got["referential_fk"] == 1
+
+
+def test_resample_ffill_fills_gaps_latest_wins(spark):
+    from datetime import datetime
+
+    from impc_etl_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 10), 10.0),
+        (1, 2, datetime(2024, 1, 1, 0, 40), 11.0),  # same hour: later wins
+        (1, 3, datetime(2024, 1, 1, 3, 5), 30.0),   # 2-hour gap before
+        (2, 4, datetime(2024, 1, 1, 5, 0), 50.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    out = resample_ffill(df, ["user_id"], "ts", "value", tie_cols=["event_id"])
+    got = {(r["user_id"], r["bucket_start"].hour): r["value_ffill"] for r in out.collect()}
+    assert got == {
+        (1, 0): 11.0,  # in-bucket collision → latest
+        (1, 1): 11.0,  # gap forward-filled
+        (1, 2): 11.0,
+        (1, 3): 30.0,
+        (2, 5): 50.0,  # single-point key → single bucket
+    }
