@@ -337,3 +337,13 @@ def test_read_binary_files_roundtrip(spark, tmp_path):
     # listing-time prune: the glob keeps the .txt from ever being read
     cols = set(df.columns)
     assert {"path", "modificationTime", "length", "content"} <= cols
+
+
+def test_single_text_sink(spark, tmp_path):
+    from impc_etl_spark.sources.sinks import write_single_text
+
+    df = spark.range(50).selectExpr("concat('line-', id) as s")
+    d = str(tmp_path / "t")
+    write_single_text(df, d, "s")
+    assert len(glob.glob(f"{d}/part-*")) == 1
+    assert spark.read.text(d).count() == 50
