@@ -189,3 +189,32 @@ def split_thresholds(weights: Mapping[str, float]) -> list[tuple[str, int]]:
         out.append((name, int(round(acc * NUM_BUCKETS))))
     out.append((names[-1], NUM_BUCKETS))
     return out
+
+
+def coherent_sample(
+    tables: Mapping[str, DataFrame],
+    key: Mapping[str, str | Column],
+    rate: float,
+    salt: str = "",
+    num_buckets: int = NUM_BUCKETS,
+) -> dict[str, DataFrame]:
+    """Join-consistent sampling across RELATED tables: every table keeps a
+    row iff the md5 bucket of its (shared) key lands under ``rate`` — so a
+    sampled parent's children are kept exactly, and joins over the samples
+    behave like joins over the full data at ``rate`` density. The standard
+    way to cut a coherent dev-scale replica out of a 100 TB warehouse
+    (sampling each table independently would decimate every join to
+    rate², and the referential structure with it).
+
+    Pure per-row key hashing — zero shuffles, zero cross-table
+    coordination, any engine reproduces the same subset. ``key`` maps
+    table name → its column holding the SHARED entity key (e.g. orders →
+    o_custkey, lineitem via its order's custkey would need that column
+    materialized; sample on the key the tables actually share).
+    """
+    cut = int(rate * num_buckets)
+    out = {}
+    for name, df in tables.items():
+        b = hash_bucket([key[name]], salt=salt, num_buckets=num_buckets)
+        out[name] = df.where(b < cut)
+    return out

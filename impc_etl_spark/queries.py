@@ -1368,6 +1368,32 @@ def events_hourly_ffill(spark, sf_dir):
     )
 
 
+def orders_coherent_sample(spark, sf_dir):
+    """Join-consistent 10% replica: orders AND lineitem keep rows by the
+    SAME md5 bucket of the shared order key, so the join over the samples
+    preserves referential structure (independent sampling would thin the
+    join to 1%). Zero-shuffle per-row hashing on both tables."""
+    from impc_etl_spark.operators.sampling import coherent_sample
+
+    s = coherent_sample(
+        {
+            "orders": _t(spark, sf_dir, "orders"),
+            "lineitem": _t(spark, sf_dir, "lineitem"),
+        },
+        key={"orders": "o_orderkey", "lineitem": "l_orderkey"},
+        rate=0.1,
+        salt="rep",
+    )
+    joined = s["lineitem"].join(
+        s["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_distinct("o_orderkey").alias("n_orders"),
+        _rnd(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
 def orders_quality_checks(spark, sf_dir):
     """Declarative data-quality gate (Deequ/dbt-test shape, operators/
     checks.py): N expectations evaluate in ONE scan + one tiny reduce —
@@ -1883,6 +1909,7 @@ QUERIES = {
     "corpus_stats": corpus_stats,
     "docs_bigram_logprob": docs_bigram_logprob,
     "orders_quality_checks": orders_quality_checks,
+    "orders_coherent_sample": orders_coherent_sample,
     "events_hourly_ffill": events_hourly_ffill,
     "docs_quality_select": docs_quality_select,
     "docs_bpe_token_count": docs_bpe_token_count,
@@ -3415,4 +3442,22 @@ SELECT user_id, bucket AS bucket_start,
          PARTITION BY user_id ORDER BY bucket
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
 FROM j
+"""
+
+
+ORACLE["orders_coherent_sample"] = """
+WITH so AS (
+  SELECT * FROM orders
+  WHERE CAST(concat('0x', substring(md5(concat_ws('|', 'rep', o_orderkey::VARCHAR)), 1, 15)) AS BIGINT)
+        % 10000 < 1000),
+sl AS (
+  SELECT * FROM lineitem
+  WHERE CAST(concat('0x', substring(md5(concat_ws('|', 'rep', l_orderkey::VARCHAR)), 1, 15)) AS BIGINT)
+        % 10000 < 1000)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
+FROM sl JOIN so ON l_orderkey = o_orderkey
+GROUP BY 1
 """

@@ -1125,3 +1125,25 @@ def test_dup_spans_skew_safe_matches_window_form(spark):
     a = sorted(map(tuple, dup_spans(docs, skew_safe=True).collect()))
     b = sorted(map(tuple, dup_spans(docs, skew_safe=False).collect()))
     assert a == b
+
+
+def test_coherent_sample_preserves_referential_structure(spark):
+    from impc_etl_spark.operators.sampling import coherent_sample
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    s = coherent_sample(
+        {"o": orders, "l": lineitem},
+        key={"o": "o_orderkey", "l": "l_orderkey"},
+        rate=0.2,
+        salt="t",
+    )
+    kept_orders = {r["o_orderkey"] for r in s["o"].select("o_orderkey").collect()}
+    kept_line_keys = {r["l_orderkey"] for r in s["l"].select("l_orderkey").distinct().collect()}
+    # every sampled lineitem's parent order is in the sample, and vice versa
+    assert kept_line_keys <= kept_orders
+    full_line_keys = {r["l_orderkey"] for r in lineitem.select("l_orderkey").distinct().collect()}
+    assert kept_orders & full_line_keys == kept_line_keys
+    # rate is roughly honored on the parent
+    n = orders.count()
+    assert 0.1 * n < len(kept_orders) < 0.3 * n
