@@ -218,3 +218,52 @@ def coherent_sample(
         b = hash_bucket([key[name]], salt=salt, num_buckets=num_buckets)
         out[name] = df.where(b < cut)
     return out
+
+
+def mixture_select(
+    df: DataFrame,
+    stratum_col: str,
+    weights: Mapping[str, float],
+    token_col: str | Column,
+    token_budget: float,
+    key_cols: Sequence[str],
+    default_weight: float = 0.0,
+    salt: str = "",
+    num_buckets: int = NUM_BUCKETS,
+) -> DataFrame:
+    """Target-mixture corpus selection (the data-mixing primitive behind
+    DoReMi/Pile-style recipes): compute, per stratum, the Bernoulli rate
+    that hits ``token_budget · weight_s`` expected tokens —
+    ``rate_s = min(1, budget·w_s / tokens_s)`` — and apply it with the
+    deterministic keyed coin, entirely inside the plan.
+
+    Strata with fewer tokens than their target keep everything (rate
+    capped at 1 — the shortfall is reported by ``corpus_stats``, not
+    silently rebalanced). Unlisted strata get ``default_weight``.
+
+    Scale shape: one tiny per-stratum aggregate, broadcast back; the
+    corpus itself never shuffles and the keep decision is a pure key
+    function (re-runs/engines/partitionings agree; raising the budget
+    only ADDS rows — nested samples).
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    avail = df.groupBy(stratum_col).agg(F.sum(tok).alias("__toks"))
+    pairs: list[Column] = []
+    for name, w in weights.items():
+        pairs += [F.lit(name), F.lit(float(w))]
+    wmap = F.create_map(*pairs) if pairs else F.create_map()
+    rates = avail.select(
+        F.col(stratum_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget))
+            * F.coalesce(wmap[F.col(stratum_col)], F.lit(float(default_weight)))
+            / F.col("__toks"),
+        ).alias("__rate"),
+    )
+    bucket = hash_bucket(key_cols, salt=salt, num_buckets=num_buckets)
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .where(bucket < F.floor(F.col("__rate") * num_buckets).cast("bigint"))
+        .drop("__rate")
+    )

@@ -1368,6 +1368,28 @@ def events_hourly_ffill(spark, sf_dir):
     )
 
 
+def corpus_mixture_select(spark, sf_dir):
+    """Target-mixture selection: per-source Bernoulli rates computed IN
+    THE PLAN to hit a 20k-token budget at 30/30/20% for three named
+    sources (1% default elsewhere); deterministic keyed coin, corpus
+    never shuffles."""
+    from impc_etl_spark.operators.sampling import mixture_select
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text_ops.token_count("text")
+    )
+    return mixture_select(
+        docs,
+        "source",
+        {"src0": 0.3, "src1": 0.3, "src2": 0.2},
+        "n_tokens",
+        20000.0,
+        key_cols=["doc_id"],
+        default_weight=0.01,
+        salt="mix",
+    ).select("doc_id", "source", "n_tokens")
+
+
 def orders_coherent_sample(spark, sf_dir):
     """Join-consistent 10% replica: orders AND lineitem keep rows by the
     SAME md5 bucket of the shared order key, so the join over the samples
@@ -1910,6 +1932,7 @@ QUERIES = {
     "docs_bigram_logprob": docs_bigram_logprob,
     "orders_quality_checks": orders_quality_checks,
     "orders_coherent_sample": orders_coherent_sample,
+    "corpus_mixture_select": corpus_mixture_select,
     "events_hourly_ffill": events_hourly_ffill,
     "docs_quality_select": docs_quality_select,
     "docs_bpe_token_count": docs_bpe_token_count,
@@ -3460,4 +3483,21 @@ SELECT o_orderstatus,
        floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
 FROM sl JOIN so ON l_orderkey = o_orderkey
 GROUP BY 1
+"""
+
+
+ORACLE["corpus_mixture_select"] = f"""
+WITH d AS (SELECT doc_id, source, len({_DOC_TOKS}) AS n_tokens FROM documents),
+avail AS (SELECT source, sum(n_tokens) AS toks FROM d GROUP BY 1),
+r AS (
+  SELECT source,
+         least(1.0, 20000.0 * (CASE source WHEN 'src0' THEN 0.3
+                                           WHEN 'src1' THEN 0.3
+                                           WHEN 'src2' THEN 0.2
+                                           ELSE 0.01 END) / toks) AS rate
+  FROM avail)
+SELECT doc_id, source, n_tokens
+FROM d JOIN r USING (source)
+WHERE CAST(concat('0x', substring(md5(concat_ws('|', 'mix', doc_id::VARCHAR)), 1, 15)) AS BIGINT)
+      % 10000 < CAST(floor(rate * 10000) AS BIGINT)
 """

@@ -1147,3 +1147,33 @@ def test_coherent_sample_preserves_referential_structure(spark):
     # rate is roughly honored on the parent
     n = orders.count()
     assert 0.1 * n < len(kept_orders) < 0.3 * n
+
+
+def test_mixture_select_hits_targets_and_nests(spark):
+    from impc_etl_spark.operators.sampling import mixture_select
+    from impc_etl_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").withColumn(
+        "n_tokens", token_count("text")
+    )
+    sel = mixture_select(
+        docs, "source", {"src0": 0.5, "src1": 0.5}, "n_tokens", 1000.0,
+        key_cols=["doc_id"], default_weight=0.0, salt="t",
+    )
+    got = {
+        r["source"]: r["t"]
+        for r in sel.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    # zero-weight strata are excluded entirely
+    assert set(got) <= {"src0", "src1"}
+    # expected tokens per stratum ~ budget * weight = 500 (Bernoulli noise)
+    for s, t in got.items():
+        assert 100 < t < 1000, (s, t)
+    # doubling the budget only ADDS rows (nested samples)
+    big = mixture_select(
+        docs, "source", {"src0": 0.5, "src1": 0.5}, "n_tokens", 2000.0,
+        key_cols=["doc_id"], default_weight=0.0, salt="t",
+    )
+    small_ids = {r["doc_id"] for r in sel.select("doc_id").collect()}
+    big_ids = {r["doc_id"] for r in big.select("doc_id").collect()}
+    assert small_ids <= big_ids
