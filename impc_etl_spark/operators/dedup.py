@@ -86,6 +86,36 @@ def exact_dedup(
     )
 
 
+def dedup_against_store(
+    df: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    store_text_col: str | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """INCREMENTAL exact dedup: drop rows of ``df`` (today's batch) whose
+    fingerprint already exists in ``store`` (the historical corpus /
+    previous releases) — the daily-ingest companion of ``exact_dedup``,
+    which only dedups within one frame.
+
+    One anti join on 16-byte fingerprints: the store side reduces to its
+    distinct fingerprint set first (store text never ships), the batch
+    side hashes row-locally. The batch is typically ≪ store, so at scale
+    persist the store's fingerprint set once and reuse it across daily
+    runs instead of recomputing from raw text.
+    """
+    key = fingerprint(text_col) if normalize else F.md5(F.col(text_col))
+    s_col = store_text_col or text_col
+    s_key = fingerprint(s_col) if normalize else F.md5(F.col(s_col))
+    seen = store.select(s_key.alias("__fp")).distinct()
+    return (
+        fan_out(df)
+        .withColumn("__fp", key)
+        .join(seen, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

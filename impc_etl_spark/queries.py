@@ -1368,6 +1368,19 @@ def events_hourly_ffill(spark, sf_dir):
     )
 
 
+def docs_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup: treat doc_id < 250 as the historical
+    store and the rest as today's batch; batch rows whose normalized
+    fingerprint already exists in the store are dropped (anti join on
+    16-byte keys — store text never ships)."""
+    docs = _t(spark, sf_dir, "documents")
+    store = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    return dedup_ops.dedup_against_store(batch, store).select(
+        "doc_id", "source"
+    )
+
+
 def corpus_mixture_select(spark, sf_dir):
     """Target-mixture selection: per-source Bernoulli rates computed IN
     THE PLAN to hit a 20k-token budget at 30/30/20% for three named
@@ -1933,6 +1946,7 @@ QUERIES = {
     "orders_quality_checks": orders_quality_checks,
     "orders_coherent_sample": orders_coherent_sample,
     "corpus_mixture_select": corpus_mixture_select,
+    "docs_incremental_dedup": docs_incremental_dedup,
     "events_hourly_ffill": events_hourly_ffill,
     "docs_quality_select": docs_quality_select,
     "docs_bpe_token_count": docs_bpe_token_count,
@@ -3500,4 +3514,13 @@ SELECT doc_id, source, n_tokens
 FROM d JOIN r USING (source)
 WHERE CAST(concat('0x', substring(md5(concat_ws('|', 'mix', doc_id::VARCHAR)), 1, 15)) AS BIGINT)
       % 10000 < CAST(floor(rate * 10000) AS BIGINT)
+"""
+
+
+_NORM_FP = "md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' '))"
+ORACLE["docs_incremental_dedup"] = f"""
+SELECT doc_id, source FROM documents
+WHERE doc_id >= 250
+  AND {_NORM_FP} NOT IN (
+    SELECT {_NORM_FP} FROM documents WHERE doc_id < 250)
 """

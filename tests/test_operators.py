@@ -1177,3 +1177,24 @@ def test_mixture_select_hits_targets_and_nests(spark):
     small_ids = {r["doc_id"] for r in sel.select("doc_id").collect()}
     big_ids = {r["doc_id"] for r in big.select("doc_id").collect()}
     assert small_ids <= big_ids
+
+
+def test_dedup_against_store_drops_known_fingerprints(spark):
+    from impc_etl_spark.operators.dedup import dedup_against_store
+
+    store = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "The  quick   BROWN fox!"),   # normalizes to a stored doc
+            (11, "hello world"),               # byte-identical to stored
+            (12, "genuinely new content"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"] for r in dedup_against_store(batch, store).collect()}
+    assert kept == {12}
+    # normalize=False keeps the formatting variant (only exact bytes match)
+    raw = {r["doc_id"] for r in dedup_against_store(batch, store, normalize=False).collect()}
+    assert raw == {10, 12}
