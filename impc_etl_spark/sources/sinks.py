@@ -249,3 +249,51 @@ def read_jdbc_partitioned(spark, url: str, query: str, partition_column: str,
         numPartitions=num_partitions,
         properties=properties or {},
     )
+
+
+def write_shards_with_manifest(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    key_cols: list[str],
+    token_col: str | None = None,
+    salt: str = "",
+) -> dict:
+    """Hash-sharded corpus export + manifest — the training-export shape
+    (WebDataset/loader-planning): rows land in ``shard=K`` partition
+    directories by the deterministic md5 key hash (same rows → same shard
+    across runs, engines, partitionings — resumable exports), and
+    ``_manifest.json`` (underscore prefix: ignored as hidden metadata by
+    directory scans, like ``_SUCCESS``) records per-shard row/token counts so a training
+    loader can plan epochs without listing data files.
+
+    One repartition on the shard id co-locates writers (one file per
+    shard, no small-file spray). The manifest aggregate is
+    num_shards-sized — the only thing the driver ever sees.
+    """
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.operators.sampling import hash_bucket
+
+    shard = (hash_bucket(key_cols, salt=salt) % num_shards).alias("shard")
+    tagged = df.withColumn("shard", shard).repartition(num_shards, "shard")
+    tagged.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_col:
+        aggs.append(F.sum(token_col).alias("n_tokens"))
+    stats = tagged.groupBy("shard").agg(*aggs).orderBy("shard").collect()
+    manifest = {
+        "num_shards": num_shards,
+        "key_cols": key_cols,
+        "shards": [r.asDict() for r in stats],
+        "total_rows": int(sum(r["n_rows"] for r in stats)),
+    }
+    if token_col:
+        manifest["total_tokens"] = int(sum(r["n_tokens"] for r in stats))
+    with open(_os.path.join(path, "_manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=1, default=int)
+    return manifest

@@ -347,3 +347,27 @@ def test_single_text_sink(spark, tmp_path):
     write_single_text(df, d, "s")
     assert len(glob.glob(f"{d}/part-*")) == 1
     assert spark.read.text(d).count() == 50
+
+
+def test_sharded_manifest_export_roundtrip(spark, tmp_path):
+    from impc_etl_spark.operators.text import token_count
+    from impc_etl_spark.sources.sinks import write_shards_with_manifest
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").withColumn(
+        "n_tokens", token_count("text")
+    )
+    d = str(tmp_path / "shards")
+    m = write_shards_with_manifest(docs, d, 8, ["doc_id"], token_col="n_tokens")
+    assert m["total_rows"] == docs.count()
+    assert len(m["shards"]) <= 8
+    back = spark.read.parquet(d)
+    assert back.count() == m["total_rows"]
+    # shard dirs exist and partition pruning applies on the shard column
+    one = back.where("shard = 3")
+    assert one.count() == next(
+        s["n_rows"] for s in m["shards"] if s["shard"] == 3
+    )
+    # assignment is deterministic across runs
+    m2 = write_shards_with_manifest(docs, str(tmp_path / "s2"), 8, ["doc_id"], token_col="n_tokens")
+    assert m == {**m2}
