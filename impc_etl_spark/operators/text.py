@@ -336,6 +336,68 @@ def bigram_logprob(
     return scored.groupBy(id_col).agg(F.avg("__lp").alias(out))
 
 
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    ``pmi(x,y) = ln( (c(x,y)/B) / ((c(x)/N)·(c(y)/N)) )`` over corpus
+    bigram/unigram counts — the classic phrase/collocation miner
+    (word2vec-style phrase joining, domain-vocabulary discovery).
+    ``min_count`` suppresses the low-frequency PMI explosion; score is
+    rounded to 6 dp BEFORE ranking with the bigram string as tie-break,
+    so the cut is engine-portable.
+
+    Scale shape: one bigram groupBy + one unigram groupBy (both map-side
+    combined), two joins of the vocab-sized count tables (hash joins;
+    broadcast when they fit), N/B on a 1-row broadcast, TakeOrdered for
+    the top-k. The corpus ships nothing but its token stream.
+    """
+    toks = tokens(text_col)
+    uni = (
+        fan_out(df).select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c1"))
+    )
+    big = (
+        fan_out(df).select(F.explode(word_shingles(toks, 2)).alias("big"))
+        .groupBy("big")
+        .agg(F.count(F.lit(1)).alias("__c2"))
+        .where(F.col("__c2") >= min_count)
+    )
+    # N and B from ONE scan with no explode: B = Σ max(len-1, 0) is
+    # exactly the bigram-occurrence count word_shingles emits
+    totals = df.agg(
+        F.sum(F.size(toks)).alias("__n"),
+        F.sum(F.greatest(F.size(toks) - F.lit(1), F.lit(0))).alias("__b"),
+    )
+    x = F.split(F.col("big"), " ").getItem(0)
+    y = F.split(F.col("big"), " ").getItem(1)
+    scored = (
+        big.withColumn("__x", x)
+        .withColumn("__y", y)
+        .join(uni.select(F.col("tok").alias("__x"), F.col("__c1").alias("__cx")), "__x")
+        .join(uni.select(F.col("tok").alias("__y"), F.col("__c1").alias("__cy")), "__y")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("__c2") / F.col("__b"))
+        / ((F.col("__cx") / F.col("__n")) * (F.col("__cy") / F.col("__n")))
+    )
+    rounded = F.floor(pmi * 1000000 + F.lit(0.5)) / 1000000
+    return (
+        scored.select(
+            F.col("big").alias("bigram"),
+            F.col("__c2").alias("count"),
+            rounded.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram"))
+        .limit(top_k)
+    )
+
+
 def chunk_text(
     df: DataFrame,
     text_col: str = "text",

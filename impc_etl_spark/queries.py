@@ -1368,6 +1368,14 @@ def events_hourly_ffill(spark, sf_dir):
     )
 
 
+def docs_collocations(spark, sf_dir):
+    """Top-20 collocations by PMI (min bigram count 5) — phrase discovery
+    over the corpus; vocab-sized count joins, 1-row totals broadcast,
+    TakeOrdered cut."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.bigram_pmi(docs, "text", min_count=5, top_k=20)
+
+
 def docs_incremental_dedup(spark, sf_dir):
     """Incremental exact dedup: treat doc_id < 250 as the historical
     store and the rest as today's batch; batch rows whose normalized
@@ -1947,6 +1955,7 @@ QUERIES = {
     "orders_coherent_sample": orders_coherent_sample,
     "corpus_mixture_select": corpus_mixture_select,
     "docs_incremental_dedup": docs_incremental_dedup,
+    "docs_collocations": docs_collocations,
     "events_hourly_ffill": events_hourly_ffill,
     "docs_quality_select": docs_quality_select,
     "docs_bpe_token_count": docs_bpe_token_count,
@@ -3523,4 +3532,28 @@ SELECT doc_id, source FROM documents
 WHERE doc_id >= 250
   AND {_NORM_FP} NOT IN (
     SELECT {_NORM_FP} FROM documents WHERE doc_id < 250)
+"""
+
+
+ORACLE["docs_collocations"] = f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT tok, count(*) AS c1
+  FROM (SELECT unnest(toks) AS tok FROM tok) GROUP BY 1),
+big AS (
+  SELECT big, count(*) AS c2 FROM (
+    SELECT unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS big
+    FROM tok WHERE len(toks) >= 2) GROUP BY 1
+  HAVING count(*) >= 5),
+tot AS (
+  SELECT sum(len(toks)) AS n, sum(greatest(len(toks) - 1, 0)) AS b FROM tok),
+scored AS (
+  SELECT big.big AS bigram, c2 AS count,
+         floor(ln((c2 / b) / ((ux.c1 / n) * (uy.c1 / n))) * 1000000 + 0.5) / 1000000 AS pmi
+  FROM big
+  JOIN uni ux ON split_part(big.big, ' ', 1) = ux.tok
+  JOIN uni uy ON split_part(big.big, ' ', 2) = uy.tok
+  CROSS JOIN tot)
+SELECT bigram, CAST(count AS BIGINT) AS count, pmi
+FROM scored ORDER BY pmi DESC, bigram LIMIT 20
 """

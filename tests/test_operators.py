@@ -1198,3 +1198,15 @@ def test_dedup_against_store_drops_known_fingerprints(spark):
     # normalize=False keeps the formatting variant (only exact bytes match)
     raw = {r["doc_id"] for r in dedup_against_store(batch, store, normalize=False).collect()}
     assert raw == {10, 12}
+
+
+def test_bigram_pmi_finds_planted_collocation(spark):
+    from impc_etl_spark.operators.text import bigram_pmi
+
+    # "alpha beta" always co-occur; fillers are independent
+    rows = [(i, "alpha beta " + "x y z w " * 3) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bigram_pmi(df, min_count=5, top_k=3).collect()
+    assert out[0]["bigram"] == "alpha beta"
+    assert out[0]["count"] == 6
+    assert out[0]["pmi"] > 0

@@ -24,6 +24,7 @@ BNL_ALLOWED = {
     "docs_bm25_search",  # cross join with a broadcast 1-ROW stats row (N, avgdl, dfs)
     "docs_unigram_logprob",  # cross join with a broadcast 1-ROW scalar (N, V)
     "docs_bigram_logprob",  # cross join with a broadcast 1-ROW scalar (V)
+    "docs_collocations",  # cross join with a broadcast 1-ROW scalar (N, B)
 }
 
 
