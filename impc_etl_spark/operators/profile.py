@@ -42,3 +42,52 @@ def profile(
         for c in cols
     ])
     return row.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def skew_report(
+    df: DataFrame,
+    columns: Sequence[str],
+    top_k: int = 5,
+) -> DataFrame:
+    """Key-skew diagnosis per candidate join/grouping column: the decision
+    input for salting, broadcast thresholds, and AQE skew-join tuning
+    BEFORE a 100 TB shuffle is attempted. One row per column —
+    ``(column, n_keys, max_count, p50_count, p99_count, max_share,
+    top_keys)`` where ``max_share`` is the heaviest key's fraction of all
+    rows (the salting trigger) and ``top_keys`` the ``top_k`` heaviest
+    keys with counts, heaviest first.
+
+    Cost: one map-side-combined groupBy per column over that column only
+    (16-byte-ish shuffle keys), then a tiny percentile/TakeOrdered
+    reduction over the per-key count table — never the raw rows twice.
+    """
+    out = None
+    for c in columns:
+        counts = df.groupBy(F.col(c).cast("string").alias("__k")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        stats = counts.agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("__c").alias("max_count"),
+            F.expr("percentile(__c, 0.5)").alias("p50_count"),
+            F.expr("percentile(__c, 0.99)").alias("p99_count"),
+            # portable 6-dp rounding (queries._rnd form)
+            (F.floor(F.max("__c") / F.sum("__c") * 1000000 + F.lit(0.5)) / 1000000)
+            .alias("max_share"),
+        )
+        # top-k keys cut FIRST (TakeOrdered over the count table), then the
+        # k-row frame collapses to an array — state is bounded by top_k, a
+        # collect_list over the full key table would not be
+        top = counts.orderBy(F.col("__c").desc(), F.col("__k")).limit(top_k)
+        top_arr = top.agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("__c")).alias("nc"), "__k"))
+                ),
+                lambda s: s["__k"],
+            ).alias("top_keys")
+        )
+        row = stats.crossJoin(F.broadcast(top_arr))
+        out = row if out is None else out.unionByName(row)
+    return out

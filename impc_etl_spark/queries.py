@@ -1368,6 +1368,16 @@ def events_hourly_ffill(spark, sf_dir):
     )
 
 
+def orders_skew_report(spark, sf_dir):
+    """Key-skew diagnosis for candidate shuffle keys (salting / AQE
+    tuning input): per-key count distribution stats + top-k heaviest
+    keys, state bounded by top_k."""
+    from impc_etl_spark.operators.profile import skew_report
+
+    orders = _t(spark, sf_dir, "orders")
+    return skew_report(orders, ["o_orderstatus", "o_orderpriority"], top_k=3)
+
+
 def docs_collocations(spark, sf_dir):
     """Top-20 collocations by PMI (min bigram count 5) — phrase discovery
     over the corpus; vocab-sized count joins, 1-row totals broadcast,
@@ -1956,6 +1966,7 @@ QUERIES = {
     "corpus_mixture_select": corpus_mixture_select,
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_collocations": docs_collocations,
+    "orders_skew_report": orders_skew_report,
     "events_hourly_ffill": events_hourly_ffill,
     "docs_quality_select": docs_quality_select,
     "docs_bpe_token_count": docs_bpe_token_count,
@@ -3556,4 +3567,29 @@ scored AS (
   CROSS JOIN tot)
 SELECT bigram, CAST(count AS BIGINT) AS count, pmi
 FROM scored ORDER BY pmi DESC, bigram LIMIT 20
+"""
+
+
+ORACLE["orders_skew_report"] = """
+WITH s AS (
+  SELECT o_orderstatus::VARCHAR AS k FROM orders),
+cs AS (SELECT k, count(*) AS c FROM s GROUP BY 1),
+stat_s AS (
+  SELECT 'o_orderstatus' AS "column", count(*) AS n_keys, max(c) AS max_count,
+         quantile_cont(c, 0.5) AS p50_count, quantile_cont(c, 0.99) AS p99_count,
+         floor(max(c) / sum(c) * 1000000 + 0.5) / 1000000 AS max_share,
+         (SELECT list(k ORDER BY c DESC, k) FROM (SELECT * FROM cs ORDER BY c DESC, k LIMIT 3)) AS top_keys
+  FROM cs),
+p AS (
+  SELECT o_orderpriority::VARCHAR AS k FROM orders),
+cp AS (SELECT k, count(*) AS c FROM p GROUP BY 1),
+stat_p AS (
+  SELECT 'o_orderpriority' AS "column", count(*) AS n_keys, max(c) AS max_count,
+         quantile_cont(c, 0.5) AS p50_count, quantile_cont(c, 0.99) AS p99_count,
+         floor(max(c) / sum(c) * 1000000 + 0.5) / 1000000 AS max_share,
+         (SELECT list(k ORDER BY c DESC, k) FROM (SELECT * FROM cp ORDER BY c DESC, k LIMIT 3)) AS top_keys
+  FROM cp)
+SELECT "column", CAST(n_keys AS BIGINT) AS n_keys, CAST(max_count AS BIGINT) AS max_count,
+       p50_count, p99_count, max_share, top_keys
+FROM (SELECT * FROM stat_s UNION ALL SELECT * FROM stat_p)
 """

@@ -1210,3 +1210,15 @@ def test_bigram_pmi_finds_planted_collocation(spark):
     assert out[0]["bigram"] == "alpha beta"
     assert out[0]["count"] == 6
     assert out[0]["pmi"] > 0
+
+
+def test_skew_report_flags_heavy_key(spark):
+    from impc_etl_spark.operators.profile import skew_report
+
+    rows = [(1, "hot") for _ in range(90)] + [(i, f"k{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    r = {x["column"]: x for x in skew_report(df, ["key"], top_k=2).collect()}["key"]
+    assert r["n_keys"] == 11
+    assert r["max_count"] == 90
+    assert abs(r["max_share"] - 0.9) < 1e-6
+    assert r["top_keys"][0] == "hot" and len(r["top_keys"]) == 2

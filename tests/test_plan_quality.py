@@ -25,6 +25,7 @@ BNL_ALLOWED = {
     "docs_unigram_logprob",  # cross join with a broadcast 1-ROW scalar (N, V)
     "docs_bigram_logprob",  # cross join with a broadcast 1-ROW scalar (V)
     "docs_collocations",  # cross join with a broadcast 1-ROW scalar (N, B)
+    "orders_skew_report",  # cross join of two 1-ROW stat frames per column
 }
 
 
