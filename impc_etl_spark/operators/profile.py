@@ -91,3 +91,52 @@ def skew_report(
         row = stats.crossJoin(F.broadcast(top_arr))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def value_histogram(
+    df: DataFrame,
+    column: str,
+    num_bins: int = 10,
+) -> DataFrame:
+    """Equal-width histogram over a numeric column: one row per occupied
+    bin — ``(bin, lo, hi, n)`` — computed from two single-scan
+    aggregates (min/max broadcast as one row, then a width_bucket-style
+    bin id + count). Distribution shape at a glance for partition-bound
+    and salting decisions; empty bins are simply absent (join a
+    ``sequence()`` grid if a dense axis is needed).
+
+    The last bin is closed on both ends (max lands in bin num_bins-1,
+    not a one-value overflow bin) — matching SQL width_bucket semantics
+    minus its overflow buckets.
+    """
+    c = F.col(column).cast("double")
+    bounds = df.agg(F.min(c).alias("__lo"), F.max(c).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(num_bins))
+    bin_id = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(num_bins - 1),
+            F.floor((c - F.col("__lo")) / width).cast("int"),
+        )
+    )
+    tagged = (
+        df.where(c.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("__bin", bin_id)
+    )
+    lo_edge = F.col("__l") + F.col("__bin") * (
+        (F.col("__h") - F.col("__l")) / F.lit(float(num_bins))
+    )
+    return (
+        tagged.groupBy("__bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("__lo").alias("__l"),
+            F.first("__hi").alias("__h"),
+        )
+        .select(
+            F.col("__bin").alias("bin"),
+            # portable 6-dp rounding on the edge for oracle replay
+            (F.floor(lo_edge * 1000000 + F.lit(0.5)) / 1000000).alias("lo"),
+            F.col("n"),
+        )
+    )

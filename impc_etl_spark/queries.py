@@ -1368,6 +1368,14 @@ def events_hourly_ffill(spark, sf_dir):
     )
 
 
+def orders_price_histogram(spark, sf_dir):
+    """Equal-width 10-bin histogram of order totals — distribution shape
+    for partition-bound/salting decisions; two single-scan aggregates."""
+    from impc_etl_spark.operators.profile import value_histogram
+
+    return value_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 10)
+
+
 def orders_skew_report(spark, sf_dir):
     """Key-skew diagnosis for candidate shuffle keys (salting / AQE
     tuning input): per-key count distribution stats + top-k heaviest
@@ -1967,6 +1975,7 @@ QUERIES = {
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_collocations": docs_collocations,
     "orders_skew_report": orders_skew_report,
+    "orders_price_histogram": orders_price_histogram,
     "events_hourly_ffill": events_hourly_ffill,
     "docs_quality_select": docs_quality_select,
     "docs_bpe_token_count": docs_bpe_token_count,
@@ -3592,4 +3601,21 @@ stat_p AS (
 SELECT "column", CAST(n_keys AS BIGINT) AS n_keys, CAST(max_count AS BIGINT) AS max_count,
        p50_count, p99_count, max_share, top_keys
 FROM (SELECT * FROM stat_s UNION ALL SELECT * FROM stat_p)
+"""
+
+
+ORACLE["orders_price_histogram"] = """
+WITH b AS (
+  SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo, max(CAST(o_totalprice AS DOUBLE)) AS hi
+  FROM orders),
+t AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE least(9, CAST(floor((CAST(o_totalprice AS DOUBLE) - lo) / ((hi - lo) / 10.0)) AS INT))
+         END AS bin, lo, hi
+  FROM orders CROSS JOIN b
+  WHERE o_totalprice IS NOT NULL)
+SELECT bin,
+       floor((lo + bin * ((hi - lo) / 10.0)) * 1000000 + 0.5) / 1000000 AS lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY bin, t.lo, t.hi
 """

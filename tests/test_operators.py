@@ -1222,3 +1222,18 @@ def test_skew_report_flags_heavy_key(spark):
     assert r["max_count"] == 90
     assert abs(r["max_share"] - 0.9) < 1e-6
     assert r["top_keys"][0] == "hot" and len(r["top_keys"]) == 2
+
+
+def test_value_histogram_bins_and_edges(spark):
+    from impc_etl_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    got = {r["bin"]: (r["lo"], r["n"]) for r in value_histogram(df, "v", 10).collect()}
+    assert len(got) == 10
+    assert got[0] == (0.0, 10)
+    # max value (99.0) lands in the LAST bin, not an overflow bin
+    assert got[9][1] == 10
+    # constant column: single bin holds everything
+    const = spark.createDataFrame([(5.0,)] * 7, "v double")
+    one = value_histogram(const, "v", 10).collect()
+    assert len(one) == 1 and one[0]["n"] == 7 and one[0]["bin"] == 0
