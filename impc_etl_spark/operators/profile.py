@@ -140,3 +140,43 @@ def value_histogram(
             F.col("n"),
         )
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: float = 3.5,
+    out: str = "is_outlier",
+) -> DataFrame:
+    """Median/MAD outlier flag (per group): ``|x - median| > k·MAD`` —
+    the robust alternative to mean/stddev z-scores (one wild value can't
+    drag the threshold, which is the failure mode of stddev cleaning on
+    heavy-tailed metrics like doc lengths or prices).
+
+    Two grouped percentile aggregations (median, then MAD of residuals)
+    with the tiny per-group stat tables broadcast back — the data shuffles
+    ZERO times; groups are assumed low-cardinality (status codes,
+    sources); for high-cardinality groups let the joins shuffle by
+    dropping the broadcast hint at the call site. All-equal groups have
+    MAD 0: only exact deviations flag, matching the textbook definition.
+    """
+    g = [F.col(c) for c in group_cols]
+    v = F.col(value_col).cast("double")
+    med_tbl = df.groupBy(*g).agg(F.expr(f"percentile({value_col}, 0.5)").alias("__med"))
+    with_med = (
+        df.join(F.broadcast(med_tbl), list(group_cols)) if group_cols
+        else df.crossJoin(F.broadcast(med_tbl))
+    )
+    mad_tbl = (
+        with_med.withColumn("__res", F.abs(v - F.col("__med")))
+        .groupBy(*g)
+        .agg(F.expr("percentile(__res, 0.5)").alias("__mad"))
+    )
+    scored = (
+        with_med.join(F.broadcast(mad_tbl), list(group_cols)) if group_cols
+        else with_med.crossJoin(F.broadcast(mad_tbl))
+    )
+    return scored.withColumn(
+        out, F.abs(v - F.col("__med")) > F.lit(float(k)) * F.col("__mad")
+    ).drop("__med", "__mad")

@@ -769,3 +769,51 @@ def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
         best = F.when(is_better, F.lit(lang)).otherwise(best)
         best_hits = F.when(is_better, hits).otherwise(best_hits)
     return df.withColumn(out, best)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    coverage: float = 0.99,
+) -> DataFrame:
+    """Coverage-cutoff vocabulary: the smallest count-ranked token prefix
+    whose occurrences cover ``coverage`` of the corpus token mass —
+    tokenizer-prep's vocab truncation step (everything outside maps to
+    <unk>). Returns ``(token, count, cum_share)``, heaviest first.
+
+    One explode+groupBy builds the count table; the ranking cumsum is an
+    ordered window over the VOCAB table only (Zipf-bounded — millions of
+    rows, not corpus-scale; for 100M+ vocabs shard the cumsum with the
+    assign_global_ids two-phase pattern). A token is kept iff the mass
+    BEFORE it is under the target, so the prefix is minimal and always
+    includes the top token.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        fan_out(df).select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    total = counts.agg(F.sum("count").alias("__total"))
+    w = Window.orderBy(F.col("count").desc(), F.col("token")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("__before", F.coalesce(F.sum("count").over(w), F.lit(0)))
+        .where(F.col("__before") < F.lit(float(coverage)) * F.col("__total"))
+        .select(
+            "token",
+            "count",
+            (
+                F.floor(
+                    (F.col("__before") + F.col("count"))
+                    / F.col("__total")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("cum_share"),
+        )
+    )

@@ -1368,6 +1368,30 @@ def events_hourly_ffill(spark, sf_dir):
     )
 
 
+def orders_price_outliers(spark, sf_dir):
+    """Median/MAD robust outlier flags per order priority (|x - med| >
+    1.8*MAD; the synthetic prices are uniform, so the textbook 3.5 would
+    never fire) — heavy-tail-safe cleaning; per-group stats broadcast
+    back, data never shuffles. Returns the flagged rows."""
+    from impc_etl_spark.operators.profile import robust_outliers
+
+    flagged = robust_outliers(
+        _t(spark, sf_dir, "orders"), "o_totalprice",
+        group_cols=["o_orderpriority"], k=1.8,
+    )
+    return flagged.where("is_outlier").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+def corpus_vocab(spark, sf_dir):
+    """90%-coverage vocabulary: smallest count-ranked token prefix whose
+    occurrences cover 90% of corpus token mass (tokenizer-prep
+    truncation; cumsum over the Zipf-bounded vocab table only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.vocab_coverage(docs, "text", coverage=0.9)
+
+
 def orders_price_histogram(spark, sf_dir):
     """Equal-width 10-bin histogram of order totals — distribution shape
     for partition-bound/salting decisions; two single-scan aggregates."""
@@ -1976,6 +2000,8 @@ QUERIES = {
     "docs_collocations": docs_collocations,
     "orders_skew_report": orders_skew_report,
     "orders_price_histogram": orders_price_histogram,
+    "orders_price_outliers": orders_price_outliers,
+    "corpus_vocab": corpus_vocab,
     "events_hourly_ffill": events_hourly_ffill,
     "docs_quality_select": docs_quality_select,
     "docs_bpe_token_count": docs_bpe_token_count,
@@ -3618,4 +3644,33 @@ SELECT bin,
        floor((lo + bin * ((hi - lo) / 10.0)) * 1000000 + 0.5) / 1000000 AS lo,
        CAST(count(*) AS BIGINT) AS n
 FROM t GROUP BY bin, t.lo, t.hi
+"""
+
+
+ORACLE["orders_price_outliers"] = """
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS m
+  FROM orders GROUP BY 1),
+mad AS (
+  SELECT o.o_orderpriority,
+         quantile_cont(abs(CAST(o_totalprice AS DOUBLE) - m), 0.5) AS d
+  FROM orders o JOIN med USING (o_orderpriority) GROUP BY 1)
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders JOIN med USING (o_orderpriority) JOIN mad USING (o_orderpriority)
+WHERE abs(CAST(o_totalprice AS DOUBLE) - m) > 1.8 * d
+"""
+
+ORACLE["corpus_vocab"] = f"""
+WITH tok AS (SELECT unnest({_DOC_TOKS}) AS token FROM documents),
+c AS (SELECT token, count(*) AS count FROM tok GROUP BY 1),
+t AS (SELECT sum(count) AS total FROM c),
+r AS (
+  SELECT token, count,
+         sum(count) OVER (ORDER BY count DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before
+  FROM c)
+SELECT token, CAST(count AS BIGINT) AS count,
+       floor((coalesce(before, 0) + count) / total * 1000000 + 0.5) / 1000000 AS cum_share
+FROM r CROSS JOIN t
+WHERE coalesce(before, 0) < 0.9 * total
 """

@@ -1237,3 +1237,30 @@ def test_value_histogram_bins_and_edges(spark):
     const = spark.createDataFrame([(5.0,)] * 7, "v double")
     one = value_histogram(const, "v", 10).collect()
     assert len(one) == 1 and one[0]["n"] == 7 and one[0]["bin"] == 0
+
+
+def test_robust_outliers_mad_flags_planted_value(spark):
+    from impc_etl_spark.operators.profile import robust_outliers
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 1000])]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {r["id"]: r["is_outlier"] for r in robust_outliers(df, "v", ["grp"]).collect()}
+    assert got[5] is True          # the planted extreme
+    assert not any(got[i] for i in range(5))
+    # constant group: MAD 0 -> nothing flags
+    const = spark.createDataFrame([(i, "c", 5.0) for i in range(4)], "id long, grp string, v double")
+    assert not any(r["is_outlier"] for r in robust_outliers(const, "v", ["grp"]).collect())
+
+
+def test_vocab_coverage_minimal_prefix(spark):
+    from impc_etl_spark.operators.text import vocab_coverage
+
+    # 'a' x 8, 'b' x 1, 'c' x 1 -> 80% coverage needs only 'a'
+    df = spark.createDataFrame([(1, "a a a a a a a a b c")], ["doc_id", "text"])
+    v80 = vocab_coverage(df, coverage=0.8).collect()
+    assert [r["token"] for r in v80] == ["a"]
+    assert v80[0]["cum_share"] == 0.8
+    v90 = {r["token"] for r in vocab_coverage(df, coverage=0.9).collect()}
+    assert v90 == {"a", "b"}  # 'b' (alphabetical tie-break) reaches exactly 90%
+    v95 = {r["token"] for r in vocab_coverage(df, coverage=0.95).collect()}
+    assert v95 == {"a", "b", "c"}  # 9/10 < 95%: the full vocab is needed

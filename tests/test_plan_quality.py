@@ -27,6 +27,7 @@ BNL_ALLOWED = {
     "docs_collocations",  # cross join with a broadcast 1-ROW scalar (N, B)
     "orders_skew_report",  # cross join of two 1-ROW stat frames per column
     "orders_price_histogram",  # cross join with a broadcast 1-ROW min/max bounds
+    "corpus_vocab",  # cross join with a broadcast 1-ROW total token mass
 }
 
 
