@@ -1418,6 +1418,31 @@ def docs_collocations(spark, sf_dir):
     return text_ops.bigram_pmi(docs, "text", min_count=5, top_k=20)
 
 
+def docs_keep_best(spark, sf_dir):
+    """Near-dup cluster REPRESENTATIVE selection by QUALITY: LSH pairs →
+    connected components → keep the highest-quality doc per cluster
+    (min-id keeps whatever crawled first; this keeps the best copy).
+    Singletons pass through; ties break on id."""
+    from pyspark.sql import Window
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    scored = text_ops.add_quality_signals(docs, "text")
+    pairs = dedup_ops.lsh_candidate_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4
+    )
+    groups = dedup_ops.connected_components(pairs)
+    joined = scored.join(groups, "doc_id", "left")
+    cluster = F.coalesce(F.col("group_id"), F.col("doc_id"))
+    w = Window.partitionBy(cluster).orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "quality_score")
+    )
+
+
 def docs_incremental_dedup(spark, sf_dir):
     """Incremental exact dedup: treat doc_id < 250 as the historical
     store and the rest as today's batch; batch rows whose normalized
@@ -1997,6 +2022,7 @@ QUERIES = {
     "orders_coherent_sample": orders_coherent_sample,
     "corpus_mixture_select": corpus_mixture_select,
     "docs_incremental_dedup": docs_incremental_dedup,
+    "docs_keep_best": docs_keep_best,
     "docs_collocations": docs_collocations,
     "orders_skew_report": orders_skew_report,
     "orders_price_histogram": orders_price_histogram,
@@ -3673,4 +3699,51 @@ SELECT token, CAST(count AS BIGINT) AS count,
        floor((coalesce(before, 0) + count) / total * 1000000 + 0.5) / 1000000 AS cum_share
 FROM r CROSS JOIN t
 WHERE coalesce(before, 0) < 0.9 * total
+"""
+
+ORACLE["docs_keep_best"] = f"""
+WITH RECURSIVE tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingle
+  FROM tok WHERE len(toks) >= 3),
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s
+  GROUP BY doc_id, s.seed),
+bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, seed // 3),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+grp AS (SELECT id AS doc_id, min(lbl) AS group_id FROM walk GROUP BY id),
+sig AS (
+  SELECT t.doc_id, len(toks) AS q_n_tokens,
+         length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(d.text), 1) AS alpha_ratio,
+         length(regexp_replace(d.text, '[^.,;:!?''"()]', '', 'g')) * 1.0 / greatest(length(d.text), 1) AS punct_ratio,
+         len(list_filter(list_distinct(toks), x -> list_contains(['the','and','of','to','is','in','that','with','for','was'], x))) * 1.0
+             / greatest(len(toks), 1) AS stop_ratio
+  FROM tok t JOIN documents d USING (doc_id)),
+scored AS (
+  SELECT doc_id,
+         floor((0.25 * least(q_n_tokens / 50.0, 1.0)
+             + 0.25 * alpha_ratio
+             + 0.25 * least(stop_ratio * 5.0, 1.0)
+             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score
+  FROM sig)
+SELECT doc_id, quality_score FROM (
+  SELECT s.doc_id, s.quality_score,
+         row_number() OVER (PARTITION BY coalesce(g.group_id, s.doc_id)
+                            ORDER BY s.quality_score DESC, s.doc_id) AS rn
+  FROM scored s LEFT JOIN grp g USING (doc_id))
+WHERE rn = 1
 """
