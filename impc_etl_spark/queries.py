@@ -1418,6 +1418,39 @@ def docs_collocations(spark, sf_dir):
     return text_ops.bigram_pmi(docs, "text", min_count=5, top_k=20)
 
 
+def docs_dup_rate(spark, sf_dir):
+    """Corpus duplication health metric: total docs, docs in near-dup
+    clusters, cluster count, largest cluster, duplication rate — the
+    one-row dashboard number a dedup pass is judged by."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.lsh_candidate_pairs(
+        fan_out(docs), "text", "doc_id", k=3, num_hashes=12, bands=4
+    )
+    groups = dedup_ops.connected_components(pairs)
+    cl = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("__sz"))
+    stats = cl.agg(
+        F.sum("__sz").alias("n_in_clusters"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.max("__sz").alias("max_cluster"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        total.crossJoin(F.broadcast(stats))
+        .select(
+            "n_docs",
+            "n_in_clusters",
+            "n_clusters",
+            "max_cluster",
+            (
+                F.floor(
+                    F.col("n_in_clusters") / F.col("n_docs") * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def docs_keep_best(spark, sf_dir):
     """Near-dup cluster REPRESENTATIVE selection by QUALITY: LSH pairs →
     connected components → keep the highest-quality doc per cluster
@@ -2023,6 +2056,7 @@ QUERIES = {
     "corpus_mixture_select": corpus_mixture_select,
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_keep_best": docs_keep_best,
+    "docs_dup_rate": docs_dup_rate,
     "docs_collocations": docs_collocations,
     "orders_skew_report": orders_skew_report,
     "orders_price_histogram": orders_price_histogram,
@@ -3747,3 +3781,17 @@ SELECT doc_id, quality_score FROM (
   FROM scored s LEFT JOIN grp g USING (doc_id))
 WHERE rn = 1
 """
+
+
+ORACLE["docs_dup_rate"] = ORACLE["docs_dup_groups"].replace(
+    "SELECT id AS doc_id, min(lbl) AS group_id FROM walk GROUP BY id",
+    """, grp AS (SELECT id AS doc_id, min(lbl) AS group_id FROM walk GROUP BY id),
+cl AS (SELECT group_id, count(*) AS sz FROM grp GROUP BY 1),
+st AS (SELECT CAST(sum(sz) AS BIGINT) AS n_in_clusters,
+              CAST(count(*) AS BIGINT) AS n_clusters,
+              CAST(max(sz) AS BIGINT) AS max_cluster FROM cl),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT n_docs, n_in_clusters, n_clusters, max_cluster,
+       floor(n_in_clusters / n_docs * 1000000 + 0.5) / 1000000 AS dup_rate
+FROM tot CROSS JOIN st""",
+)

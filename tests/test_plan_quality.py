@@ -28,6 +28,7 @@ BNL_ALLOWED = {
     "orders_skew_report",  # cross join of two 1-ROW stat frames per column
     "orders_price_histogram",  # cross join with a broadcast 1-ROW min/max bounds
     "corpus_vocab",  # cross join with a broadcast 1-ROW total token mass
+    "docs_dup_rate",  # cross join of two 1-ROW summary frames
 }
 
 
