@@ -166,6 +166,24 @@ def winnowing_fingerprint(col: str | Column, k: int = 8, w: int = 4) -> Column:
     return bind(hashes, mk)
 
 
+def normalize_unicode(col: str | Column) -> Column:
+    """Web-text normal form (the cleanup pass BEFORE tokenize/dedup so
+    cosmetic variants don't defeat fingerprints): strip C0/C1 control
+    characters, map curly quotes/dashes/ellipsis to ASCII, collapse
+    whitespace runs, trim. Pure translate + regexp — scan-speed, and
+    byte-reproducible in any engine with the same two primitives.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    mapped = F.translate(
+        c,
+        "‘’“”–— ",
+        "''\"\"-- ",
+    )
+    cleaned = F.regexp_replace(mapped, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    cleaned = F.regexp_replace(cleaned, "…", "...")
+    return F.trim(F.regexp_replace(cleaned, "\\s+", " "))
+
+
 def normalized_text(col: str | Column) -> Column:
     """Canonical normal form: tokens re-joined with single spaces. Used by
     exact dedup and fingerprinting so trivial whitespace/punct variants

@@ -1418,6 +1418,21 @@ def docs_collocations(spark, sf_dir):
     return text_ops.bigram_pmi(docs, "text", min_count=5, top_k=20)
 
 
+def docs_normalize(spark, sf_dir):
+    """Unicode/web-text normalization (deterministic injected noise —
+    curly quotes, control chars, whitespace runs — so the pass provably
+    fires): translate + regexp chain at scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit("“start”— \t "),
+        F.col("text"),
+        F.lit(" …end’s  "),
+    )
+    return docs.select(
+        "doc_id", text_ops.normalize_unicode(noisy).alias("clean_text")
+    )
+
+
 def docs_dup_rate(spark, sf_dir):
     """Corpus duplication health metric: total docs, docs in near-dup
     clusters, cluster count, largest cluster, duplication rate — the
@@ -2057,6 +2072,7 @@ QUERIES = {
     "docs_incremental_dedup": docs_incremental_dedup,
     "docs_keep_best": docs_keep_best,
     "docs_dup_rate": docs_dup_rate,
+    "docs_normalize": docs_normalize,
     "docs_collocations": docs_collocations,
     "orders_skew_report": orders_skew_report,
     "orders_price_histogram": orders_price_histogram,
@@ -3795,3 +3811,18 @@ SELECT n_docs, n_in_clusters, n_clusters, max_cluster,
        floor(n_in_clusters / n_docs * 1000000 + 0.5) / 1000000 AS dup_rate
 FROM tot CROSS JOIN st""",
 )
+
+
+ORACLE["docs_normalize"] = """
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        translate('\u201cstart\u201d\u2014 ' || chr(9) || ' ' || text || ' \u2026end\u2019s  ',
+                  '\u2018\u2019\u201c\u201d\u2013\u2014' || chr(160),
+                  chr(39) || chr(39) || '""--' || chr(32)),
+        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+      '\u2026', '...', 'g'),
+    '\\s+', ' ', 'g')) AS clean_text
+FROM documents
+"""

@@ -1264,3 +1264,14 @@ def test_vocab_coverage_minimal_prefix(spark):
     assert v90 == {"a", "b"}  # 'b' (alphabetical tie-break) reaches exactly 90%
     v95 = {r["token"] for r in vocab_coverage(df, coverage=0.95).collect()}
     assert v95 == {"a", "b", "c"}  # 9/10 < 95%: the full vocab is needed
+
+
+def test_normalize_unicode_maps_and_collapses(spark):
+    from impc_etl_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame(
+        [(1, "“hello” — it’s\x07 a test…   done")],
+        ["id", "t"],
+    )
+    got = df.select(normalize_unicode("t").alias("c")).collect()[0]["c"]
+    assert got == '"hello" - it\'s a test... done'
