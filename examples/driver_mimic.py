@@ -22,6 +22,11 @@ TABLES = (
 
 
 def _norm(v):
+    # The real driver loads cells into pandas and factorizes them for the
+    # hash-compare; list/dict cells make PyObjectHashTable raise
+    # "unhashable type". Reproduce that rejection here so an array-typed
+    # output column fails the mimic BEFORE it fails the driver.
+    hash(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

@@ -595,6 +595,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list → (doc_id,
     group_id = min id reachable). The cluster-assignment step after LSH:
@@ -607,9 +608,12 @@ def connected_components(
     diameter) rounds (plain propagation alone is O(diameter): one hop per
     round). Driver code only steers the loop (a `count` per round checks
     convergence); all data movement is joins/groupBys. Each round
-    localCheckpoints the label frame — without it the lineage doubles per
-    iteration and the plan explodes; on a real cluster prefer reliable
-    ``checkpoint()``.
+    checkpoints the label frame — without it the lineage doubles per
+    iteration and the plan explodes. By default that's executor-local
+    (``localCheckpoint``: fast, but lost if an executor dies mid-job);
+    pass ``checkpoint_dir`` (HDFS/S3 path on a real cluster) to use
+    RELIABLE ``checkpoint()`` so a 100 TB run survives executor loss
+    without recomputing the whole iteration history.
 
     If the loop hits ``max_iterations`` with labels still changing the
     result may split true groups — a ``RuntimeWarning`` is raised so the
@@ -617,20 +621,26 @@ def connected_components(
     """
     import warnings
 
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ck(frame: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return frame.checkpoint(eager=True)
+        return frame.localCheckpoint(eager=True)
+
     # Materialize the edge list ONCE: `pairs` usually sits on top of an
     # expensive candidate-generation plan (MinHash/LSH banding), and every
     # round's neighbor join would otherwise re-execute that whole subtree —
     # measured 2× end-to-end on the LSH dup-groups bench query.
-    edges = (
+    edges = _ck(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _ck(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     # Convergence check: labels under min-propagation are NON-INCREASING
     # per node, so for numeric ids the global label sum strictly decreases
@@ -664,13 +674,12 @@ def connected_components(
         mapping = propagated.select(
             F.col("id").alias("mid"), F.col("lbl").alias("mlbl")
         )
-        new_labels = (
+        new_labels = _ck(
             propagated.join(mapping, propagated.lbl == mapping.mid, "left_outer")
             .select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce(F.col("mlbl"), F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
         )
         if numeric_ids:
             new_sum = _label_sum(new_labels)

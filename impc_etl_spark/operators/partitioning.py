@@ -40,6 +40,22 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Cut the lineage and materialize ``df`` once so multiple consumers
+    (or iteration rounds) don't re-execute its plan — the in-plan
+    equivalent of a pipeline runner's per-stage parquet.
+
+    ``checkpoint_dir=None`` uses ``localCheckpoint`` (executor-local
+    blocks: fast, but recomputation is impossible if an executor dies —
+    the job fails). Passing a directory (HDFS/S3 on a cluster) switches to
+    RELIABLE ``checkpoint()``: the 100 TB setting where losing an executor
+    mid-iteration must not kill a multi-hour job."""
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def assign_global_ids(
     df: DataFrame,
     order_by: list[str],

@@ -123,9 +123,9 @@ def value_histogram(
         .crossJoin(F.broadcast(bounds))
         .withColumn("__bin", bin_id)
     )
-    lo_edge = F.col("__l") + F.col("__bin") * (
-        (F.col("__h") - F.col("__l")) / F.lit(float(num_bins))
-    )
+    out_width = (F.col("__h") - F.col("__l")) / F.lit(float(num_bins))
+    lo_edge = F.col("__l") + F.col("__bin") * out_width
+    hi_edge = F.col("__l") + (F.col("__bin") + 1) * out_width
     return (
         tagged.groupBy("__bin")
         .agg(
@@ -135,8 +135,9 @@ def value_histogram(
         )
         .select(
             F.col("__bin").alias("bin"),
-            # portable 6-dp rounding on the edge for oracle replay
+            # portable 6-dp rounding on the edges for oracle replay
             (F.floor(lo_edge * 1000000 + F.lit(0.5)) / 1000000).alias("lo"),
+            (F.floor(hi_edge * 1000000 + F.lit(0.5)) / 1000000).alias("hi"),
             F.col("n"),
         )
     )

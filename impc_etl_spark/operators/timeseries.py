@@ -104,13 +104,32 @@ def resample_ffill(
     (key, bucket), and the forward-fill window partitioned BY KEY — no
     global window anywhere. Keys with century-long spans at second steps
     would explode the grid: bound ``step`` to the span you query.
+
+    ``step`` accepts any fixed-width "N second(s)/minute(s)/hour(s)/
+    day(s)/week(s)" interval; the bucket is epoch-floored by the SAME
+    width the grid steps at, so e.g. '30 minutes' buckets on half-hour
+    boundaries. Calendar-width units (month/year) raise — their buckets
+    would not align with the fixed-duration grid sequence.
     """
+    import re
+
     from pyspark.sql import Window
 
+    m = re.fullmatch(
+        r"(\d+)\s+(second|minute|hour|day|week)s?", step.strip(), re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(
+            f"resample_ffill: unsupported step {step!r} — use a fixed-width "
+            "'N second(s)/minute(s)/hour(s)/day(s)/week(s)' interval"
+        )
+    step_s = int(m.group(1)) * {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+    }[m.group(2).lower()]
+
     keys = [F.col(k) for k in key_cols]
-    bucket = F.date_trunc(
-        {"1 hour": "hour", "1 day": "day", "1 minute": "minute"}.get(step, "hour"),
-        F.col(time_col),
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(time_col)) / step_s).cast("long") * step_s
     )
     pts = (
         df.withColumn("__b", bucket)

@@ -23,6 +23,7 @@ from impc_etl_spark.operators import sampling as sample_ops
 from impc_etl_spark.operators import similarity as sim_ops
 from impc_etl_spark.operators import text as text_ops
 from impc_etl_spark.operators import timeseries as ts_ops
+from impc_etl_spark.operators import partitioning as part_ops
 from impc_etl_spark.operators.partitioning import fan_out
 from impc_etl_spark.operators import windows as win_ops
 from impc_etl_spark.operators.derivation import compile_derivation
@@ -850,10 +851,13 @@ def customer_status_running_sets(spark, sf_dir):
         orders, ["o_custkey"], [F.col("o_orderdate")], "o_orderstatus",
         "statuses_so_far",
     )
+    # The driver's hash-compare cannot factorize raw array cells, so the
+    # registered projection ships the set pipe-joined; the typed array
+    # surface of running_collect_set is unit-tested directly.
     return out.select(
         "o_orderkey",
         "o_custkey",
-        "statuses_so_far",
+        F.array_join("statuses_so_far", "|").alias("statuses_so_far"),
         F.md5(F.concat_ws("|", "statuses_so_far")).alias("metadata_group"),
     )
 
@@ -909,7 +913,7 @@ def solr_doc_shape(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").withColumn(
         "custkey_arr", F.array(F.col("o_custkey"))
     )
-    return shape_solr_documents(
+    shaped = shape_solr_documents(
         orders,
         schema_fields={
             "o_orderkey": "plong",
@@ -918,6 +922,13 @@ def solr_doc_shape(spark, sf_dir):
             "custkey_arr": "plongs",
         },
         unique_field="o_orderkey",
+    )
+    # Driver-facing projection: the hash-compare cannot factorize raw
+    # array cells, so ship the plongs field pipe-joined (values are
+    # integral, so the bigint cast round-trips exactly); the typed
+    # array<double> cast itself is unit-tested in test_sources.py.
+    return shaped.withColumn(
+        "custkey_arr", F.array_join(F.col("custkey_arr").cast("array<bigint>"), "|")
     )
 
 
@@ -1291,6 +1302,15 @@ def order_extreme_lines(spark, sf_dir):
 # North-star: documents (dedup / text analysis)
 # ---------------------------------------------------------------------------
 
+# Mega-bucket guard for every registered LSH query: buckets larger than
+# this emit O(n) star edges instead of O(n²) pairs (boilerplate/template
+# corpora put millions of docs in one band bucket at web scale — see
+# SCALE.md "LSH mega-buckets"). 64 keeps in-bucket expansion ≤ ~2k pairs
+# per bucket; at the test SFs the largest observed bucket is 4, so the
+# capped output is bit-identical to the uncapped oracles.
+LSH_MAX_BUCKET = 64
+
+
 def docs_exact_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.exact_dedup(docs, "text", "doc_id", normalize=True)
@@ -1303,7 +1323,10 @@ def docs_ngram_jaccard(spark, sf_dir):
 
 def docs_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return dedup_ops.lsh_candidate_pairs(docs, "text", "doc_id", k=3, num_hashes=12, bands=4)
+    return dedup_ops.lsh_candidate_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
 
 
 def docs_verified_near_dups(spark, sf_dir):
@@ -1311,7 +1334,8 @@ def docs_verified_near_dups(spark, sf_dir):
     composed scale path (no global shingle self-join anywhere)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup_ops.verified_near_dups(
-        docs, "text", "doc_id", k=3, num_hashes=12, bands=4, threshold=0.5
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4, threshold=0.5,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
 
 
@@ -1325,7 +1349,8 @@ def docs_dup_groups(spark, sf_dir):
     """Near-dup GROUP assignment: connected components (iterative min-label
     propagation) over the MinHash-LSH candidate pairs."""
     pairs = dedup_ops.lsh_candidate_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, num_hashes=12, bands=4
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, num_hashes=12,
+        bands=4, max_bucket_size=LSH_MAX_BUCKET,
     )
     return dedup_ops.connected_components(pairs)
 
@@ -1439,7 +1464,8 @@ def docs_dup_rate(spark, sf_dir):
     one-row dashboard number a dedup pass is judged by."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup_ops.lsh_candidate_pairs(
-        fan_out(docs), "text", "doc_id", k=3, num_hashes=12, bands=4
+        fan_out(docs), "text", "doc_id", k=3, num_hashes=12, bands=4,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
     groups = dedup_ops.connected_components(pairs)
     cl = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("__sz"))
@@ -1476,7 +1502,8 @@ def docs_keep_best(spark, sf_dir):
     docs = fan_out(_t(spark, sf_dir, "documents"))
     scored = text_ops.add_quality_signals(docs, "text")
     pairs = dedup_ops.lsh_candidate_pairs(
-        docs, "text", "doc_id", k=3, num_hashes=12, bands=4
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
     groups = dedup_ops.connected_components(pairs)
     joined = scored.join(groups, "doc_id", "left")
@@ -1884,11 +1911,14 @@ def media_resize(spark, sf_dir):
     return resize_media(attach_binary(docs, "text", "doc_id"), width=64, height=64)
 
 
-def corpus_prepare(spark, sf_dir):
+def corpus_prepare(spark, sf_dir, checkpoint_dir=None):
     """END-TO-END training-corpus preparation in ONE plan: quality filter →
     exact dedup (keep min id per fingerprint) → near-dup removal (drop the
     non-min side of every LSH candidate pair) → per-doc token budget.
-    The composite north-star pipeline; every stage is the tested operator."""
+    The composite north-star pipeline; every stage is the tested operator.
+    ``checkpoint_dir`` switches the mid-plan materialization to reliable
+    ``checkpoint()`` (pass an HDFS/S3 path on a cluster; default
+    executor-local)."""
     # Tokenize ONCE into a column; every stage (quality, fingerprint,
     # LSH signature, token budget) consumes it. Trade-off: the token array
     # rides through the dedup-window shuffle instead of being recomputed
@@ -1911,11 +1941,12 @@ def corpus_prepare(spark, sf_dir):
     # side; without materialization Spark evaluates the whole
     # quality+dedup subtree twice (no automatic CTE reuse) — checkpoint it
     # once (this is the runner's per-stage-parquet pattern, in-plan).
-    kept = kept.localCheckpoint(eager=True)
+    kept = part_ops.materialize(kept, checkpoint_dir)
     # near-dup removal: greedy — drop any doc that is the larger id of a pair
     losers = (
         dedup_ops.lsh_candidate_pairs(
-            kept, "text", "doc_id", k=3, num_hashes=12, bands=4, tokens_col="toks"
+            kept, "text", "doc_id", k=3, num_hashes=12, bands=4,
+            tokens_col="toks", max_bucket_size=LSH_MAX_BUCKET,
         )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -1974,7 +2005,9 @@ def emb_batch_topk(spark, sf_dir):
 
 
 def emb_ann_topk(spark, sf_dir):
-    """LSH-bucketed ANN (no SQL oracle — approximate; rows-only check)."""
+    """LSH-bucketed ANN. Approximate by design, but fully deterministic
+    (seeded hyperplanes), so the oracle replays the query bucket's sign
+    bits + exact cosine within the probed bucket in DuckDB."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim_ops.ann_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=8)
 
@@ -2007,7 +2040,6 @@ QUERIES = {
     "supplier_rule_calls": supplier_rule_calls,
     "stats_results_mart": stats_results_mart,
     "user_event_funnel": user_event_funnel,
-    "user_cohort_retention": user_cohort_retention,
     "order_extreme_lines": order_extreme_lines,
     "customer_order_bundle": customer_order_bundle,
     # -- north star: dedup / text -------------------------------------------
@@ -2015,13 +2047,10 @@ QUERIES = {
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_minhash_lsh": docs_minhash_lsh,
     "docs_verified_near_dups": docs_verified_near_dups,
-    "docs_simhash_pairs": docs_simhash_pairs,
     "docs_dup_groups": docs_dup_groups,
     "docs_line_dedup": docs_line_dedup,
     "docs_lang_id": docs_lang_id,
-    "docs_token_stats": docs_token_stats,
     "docs_quality": docs_quality,
-    "docs_quality_weighted_sample": docs_quality_weighted_sample,
     "docs_chunks": docs_chunks,
     "docs_unigram_logprob": docs_unigram_logprob,
     "corpus_pack_sequences": corpus_pack_sequences,
@@ -2032,17 +2061,14 @@ QUERIES = {
     "media_feature_extract": media_feature_extract,
     # -- north star: similarity search --------------------------------------
     "emb_cosine_topk": emb_cosine_topk,
-    "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_batch_topk": emb_batch_topk,
     "emb_ann_topk": emb_ann_topk,
-    "emb_ivf_topk": emb_ivf_topk,
     "emb_semantic_dedup": emb_semantic_dedup,
     # -- round-1 FAIL (oracle type artifact, fixed) + changed operators -----
     "customer_order_rollup": customer_order_rollup,
     "purchase_attribution_asof": purchase_attribution_asof,
     # -- new this round: interval joins, sampling caps, entropy --------------
     "campaign_order_attribution": campaign_order_attribution,
-    "shipment_transit_overlap": shipment_transit_overlap,
     "docs_per_domain_cap": docs_per_domain_cap,
     "segment_term_chooser": segment_term_chooser,
     # -- relational representatives (one per operator family) ---------------
@@ -2058,11 +2084,28 @@ QUERIES = {
     "solr_doc_shape": solr_doc_shape,
     "mongo_doc_shape": mongo_doc_shape,
     "customer_status_running_sets": customer_status_running_sets,
+    # -- r3 rotation: §2 operator families whose only driver evidence was
+    # r1 (their near-duplicate north-star siblings moved below — each
+    # family keeps an in-window representative) --------------------------
+    "date_cascade_parse": date_cascade_parse,
+    "statpacket_restructure": statpacket_restructure,
+    "priority_customer_lookup": priority_customer_lookup,
+    "best_customer_per_nation": best_customer_per_nation,
+    "segment_status_pivot": segment_status_pivot,
+    "derived_unit_margin": derived_unit_margin,
+    "customer_key_ancestry": customer_key_ancestry,
+    # ======================================================================
+    # Entries below are outside the driver's 50-query window (every one has
+    # a prior driver-PASS round and remains locally oracle-checked).
+    # ======================================================================
     "docs_repetition": docs_repetition,
-    # ======================================================================
-    # Entries below are outside the driver's 50-query window (all were
-    # driver-PASS in CORRECTNESS_r01.json and remain locally oracle-checked).
-    # ======================================================================
+    "user_cohort_retention": user_cohort_retention,
+    "shipment_transit_overlap": shipment_transit_overlap,
+    "docs_simhash_pairs": docs_simhash_pairs,
+    "docs_token_stats": docs_token_stats,
+    "docs_quality_weighted_sample": docs_quality_weighted_sample,
+    "emb_near_dup_pairs": emb_near_dup_pairs,
+    "emb_ivf_topk": emb_ivf_topk,
     "docs_entropy": docs_entropy,
     "corpus_stats": corpus_stats,
     "docs_bigram_logprob": docs_bigram_logprob,
@@ -2095,14 +2138,11 @@ QUERIES = {
     "media_resize": media_resize,
     "media_frame_sample": media_frame_sample,
     "docs_tfidf_terms": docs_tfidf_terms,
-    "statpacket_restructure": statpacket_restructure,
-    "customer_key_ancestry": customer_key_ancestry,
     "segment_big_spenders": segment_big_spenders,
     "nation_segments_bundle": nation_segments_bundle,
     "top_lineitem_per_order": top_lineitem_per_order,
     "supplier_lineitem_window": supplier_lineitem_window,
     "modal_priority_per_segment": modal_priority_per_segment,
-    "best_customer_per_nation": best_customer_per_nation,
     "segment_rewrite": segment_rewrite,
     "part_type_prefix": part_type_prefix,
     "null_required_filter": null_required_filter,
@@ -2110,14 +2150,10 @@ QUERIES = {
     "order_surrogate_keys": order_surrogate_keys,
     "union_customers_suppliers": union_customers_suppliers,
     "customers_without_orders": customers_without_orders,
-    "priority_customer_lookup": priority_customer_lookup,
-    "segment_status_pivot": segment_status_pivot,
     "part_type_tokens": part_type_tokens,
     "part_token_stats": part_token_stats,
-    "derived_unit_margin": derived_unit_margin,
     "order_quantity_auc": order_quantity_auc,
     "order_date_parts": order_date_parts,
-    "date_cascade_parse": date_cascade_parse,
     "hourly_event_stats": hourly_event_stats,
     "sliding_event_counts": sliding_event_counts,
     "events_json_extract": events_json_extract,
@@ -2931,7 +2967,7 @@ SELECT query_id, vec_id, cos_sim, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
   FROM s) WHERE rk <= 3
 """,
-    # emb_ann_topk: approximate (LSH bucket probe) — intentionally no oracle.
+    # emb_ann_topk's oracle (seeded-hyperplane replay) is appended below.
 }
 ORACLE["emb_ivf_topk"] = ORACLE["emb_cosine_topk"]
 ORACLE["docs_verified_near_dups"] = f"""
@@ -3056,6 +3092,56 @@ ORACLE["emb_near_dup_pairs"] = f"""
 WITH {_banded_ctes()}
 SELECT vec_a, vec_b, {_BANDED_COS} AS cos_sim FROM pc WHERE {_BANDED_COS} >= 0.4
 """
+
+
+def _ann_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 10) -> str:
+    """Deterministic DuckDB replay of ``ann_topk``: the hyperplanes are
+    seeded literals, so the query's sign-bit bucket, the bucket-probe
+    filter, and the exact cosine re-rank all reproduce byte-identically in
+    ANSI SQL (same technique as ``_banded_ctes``). Query vector =
+    vec_id 0's embedding, exactly as ``_query_vec`` selects it."""
+    from impc_etl_spark.operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(dim, n_planes, seed)
+    vals = ", ".join(
+        f"({p}, {i + 1}, {w!r})"
+        for p, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    return f"""
+WITH planes(p, i, w) AS (VALUES {vals}),
+e AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+dots AS (
+  SELECT e.vec_id, planes.p, sum(e.v * planes.w) AS dp
+  FROM e JOIN planes USING (i) GROUP BY 1, 2),
+sk AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM dots GROUP BY vec_id),
+cands AS (
+  SELECT sk.vec_id FROM sk
+  WHERE sk.bucket = (SELECT bucket FROM sk WHERE vec_id = 0)),
+q AS (SELECT i, v AS qv FROM e WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, sum(e.v * q.qv) AS dp,
+         sum(e.v * e.v) AS nv, sum(q.qv * q.qv) AS nq
+  FROM e JOIN q USING (i)
+  WHERE e.vec_id IN (SELECT vec_id FROM cands)
+  GROUP BY e.vec_id),
+s AS (
+  SELECT vec_id,
+         floor((dp / (sqrt(nv) * sqrt(nq))) * 1000000 + 0.5) / 1000000 AS cos_sim
+  FROM d)
+SELECT vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
+WHERE rk <= {k}
+"""
+
+
+ORACLE["emb_ann_topk"] = _ann_oracle()
 
 ORACLE["emb_dup_groups"] = f"""
 WITH RECURSIVE {_banded_ctes()},
@@ -3310,7 +3396,8 @@ SELECT doc_id, lang, n_tokens FROM c WHERE before < 5000
 
 ORACLE["customer_status_running_sets"] = """
 SELECT a.o_orderkey, a.o_custkey,
-       list_sort(list_distinct(list(b.o_orderstatus))) AS statuses_so_far,
+       array_to_string(list_sort(list_distinct(list(b.o_orderstatus))), '|')
+           AS statuses_so_far,
        md5(array_to_string(list_sort(list_distinct(list(b.o_orderstatus))), '|'))
            AS metadata_group
 FROM orders a JOIN orders b
@@ -3335,7 +3422,7 @@ LEFT JOIN m ON m.seg = c_mktsegment
 
 ORACLE["solr_doc_shape"] = """
 SELECT o_orderkey::DOUBLE AS o_orderkey, o_totalprice, o_orderpriority,
-       [o_custkey::DOUBLE] AS custkey_arr
+       o_custkey::BIGINT::VARCHAR AS custkey_arr
 FROM orders
 """
 
@@ -3718,6 +3805,7 @@ t AS (
   WHERE o_totalprice IS NOT NULL)
 SELECT bin,
        floor((lo + bin * ((hi - lo) / 10.0)) * 1000000 + 0.5) / 1000000 AS lo,
+       floor((lo + (bin + 1) * ((hi - lo) / 10.0)) * 1000000 + 0.5) / 1000000 AS hi,
        CAST(count(*) AS BIGINT) AS n
 FROM t GROUP BY bin, t.lo, t.hi
 """

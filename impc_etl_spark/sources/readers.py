@@ -145,18 +145,49 @@ def read_xml_entities(
     path: str,
     row_tag: str = "centre",
     schema: StructType | None = None,
+    mode: str = "FAILFAST",
+    null_value: str = "",
 ) -> DataFrame:
-    """XML ingest (S1). Uses Spark 4's built-in XML source when present,
-    else the spark-xml package if installed; raises a clear error otherwise
-    (the container has no XML test corpus — entity explosion itself is
-    covered by operators.explode over parquet fixtures)."""
+    """XML ingest (S1 — xml_extraction_helper.py:22-81: rowTag='centre',
+    samplingRatio=1, nullValue='', mode=FAILFAST over the spark-xml
+    datasource). Uses Spark 4's built-in XML source (same option surface
+    as spark-xml), else the spark-xml package if installed; raises a clear
+    error otherwise. The source-file tag is attached here; data-source
+    path components come from ``tag_path_component`` regexps, not a
+    Python UDF."""
     try:
-        reader = spark.read.format("xml").option("rowTag", row_tag)
+        reader = (
+            spark.read.format("xml")
+            .option("rowTag", row_tag)
+            .option("nullValue", null_value)
+            .option("mode", mode)
+        )
         if schema is not None:
             reader = reader.schema(schema)
+        else:
+            reader = reader.option("samplingRatio", "1")
         return tag_source_file(reader.load(path))
+    except NotImplementedError:
+        raise
     except Exception as exc:  # pragma: no cover - depends on runtime jars
-        raise NotImplementedError(
-            "No XML datasource available in this runtime; provide spark-xml "
-            "or Spark 4 xml format"
-        ) from exc
+        if "Failed to find" in str(exc) or "DATA_SOURCE_NOT_FOUND" in str(exc):
+            raise NotImplementedError(
+                "No XML datasource available in this runtime; provide "
+                "spark-xml or Spark 4 xml format"
+            ) from exc
+        raise
+
+
+def tag_path_component(
+    df: DataFrame,
+    index_from_end: int,
+    col_name: str,
+    path_col: str | None = None,
+) -> DataFrame:
+    """Attach the Nth-from-last path component of each row's source file
+    (1 = basename, 2 = parent dir, …) — the reference's
+    ``x.split('/')[-N]`` data-source UDFs (xml_extraction_helper.py:57-70)
+    as one JVM-side regexp."""
+    src = F.col(path_col) if path_col else F.input_file_name()
+    pattern = r"([^/]+)" + r"/[^/]+" * (index_from_end - 1) + r"/?$"
+    return df.withColumn(col_name, F.regexp_extract(src, pattern, 1))

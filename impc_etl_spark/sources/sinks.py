@@ -226,8 +226,10 @@ def write_mongo(
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite",
                properties: dict[str, str] | None = None,
                create_table_column_types: str | None = None) -> None:
-    """JDBC sink (S11 — impc_api_pg_loader.py:52-79). Thin wrapper; needs a
-    JDBC driver jar on the classpath at runtime."""
+    """JDBC sink (S11 — impc_api_pg_loader.py:52-79). Needs a JDBC driver
+    jar on the classpath at runtime; exercised end-to-end against embedded
+    Derby (on Spark's default classpath) in test_sources.py, including
+    ``createTableColumnTypes``."""
     w = df.write.mode(mode)
     if create_table_column_types:
         w = w.option("createTableColumnTypes", create_table_column_types)
@@ -239,7 +241,8 @@ def read_jdbc_partitioned(spark, url: str, query: str, partition_column: str,
                           properties: dict[str, str] | None = None) -> DataFrame:
     """Partitioned JDBC scan (S5 — gene_ref_extractor.py:100-170): SQL
     pushdown via subquery-as-table, ranged on a numeric key so each executor
-    reads a slice."""
+    reads a slice. Exercised end-to-end against embedded Derby in
+    test_sources.py (4-way ranged split verified)."""
     return spark.read.jdbc(
         url,
         table=f"({query}) AS t",
@@ -282,10 +285,15 @@ def write_shards_with_manifest(
     tagged = df.withColumn("shard", shard).repartition(num_shards, "shard")
     tagged.write.mode("overwrite").partitionBy("shard").parquet(path)
 
+    # Manifest counts come from the files actually written (not from
+    # re-aggregating `tagged`, which would re-execute the upstream plan —
+    # double cost, and a nondeterministic upstream would make the manifest
+    # disagree with what's on disk).
+    written = tagged.sparkSession.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if token_col:
         aggs.append(F.sum(token_col).alias("n_tokens"))
-    stats = tagged.groupBy("shard").agg(*aggs).orderBy("shard").collect()
+    stats = written.groupBy("shard").agg(*aggs).orderBy("shard").collect()
     manifest = {
         "num_shards": num_shards,
         "key_cols": key_cols,

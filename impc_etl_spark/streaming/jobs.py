@@ -215,6 +215,33 @@ def run_available_now(
     q.awaitTermination()
 
 
+def _store_pointer(store_dir: str) -> str:
+    import os
+
+    return os.path.join(store_dir, "_CURRENT")
+
+
+def current_store_path(store_dir: str) -> str | None:
+    """Resolve an upsert store's CURRENT version directory (None before
+    the first committed batch)."""
+    import os
+
+    ptr = _store_pointer(store_dir)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        version = f.read().strip()
+    return os.path.join(store_dir, version) if version else None
+
+
+def read_store(spark, store_dir: str) -> DataFrame:
+    """Read the current committed version of an ``upsert_sink`` store."""
+    path = current_store_path(store_dir)
+    if path is None:
+        raise FileNotFoundError(f"upsert store has no committed version: {store_dir}")
+    return spark.read.parquet(path)
+
+
 def upsert_sink(
     stream_df: DataFrame,
     store_dir: str,
@@ -223,22 +250,29 @@ def upsert_sink(
     dedup_order: list[str] | None = None,
 ) -> None:
     """Stream → parquet-store MERGE: drain the stream with AvailableNow,
-    upserting each micro-batch into ``store_dir`` by key
-    (``conform.merge_upsert`` inside ``foreachBatch``) — continuous
+    upserting each micro-batch into a versioned store under ``store_dir``
+    by key (``conform.merge_upsert`` inside ``foreachBatch``) — continuous
     ingestion into a keyed store without a transactional table format.
 
     Within a micro-batch the LATEST row per key wins (``dedup_order``
     descending, e.g. the event time — merge_upsert requires key-unique
-    updates); across batches the newer batch replaces same-key rows. The
-    swap is write-new/replace (non-atomic on plain parquet): crash-safe
-    resumption comes from the checkpoint replaying the last batch, whose
-    merge is idempotent. On clusters point ``store_dir`` at a path
-    rename/commit layer (or a table format) for atomic swap; the merge
-    plan itself — one unionByName + one key-window shuffle per batch —
-    is unchanged.
+    updates); across batches the newer batch replaces same-key rows.
+
+    Crash safety: each batch writes a NEW version directory
+    (``v<batch_id>``) and then flips the ``_CURRENT`` pointer with an
+    atomic rename — the previous version is never modified, so a crash
+    mid-write leaves the store readable at its last committed version and
+    checkpoint replay re-runs the same batch id idempotently (overwriting
+    the orphaned version dir before re-flipping). Only a MISSING pointer
+    is treated as "first batch"; any other store-read failure aborts the
+    query loudly instead of silently rebuilding from one micro-batch.
+    Version dirs older than the previous one are garbage-collected after
+    each flip. The pointer rename is atomic on POSIX filesystems; on
+    object stores, front it with a rename/commit layer or use a table
+    format. Read with ``read_store``.
     """
+    import os
     import shutil
-    import tempfile
 
     from impc_etl_spark.operators.conform import merge_upsert
 
@@ -257,22 +291,23 @@ def upsert_sink(
                 .where(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        try:
-            existing = spark.read.parquet(store_dir)
-        except Exception:  # first batch: no store yet
-            existing = None
+        current = current_store_path(store_dir)
         merged = (
             updates
-            if existing is None
-            else merge_upsert(existing, updates, keys)
+            if current is None
+            else merge_upsert(spark.read.parquet(current), updates, keys)
         )
-        tmp = tempfile.mkdtemp(prefix="upsert_stage_")
-        try:
-            merged.write.mode("overwrite").parquet(tmp)
-            staged = spark.read.parquet(tmp)
-            staged.write.mode("overwrite").parquet(store_dir)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        version = f"v{batch_id}"
+        new_dir = os.path.join(store_dir, version)
+        merged.write.mode("overwrite").parquet(new_dir)
+        ptr, tmp_ptr = _store_pointer(store_dir), _store_pointer(store_dir) + ".tmp"
+        with open(tmp_ptr, "w") as f:
+            f.write(version)
+        os.replace(tmp_ptr, ptr)  # atomic commit
+        keep = {version, os.path.basename(current) if current else version}
+        for d in os.listdir(store_dir):
+            if d.startswith("v") and d not in keep:
+                shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(do_merge)

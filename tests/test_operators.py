@@ -548,6 +548,35 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(60)}
 
 
+def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir switches the per-round materialization to reliable
+    checkpoint(): same labels, and RDD checkpoint files actually land in
+    the given directory (the 100 TB executor-loss-survival path)."""
+    import os
+
+    from impc_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    ckdir = str(tmp_path / "ck")
+    got = {r["doc_id"]: r["group_id"]
+           for r in connected_components(pairs, checkpoint_dir=ckdir).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint files written"
+
+
+def test_materialize_reliable_checkpoint(spark, tmp_path):
+    import os
+
+    from impc_etl_spark.operators.partitioning import materialize
+
+    ckdir = str(tmp_path / "ckm")
+    out = materialize(spark.range(100), ckdir)
+    assert out.count() == 100
+    assert any(files for _, _, files in os.walk(ckdir))
+
+
 def test_connected_components_warns_when_iteration_capped(spark):
     import warnings
 
@@ -1228,11 +1257,12 @@ def test_value_histogram_bins_and_edges(spark):
     from impc_etl_spark.operators.profile import value_histogram
 
     df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
-    got = {r["bin"]: (r["lo"], r["n"]) for r in value_histogram(df, "v", 10).collect()}
+    got = {r["bin"]: (r["lo"], r["hi"], r["n"]) for r in value_histogram(df, "v", 10).collect()}
     assert len(got) == 10
-    assert got[0] == (0.0, 10)
+    assert got[0] == (0.0, 9.9, 10)
+    assert got[9][:2] == (89.1, 99.0)      # hi edge of the last bin = max
     # max value (99.0) lands in the LAST bin, not an overflow bin
-    assert got[9][1] == 10
+    assert got[9][2] == 10
     # constant column: single bin holds everything
     const = spark.createDataFrame([(5.0,)] * 7, "v double")
     one = value_histogram(const, "v", 10).collect()

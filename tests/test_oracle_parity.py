@@ -81,14 +81,13 @@ def test_every_query_has_entry_or_documented_exception():
     from impc_etl_spark import queries as q
 
     no_oracle = set(q.QUERIES) - set(q.ORACLE)
-    # approximate / non-SQL-expressible ops only:
-    # - emb_ann_topk: LSH bucket probe (approximate by design)
+    # non-SQL-expressible ops only:
     # - customer_order_bundle_gz: DuckDB has no gzip (determinism
     #   unit-tested via roundtrip in test_operators)
     # - orders_approx_distinct: HLL++ estimate is impl-specific
     #   (accuracy bound unit-tested in test_operators)
     assert no_oracle <= {
-        "emb_ann_topk", "customer_order_bundle_gz", "orders_approx_distinct",
+        "customer_order_bundle_gz", "orders_approx_distinct",
     }, no_oracle
 
 

@@ -94,6 +94,52 @@ def test_asof_window_partitions_by_left_key(spark):
         assert "windowspecdefinition(event_id" in plan, name
 
 
+def test_registered_lsh_queries_cap_mega_buckets(spark, tmp_path):
+    """The REGISTERED dedup queries (not just the operator) must survive a
+    boilerplate corpus: 200 identical docs put all ids in one band bucket;
+    with LSH_MAX_BUCKET wired in, expansion is O(n) star edges (199 pairs),
+    not O(n²) = 19900."""
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark import queries as q
+
+    n = 200
+    boiler = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate license header text repeated verbatim").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+    )
+    sf_dir = str(tmp_path)
+    boiler.write.parquet(f"{sf_dir}/documents.parquet")
+    pairs = q.QUERIES["docs_minhash_lsh"](spark, sf_dir)
+    assert pairs.count() == n - 1  # star: min id ↔ every other id
+    # and group assignment is unaffected by the cap: one component of 200
+    groups = q.QUERIES["docs_dup_groups"](spark, sf_dir)
+    assert groups.count() == n
+    assert groups.select("group_id").distinct().count() == 1
+
+
+def test_driver_window_outputs_are_hashable(spark):
+    """The external driver hashes result cells through pandas factorize,
+    which raises on list/dict values. Every query inside the driver's
+    50-entry window must therefore emit only atomic top-level columns
+    (complex payloads get array_join/to_json projections; the typed
+    operators stay covered by unit tests)."""
+    from pyspark.sql import types as T
+
+    from impc_etl_spark import queries as q
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name in list(q.QUERIES)[:50]:
+        df = q.QUERIES[name](spark, SF_SMOKE)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, complex_types):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, f"driver-unhashable outputs in window: {offenders}"
+
+
 def test_max_records_per_file(spark, tmp_path):
     import glob
 

@@ -277,9 +277,21 @@ def test_upsert_sink_merges_waves_latest_wins(spark, tmp_path):
         dedup_order=["ts"],
     )
 
-    got = {r["k"]: (r["v"], r["ts"]) for r in spark.read.parquet(store).collect()}
+    from impc_etl_spark.streaming.jobs import current_store_path, read_store
+
+    got = {r["k"]: (r["v"], r["ts"]) for r in read_store(spark, store).collect()}
     assert len(got) == 150
     assert got[1] == ("old", 100)          # untouched by wave2
     assert got[51] == ("new", 200)         # overlapped: newer wave wins
     assert got[60] == ("newest", 300)      # in-batch dup: latest ts wins
     assert got[150] == ("new", 200)        # pure insert
+
+    # versioned commit: _CURRENT points at the last batch's dir, and older
+    # versions beyond the previous one are GC'd (crash mid-write can never
+    # clobber a committed version — each batch writes a NEW directory)
+    import os
+
+    cur = current_store_path(store)
+    assert cur is not None and os.path.basename(cur).startswith("v")
+    versions = [d for d in os.listdir(store) if d.startswith("v")]
+    assert os.path.basename(cur) in versions and len(versions) <= 2
