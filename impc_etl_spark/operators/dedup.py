@@ -629,13 +629,15 @@ def connected_components(
             return frame.checkpoint(eager=True)
         return frame.localCheckpoint(eager=True)
 
-    # Materialize the edge list ONCE: `pairs` usually sits on top of an
-    # expensive candidate-generation plan (MinHash/LSH banding), and every
-    # round's neighbor join would otherwise re-execute that whole subtree —
-    # measured 2× end-to-end on the LSH dup-groups bench query.
+    # Materialize the pair list ONCE before mirroring: `pairs` usually
+    # sits on top of an expensive candidate-generation plan (MinHash/LSH
+    # banding), and a union of two projections of it would execute that
+    # whole subtree twice (Spark has no automatic CTE reuse across union
+    # branches); every round's neighbor join would then re-execute it
+    # again — measured 2× end-to-end on the LSH dup-groups bench query.
+    base = _ck(pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")))
     edges = _ck(
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
     labels = _ck(
         edges.select(F.col("src").alias("id"))

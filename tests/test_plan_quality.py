@@ -57,6 +57,34 @@ def test_no_cartesian_and_no_python_row_udf(spark, name):
         assert name in BNL_ALLOWED, f"{name}: unexpected nested-loop join"
 
 
+def test_column_pruning_reaches_scan(spark):
+    """Projection pruning must reach the parquet ReadSchema: a scan that
+    reads every column for a 2-column query ships the whole table at
+    100 TB. Checked on representative queries per table."""
+    import re
+
+    from impc_etl_spark import queries as q
+
+    # query -> (table file, exact column set the scan may read)
+    expectations = {
+        "docs_lang_id": ("documents.parquet", {"doc_id", "text"}),
+        "docs_token_stats": ("documents.parquet", {"doc_id", "text"}),
+        "emb_cosine_topk": ("embeddings.parquet", {"vec_id", "embedding"}),
+        "top_customers_per_nation": ("orders.parquet", {"o_custkey", "o_totalprice"}),
+    }
+    for name, (table, want) in expectations.items():
+        plan = q.QUERIES[name](spark, SF_SMOKE)._jdf.queryExecution().toString()
+        scans = re.findall(
+            r"FileScan parquet \[([^\]]*)\][^\n]*" + re.escape(table), plan
+        )
+        assert scans, f"{name}: no parquet scan of {table} found in plan"
+        for cols in scans:
+            got = {c.split("#")[0] for c in cols.split(",") if c}
+            assert got <= want, (
+                f"{name}: scan of {table} reads {got}, expected subset of {want}"
+            )
+
+
 def test_filter_pushdown_reaches_scan(spark):
     from impc_etl_spark import queries as q
 
