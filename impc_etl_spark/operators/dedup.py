@@ -359,9 +359,27 @@ def verified_near_dups(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """The full scale composition: MinHash-LSH candidate generation, then
-    EXACT Jaccard verification computed only on the candidates.
+    EXACT similarity verification computed only on the candidates.
+
+    ``metric="jaccard"`` scores |A∩B| / |A∪B| (symmetric resemblance);
+    ``metric="containment"`` scores |A∩B| / min(|A|, |B|) — the
+    asymmetric measure that SCORES subset duplication (one document
+    embedded whole inside a longer one) correctly where Jaccard
+    under-reports it: a doc reused inside one 3× its size has Jaccard
+    ≈ 0.33 but containment = 1.0. Training-data pipelines need both
+    (quote-heavy web pages, concatenated dumps). The output score
+    column is named after the metric.
+
+    Candidate RECALL is still MinHash/Jaccard-driven: a pair whose
+    Jaccard is near zero (tiny doc inside a huge one) rarely lands in a
+    shared band, so it never reaches verification. For that regime use
+    narrower bands (bands == num_hashes) — per-band collision
+    probability is then the raw per-hash Jaccard, caught by enough
+    hashes — or the `dup_spans` substring path, which is containment's
+    exact scalable cousin.
 
     Verification joins each candidate pair to the two docs' distinct
     shingle ARRAYS (two broadcast-able hash joins keyed by id) and
@@ -394,11 +412,16 @@ def verified_near_dups(
     b = shingle_sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.round(inter / union, 6)
+    if metric == "jaccard":
+        denom = F.size("sh_a") + F.size("sh_b") - inter
+    elif metric == "containment":
+        denom = F.least(F.size("sh_a"), F.size("sh_b"))
+    else:
+        raise ValueError(f"unknown metric {metric!r} (jaccard|containment)")
+    score = F.round(inter / denom, 6)
     return (
-        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        joined.select("doc_a", "doc_b", score.alias(metric))
+        .where(F.col(metric) >= threshold)
     )
 
 
@@ -635,9 +658,21 @@ def connected_components(
     # whole subtree twice (Spark has no automatic CTE reuse across union
     # branches); every round's neighbor join would then re-execute it
     # again — measured 2× end-to-end on the LSH dup-groups bench query.
-    base = _ck(pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")))
+    # Mirror each pair row-locally (explode of a 2-struct array) instead of
+    # a union of two projections: the candidate-generation subtree under
+    # `pairs` (MinHash/LSH banding — the expensive part) is evaluated
+    # exactly ONCE, and a single eager checkpoint materializes the full
+    # bidirectional edge list before the loop (a union form either runs
+    # the subtree twice or needs two serialized checkpoint barriers).
     edges = _ck(
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                    F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )
     labels = _ck(
         edges.select(F.col("src").alias("id"))

@@ -444,6 +444,38 @@ def quantize_embeddings(
     return res if keep_original else res.drop(emb_col)
 
 
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    out: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: map ``in_dim``-d embeddings
+    onto ``out_dim`` seeded unit-Gaussian directions (the same
+    deterministic plane generator the LSH sketch uses). Pairwise cosine /
+    distance structure is approximately preserved, so the reduced space
+    is the cheap FIRST pass of a two-stage search: brute-force or bucket
+    in ``out_dim`` (4–8× less compute and shuffle bytes), exact re-rank
+    in ``in_dim`` only on survivors.
+
+    Plan: projection matrix is an out_dim×in_dim literal in the plan
+    (KBs — no broadcast machinery), one row-local ``transform``+``dot``
+    per output dim, zero shuffle. At 100 TB this runs at scan speed and
+    cuts every DOWNSTREAM shuffle carrying vectors by in_dim/out_dim.
+    """
+    planes = hyperplane_planes(in_dim, out_dim, seed)
+    v = F.col(vec_col)
+    # floor(x*1e6+0.5)/1e6 rounding (not F.round) so an ANSI-SQL oracle
+    # replays the components bit-for-bit
+    comps = [
+        F.floor(dot(v, F.array(*[F.lit(x) for x in p])) * 1e6 + F.lit(0.5)) / 1e6
+        for p in planes
+    ]
+    return df.withColumn(out, F.array(*comps))
+
+
 def dequantize_embeddings(
     df: DataFrame,
     q_col: str = "emb_q",

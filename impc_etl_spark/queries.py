@@ -1432,7 +1432,10 @@ def orders_skew_report(spark, sf_dir):
     from impc_etl_spark.operators.profile import skew_report
 
     orders = _t(spark, sf_dir, "orders")
-    return skew_report(orders, ["o_orderstatus", "o_orderpriority"], top_k=3)
+    out = skew_report(orders, ["o_orderstatus", "o_orderpriority"], top_k=3)
+    # registered projection ships top_keys pipe-joined (driver hash-compare
+    # can't factorize array cells); the typed surface is unit-tested
+    return out.withColumn("top_keys", F.array_join("top_keys", "|"))
 
 
 def docs_collocations(spark, sf_dir):
@@ -1710,8 +1713,12 @@ def emb_quantize(spark, sf_dir):
     from impc_etl_spark.operators.similarity import quantize_embeddings
 
     emb = _t(spark, sf_dir, "embeddings")
+    # registered projection ships the int8 vector pipe-joined (driver
+    # hash-compare can't factorize array cells); typed path is unit-tested
     return quantize_embeddings(emb, "embedding").select(
-        "vec_id", "emb_scale", "emb_q"
+        "vec_id",
+        "emb_scale",
+        F.array_join(F.col("emb_q").cast("array<string>"), "|").alias("emb_q"),
     )
 
 
@@ -2023,6 +2030,116 @@ def emb_ivf_topk(spark, sf_dir):
     )
 
 
+def customer_status_scd2(spark, sf_dir):
+    """SCD type-2 dimension build (history tracking): each customer's
+    order-status change log collapses to versioned validity intervals —
+    one window shuffle on the business key, lag() change detection +
+    lead() interval close (operators/history.py:scd2_build). Timestamps
+    ship formatted so the value hash compares across engines."""
+    from impc_etl_spark.operators.history import scd2_build
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = scd2_build(
+        orders,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
+def orders_cdc_apply(spark, sf_dir):
+    """CDC apply-changes: a latest-wins change stream (op U/D derived
+    deterministically from the order key) applied to a point-in-time
+    snapshot (operators/history.py:cdc_apply). Snapshot = each customer's
+    latest pre-cutoff order; stream = post-cutoff orders; latest op D
+    deletes the customer row, latest U replaces it."""
+    from pyspark.sql import Window
+
+    from impc_etl_spark.operators.history import cdc_apply
+
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-06-01").cast("timestamp")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    snap = (
+        orders.where(F.col("o_orderdate") < cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            _rnd("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+    changes = orders.where(F.col("o_orderdate") >= cutoff).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        _rnd("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return cdc_apply(
+        snap, changes, ["o_custkey"], "o_orderdate", tiebreak_cols=["o_orderkey"]
+    )
+
+
+def docs_containment_dups(spark, sf_dir):
+    """Containment near-dup detection: LSH candidates + exact
+    |A∩B| / min(|A|,|B|) on shingle sets — the asymmetric measure that
+    catches a short document embedded whole inside a long one, which
+    Jaccard structurally misses (dedup.py:verified_near_dups
+    metric="containment")."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.verified_near_dups(
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4, threshold=0.8,
+        max_bucket_size=LSH_MAX_BUCKET, metric="containment",
+    )
+
+
+def emb_rp_topk(spark, sf_dir):
+    """Two-stage search, stage 1: Johnson–Lindenstrauss random projection
+    64→16 dims (similarity.py:random_projection — seeded literal planes,
+    zero shuffle), then brute cosine top-k IN THE REDUCED SPACE. At scale
+    this is the cheap candidate pass (4× less compute/shuffle bytes);
+    exact re-rank in full dim runs only on survivors."""
+    import math as _m
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = sim_ops.hyperplane_planes(64, 16, seed=7)
+    qv = [float(x) for x in _query_vec(spark, sf_dir)]
+    # reduce the query driver-side with the SAME floor-rounding the
+    # operator applies, so both engines score identical inputs
+    rq = [
+        _m.floor(sum(a * b for a, b in zip(qv, p)) * 1e6 + 0.5) / 1e6
+        for p in planes
+    ]
+    qn = _m.sqrt(sum(x * x for x in rq)) or 1.0
+    reduced = sim_ops.random_projection(emb, 64, 16, seed=7, out="rp")
+    rp = F.col("rp")
+    qcol = F.array(*[F.lit(x) for x in rq])
+    score = _rnd(sim_ops.dot(rp, qcol) / (sim_ops.norm(rp) * F.lit(qn)), 6)
+    return (
+        fan_out(reduced)
+        .select("vec_id", score.alias("rp_sim"))
+        .orderBy(F.col("rp_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2039,8 +2156,8 @@ QUERIES = {
     "lineitem_part_mart": lineitem_part_mart,
     "supplier_rule_calls": supplier_rule_calls,
     "stats_results_mart": stats_results_mart,
-    "user_event_funnel": user_event_funnel,
-    "order_extreme_lines": order_extreme_lines,
+    "customer_status_scd2": customer_status_scd2,
+    "orders_cdc_apply": orders_cdc_apply,
     "customer_order_bundle": customer_order_bundle,
     # -- north star: dedup / text -------------------------------------------
     "docs_exact_dedup": docs_exact_dedup,
@@ -2061,7 +2178,7 @@ QUERIES = {
     "media_feature_extract": media_feature_extract,
     # -- north star: similarity search --------------------------------------
     "emb_cosine_topk": emb_cosine_topk,
-    "emb_batch_topk": emb_batch_topk,
+    "emb_rp_topk": emb_rp_topk,
     "emb_ann_topk": emb_ann_topk,
     "emb_semantic_dedup": emb_semantic_dedup,
     # -- round-1 FAIL (oracle type artifact, fixed) + changed operators -----
@@ -2077,7 +2194,7 @@ QUERIES = {
     "top_customers_per_nation": top_customers_per_nation,
     "user_sessions": user_sessions,
     "docs_decontaminate": docs_decontaminate,
-    "corpus_budget_select": corpus_budget_select,
+    "docs_containment_dups": docs_containment_dups,
     # -- new this round (operators closing VERDICT gaps) ---------------------
     "part_required_tokens_join": part_required_tokens_join,
     "order_params_merged": order_params_merged,
@@ -2098,6 +2215,10 @@ QUERIES = {
     # Entries below are outside the driver's 50-query window (every one has
     # a prior driver-PASS round and remains locally oracle-checked).
     # ======================================================================
+    "user_event_funnel": user_event_funnel,
+    "order_extreme_lines": order_extreme_lines,
+    "emb_batch_topk": emb_batch_topk,
+    "corpus_budget_select": corpus_budget_select,
     "docs_repetition": docs_repetition,
     "user_cohort_retention": user_cohort_retention,
     "shipment_transit_overlap": shipment_transit_overlap,
@@ -3555,10 +3676,11 @@ WITH m AS (
   FROM embeddings)
 SELECT vec_id,
        ma / 127.0 AS emb_scale,
-       CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
-            ELSE list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS INT))
-       END AS emb_q
+       array_to_string(
+         CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS INT))
+         END, '|') AS emb_q
 FROM m
 """
 
@@ -3776,7 +3898,7 @@ stat_s AS (
   SELECT 'o_orderstatus' AS "column", count(*) AS n_keys, max(c) AS max_count,
          quantile_cont(c, 0.5) AS p50_count, quantile_cont(c, 0.99) AS p99_count,
          floor(max(c) / sum(c) * 1000000 + 0.5) / 1000000 AS max_share,
-         (SELECT list(k ORDER BY c DESC, k) FROM (SELECT * FROM cs ORDER BY c DESC, k LIMIT 3)) AS top_keys
+         (SELECT array_to_string(list(k ORDER BY c DESC, k), '|') FROM (SELECT * FROM cs ORDER BY c DESC, k LIMIT 3)) AS top_keys
   FROM cs),
 p AS (
   SELECT o_orderpriority::VARCHAR AS k FROM orders),
@@ -3785,7 +3907,7 @@ stat_p AS (
   SELECT 'o_orderpriority' AS "column", count(*) AS n_keys, max(c) AS max_count,
          quantile_cont(c, 0.5) AS p50_count, quantile_cont(c, 0.99) AS p99_count,
          floor(max(c) / sum(c) * 1000000 + 0.5) / 1000000 AS max_share,
-         (SELECT list(k ORDER BY c DESC, k) FROM (SELECT * FROM cp ORDER BY c DESC, k LIMIT 3)) AS top_keys
+         (SELECT array_to_string(list(k ORDER BY c DESC, k), '|') FROM (SELECT * FROM cp ORDER BY c DESC, k LIMIT 3)) AS top_keys
   FROM cp)
 SELECT "column", CAST(n_keys AS BIGINT) AS n_keys, CAST(max_count AS BIGINT) AS max_count,
        p50_count, p99_count, max_share, top_keys
@@ -3914,3 +4036,124 @@ SELECT doc_id,
     '\\s+', ' ', 'g')) AS clean_text
 FROM documents
 """
+
+
+ORACLE["customer_status_scd2"] = """
+WITH chg AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER w AS prev_s,
+         lag(o_orderdate) OVER w AS prev_ts
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+cp AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM chg
+  WHERE prev_ts IS NULL OR o_orderstatus IS DISTINCT FROM prev_s),
+v AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate AS vf,
+         lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vt
+  FROM cp)
+SELECT o_custkey, o_orderstatus,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (vt IS NULL) AS is_current
+FROM v
+"""
+
+ORACLE["orders_cdc_apply"] = """
+WITH snap AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus,
+         floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-01')
+  WHERE rn = 1),
+chg AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus,
+         floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01')
+  WHERE rn = 1)
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
+  FROM chg WHERE op = 'U'
+  UNION ALL
+  SELECT s.o_custkey, s.o_orderkey, s.o_orderstatus, s.o_totalprice
+  FROM snap s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM chg c WHERE c.o_custkey = s.o_custkey AND c.op = 'U')) t
+WHERE NOT EXISTS (
+  SELECT 1 FROM chg c WHERE c.o_custkey = t.o_custkey AND c.op = 'D')
+"""
+
+# Containment verify shares the jaccard oracle's candidate CTEs; only the
+# denominator (min set size) and threshold differ.
+ORACLE["docs_containment_dups"] = ORACLE["docs_verified_near_dups"].replace(
+    """jac AS (
+  SELECT c.doc_a, c.doc_b,
+         floor((coalesce(i, 0) * 1.0 / (sa.n + sb.n - coalesce(i, 0))) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM cand c
+  LEFT JOIN common USING (doc_a, doc_b)
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""",
+    """jac AS (
+  SELECT c.doc_a, c.doc_b,
+         floor((coalesce(i, 0) * 1.0 / least(sa.n, sb.n)) * 1000000 + 0.5) / 1000000 AS containment
+  FROM cand c
+  LEFT JOIN common USING (doc_a, doc_b)
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, containment FROM jac WHERE containment >= 0.8""",
+)
+assert "containment" in ORACLE["docs_containment_dups"], "oracle surgery failed"
+
+
+def _rp_oracle(in_dim: int = 64, out_dim: int = 16, seed: int = 7, k: int = 10) -> str:
+    """Deterministic DuckDB replay of ``emb_rp_topk``: the projection
+    planes are seeded literals (same generator as the ANN oracle), the
+    reduced components use the portable floor-rounding, and the reduced-
+    space cosine re-ranks identically in both engines."""
+    import math as _m
+
+    from impc_etl_spark.operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(in_dim, out_dim, seed)
+    vals = ", ".join(
+        f"({p}, {i + 1}, {w!r})"
+        for p, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    # reduced query vector (vec_id 0) is computed by the SPARK query
+    # driver-side; the oracle replays the same arithmetic in SQL instead
+    # of inlining it, so the two sides stay independent
+    return f"""
+WITH planes(p, i, w) AS (VALUES {vals}),
+e AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+rp AS (
+  SELECT e.vec_id, planes.p,
+         floor(sum(e.v * planes.w) * 1000000 + 0.5) / 1000000 AS c
+  FROM e JOIN planes USING (i) GROUP BY 1, 2),
+q AS (SELECT p, c AS qc FROM rp WHERE vec_id = 0),
+d AS (
+  SELECT rp.vec_id, sum(rp.c * q.qc) AS dp,
+         sum(rp.c * rp.c) AS nv, sum(q.qc * q.qc) AS nq
+  FROM rp JOIN q USING (p) GROUP BY rp.vec_id),
+s AS (
+  SELECT vec_id,
+         floor((dp / (sqrt(nv) * sqrt(nq))) * 1000000 + 0.5) / 1000000 AS rp_sim
+  FROM d)
+SELECT vec_id, rp_sim FROM (
+  SELECT *, row_number() OVER (ORDER BY rp_sim DESC, vec_id) AS rk FROM s)
+WHERE rk <= {k}
+"""
+
+
+ORACLE["emb_rp_topk"] = _rp_oracle()

@@ -1305,3 +1305,138 @@ def test_normalize_unicode_maps_and_collapses(spark):
     )
     got = df.select(normalize_unicode("t").alias("c")).collect()[0]["c"]
     assert got == '"hello" - it\'s a test... done'
+
+
+def test_scd2_build_collapses_and_closes_intervals(spark):
+    from impc_etl_spark.operators.history import scd2_build
+
+    rows = [
+        # key 1: A, A (collapse), B, A — three versions
+        (1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "A"),
+        # key 2: single version, current
+        (2, 15, "X"),
+        # key 3: null attr then value — null-safe change detection
+        (3, 5, None), (3, 25, "Z"), (3, 35, "Z"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, status string")
+    out = scd2_build(df, ["k"], "ts", ["status"], tiebreak_cols=["ts"])
+    got = {
+        (r["k"], r["valid_from"]): (r["status"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 10): ("A", 30, False),
+        (1, 30): ("B", 40, False),
+        (1, 40): ("A", None, True),
+        (2, 15): ("X", None, True),
+        (3, 5): (None, 25, False),
+        (3, 25): ("Z", None, True),
+    }
+
+
+def test_scd2_build_multi_attr_any_change_opens_version(spark):
+    from impc_etl_spark.operators.history import scd2_build
+
+    rows = [(1, 1, "A", 5), (1, 2, "A", 9), (1, 3, "A", 9)]
+    df = spark.createDataFrame(rows, "k int, ts int, s string, v int")
+    out = scd2_build(df, ["k"], "ts", ["s", "v"])
+    assert out.count() == 2  # v-change at ts=2 opens a version; ts=3 collapses
+
+
+def test_cdc_apply_latest_wins_upsert_delete_untouched(spark):
+    from impc_etl_spark.operators.history import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "old"), (2, "keep"), (3, "gone"), (4, "flip")],
+        "k int, val string",
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=1: two updates, latest (ts=5) wins
+            (1, "mid", 2, "U"), (1, "new", 5, "U"),
+            # k=3: update then delete — delete is latest
+            (3, "x", 1, "U"), (3, None, 9, "D"),
+            # k=4: delete then update — update is latest, row survives
+            (4, "back", 8, "U"), (4, None, 3, "D"),
+            # k=5: brand-new key inserted
+            (5, "ins", 1, "U"),
+            # k=6: delete of a key not in the snapshot — no-op
+            (6, None, 1, "D"),
+        ],
+        "k int, val string, ts int, op string",
+    )
+    out = cdc_apply(snap, changes, ["k"], "ts")
+    got = {r["k"]: r["val"] for r in out.collect()}
+    assert got == {1: "new", 2: "keep", 4: "back", 5: "ins"}
+    assert out.columns == snap.columns
+
+
+def test_cdc_apply_same_ts_tiebreak(spark):
+    from impc_etl_spark.operators.history import cdc_apply
+
+    snap = spark.createDataFrame([(1, "s")], "k int, val string")
+    changes = spark.createDataFrame(
+        [(1, "a", 1, 10, "U"), (1, "b", 1, 20, "U")],
+        "k int, val string, ts int, seq int, op string",
+    )
+    out = cdc_apply(snap, changes, ["k"], "ts", tiebreak_cols=["seq"])
+    assert out.collect()[0]["val"] == "b"  # higher seq wins at equal ts
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from impc_etl_spark.operators.dedup import verified_near_dups
+
+    short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long = short + " tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8"
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely different text about other things")],
+        "doc_id long, text string",
+    )
+    # bands == num_hashes (width-1 bands): per-band collision prob is the
+    # raw per-hash Jaccard (~0.5 here), so 24 hashes make a shared band
+    # near-certain — the containment-recall setting from the docstring
+    cont = verified_near_dups(
+        df, "text", "doc_id", k=3, num_hashes=24, bands=24,
+        threshold=0.9, metric="containment",
+    ).collect()
+    # every shingle of doc 1 appears in doc 2 → containment = 1.0
+    assert [(r["doc_a"], r["doc_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    jac = verified_near_dups(
+        df, "text", "doc_id", k=3, num_hashes=24, bands=24,
+        threshold=0.9, metric="jaccard",
+    ).collect()
+    assert jac == []  # Jaccard of the same pair is ~0.5, below 0.9
+
+
+def test_verified_near_dups_rejects_unknown_metric(spark):
+    from impc_etl_spark.operators.dedup import verified_near_dups
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown metric"):
+        verified_near_dups(df, metric="dice").collect()
+
+
+def test_random_projection_preserves_cosine_structure(spark):
+    import math
+    import random
+
+    from impc_etl_spark.operators.similarity import random_projection
+
+    rng = random.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.05) for x in base]
+    far = [rng.gauss(0, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r["rp"] for r in random_projection(df, 64, 16, seed=7).collect()}
+    assert all(len(v) == 16 for v in out.values())
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    # JL: the near pair stays near, the far pair stays far, ordering kept
+    assert cos(out[0], out[1]) > 0.9
+    assert cos(out[0], out[1]) > cos(out[0], out[2]) + 0.2
