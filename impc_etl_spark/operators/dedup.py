@@ -176,6 +176,76 @@ def line_dedup(
     )
 
 
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_df_ratio: float = 0.05,
+    min_df: int = 2,
+    out: str = "clean_text",
+) -> DataFrame:
+    """Remove corpus-frequent segments (nav bars, cookie banners, license
+    headers) from EVERY document: a line whose document frequency exceeds
+    both ``min_df`` docs and ``max_df_ratio`` of the corpus is boilerplate
+    and is dropped everywhere (RefinedWeb/C4-style line-frequency filter).
+
+    Complements `line_dedup`: that keeps each duplicated line at its
+    FIRST occurrence (corpus-global dedup); this removes high-frequency
+    lines from ALL occurrences including the first (template removal).
+    Documents reduced to nothing disappear.
+
+    Scale shape: the doc-frequency table is computed over the DISTINCT
+    (16-byte line hash, doc) projection — (hash, doc) pre-aggregation
+    before the counting exchange, so a line repeated inside one doc
+    counts once and raw text never shuffles. The frequency table is
+    line-vocabulary-sized (≪ corpus) and joins back on the hash with
+    map-side combine + AQE skew-splitting; survivors shuffle once on the
+    doc id for in-order reassembly. Corpus total-docs rides a 1-row
+    broadcast (BNL of a scalar frame, the allowlisted pattern).
+    """
+    segs = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__seg"),
+        )
+        .where(F.trim(F.col("__seg")) != "")
+        .withColumn("__key", F.md5(F.lower(F.trim(F.col("__seg")))))
+    )
+    doc_freq = (
+        segs.select("__key", id_col)
+        .distinct()
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).alias("__n")
+    )
+    flagged = (
+        segs.join(doc_freq, "__key")
+        .crossJoin(F.broadcast(n_docs))
+        .where(
+            ~(
+                (F.col("__df") >= F.lit(min_df))
+                & (F.col("__df") / F.col("__n") > F.lit(max_df_ratio))
+            )
+        )
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                    lambda s: s["__seg"],
+                ),
+                sep,
+            ).alias(out)
+        )
+    )
+
+
 def shingle_table(
     df: DataFrame,
     text_col: str = "text",

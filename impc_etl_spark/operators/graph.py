@@ -49,6 +49,99 @@ def transitive_closure(
     return closure
 
 
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count → (node, rank).
+
+    ``r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u) · w(u,v) / outw(u)``,
+    with dangling nodes (no out-edges) redistributing their mass
+    uniformly. The fixed iteration count (vs an epsilon test) makes the
+    result exactly replayable by an iterative SQL oracle, and is how
+    production runs schedule the job anyway (convergence tests add a
+    per-round aggregate barrier).
+
+    Scale shape per round: ONE shuffle joining ranks to the
+    out-normalized edge list on ``src`` + ONE groupBy ``dst`` with
+    map-side partial sums; the dangling-mass total and N ride 1-row
+    broadcasts. Rank state is (node, rank) — never materialized on the
+    driver — and each round checkpoints it (``checkpoint_dir`` switches
+    executor-local to reliable, same contract as
+    `dedup.connected_components`). The normalized edge list is
+    checkpointed ONCE before the loop; iteration cost is independent of
+    how expensive the edge-building plan was.
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ck(frame: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return frame.checkpoint(eager=True)
+        return frame.localCheckpoint(eager=True)
+
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    # nodes = union of endpoints; out-weight per src for normalization
+    nodes = _ck(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    norm_edges = _ck(
+        e.join(outw, "src").select(
+            "src", "dst", (F.col("w") / F.col("outw")).alias("p")
+        )
+    )
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    ranks = _ck(
+        nodes.crossJoin(n_row).select(
+            "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+        )
+    )
+    dangling = _ck(nodes.join(outw, nodes.node == outw.src, "left_anti"))
+    for _ in range(iterations):
+        contrib = (
+            norm_edges.join(ranks, norm_edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("__in"))
+        )
+        dmass = F.broadcast(
+            dangling.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        )
+        ranks = _ck(
+            nodes.join(contrib, nodes.node == contrib.dst, "left_outer")
+            .crossJoin(n_row)
+            .crossJoin(dmass)
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("__n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dm") / F.col("__n")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
 def ancestor_arrays(closure: DataFrame) -> DataFrame:
     """Per-node sorted ancestor id array (the reference's
     *_term_id list columns) from the closure pair table."""

@@ -444,6 +444,43 @@ def quantize_embeddings(
     return res if keep_original else res.drop(emb_col)
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    out: str = "centroid",
+) -> DataFrame:
+    """Per-group mean vector (class centroids): the building block for
+    semantic cluster summaries, IVF re-training, nearest-centroid
+    classification, and embedding-drift monitoring.
+
+    Plan: posexplode to (label, dim, component) — the d-fold fan-out is
+    bounded and each exploded row is 24 bytes — then ONE groupBy
+    (label, dim) with map-side partial avg (the shuffle carries
+    n_labels × d partial sums per mapper, not corpus rows), then a
+    per-label sort+collect of the d averaged dims back into an array.
+    No collect_list of raw vectors ever happens (that would buffer whole
+    groups in executor memory); state per aggregation key is one
+    (sum, count) pair.
+    """
+    comps = fan_out(df).select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("__i", "__v"),
+    )
+    dims = comps.groupBy(label_col, "__i").agg(
+        F.avg(F.col("__v").cast("double")).alias("__c")
+    )
+    return (
+        dims.groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__c"))),
+                lambda s: s["__c"],
+            ).alias(out)
+        )
+    )
+
+
 def random_projection(
     df: DataFrame,
     in_dim: int,

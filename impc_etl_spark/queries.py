@@ -1764,15 +1764,12 @@ def docs_domain_mix(spark, sf_dir):
     )
 
 
-def docs_line_dedup(spark, sf_dir):
-    """C4-style corpus-wide LINE dedup: re-segment each document into
-    8-word lines (the synthetic corpus has no newlines; the re-lining is
-    deterministic and replayed by the oracle), keep every distinct
-    normalized line only at its first (doc_id, position) occurrence, and
-    reassemble — the boilerplate-removal pass whole-doc dedup can't do."""
-    docs = _t(spark, sf_dir, "documents")
+def _relined(docs):
+    """Deterministically re-segment the (newline-free) synthetic corpus
+    into 8-word lines — shared by the line-dedup and boilerplate-strip
+    queries; both oracles replay the same re-lining."""
     words = F.split(F.col("text"), " ")
-    relined = docs.select(
+    return docs.select(
         "doc_id",
         text_ops.bind(
             words,
@@ -1788,7 +1785,29 @@ def docs_line_dedup(spark, sf_dir):
             ),
         ).alias("text"),
     )
-    return dedup_ops.line_dedup(relined, "text", "doc_id", sep="\n")
+
+
+def docs_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide LINE dedup: re-segment each document into
+    8-word lines (the synthetic corpus has no newlines; the re-lining is
+    deterministic and replayed by the oracle), keep every distinct
+    normalized line only at its first (doc_id, position) occurrence, and
+    reassemble — the boilerplate-removal pass whole-doc dedup can't do."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.line_dedup(_relined(docs), "text", "doc_id", sep="\n")
+
+
+def docs_strip_boilerplate(spark, sf_dir):
+    """Line-frequency boilerplate removal (RefinedWeb/C4 shape): lines
+    whose document frequency exceeds both 2 docs and 1% of the corpus are
+    templates (nav/banner/license) and are dropped from EVERY document —
+    including the first occurrence `line_dedup` would keep
+    (dedup.py:strip_boilerplate_lines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.strip_boilerplate_lines(
+        _relined(docs), "text", "doc_id", sep="\n",
+        max_df_ratio=0.01, min_df=2,
+    )
 
 
 def docs_quality_weighted_sample(spark, sf_dir):
@@ -2140,6 +2159,46 @@ def emb_rp_topk(spark, sf_dir):
     )
 
 
+def emb_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (class centroids) via posexplode +
+    (label, dim) partial-avg — no raw-vector collect_list anywhere
+    (similarity.py:label_centroids). Registered long-form (label, dim, c)
+    so every output cell is atomic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim_ops.label_centroids(emb, "label", "embedding")
+    return cents.select(
+        "label", F.posexplode("centroid").alias("dim", "c")
+    ).withColumn("c", _rnd("c", 6))
+
+
+def nation_trade_pagerank(spark, sf_dir):
+    """Weighted PageRank over the nation-level trade graph (customer
+    nation → supplier nation, weight = lineitem count): the fixed-
+    iteration distributed ranking pattern — per round one src join + one
+    dst aggregation, rank state never on the driver
+    (operators/graph.py:pagerank). 3 iterations, replayed exactly by an
+    unrolled SQL oracle."""
+    from impc_etl_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, "src", "dst", weight_col="w", iterations=3)
+    return ranks.select(
+        F.col("node").alias("nationkey"), _rnd("rank", 6).alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2168,7 +2227,7 @@ QUERIES = {
     "docs_line_dedup": docs_line_dedup,
     "docs_lang_id": docs_lang_id,
     "docs_quality": docs_quality,
-    "docs_chunks": docs_chunks,
+    "docs_strip_boilerplate": docs_strip_boilerplate,
     "docs_unigram_logprob": docs_unigram_logprob,
     "corpus_pack_sequences": corpus_pack_sequences,
     "docs_dup_spans": docs_dup_spans,
@@ -2193,13 +2252,13 @@ QUERIES = {
     "region_revenue": region_revenue,
     "top_customers_per_nation": top_customers_per_nation,
     "user_sessions": user_sessions,
-    "docs_decontaminate": docs_decontaminate,
+    "nation_trade_pagerank": nation_trade_pagerank,
     "docs_containment_dups": docs_containment_dups,
     # -- new this round (operators closing VERDICT gaps) ---------------------
     "part_required_tokens_join": part_required_tokens_join,
     "order_params_merged": order_params_merged,
     "solr_doc_shape": solr_doc_shape,
-    "mongo_doc_shape": mongo_doc_shape,
+    "emb_label_centroids": emb_label_centroids,
     "customer_status_running_sets": customer_status_running_sets,
     # -- r3 rotation: §2 operator families whose only driver evidence was
     # r1 (their near-duplicate north-star siblings moved below — each
@@ -2219,6 +2278,9 @@ QUERIES = {
     "order_extreme_lines": order_extreme_lines,
     "emb_batch_topk": emb_batch_topk,
     "corpus_budget_select": corpus_budget_select,
+    "docs_chunks": docs_chunks,
+    "mongo_doc_shape": mongo_doc_shape,
+    "docs_decontaminate": docs_decontaminate,
     "docs_repetition": docs_repetition,
     "user_cohort_retention": user_cohort_retention,
     "shipment_transit_overlap": shipment_transit_overlap,
@@ -4157,3 +4219,94 @@ WHERE rk <= {k}
 
 
 ORACLE["emb_rp_topk"] = _rp_oracle()
+
+
+ORACLE["docs_strip_boilerplate"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+r AS (
+  SELECT doc_id,
+         array_to_string(
+           [array_to_string(ws[i*8+1 : i*8+8], ' ')
+            FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS INT))],
+           chr(10)) AS text
+  FROM w),
+l AS (
+  SELECT doc_id, unnest(segs) AS seg, generate_subscripts(segs, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS segs FROM r)),
+n AS (
+  SELECT doc_id, pos, seg, md5(lower(trim(seg))) AS k
+  FROM l WHERE trim(seg) <> ''),
+dfreq AS (
+  SELECT k, count(*) AS df
+  FROM (SELECT DISTINCT k, doc_id FROM n) GROUP BY k),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+kept AS (
+  SELECT n.doc_id, n.pos, n.seg
+  FROM n JOIN dfreq USING (k) CROSS JOIN tot
+  WHERE NOT (dfreq.df >= 2 AND dfreq.df * 1.0 / tot.n_docs > 0.01))
+SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS clean_text
+FROM kept GROUP BY doc_id
+"""
+
+ORACLE["emb_label_centroids"] = """
+SELECT label, i - 1 AS dim,
+       floor(avg(v::DOUBLE) * 1000000 + 0.5) / 1000000 AS c
+FROM (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings)
+GROUP BY label, i
+"""
+
+
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank replay. Standard recursive CTEs
+    can't aggregate over the recursive relation, so each iteration is an
+    explicit CTE stage — exact (modulo 1e-6 rounding) replay of
+    graph.pagerank including dangling-mass redistribution."""
+    head = f"""
+WITH e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         count(*)::DOUBLE AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+ne AS (SELECT e.src, e.dst, e.w / outw.ow AS p FROM e JOIN outw USING (src)),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION SELECT dst FROM e)),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+dang AS (
+  SELECT node FROM nodes
+  WHERE node NOT IN (SELECT src FROM outw)),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    stages = []
+    for t in range(iterations):
+        prev, cur = f"r{t}", f"r{t + 1}"
+        stages.append(f""",
+c{t} AS (
+  SELECT ne.dst, sum({prev}.rank * ne.p) AS cin
+  FROM ne JOIN {prev} ON ne.src = {prev}.node GROUP BY ne.dst),
+d{t} AS (
+  SELECT coalesce(sum({prev}.rank), 0.0) AS dm
+  FROM {prev} JOIN dang USING (node)),
+{cur} AS (
+  SELECT nodes.node,
+         (1.0 - {damping}) / nn.n
+           + {damping} * (coalesce(c{t}.cin, 0.0) + d{t}.dm / nn.n) AS rank
+  FROM nodes
+  LEFT JOIN c{t} ON nodes.node = c{t}.dst
+  CROSS JOIN nn CROSS JOIN d{t})""")
+    tail = f"""
+SELECT node AS nationkey,
+       floor(rank * 1000000 + 0.5) / 1000000 AS rank
+FROM r{iterations}
+"""
+    return head + "".join(stages) + tail
+
+
+ORACLE["nation_trade_pagerank"] = _pagerank_oracle()

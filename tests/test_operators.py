@@ -1440,3 +1440,93 @@ def test_random_projection_preserves_cosine_structure(spark):
     # JL: the near pair stays near, the far pair stays far, ordering kept
     assert cos(out[0], out[1]) > 0.9
     assert cos(out[0], out[1]) > cos(out[0], out[2]) + 0.2
+
+
+def test_strip_boilerplate_drops_frequent_lines_everywhere(spark):
+    from impc_etl_spark.operators.dedup import strip_boilerplate_lines
+
+    banner = "accept our cookies"
+    rows = [
+        (1, f"{banner}\nunique content one"),
+        (2, f"{banner}\nunique content two"),
+        (3, f"{banner}\nunique content three"),
+        (4, banner),  # only boilerplate — doc disappears
+        (5, "rare line stays"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in strip_boilerplate_lines(
+        df, "text", "doc_id", max_df_ratio=0.5, min_df=2
+    ).collect()}
+    assert out == {
+        1: "unique content one",
+        2: "unique content two",
+        3: "unique content three",
+        5: "rare line stays",
+    }
+
+
+def test_strip_boilerplate_intra_doc_repeat_counts_once(spark):
+    from impc_etl_spark.operators.dedup import strip_boilerplate_lines
+
+    # the line repeats 3x INSIDE doc 1 but appears in only 1 of 3 docs:
+    # df=1 < min_df=2, so it must survive
+    rows = [(1, "echo\necho\necho"), (2, "alpha"), (3, "beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in strip_boilerplate_lines(
+        df, "text", "doc_id", max_df_ratio=0.1, min_df=2
+    ).collect()}
+    assert out[1] == "echo\necho\necho"
+
+
+def test_label_centroids_exact_means(spark):
+    from impc_etl_spark.operators.similarity import label_centroids
+
+    rows = [
+        (0, [1.0, 2.0]), (0, [3.0, 6.0]),
+        (1, [10.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    out = {r["label"]: r["centroid"] for r in label_centroids(df).collect()}
+    assert out[0] == [2.0, 4.0]
+    assert out[1] == [10.0, 0.0]
+
+
+def test_pagerank_star_and_dangling(spark):
+    from impc_etl_spark.operators.graph import pagerank
+
+    # star: 1,2,3 all point at 0; 0 has no out-edges (dangling)
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=20).collect()}
+    assert set(ranks) == {0, 1, 2, 3}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved
+    assert ranks[0] > ranks[1]  # hub outranks spokes
+    assert abs(ranks[1] - ranks[2]) < 1e-12 and abs(ranks[2] - ranks[3]) < 1e-12
+
+
+def test_pagerank_matches_python_reference(spark):
+    from impc_etl_spark.operators.graph import pagerank
+
+    e = [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0), (3, 2, 5.0)]
+    edges = spark.createDataFrame(e, "src long, dst long, w double")
+    got = {r["node"]: r["rank"] for r in pagerank(
+        edges, weight_col="w", iterations=7, damping=0.85
+    ).collect()}
+
+    # pure-python replay of the documented recurrence
+    nodes = sorted({u for u, _, _ in e} | {v for _, v, _ in e})
+    n = len(nodes)
+    outw = {}
+    for u, _, w in e:
+        outw[u] = outw.get(u, 0.0) + w
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(7):
+        dm = sum(r[v] for v in nodes if v not in outw)
+        nxt = {}
+        for v in nodes:
+            cin = sum(r[u] * w / outw[u] for u, d, w in e if d == v)
+            nxt[v] = 0.15 / n + 0.85 * (cin + dm / n)
+        r = nxt
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])

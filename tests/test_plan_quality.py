@@ -29,6 +29,8 @@ BNL_ALLOWED = {
     "orders_price_histogram",  # cross join with a broadcast 1-ROW min/max bounds
     "corpus_vocab",  # cross join with a broadcast 1-ROW total token mass
     "docs_dup_rate",  # cross join of two 1-ROW summary frames
+    "docs_strip_boilerplate",  # cross join with a broadcast 1-ROW corpus-docs count
+    "nation_trade_pagerank",  # cross joins with broadcast 1-ROW N / dangling-mass frames
 }
 
 
