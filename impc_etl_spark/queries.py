@@ -2159,6 +2159,40 @@ def emb_rp_topk(spark, sf_dir):
     )
 
 
+def orders_status_at_time(spark, sf_dir):
+    """Point-in-time (temporal) join against an SCD2 dimension: each order
+    joins the status VERSION valid at its date — equi join on the business
+    key plus a half-open validity-interval filter ([valid_from, valid_to)),
+    the standard fact-to-SCD2 lookup. Versions are disjoint, so every
+    order matches exactly one version; the custkey equi key keeps the
+    plan a hash/sort-merge join (never a nested loop)."""
+    from impc_etl_spark.operators.history import scd2_build
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = scd2_build(
+        orders,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    h = hist.select(
+        F.col("o_custkey").alias("h_cust"),
+        F.col("o_orderstatus").alias("status_at_order"),
+        "valid_from",
+        "valid_to",
+    )
+    return (
+        orders.join(
+            h,
+            (orders.o_custkey == h.h_cust)
+            & (h.valid_from <= orders.o_orderdate)
+            & (h.valid_to.isNull() | (orders.o_orderdate < h.valid_to)),
+        )
+        .select("o_orderkey", "o_custkey", "status_at_order")
+    )
+
+
 def emb_label_centroids(spark, sf_dir):
     """Per-label mean embedding (class centroids) via posexplode +
     (label, dim) partial-avg — no raw-vector collect_list anywhere
@@ -2281,6 +2315,7 @@ QUERIES = {
     "docs_chunks": docs_chunks,
     "mongo_doc_shape": mongo_doc_shape,
     "docs_decontaminate": docs_decontaminate,
+    "orders_status_at_time": orders_status_at_time,
     "docs_repetition": docs_repetition,
     "user_cohort_retention": user_cohort_retention,
     "shipment_transit_overlap": shipment_transit_overlap,
@@ -4310,3 +4345,26 @@ FROM r{iterations}
 
 
 ORACLE["nation_trade_pagerank"] = _pagerank_oracle()
+
+
+ORACLE["orders_status_at_time"] = """
+WITH chg AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER w AS prev_s,
+         lag(o_orderdate) OVER w AS prev_ts
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+cp AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM chg
+  WHERE prev_ts IS NULL OR o_orderstatus IS DISTINCT FROM prev_s),
+v AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate AS vf,
+         lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vt
+  FROM cp)
+SELECT o.o_orderkey, o.o_custkey, v.o_orderstatus AS status_at_order
+FROM orders o JOIN v
+  ON v.o_custkey = o.o_custkey
+ AND v.vf <= o.o_orderdate
+ AND (v.vt IS NULL OR o.o_orderdate < v.vt)
+"""

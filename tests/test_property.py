@@ -403,3 +403,101 @@ def test_dup_spans_matches_python(spark, docs, k):
         dup = sum(n for s, n in c.items() if len(docs_per_span[s]) >= 2)
         want[i] = (len(spans), dup)
     assert got == want
+
+
+# --- SCD2 / CDC history operators vs python replays -------------------------
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),           # key
+            st.integers(0, 20),          # ts
+            st.sampled_from(["A", "B", None]),  # attr (nullable)
+        ),
+        min_size=1, max_size=30, unique=True,
+    )
+)
+def test_scd2_matches_python_replay(spark, events):
+    from impc_etl_spark.operators.history import scd2_build
+
+    # unique (key, ts, attr) triples may still collide on (key, ts) —
+    # add a per-row seq as the deterministic tiebreak
+    rows = [(k, t, a, i) for i, (k, t, a) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k int, ts int, a string, seq int")
+    got = sorted(
+        (
+            (r["k"], r["valid_from"], r["a"], r["valid_to"], r["is_current"])
+            for r in scd2_build(
+                df, ["k"], "ts", ["a"], tiebreak_cols=["seq"]
+            ).collect()
+        ),
+        key=repr,
+    )
+
+    want = []
+    bykey: dict[int, list] = {}
+    for k, t, a, i in rows:
+        bykey.setdefault(k, []).append((t, i, a))
+    for k, evs in bykey.items():
+        evs.sort()
+        versions = []
+        prev = object()
+        for t, _i, a in evs:
+            if a != prev:
+                versions.append([t, a])
+                prev = a
+        for j, (t, a) in enumerate(versions):
+            vt = versions[j + 1][0] if j + 1 < len(versions) else None
+            want.append((k, t, a, vt, vt is None))
+    assert got == sorted(want, key=repr)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    snap=st.dictionaries(st.integers(1, 6), st.integers(0, 99),
+                         min_size=0, max_size=6),
+    stream=st.lists(
+        st.tuples(
+            st.integers(1, 8),          # key (may be outside snapshot)
+            st.integers(0, 20),         # ts
+            st.integers(0, 99),         # value
+            st.booleans(),              # is_delete
+        ),
+        min_size=0, max_size=40,
+    ),
+)
+def test_cdc_apply_matches_python_replay(spark, snap, stream):
+    from impc_etl_spark.operators.history import cdc_apply
+
+    snap_df = spark.createDataFrame(
+        [(k, v) for k, v in snap.items()] or [(None, None)],
+        "k int, v int",
+    )
+    if not snap:
+        snap_df = snap_df.where(F.lit(False))
+    rows = [(k, v, t, i, "D" if d else "U")
+            for i, (k, t, v, d) in enumerate(stream)]
+    ch_df = spark.createDataFrame(
+        rows or [(None, None, None, None, None)],
+        "k int, v int, ts int, seq int, op string",
+    )
+    if not rows:
+        ch_df = ch_df.where(F.lit(False))
+    got = {r["k"]: r["v"] for r in cdc_apply(
+        snap_df, ch_df, ["k"], "ts", tiebreak_cols=["seq"]
+    ).collect()}
+
+    latest: dict[int, tuple] = {}
+    for k, v, t, i, op in rows:
+        if k not in latest or (t, i) > latest[k][:2]:
+            latest[k] = (t, i, v, op)
+    want = dict(snap)
+    for k, (_t, _i, v, op) in latest.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
