@@ -145,3 +145,130 @@ def sample_frames(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_md5": digests})
 
     return df.mapInPandas(expand, schema=FRAME_SCHEMA)
+
+
+# --- real (codec-free) header probes ----------------------------------------
+#
+# Unlike pixel decode, CONTAINER HEADERS are plain byte layouts — no codec
+# library needed. These parsers are real implementations, not stubs: the
+# standard ingest-time metadata pass (dimensions, format, sample rate)
+# that lets a 100 TB media crawl be filtered/partitioned/deduplicated
+# WITHOUT ever decoding payloads.
+
+HEADER_SCHEMA = (
+    "media_id bigint, format string, width int, height int, n_bytes bigint"
+)
+
+WAV_SCHEMA = (
+    "media_id bigint, n_channels int, sample_rate int, bits_per_sample int, "
+    "n_bytes bigint"
+)
+
+
+def probe_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) from raw image bytes — PNG IHDR, GIF
+    logical-screen descriptor, JPEG SOF scan. Returns None for anything
+    unrecognized/truncated (never raises: crawl data is hostile)."""
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            return ("png", w, h)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w = int.from_bytes(payload[6:8], "little")
+            h = int.from_bytes(payload[8:10], "little")
+            return ("gif", w, h)
+        if payload[:2] == b"\xff\xd8":
+            # walk JPEG segments to the first SOF marker (C0-CF minus the
+            # non-frame C4/C8/CC); layout: FF xx LL LL [P HH HH WW WW ...]
+            i = 2
+            n = len(payload)
+            while i + 3 < n:
+                if payload[i] != 0xFF:
+                    return None
+                marker = payload[i + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                    i += 2  # standalone markers have no length field
+                    continue
+                seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                    w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                    return ("jpeg", w, h)
+                i += 2 + seg_len
+            return None
+        return None
+    except (IndexError, ValueError):
+        return None
+
+
+def probe_wav_header(payload: bytes) -> tuple[int, int, int] | None:
+    """(n_channels, sample_rate, bits_per_sample) from a RIFF/WAVE header
+    by walking chunks to 'fmt ' — again pure byte layout, no audio lib."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        i = 12
+        n = len(payload)
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if cid == b"fmt ":
+                ch = int.from_bytes(payload[i + 10 : i + 12], "little")
+                sr = int.from_bytes(payload[i + 12 : i + 16], "little")
+                bps = int.from_bytes(payload[i + 22 : i + 24], "little")
+                return (ch, sr, bps)
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        return None
+    except (IndexError, ValueError):
+        return None
+
+
+def image_header_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-payload image metadata via Arrow-batched mapInPandas using the
+    REAL header parsers above: (format, width, height, n_bytes), with
+    NULLs for unrecognized payloads. Narrow map stage — no shuffle; at
+    scale this runs pipelined behind the binaryFile/object-store scan."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, sizes = [], [], [], []
+            for p in pdf[content_col]:
+                raw = bytes(p)
+                probed = probe_image_header(raw)
+                fmts.append(probed[0] if probed else None)
+                ws.append(probed[1] if probed else None)
+                hs.append(probed[2] if probed else None)
+                sizes.append(len(raw))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "format": fmts,
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "n_bytes": sizes,
+            })
+
+    return df.mapInPandas(compute, schema=HEADER_SCHEMA)
+
+
+def wav_header_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-payload audio metadata (channels, sample rate, bit depth) via
+    the real RIFF/WAVE chunk walker — same narrow-map shape."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            chs, srs, bps, sizes = [], [], [], []
+            for p in pdf[content_col]:
+                raw = bytes(p)
+                probed = probe_wav_header(raw)
+                chs.append(probed[0] if probed else None)
+                srs.append(probed[1] if probed else None)
+                bps.append(probed[2] if probed else None)
+                sizes.append(len(raw))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_channels": pd.array(chs, dtype="Int32"),
+                "sample_rate": pd.array(srs, dtype="Int32"),
+                "bits_per_sample": pd.array(bps, dtype="Int32"),
+                "n_bytes": sizes,
+            })
+
+    return df.mapInPandas(compute, schema=WAV_SCHEMA)

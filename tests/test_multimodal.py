@@ -39,3 +39,89 @@ def test_frame_expansion_shape(spark):
     assert sorted(by_id[1]) == [0, 1, 2, 3]
     assert by_id[2] == [0]
     assert by_id[3] == [0]
+
+
+def _png(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def _jpeg(w, h):
+    import struct
+
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + b"\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    )
+    # a DHT (C4) segment BEFORE the SOF — the walker must skip non-frame
+    # C-range markers, and a restart marker with no length field
+    dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + dht + sof
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h)
+
+
+def _wav(ch, sr, bits):
+    import struct
+
+    # a junk chunk with ODD length before fmt — the walker must word-align
+    junk = b"JUNK" + struct.pack("<I", 3) + b"xyz\x00"
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits
+    )
+    body = b"WAVE" + junk + fmt + b"data" + struct.pack("<I", 0)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_image_header_probe_real_formats(spark):
+    from impc_etl_spark.multimodal.media import image_header_features
+
+    rows = [
+        (1, bytearray(_png(640, 480))),
+        (2, bytearray(_jpeg(1920, 1080))),
+        (3, bytearray(_gif(320, 200))),
+        (4, bytearray(b"plain text, not an image")),
+        (5, bytearray(b"\x89PNG\r\n\x1a")),  # truncated magic
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: (r["format"], r["width"], r["height"])
+        for r in image_header_features(df).collect()
+    }
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("jpeg", 1920, 1080)
+    assert got[3] == ("gif", 320, 200)
+    assert got[4] == (None, None, None)
+    assert got[5] == (None, None, None)
+
+
+def test_wav_header_probe_chunk_walk(spark):
+    from impc_etl_spark.multimodal.media import wav_header_features
+
+    rows = [
+        (1, bytearray(_wav(2, 44100, 16))),
+        (2, bytearray(_wav(1, 16000, 24))),
+        (3, bytearray(b"RIFF\x00\x00\x00\x00AVI ")),  # not WAVE
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: (r["n_channels"], r["sample_rate"], r["bits_per_sample"])
+        for r in wav_header_features(df).collect()
+    }
+    assert got[1] == (2, 44100, 16)
+    assert got[2] == (1, 16000, 24)
+    assert got[3] == (None, None, None)
