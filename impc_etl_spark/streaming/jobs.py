@@ -248,6 +248,8 @@ def upsert_sink(
     keys: list[str],
     checkpoint_dir: str,
     dedup_order: list[str] | None = None,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> None:
     """Stream → parquet-store MERGE: drain the stream with AvailableNow,
     upserting each micro-batch into a versioned store under ``store_dir``
@@ -270,33 +272,61 @@ def upsert_sink(
     each flip. The pointer rename is atomic on POSIX filesystems; on
     object stores, front it with a rename/commit layer or use a table
     format. Read with ``read_store``.
+
+    CDC mode: pass ``op_col`` (requires ``dedup_order``) and each batch
+    is applied with full change-stream semantics via
+    ``history.cdc_apply`` — per key the LATEST op in the batch wins, and
+    a latest op of ``delete_op`` REMOVES the row from the store (the
+    plain mode can only add/replace). The store schema is the stream's
+    columns minus ``op_col``.
     """
     import os
     import shutil
 
     from impc_etl_spark.operators.conform import merge_upsert
+    from impc_etl_spark.operators.history import cdc_apply
+
+    if op_col is not None and not dedup_order:
+        raise ValueError("op_col (CDC mode) requires dedup_order for latest-wins")
 
     spark = stream_df.sparkSession
 
     def do_merge(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
-        updates = batch_df
-        if dedup_order:
-            w = Window.partitionBy(*keys).orderBy(
-                *[F.col(c).desc() for c in dedup_order]
-            )
-            updates = (
-                updates.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .drop("__rn")
-            )
         current = current_store_path(store_dir)
-        merged = (
-            updates
-            if current is None
-            else merge_upsert(spark.read.parquet(current), updates, keys)
-        )
+        if op_col is not None:
+            store_cols = [c for c in batch_df.columns if c != op_col]
+            snapshot = (
+                spark.read.parquet(current)
+                if current is not None
+                else batch_df.select(*store_cols).where(F.lit(False))
+            )
+            merged = cdc_apply(
+                snapshot,
+                batch_df,
+                keys,
+                ts_col=dedup_order[0],
+                op_col=op_col,
+                delete_op=delete_op,
+                tiebreak_cols=dedup_order[1:],
+            )
+        else:
+            updates = batch_df
+            if dedup_order:
+                w = Window.partitionBy(*keys).orderBy(
+                    *[F.col(c).desc() for c in dedup_order]
+                )
+                updates = (
+                    updates.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            merged = (
+                updates
+                if current is None
+                else merge_upsert(spark.read.parquet(current), updates, keys)
+            )
         version = f"v{batch_id}"
         new_dir = os.path.join(store_dir, version)
         merged.write.mode("overwrite").parquet(new_dir)

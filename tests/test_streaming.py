@@ -295,3 +295,67 @@ def test_upsert_sink_merges_waves_latest_wins(spark, tmp_path):
     assert cur is not None and os.path.basename(cur).startswith("v")
     versions = [d for d in os.listdir(store) if d.startswith("v")]
     assert os.path.basename(cur) in versions and len(versions) <= 2
+
+
+def test_upsert_sink_cdc_mode_applies_deletes_across_batches(spark, tmp_path):
+    """CDC-mode upsert sink: micro-batches carry U/D ops — a delete in a
+    later batch removes a key committed by an earlier batch, in-batch
+    latest op wins, and a delete-then-reinsert sequence across batches
+    resurrects the key."""
+    import shutil as _sh
+    import time as _time
+
+    from impc_etl_spark.streaming.jobs import read_store, upsert_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: insert keys 1..5; key 4 has U then D in-batch (D latest)
+    wave1 = spark.createDataFrame(
+        [(k, f"v{k}", 100, "U") for k in range(1, 6)]
+        + [(4, "dead", 150, "D")],
+        "k long, v string, ts long, op string",
+    )
+    wave1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    for f in (tmp_path / "w1").glob("*.parquet"):
+        _sh.copy(f, src / "wave1.parquet")
+    _time.sleep(1.1)
+    # batch 2: delete key 2, update key 3, re-insert key 4
+    wave2 = spark.createDataFrame(
+        [(2, None, 200, "D"), (3, "updated", 200, "U"), (4, "back", 200, "U")],
+        "k long, v string, ts long, op string",
+    )
+    wave2.coalesce(1).write.parquet(str(tmp_path / "w2"))
+    for f in (tmp_path / "w2").glob("*.parquet"):
+        _sh.copy(f, src / "wave2.parquet")
+
+    stream = (
+        spark.readStream.schema("k long, v string, ts long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "store")
+    upsert_sink(
+        stream, store, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"),
+        dedup_order=["ts"], op_col="op",
+    )
+
+    got = {r["k"]: r["v"] for r in read_store(spark, store).collect()}
+    assert got == {1: "v1", 3: "updated", 4: "back", 5: "v5"}
+    assert "op" not in read_store(spark, store).columns
+
+
+def test_upsert_sink_cdc_mode_requires_dedup_order(spark, tmp_path):
+    import pytest
+
+    from impc_etl_spark.streaming.jobs import upsert_sink
+
+    (tmp_path / "empty_src").mkdir()
+    stream = (
+        spark.readStream.schema("k long, op string")
+        .parquet(str(tmp_path / "empty_src"))
+    )
+    with pytest.raises(ValueError, match="requires dedup_order"):
+        upsert_sink(
+            stream, str(tmp_path / "s"), ["k"],
+            checkpoint_dir=str(tmp_path / "c"), op_col="op",
+        )
