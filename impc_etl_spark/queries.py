@@ -2159,6 +2159,52 @@ def emb_rp_topk(spark, sf_dir):
     )
 
 
+def emb_two_stage_topk(spark, sf_dir):
+    """The composed two-stage search: JL-reduced cosine (16-d) prefilters
+    to 50 candidates at 4× less compute, then EXACT full-dim cosine
+    re-ranks only those survivors to the final top-10 — candidate
+    generation cheap and approximate, the reported scores exact. At 100 TB
+    the full-dim vectors are touched for 50 rows, not the corpus."""
+    import math as _m
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = sim_ops.hyperplane_planes(64, 16, seed=7)
+    qv = [float(x) for x in _query_vec(spark, sf_dir)]
+    rq = [
+        _m.floor(sum(a * b for a, b in zip(qv, p)) * 1e6 + 0.5) / 1e6
+        for p in planes
+    ]
+    rqn = _m.sqrt(sum(x * x for x in rq)) or 1.0
+    reduced = sim_ops.random_projection(emb, 64, 16, seed=7, out="rp")
+    rp = F.col("rp")
+    qcol = F.array(*[F.lit(x) for x in rq])
+    stage1 = (
+        fan_out(reduced)
+        .select(
+            "vec_id",
+            "embedding",
+            _rnd(sim_ops.dot(rp, qcol) / (sim_ops.norm(rp) * F.lit(rqn)), 6)
+            .alias("rp_sim"),
+        )
+        .orderBy(F.col("rp_sim").desc(), "vec_id")
+        .limit(50)
+    )
+    qfull = F.array(*[F.lit(x) for x in qv])
+    qn = _m.sqrt(sum(x * x for x in qv)) or 1.0
+    return (
+        stage1.select(
+            "vec_id",
+            _rnd(
+                sim_ops.dot(F.col("embedding"), qfull)
+                / (sim_ops.norm(F.col("embedding")) * F.lit(qn)),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 def orders_status_at_time(spark, sf_dir):
     """Point-in-time (temporal) join against an SCD2 dimension: each order
     joins the status VERSION valid at its date — equi join on the business
@@ -2316,6 +2362,7 @@ QUERIES = {
     "mongo_doc_shape": mongo_doc_shape,
     "docs_decontaminate": docs_decontaminate,
     "orders_status_at_time": orders_status_at_time,
+    "emb_two_stage_topk": emb_two_stage_topk,
     "docs_repetition": docs_repetition,
     "user_cohort_retention": user_cohort_retention,
     "shipment_transit_overlap": shipment_transit_overlap,
@@ -4368,3 +4415,59 @@ FROM orders o JOIN v
  AND v.vf <= o.o_orderdate
  AND (v.vt IS NULL OR o.o_orderdate < v.vt)
 """
+
+
+def _two_stage_oracle(in_dim: int = 64, out_dim: int = 16, seed: int = 7,
+                      k1: int = 50, k: int = 10) -> str:
+    """Replay of ``emb_two_stage_topk``: reduced-space prefilter (same
+    plane replay as ``_rp_oracle``) to k1 candidates, then exact full-dim
+    cosine re-rank to the final k."""
+    from impc_etl_spark.operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(in_dim, out_dim, seed)
+    vals = ", ".join(
+        f"({p}, {i + 1}, {w!r})"
+        for p, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    return f"""
+WITH planes(p, i, w) AS (VALUES {vals}),
+e AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+rp AS (
+  SELECT e.vec_id, planes.p,
+         floor(sum(e.v * planes.w) * 1000000 + 0.5) / 1000000 AS c
+  FROM e JOIN planes USING (i) GROUP BY 1, 2),
+q AS (SELECT p, c AS qc FROM rp WHERE vec_id = 0),
+d1 AS (
+  SELECT rp.vec_id, sum(rp.c * q.qc) AS dp,
+         sum(rp.c * rp.c) AS nv, sum(q.qc * q.qc) AS nq
+  FROM rp JOIN q USING (p) GROUP BY rp.vec_id),
+s1 AS (
+  SELECT vec_id,
+         floor((dp / (sqrt(nv) * sqrt(nq))) * 1000000 + 0.5) / 1000000 AS rp_sim
+  FROM d1),
+cand AS (
+  SELECT vec_id FROM (
+    SELECT *, row_number() OVER (ORDER BY rp_sim DESC, vec_id) AS rk FROM s1)
+  WHERE rk <= {k1}),
+qf AS (SELECT i, v AS qv FROM e WHERE vec_id = 0),
+d2 AS (
+  SELECT e.vec_id, sum(e.v * qf.qv) AS dp,
+         sum(e.v * e.v) AS nv, sum(qf.qv * qf.qv) AS nq
+  FROM e JOIN qf USING (i)
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY e.vec_id),
+s2 AS (
+  SELECT vec_id,
+         floor((dp / (sqrt(nv) * sqrt(nq))) * 1000000 + 0.5) / 1000000 AS cos_sim
+  FROM d2)
+SELECT vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk FROM s2)
+WHERE rk <= {k}
+"""
+
+
+ORACLE["emb_two_stage_topk"] = _two_stage_oracle()
