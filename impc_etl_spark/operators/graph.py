@@ -91,8 +91,14 @@ def pagerank(
         if weight_col is not None
         else F.lit(1.0)
     )
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    # Materialize the (possibly expensive) edge-building plan ONCE: nodes,
+    # out-weights, normalized edges, and the dangling set all derive from
+    # it — without this cut the upstream join/agg subtree re-executes for
+    # each derived frame (measured 3× on the trade-graph query).
+    e = _ck(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+        )
     )
     # nodes = union of endpoints; out-weight per src for normalization
     nodes = _ck(
