@@ -132,3 +132,52 @@ def json_bundle(cols: Sequence[str | Column], sort: bool = True) -> Column:
     if sort:
         s = F.sort_array(s)
     return F.to_json(s)
+
+
+def co_occurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_basket: int | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Market-basket co-occurrence mining: count how often each UNORDERED
+    item pair appears in the same group (order, session, document) →
+    (item_a, item_b, n_groups), item_a < item_b, one count per group no
+    matter how often either item repeats inside it.
+
+    Plan: one groupBy collects each group's DISTINCT sorted item set,
+    then pairs are generated ROW-LOCALLY (nested `transform` over the
+    array — no self-join, so the exploded table and its shuffle are the
+    pair list itself, not two copies of the input), then one counting
+    aggregate with map-side combine. ``max_basket`` caps the per-group
+    item set (pair fan-out is quadratic in basket size — a 10⁴-item
+    pathological basket would emit 5·10⁷ pairs; capping keeps the most
+    frequent-leading slice deterministic by item order). ``top_k`` cuts
+    the result to the heaviest pairs via TakeOrdered (ties broken by
+    (item_a, item_b) so the cut is deterministic).
+    """
+    items = F.array_sort(F.collect_set(item_col))
+    if max_basket is not None:
+        items = F.slice(items, 1, max_basket)
+    baskets = df.groupBy(group_col).agg(items.alias("__items"))
+    arr = F.col("__items")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda a, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda b: F.struct(a.alias("item_a"), b.alias("item_b")),
+            ),
+        )
+    )
+    counts = (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy("p.item_a", "p.item_b")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+    if top_k is None:
+        return counts
+    return counts.orderBy(
+        F.col("n_groups").desc(), F.col("item_a"), F.col("item_b")
+    ).limit(top_k)

@@ -2159,6 +2159,17 @@ def emb_rp_topk(spark, sf_dir):
     )
 
 
+def part_copurchase_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: top-100 part pairs by the number of
+    orders containing both — per-order distinct item sets expanded to
+    pairs ROW-LOCALLY (no self-join; aggregate.py:co_occurrence_pairs),
+    basket capped at 16 items so pathological orders can't go quadratic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return agg_ops.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", max_basket=16, top_k=100
+    )
+
+
 def emb_two_stage_topk(spark, sf_dir):
     """The composed two-stage search: JL-reduced cosine (16-d) prefilters
     to 50 candidates at 4× less compute, then EXACT full-dim cosine
@@ -2363,6 +2374,7 @@ QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "orders_status_at_time": orders_status_at_time,
     "emb_two_stage_topk": emb_two_stage_topk,
+    "part_copurchase_pairs": part_copurchase_pairs,
     "docs_repetition": docs_repetition,
     "user_cohort_retention": user_cohort_retention,
     "shipment_transit_overlap": shipment_transit_overlap,
@@ -4471,3 +4483,24 @@ WHERE rk <= {k}
 
 
 ORACLE["emb_two_stage_topk"] = _two_stage_oracle()
+
+
+ORACLE["part_copurchase_pairs"] = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+capped AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM b) WHERE rn <= 16),
+p AS (
+  SELECT x.l_orderkey, x.l_partkey AS item_a, y.l_partkey AS item_b
+  FROM capped x JOIN capped y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+c AS (
+  SELECT item_a, item_b, count(*) AS n_groups
+  FROM p GROUP BY item_a, item_b)
+SELECT item_a, item_b, n_groups FROM (
+  SELECT *, row_number() OVER (
+      ORDER BY n_groups DESC, item_a, item_b) AS rk FROM c)
+WHERE rk <= 100
+"""

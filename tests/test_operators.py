@@ -1530,3 +1530,32 @@ def test_pagerank_matches_python_reference(spark):
         r = nxt
     for v in nodes:
         assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+
+
+def test_co_occurrence_pairs_counts_and_basket_cap(spark):
+    from impc_etl_spark.operators.aggregate import co_occurrence_pairs
+
+    rows = [
+        # order 1: items 1,2,3 (2 repeats inside the order — counts once)
+        (1, 1), (1, 2), (1, 2), (1, 3),
+        # order 2: items 1,2
+        (2, 1), (2, 2),
+        # order 3: single item — no pairs
+        (3, 9),
+    ]
+    df = spark.createDataFrame(rows, "oid long, item long")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_groups"]
+        for r in co_occurrence_pairs(df, "oid", "item").collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+    # cap keeps the 2 smallest items only -> pair (1,2) survives per order
+    capped = {
+        (r["item_a"], r["item_b"]): r["n_groups"]
+        for r in co_occurrence_pairs(df, "oid", "item", max_basket=2).collect()
+    }
+    assert capped == {(1, 2): 2}
+
+    top1 = co_occurrence_pairs(df, "oid", "item", top_k=1).collect()
+    assert [(r["item_a"], r["item_b"], r["n_groups"]) for r in top1] == [(1, 2, 2)]
