@@ -242,6 +242,28 @@ def read_store(spark, store_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _commit_version(
+    store_dir: str, merged: DataFrame, batch_id: int, current: str | None
+) -> None:
+    """Write ``merged`` as version ``v<batch_id>`` and flip the _CURRENT
+    pointer atomically (shared by the upsert and SCD2 sinks); GC version
+    dirs older than the previous one."""
+    import os
+    import shutil
+
+    version = f"v{batch_id}"
+    new_dir = os.path.join(store_dir, version)
+    merged.write.mode("overwrite").parquet(new_dir)
+    ptr, tmp_ptr = _store_pointer(store_dir), _store_pointer(store_dir) + ".tmp"
+    with open(tmp_ptr, "w") as f:
+        f.write(version)
+    os.replace(tmp_ptr, ptr)  # atomic commit
+    keep = {version, os.path.basename(current) if current else version}
+    for d in os.listdir(store_dir):
+        if d.startswith("v") and d not in keep:
+            shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
+
+
 def upsert_sink(
     stream_df: DataFrame,
     store_dir: str,
@@ -280,9 +302,6 @@ def upsert_sink(
     plain mode can only add/replace). The store schema is the stream's
     columns minus ``op_col``.
     """
-    import os
-    import shutil
-
     from impc_etl_spark.operators.conform import merge_upsert
     from impc_etl_spark.operators.history import cdc_apply
 
@@ -327,17 +346,88 @@ def upsert_sink(
                 if current is None
                 else merge_upsert(spark.read.parquet(current), updates, keys)
             )
-        version = f"v{batch_id}"
-        new_dir = os.path.join(store_dir, version)
-        merged.write.mode("overwrite").parquet(new_dir)
-        ptr, tmp_ptr = _store_pointer(store_dir), _store_pointer(store_dir) + ".tmp"
-        with open(tmp_ptr, "w") as f:
-            f.write(version)
-        os.replace(tmp_ptr, ptr)  # atomic commit
-        keep = {version, os.path.basename(current) if current else version}
-        for d in os.listdir(store_dir):
-            if d.startswith("v") and d not in keep:
-                shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
+        _commit_version(store_dir, merged, batch_id, current)
+
+    q = (
+        stream_df.writeStream.foreachBatch(do_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def scd2_sink(
+    stream_df: DataFrame,
+    store_dir: str,
+    keys: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    checkpoint_dir: str,
+    tiebreak_cols: list[str] | None = None,
+) -> None:
+    """Streaming SCD type-2 dimension maintenance: drain the change stream
+    with AvailableNow into a versioned parquet SCD2 store — per batch,
+    each affected key's OPEN version is re-derived together with the
+    batch's change rows (``history.scd2_build`` over open-version +
+    batch events), so a change CLOSES the open version (valid_to = the
+    change's timestamp) and appends the new one, while a no-change event
+    collapses into the open version. CLOSED versions are immutable —
+    they are carried over untouched, never recomputed.
+
+    Late data contract: an event older than its key's open-version
+    ``valid_from`` cannot be integrated without rewriting closed history
+    — it is DROPPED, the same append-only assumption a watermark imposes
+    on any streaming aggregate. Replaying the parquet history through
+    batch ``scd2_build`` is the backfill path when late data matters.
+
+    Store schema: ``keys + attr_cols + valid_from + valid_to +
+    is_current``. Crash safety = the same versioned-directory + atomic
+    pointer flip as ``upsert_sink``. Read with ``read_store``.
+    """
+    from impc_etl_spark.operators.history import scd2_build
+
+    spark = stream_df.sparkSession
+    tb = list(tiebreak_cols or [])
+    out_cols = [*keys, *attr_cols, "valid_from", "valid_to", "is_current"]
+
+    def do_merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(*keys, F.col(ts_col), *attr_cols, *tb)
+        current = current_store_path(store_dir)
+        if current is None:
+            rebuilt = scd2_build(batch, keys, ts_col, attr_cols, tb)
+            _commit_version(store_dir, rebuilt.select(*out_cols), batch_id, None)
+            return
+        store = spark.read.parquet(current)
+        affected = batch.select(*keys).distinct()
+        open_affected = store.where(F.col("is_current")).join(affected, keys)
+        # open version re-enters the merge as a synthetic FIRST event for
+        # its key: ts = valid_from, tiebreaks = NULL (nulls-first in the
+        # ascending scd2 ordering, so at equal ts the stored version wins
+        # the "previous state" slot)
+        open_events = open_affected.select(
+            *keys,
+            F.col("valid_from").alias(ts_col),
+            *attr_cols,
+            *[F.lit(None).alias(c) for c in tb],
+        )
+        # late events (older than the open version's start) are dropped —
+        # integrating them would rewrite closed, immutable history
+        fresh = batch.join(
+            open_affected.select(*keys, "valid_from"), keys, "left_outer"
+        ).where(
+            F.col("valid_from").isNull() | (F.col(ts_col) >= F.col("valid_from"))
+        ).drop("valid_from")
+        rebuilt = scd2_build(
+            open_events.unionByName(fresh), keys, ts_col, attr_cols, tb
+        )
+        untouched = store.where(~F.col("is_current")).select(*out_cols).unionByName(
+            store.where(F.col("is_current")).join(affected, keys, "left_anti")
+            .select(*out_cols)
+        )
+        merged = untouched.unionByName(rebuilt.select(*out_cols))
+        _commit_version(store_dir, merged, batch_id, current)
 
     q = (
         stream_df.writeStream.foreachBatch(do_merge)

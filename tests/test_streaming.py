@@ -359,3 +359,58 @@ def test_upsert_sink_cdc_mode_requires_dedup_order(spark, tmp_path):
             stream, str(tmp_path / "s"), ["k"],
             checkpoint_dir=str(tmp_path / "c"), op_col="op",
         )
+
+
+def test_scd2_sink_maintains_dimension_across_batches(spark, tmp_path):
+    """Streaming SCD2 maintenance: batch 1 seeds history (in-batch change
+    included); batch 2 closes an open version, collapses a no-change
+    event, inserts a brand-new key, and drops a late event older than the
+    open version."""
+    import shutil as _sh
+    import time as _time
+
+    from impc_etl_spark.streaming.jobs import read_store, scd2_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # wave 1: key 1 goes A(10)->B(20); key 2 stays X(15)
+    w1 = spark.createDataFrame(
+        [(1, 10, "A", 1), (1, 20, "B", 2), (2, 15, "X", 3)],
+        "k long, ts long, status string, seq long",
+    )
+    w1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    for f in (tmp_path / "w1").glob("*.parquet"):
+        _sh.copy(f, src / "wave1.parquet")
+    _time.sleep(1.1)
+    # wave 2: key 1 changes to C(30); key 2 no-change X(25) collapses;
+    # key 3 is new; key 1 late event (ts=5 < open valid_from 20) dropped
+    w2 = spark.createDataFrame(
+        [(1, 30, "C", 4), (2, 25, "X", 5), (3, 40, "Z", 6), (1, 5, "LATE", 7)],
+        "k long, ts long, status string, seq long",
+    )
+    w2.coalesce(1).write.parquet(str(tmp_path / "w2"))
+    for f in (tmp_path / "w2").glob("*.parquet"):
+        _sh.copy(f, src / "wave2.parquet")
+
+    stream = (
+        spark.readStream.schema("k long, ts long, status string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "scd2_store")
+    scd2_sink(
+        stream, store, keys=["k"], ts_col="ts", attr_cols=["status"],
+        checkpoint_dir=str(tmp_path / "ckpt"), tiebreak_cols=["seq"],
+    )
+
+    rows = {
+        (r["k"], r["valid_from"]): (r["status"], r["valid_to"], r["is_current"])
+        for r in read_store(spark, store).collect()
+    }
+    assert rows == {
+        (1, 10): ("A", 20, False),
+        (1, 20): ("B", 30, False),
+        (1, 30): ("C", None, True),
+        (2, 15): ("X", None, True),   # no-change event collapsed
+        (3, 40): ("Z", None, True),
+    }
