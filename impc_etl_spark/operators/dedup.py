@@ -246,6 +246,57 @@ def strip_boilerplate_lines(
     )
 
 
+def record_linkage_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    max_distance: int = 2,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Entity resolution / fuzzy record matching: candidate pairs via
+    BLOCKING (records sharing ``block_cols`` values), exact Levenshtein
+    distance on ``text_col`` computed only inside blocks, pairs with
+    distance ≤ ``max_distance`` returned as (id_a, id_b, distance).
+
+    The classic record-linkage shape: comparing all records is O(n²);
+    blocking reduces it to Σ|block|² — pick block keys (normalized name
+    prefix, zip code, phone area) that are cheap, high-recall, and keep
+    blocks small. ``max_block_size`` hard-caps a block's members (sorted
+    by id — deterministic) so one degenerate key (empty string, 'N/A')
+    can't go quadratic; at web scale that cap is mandatory.
+
+    Plan: ONE groupBy on the block key collecting (id, text) structs
+    (bounded by the cap), row-local in-block pair expansion (same
+    nested-transform trick as LSH buckets — no self-join, the block
+    table is never shuffled twice), then a row-local `levenshtein`.
+    """
+    sid = F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t"))
+    members = F.array_sort(F.collect_list(sid))
+    if max_block_size is not None:
+        members = F.slice(members, 1, max_block_size)
+    blocks = df.groupBy(*block_cols).agg(members.alias("__m"))
+    arr = F.col("__m")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda a, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda b: F.struct(
+                    a["i"].alias("id_a"),
+                    b["i"].alias("id_b"),
+                    F.levenshtein(a["t"], b["t"]).alias("distance"),
+                ),
+            ),
+        )
+    )
+    return (
+        blocks.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.distance")
+        .where(F.col("distance") <= max_distance)
+    )
+
+
 def shingle_table(
     df: DataFrame,
     text_col: str = "text",

@@ -2159,6 +2159,20 @@ def emb_rp_topk(spark, sf_dir):
     )
 
 
+def customer_record_linkage(spark, sf_dir):
+    """Entity resolution: candidate customer pairs via blocking on
+    (nation, name prefix), exact Levenshtein ≤ 2 on the full name inside
+    blocks only — the fuzzy-matching cousin of exact/minhash dedup
+    (dedup.py:record_linkage_pairs); blocks capped at 32 members."""
+    cust = _t(spark, sf_dir, "customer")
+    blocked = cust.withColumn("name_prefix", F.substring("c_name", 1, 15))
+    return dedup_ops.record_linkage_pairs(
+        blocked, "c_custkey", "c_name",
+        block_cols=["c_nationkey", "name_prefix"],
+        max_distance=2, max_block_size=32,
+    )
+
+
 def part_copurchase_pairs(spark, sf_dir):
     """Market-basket co-occurrence: top-100 part pairs by the number of
     orders containing both — per-order distinct item sets expanded to
@@ -2375,6 +2389,7 @@ QUERIES = {
     "orders_status_at_time": orders_status_at_time,
     "emb_two_stage_topk": emb_two_stage_topk,
     "part_copurchase_pairs": part_copurchase_pairs,
+    "customer_record_linkage": customer_record_linkage,
     "docs_repetition": docs_repetition,
     "user_cohort_retention": user_cohort_retention,
     "shipment_transit_overlap": shipment_transit_overlap,
@@ -4503,4 +4518,24 @@ SELECT item_a, item_b, n_groups FROM (
   SELECT *, row_number() OVER (
       ORDER BY n_groups DESC, item_a, item_b) AS rk FROM c)
 WHERE rk <= 100
+"""
+
+
+ORACLE["customer_record_linkage"] = """
+WITH b AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         substring(c_name, 1, 15) AS name_prefix
+  FROM customer),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY c_nationkey, name_prefix
+        ORDER BY c_custkey, c_name) AS rn
+    FROM b) WHERE rn <= 32)
+SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+       CAST(levenshtein(x.c_name, y.c_name) AS INT) AS distance
+FROM capped x JOIN capped y
+  ON x.c_nationkey = y.c_nationkey AND x.name_prefix = y.name_prefix
+ AND x.rn < y.rn
+WHERE levenshtein(x.c_name, y.c_name) <= 2
 """

@@ -1559,3 +1559,28 @@ def test_co_occurrence_pairs_counts_and_basket_cap(spark):
 
     top1 = co_occurrence_pairs(df, "oid", "item", top_k=1).collect()
     assert [(r["item_a"], r["item_b"], r["n_groups"]) for r in top1] == [(1, 2, 2)]
+
+
+def test_record_linkage_blocks_and_threshold(spark):
+    from impc_etl_spark.operators.dedup import record_linkage_pairs
+
+    rows = [
+        (1, "acme corp", "A"), (2, "acme corp.", "A"),   # distance 1 — match
+        (3, "acme international corp", "A"),             # too far from both
+        (4, "acme corp", "B"),                           # same name, other block
+        (5, "zenith", "B"), (6, "zenlth", "B"),          # distance 1 — match
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, region string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in record_linkage_pairs(
+            df, "id", "name", ["region"], max_distance=2
+        ).collect()
+    )
+    assert got == [(1, 2, 1), (5, 6, 1)]  # cross-block (1,4) never compared
+
+    # block cap: keep 2 smallest ids per block -> candidate set shrinks
+    capped = record_linkage_pairs(
+        df, "id", "name", ["region"], max_distance=99, max_block_size=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(1, 2), (4, 5)}

@@ -501,3 +501,33 @@ def test_cdc_apply_matches_python_replay(spark, snap, stream):
         else:
             want[k] = v
     assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(1, 8)),  # (group, item)
+        min_size=1, max_size=40,
+    ),
+    cap=st.one_of(st.none(), st.integers(1, 4)),
+)
+def test_co_occurrence_matches_python_replay(spark, rows, cap):
+    from impc_etl_spark.operators.aggregate import co_occurrence_pairs
+
+    df = spark.createDataFrame(rows, "g int, item int")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_groups"]
+        for r in co_occurrence_pairs(df, "g", "item", max_basket=cap).collect()
+    }
+
+    baskets: dict[int, set] = {}
+    for g, it in rows:
+        baskets.setdefault(g, set()).add(it)
+    want: dict[tuple, int] = {}
+    for items in baskets.values():
+        s = sorted(items)[: cap if cap is not None else len(items)]
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                want[(s[i], s[j])] = want.get((s[i], s[j]), 0) + 1
+    assert got == want
