@@ -139,3 +139,36 @@ def cdc_apply(
         .drop("__prio", "__rn")
     )
     return merged.join(deletes, list(key_cols), "left_anti")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    fingerprint_col: str,
+    status_col: str = "status",
+) -> DataFrame:
+    """Crawl-to-crawl snapshot diff: classify every key across two corpus
+    snapshots as ``NEW`` / ``REMOVED`` / ``CHANGED`` / ``UNCHANGED`` — the
+    incremental-ingest planner for a recurring crawl (recrawl only CHANGED,
+    tombstone REMOVED, run the full quality/dedup pipeline on NEW).
+
+    Both sides are first projected to ``(keys, fingerprint)`` — at 100 TB
+    the full-outer join ships 16-byte fingerprints, never document text
+    (same discipline as ``dedup_against_store``); it is a plain hash join
+    on the key, AQE-splittable on hot keys. Output carries both
+    fingerprints so CHANGED rows can drive a targeted re-fetch join later.
+
+    Returns ``(keys..., old_fingerprint, new_fingerprint, status)``.
+    """
+    keys = list(key_cols)
+    o = old.select(*keys, F.col(fingerprint_col).alias("old_fingerprint"))
+    n = new.select(*keys, F.col(fingerprint_col).alias("new_fingerprint"))
+    joined = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("old_fingerprint").isNull(), F.lit("NEW"))
+        .when(F.col("new_fingerprint").isNull(), F.lit("REMOVED"))
+        .when(F.col("old_fingerprint") == F.col("new_fingerprint"), F.lit("UNCHANGED"))
+        .otherwise(F.lit("CHANGED"))
+    )
+    return joined.select(*keys, "old_fingerprint", "new_fingerprint", status.alias(status_col))

@@ -835,3 +835,94 @@ def vocab_coverage(
             ).alias("cum_share"),
         )
     )
+
+
+def strip_html(col: str | Column) -> Column:
+    """Extract readable text from raw HTML — the crawl-extraction pass that
+    runs BEFORE quality/dedup in a web-corpus pipeline (reference analogue:
+    the XML text-payload extraction in xml_extraction_helper.py:22-81; here
+    generalized to the HTML the training-data brief's crawl sources emit).
+
+    An ordered regexp chain, all row-local (zero shuffles, whole-stage
+    codegen — scan-speed over 100 TB of crawl):
+
+    1. drop ``<script>``/``<style>`` ELEMENTS wholesale (their text payload
+       is code, not prose) — non-greedy, case-insensitive, dot-matches-\\n;
+    2. drop HTML comments ``<!-- ... -->``;
+    3. turn block-level closers/br into newlines so paragraph structure
+       survives for downstream line/paragraph dedup;
+    4. drop every remaining tag;
+    5. unescape the high-frequency entities (&amp; last so ``&amp;lt;``
+       does not double-unescape into a phantom tag);
+    6. collapse whitespace runs, trim.
+
+    Order matters and is mirrored 1:1 by the DuckDB oracle (same PCRE-ish
+    dialect, same flags) — byte-reproducible across engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # Two patterns, not one with a backreference: the oracle's RE2 engine
+    # has no backreferences, and cross-engine byte parity is the contract.
+    x = F.regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, "(?is)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, "(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, "(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>", "\n")
+    x = F.regexp_replace(x, "(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&amp;", "&"),
+    ):
+        x = F.regexp_replace(x, ent, rep)
+    x = F.regexp_replace(x, "[ \\t]+", " ")
+    x = F.regexp_replace(x, " ?\\n ?", "\n")
+    x = F.regexp_replace(x, "\\n{2,}", "\n")
+    # trim() strips spaces only — edge newlines need the regexp form
+    return F.regexp_replace(x, "^\\s+|\\s+$", "")
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    batch_size: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed inference batching: group documents into
+    power-of-two token-length buckets and assign deterministic batch ids
+    within each bucket — the standard trick for LLM inference/scoring
+    passes where a batch's cost is max-length × batch-size, so mixing a
+    4k-token doc with tweets wastes ~all the pad compute.
+
+    Plan shape at 100 TB: the bucket id is a row-local ``floor(log2)``
+    (zero shuffle), then ONE hash-partition shuffle on the bucket key for
+    the per-bucket ``row_number`` — the same sharded-window discipline as
+    ``pack_sequences``; batches never span buckets by construction. Skewed
+    buckets (the web's 2^7..2^9 token hump) split fine because the window
+    function is a streaming rank, not a buffered aggregate.
+
+    Returns ``(id, n_tokens, bucket, batch_id)`` where ``bucket`` is the
+    power-of-two ceiling of the token count (1-token floor) and batch ids
+    are dense per bucket, ordered by (n_tokens, id) for deterministic
+    replay.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(text_col)
+    out = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.pow(
+            F.lit(2.0), F.ceil(F.log2(F.greatest(n_tok, F.lit(1)).cast("double")))
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("n_tokens", id_col)
+    return out.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(int(batch_size)))
+        .cast("long"),
+    )

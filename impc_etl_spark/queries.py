@@ -4539,3 +4539,195 @@ FROM capped x JOIN capped y
  AND x.rn < y.rn
 WHERE levenshtein(x.c_name, y.c_name) <= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: crawl extraction, snapshot diff, inference batching,
+# split-leakage audit
+# ---------------------------------------------------------------------------
+
+_HTML_PRE = (
+    '<html><head><script type="text/javascript">var x=1;</script>'
+    "<style>.a{color:red}</style></head><body><p>"
+)
+_HTML_POST = (
+    "</p><br><div>Tail &amp; more &lt;raw&gt;</div>"
+    "<!-- crawler note --></body></html>"
+)
+
+
+def docs_strip_html(spark, sf_dir):
+    """Crawl text extraction (the step BEFORE quality/dedup in a web
+    pipeline): wrap each document in a deterministic HTML shell, then
+    recover readable text with the ordered regexp chain in
+    ``text.strip_html`` — script/style elements dropped wholesale, block
+    closers become newlines, entities unescaped AFTER tag removal. Pure
+    row-local Column algebra; the oracle replays the identical chain."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    out = docs.select(
+        "doc_id", text_ops.strip_html(html).alias("clean_text")
+    )
+    return out.withColumn(
+        "n_lines", F.size(F.split(F.col("clean_text"), "\n"))
+    )
+
+
+def docs_crawl_diff(spark, sf_dir):
+    """Crawl-to-crawl incremental diff: two simulated snapshots of the
+    corpus (old: 10%-of-ids absent + every 7th doc on its previous text
+    revision; new: every 13th doc dropped) classified NEW / REMOVED /
+    CHANGED / UNCHANGED by fingerprint comparison
+    (history.snapshot_diff). The join ships (id, 16-byte fingerprint)
+    only — document text never shuffles at any scale."""
+    from impc_etl_spark.operators.history import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old_text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("legacy edition "), F.col("text")),
+    ).otherwise(F.col("text"))
+    old = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", text_ops.fingerprint(old_text).alias("fp")
+    )
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id", text_ops.fingerprint(F.col("text")).alias("fp")
+    )
+    return snapshot_diff(old, new, ["doc_id"], "fp")
+
+
+def docs_length_buckets(spark, sf_dir):
+    """Length-bucketed inference batching: power-of-two token-length
+    buckets + deterministic dense batch ids per bucket (batch cost is
+    max_len × batch_size, so homogeneous-length batches waste no pad
+    compute). One narrow shuffle on the bucket key — the same sharded
+    window discipline as pack_sequences."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.length_buckets(docs, "text", batch_size=32, id_col="doc_id")
+
+
+def docs_split_leakage(spark, sf_dir):
+    """Train/test contamination audit: MinHash-LSH near-dup candidate
+    pairs that STRADDLE a split boundary (hash_split train/test) — the
+    pairs that leak evaluation data into training. Composition of two
+    registered primitives; both replayed exactly by the oracle. The split
+    join ships (doc_id, split) only."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.lsh_candidate_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+    splits = sample_ops.hash_split(
+        docs.select("doc_id"), ["doc_id"],
+        {"train": 0.9, "val": 0.05, "test": 0.05}, salt="r2",
+    )
+    a = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
+
+
+QUERIES["docs_strip_html"] = docs_strip_html
+QUERIES["docs_crawl_diff"] = docs_crawl_diff
+QUERIES["docs_length_buckets"] = docs_length_buckets
+QUERIES["docs_split_leakage"] = docs_split_leakage
+
+
+_HTML_PRE_SQL = _HTML_PRE.replace("'", "''")
+_HTML_POST_SQL = _HTML_POST.replace("'", "''")
+
+ORACLE["docs_strip_html"] = f"""
+WITH h AS (
+  SELECT doc_id, '{_HTML_PRE_SQL}' || text || '{_HTML_POST_SQL}' AS x
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      replace(replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          x,
+          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>', chr(10), 'g'),
+          '(?s)<[^>]+>', ' ', 'g'),
+        '&nbsp;', ' '), '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+        '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+      '[ ' || chr(9) || ']+', ' ', 'g'),
+      ' ?' || chr(10) || ' ?', chr(10), 'g'),
+      chr(10) || '{{2,}}', chr(10), 'g'),
+      '^\s+|\s+$', '', 'g') AS clean_text
+  FROM h)
+SELECT doc_id, clean_text,
+       len(string_split_regex(clean_text, chr(10))) AS n_lines
+FROM s
+"""
+
+ORACLE["docs_crawl_diff"] = f"""
+WITH oldd AS (
+  SELECT doc_id,
+         md5(array_to_string({_TOKS.format(col="CASE WHEN doc_id % 7 = 0 THEN 'legacy edition ' || text ELSE text END")}, ' ')) AS old_fingerprint
+  FROM documents WHERE doc_id % 10 <> 0),
+newd AS (
+  SELECT doc_id, md5(array_to_string({_DOC_TOKS}, ' ')) AS new_fingerprint
+  FROM documents WHERE doc_id % 13 <> 0)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       old_fingerprint, new_fingerprint,
+       CASE WHEN old_fingerprint IS NULL THEN 'NEW'
+            WHEN new_fingerprint IS NULL THEN 'REMOVED'
+            WHEN old_fingerprint = new_fingerprint THEN 'UNCHANGED'
+            ELSE 'CHANGED' END AS status
+FROM oldd o FULL OUTER JOIN newd n USING (doc_id)
+"""
+
+ORACLE["docs_length_buckets"] = f"""
+WITH t AS (
+  SELECT doc_id, len({_DOC_TOKS}) AS n_tokens FROM documents),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(pow(2, ceil(log2(greatest(n_tokens, 1)))) AS BIGINT) AS bucket
+  FROM t)
+SELECT doc_id, n_tokens, bucket,
+       CAST((row_number() OVER (
+           PARTITION BY bucket ORDER BY n_tokens, doc_id) - 1) // 32 AS BIGINT)
+         AS batch_id
+FROM b
+"""
+
+ORACLE["docs_split_leakage"] = f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS shingle
+  FROM tok WHERE len(toks) >= 3),
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s
+  GROUP BY doc_id, s.seed),
+bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, seed // 3),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 9000 THEN 'train'
+              WHEN bucket < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(concat('0x', substring(md5(concat_ws('|', 'r2', doc_id::VARCHAR)), 1, 15)) AS BIGINT)
+                 % 10000 AS bucket
+        FROM documents))
+SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b
+FROM pairs JOIN sp sa ON doc_a = sa.doc_id JOIN sp sb ON doc_b = sb.doc_id
+WHERE sa.split <> sb.split
+"""

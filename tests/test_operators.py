@@ -1584,3 +1584,63 @@ def test_record_linkage_blocks_and_threshold(spark):
         df, "id", "name", ["region"], max_distance=99, max_block_size=2
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in capped} == {(1, 2), (4, 5)}
+
+
+def test_strip_html_extracts_text(spark):
+    from impc_etl_spark.operators.text import strip_html
+
+    html = (
+        '<html><head><title>T</title>'
+        '<script type="text/javascript">var a = 1; // <p>not text</p>'
+        "</script><style>.x{color:red}</style></head>"
+        "<body><h1>Header</h1><p>First &amp; second.</p>"
+        "<p>Line<br>break</p><!-- comment --><div>5 &lt; 7</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    got = df.select(strip_html("html").alias("t")).first()["t"]
+    # script/style payloads gone; block closers become newlines; entities
+    # unescape AFTER tag removal so "&lt;p&gt;"-style text never re-tags
+    assert got == "T Header\nFirst & second.\nLine\nbreak\n5 < 7"
+
+
+def test_strip_html_entity_order_no_double_unescape(spark):
+    from impc_etl_spark.operators.text import strip_html
+
+    # "&amp;lt;" means the literal text "&lt;" — must NOT become "<"
+    df = spark.createDataFrame([(1, "<p>a &amp;lt; b</p>")], "id long, h string")
+    assert df.select(strip_html("h").alias("t")).first()["t"] == "a &lt; b"
+
+
+def test_snapshot_diff_statuses(spark):
+    from impc_etl_spark.operators.history import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "fa"), (2, "fb"), (3, "fc")], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(2, "fb"), (3, "fc2"), (4, "fd")], "doc_id long, fp string"
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old, new, ["doc_id"], "fp").collect()
+    }
+    assert got == {1: "REMOVED", 2: "UNCHANGED", 3: "CHANGED", 4: "NEW"}
+
+
+def test_length_buckets_shape_and_determinism(spark):
+    from impc_etl_spark.operators.text import length_buckets
+
+    rows = [(i, "w " * n) for i, n in enumerate([1, 2, 3, 4, 5, 9, 17, 170])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["bucket"], r["batch_id"]) for r in
+           length_buckets(df, "text", batch_size=2).collect()}
+    # power-of-two ceiling buckets
+    assert got[0][0] == 1 and got[1][0] == 2 and got[2][0] == 4
+    assert got[3][0] == 4 and got[5][0] == 16 and got[7][0] == 256
+    # batches dense per bucket, ordered by (n_tokens, id): bucket 4 holds
+    # docs 2 (3 tokens) and 3 (4 tokens) -> same batch 0
+    assert got[2][1] == 0 and got[3][1] == 0
+    # determinism across runs
+    again = {r["doc_id"]: (r["bucket"], r["batch_id"]) for r in
+             length_buckets(df, "text", batch_size=2).collect()}
+    assert got == again
