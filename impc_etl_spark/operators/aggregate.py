@@ -181,3 +181,48 @@ def co_occurrence_pairs(
     return counts.orderBy(
         F.col("n_groups").desc(), F.col("item_a"), F.col("item_b")
     ).limit(top_k)
+
+
+def hll_rollup(
+    df: DataFrame,
+    fine_keys: Sequence[str],
+    coarse_keys: Sequence[str],
+    count_col: str | Column,
+    out: str = "approx_distinct",
+    lgk: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level distinct-count rollup via MERGEABLE HLL sketches
+    (``hll_sketch_agg`` → ``hll_union_agg``): the fine level aggregates raw
+    rows once; the coarse level re-aggregates the fine level's SKETCHES —
+    the raw data is scanned exactly once no matter how many rollup levels
+    stack on top.
+
+    This is the 100 TB answer to hierarchical distinct counts:
+    ``approx_count_distinct`` is NOT re-aggregable (a per-(nation, day)
+    count cannot roll up to per-nation without re-scanning the facts),
+    while a Datasketches HLL sketch is a few KB and unions losslessly, so
+    each extra level costs one shuffle of (group, sketch) rows — fleet
+    telemetry, per-partition uniques, daily→monthly actives all reuse the
+    same materialized fine level. ``lgk`` trades sketch size for accuracy
+    (±~1.6% at the default 12).
+
+    Returns ``(fine, coarse)`` frames, each with ``out`` = the estimate
+    (rounded to a whole count); the fine frame keeps its binary sketch
+    column (``__sketch``) so callers can persist it and roll further up
+    later.
+    """
+    fine = df.groupBy(*fine_keys).agg(
+        F.hll_sketch_agg(count_col, F.lit(lgk)).alias("__sketch")
+    )
+    fine_out = fine.withColumn(
+        out, F.hll_sketch_estimate("__sketch").cast("long")
+    )
+    coarse = (
+        fine.groupBy(*coarse_keys)
+        .agg(F.hll_union_agg(F.col("__sketch")).alias("__merged"))
+        .select(
+            *coarse_keys,
+            F.hll_sketch_estimate("__merged").cast("long").alias(out),
+        )
+    )
+    return fine_out, coarse

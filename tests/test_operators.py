@@ -1644,3 +1644,20 @@ def test_length_buckets_shape_and_determinism(spark):
     again = {r["doc_id"]: (r["bucket"], r["batch_id"]) for r in
              length_buckets(df, "text", batch_size=2).collect()}
     assert got == again
+
+
+def test_hll_rollup_two_levels_single_scan(spark):
+    from impc_etl_spark.operators.aggregate import hll_rollup
+
+    rows = [(n, d, u) for n in ("A", "B") for d in (1, 2)
+            for u in range(n == "A" and 300 or 80)]
+    df = spark.createDataFrame(rows, "nation string, day int, user long")
+    fine, coarse = hll_rollup(
+        df, ["nation", "day"], ["nation"], "user"
+    )
+    f = {(r["nation"], r["day"]): r["approx_distinct"] for r in fine.collect()}
+    c = {r["nation"]: r["approx_distinct"] for r in coarse.collect()}
+    # HLL at lgk=12 is within ~2% — and the coarse level must come from
+    # UNIONING fine sketches, so A's two identical days union to ~300, not 600
+    assert abs(f[("A", 1)] - 300) <= 8 and abs(f[("B", 1)] - 80) <= 4
+    assert abs(c["A"] - 300) <= 8 and abs(c["B"] - 80) <= 4
