@@ -267,3 +267,121 @@ def mixture_select(
         .where(bucket < F.floor(F.col("__rate") * num_buckets).cast("bigint"))
         .drop("__rate")
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str | None = None,
+    buckets: int = 1024,
+    smoothing: float = 1.0,
+    salt: str = "dsir",
+    out: str = "log_ratio",
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score each raw document by the mean log
+    ratio of its tokens' probabilities under a TARGET distribution vs the
+    RAW distribution, both estimated over hashed token buckets — the cheap
+    proxy for "how much does this doc look like the domain I actually want
+    to train on".
+
+    Hashing tokens into a fixed bucket space is what makes this 100 TB
+    viable: both distributions are ``buckets``-row tables no matter the
+    corpus size (no unbounded vocab state), built with ONE
+    explode→groupBy each; the per-bucket log-ratio score table is
+    KB-sized and broadcast, so scoring the corpus is a map-side join +
+    one per-doc average. Additive smoothing keeps ratios defined for
+    buckets unseen on either side.
+
+    md5-derived bucketing makes weights reproducible across engines — the
+    oracle replays the exact assignment.
+    """
+    from impc_etl_spark.operators.text import tokens
+
+    tcol = target_text_col or text_col
+    b = int(buckets)
+    a = float(smoothing)
+
+    def _bucket(tok: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.lit(salt), tok)), 1, 15),
+                16, 10,
+            ).cast("bigint") % b
+        )
+
+    def _counts(frame: DataFrame, col: str, cname: str) -> DataFrame:
+        return (
+            frame.select(F.explode(tokens(col)).alias("__tok"))
+            .select(_bucket(F.col("__tok")).alias("__bkt"))
+            .groupBy("__bkt")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    raw_c = _counts(df, text_col, "__cr")
+    tgt_c = _counts(target_df, tcol, "__ct")
+    merged = raw_c.join(tgt_c, "__bkt", "full_outer").select(
+        "__bkt",
+        F.coalesce("__cr", F.lit(0)).alias("__cr"),
+        F.coalesce("__ct", F.lit(0)).alias("__ct"),
+    )
+    totals = merged.agg(
+        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
+    )
+    score = merged.crossJoin(F.broadcast(totals)).select(
+        "__bkt",
+        (
+            F.log((F.col("__ct") + F.lit(a)) / (F.col("__nt") + F.lit(a * b)))
+            - F.log((F.col("__cr") + F.lit(a)) / (F.col("__nr") + F.lit(a * b)))
+        ).alias("__lr"),
+    )
+    doc_toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    ).select(id_col, _bucket(F.col("__tok")).alias("__bkt"))
+    return (
+        doc_toks.join(F.broadcast(score), "__bkt")
+        .groupBy(id_col)
+        .agg(F.avg("__lr").alias(out))
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str | None = None,
+    buckets: int = 1024,
+    smoothing: float = 1.0,
+    temperature: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Importance RESAMPLING: keep each document with probability
+    ``min(1, ratio^temperature)`` where ratio is the geometric-mean
+    target/raw token-probability ratio from ``importance_weights`` — docs
+    that look like the target survive, off-domain docs are thinned, and
+    the decision is a deterministic keyed coin (same md5-bucket scheme as
+    every sampler here: stable across runs, partitioning, and growth).
+
+    The keep probability is rounded to 6 dp with the portable floor form
+    BEFORE the coin compare so the oracle's libm and the JVM's can never
+    disagree on a boundary. Returns the surviving rows of ``df`` plus the
+    ``keep_prob`` column.
+    """
+    w = importance_weights(
+        df, target_df, text_col, id_col, target_text_col,
+        buckets, smoothing, salt, out="__lr",
+    )
+    kp = F.least(
+        F.lit(1.0), F.exp(F.lit(float(temperature)) * F.col("__lr"))
+    )
+    kp6 = F.floor(kp * 1000000 + F.lit(0.5)) / 1000000
+    coin = hash_bucket([id_col], salt=salt + "|coin")
+    return (
+        df.join(w, id_col)
+        .withColumn("keep_prob", kp6)
+        .where(coin < F.floor(F.col("keep_prob") * NUM_BUCKETS).cast("bigint"))
+        .drop("__lr")
+    )

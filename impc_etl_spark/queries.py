@@ -4780,3 +4780,61 @@ SELECT o_orderkey,
        json_extract_string(js, '$.absent.path') AS missing
 FROM j
 """
+
+
+def docs_importance_resample(spark, sf_dir):
+    """DSIR-shape data selection: resample the whole corpus toward the
+    ENGLISH subset's hashed-unigram distribution — importance weight =
+    geometric-mean target/raw token-probability ratio over 256 md5
+    buckets, keep-coin = deterministic md5 bucket. Both distributions are
+    bounded 256-row tables regardless of corpus size; scoring is a
+    broadcast map-side join (operators/sampling.py:importance_weights)."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    out = sample_ops.importance_resample(
+        docs.select("doc_id", "lang", "text"), target,
+        buckets=256, temperature=2.0, salt="dsir",
+    )
+    return out.select("doc_id", "lang", "keep_prob")
+
+
+QUERIES["docs_importance_resample"] = docs_importance_resample
+
+ORACLE["docs_importance_resample"] = f"""
+WITH rawtok AS (
+  SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents),
+tgttok AS (
+  SELECT unnest({_DOC_TOKS}) AS tok FROM documents WHERE lang = 'en'),
+rb AS (
+  SELECT CAST(concat('0x', substring(md5('dsir:' || tok), 1, 15)) AS BIGINT) % 256 AS bkt,
+         count(*) AS cr
+  FROM rawtok GROUP BY 1),
+tb AS (
+  SELECT CAST(concat('0x', substring(md5('dsir:' || tok), 1, 15)) AS BIGINT) % 256 AS bkt,
+         count(*) AS ct
+  FROM tgttok GROUP BY 1),
+m AS (
+  SELECT coalesce(rb.bkt, tb.bkt) AS bkt,
+         coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+  FROM rb FULL OUTER JOIN tb ON rb.bkt = tb.bkt),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM m),
+score AS (
+  SELECT bkt,
+         ln((ct + 1.0) / (nt + 256.0)) - ln((cr + 1.0) / (nr + 256.0)) AS lr
+  FROM m CROSS JOIN tot),
+docw AS (
+  SELECT doc_id, avg(lr) AS lr
+  FROM (SELECT doc_id,
+               CAST(concat('0x', substring(md5('dsir:' || tok), 1, 15)) AS BIGINT) % 256 AS bkt
+        FROM rawtok) t JOIN score USING (bkt)
+  GROUP BY doc_id),
+kp AS (
+  SELECT doc_id,
+         floor(least(1.0, exp(2.0 * lr)) * 1000000 + 0.5) / 1000000 AS keep_prob
+  FROM docw)
+SELECT d.doc_id, d.lang, kp.keep_prob
+FROM documents d JOIN kp ON d.doc_id = kp.doc_id
+WHERE CAST(concat('0x', substring(md5(concat_ws('|', 'dsir|coin', d.doc_id::VARCHAR)), 1, 15)) AS BIGINT)
+        % 10000
+      < CAST(floor(kp.keep_prob * 10000) AS BIGINT)
+"""

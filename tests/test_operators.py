@@ -1661,3 +1661,33 @@ def test_hll_rollup_two_levels_single_scan(spark):
     # UNIONING fine sketches, so A's two identical days union to ~300, not 600
     assert abs(f[("A", 1)] - 300) <= 8 and abs(f[("B", 1)] - 80) <= 4
     assert abs(c["A"] - 300) <= 8 and abs(c["B"] - 80) <= 4
+
+
+def test_importance_resample_favors_target_like_docs(spark):
+    from impc_etl_spark.operators.sampling import (
+        importance_resample,
+        importance_weights,
+    )
+
+    en = [(i, "the cat sat on the mat and the dog ran") for i in range(8)]
+    xx = [(i + 100, "zorp blik vrum qix nuvo lem dask") for i in range(8)]
+    df = spark.createDataFrame(en + xx, "doc_id long, text string")
+    target = spark.createDataFrame(en, "doc_id long, text string")
+
+    w = {r["doc_id"]: r["log_ratio"]
+         for r in importance_weights(df, target).collect()}
+    # target-like docs score strictly higher than off-domain docs
+    assert min(w[i] for i, _ in en) > max(w[i + 0] for i, _ in xx)
+
+    kept = importance_resample(df, target, temperature=2.0)
+    rows = {r["doc_id"]: r["keep_prob"] for r in kept.collect()}
+    # every target-like doc survives with keep_prob 1; off-domain docs are
+    # thinned (keep_prob < 1 for all, so the deterministic coins drop some)
+    assert all(rows[i] == 1.0 for i, _ in en if i in rows)
+    assert sum(1 for i, _ in en if i in rows) == len(en)
+    off_kept = [i for i in rows if i >= 100]
+    assert all(rows[i] < 1.0 for i in off_kept)
+    # determinism: identical output on re-run
+    again = {r["doc_id"]: r["keep_prob"]
+             for r in importance_resample(df, target, temperature=2.0).collect()}
+    assert rows == again
