@@ -412,6 +412,32 @@ def minhash_signatures(
     )
 
 
+def band_keys(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a minhash-signature frame into (id, band, band_key) rows —
+    band key = md5 of that band's concatenated mins. Row-local (one
+    explode of a ``bands``-element literal array, zero shuffle). Shared by
+    in-corpus pair generation and batch-vs-store probing; a persisted
+    store keeps exactly this frame as its incremental LSH index."""
+    rows_per_band = num_hashes // bands
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[
+                    F.element_at(F.col("minhash"), b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ])
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_entries)).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -439,25 +465,10 @@ def lsh_candidate_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, id_col, k, num_hashes, tokens_col, shingles_col
     )
-    band_entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[
-                    F.element_at(F.col("minhash"), b * rows_per_band + r + 1)
-                    for r in range(rows_per_band)
-                ])
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_entries)).alias("bk")
-    ).select(id_col, "bk.band", "bk.band_key")
+    banded = band_keys(sig, id_col, num_hashes, bands)
     # Bucketize per (band, band_key) and expand pairs in-bucket: ONE
     # aggregation shuffle over ~bands×n_docs tiny rows, signature pipeline
     # evaluated once (a self-join would run it twice). At 100 TB, cap or
@@ -911,4 +922,106 @@ def simhash(
         fan_out(df).select(F.col(id_col), hs.alias("__hs"))
         .where(F.size("__hs") > 0)
         .select(F.col(id_col), bitstr.alias("simhash"))
+    )
+
+
+def near_dup_against_store(
+    batch: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    store_text_col: str | None = None,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    mode: str = "drop",
+) -> DataFrame:
+    """INCREMENTAL near-dup dedup: check today's batch against the
+    historical corpus with MinHash-LSH banding, verifying exact Jaccard
+    only on band-collision candidates — ``dedup_against_store``'s fuzzy
+    sibling, and the production shape for a continuously-crawled corpus
+    (the in-corpus pair generators compare a corpus to ITSELF; recrawls
+    need batch-vs-STORE).
+
+    Plan shape at 100 TB: both sides reduce to (id, band, band_key) rows —
+    the batch computes its keys row-locally (zero shuffle); the store's
+    keys are exactly the ``band_keys`` frame, which a production pipeline
+    PERSISTS once as its incremental LSH index and re-reads per batch
+    (bands × n_docs tiny rows — store text is never re-tokenized, never
+    shuffled). Candidates come from one equi hash join on (band,
+    band_key) — batch-sized, not corpus-sized; hot template band keys are
+    ordinary join skew (AQE splits them). Verification joins candidates
+    to both sides' distinct-shingle sets and scores |A∩B|/|A∪B|
+    row-locally — quadratic work never happens.
+
+    ``mode="drop"`` returns surviving batch rows (anti join on matched
+    ids); ``mode="mark"`` returns all scoreable batch rows with
+    ``near_dup_matched`` + best ``jaccard`` (docs with < k tokens can't
+    match and are dropped from "mark" output but kept by "drop").
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    if mode not in ("drop", "mark"):
+        raise ValueError(f"unknown mode {mode!r} (drop|mark)")
+    s_text = store_text_col or text_col
+
+    def _shingles(frame: DataFrame, col: str) -> DataFrame:
+        return (
+            fan_out(frame)
+            .select(
+                F.col(id_col),
+                F.array_distinct(word_shingles(tokens(col), k)).alias("sh"),
+            )
+            .where(F.size("sh") > 0)
+            .localCheckpoint(eager=True)
+        )
+
+    b_sh = _shingles(batch, text_col)
+    s_sh = _shingles(store, s_text)
+    b_keys = band_keys(
+        minhash_signatures(b_sh, id_col=id_col, num_hashes=num_hashes,
+                           shingles_col="sh"),
+        id_col, num_hashes, bands,
+    ).select(F.col(id_col).alias("__bid"), "band", "band_key")
+    s_keys = band_keys(
+        minhash_signatures(s_sh, id_col=id_col, num_hashes=num_hashes,
+                           shingles_col="sh"),
+        id_col, num_hashes, bands,
+    ).select(F.col(id_col).alias("__sid"), "band", "band_key")
+    cands = (
+        b_keys.join(s_keys, ["band", "band_key"])
+        .select("__bid", "__sid")
+        .distinct()
+    )
+    scored = (
+        cands.join(b_sh.select(F.col(id_col).alias("__bid"),
+                               F.col("sh").alias("sh_b")), "__bid")
+        .join(s_sh.select(F.col(id_col).alias("__sid"),
+                          F.col("sh").alias("sh_s")), "__sid")
+        .select(
+            "__bid",
+            bind(
+                F.size(F.array_intersect("sh_b", "sh_s")).cast("double"),
+                lambda i: i / (F.size("sh_b") + F.size("sh_s") - i),
+            ).alias("__j"),
+        )
+    )
+    best = scored.groupBy("__bid").agg(F.max("__j").alias("__best"))
+    if mode == "drop":
+        matched = best.where(F.col("__best") >= threshold).select(
+            F.col("__bid").alias(id_col)
+        )
+        return batch.join(matched, id_col, "left_anti")
+    kp = F.floor(F.coalesce(F.col("__best"), F.lit(0.0)) * 1000000 + F.lit(0.5)) / 1000000
+    return (
+        b_sh.select(id_col)
+        .join(best.select(F.col("__bid").alias(id_col), "__best"), id_col, "left")
+        .select(
+            id_col,
+            kp.alias("jaccard"),
+            (F.coalesce(F.col("__best"), F.lit(0.0)) >= threshold).alias(
+                "near_dup_matched"
+            ),
+        )
     )

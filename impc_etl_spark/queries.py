@@ -4838,3 +4838,70 @@ WHERE CAST(concat('0x', substring(md5(concat_ws('|', 'dsir|coin', d.doc_id::VARC
         % 10000
       < CAST(floor(kp.keep_prob * 10000) AS BIGINT)
 """
+
+
+def docs_near_dup_incremental(spark, sf_dir):
+    """Incremental near-dup probe of a crawl batch against the historical
+    store: batch (doc_id ≥ 300) vs store (doc_id < 400) via batch-side
+    band keys equi-joined to the store's persisted LSH index, exact
+    Jaccard verified on collisions only (dedup.near_dup_against_store,
+    mode='mark'). Store text is never re-shuffled; candidates are
+    batch-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    store = docs.where(F.col("doc_id") < 400)
+    batch = docs.where(F.col("doc_id") >= 300)
+    return dedup_ops.near_dup_against_store(
+        batch, store, "text", "doc_id", k=3, num_hashes=12, bands=4,
+        threshold=0.5, mode="mark",
+    )
+
+
+QUERIES["docs_near_dup_incremental"] = docs_near_dup_incremental
+
+ORACLE["docs_near_dup_incremental"] = f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS shingle
+  FROM tok WHERE len(toks) >= 3),
+bsh AS (SELECT * FROM sh WHERE doc_id >= 300),
+ssh AS (SELECT * FROM sh WHERE doc_id < 400),
+bmh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM bsh CROSS JOIN (SELECT unnest(range(12)) AS seed) s
+  GROUP BY doc_id, s.seed),
+smh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM ssh CROSS JOIN (SELECT unnest(range(12)) AS seed) s
+  GROUP BY doc_id, s.seed),
+bbands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM bmh GROUP BY doc_id, seed // 3),
+sbands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM smh GROUP BY doc_id, seed // 3),
+cands AS (
+  SELECT DISTINCT b.doc_id AS bid, s.doc_id AS sid
+  FROM bbands b JOIN sbands s
+    ON b.band = s.band AND b.band_key = s.band_key),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT c.bid, c.sid, count(*) AS c
+  FROM cands c
+  JOIN bsh x ON x.doc_id = c.bid
+  JOIN ssh y ON y.doc_id = c.sid AND y.shingle = x.shingle
+  GROUP BY c.bid, c.sid),
+best AS (
+  SELECT bid,
+         max(c * 1.0 / (sa.n + sb.n - c)) AS best_j
+  FROM common
+  JOIN sizes sa ON bid = sa.doc_id
+  JOIN sizes sb ON sid = sb.doc_id
+  GROUP BY bid)
+SELECT b.doc_id,
+       floor(coalesce(best_j, 0.0) * 1000000 + 0.5) / 1000000 AS jaccard,
+       coalesce(best_j, 0.0) >= 0.5 AS near_dup_matched
+FROM (SELECT DISTINCT doc_id FROM bsh) b
+LEFT JOIN best ON b.doc_id = best.bid
+"""

@@ -1691,3 +1691,32 @@ def test_importance_resample_favors_target_like_docs(spark):
     again = {r["doc_id"]: r["keep_prob"]
              for r in importance_resample(df, target, temperature=2.0).collect()}
     assert rows == again
+
+
+def test_near_dup_against_store_drop_and_mark(spark):
+    from impc_etl_spark.operators.dedup import near_dup_against_store
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    store = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark plans")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                                   # exact dup of store 1
+            (11, base + " extra tail words here"),        # near dup of store 1
+            (12, "totally novel text that matches nothing in the store"),
+            (13, "a b"),                                  # < k tokens: unscoreable
+        ],
+        "doc_id long, text string",
+    )
+    kept = near_dup_against_store(batch, store, threshold=0.5, mode="drop")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [12, 13]
+
+    marked = {r["doc_id"]: (r["near_dup_matched"], r["jaccard"])
+              for r in near_dup_against_store(
+                  batch, store, threshold=0.5, mode="mark").collect()}
+    assert marked[10] == (True, 1.0)
+    assert marked[11][0] is True and 0.5 <= marked[11][1] < 1.0
+    assert marked[12] == (False, 0.0)
+    assert 13 not in marked  # no shingles -> not scoreable in mark mode
