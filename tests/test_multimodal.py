@@ -125,3 +125,35 @@ def test_wav_header_probe_chunk_walk(spark):
     assert got[1] == (2, 44100, 16)
     assert got[2] == (1, 16000, 24)
     assert got[3] == (None, None, None)
+
+
+def _mp3_frame(version_bits, bitrate_idx, sr_idx, mode):
+    b1 = 0xFF
+    b2 = 0xE0 | (version_bits << 3) | (1 << 1)  # layer III
+    b3 = (bitrate_idx << 4) | (sr_idx << 2)
+    b4 = mode << 6
+    return bytes([b1, b2, b3, b4]) + b"\x00" * 32
+
+
+def test_probe_mp3_header_parses_and_skips_id3(spark):
+    from impc_etl_spark.multimodal.media import mp3_header_features, probe_mp3_header
+
+    frame = _mp3_frame(3, 9, 0, 0)  # MPEG1 L3, 128 kbps, 44100 Hz, stereo
+    assert probe_mp3_header(frame) == (128, 44100, 2)
+    # ID3v2 tag prefix (syncsafe length 20) then the frame
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x14" + b"\x00" * 20 + frame
+    assert probe_mp3_header(id3) == (128, 44100, 2)
+    # MPEG2 table + mono
+    assert probe_mp3_header(_mp3_frame(2, 9, 1, 3)) == (80, 24000, 1)
+    assert probe_mp3_header(b"garbage not audio") is None
+    # free-format (idx 0) and bad sample-rate index are skipped, not crashed
+    assert probe_mp3_header(_mp3_frame(3, 0, 0, 0)) is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(frame)), (2, bytearray(b"nope"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: (r["bitrate_kbps"], r["sample_rate"], r["n_channels"])
+            for r in mp3_header_features(df).collect()}
+    assert rows[1] == (128, 44100, 2)
+    assert rows[2] == (None, None, None)
