@@ -437,3 +437,79 @@ def scd2_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_ingest_sink(
+    stream_df: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near: bool = False,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> None:
+    """CONTINUOUS corpus ingestion with dedup: drain a document stream
+    with AvailableNow; per micro-batch, (1) exact-dedup within the batch,
+    (2) drop rows whose fingerprint already exists in the store
+    (``dedup.dedup_against_store``), (3) optionally drop NEAR-dups of
+    store documents via batch-vs-store LSH probing
+    (``dedup.near_dup_against_store``), then APPEND the survivors to the
+    versioned parquet store — the streaming twin of the batch
+    incremental-dedup path, sharing the exact same operator bodies (so
+    batch backfill ≡ replaying the stream).
+
+    Crash safety is the shared versioned-store contract: a new
+    ``v<batch_id>`` directory + atomic ``_CURRENT`` pointer flip per
+    batch; checkpoint replay rewrites the same version id idempotently.
+    At scale the store side of both probes reduces to its fingerprint set
+    / band-key index — persist those alongside the store and this sink
+    never re-tokenizes history (here they are recomputed from the current
+    version for simplicity; the operator contract is identical).
+    """
+    from pyspark.sql import Window
+
+    from impc_etl_spark.operators.dedup import (
+        dedup_against_store,
+        near_dup_against_store,
+    )
+
+    spark = stream_df.sparkSession
+
+    def do_ingest(batch_df: DataFrame, batch_id: int) -> None:
+        current = current_store_path(store_dir)
+        # in-batch exact dedup: keep min id per fingerprint (same
+        # semantics as dedup.exact_dedup but retaining full rows)
+        from impc_etl_spark.operators.text import fingerprint
+
+        w = Window.partitionBy("__fp").orderBy(id_col)
+        batch = (
+            batch_df.withColumn("__fp", fingerprint(text_col))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__fp", "__rn")
+        )
+        if current is not None:
+            store = spark.read.parquet(current)
+            batch = dedup_against_store(batch, store, text_col)
+            if near:
+                batch = near_dup_against_store(
+                    batch, store, text_col, id_col,
+                    k=k, num_hashes=num_hashes, bands=bands,
+                    threshold=threshold, mode="drop",
+                )
+            merged = store.unionByName(batch)
+        else:
+            merged = batch
+        _commit_version(store_dir, merged, batch_id, current)
+
+    q = (
+        stream_df.writeStream.foreachBatch(do_ingest)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -414,3 +414,48 @@ def test_scd2_sink_maintains_dimension_across_batches(spark, tmp_path):
         (2, 15): ("X", None, True),   # no-change event collapsed
         (3, 40): ("Z", None, True),
     }
+
+
+def test_dedup_ingest_sink_builds_clean_store(spark, tmp_path):
+    """Continuous corpus ingestion: two document waves; wave 2 repeats a
+    wave-1 doc verbatim (exact dup), near-duplicates another, and brings
+    one novel doc — the store ends with wave 1 + only the novel doc."""
+    import shutil as _sh
+    import time as _time
+
+    from impc_etl_spark.streaming.jobs import dedup_ingest_sink, read_store
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    wave1 = spark.createDataFrame(
+        [(1, base), (2, "an unrelated first-wave document about spark plans"),
+         (2, "an unrelated first-wave document about spark plans")],  # in-batch dup
+        "doc_id long, text string",
+    )
+    wave1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    for f in (tmp_path / "w1").glob("*.parquet"):
+        _sh.copy(f, src / "wave1.parquet")
+    _time.sleep(1.1)
+    wave2 = spark.createDataFrame(
+        [(10, base),                                  # exact dup of doc 1
+         (11, base + " with a small extra tail"),     # near dup of doc 1
+         (12, "a genuinely novel second-wave document about something else")],
+        "doc_id long, text string",
+    )
+    wave2.coalesce(1).write.parquet(str(tmp_path / "w2"))
+    for f in (tmp_path / "w2").glob("*.parquet"):
+        _sh.copy(f, src / "wave2.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "store")
+    dedup_ingest_sink(
+        stream, store, checkpoint_dir=str(tmp_path / "ckpt"),
+        near=True, threshold=0.5,
+    )
+    got = sorted(r["doc_id"] for r in read_store(spark, store).collect())
+    assert got == [1, 2, 12]  # in-batch dup collapsed; 10 exact-, 11 near-dropped
