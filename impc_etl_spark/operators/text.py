@@ -926,3 +926,83 @@ def length_buckets(
         ((F.row_number().over(w) - F.lit(1)) / F.lit(int(batch_size)))
         .cast("long"),
     )
+
+
+def pack_sequences_bestfit(
+    df: DataFrame,
+    count_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    out: str = "pack_id",
+    partition_keys: Sequence[str] = (),
+) -> DataFrame:
+    """First-fit-DECREASING sequence packing: within each shard, place
+    documents (longest first) into the first pack with room — the
+    padding-minimizing alternative to `pack_sequences`' contiguous
+    cumsum. FFD wastes ≤ ~22% in the worst case and near-zero on real
+    length distributions, where contiguous packing can strand large
+    remainders in every pack; use it when pad tokens are the cost driver
+    (inference scoring, eval sweeps) and doc order inside a pack is free.
+
+    Bin packing is inherently sequential per shard, so this is the
+    sanctioned Pandas escape hatch: one ``applyInPandas`` per shard
+    (Arrow-batched, grouped by ``partition_keys``), NOT a driver loop —
+    shards pack in parallel across executors and per-task memory is one
+    shard's (id, count) pairs (pack state is a heap of at most
+    n_packs fill levels, never document text). Deterministic: order is
+    (count desc, id asc); ties always break the same way. Docs longer
+    than ``budget`` get a singleton pack, as in practice.
+
+    Returns (partition_keys…, id_col, count_col, out) — ``out`` is
+    ``"<shard>-…-<local_pack>"`` when sharded, else the local int as
+    string.
+    """
+    import pandas as pd
+
+    keys = list(partition_keys)
+
+    def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [count_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        # classic first-fit over packs in CREATION order (the decreasing
+        # sort does the heavy lifting: after it, first-fit ≡ best-fit for
+        # all but adversarial inputs). O(n_packs) probe per doc; fine for
+        # per-shard sizes — shards are the parallelism unit, not docs.
+        fills: list[int] = []
+        assigned: list[int] = []
+        for c in pdf[count_col]:
+            c = int(c)
+            target = -1
+            for idx, fill in enumerate(fills):
+                if fill + c <= budget:
+                    target = idx
+                    fills[idx] = fill + c
+                    break
+            if target < 0:
+                target = len(fills)
+                fills.append(min(c, budget))
+            assigned.append(target)
+        prefix = [str(pdf.iloc[0][k]) for k in keys]
+        pdf[out] = ["-".join(prefix + [str(a)]) for a in assigned]
+        return pdf[keys + [id_col, count_col, out]]
+
+    schema_parts = (
+        [f"`{k}` string" for k in keys]
+        + [f"`{id_col}` long", f"`{count_col}` long", f"`{out}` string"]
+    )
+    src = df.select(
+        *[F.col(k).cast("string").alias(k) for k in keys],
+        F.col(id_col).cast("long"),
+        F.col(count_col).cast("long"),
+    )
+    out_schema = ", ".join(schema_parts)
+    if keys:
+        return src.groupBy(*keys).applyInPandas(pack_one, schema=out_schema)
+    # global form: one synthetic shard (small inputs only, as with
+    # pack_sequences' global window) — pack_one projects the helper out
+    return (
+        src.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(pack_one, schema=out_schema)
+    )

@@ -1720,3 +1720,63 @@ def test_near_dup_against_store_drop_and_mark(spark):
     assert marked[11][0] is True and 0.5 <= marked[11][1] < 1.0
     assert marked[12] == (False, 0.0)
     assert 13 not in marked  # no shingles -> not scoreable in mark mode
+
+
+def test_pack_sequences_bestfit_capacity_and_determinism(spark):
+    from impc_etl_spark.operators.text import pack_sequences_bestfit
+
+    rows = [(i, s, n) for i, (s, n) in enumerate(
+        [("a", 60), ("a", 50), ("a", 40), ("a", 30), ("a", 20),
+         ("b", 90), ("b", 150), ("b", 10), ("b", 10)]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n long")
+    got = pack_sequences_bestfit(
+        df, "n", budget=100, partition_keys=["shard"]
+    ).collect()
+    packs = {}
+    for r in got:
+        packs.setdefault(r["pack_id"], []).append((r["doc_id"], r["n"]))
+    # capacity respected except singleton overflow docs
+    for pid, members in packs.items():
+        total = sum(n for _, n in members)
+        assert total <= 100 or len(members) == 1
+    # the 150-token doc sits alone
+    big = [pid for pid, m in packs.items() if any(n == 150 for _, n in m)]
+    assert len(packs[big[0]]) == 1
+    # FFD packs shard a (60+40, 50+30+20) into 2 bins — contiguous
+    # in-order packing would need 3
+    a_packs = {pid for pid, m in packs.items() if pid.startswith("a-")}
+    assert len(a_packs) == 2
+    # deterministic across runs
+    again = pack_sequences_bestfit(
+        df, "n", budget=100, partition_keys=["shard"]
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_bestfit_global_replay(spark):
+    import random
+
+    from impc_etl_spark.operators.text import pack_sequences_bestfit
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 120)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {r["doc_id"]: r["pack_id"]
+           for r in pack_sequences_bestfit(df, "n", budget=128).collect()}
+
+    # python replay of deterministic FFD (count desc, id asc; first fit
+    # over packs in creation order)
+    fills, expect = [], {}
+    for i, n in sorted(rows, key=lambda t: (-t[1], t[0])):
+        target = -1
+        for idx, fill in enumerate(fills):
+            if fill + n <= 128:
+                target = idx
+                fills[idx] = fill + n
+                break
+        if target < 0:
+            target = len(fills)
+            fills.append(min(n, 128))
+        expect[i] = str(target)
+    assert got == expect
