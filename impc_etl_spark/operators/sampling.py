@@ -385,3 +385,42 @@ def importance_resample(
         .where(coin < F.floor(F.col("keep_prob") * NUM_BUCKETS).cast("bigint"))
         .drop("__lr")
     )
+
+
+def top_fraction_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    score_col: str,
+    fraction: float,
+    tiebreak_cols: Sequence[str] = (),
+    out: str | None = None,
+) -> DataFrame:
+    """Keep the best ``fraction`` of rows per key by ``score_col`` — the
+    per-stratum quality cut (FineWeb-style "top X% by quality per
+    language"): an ABSOLUTE threshold misbehaves when strata have
+    different score distributions; a per-stratum fractional cut adapts.
+
+    Deterministic: rank = row_number over (score desc, tiebreak asc), cut
+    at ``ceil(fraction × stratum_size)`` — ties at the boundary resolve
+    by the tiebreak columns, identically in any engine. One shuffle: the
+    rank and the stratum count share a single window partitioning (same
+    exchange); the rank window is a streaming row_number and the count is
+    an unordered frame — no buffered state, skewed strata split by AQE.
+    ``out`` (optional) keeps the rank column for inspection.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError("fraction must be in (0, 1]")
+    order = [F.col(score_col).desc()] + [F.col(c) for c in tiebreak_cols]
+    w_rank = Window.partitionBy(*key_cols).orderBy(*order)
+    w_all = Window.partitionBy(*key_cols)
+    ranked = df.withColumn("__rank", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    kept = ranked.where(
+        F.col("__rank") <= F.ceil(F.col("__n") * F.lit(float(fraction)))
+    )
+    if out is not None:
+        return kept.withColumnRenamed("__rank", out).drop("__n")
+    return kept.drop("__rank", "__n")

@@ -4905,3 +4905,40 @@ SELECT b.doc_id,
 FROM (SELECT DISTINCT doc_id FROM bsh) b
 LEFT JOIN best ON b.doc_id = best.bid
 """
+
+
+def docs_quality_topfrac(spark, sf_dir):
+    """Per-language fractional quality cut: keep the top 60% of documents
+    PER LANGUAGE by a composite quality score (alpha ratio × length
+    signal) — the adaptive alternative to one global threshold when score
+    distributions differ by stratum (sampling.top_fraction_per_key; one
+    shared window exchange for rank + stratum size)."""
+    docs = _t(spark, sf_dir, "documents")
+    score = _rnd(
+        text_ops.token_count("text").cast("double")
+        * F.length("text")
+        / (F.length("text") + F.lit(100.0)),
+        6,
+    )
+    scored = docs.select("doc_id", "lang", score.alias("q_score"))
+    return sample_ops.top_fraction_per_key(
+        scored, ["lang"], "q_score", 0.6, tiebreak_cols=["doc_id"],
+    )
+
+
+QUERIES["docs_quality_topfrac"] = docs_quality_topfrac
+
+ORACLE["docs_quality_topfrac"] = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         floor(len({_DOC_TOKS}) * 1.0 * length(text)
+               / (length(text) + 100.0) * 1000000 + 0.5) / 1000000 AS q_score
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, q_score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY q_score DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored)
+SELECT doc_id, lang, q_score FROM r WHERE rk <= ceil(n * 0.6)
+"""

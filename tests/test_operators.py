@@ -1780,3 +1780,23 @@ def test_pack_sequences_bestfit_global_replay(spark):
             fills.append(min(n, 128))
         expect[i] = str(target)
     assert got == expect
+
+
+def test_top_fraction_per_key_adaptive_cut(spark):
+    from impc_etl_spark.operators.sampling import top_fraction_per_key
+
+    rows = ([("en", i, float(i)) for i in range(10)]        # scores 0..9
+            + [("de", i, float(i) / 100) for i in range(4)])  # much lower scores
+    df = spark.createDataFrame(rows, "lang string, doc_id long, q double")
+    kept = top_fraction_per_key(df, ["lang"], "q", 0.5, ["doc_id"]).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    # per-stratum halves — a global threshold would have dropped ALL de
+    assert sorted(by_lang["en"]) == [5, 6, 7, 8, 9]
+    assert sorted(by_lang["de"]) == [2, 3]
+    # fraction=1 keeps everything; bad fraction raises
+    assert top_fraction_per_key(df, ["lang"], "q", 1.0).count() == 14
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        top_fraction_per_key(df, ["lang"], "q", 0.0)
