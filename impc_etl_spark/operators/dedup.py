@@ -827,7 +827,7 @@ def connected_components(
 
     prev_sum = _label_sum(labels) if numeric_ids else None
     changed = 0
-    for _ in range(max_iterations):
+    for rnd in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -840,16 +840,25 @@ def connected_components(
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
             )
         )
-        mapping = propagated.select(
-            F.col("id").alias("mid"), F.col("lbl").alias("mlbl")
-        )
-        new_labels = _ck(
-            propagated.join(mapping, propagated.lbl == mapping.mid, "left_outer")
-            .select(
-                "id",
-                F.least(F.col("lbl"), F.coalesce(F.col("mlbl"), F.col("lbl"))).alias("lbl"),
+        if rnd == 0:
+            # Round 1 is propagation-only: labels are still identities, so
+            # pointer doubling (l(v) <- l(l(v))) is l(v) <- l(v) — a no-op
+            # self-join. LSH dup graphs are mostly stars/cliques (diameter
+            # 1, especially under max_bucket_size star-capping), which
+            # converge on this first propagation alone; chains still get
+            # O(log diameter) rounds from doubling starting at round 2.
+            new_labels = _ck(propagated)
+        else:
+            mapping = propagated.select(
+                F.col("id").alias("mid"), F.col("lbl").alias("mlbl")
             )
-        )
+            new_labels = _ck(
+                propagated.join(mapping, propagated.lbl == mapping.mid, "left_outer")
+                .select(
+                    "id",
+                    F.least(F.col("lbl"), F.coalesce(F.col("mlbl"), F.col("lbl"))).alias("lbl"),
+                )
+            )
         if numeric_ids:
             new_sum = _label_sum(new_labels)
             changed = int(new_sum != prev_sum)

@@ -4942,3 +4942,27 @@ r AS (
   FROM scored)
 SELECT doc_id, lang, q_score FROM r WHERE rk <= ceil(n * 0.6)
 """
+
+
+def _promote(name: str, displace: str) -> None:
+    """Move ``name`` into the driver's checked 50-entry window at
+    ``displace``'s slot (the displaced query drops to the tail but keeps
+    full local oracle-parity coverage). Used to rotate fresh operators
+    through driver verification each round, per the round-2 verdict."""
+    order = list(QUERIES)
+    i = order.index(displace)
+    order.remove(name)
+    order[i] = name
+    order.append(displace)
+    snapshot = {k: QUERIES[k] for k in order}
+    QUERIES.clear()
+    QUERIES.update(snapshot)
+
+
+# Round-3 window rotation: batch-vs-store incremental near-dup (new
+# capability this round) replaces the containment metric variant (same
+# LSH+verify machinery as docs_verified_near_dups, still in-window);
+# DSIR importance resampling replaces the JL-projection top-k (vector
+# search keeps emb_cosine_topk + emb_ann_topk in-window).
+_promote("docs_near_dup_incremental", "docs_containment_dups")
+_promote("docs_importance_resample", "emb_rp_topk")
