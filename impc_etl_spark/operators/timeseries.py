@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -160,4 +160,43 @@ def resample_ffill(
         *key_cols,
         F.col("__b").alias(out_time),
         F.last("__v", ignorenulls=True).over(w).alias(out_value),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    n: int = 20,
+    threshold: float = 3.0,
+    tiebreak_cols: Sequence[str] = (),
+    out: str = "zscore",
+) -> DataFrame:
+    """Rolling anomaly score: each point's z-score against the mean/stddev
+    of its PRECEDING ``n`` points per key — trailing-window telemetry
+    anomaly detection (a leading/centered window would leak the point
+    into its own baseline).
+
+    One key-partitioned ordered window computes avg, stddev and count
+    over the same (-n, -1) row frame — a single exchange, streaming frame
+    evaluation (bounded buffer of n rows per key, no whole-group state).
+    Points with fewer than 2 predecessors or a zero-variance baseline get
+    a NULL score (flagged false). ``stddev_samp`` matches the SQL oracle
+    exactly; ties in ``ts_col`` are ordered by ``tiebreak_cols`` so the
+    frame contents are deterministic.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, *tiebreak_cols)
+        .rowsBetween(-n, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    cnt = F.count(value_col).over(w)
+    z = F.when(
+        (cnt >= 2) & (sd > 0), (F.col(value_col) - mean) / sd
+    )
+    return df.withColumn(out, z).withColumn(
+        "is_anomaly", F.coalesce(F.abs(F.col(out)) > threshold, F.lit(False))
     )

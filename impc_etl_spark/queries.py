@@ -4966,3 +4966,41 @@ def _promote(name: str, displace: str) -> None:
 # search keeps emb_cosine_topk + emb_ann_topk in-window).
 _promote("docs_near_dup_incremental", "docs_containment_dups")
 _promote("docs_importance_resample", "emb_rp_topk")
+
+
+def events_value_zscore(spark, sf_dir):
+    """Trailing-window anomaly scores: each event's value z-scored against
+    the preceding 20 same-type events (timeseries.rolling_zscore — one
+    key-partitioned ordered window, bounded row frame, no whole-group
+    buffering)."""
+    ev = _events(spark, sf_dir)
+    scored = ts_ops.rolling_zscore(
+        ev.select("event_id", "event_type", "ts", "value"),
+        ["event_type"], "ts", "value", n=20, threshold=3.0,
+        tiebreak_cols=["event_id"],
+    )
+    return scored.select(
+        "event_id",
+        "event_type",
+        _rnd("zscore", 6).alias("zscore"),
+        "is_anomaly",
+    )
+
+
+QUERIES["events_value_zscore"] = events_value_zscore
+
+ORACLE["events_value_zscore"] = """
+WITH w AS (
+  SELECT event_id, event_type, value,
+         avg(value) OVER fr AS m,
+         stddev_samp(value) OVER fr AS sd,
+         count(value) OVER fr AS c
+  FROM events
+  WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT event_id, event_type,
+       CASE WHEN c >= 2 AND sd > 0
+            THEN floor((value - m) / sd * 1000000 + 0.5) / 1000000 END AS zscore,
+       coalesce(abs((value - m) / sd) > 3.0 AND c >= 2 AND sd > 0, FALSE) AS is_anomaly
+FROM w
+"""

@@ -1800,3 +1800,23 @@ def test_top_fraction_per_key_adaptive_cut(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         top_fraction_per_key(df, ["lang"], "q", 0.0)
+
+
+def test_rolling_zscore_trailing_window_only(spark):
+    from impc_etl_spark.operators.timeseries import rolling_zscore
+
+    # steady baseline then a spike: the spike is flagged, and because the
+    # window is TRAILING the spike does not poison its own baseline
+    rows = [("a", i, 10.0 + (i % 2) * 0.5) for i in range(10)] + [("a", 10, 100.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {r["t"]: (r["zscore"], r["is_anomaly"])
+           for r in rolling_zscore(df, ["k"], "t", "v", n=5, threshold=3.0).collect()}
+    assert got[0] == (None, False)       # no predecessors
+    assert got[1] == (None, False)       # one predecessor -> no stddev
+    assert got[10][1] is True and got[10][0] > 3
+    # zero-variance baseline -> null score, not a division blowup
+    flat = spark.createDataFrame(
+        [("b", i, 5.0) for i in range(6)], "k string, t long, v double"
+    )
+    z = rolling_zscore(flat, ["k"], "t", "v", n=5).collect()
+    assert all(r["zscore"] is None and r["is_anomaly"] is False for r in z)
