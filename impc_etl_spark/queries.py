@@ -5004,3 +5004,38 @@ SELECT event_id, event_type,
        coalesce(abs((value - m) / sd) > 3.0 AND c >= 2 AND sd > 0, FALSE) AS is_anomaly
 FROM w
 """
+
+
+def lineitem_metrics_unpivot(spark, sf_dir):
+    """§2.7 reshaping: wide → long UNPIVOT (Spark-native ``DataFrame
+    .unpivot``, a Catalyst Expand — row-local, zero shuffle beyond the
+    feeding aggregate) over per-flag pricing metrics; the inverse of the
+    pivot query and the standard shape for metric stores / plotting
+    exports."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        _rnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        _rnd(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"],
+        "metric", "value",
+    )
+
+
+QUERIES["lineitem_metrics_unpivot"] = lineitem_metrics_unpivot
+
+ORACLE["lineitem_metrics_unpivot"] = """
+WITH wide AS (
+  SELECT l_returnflag,
+         floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+         floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_price,
+         floor(avg(l_discount) * 1000000 + 0.5) / 1000000 AS avg_disc
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+"""
