@@ -500,3 +500,19 @@ def test_ivf_partitioned_index_prunes_partitions(spark, tmp_path):
     assert probe.count() == expected
     full = on_disk.count()
     assert expected < full  # the filter actually prunes something
+
+
+def test_incremental_crawl_pipeline_example(spark, tmp_path):
+    """The examples/ incremental-crawl DAG runs end-to-end at sf0.001 and
+    each stage strictly narrows the refresh slice."""
+    import importlib
+
+    mod = importlib.import_module("examples.incremental_crawl_pipeline")
+    from tests.conftest import SF_SMOKE
+
+    counts = mod.build(spark, SF_SMOKE, str(tmp_path / "out"))
+    assert counts["diff"]["NEW"] > 0 and counts["diff"]["CHANGED"] > 0
+    assert counts["refresh_slice"] == counts["diff"]["NEW"] + counts["diff"]["CHANGED"]
+    assert (counts["refresh_slice"] >= counts["quality_gated"]
+            >= counts["domain_targeted"] >= counts["store_deduped"] > 0)
+    assert counts["batches"] >= 1
