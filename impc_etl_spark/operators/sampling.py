@@ -296,7 +296,9 @@ def importance_weights(
     buckets unseen on either side.
 
     md5-derived bucketing makes weights reproducible across engines — the
-    oracle replays the exact assignment.
+    oracle replays the exact assignment. Documents with zero tokens have
+    no defined ratio and are absent from the output (and therefore
+    dropped by ``importance_resample``), matching the SQL form.
     """
     from impc_etl_spark.operators.text import tokens
 
