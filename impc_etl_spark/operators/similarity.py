@@ -524,3 +524,57 @@ def dequantize_embeddings(
         out,
         F.transform(F.col(q_col), lambda q: q.cast("double") * F.col(scale_col)),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    a_id_col: str = "anchor_id",
+    a_vec_col: str = "anchor_vec",
+    a_label_col: str = "anchor_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, the ``k`` most-similar corpus vectors with a DIFFERENT label —
+    the near-miss examples that make metric-learning batches informative
+    (random negatives are trivially separable; hard ones carry the
+    gradient signal).
+
+    Same plan shape as ``batch_topk`` (the sanctioned broadcast pattern:
+    corpus stays partition-local, only the anchor table broadcasts; norms
+    precomputed per side; row_number plans as WindowGroupLimit so each
+    mapper ships ≤ k candidates per anchor) with the label-mismatch
+    predicate applied BEFORE the top-k window — "k hardest negatives",
+    not "negatives among the top k".
+    """
+    c = fan_out(corpus).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
+    a = anchors.select(
+        F.col(a_id_col),
+        F.col(a_label_col),
+        F.col(a_vec_col).alias("__av"),
+        norm(F.col(a_vec_col)).alias("__an"),
+    )
+    scored = (
+        c.join(F.broadcast(a), F.col(label_col) != F.col(a_label_col))
+        .select(
+            a_id_col,
+            a_label_col,
+            id_col,
+            label_col,
+            F.round(
+                dot(F.col("__cv"), F.col("__av")) / (F.col("__cn") * F.col("__an")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(a_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

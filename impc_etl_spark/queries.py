@@ -5039,3 +5039,45 @@ SELECT l_returnflag, 'sum_price', sum_price FROM wide
 UNION ALL
 SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
 """
+
+
+def emb_hard_negatives(spark, sf_dir):
+    """Contrastive-training data construction: the 3 most-similar
+    DIFFERENT-label corpus vectors per anchor (similarity.hard_negatives
+    — broadcast anchors, label-mismatch predicate before the top-k
+    window, WindowGroupLimit map-side trim)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    return sim_ops.hard_negatives(emb, anchors, k=3)
+
+
+QUERIES["emb_hard_negatives"] = emb_hard_negatives
+
+ORACLE["emb_hard_negatives"] = """
+WITH q AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label,
+         unnest(embedding)::DOUBLE AS qe,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id < 5),
+e AS (
+  SELECT vec_id, label, unnest(embedding)::DOUBLE AS ve,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+d AS (
+  SELECT q.anchor_id, q.anchor_label, e.vec_id, e.label,
+         sum(ve * qe) AS dp, sum(ve * ve) AS nv, sum(qe * qe) AS nq
+  FROM e JOIN q USING (i)
+  WHERE e.label <> q.anchor_label
+  GROUP BY q.anchor_id, q.anchor_label, e.vec_id, e.label),
+s AS (
+  SELECT anchor_id, anchor_label, vec_id, label,
+         floor((dp / (sqrt(nv) * sqrt(nq))) * 1000000 + 0.5) / 1000000 AS cos_sim
+  FROM d)
+SELECT anchor_id, anchor_label, vec_id, label, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM s) WHERE rk <= 3
+"""

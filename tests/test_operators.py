@@ -1820,3 +1820,25 @@ def test_rolling_zscore_trailing_window_only(spark):
     )
     z = rolling_zscore(flat, ["k"], "t", "v", n=5).collect()
     assert all(r["zscore"] is None and r["is_anomaly"] is False for r in z)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from impc_etl_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], "A"),
+        (2, [0.99, 0.14], "A"),   # same label — never a negative for 1
+        (3, [0.98, 0.2], "B"),    # hardest negative for 1
+        (4, [0.0, 1.0], "B"),     # easy negative
+        (5, [-1.0, 0.0], "C"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    anchors = emb.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    got = hard_negatives(emb, anchors, k=2).collect()
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rk"])]
+    assert ids == [3, 4]                       # hardest different-label first
+    assert all(r["label"] != r["anchor_label"] for r in got)
