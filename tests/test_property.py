@@ -531,3 +531,60 @@ def test_co_occurrence_matches_python_replay(spark, rows, cap):
             for j in range(i + 1, len(s)):
                 want[(s[i], s[j])] = want.get((s[i], s[j]), 0) + 1
     assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    old_rows=st.dictionaries(st.integers(0, 30), st.sampled_from("abc"), max_size=20),
+    new_rows=st.dictionaries(st.integers(0, 30), st.sampled_from("abc"), max_size=20),
+)
+def test_snapshot_diff_matches_set_logic(spark, old_rows, new_rows):
+    from impc_etl_spark.operators.history import snapshot_diff
+
+    def frame(d):
+        rows = [(k, v) for k, v in d.items()] or [(None, None)]
+        return spark.createDataFrame(rows, "doc_id long, fp string").where(
+            F.col("doc_id").isNotNull()
+        )
+
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(frame(old_rows), frame(new_rows),
+                                  ["doc_id"], "fp").collect()}
+    want = {}
+    for k in set(old_rows) | set(new_rows):
+        if k not in old_rows:
+            want[k] = "NEW"
+        elif k not in new_rows:
+            want[k] = "REMOVED"
+        elif old_rows[k] == new_rows[k]:
+            want[k] = "UNCHANGED"
+        else:
+            want[k] = "CHANGED"
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(0, 300), min_size=1, max_size=25),
+    batch=st.integers(1, 7),
+)
+def test_length_buckets_matches_python_replay(spark, counts, batch):
+    from impc_etl_spark.operators.text import length_buckets
+
+    rows = [(i, "w " * n) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["bucket"], r["batch_id"])
+           for r in length_buckets(df, "text", batch_size=batch).collect()}
+
+    import math
+    want = {}
+    per_bucket: dict[int, list] = {}
+    for i, n in enumerate(counts):
+        b = 2 ** math.ceil(math.log2(max(n, 1)))
+        per_bucket.setdefault(b, []).append((n, i))
+    for b, members in per_bucket.items():
+        for rank, (n, i) in enumerate(sorted(members)):
+            want[i] = (n, b, rank // batch)
+    assert got == want
