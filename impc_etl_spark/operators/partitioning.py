@@ -15,7 +15,10 @@ the file listing; it launches no job.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -122,4 +125,56 @@ def assign_global_ids(
         with_ranks.join(F.broadcast(offsets), "__pid")
         .withColumn(out, F.col("__off") + F.col("__lrank"))
         .drop("__pid", "__lrank", "__off")
+    )
+
+
+def z_order_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    out: str = "z_key",
+) -> DataFrame:
+    """Morton (Z-order) interleave key over numeric columns — the
+    multi-dimensional clustering key behind Delta/Iceberg's OPTIMIZE
+    ZORDER: sorting by the interleaved bits gives EVERY participating
+    column locality within a file/row-group, so parquet min/max footer
+    stats prune scans filtered on ANY of the dimensions (a plain
+    lexicographic sort only prunes its leading column).
+
+    Two steps, both cheap: (1) one tiny aggregate computes per-column
+    min/max, broadcast back (the same 1-row pattern as value_histogram);
+    (2) a row-local projection scales each value to a ``bits``-bit rank
+    and interleaves with shift/mask Column algebra — whole-stage codegen,
+    zero shuffle. ``bits``·len(cols) must fit 63 bits. Constant columns
+    scale to 0. The bit interleave is integer-exact, so an engine-
+    independent oracle can replay it.
+    """
+    ncols = len(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if bits * ncols > 63:
+        raise ValueError("bits × len(cols) must fit a signed 64-bit key")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    bounds = df.agg(*aggs)
+    scale_max = (1 << bits) - 1
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    scaled = {}
+    for c in cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        span = (hi - lo).cast("double")
+        scaled[c] = F.when(
+            span > 0,
+            F.floor((F.col(c) - lo).cast("double") / span * scale_max),
+        ).otherwise(F.lit(0)).cast("long")
+    def interleave() -> Column:
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, c in enumerate(cols):
+                bit = F.shiftright(scaled[c], i).bitwiseAND(F.lit(1))
+                z = z + F.shiftleft(bit, i * ncols + j)
+        return z
+    return with_bounds.withColumn(out, interleave()).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
     )

@@ -5081,3 +5081,40 @@ SELECT anchor_id, anchor_label, vec_id, label, cos_sim, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id) AS rk
   FROM s) WHERE rk <= 3
 """
+
+
+def orders_zorder_key(spark, sf_dir):
+    """Morton Z-order clustering key over (o_custkey, o_totalprice-rank
+    proxy o_orderkey): the write-time multi-dimensional clustering key
+    (partitioning.z_order_key — 1-row bounds broadcast + row-local bit
+    interleave, zero data shuffle); integer-exact, so the oracle replays
+    the interleave bit-for-bit."""
+    from impc_etl_spark.operators.partitioning import z_order_key
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return z_order_key(orders, ["o_custkey", "o_orderkey"], bits=8)
+
+
+QUERIES["orders_zorder_key"] = orders_zorder_key
+
+ORACLE["orders_zorder_key"] = """
+WITH b AS (
+  SELECT min(o_custkey) AS lc, max(o_custkey) AS hc,
+         min(o_orderkey) AS lo, max(o_orderkey) AS ho
+  FROM orders),
+s AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN hc > lc THEN CAST(floor((o_custkey - lc)::DOUBLE / (hc - lc)::DOUBLE * 255) AS BIGINT) ELSE 0 END AS sc,
+         CASE WHEN ho > lo THEN CAST(floor((o_orderkey - lo)::DOUBLE / (ho - lo)::DOUBLE * 255) AS BIGINT) ELSE 0 END AS so
+  FROM orders CROSS JOIN b)
+SELECT o_orderkey, o_custkey,
+       (((sc >> 0) & 1) << 0) + (((so >> 0) & 1) << 1)
+     + (((sc >> 1) & 1) << 2) + (((so >> 1) & 1) << 3)
+     + (((sc >> 2) & 1) << 4) + (((so >> 2) & 1) << 5)
+     + (((sc >> 3) & 1) << 6) + (((so >> 3) & 1) << 7)
+     + (((sc >> 4) & 1) << 8) + (((so >> 4) & 1) << 9)
+     + (((sc >> 5) & 1) << 10) + (((so >> 5) & 1) << 11)
+     + (((sc >> 6) & 1) << 12) + (((so >> 6) & 1) << 13)
+     + (((sc >> 7) & 1) << 14) + (((so >> 7) & 1) << 15) AS z_key
+FROM s
+"""

@@ -305,3 +305,27 @@ def write_shards_with_manifest(
     with open(_os.path.join(path, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=1, default=int)
     return manifest
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    z_cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet sink: range-partition + sort on the
+    Morton interleave of ``z_cols`` (``partitioning.z_order_key``) so
+    row-group min/max stats are tight on EVERY listed column — scans
+    filtered on any dimension prune at the footer. The multi-dimensional
+    upgrade of ``write_sorted_parquet`` (whose lexicographic sort only
+    prunes its leading column); one extra shuffle at write time, same as
+    any clustered write.
+    """
+    from impc_etl_spark.operators.partitioning import z_order_key
+
+    keyed = z_order_key(df, z_cols, bits=bits, out="__z")
+    out = (keyed.repartitionByRange(num_files, "__z") if num_files
+           else keyed.repartitionByRange("__z"))
+    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

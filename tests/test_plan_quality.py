@@ -28,6 +28,7 @@ BNL_ALLOWED = {
     "docs_collocations",  # cross join with a broadcast 1-ROW scalar (N, B)
     "orders_skew_report",  # cross join of two 1-ROW stat frames per column
     "orders_price_histogram",  # cross join with a broadcast 1-ROW min/max bounds
+    "orders_zorder_key",  # cross join with a broadcast 1-ROW per-column bounds frame
     "corpus_vocab",  # cross join with a broadcast 1-ROW total token mass
     "docs_dup_rate",  # cross join of two 1-ROW summary frames
     "docs_strip_boilerplate",  # cross join with a broadcast 1-ROW corpus-docs count

@@ -516,3 +516,64 @@ def test_incremental_crawl_pipeline_example(spark, tmp_path):
     assert (counts["refresh_slice"] >= counts["quality_gated"]
             >= counts["domain_targeted"] >= counts["store_deduped"] > 0)
     assert counts["batches"] >= 1
+
+
+def test_zordered_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering gives BOTH key columns row-group locality: the
+    per-file min/max span of each column is far below the global span,
+    where a lexicographic sort leaves the trailing column's span ~global."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from impc_etl_spark.sources.sinks import write_sorted_parquet, write_zordered_parquet
+
+    rows = [(x, y) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, "x int, y int")
+
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered_parquet(df, zpath, ["x", "y"], num_files=16)
+    write_sorted_parquet(df, spath, ["x"], num_files=16)
+
+    def avg_span(path, col):
+        import glob
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        spans.append(c.statistics.max - c.statistics.min)
+        return sum(spans) / len(spans)
+
+    # plain x-sort: x is clustered but y spans ~the whole domain per file
+    assert avg_span(spath, "x") < 16
+    assert avg_span(spath, "y") > 48
+    # z-order: BOTH columns clustered well below the global span of 63
+    assert avg_span(zpath, "x") < 32
+    assert avg_span(zpath, "y") < 32
+
+
+def test_z_order_key_interleave_exact(spark):
+    from impc_etl_spark.operators.partitioning import z_order_key
+
+    # 2-bit toy domain: values 0..3 scale to themselves; interleave is the
+    # textbook Morton code
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {(r["x"], r["y"]): r["z_key"]
+           for r in z_order_key(df, ["x", "y"], bits=2).collect()}
+
+    def morton(x, y):
+        z = 0
+        for i in range(2):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+    # constant column scales to 0 (no division blowup)
+    const = spark.createDataFrame([(1, 5), (2, 5)], "x int, y int")
+    ks = [r["z_key"] for r in z_order_key(const, ["x", "y"], bits=2).collect()]
+    assert len(set(ks)) == 2  # x still discriminates
