@@ -1034,3 +1034,49 @@ def near_dup_against_store(
             ),
         )
     )
+
+
+def minhash_jaccard_estimate(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    out: str = "jaccard_est",
+) -> DataFrame:
+    """Signature-based Jaccard ESTIMATE for candidate pairs: the fraction
+    of agreeing minhash positions — E[fraction] = true Jaccard, the
+    classic sketch estimator. The triage stage between LSH candidate
+    generation and exact verification at extreme scale: exact verify
+    joins each pair to two full shingle SETS (shingle-factor × text
+    bytes); this joins only the num_hashes-element signatures (fixed
+    ~400 bytes/side), so pairs can be pre-filtered by estimated
+    similarity before any shingle set ships.
+
+    Row-local agreement count via ``zip_with`` after two signature
+    lookups (broadcast-able hash joins on the id).
+    """
+    sa = signatures.select(
+        F.col(id_col).alias(a_col), F.col("minhash").alias("__ma")
+    )
+    sb = signatures.select(
+        F.col(id_col).alias(b_col), F.col("minhash").alias("__mb")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("__ma", "__mb", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return (
+        pairs.join(sa, a_col)
+        .join(sb, b_col)
+        .select(
+            a_col,
+            b_col,
+            (
+                F.floor(
+                    agree.cast("double") / F.size("__ma") * 1000000 + F.lit(0.5)
+                ) / 1000000
+            ).alias(out),
+        )
+    )

@@ -578,3 +578,54 @@ def hard_negatives(
 
     w = Window.partitionBy(a_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def positive_pairs(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    a_id_col: str = "anchor_id",
+    a_vec_col: str = "anchor_vec",
+    a_label_col: str = "anchor_label",
+) -> DataFrame:
+    """Positive-pair mining — ``hard_negatives``' complement for supervised
+    contrastive batches: per anchor, the ``k`` most-similar corpus vectors
+    with the SAME label (self excluded). Together the two calls build the
+    full (anchor, positive, negatives…) tuple stream; identical plan
+    shape (broadcast anchors, predicate before the top-k window,
+    WindowGroupLimit map-side trim).
+    """
+    c = fan_out(corpus).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
+    a = anchors.select(
+        F.col(a_id_col),
+        F.col(a_label_col),
+        F.col(a_vec_col).alias("__av"),
+        norm(F.col(a_vec_col)).alias("__an"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(a),
+            (F.col(label_col) == F.col(a_label_col))
+            & (F.col(id_col) != F.col(a_id_col)),
+        )
+        .select(
+            a_id_col,
+            id_col,
+            label_col,
+            F.round(
+                dot(F.col("__cv"), F.col("__av")) / (F.col("__cn") * F.col("__an")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(a_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -5118,3 +5118,87 @@ SELECT o_orderkey, o_custkey,
      + (((sc >> 7) & 1) << 14) + (((so >> 7) & 1) << 15) AS z_key
 FROM s
 """
+
+
+def emb_positive_pairs(spark, sf_dir):
+    """Contrastive positives: top-3 most-similar SAME-label vectors per
+    anchor, self excluded (similarity.positive_pairs — hard_negatives'
+    complement; same broadcast + WindowGroupLimit shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    return sim_ops.positive_pairs(emb, anchors, k=3)
+
+
+def docs_minhash_jaccard_est(spark, sf_dir):
+    """Sketch-based Jaccard estimates on LSH candidate pairs: agreement
+    fraction over 12 minhash positions (dedup.minhash_jaccard_estimate) —
+    the fixed-size triage between banding and exact shingle-set verify;
+    pairs and the banding replayed exactly by the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.lsh_candidate_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+    sigs = dedup_ops.minhash_signatures(docs, "text", "doc_id", k=3, num_hashes=12)
+    return dedup_ops.minhash_jaccard_estimate(pairs, sigs)
+
+
+QUERIES["emb_positive_pairs"] = emb_positive_pairs
+QUERIES["docs_minhash_jaccard_est"] = docs_minhash_jaccard_est
+
+ORACLE["emb_positive_pairs"] = """
+WITH q AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label,
+         unnest(embedding)::DOUBLE AS qe,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id < 5),
+e AS (
+  SELECT vec_id, label, unnest(embedding)::DOUBLE AS ve,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+d AS (
+  SELECT q.anchor_id, e.vec_id, e.label,
+         sum(ve * qe) AS dp, sum(ve * ve) AS nv, sum(qe * qe) AS nq
+  FROM e JOIN q USING (i)
+  WHERE e.label = q.anchor_label AND e.vec_id <> q.anchor_id
+  GROUP BY q.anchor_id, e.vec_id, e.label),
+s AS (
+  SELECT anchor_id, vec_id, label,
+         floor((dp / (sqrt(nv) * sqrt(nq))) * 1000000 + 0.5) / 1000000 AS cos_sim
+  FROM d)
+SELECT anchor_id, vec_id, label, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM s) WHERE rk <= 3
+"""
+
+ORACLE["docs_minhash_jaccard_est"] = f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS shingle
+  FROM tok WHERE len(toks) >= 3),
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s
+  GROUP BY doc_id, s.seed),
+bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, seed // 3),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+agree AS (
+  SELECT p.doc_a, p.doc_b, count(*) FILTER (x.mh = y.mh) AS n_agree
+  FROM pairs p
+  JOIN mh x ON x.doc_id = p.doc_a
+  JOIN mh y ON y.doc_id = p.doc_b AND y.seed = x.seed
+  GROUP BY p.doc_a, p.doc_b)
+SELECT doc_a, doc_b,
+       floor(n_agree * 1.0 / 12 * 1000000 + 0.5) / 1000000 AS jaccard_est
+FROM agree
+"""

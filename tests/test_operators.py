@@ -1842,3 +1842,41 @@ def test_hard_negatives_excludes_same_label(spark):
     ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rk"])]
     assert ids == [3, 4]                       # hardest different-label first
     assert all(r["label"] != r["anchor_label"] for r in got)
+
+
+def test_positive_pairs_same_label_excludes_self(spark):
+    from impc_etl_spark.operators.similarity import positive_pairs
+
+    rows = [
+        (1, [1.0, 0.0], "A"),
+        (2, [0.9, 0.44], "A"),
+        (3, [0.0, 1.0], "A"),
+        (4, [0.99, 0.14], "B"),   # similar but wrong label
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    anchors = emb.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    got = positive_pairs(emb, anchors, k=2).collect()
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rk"])]
+    assert ids == [2, 3]          # same label, most similar first, no self, no 4
+
+
+def test_minhash_jaccard_estimate_agreement_fraction(spark):
+    from impc_etl_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=8)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_est"]
+           for r in minhash_jaccard_estimate(pairs, sigs).collect()}
+    assert got[(1, 2)] == 1.0     # identical docs -> all positions agree
+    assert got[(1, 3)] == 0.0     # disjoint shingles -> none agree

@@ -21,6 +21,7 @@ BNL_ALLOWED = {
     "array_membership_join",
     "emb_batch_topk",  # corpus × broadcast query table (scoring is the point)
     "emb_hard_negatives",  # corpus × broadcast anchor table, label-mismatch predicate
+    "emb_positive_pairs",  # corpus × broadcast anchor table, same-label predicate
     "docs_tfidf_terms",  # cross join with a broadcast 1-ROW scalar (corpus N)
     "docs_bm25_search",  # cross join with a broadcast 1-ROW stats row (N, avgdl, dfs)
     "docs_unigram_logprob",  # cross join with a broadcast 1-ROW scalar (N, V)
