@@ -565,17 +565,24 @@ def decontaminate(
     bench_text_col: str = "text",
     k: int = 8,
     mark_only: bool = False,
+    min_overlap_fraction: float | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: drop (or with ``mark_only`` flag) training
     docs sharing ANY k-token shingle with an eval/benchmark set — the
     standard n-gram overlap test-set filter of LLM training pipelines
     (GPT-3 appendix C shape).
 
+    ``min_overlap_fraction`` switches to the FUZZY criterion: contaminated
+    iff matching distinct shingles / total distinct shingles ≥ the
+    threshold — the right dial when benchmarks quote common boilerplate
+    (any-hit would nuke half the web for sharing one stock phrase).
+
     Shingles are md5-hashed row-locally before the join so the shuffle/
     broadcast key is 16 bytes, never text. Benchmark sets are small (eval
     suites), so their distinct shingle-hash table broadcasts and the
     contamination probe is a map-side semi join over one corpus scan; the
-    corpus never shuffles.
+    corpus never shuffles (the fraction path adds one (id)-keyed count
+    aggregate over the 16-byte hash rows, still corpus-text-free).
     """
     def sh(col: str | Column) -> Column:
         return word_shingles(tokens(col), k)
@@ -588,7 +595,23 @@ def decontaminate(
     doc_sh = fan_out(df).select(
         F.col(id_col), F.explode(F.array_distinct(sh(text_col))).alias("__s")
     ).select(id_col, F.md5("__s").alias("__h"))
-    contaminated = doc_sh.join(bench_sh, "__h", "left_semi").select(id_col).distinct()
+    if min_overlap_fraction is not None:
+        with_flag = doc_sh.join(
+            bench_sh.withColumn("__hit", F.lit(1)), "__h", "left_outer"
+        )
+        frac = (
+            with_flag.groupBy(id_col)
+            .agg(
+                (F.count("__hit") / F.count(F.lit(1))).alias("__frac")
+            )
+        )
+        contaminated = frac.where(
+            F.col("__frac") >= F.lit(float(min_overlap_fraction))
+        ).select(id_col)
+    else:
+        contaminated = (
+            doc_sh.join(bench_sh, "__h", "left_semi").select(id_col).distinct()
+        )
     if mark_only:
         flag = contaminated.withColumn("is_contaminated", F.lit(True))
         return df.join(flag, id_col, "left_outer").withColumn(

@@ -1880,3 +1880,33 @@ def test_minhash_jaccard_estimate_agreement_fraction(spark):
            for r in minhash_jaccard_estimate(pairs, sigs).collect()}
     assert got[(1, 2)] == 1.0     # identical docs -> all positions agree
     assert got[(1, 3)] == 0.0     # disjoint shingles -> none agree
+
+
+def test_decontaminate_fraction_threshold(spark):
+    from impc_etl_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    heavy = "alpha beta gamma delta epsilon zeta eta theta plus tail"
+    light = ("alpha beta gamma delta epsilon zeta eta theta".split()[0]
+             + " totally different words one two three four five six seven "
+               "eight nine ten eleven twelve thirteen")
+    docs = spark.createDataFrame(
+        [(10, heavy), (11, light)], "doc_id long, text string"
+    )
+    # any-hit: heavy is dropped (shares full shingles); light has no 8-gram
+    # overlap at all, so it survives either way
+    anyhit = {r["doc_id"] for r in decontaminate(docs, bench, k=8).collect()}
+    assert anyhit == {11}
+    # heavy has 3 distinct 8-gram shingles, 1 matching the benchmark
+    # (overlap fraction 1/3): a 0.3 bar drops it, a 0.5 bar keeps it
+    frac = {r["doc_id"]
+            for r in decontaminate(docs, bench, k=8,
+                                   min_overlap_fraction=0.3).collect()}
+    assert frac == {11}
+    keep_all = {r["doc_id"]
+                for r in decontaminate(docs, bench, k=8,
+                                       min_overlap_fraction=0.5).collect()}
+    assert keep_all == {10, 11}
