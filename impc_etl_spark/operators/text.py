@@ -1006,3 +1006,112 @@ def pack_sequences_bestfit(
         .groupBy("__g")
         .applyInPandas(pack_one, schema=out_schema)
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    vocab_limit: int = 400,
+    marker: str = "~",
+) -> DataFrame:
+    """Learn byte-pair-encoding merges from a corpus — the tokenizer-
+    training primitive (Sennrich et al. 2016 §3.2; classic word-type BPE).
+
+    Algorithm: collapse the corpus to its word-TYPE frequency table (the
+    canonical ``tokens`` tokenizer; top ``vocab_limit`` types by
+    (freq desc, word asc) for determinism), represent each word as a
+    marker-delimited symbol string (``"low"`` → ``"~l~~o~~w~"``), then
+    ``num_merges`` times: count adjacent symbol pairs weighted by word
+    frequency, take the (count desc, left asc, right asc) argmax, and
+    fuse that pair in every word via a literal string replace (left-to-
+    right non-overlapping — exactly greedy BPE application, and the
+    marker wrapping makes multi-character symbols unambiguous: a pair
+    pattern ``~a~~b~`` can only match at true symbol boundaries because
+    symbols never contain the marker).
+
+    Scale shape: the ONLY corpus-sized job is the word-count groupBy
+    (map-side combined). Everything after runs on the vocab-bounded type
+    table (≤ ``vocab_limit`` rows, localCheckpointed once): per merge,
+    one tiny pair-count shuffle plus a single-row collect — k merges =
+    k small jobs whose input never grows with corpus size. This is the
+    standard distributed-BPE decomposition (count on types, not tokens);
+    at 100 TB the type table is still ~10⁶ rows.
+
+    Returns one row per learned merge: (merge_rank, merge_left,
+    merge_right, pair_count), merge_rank 1-based in merge order.
+    """
+    m = marker
+    if len(m) != 1 or m.isalnum():
+        raise ValueError("marker must be a single non-alphanumeric char")
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(vocab_limit)
+    )
+    reps = words.select(
+        F.regexp_replace("w", "(.)", f"{m}$1{m}").alias("s"), "freq"
+    ).localCheckpoint(eager=True)
+
+    syms = bind(
+        F.split(F.regexp_replace("s", f"^{re_escape(m)}|{re_escape(m)}$", ""), re_escape(m) * 2),
+        lambda l: F.when(
+            F.size(l) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(l) - 1),
+                lambda i: F.struct(
+                    F.element_at(l, i).alias("a"),
+                    F.element_at(l, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>")),
+    )
+
+    merges: list[tuple[int, str, str, int]] = []
+    cur = reps
+    for rank in range(1, num_merges + 1):
+        best = (
+            cur.select(F.explode(syms).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((rank, a, b, c))
+        cur = cur.select(
+            F.replace(
+                F.col("s"), F.lit(f"{m}{a}{m}{m}{b}{m}"), F.lit(f"{m}{a}{b}{m}")
+            ).alias("s"),
+            "freq",
+        )
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, merge_left string, merge_right string, pair_count bigint"
+    )
+
+
+def apply_bpe_merges(
+    col: str | Column,
+    merges: Sequence[tuple[str, str]],
+    marker: str = "~",
+) -> Column:
+    """Apply learned BPE merges to a single word/token string, returning
+    its symbol array. Row-local: marker-wrap each char, then one literal
+    replace per merge in rank order (greedy left-to-right, same semantics
+    as learning), then split back to symbols. k merges = k scan-speed
+    string replaces — no shuffle, no UDF."""
+    m = marker
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(c, "(.)", f"{m}$1{m}")
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"{m}{a}{m}{m}{b}{m}"), F.lit(f"{m}{a}{b}{m}"))
+    return F.split(
+        F.regexp_replace(s, f"^{re_escape(m)}|{re_escape(m)}$", ""), re_escape(m) * 2
+    )

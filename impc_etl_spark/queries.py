@@ -5202,3 +5202,116 @@ SELECT doc_a, doc_b,
        floor(n_agree * 1.0 / 12 * 1000000 + 0.5) / 1000000 AS jaccard_est
 FROM agree
 """
+
+
+def corpus_bpe_merges(spark, sf_dir):
+    """Tokenizer training: learn the first 6 BPE merges from the documents
+    corpus (word-type BPE, Sennrich et al. 2016). The corpus-sized work is
+    one word-count groupBy; every merge iteration runs on the vocab-bounded
+    type table. Returns (merge_rank, merge_left, merge_right, pair_count)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.learn_bpe_merges(
+        docs, "text", num_merges=6, vocab_limit=300
+    )
+
+
+def docs_bpe_segments(spark, sf_dir):
+    """Apply the corpus-learned BPE merges back to each document's first
+    5 word tokens and count resulting subword symbols — the 'tokenize with
+    the trained tokenizer' half of the BPE pair. Merges are model state
+    (6 rows) collected once and baked into the plan as literal replaces;
+    the application itself is scan-speed and shuffle-free."""
+    docs = _t(spark, sf_dir, "documents")
+    merges_df = text_ops.learn_bpe_merges(docs, "text", num_merges=6, vocab_limit=300)
+    merges = [(r["merge_left"], r["merge_right"]) for r in merges_df.collect()]
+    toks = text_ops.bind(
+        text_ops.tokens("text"), lambda t: F.slice(t, 1, 5)
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(toks).alias("word"),
+    ).select(
+        "doc_id",
+        "word",
+        text_ops.bind(
+            text_ops.apply_bpe_merges("word", merges),
+            lambda s: F.struct(
+                F.size(s).alias("n"), F.array_join(s, " ").alias("j")
+            ),
+        ).alias("__s"),
+    ).select(
+        "doc_id",
+        "word",
+        F.col("__s.n").alias("n_symbols"),
+        F.col("__s.j").alias("symbols"),
+    )
+
+
+QUERIES["corpus_bpe_merges"] = corpus_bpe_merges
+QUERIES["docs_bpe_segments"] = docs_bpe_segments
+
+
+def _bpe_oracle_ctes(num_merges: int = 6, vocab_limit: int = 300, m: str = "~") -> str:
+    """Chained-CTE DuckDB replay of ``learn_bpe_merges``: w0 is the
+    marker-wrapped word-type table; each iteration i derives pair counts
+    p{i}, the deterministic argmax b{i}, and the merged table w{i} via the
+    same literal replace the Spark side uses."""
+    parts = [f"""toks AS (
+  SELECT unnest({_DOC_TOKS}) AS w FROM documents),
+words AS (
+  SELECT w, count(*) AS freq FROM toks
+  GROUP BY w ORDER BY freq DESC, w LIMIT {vocab_limit}),
+w0 AS (
+  SELECT regexp_replace(w, '(.)', '{m}\\1{m}', 'g') AS s, freq FROM words)"""]
+    for i in range(1, num_merges + 1):
+        parts.append(f"""p{i} AS (
+  SELECT split_part(pair, chr(9), 1) AS a, split_part(pair, chr(9), 2) AS b,
+         CAST(sum(freq) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                                 i -> l[i] || chr(9) || l[i + 1])) AS pair,
+           freq
+    FROM (SELECT string_split(regexp_replace(s, '^{m}|{m}$', '', 'g'), '{m}{m}') AS l,
+                 freq
+          FROM w{i - 1})
+    WHERE len(l) >= 2)
+  GROUP BY 1, 2),
+b{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+w{i} AS (
+  SELECT replace(s, '{m}' || a || '{m}{m}' || b || '{m}', '{m}' || a || b || '{m}') AS s,
+         freq
+  FROM w{i - 1} CROSS JOIN b{i})""")
+    return ",\n".join(parts)
+
+
+def _bpe_oracle(num_merges: int = 6, vocab_limit: int = 300) -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_rank, a AS merge_left, b AS merge_right, c AS pair_count FROM b{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return f"WITH {_bpe_oracle_ctes(num_merges, vocab_limit)}\n{selects}"
+
+
+def _bpe_segments_oracle(num_merges: int = 6, vocab_limit: int = 300, m: str = "~") -> str:
+    """Replay ``docs_bpe_segments``: compute the b1..bk merges, then apply
+    them to each doc's first 5 word tokens with the same nested replaces."""
+    s = f"regexp_replace(word, '(.)', '{m}\\1{m}', 'g')"
+    for i in range(1, num_merges + 1):
+        s = (
+            f"replace({s}, (SELECT '{m}' || a || '{m}{m}' || b || '{m}' FROM b{i}), "
+            f"(SELECT '{m}' || a || b || '{m}' FROM b{i}))"
+        )
+    return f"""WITH {_bpe_oracle_ctes(num_merges, vocab_limit)},
+dw AS (
+  SELECT doc_id, unnest(({_DOC_TOKS})[1:5]) AS word FROM documents),
+seg AS (
+  SELECT doc_id, word,
+         string_split(regexp_replace({s}, '^{m}|{m}$', '', 'g'), '{m}{m}') AS l
+  FROM dw)
+SELECT doc_id, word, CAST(len(l) AS INTEGER) AS n_symbols,
+       array_to_string(l, ' ') AS symbols
+FROM seg"""
+
+
+ORACLE["corpus_bpe_merges"] = _bpe_oracle()
+ORACLE["docs_bpe_segments"] = _bpe_segments_oracle()

@@ -1910,3 +1910,53 @@ def test_decontaminate_fraction_threshold(spark):
                 for r in decontaminate(docs, bench, k=8,
                                        min_overlap_fraction=0.5).collect()}
     assert keep_all == {10, 11}
+
+
+def test_learn_bpe_merges_classic_example(spark):
+    """Word-type BPE on the Sennrich-style toy corpus: the most frequent
+    adjacent pair merges first, ties break (count desc, left, right),
+    and merged symbols participate in later merges."""
+    from impc_etl_spark.operators.text import learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(i, "low low low lower lowest") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = learn_bpe_merges(docs, "text", num_merges=3, vocab_limit=100)
+    rows = [(r["merge_rank"], r["merge_left"], r["merge_right"]) for r in out.collect()]
+    # word types: low(×3/doc), lower, lowest — all share the l-o-w prefix,
+    # so (l,o) then (lo,w) must be the first two merges.
+    assert rows[0][1:] == ("l", "o")
+    assert rows[1][1:] == ("lo", "w")
+    # third merge fuses "low" with a suffix symbol from lower/lowest —
+    # 'e' follows 'low' in both, so (low, e) wins over single-word pairs.
+    assert rows[2][1:] == ("low", "e")
+
+
+def test_apply_bpe_merges_greedy_overlap(spark):
+    """Greedy left-to-right application: 'aaa' with merge (a,a) becomes
+    [aa, a], and multi-char symbols never match at misaligned boundaries
+    (word 'caba' with merge (b,a): the 'ba' inside 'ab' context merges
+    only at a true symbol boundary)."""
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.operators.text import apply_bpe_merges
+
+    df = spark.createDataFrame(
+        [("aaa",), ("caba",)], "w string"
+    ).select("w", apply_bpe_merges("w", [("a", "a"), ("b", "a")]).alias("syms"))
+    got = {r["w"]: r["syms"] for r in df.collect()}
+    assert got["aaa"] == ["aa", "a"]
+    # caba: (a,a) no-op; (b,a) fuses the b-a at positions 2-3 only.
+    assert got["caba"] == ["c", "a", "ba"]
+
+
+def test_learn_bpe_merges_scale_shape(spark):
+    """The type table is localCheckpointed: per-merge jobs must not
+    re-scan the corpus (plan of the pair-count stage reads from an
+    ExistingRDD/checkpoint, not the parquet source)."""
+    from impc_etl_spark.operators.text import learn_bpe_merges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = learn_bpe_merges(docs, "text", num_merges=2, vocab_limit=50)
+    assert out.count() == 2
