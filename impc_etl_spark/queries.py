@@ -2038,6 +2038,18 @@ def emb_ann_topk(spark, sf_dir):
     return sim_ops.ann_topk(emb, _query_vec(spark, sf_dir), k=10, n_planes=8)
 
 
+def emb_ann_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH ANN: probe the query bucket AND every bucket one
+    bit flip away (n_planes+1 buckets) — the standard recall lever for
+    sign-LSH (Lv et al., VLDB'07) that recovers boundary losses without
+    rebuilding the index or widening bands. Deterministic seeded
+    hyperplanes, so the oracle replays the Hamming-≤1 probe set exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.ann_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_planes=8, multiprobe=1
+    )
+
+
 def emb_ivf_topk(spark, sf_dir):
     """IVF (k-means coarse quantizer) search with FULL probe — must equal
     the exact brute-force top-k, so it shares that oracle; the
@@ -3386,12 +3398,15 @@ SELECT vec_a, vec_b, {_BANDED_COS} AS cos_sim FROM pc WHERE {_BANDED_COS} >= 0.4
 """
 
 
-def _ann_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 10) -> str:
+def _ann_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 10, multiprobe: int = 0) -> str:
     """Deterministic DuckDB replay of ``ann_topk``: the hyperplanes are
     seeded literals, so the query's sign-bit bucket, the bucket-probe
     filter, and the exact cosine re-rank all reproduce byte-identically in
     ANSI SQL (same technique as ``_banded_ctes``). Query vector =
-    vec_id 0's embedding, exactly as ``_query_vec`` selects it."""
+    vec_id 0's embedding, exactly as ``_query_vec`` selects it.
+    ``multiprobe=d`` widens the candidate set to every bucket within d
+    bit flips (Hamming distance over the sign string) — the same probe
+    set ``ann_topk(multiprobe=d)`` enumerates."""
     from impc_etl_spark.operators.similarity import hyperplane_planes
 
     planes = hyperplane_planes(dim, n_planes, seed)
@@ -3414,8 +3429,11 @@ sk AS (
          string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
   FROM dots GROUP BY vec_id),
 cands AS (
-  SELECT sk.vec_id FROM sk
-  WHERE sk.bucket = (SELECT bucket FROM sk WHERE vec_id = 0)),
+  SELECT sk.vec_id
+  FROM sk CROSS JOIN (SELECT bucket AS qb FROM sk WHERE vec_id = 0) q
+  WHERE len(list_filter(generate_series(1, {n_planes}),
+                        i -> substr(sk.bucket, i, 1) <> substr(q.qb, i, 1)))
+        <= {multiprobe}),
 q AS (SELECT i, v AS qv FROM e WHERE vec_id = 0),
 d AS (
   SELECT e.vec_id, sum(e.v * q.qv) AS dp,
@@ -3434,6 +3452,7 @@ WHERE rk <= {k}
 
 
 ORACLE["emb_ann_topk"] = _ann_oracle()
+ORACLE["emb_ann_multiprobe_topk"] = _ann_oracle(multiprobe=1)
 
 ORACLE["emb_dup_groups"] = f"""
 WITH RECURSIVE {_banded_ctes()},
@@ -5247,6 +5266,7 @@ def docs_bpe_segments(spark, sf_dir):
     )
 
 
+QUERIES["emb_ann_multiprobe_topk"] = emb_ann_multiprobe_topk
 QUERIES["corpus_bpe_merges"] = corpus_bpe_merges
 QUERIES["docs_bpe_segments"] = docs_bpe_segments
 

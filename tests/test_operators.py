@@ -1960,3 +1960,24 @@ def test_learn_bpe_merges_scale_shape(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = learn_bpe_merges(docs, "text", num_merges=2, vocab_limit=50)
     assert out.count() == 2
+
+
+def test_ann_multiprobe_recall_superset(spark):
+    """Multi-probe candidates are a strict superset of the single-bucket
+    probe, so multiprobe top-k cosine scores dominate pointwise and equal
+    brute force when the extra buckets recover boundary losses."""
+    from impc_etl_spark.operators.similarity import ann_topk, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    plain = {r["vec_id"]: r["cos_sim"] for r in ann_topk(emb, qv, k=10, n_planes=8).collect()}
+    multi = {r["vec_id"]: r["cos_sim"] for r in
+             ann_topk(emb, qv, k=10, n_planes=8, multiprobe=1).collect()}
+    exact = {r["vec_id"]: r["cos_sim"] for r in cosine_topk(emb, qv, k=10).collect()}
+    # recall against brute force can only improve with wider probing
+    assert len(set(multi) & set(exact)) >= len(set(plain) & set(exact))
+    # wider probing returns at least as many candidates, and pointwise
+    # the i-th best multiprobe score dominates the i-th best single-bucket
+    assert len(multi) >= len(plain)
+    ms, ps = sorted(multi.values(), reverse=True), sorted(plain.values(), reverse=True)
+    assert all(m >= p for m, p in zip(ms, ps))
