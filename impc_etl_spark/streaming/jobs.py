@@ -195,6 +195,150 @@ def enrich_stream(
     return events.join(F.broadcast(dim), on, how)
 
 
+def _interval_micros(interval: str) -> int:
+    """Parse a fixed-width 'N second(s)/minute(s)/hour(s)/day(s)' interval
+    to microseconds (calendar widths rejected, as in resample_ffill)."""
+    import re
+
+    m = re.fullmatch(
+        r"(\d+)\s+(second|minute|hour|day)s?", interval.strip(), re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(
+            f"unsupported interval {interval!r} — use 'N second(s)/minute(s)/"
+            "hour(s)/day(s)'"
+        )
+    return int(m.group(1)) * {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+    }[m.group(2).lower()] * 1_000_000
+
+
+def asof_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    tolerance: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming as-of join: each left event picks the LATEST right event
+    with the same key and ``right.ts <= left.ts`` within ``tolerance`` —
+    the nearest-prior enrichment (price-at-trade, last-click attribution)
+    that stream-stream interval joins cannot express (they emit ALL
+    matches; the per-left argmax over a stream needs custom state).
+
+    Built as the sanctioned custom stateful operator: both streams union
+    into one keyed stream and ``applyInPandasWithState`` keeps, per key,
+    ONLY the right rows still inside the tolerance horizon (state is
+    evicted against the max event time seen, so per-key state is bounded
+    by tolerance × right-side rate, exactly like a watermark bounds join
+    state). Matching is on EVENT time via binary search, so within-batch
+    arrival order never matters; ties on right ts resolve to the largest
+    value (deterministic). Cross-batch: rights persist in state, so a
+    left arriving batches later still matches; a right arriving AFTER a
+    left was already emitted cannot retro-update it — the standard
+    streaming as-of trade-off (batch ``asof_join`` is the exact twin for
+    backfills).
+
+    Returns one row per left event: (key, left_id, ts, matched_ts,
+    matched_value) with nulls when nothing is in range.
+    """
+    tol_us = _interval_micros(tolerance)
+
+    l = left.select(
+        F.col(key).alias("k"), "ts",
+        F.col("event_id").alias("left_id"),
+        F.lit("L").alias("side"),
+        F.lit(None).cast("double").alias("rval"),
+    )
+    r = right.select(
+        F.col(key).alias("k"), "ts",
+        F.lit(None).cast("bigint").alias("left_id"),
+        F.lit("R").alias("side"),
+        F.col("value").alias("rval"),
+    )
+    unioned = l.unionByName(r).withWatermark("ts", watermark)
+
+    def update(
+        kt: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            st_ts, st_val, max_ts = state.get
+            r_ts = list(st_ts)
+            r_val = list(st_val)
+        else:
+            r_ts, r_val, max_ts = [], [], -(1 << 62)
+
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            yield pd.DataFrame(
+                columns=["k", "left_id", "ts", "matched_ts", "matched_value"]
+            )
+            return
+        batch = pd.concat(batches, ignore_index=True)
+        ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
+
+        is_r = (batch["side"] == "R").to_numpy()
+        r_ts.extend(ts_us[is_r].tolist())
+        r_val.extend(batch["rval"].to_numpy()[is_r].tolist())
+        max_ts = max(max_ts, int(ts_us.max()))
+
+        # sort rights by (ts, val): searchsorted finds the latest ts <= t,
+        # and among equal ts the max value sits last — deterministic tie
+        order = sorted(range(len(r_ts)), key=lambda i: (r_ts[i], r_val[i]))
+        rt = np.array([r_ts[i] for i in order], dtype="int64")
+        rv = np.array([r_val[i] for i in order], dtype="float64")
+
+        lmask = ~is_r
+        lts = ts_us[lmask]
+        if rt.size:
+            idx = np.searchsorted(rt, lts, side="right") - 1
+            safe = np.clip(idx, 0, None)
+            ok = (idx >= 0) & (lts - rt[safe] <= tol_us)
+            m_ts = np.where(ok, rt[safe], 0)
+            m_val = np.where(ok, rv[safe], np.nan)
+        else:
+            ok = np.zeros(len(lts), dtype=bool)
+            m_ts = np.zeros(len(lts), dtype="int64")
+            m_val = np.full(len(lts), np.nan)
+
+        out = pd.DataFrame(
+            {
+                "k": batch["k"].to_numpy()[lmask],
+                "left_id": batch["left_id"].to_numpy()[lmask],
+                "ts": pd.to_datetime(lts, unit="us"),
+                "matched_ts": pd.Series(
+                    np.where(ok, m_ts, np.int64(0)), dtype="int64"
+                ).astype("datetime64[us]").where(ok),
+                "matched_value": m_val,
+            }
+        )
+
+        # evict rights that can no longer match any future-or-late left:
+        # anything older than the tolerance horizon behind max event time
+        horizon = max_ts - tol_us
+        keep = rt >= horizon
+        state.update((rt[keep].tolist(), rv[keep].tolist(), int(max_ts)))
+        yield out
+
+    out = unioned.groupBy("k").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "k bigint, left_id bigint, ts timestamp, "
+            "matched_ts timestamp, matched_value double"
+        ),
+        stateStructType="r_ts array<bigint>, r_val array<double>, max_ts bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        F.col("k").alias(key), "left_id", "ts", "matched_ts", "matched_value"
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

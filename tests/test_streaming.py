@@ -459,3 +459,105 @@ def test_dedup_ingest_sink_builds_clean_store(spark, tmp_path):
     )
     got = sorted(r["doc_id"] for r in read_store(spark, store).collect())
     assert got == [1, 2, 12]  # in-batch dup collapsed; 10 exact-, 11 near-dropped
+
+
+def test_asof_join_stream_matches_batch_asof(spark, events_dir, tmp_path):
+    """Single availableNow drain == the batch asof_join twin on the same
+    frames: nearest-prior click value per purchase, 30-minute tolerance."""
+    from impc_etl_spark.operators.joins import asof_join
+    from impc_etl_spark.streaming.jobs import (
+        asof_join_stream, read_event_stream, run_available_now,
+    )
+
+    src = read_event_stream(spark, events_dir)
+    stream = asof_join_stream(
+        src.where(F.col("event_type") == "purchase"),
+        src.where(F.col("event_type") == "click"),
+        key="user_id", tolerance="30 minutes",
+    )
+    run_available_now(stream, "asof_s", str(tmp_path / "ckpt"), output_mode="append")
+    got = {
+        r["left_id"]: (r["matched_ts"], r["matched_value"])
+        for r in spark.table("asof_s").collect()
+    }
+
+    ev = _batch_events(spark)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_val")
+    )
+    want_df = asof_join(
+        p, c, on=["user_id"], left_time="p_ts", right_time="c_ts",
+        direction="backward",
+        tolerance=F.expr("p_ts <= c_ts + INTERVAL 30 minutes"),
+        tie_breakers=[F.col("__r.c_val").desc()],
+        left_key=["left_id"],
+    )
+    want = {
+        r["left_id"]: (r["c_ts"], r["c_val"]) for r in want_df.collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    matched = 0
+    for k, (gts, gv) in got.items():
+        wts, wv = want[k]
+        assert gts == wts, (k, gts, wts)
+        if gts is not None:
+            assert abs(gv - wv) < 1e-9
+            matched += 1
+    assert matched > 0
+
+
+def test_asof_join_stream_state_spans_micro_batches(spark, tmp_path):
+    """Right event in micro-batch 1, left event in micro-batch 2: the
+    match must come from state. Written as one file per batch with
+    maxFilesPerTrigger=1 and ascending ts so the arrival order is fixed."""
+    import pyspark.sql.functions as F2
+
+    from impc_etl_spark.streaming.jobs import (
+        asof_join_stream, read_event_stream, run_available_now,
+    )
+
+    src_dir = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [(100, 1_000_000_000, 7, "click", 2.5, "{}")],
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+    )
+    b2 = spark.createDataFrame(
+        [(200, 1_000_300_000, 7, "purchase", 9.9, "{}")],
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+    )
+    # ts column is bigint MICROS here; read_event_stream treats bigint ts
+    # as nanos (events.parquet convention) — so scale up to nanos
+    b1 = b1.withColumn("ts", F2.col("ts") * 1000)
+    b2 = b2.withColumn("ts", F2.col("ts") * 1000)
+    b1.coalesce(1).write.parquet(src_dir + "/f1")
+    b2.coalesce(1).write.parquet(src_dir + "/f2")
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    import os
+    import time
+    os.makedirs(flat)
+    base = time.time() - 100
+    for i, f in enumerate(sorted(glob.glob(src_dir + "/f*/part-*.parquet"))):
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        # FileStreamSource orders batches by modification time; pin
+        # strictly increasing mtimes so click arrives before purchase
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    src = read_event_stream(spark, flat, max_files_per_trigger=1)
+    stream = asof_join_stream(
+        src.where(F.col("event_type") == "purchase"),
+        src.where(F.col("event_type") == "click"),
+        key="user_id", tolerance="30 minutes",
+    )
+    run_available_now(stream, "asof_mb", str(tmp_path / "ckpt2"), output_mode="append")
+    rows = spark.table("asof_mb").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["left_id"] == 200 and r["matched_value"] == 2.5
+    assert r["matched_ts"] is not None
