@@ -588,3 +588,65 @@ def test_length_buckets_matches_python_replay(spark, counts, batch):
         for rank, (n, i) in enumerate(sorted(members)):
             want[i] = (n, b, rank // batch)
     assert got == want
+
+
+# --- BPE merge learning: random corpora vs pure-Python reference ------------
+
+def _py_bpe(word_freqs: dict[str, int], num_merges: int):
+    """Reference word-type BPE (Sennrich §3.2): symbol tuples, greedy
+    left-to-right pair fusion, (count desc, left, right) argmax."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), c = best
+        merges.append((a, b, c))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6), min_size=1,
+        max_size=12,
+    ),
+    reps=st.lists(st.integers(min_value=1, max_value=5), min_size=12,
+                  max_size=12),
+)
+def test_learn_bpe_merges_matches_python_reference(spark, words, reps):
+    from impc_etl_spark.operators.text import learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * r)) for i, (w, r) in enumerate(zip(words, reps))],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in learn_bpe_merges(docs, "text", num_merges=4,
+                                  vocab_limit=100).collect()
+    ]
+    freqs: dict[str, int] = {}
+    for w, r in zip(words, reps):
+        freqs[w] = freqs.get(w, 0) + r
+    want = _py_bpe(freqs, 4)
+    assert got == want
