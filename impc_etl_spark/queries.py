@@ -5335,3 +5335,47 @@ FROM seg"""
 
 ORACLE["corpus_bpe_merges"] = _bpe_oracle()
 ORACLE["docs_bpe_segments"] = _bpe_segments_oracle()
+
+
+def docs_group_safe_split(spark, sf_dir):
+    """Leakage-SAFE train/val/test split: near-dup GROUPS (connected
+    components over the MinHash-LSH pair graph) are the split unit, so two
+    near-duplicate documents can never land in train and test at once —
+    the constructive fix for what `docs_split_leakage` audits. Singleton
+    docs (no candidate pair) key on their own id; the assignment is a pure
+    md5 function of the group id, so it is stable under corpus growth and
+    exactly engine-replayable."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.lsh_candidate_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4,
+        max_bucket_size=LSH_MAX_BUCKET,
+    )
+    groups = dedup_ops.connected_components(pairs)
+    labeled = docs.select("doc_id").join(groups, "doc_id", "left").select(
+        "doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id")
+    )
+    return sample_ops.hash_split(
+        labeled, ["group_id"], {"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="gss",
+    )
+
+
+QUERIES["docs_group_safe_split"] = docs_group_safe_split
+
+ORACLE["docs_group_safe_split"] = ORACLE["docs_dup_groups"].replace(
+    "SELECT id AS doc_id, min(lbl) AS group_id FROM walk GROUP BY id",
+    """, grp AS (SELECT id AS doc_id, min(lbl) AS group_id FROM walk GROUP BY id),
+lab AS (
+  SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc_id),
+b AS (
+  SELECT doc_id, group_id,
+         CAST(concat('0x', substring(md5(concat_ws('|', 'gss', group_id::VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000 AS bucket
+  FROM lab)
+SELECT doc_id, group_id,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b""",
+)

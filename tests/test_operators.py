@@ -1981,3 +1981,23 @@ def test_ann_multiprobe_recall_superset(spark):
     assert len(multi) >= len(plain)
     ms, ps = sorted(multi.values(), reverse=True), sorted(plain.values(), reverse=True)
     assert all(m >= p for m, p in zip(ms, ps))
+
+
+def test_group_safe_split_keeps_near_dups_together(spark):
+    """Every LSH candidate pair must land in ONE split — the leakage-safe
+    guarantee (split is a function of the connected-component id)."""
+    from impc_etl_spark.queries import QUERIES, LSH_MAX_BUCKET, _t
+    from impc_etl_spark.operators import dedup as dedup_ops
+
+    sf = "/root/testdata/sf0.001"
+    split = {r["doc_id"]: r["split"]
+             for r in QUERIES["docs_group_safe_split"](spark, sf).collect()}
+    pairs = dedup_ops.lsh_candidate_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id", k=3, num_hashes=12,
+        bands=4, max_bucket_size=LSH_MAX_BUCKET,
+    ).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert split[r["doc_a"]] == split[r["doc_b"]], (r["doc_a"], r["doc_b"])
+    # and all three splits are non-empty at this SF
+    assert set(split.values()) == {"train", "val", "test"}
