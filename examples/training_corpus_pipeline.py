@@ -8,6 +8,8 @@
             ─ selected (per-language token-budget selection, quality-first)
             ─ indexed (dense global sample ids — shard-stable ordering)
             ─ packed (512-token sequence packs, sharded by language)
+            ─ tokenizer (BPE merges learned from the cleaned corpus)
+            ─ splits (leakage-safe train/val/test keyed on near-dup groups)
             ─ features (multimodal payload features via mapInPandas)
 
 Run:  python examples/training_corpus_pipeline.py [sf_dir] [out_dir]
@@ -106,6 +108,30 @@ def build(spark, sf_dir: str, out_dir: str):
             corpus, "n_tokens", budget=512, partition_keys=["lang"]
         )
 
+    @p.task("tokenizer", inputs=["clean_corpus"])
+    def tokenizer(s, corpus):
+        # model state, not row data: 8 merge rules learned from word-TYPE
+        # frequencies — the corpus-sized work is one groupBy
+        return T.learn_bpe_merges(corpus, "text", num_merges=8,
+                                  vocab_limit=300)
+
+    @p.task("splits", inputs=["clean_corpus"])
+    def splits(s, corpus):
+        # near-dup GROUPS are the split unit: candidate pairs → connected
+        # components → md5 split on the group id (singletons = own id)
+        from impc_etl_spark.operators.dedup import connected_components
+        from impc_etl_spark.operators.sampling import hash_split
+
+        pairs = lsh_candidate_pairs(corpus, "text", "doc_id")
+        groups = connected_components(pairs)
+        labeled = corpus.select("doc_id").join(groups, "doc_id", "left").select(
+            "doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id")
+        )
+        return hash_split(
+            labeled, ["group_id"], {"train": 0.9, "val": 0.05, "test": 0.05},
+            salt="corpus",
+        )
+
     @p.task("features", inputs=["selected"])
     def features(s, corpus):
         return media_features(attach_binary(corpus, "text", "doc_id"))
@@ -121,7 +147,8 @@ def main() -> int:
     spark = get_spark("training-corpus-demo")
     spark.sparkContext.setLogLevel("ERROR")
     p = build(spark, sf_dir, out_dir)
-    statuses = p.run("profile", "indexed", "packed", "features")
+    statuses = p.run("profile", "indexed", "packed", "features",
+                     "tokenizer", "splits")
     for task, st in statuses.items():
         print(f"{task:15s} {st:6s} rows={p.read(task).count()}")
     packs = p.read("packed").groupBy("pack_id").agg(F.sum("n_tokens").alias("t"))

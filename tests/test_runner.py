@@ -173,7 +173,7 @@ def test_training_corpus_pipeline_example(spark, tmp_path):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     p = mod.build(spark, SF_SMOKE, str(tmp_path / "corpus"))
-    st = p.run("profile", "packed", "features")
+    st = p.run("profile", "packed", "features", "tokenizer", "splits")
     assert all(v == "ran" for v in st.values())
     clean = p.read("clean_corpus").count()
     decon = p.read("decontaminated").count()
@@ -186,3 +186,11 @@ def test_training_corpus_pipeline_example(spark, tmp_path):
     assert (packed.agg(F.sum("n_tokens")).collect()[0][0]
             == p.read("selected").agg(F.sum("n_tokens")).collect()[0][0])
     assert packed.where(~F.col("pack_id").startswith(F.col("lang"))).count() == 0
+    # tokenizer stage: 8 merges, ranked 1..8
+    merges = p.read("tokenizer").orderBy("merge_rank").collect()
+    assert [m["merge_rank"] for m in merges] == list(range(1, 9))
+    # splits stage: covers the cleaned corpus, same group => same split
+    splits = p.read("splits")
+    assert splits.count() == clean
+    assert splits.groupBy("group_id").agg(
+        F.countDistinct("split").alias("n")).where("n > 1").count() == 0
