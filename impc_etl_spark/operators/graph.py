@@ -154,3 +154,64 @@ def ancestor_arrays(closure: DataFrame) -> DataFrame:
     return closure.groupBy("node").agg(
         F.sort_array(F.collect_set("anc")).alias("ancestors")
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation — the
+    classic distributed algorithm (node-iterator++ / Cohen's MapReduce
+    form): orient every undirected edge from its (degree, id)-smaller
+    endpoint to the larger, build wedges by self-joining oriented edges on
+    their source, then close each wedge against the canonical edge list.
+
+    Why this shape at scale: orientation makes every triangle countable
+    exactly ONCE (no /6 correction and no duplicate wedges), and bounds
+    the wedge fan-out per source node by O(√m) — the degree-ordered
+    out-degree bound — so a celebrity node with 10⁷ neighbors generates
+    wedges from its LOW-degree endpoints instead of 10¹⁴ pairs. All data
+    movement is three equi joins + two groupBys (shuffle keys: node ids);
+    hot nodes beyond that are ordinary join skew → AQE.
+
+    Returns (node, n_triangles) for every node in at least one triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    o1 = o.select(F.col("s"), F.col("t").alias("t1"))
+    o2 = o.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = o1.join(o2, "s").where(F.col("t1") < F.col("t2"))
+    tri = wedges.join(
+        e, (wedges.t1 == e.u) & (wedges.t2 == e.v)
+    ).select("s", "t1", "t2")
+    return (
+        tri.select(
+            F.explode(F.array(F.col("s"), F.col("t1"), F.col("t2"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

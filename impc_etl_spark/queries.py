@@ -5379,3 +5379,56 @@ SELECT doc_id, group_id,
             ELSE 'test' END AS split
 FROM b""",
 )
+
+
+def part_copurchase_triangles(spark, sf_dir):
+    """Graph analytics on the co-purchase graph: per-part triangle counts
+    (how embedded each part is in cliques of jointly-ordered parts) via
+    degree-ordered edge orientation (operators/graph.py:triangle_count) —
+    every triangle counted once, wedge fan-out bounded O(√m). Edges are
+    the market-basket pairs (basket capped at 16, as in
+    part_copurchase_pairs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = agg_ops.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", max_basket=16
+    )
+    from impc_etl_spark.operators.graph import triangle_count
+
+    return triangle_count(pairs, "item_a", "item_b").select(
+        F.col("node").alias("l_partkey"), "n_triangles"
+    )
+
+
+QUERIES["part_copurchase_triangles"] = part_copurchase_triangles
+
+ORACLE["part_copurchase_triangles"] = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+capped AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM b) WHERE rn <= 16),
+e AS (
+  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+  FROM capped x JOIN capped y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+o AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+tri AS (
+  SELECT o1.s, o1.t AS t1, o2.t AS t2
+  FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+  JOIN e ON e.u = o1.t AND e.v = o2.t)
+SELECT node AS l_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT s AS node FROM tri
+  UNION ALL SELECT t1 FROM tri
+  UNION ALL SELECT t2 FROM tri)
+GROUP BY node
+"""

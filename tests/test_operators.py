@@ -2001,3 +2001,16 @@ def test_group_safe_split_keeps_near_dups_together(spark):
         assert split[r["doc_a"]] == split[r["doc_b"]], (r["doc_a"], r["doc_b"])
     # and all three splits are non-empty at this SF
     assert set(split.values()) == {"train", "val", "test"}
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 → every node sits in C(3,2)=3 triangles; adding a pendant path
+    changes nothing; edge duplicates/reversals collapse."""
+    from impc_etl_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(b, a) for a, b in k4]        # reversed dupes
+    edges += [(3, 4), (4, 5)]                   # pendant path, no new triangle
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
