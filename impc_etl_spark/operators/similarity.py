@@ -296,6 +296,7 @@ def ivf_build(
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_to: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means (Lloyd, fixed iterations) over the
     corpus, returning (corpus + ``ivf_cluster`` column, centroids).
@@ -306,6 +307,12 @@ def ivf_build(
     one narrow shuffle of nlist×dim aggregates per iteration; only the
     centroid matrix is collected (never the data). Deterministic init:
     first nlist vectors by id.
+
+    ``round_to`` rounds every re-centered centroid coordinate to that
+    many decimals (floor(x·10^n + 0.5) form). This makes the whole Lloyd
+    trajectory ENGINE-REPLAYABLE: an oracle recomputing the same
+    iterations from the same init sees identical centroids, so float
+    summation order can never flip an argmin assignment between engines.
     """
     init = (
         df.orderBy(id_col).limit(nlist)
@@ -322,7 +329,13 @@ def ivf_build(
         )
         new_c = [list(c) for c in centroids]
         for r in dim_means:
-            new_c[r["ivf_cluster"]][r["d"]] = float(r["m"])
+            val = float(r["m"])
+            if round_to is not None:
+                import math as _math
+
+                q = 10.0 ** round_to
+                val = _math.floor(val * q + 0.5) / q
+            new_c[r["ivf_cluster"]][r["d"]] = val
         centroids = new_c
     return ivf_assign(df, centroids, vec_col), centroids
 
@@ -629,3 +642,49 @@ def positive_pairs(
 
     w = Window.partitionBy(a_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def pq_build(
+    df: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    round_to: int | None = 6,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization: split each vector into ``m`` contiguous
+    sub-vectors and k-means-quantize every block independently
+    (Jégou et al., TPAMI'11) — the memory-compression workhorse for
+    billion-vector ANN (a 64-d float32 vector becomes m bytes of codes +
+    shared KB-sized codebooks, a 32-128× shrink with per-block recall).
+
+    Each block runs the same DataFrame-native Lloyd as ``ivf_build``
+    (deterministic init = first k vectors' sub-vectors; ``round_to``
+    keeps the trajectory engine-replayable), so per block the corpus work
+    is one narrow slice projection + iterations × (row-local assign +
+    k×width re-center shuffle). Codes attach via row-local assignment
+    against codebook LITERALS — no join against the data is ever needed
+    at lookup time. Returns (df + ``code_0..code_{m-1}`` int columns,
+    per-block codebooks).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    width = dim // m
+    out = df
+    codebooks: list[list[list[float]]] = []
+    for b in range(m):
+        block = df.select(
+            id_col, F.slice(vec_col, b * width + 1, width).alias("embedding")
+        )
+        assigned, cents = ivf_build(
+            block, nlist=k, iterations=iterations, id_col=id_col,
+            round_to=round_to,
+        )
+        codebooks.append(cents)
+        out = out.join(
+            assigned.select(id_col, F.col("ivf_cluster").alias(f"code_{b}")),
+            id_col,
+        )
+    return out, codebooks

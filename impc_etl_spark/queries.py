@@ -5432,3 +5432,91 @@ FROM (
   UNION ALL SELECT t2 FROM tri)
 GROUP BY node
 """
+
+
+def emb_kmeans_assign(spark, sf_dir):
+    """Exact-replayable k-means: Lloyd's (nlist=4, 2 iterations,
+    deterministic first-k init) with centroids rounded to 6dp after each
+    re-center, so the ENTIRE trajectory — init, per-iteration argmin
+    assignment, re-centering, final assignment — reproduces bit-stably in
+    any engine. The oracle replays every iteration as chained CTEs (the
+    full-Lloyd proof that emb_ivf_topk's full-probe equivalence skips)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = sim_ops.ivf_build(emb, nlist=4, iterations=2, round_to=6)
+    return assigned.select("vec_id", "ivf_cluster")
+
+
+def emb_pq_codes(spark, sf_dir):
+    """Product quantization codes (2 blocks × 4 centroids, 2 Lloyd
+    iterations each, 6dp-rounded): each 64-d vector compresses to two
+    small ints + shared codebooks — the billion-vector memory-compression
+    path (per-block k-means replayed exactly by the oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, _ = sim_ops.pq_build(emb, m=2, k=4, iterations=2, round_to=6)
+    return coded.select("vec_id", "code_0", "code_1")
+
+
+QUERIES["emb_kmeans_assign"] = emb_kmeans_assign
+QUERIES["emb_pq_codes"] = emb_pq_codes
+
+
+def _kmeans_ctes(
+    nlist: int,
+    iterations: int,
+    round_to: int = 6,
+    dim_lo: int = 1,
+    dim_hi: int = 64,
+    prefix: str = "",
+) -> str:
+    """Chained-CTE DuckDB replay of ``ivf_build``'s Lloyd trajectory over
+    embedding dims [dim_lo, dim_hi]: c0 = first-nlist init, then per
+    iteration distance → argmin (ties → smallest cluster, same as Spark's
+    array_position-of-min) → rounded re-center with empty-cluster
+    carry-forward. ``prefix`` namespaces the CTEs so several blocks (PQ)
+    chain in one statement. Exposes ``{prefix}af`` = final assignment."""
+    q = 10 ** round_to
+    p = prefix
+    parts = [f"""{p}e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+{p}eb AS (SELECT * FROM {p}e WHERE i BETWEEN {dim_lo} AND {dim_hi}),
+{p}c0 AS (
+  SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS c, i, v
+  FROM {p}eb
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {nlist}))"""]
+    for t in range(1, iterations + 1):
+        parts.append(f"""{p}d{t} AS (
+  SELECT e.vec_id, c.c, sum((e.v - c.v) * (e.v - c.v)) AS d
+  FROM {p}eb e JOIN {p}c{t - 1} c USING (i) GROUP BY 1, 2),
+{p}a{t} AS (
+  SELECT vec_id, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM {p}d{t}) WHERE rn = 1),
+{p}m{t} AS (
+  SELECT a.c, e.i, floor(avg(e.v) * {q} + 0.5) / {q} AS v
+  FROM {p}a{t} a JOIN {p}eb e USING (vec_id) GROUP BY 1, 2),
+{p}c{t} AS (
+  SELECT o.c, o.i, coalesce(m.v, o.v) AS v
+  FROM {p}c{t - 1} o LEFT JOIN {p}m{t} m ON m.c = o.c AND m.i = o.i)""")
+    parts.append(f"""{p}df AS (
+  SELECT e.vec_id, c.c, sum((e.v - c.v) * (e.v - c.v)) AS d
+  FROM {p}eb e JOIN {p}c{iterations} c USING (i) GROUP BY 1, 2),
+{p}af AS (
+  SELECT vec_id, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM {p}df) WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+ORACLE["emb_kmeans_assign"] = f"""
+WITH {_kmeans_ctes(4, 2)}
+SELECT vec_id, CAST(c AS INTEGER) AS ivf_cluster FROM af
+"""
+
+ORACLE["emb_pq_codes"] = f"""
+WITH {_kmeans_ctes(4, 2, dim_lo=1, dim_hi=32, prefix="b0")},
+{_kmeans_ctes(4, 2, dim_lo=33, dim_hi=64, prefix="b1")}
+SELECT a.vec_id, CAST(a.c AS INTEGER) AS code_0, CAST(b.c AS INTEGER) AS code_1
+FROM b0af a JOIN b1af b USING (vec_id)
+"""

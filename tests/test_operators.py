@@ -2014,3 +2014,33 @@ def test_triangle_count_known_graphs(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_pq_build_codes_and_compression(spark):
+    """PQ codes are in [0,k), deterministic across runs, and reconstruction
+    from the codebooks beats the trivial single-centroid quantizer."""
+    from impc_etl_spark.operators.similarity import pq_build
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coded, books = pq_build(emb, m=2, k=4, iterations=2, round_to=6)
+    rows = coded.select("vec_id", "code_0", "code_1", "embedding").collect()
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    assert all(0 <= r["code_0"] < 4 and 0 <= r["code_1"] < 4 for r in rows)
+
+    coded2, _ = pq_build(emb, m=2, k=4, iterations=2, round_to=6)
+    assert sorted((r["vec_id"], r["code_0"], r["code_1"]) for r in
+                  coded2.select("vec_id", "code_0", "code_1").collect()) == \
+           sorted((r["vec_id"], r["code_0"], r["code_1"]) for r in rows)
+
+    def mse(recon_fn):
+        tot = n = 0
+        for r in rows:
+            v = [float(x) for x in r["embedding"]]
+            rec = recon_fn(r)
+            tot += sum((a - b) ** 2 for a, b in zip(v, rec))
+            n += 1
+        return tot / n
+
+    pq_mse = mse(lambda r: books[0][r["code_0"]] + books[1][r["code_1"]])
+    flat_mse = mse(lambda r: books[0][0] + books[1][0])
+    assert pq_mse < flat_mse
