@@ -5520,3 +5520,34 @@ WITH {_kmeans_ctes(4, 2, dim_lo=1, dim_hi=32, prefix="b0")},
 SELECT a.vec_id, CAST(a.c AS INTEGER) AS code_0, CAST(b.c AS INTEGER) AS code_1
 FROM b0af a JOIN b1af b USING (vec_id)
 """
+
+
+def emb_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k: the query's per-block centroid
+    distance tables (2×4 values, driver-side, 6dp-rounded) turn search
+    into m lookups + adds per row over the stored codes — the
+    billion-vector search path where the scan reads codes, not floats."""
+    emb = _t(spark, sf_dir, "embeddings")
+    coded, books = sim_ops.pq_build(emb, m=2, k=4, iterations=2, round_to=6)
+    return sim_ops.pq_adc_topk(coded, books, _query_vec(spark, sf_dir), k=10)
+
+
+QUERIES["emb_pq_adc_topk"] = emb_pq_adc_topk
+
+ORACLE["emb_pq_adc_topk"] = f"""
+WITH {_kmeans_ctes(4, 2, dim_lo=1, dim_hi=32, prefix="b0")},
+{_kmeans_ctes(4, 2, dim_lo=33, dim_hi=64, prefix="b1")},
+t0 AS (
+  SELECT c.c, floor(sum((q.v - c.v) * (q.v - c.v)) * 1000000 + 0.5) / 1000000 AS t
+  FROM b0c2 c JOIN b0eb q ON q.i = c.i AND q.vec_id = 0 GROUP BY c.c),
+t1 AS (
+  SELECT c.c, floor(sum((q.v - c.v) * (q.v - c.v)) * 1000000 + 0.5) / 1000000 AS t
+  FROM b1c2 c JOIN b1eb q ON q.i = c.i AND q.vec_id = 0 GROUP BY c.c),
+adc AS (
+  SELECT a.vec_id, t0.t + t1.t AS adc_dist
+  FROM b0af a JOIN b1af b USING (vec_id)
+  JOIN t0 ON t0.c = a.c JOIN t1 ON t1.c = b.c)
+SELECT vec_id, adc_dist FROM (
+  SELECT *, row_number() OVER (ORDER BY adc_dist, vec_id) AS rk FROM adc)
+WHERE rk <= 10
+"""
