@@ -226,3 +226,75 @@ def hll_rollup(
         )
     )
     return fine_out, coarse
+
+
+def count_min_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan '05) over a
+    column: ``depth`` md5-derived hash rows × ``width`` counters,
+    returned sparse as (r, c, n) — at most depth×width rows whatever the
+    input size.
+
+    The mergeable-FREQUENCY sibling of the HLL distinct rollup: sketches
+    from shards/partitions/days merge by summing counters (groupBy (r,c)
+    sum — counters are linear), so a 100 TB corpus can keep per-partition
+    sketches and answer "how often does item x appear overall?" without
+    ever re-scanning or holding the full item dictionary. The build is
+    one explode(depth) + map-side-combined groupBy whose reduced state is
+    the depth×width counter grid, not the item domain. Deterministic
+    md5 hashing — any engine replays the exact counters.
+    """
+    from impc_etl_spark.operators.sampling import hash_bucket
+
+    pairs = F.array(*[
+        F.struct(
+            F.lit(j).alias("r"),
+            hash_bucket([item_col], salt=f"{salt}:{j}",
+                        num_buckets=width).alias("c"),
+        )
+        for j in range(depth)
+    ])
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query a count-min sketch: each item's estimate is the MIN of
+    its ``depth`` counters — an upper bound on the true count (collisions
+    only ever inflate), within εN with high probability for width ≈ e/ε.
+    The sketch (≤ depth×width rows) broadcasts; the probe is a row-local
+    key computation + broadcast join — no shuffle against the item side.
+    """
+    from impc_etl_spark.operators.sampling import hash_bucket
+
+    pairs = F.array(*[
+        F.struct(
+            F.lit(j).alias("r"),
+            hash_bucket([item_col], salt=f"{salt}:{j}",
+                        num_buckets=width).alias("c"),
+        )
+        for j in range(depth)
+    ])
+    keyed = items.select(item_col, F.explode(pairs).alias("p")).select(
+        item_col, F.col("p.r").alias("r"), F.col("p.c").alias("c")
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy(item_col)
+        .agg(F.min("n").alias("est_count"))
+    )

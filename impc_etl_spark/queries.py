@@ -5551,3 +5551,37 @@ SELECT vec_id, adc_dist FROM (
   SELECT *, row_number() OVER (ORDER BY adc_dist, vec_id) AS rk FROM adc)
 WHERE rk <= 10
 """
+
+
+def orders_customer_cms(spark, sf_dir):
+    """Count-min sketch frequency estimation: per-customer order counts
+    point-queried from a 4×64 counter grid (width deliberately small so
+    collisions fire and the over-count bound is exercised). The sketch is
+    mergeable across shards by summing counters — the frequency sibling
+    of the HLL distinct rollup. Deterministic md5 rows → exact replay."""
+    orders = _t(spark, sf_dir, "orders")
+    sketch = agg_ops.count_min_sketch(orders, "o_custkey", depth=4, width=64)
+    items = orders.select("o_custkey").distinct()
+    return agg_ops.cms_estimate(sketch, items, "o_custkey", depth=4, width=64)
+
+
+QUERIES["orders_customer_cms"] = orders_customer_cms
+
+ORACLE["orders_customer_cms"] = """
+WITH params AS (SELECT unnest(range(4)) AS j),
+pairs AS (
+  SELECT p.j,
+         CAST(concat('0x', substring(md5(concat_ws('|', 'cms:' || p.j::VARCHAR, o_custkey::VARCHAR)), 1, 15)) AS BIGINT)
+           % 64 AS c
+  FROM orders CROSS JOIN params p),
+sk AS (SELECT j, c, count(*) AS n FROM pairs GROUP BY 1, 2),
+items AS (SELECT DISTINCT o_custkey FROM orders),
+ik AS (
+  SELECT i.o_custkey, p.j,
+         CAST(concat('0x', substring(md5(concat_ws('|', 'cms:' || p.j::VARCHAR, i.o_custkey::VARCHAR)), 1, 15)) AS BIGINT)
+           % 64 AS c
+  FROM items i CROSS JOIN params p)
+SELECT ik.o_custkey, CAST(min(sk.n) AS BIGINT) AS est_count
+FROM ik JOIN sk ON sk.j = ik.j AND sk.c = ik.c
+GROUP BY ik.o_custkey
+"""

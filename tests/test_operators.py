@@ -2044,3 +2044,28 @@ def test_pq_build_codes_and_compression(spark):
     pq_mse = mse(lambda r: books[0][r["code_0"]] + books[1][r["code_1"]])
     flat_mse = mse(lambda r: books[0][0] + books[1][0])
     assert pq_mse < flat_mse
+
+
+def test_count_min_sketch_bound_and_mergeability(spark):
+    """CMS estimates upper-bound true counts, and sketches of two halves
+    merged by summing counters equal the whole-corpus sketch."""
+    from pyspark.sql import functions as F2
+
+    from impc_etl_spark.operators.aggregate import cms_estimate, count_min_sketch
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    sk = count_min_sketch(orders, "o_custkey", depth=4, width=64)
+    items = orders.select("o_custkey").distinct()
+    est = {r["o_custkey"]: r["est_count"]
+           for r in cms_estimate(sk, items, "o_custkey", depth=4, width=64).collect()}
+    true = {r["o_custkey"]: r["n"]
+            for r in orders.groupBy("o_custkey").agg(F2.count(F2.lit(1)).alias("n")).collect()}
+    assert all(est[k] >= v for k, v in true.items())
+
+    lo = count_min_sketch(orders.where("o_orderkey % 2 = 0"), "o_custkey", depth=4, width=64)
+    hi = count_min_sketch(orders.where("o_orderkey % 2 = 1"), "o_custkey", depth=4, width=64)
+    merged = (lo.unionByName(hi).groupBy("r", "c")
+              .agg(F2.sum("n").alias("n")))
+    whole = {(r["r"], r["c"]): r["n"] for r in sk.collect()}
+    got = {(r["r"], r["c"]): r["n"] for r in merged.collect()}
+    assert got == whole
