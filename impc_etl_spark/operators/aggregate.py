@@ -298,3 +298,70 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min("n").alias("est_count"))
     )
+
+
+def bloom_filter_build(
+    df: DataFrame,
+    item_col: str,
+    num_hashes: int = 4,
+    num_bits: int = 1024,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter as the SPARSE set of set bit positions — one
+    row per distinct position (≤ num_bits rows whatever the input size).
+
+    The membership member of the mergeable-sketch family (HLL = distinct,
+    CMS = frequency, Bloom = membership): filters merge by UNION-distinct
+    of positions; "possibly present" can false-positive at the classic
+    (1-e^{-kn/m})^k rate but never false-negative. Deterministic md5
+    bit positions — any engine replays the same filter. At 100 TB the
+    usual role is a pre-join guard: broadcast the KB-sized position set
+    and drop the provably-absent rows before a shuffle join against the
+    big side.
+    """
+    from impc_etl_spark.operators.sampling import hash_bucket
+
+    bits = F.array(*[
+        hash_bucket([item_col], salt=f"{salt}:{j}", num_buckets=num_bits)
+        for j in range(num_hashes)
+    ])
+    return (
+        df.select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_filter_probe(
+    bloom: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    num_hashes: int = 4,
+    num_bits: int = 1024,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe items against a Bloom filter: ``maybe_present`` is true iff
+    ALL ``num_hashes`` bit positions are set. The filter broadcasts; the
+    probe is row-local keys + a broadcast join + one count-match agg —
+    the item side never shuffles on data."""
+    from impc_etl_spark.operators.sampling import hash_bucket
+
+    bits = F.array(*[
+        hash_bucket([item_col], salt=f"{salt}:{j}", num_buckets=num_bits)
+        for j in range(num_hashes)
+    ])
+    keyed = items.select(item_col, F.explode(bits).alias("bit"))
+    hits = (
+        keyed.join(F.broadcast(bloom), "bit", "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        items.select(item_col).distinct()
+        .join(hits, item_col, "left")
+        .select(
+            item_col,
+            (F.coalesce(F.col("__hits"), F.lit(0)) == num_hashes).alias(
+                "maybe_present"
+            ),
+        )
+    )

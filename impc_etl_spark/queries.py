@@ -5585,3 +5585,44 @@ SELECT ik.o_custkey, CAST(min(sk.n) AS BIGINT) AS est_count
 FROM ik JOIN sk ON sk.j = ik.j AND sk.c = ik.c
 GROUP BY ik.o_custkey
 """
+
+
+def customers_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership: probe every customer key against a
+    1024-bit / 4-hash filter built over the orders' customer keys — the
+    approximate twin of the exact `customers_without_orders` anti join
+    (never false-negative; false-positive rate (1-e^{-kn/m})^k, collisions
+    deliberately possible at this width). At scale the KB-sized filter
+    broadcasts as a pre-join guard that drops provably-absent rows before
+    any shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    bloom = agg_ops.bloom_filter_build(orders, "o_custkey")
+    probe = cust.select(F.col("c_custkey").alias("o_custkey"))
+    return agg_ops.bloom_filter_probe(bloom, probe, "o_custkey").select(
+        F.col("o_custkey").alias("c_custkey"), "maybe_present"
+    )
+
+
+QUERIES["customers_bloom_membership"] = customers_bloom_membership
+
+ORACLE["customers_bloom_membership"] = """
+WITH params AS (SELECT unnest(range(4)) AS j),
+bl AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substring(md5(concat_ws('|', 'bloom:' || p.j::VARCHAR, o_custkey::VARCHAR)), 1, 15)) AS BIGINT)
+           % 1024 AS bit
+  FROM orders CROSS JOIN params p),
+items AS (SELECT DISTINCT c_custkey FROM customer),
+ik AS (
+  SELECT i.c_custkey, p.j,
+         CAST(concat('0x', substring(md5(concat_ws('|', 'bloom:' || p.j::VARCHAR, i.c_custkey::VARCHAR)), 1, 15)) AS BIGINT)
+           % 1024 AS bit
+  FROM items i CROSS JOIN params p),
+hits AS (
+  SELECT c_custkey, count(*) AS h
+  FROM ik WHERE bit IN (SELECT bit FROM bl)
+  GROUP BY c_custkey)
+SELECT i.c_custkey, coalesce(h.h, 0) = 4 AS maybe_present
+FROM items i LEFT JOIN hits h ON h.c_custkey = i.c_custkey
+"""

@@ -2069,3 +2069,29 @@ def test_count_min_sketch_bound_and_mergeability(spark):
     whole = {(r["r"], r["c"]): r["n"] for r in sk.collect()}
     got = {(r["r"], r["c"]): r["n"] for r in merged.collect()}
     assert got == whole
+
+
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    """Members are always maybe_present (no false negatives); union of two
+    half-filters equals the whole filter; a tiny filter false-positives."""
+    from impc_etl_spark.operators.aggregate import (
+        bloom_filter_build, bloom_filter_probe,
+    )
+
+    present = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    bloom = bloom_filter_build(present, "k", num_hashes=4, num_bits=1024)
+    probe = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    got = {r["k"]: r["maybe_present"]
+           for r in bloom_filter_probe(bloom, probe, "k",
+                                       num_hashes=4, num_bits=1024).collect()}
+    assert all(got[i] for i in range(200))          # no false negatives
+    # mergeability: half-filters union-distinct to the whole
+    lo = bloom_filter_build(present.where("k < 100"), "k")
+    hi = bloom_filter_build(present.where("k >= 100"), "k")
+    merged = sorted(r["bit"] for r in lo.unionByName(hi).distinct().collect())
+    assert merged == sorted(r["bit"] for r in bloom.collect())
+    # a deliberately tiny filter must false-positive on absent keys
+    tiny = bloom_filter_build(present, "k", num_hashes=2, num_bits=64)
+    tiny_got = bloom_filter_probe(tiny, probe, "k", num_hashes=2, num_bits=64)
+    fp = tiny_got.where("k >= 200 AND maybe_present").count()
+    assert fp > 0
