@@ -5626,3 +5626,41 @@ hits AS (
 SELECT i.c_custkey, coalesce(h.h, 0) = 4 AS maybe_present
 FROM items i LEFT JOIN hits h ON h.c_custkey = i.c_custkey
 """
+
+
+def orders_heavy_customers_cms(spark, sf_dir):
+    """CMS-guided heavy hitters: phase 1 point-queries the count-min
+    sketch for every candidate key and keeps those whose ESTIMATE reaches
+    the threshold — a superset of the true heavies, because CMS never
+    under-counts; phase 2 exact-counts ONLY that candidate set and applies
+    the threshold for the final answer. Provably equal to the plain
+    groupBy+HAVING (the oracle is that independent exact form), but at
+    100 TB the exact aggregation touches the sketch-filtered candidates
+    instead of the full key domain — the standard sketch-then-verify
+    pattern."""
+    orders = _t(spark, sf_dir, "orders")
+    threshold = 15
+    sketch = agg_ops.count_min_sketch(orders, "o_custkey", depth=4, width=64)
+    items = orders.select("o_custkey").distinct()
+    cand = (
+        agg_ops.cms_estimate(sketch, items, "o_custkey", depth=4, width=64)
+        .where(F.col("est_count") >= threshold)
+        .select("o_custkey")
+    )
+    exact = (
+        orders.join(F.broadcast(cand), "o_custkey")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return exact.where(F.col("n_orders") >= threshold)
+
+
+QUERIES["orders_heavy_customers_cms"] = orders_heavy_customers_cms
+
+# Independent oracle: the sketch-then-verify plan must equal the plain
+# exact form — CMS estimates upper-bound true counts, so the phase-1 cut
+# can never drop a true heavy hitter.
+ORACLE["orders_heavy_customers_cms"] = """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+"""
