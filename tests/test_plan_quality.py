@@ -185,3 +185,20 @@ def test_max_records_per_file(spark, tmp_path):
     files = glob.glob(f"{out}/part-*.parquet")
     assert len(files) == 4                # rotated inside the single task
     assert spark.read.parquet(out).count() == 1000
+
+
+SKETCH_PROBES = [
+    "orders_customer_cms",
+    "customers_bloom_membership",
+    "orders_heavy_customers_cms",
+]
+
+
+@pytest.mark.parametrize("name", SKETCH_PROBES)
+def test_sketch_probe_joins_broadcast(spark, name):
+    """Sketch probes must join the KB-sized sketch via broadcast — a
+    SortMergeJoin here would shuffle the DATA side on sketch keys, which
+    defeats the whole point of a sketch at 100 TB."""
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: sketch join not broadcast"
+    assert "SortMergeJoin" not in plan, f"{name}: data side shuffled for sketch"
