@@ -99,6 +99,10 @@ RISK_PRONE = [
     "nation_segments_bundle", "customer_order_bundle", "salted_segment_bundles",
     "nation_bounded_segments", "docs_minhash_lsh", "docs_dup_groups",
     "emb_ivf_topk", "customer_key_ancestry",
+    # round-3 iterative / sketch ops: Lloyd trajectories, BPE merge loops,
+    # CC-keyed splits, counter grids — all must be run-stable
+    "corpus_bpe_merges", "docs_group_safe_split", "emb_kmeans_assign",
+    "emb_pq_codes", "orders_customer_cms", "part_copurchase_triangles",
 ]
 
 
