@@ -657,3 +657,78 @@ def dedup_ingest_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def sketch_sink(
+    stream_df: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    num_hashes: int = 4,
+    num_bits: int = 1024,
+) -> None:
+    """Maintain a count-min sketch AND a Bloom filter continuously during
+    ingestion: per micro-batch, build the BATCH's sketches (tiny — the
+    grids, never the item domain) and merge them into the versioned store
+    by summing counters / accumulating bit counts. Sketches are LINEAR,
+    so stream maintenance is exact: after any number of micro-batches the
+    stored sketch equals the batch-built sketch over everything ingested
+    (tested), and a 100 TB history answers frequency/membership probes
+    from a KB-sized store without any re-scan.
+
+    Store rows: (kind, a, b, n) — cms rows are (``'cms'``, r, c, count);
+    bloom rows are (``'bloom'``, 0, bit, times-set) — counting-Bloom
+    semantics, so deletions could decrement. Crash safety is the upsert
+    sink's versioned-directory + atomic pointer-flip scheme; checkpoint
+    replay of a committed batch re-merges from the PRE-flip version and
+    rewrites the same version id idempotently. Read with
+    ``read_sketch_store``.
+    """
+    from impc_etl_spark.operators.aggregate import (
+        bloom_filter_build,
+        count_min_sketch,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cms_b = count_min_sketch(batch_df, item_col, depth=depth, width=width)
+        bloom_b = bloom_filter_build(
+            batch_df, item_col, num_hashes=num_hashes, num_bits=num_bits
+        )
+        fresh = cms_b.select(
+            F.lit("cms").alias("kind"), F.col("r").cast("long").alias("a"),
+            F.col("c").alias("b"), F.col("n"),
+        ).unionByName(
+            bloom_b.select(
+                F.lit("bloom").alias("kind"), F.lit(0).cast("long").alias("a"),
+                F.col("bit").alias("b"), F.lit(1).cast("long").alias("n"),
+            )
+        )
+        current = current_store_path(store_dir)
+        if current is not None:
+            fresh = fresh.unionByName(spark.read.parquet(current))
+        merged = fresh.groupBy("kind", "a", "b").agg(F.sum("n").alias("n"))
+        _commit_version(store_dir, merged, batch_id, current)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_sketch_store(spark, store_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Read a ``sketch_sink`` store → (cms(r, c, n), bloom(bit)) frames in
+    the exact shapes ``cms_estimate`` / ``bloom_filter_probe`` consume."""
+    all_rows = read_store(spark, store_dir)
+    cms = all_rows.where(F.col("kind") == "cms").select(
+        F.col("a").cast("int").alias("r"), F.col("b").alias("c"), "n"
+    )
+    bloom = all_rows.where(F.col("kind") == "bloom").select(
+        F.col("b").alias("bit")
+    )
+    return cms, bloom

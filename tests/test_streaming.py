@@ -561,3 +561,51 @@ def test_asof_join_stream_state_spans_micro_batches(spark, tmp_path):
     r = rows[0]
     assert r["left_id"] == 200 and r["matched_value"] == 2.5
     assert r["matched_ts"] is not None
+
+
+def test_sketch_sink_equals_batch_sketches(spark, events_dir, tmp_path):
+    """Two throttled micro-batches of sketch maintenance must produce
+    EXACTLY the batch-built CMS and Bloom over the same data — sketches
+    are linear, so stream merge is exact, not approximate-on-approximate."""
+    from impc_etl_spark.operators.aggregate import (
+        bloom_filter_build, count_min_sketch,
+    )
+    from impc_etl_spark.queries import _events
+    from impc_etl_spark.streaming.jobs import (
+        read_event_stream, read_sketch_store, sketch_sink,
+    )
+
+    # force >1 micro-batch: copy the events parquet twice into one dir
+    import glob
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    parts = sorted(glob.glob(f"{events_dir}/*.parquet"))
+    assert parts
+    for i, f in enumerate(parts):
+        shutil.copy(f, f"{src_dir}/{i:03d}.parquet")
+    # duplicate the data as a second file (second micro-batch)
+    for i, f in enumerate(parts):
+        shutil.copy(f, f"{src_dir}/dup-{i:03d}.parquet")
+
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    store = str(tmp_path / "sketches")
+    sketch_sink(stream, store, str(tmp_path / "ckpt"), "user_id",
+                depth=4, width=64, num_hashes=3, num_bits=512)
+
+    cms_s, bloom_s = read_sketch_store(spark, store)
+    got_cms = {(r["r"], r["c"]): r["n"] for r in cms_s.collect()}
+    got_bloom = {r["bit"] for r in bloom_s.collect()}
+
+    whole = _events(spark, "/root/testdata/sf0.001").unionAll(
+        _events(spark, "/root/testdata/sf0.001")
+    )
+    want_cms = {(r["r"], r["c"]): r["n"] for r in
+                count_min_sketch(whole, "user_id", depth=4, width=64).collect()}
+    want_bloom = {r["bit"] for r in
+                  bloom_filter_build(whole, "user_id", num_hashes=3,
+                                     num_bits=512).collect()}
+    assert got_cms == want_cms
+    assert got_bloom == want_bloom
