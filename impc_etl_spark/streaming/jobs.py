@@ -732,3 +732,62 @@ def read_sketch_store(spark, store_dir: str) -> tuple[DataFrame, DataFrame]:
         F.col("b").alias("bit")
     )
     return cms, bloom
+
+
+MERGEABLE_AGGS = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def incremental_agg_sink(
+    stream_df: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> None:
+    """Maintain a keyed aggregate table continuously — the streaming
+    MATERIALIZED VIEW for algebraic aggregates: per micro-batch compute
+    the batch's partial aggregates (map-side-combined, batch-sized), then
+    merge into the versioned store with each aggregate's MERGE function
+    (count merges by sum, sum by sum, min by min, max by max). Because
+    the aggregates are algebraic, the maintained table is EXACT: after
+    any number of micro-batches it equals the batch aggregate over
+    everything ingested (tested). Averages: maintain (sum, count) and
+    derive at read time.
+
+    ``aggs`` maps output column → (func, source column), func in
+    {count, sum, min, max}. At 100 TB/day the per-batch shuffle is
+    keys-sized partials, and the store rewrite is the aggregate table —
+    never raw history; a late restatement is a CDC problem (use
+    ``upsert_sink`` with op_col), not an aggregate merge. Crash safety =
+    the shared versioned-directory + atomic pointer scheme. Read with
+    ``read_store``.
+    """
+    for out, (fn, _src) in aggs.items():
+        if fn not in MERGEABLE_AGGS:
+            raise ValueError(
+                f"agg {out}={fn} is not algebraic-mergeable; supported: "
+                f"{sorted(MERGEABLE_AGGS)}"
+            )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy(*keys).agg(*[
+            getattr(F, fn)(F.lit(1) if fn == "count" else src).alias(out)
+            for out, (fn, src) in aggs.items()
+        ])
+        current = current_store_path(store_dir)
+        if current is not None:
+            partial = partial.unionByName(spark.read.parquet(current))
+        merged = partial.groupBy(*keys).agg(*[
+            getattr(F, MERGEABLE_AGGS[fn])(out).alias(out)
+            for out, (fn, _src) in aggs.items()
+        ])
+        _commit_version(store_dir, merged, batch_id, current)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -609,3 +609,52 @@ def test_sketch_sink_equals_batch_sketches(spark, events_dir, tmp_path):
                                      num_bits=512).collect()}
     assert got_cms == want_cms
     assert got_bloom == want_bloom
+
+
+def test_incremental_agg_sink_equals_batch_aggregate(spark, tmp_path):
+    """Two throttled micro-batches of materialized-aggregate maintenance
+    equal the whole-table batch aggregate (algebraic merge is exact)."""
+    import glob as g
+    import shutil
+
+    from impc_etl_spark.queries import _events
+    from impc_etl_spark.streaming.jobs import (
+        incremental_agg_sink, read_event_stream, read_store,
+    )
+
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    src = tmp_path / "agg_src"
+    raw.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(src / "a"))
+    raw.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(src / "b"))
+    flat = tmp_path / "agg_flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(g.glob(str(src / "*" / "part-*.parquet")))):
+        shutil.copy(f, flat / f"f{i}.parquet")
+
+    store = str(tmp_path / "agg_store")
+    incremental_agg_sink(
+        read_event_stream(spark, str(flat), max_files_per_trigger=1),
+        store, str(tmp_path / "agg_ckpt"),
+        keys=["user_id", "event_type"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+    got = {
+        (r["user_id"], r["event_type"]):
+            (r["n_events"], round(r["sum_value"], 6),
+             round(r["min_value"], 6), round(r["max_value"], 6))
+        for r in read_store(spark, store).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]):
+            (r["n"], round(r["s"], 6), round(r["mn"], 6), round(r["mx"], 6))
+        for r in _events(spark, SF_SMOKE).groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"),
+            F.min("value").alias("mn"), F.max("value").alias("mx"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
