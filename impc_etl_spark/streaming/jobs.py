@@ -681,10 +681,12 @@ def sketch_sink(
     Store rows: (kind, a, b, n) — cms rows are (``'cms'``, r, c, count);
     bloom rows are (``'bloom'``, 0, bit, times-set) — counting-Bloom
     semantics, so deletions could decrement. Crash safety is the upsert
-    sink's versioned-directory + atomic pointer-flip scheme; checkpoint
-    replay of a committed batch re-merges from the PRE-flip version and
-    rewrites the same version id idempotently. Read with
-    ``read_sketch_store``.
+    sink's versioned-directory + atomic pointer-flip scheme, PLUS a
+    batch-id idempotency guard: foreachBatch is at-least-once, and unlike
+    the upsert sink's key-replace merge a SUM-merge is NOT naturally
+    idempotent — so if the committed version already carries this batch's
+    id (crash after flip, before checkpoint commit), the replay is
+    skipped instead of double-counted. Read with ``read_sketch_store``.
     """
     from impc_etl_spark.operators.aggregate import (
         bloom_filter_build,
@@ -707,6 +709,8 @@ def sketch_sink(
             )
         )
         current = current_store_path(store_dir)
+        if _batch_already_committed(current, batch_id):
+            return
         if current is not None:
             fresh = fresh.unionByName(spark.read.parquet(current))
         merged = fresh.groupBy("kind", "a", "b").agg(F.sum("n").alias("n"))
@@ -719,6 +723,17 @@ def sketch_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def _batch_already_committed(current: str | None, batch_id: int) -> bool:
+    """True when the committed store version already carries this batch id
+    — an at-least-once replay after the pointer flip. Additive merges
+    (sum counters, sum partials) MUST skip it or they double-count; the
+    version dir is named ``v<batch_id>``, so the check is just the
+    pointer's basename."""
+    import os
+
+    return current is not None and os.path.basename(current) == f"v{batch_id}"
 
 
 def read_sketch_store(spark, store_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -759,7 +774,9 @@ def incremental_agg_sink(
     keys-sized partials, and the store rewrite is the aggregate table —
     never raw history; a late restatement is a CDC problem (use
     ``upsert_sink`` with op_col), not an aggregate merge. Crash safety =
-    the shared versioned-directory + atomic pointer scheme. Read with
+    the shared versioned-directory + atomic pointer scheme + the batch-id
+    idempotency guard (sum/count merges are additive, so an at-least-once
+    replay after the flip must be skipped, not re-merged). Read with
     ``read_store``.
     """
     for out, (fn, _src) in aggs.items():
@@ -776,6 +793,8 @@ def incremental_agg_sink(
             for out, (fn, src) in aggs.items()
         ])
         current = current_store_path(store_dir)
+        if _batch_already_committed(current, batch_id):
+            return
         if current is not None:
             partial = partial.unionByName(spark.read.parquet(current))
         merged = partial.groupBy(*keys).agg(*[

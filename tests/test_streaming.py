@@ -658,3 +658,38 @@ def test_incremental_agg_sink_equals_batch_aggregate(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_additive_sinks_skip_replayed_batch(spark, tmp_path):
+    """At-least-once replay protection: a sketch store whose committed
+    version already carries the replayed batch id must be left untouched
+    (sum-merges are additive — re-merging would double-count)."""
+    from impc_etl_spark.streaming.jobs import (
+        _batch_already_committed, current_store_path,
+    )
+
+    assert not _batch_already_committed(None, 0)
+    assert _batch_already_committed("/store/v7", 7)
+    assert not _batch_already_committed("/store/v7", 8)
+
+    # end-to-end: drain the same source twice against the SAME checkpoint —
+    # the second run has no new files, so the store must be unchanged
+    import shutil
+
+    from impc_etl_spark.streaming.jobs import (
+        read_event_stream, read_sketch_store, sketch_sink,
+    )
+
+    src = tmp_path / "replay_src"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "f0.parquet")
+    store, ckpt = str(tmp_path / "replay_store"), str(tmp_path / "replay_ckpt")
+    sketch_sink(read_event_stream(spark, str(src)), store, ckpt, "user_id",
+                depth=2, width=32, num_hashes=2, num_bits=128)
+    cms1, bloom1 = read_sketch_store(spark, store)
+    snap = sorted(map(tuple, cms1.collect())), sorted(map(tuple, bloom1.collect()))
+    sketch_sink(read_event_stream(spark, str(src)), store, ckpt, "user_id",
+                depth=2, width=32, num_hashes=2, num_bits=128)
+    cms2, bloom2 = read_sketch_store(spark, store)
+    assert (sorted(map(tuple, cms2.collect())),
+            sorted(map(tuple, bloom2.collect()))) == snap
