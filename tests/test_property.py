@@ -650,3 +650,34 @@ def test_learn_bpe_merges_matches_python_reference(spark, words, reps):
         freqs[w] = freqs.get(w, 0) + r
     want = _py_bpe(freqs, 4)
     assert got == want
+
+
+# --- triangle counting: random graphs vs brute force ------------------------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9),
+                  st.integers(min_value=0, max_value=9)),
+        min_size=1, max_size=30,
+    ),
+)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from impc_etl_spark.operators.graph import triangle_count
+
+    undirected = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not undirected:
+        return
+    nodes = sorted({n for e in undirected for n in e})
+    want: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= undirected:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+
+    df = spark.createDataFrame(list(undirected), "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == want
