@@ -681,3 +681,42 @@ def test_triangle_count_matches_bruteforce(spark, edges):
     df = spark.createDataFrame(list(undirected), "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got == want
+
+
+# --- count-min sketch: random multisets vs Python reference ----------------
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    items=st.lists(st.integers(min_value=0, max_value=20), min_size=1,
+                   max_size=60),
+)
+def test_cms_matches_python_reference(spark, items):
+    """Exact counter-grid parity with a Python CMS using the same md5 row
+    hashes, and the estimate == min-of-rows for every item."""
+    import hashlib
+
+    from impc_etl_spark.operators.aggregate import cms_estimate, count_min_sketch
+
+    depth, width = 3, 32
+
+    def bucket(j: int, item: int) -> int:
+        h = hashlib.md5(f"cms:{j}|{item}".encode()).hexdigest()
+        return int(h[:15], 16) % width
+
+    grid: dict[tuple[int, int], int] = {}
+    for it in items:
+        for j in range(depth):
+            key = (j, bucket(j, it))
+            grid[key] = grid.get(key, 0) + 1
+
+    df = spark.createDataFrame([(i,) for i in items], "k long")
+    sk = count_min_sketch(df, "k", depth=depth, width=width)
+    got_grid = {(r["r"], r["c"]): r["n"] for r in sk.collect()}
+    assert got_grid == grid
+
+    est = {r["k"]: r["est_count"]
+           for r in cms_estimate(sk, df.distinct(), "k", depth=depth,
+                                 width=width).collect()}
+    for it in set(items):
+        assert est[it] == min(grid[(j, bucket(j, it))] for j in range(depth))
