@@ -9,8 +9,13 @@ seconds are in ``queries``. Each query is forced with a count() action (no
 driver-side collect of the full result).
 
 By default every query runs once untimed (JVM JIT + Python worker pool
-spin-up) and once timed — steady-state numbers, which is what matters for
-long-running pipelines. Set $SPARK_GRAFT_BENCH_WARMUP=0 for cold timings.
+spin-up) and then $SPARK_GRAFT_BENCH_REPS timed repetitions (default 3),
+reporting the MIN per query — the minimum is the standard noise-robust
+estimator for wall-clock microbenchmarks (GC pauses, page cache, CPU
+contention only ever ADD time), and makes cross-round numbers comparable
+on a machine whose single-shot timings swing up to 2.6×. ``value`` is the
+sum of per-query minimums. Set $SPARK_GRAFT_BENCH_WARMUP=0 for cold
+timings, $SPARK_GRAFT_BENCH_REPS=1 for the old single-shot behavior.
 """
 
 from __future__ import annotations
@@ -66,15 +71,18 @@ def main() -> int:
         for name in names:
             QUERIES[name](spark, sf_dir).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -29,3 +29,17 @@ def gzip_b64_udf(s: pd.Series) -> pd.Series:
         ).decode("ascii")
 
     return s.map(_enc)
+
+
+@pandas_udf(StringType())
+def gunzip_b64_udf(s: pd.Series) -> pd.Series:
+    """base64-decode + gunzip back to the original string (null-safe) —
+    the exact inverse of ``gzip_b64_udf``, letting compressed bundles be
+    round-trip-verified inside a plan (and letting the driver's SQL
+    oracle hash-check the gzip path via the DECOMPRESSED payload)."""
+    def _dec(x):
+        if x is None:
+            return None
+        return gzip.decompress(base64.b64decode(x)).decode("utf-8")
+
+    return s.map(_dec)

@@ -353,3 +353,220 @@ def mp3_header_features(df: DataFrame, content_col: str = "content") -> DataFram
             })
 
     return df.mapInPandas(compute, schema=MP3_SCHEMA)
+
+
+# --- real pixel decode --------------------------------------------------------
+#
+# PNG is a fully-documented public byte format whose only compression is
+# DEFLATE — which the Python stdlib ships — so PNG pixel decode needs no
+# codec library at all: `decode_png` below parses chunks, inflates IDAT,
+# and undoes all five scanline filters (including Paeth) in pure
+# struct+zlib Python. `decode_image_features` uses PIL when it imports
+# (covers JPEG/GIF/etc.) and falls back to the native PNG path otherwise;
+# only non-PNG formats without PIL stay honestly undecodable (NULL
+# features). To make the path oracle-checkable without image files in the
+# test data, `synth_gray_png` is the matching real ENCODER: deterministic
+# grayscale pixels derived from the payload md5, so DuckDB replays the
+# decoded statistics from md5(text) alone. Reference analog: the
+# image-observation pipeline columns (jobs/load/observation_mapper.py:
+# 851-997).
+
+PNG_SCHEMA = "media_id bigint, content binary"
+
+DECODE_SCHEMA = (
+    "media_id bigint, width int, height int, img_mode string, "
+    "mean_luminance double"
+)
+
+
+def _png_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal valid grayscale PNG (8-bit, no interlace) from raw pixel
+    bytes — IHDR/IDAT/IEND with correct CRCs, zlib-compressed scanlines
+    with per-row filter byte 0. Pure byte layout; any decoder reads it."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_gray_png(
+    df: DataFrame,
+    content_col: str = "content",
+    width: int = 4,
+    height: int = 4,
+) -> DataFrame:
+    """Deterministic image synthesis: each payload becomes a real
+    ``width``×``height`` grayscale PNG whose pixel bytes are the payload's
+    md5 digest (tiled if more than 16 pixels are needed) — a genuine
+    encoded image a real decoder must parse, yet every downstream pixel
+    statistic is a pure function of md5(payload) that an oracle can
+    replay. Narrow Arrow-batched map; no shuffle."""
+    n_px = width * height
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                pixels = (digest * (n_px // len(digest) + 1))[:n_px]
+                out.append(_png_gray(pixels, width, height))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+_PNG_MODES = {0: ("L", 1), 2: ("RGB", 3), 4: ("LA", 2), 6: ("RGBA", 4)}
+
+
+def decode_png(payload: bytes) -> tuple[int, int, str, bytearray] | None:
+    """REAL pure-stdlib PNG decode for 8-bit non-interlaced gray / RGB /
+    gray+alpha / RGBA images: walk chunks, zlib-inflate the concatenated
+    IDAT stream, and reverse the per-scanline filters (None/Sub/Up/
+    Average/Paeth — the full public filter set, ISO/IEC 15948 §9).
+    Returns (width, height, mode, samples) with ``samples`` the raw
+    channel bytes in scan order, or None for anything unrecognized,
+    unsupported (palette/16-bit/interlaced), or corrupt — crawl payloads
+    are hostile, so this never raises."""
+    import struct
+    import zlib
+
+    try:
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        i, n = 8, len(payload)
+        width = height = None
+        mode = None
+        bpp = 0
+        idat = bytearray()
+        while i + 8 <= n:
+            clen = int.from_bytes(payload[i : i + 4], "big")
+            tag = payload[i + 4 : i + 8]
+            data = payload[i + 8 : i + 8 + clen]
+            if tag == b"IHDR":
+                width, height, depth, ctype, comp, filt, ilace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or ilace != 0 or comp != 0 or filt != 0:
+                    return None
+                if ctype not in _PNG_MODES:
+                    return None
+                mode, bpp = _PNG_MODES[ctype]
+            elif tag == b"IDAT":
+                idat.extend(data)
+            elif tag == b"IEND":
+                break
+            i += 12 + clen  # len + tag + data + crc
+        if width is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            return None
+        out = bytearray(height * stride)
+        for r in range(height):
+            ftype = raw[r * (stride + 1)]
+            line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+            base = r * stride
+            prev = out[base - stride : base] if r else bytes(stride)
+            if ftype == 0:
+                out[base : base + stride] = line
+            elif ftype == 1:  # Sub
+                for x in range(stride):
+                    left = out[base + x - bpp] if x >= bpp else 0
+                    out[base + x] = (line[x] + left) & 0xFF
+            elif ftype == 2:  # Up
+                for x in range(stride):
+                    out[base + x] = (line[x] + prev[x]) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    left = out[base + x - bpp] if x >= bpp else 0
+                    out[base + x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    left = out[base + x - bpp] if x >= bpp else 0
+                    ul = prev[x - bpp] if x >= bpp else 0
+                    out[base + x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+            else:
+                return None
+        return (width, height, mode, out)
+    except Exception:
+        return None
+
+
+def decode_image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """REAL pixel decode: (width, height, mode, mean luminance over the
+    actual decoded samples) per payload through one Arrow-batched
+    mapInPandas stage — narrow map, pipelined behind the binary scan, no
+    shuffle at any scale. Decoder choice is per-worker: PIL when
+    importable (JPEG/GIF/WebP/…), else the pure-stdlib ``decode_png``
+    path (DEFLATE ships in zlib, so PNG needs no codec library).
+    Undecodable payloads yield NULL features (crawl data is hostile; the
+    stage never dies mid-scan)."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        try:
+            from PIL import Image  # type: ignore[import-not-found]
+        except ImportError:
+            Image = None
+
+        for pdf in batches:
+            ws, hs, modes, lums = [], [], [], []
+            for p in pdf[content_col]:
+                raw = bytes(p)
+                w = h = mode = lum = None
+                if Image is not None:
+                    try:
+                        img = Image.open(io.BytesIO(raw))
+                        import numpy as np
+
+                        arr = np.asarray(img, dtype="float64")
+                        w, h, mode = img.width, img.height, img.mode
+                        lum = float(arr.mean())
+                    except Exception:
+                        pass
+                else:
+                    decoded = decode_png(raw)
+                    if decoded is not None:
+                        w, h, mode, samples = decoded
+                        lum = sum(samples) / len(samples)
+                ws.append(w)
+                hs.append(h)
+                modes.append(mode)
+                lums.append(lum)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "img_mode": modes,
+                "mean_luminance": pd.array(lums, dtype="float64"),
+            })
+
+    return df.mapInPandas(compute, schema=DECODE_SCHEMA)

@@ -279,6 +279,10 @@ def cms_estimate(
     only ever inflate), within εN with high probability for width ≈ e/ε.
     The sketch (≤ depth×width rows) broadcasts; the probe is a row-local
     key computation + broadcast join — no shuffle against the item side.
+    A counter cell absent from the sparse sketch counts as 0 (LEFT join +
+    coalesce), so never-inserted probe items estimate 0 instead of being
+    dropped, and the min is over ALL depth counters — the true CMS
+    min-over-counters, not min over the populated subset.
     """
     from impc_etl_spark.operators.sampling import hash_bucket
 
@@ -294,9 +298,9 @@ def cms_estimate(
         item_col, F.col("p.r").alias("r"), F.col("p.c").alias("c")
     )
     return (
-        keyed.join(F.broadcast(sketch), ["r", "c"])
+        keyed.join(F.broadcast(sketch), ["r", "c"], "left")
         .groupBy(item_col)
-        .agg(F.min("n").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
     )
 
 
@@ -331,6 +335,32 @@ def bloom_filter_build(
     )
 
 
+def bloom_bit_counts(
+    df: DataFrame,
+    item_col: str,
+    num_hashes: int = 4,
+    num_bits: int = 1024,
+    salt: str = "bloom",
+) -> DataFrame:
+    """COUNTING-Bloom build: (bit, n) where ``n`` is the number of
+    (item-occurrence, hash-function) increments landing on that cell —
+    the standard counting-Bloom cell value. Counts are LINEAR, so stores
+    merge by summing and a deletion decrements each of the item's k cells
+    symmetrically; ``n > 0`` recovers the plain Bloom bit set
+    (``bloom_filter_build`` is that projection built directly)."""
+    from impc_etl_spark.operators.sampling import hash_bucket
+
+    bits = F.array(*[
+        hash_bucket([item_col], salt=f"{salt}:{j}", num_buckets=num_bits)
+        for j in range(num_hashes)
+    ])
+    return (
+        df.select(F.explode(bits).alias("bit"))
+        .groupBy("bit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def bloom_filter_probe(
     bloom: DataFrame,
     items: DataFrame,
@@ -341,27 +371,26 @@ def bloom_filter_probe(
 ) -> DataFrame:
     """Probe items against a Bloom filter: ``maybe_present`` is true iff
     ALL ``num_hashes`` bit positions are set. The filter broadcasts; the
-    probe is row-local keys + a broadcast join + one count-match agg —
-    the item side never shuffles on data."""
+    probe is row-local keys + broadcast anti/left joins — the item side
+    never shuffles on data. An item is absent iff it has at least one
+    UNSET bit (broadcast anti join), so duplicate probe rows and
+    within-item hash collisions cannot distort a hit COUNT — the
+    never-false-negative guarantee holds for any probe multiset."""
     from impc_etl_spark.operators.sampling import hash_bucket
 
     bits = F.array(*[
         hash_bucket([item_col], salt=f"{salt}:{j}", num_buckets=num_bits)
         for j in range(num_hashes)
     ])
-    keyed = items.select(item_col, F.explode(bits).alias("bit"))
-    hits = (
-        keyed.join(F.broadcast(bloom), "bit", "left_semi")
-        .groupBy(item_col)
-        .agg(F.count(F.lit(1)).alias("__hits"))
+    probe = items.select(item_col).distinct()
+    keyed = probe.select(item_col, F.explode(bits).alias("bit"))
+    missing = (
+        keyed.join(F.broadcast(bloom), "bit", "left_anti")
+        .select(item_col)
+        .distinct()
+        .withColumn("__missing", F.lit(True))
     )
-    return (
-        items.select(item_col).distinct()
-        .join(hits, item_col, "left")
-        .select(
-            item_col,
-            (F.coalesce(F.col("__hits"), F.lit(0)) == num_hashes).alias(
-                "maybe_present"
-            ),
-        )
+    return probe.join(missing, item_col, "left").select(
+        item_col,
+        F.col("__missing").isNull().alias("maybe_present"),
     )

@@ -37,7 +37,7 @@ def map_normalize(
     if not mapping:
         return df
     lit_map = F.create_map(*[F.lit(x) for x in chain.from_iterable(mapping.items())])
-    looked_up = lit_map.getItem(F.col(column))
+    looked_up = lit_map[F.col(column)]
     value = F.coalesce(looked_up, F.col(column)) if default_keep else looked_up
     return df.withColumn(column, value)
 

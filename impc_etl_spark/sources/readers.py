@@ -52,22 +52,46 @@ def read_jsonl(
     path: str,
     schema: StructType | None = None,
     strip_prefix_regex: str | None = None,
+    schema_sample_rows: int = 256,
 ) -> DataFrame:
     """JSON-lines ingest (S6 statpackets). The reference reads text, strips a
     prefix by regex on the driver RDD, then re-parses; here the strip is a
-    Column regexp and the parse is ``from_json`` with an explicit schema
-    (or schema-inferred spark.read.json when schema is None)."""
+    Column regexp and the parse is ``from_json`` with an explicit schema.
+
+    When ``schema`` is None AND a prefix must be stripped, the schema is
+    inferred JVM-side from a BOUNDED sample: the first
+    ``schema_sample_rows`` cleaned lines are wrapped into one JSON array
+    literal and ``schema_of_json`` merges the element schemas — no RDD,
+    no full-data inference pass, and the actual parse stays a single
+    ``from_json`` projection at scan speed. Fields that first appear
+    after the sample window are not inferred — pass an explicit schema
+    for open-ended payloads (the registered statpacket path does)."""
     if strip_prefix_regex is None and schema is None:
         return spark.read.json(path)
     text = spark.read.text(path)
     value = F.col("value")
     if strip_prefix_regex:
         value = F.regexp_replace(value, strip_prefix_regex, "")
-    if schema is None:
-        # schema inference still needs the cleaned text: one extra pass
-        cleaned = text.select(value.alias("value"))
-        return spark.read.json(cleaned.rdd.map(lambda r: r.value))
-    return text.select(F.from_json(value, schema).alias("j")).select("j.*")
+    if schema is not None:
+        return text.select(F.from_json(value, schema).alias("j")).select("j.*")
+    sample = [
+        r["value"]
+        for r in text.select(value.alias("value"))
+        .where(F.length(F.trim(F.col("value"))) > 0)
+        .limit(schema_sample_rows)
+        .collect()
+    ]
+    if not sample:
+        raise ValueError(f"cannot infer JSON schema: no non-empty lines in {path}")
+    arr_ddl = (
+        spark.range(1)
+        .select(F.schema_of_json(F.lit("[" + ",".join(sample) + "]")))
+        .head()[0]
+    )
+    if not (arr_ddl.startswith("ARRAY<") and arr_ddl.endswith(">")):
+        raise ValueError(f"unexpected inferred schema {arr_ddl!r} for {path}")
+    elem_ddl = arr_ddl[len("ARRAY<"):-1]
+    return text.select(F.from_json(value, elem_ddl).alias("j")).select("j.*")
 
 
 def rest_crawl_to_df(

@@ -200,6 +200,20 @@ def shape_mongo_documents(df: DataFrame, class_name: str) -> DataFrame:
     return df.withColumn("_class", F.lit(class_name))
 
 
+def mongo_write_options(uri: str, database: str, collection: str) -> dict[str, str]:
+    """The exact connector option map ``write_mongo`` passes to the
+    spark-mongodb writer (S12 — impc_bulk_api_mongo_load.py:55-66: uri,
+    database, collection, majority write concern). Factored out as a pure
+    function so the option plumbing is pinned by a unit test even though
+    no Mongo service exists in this environment."""
+    return {
+        "spark.mongodb.write.uri": uri,
+        "database": database,
+        "collection": collection,
+        "writeConcern.w": "majority",
+    }
+
+
 def write_mongo(
     df: DataFrame,
     uri: str,
@@ -211,14 +225,11 @@ def write_mongo(
     """Mongo sink wrapper (S12 — impc_bulk_api_mongo_load.py:55-66):
     ``_class`` discriminator + majority write concern. Needs the
     spark-mongodb connector on the classpath at runtime (absent in this
-    environment; the shaping above is the testable part)."""
+    environment; the shaping + option map are the testable parts)."""
     (
         shape_mongo_documents(df, class_name)
         .write.format("mongodb").mode(mode)
-        .option("spark.mongodb.write.uri", uri)
-        .option("database", database)
-        .option("collection", collection)
-        .option("writeConcern.w", "majority")
+        .options(**mongo_write_options(uri, database, collection))
         .save()
     )
 

@@ -228,16 +228,19 @@ def asof_join_stream(
 
     Built as the sanctioned custom stateful operator: both streams union
     into one keyed stream and ``applyInPandasWithState`` keeps, per key,
-    ONLY the right rows still inside the tolerance horizon (state is
-    evicted against the max event time seen, so per-key state is bounded
-    by tolerance × right-side rate, exactly like a watermark bounds join
-    state). Matching is on EVENT time via binary search, so within-batch
-    arrival order never matters; ties on right ts resolve to the largest
-    value (deterministic). Cross-batch: rights persist in state, so a
-    left arriving batches later still matches; a right arriving AFTER a
-    left was already emitted cannot retro-update it — the standard
-    streaming as-of trade-off (batch ``asof_join`` is the exact twin for
-    backfills).
+    ONLY the right rows a still-admissible left could match: state is
+    evicted against the WATERMARK minus tolerance (not the per-key max
+    event time), so a left arriving in a later micro-batch up to the full
+    ``watermark`` delay behind the stream — even more than ``tolerance``
+    behind its key's newest event — still finds its candidate rights in
+    state and matches exactly like the batch twin. State stays bounded by
+    (watermark + tolerance) × right-side rate. Matching is on EVENT time
+    via binary search, so within-batch arrival order never matters; ties
+    on right ts resolve to the largest value (deterministic).
+    Cross-batch: rights persist in state, so a left arriving batches
+    later still matches; a right arriving AFTER a left was already
+    emitted cannot retro-update it — the standard streaming as-of
+    trade-off (batch ``asof_join`` is the exact twin for backfills).
 
     Returns one row per left event: (key, left_id, ts, matched_ts,
     matched_value) with nulls when nothing is in range.
@@ -266,11 +269,11 @@ def asof_join_stream(
         import numpy as np
 
         if state.exists:
-            st_ts, st_val, max_ts = state.get
+            st_ts, st_val = state.get
             r_ts = list(st_ts)
             r_val = list(st_val)
         else:
-            r_ts, r_val, max_ts = [], [], -(1 << 62)
+            r_ts, r_val = [], []
 
         batches = [pdf for pdf in pdfs if len(pdf)]
         if not batches:
@@ -284,7 +287,6 @@ def asof_join_stream(
         is_r = (batch["side"] == "R").to_numpy()
         r_ts.extend(ts_us[is_r].tolist())
         r_val.extend(batch["rval"].to_numpy()[is_r].tolist())
-        max_ts = max(max_ts, int(ts_us.max()))
 
         # sort rights by (ts, val): searchsorted finds the latest ts <= t,
         # and among equal ts the max value sits last — deterministic tie
@@ -317,11 +319,14 @@ def asof_join_stream(
             }
         )
 
-        # evict rights that can no longer match any future-or-late left:
-        # anything older than the tolerance horizon behind max event time
-        horizon = max_ts - tol_us
+        # evict rights that can no longer match any ADMISSIBLE left: the
+        # watermark bounds how late a left can still arrive, so anything
+        # older than watermark - tolerance is provably unmatchable (the
+        # per-key max event time is NOT a safe horizon — a left may
+        # lawfully arrive up to the watermark delay behind it)
+        horizon = state.getCurrentWatermarkMs() * 1000 - tol_us
         keep = rt >= horizon
-        state.update((rt[keep].tolist(), rv[keep].tolist(), int(max_ts)))
+        state.update((rt[keep].tolist(), rv[keep].tolist()))
         yield out
 
     out = unioned.groupBy("k").applyInPandasWithState(
@@ -330,7 +335,7 @@ def asof_join_stream(
             "k bigint, left_id bigint, ts timestamp, "
             "matched_ts timestamp, matched_value double"
         ),
-        stateStructType="r_ts array<bigint>, r_val array<double>, max_ts bigint",
+        stateStructType="r_ts array<bigint>, r_val array<double>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -679,8 +684,12 @@ def sketch_sink(
     from a KB-sized store without any re-scan.
 
     Store rows: (kind, a, b, n) — cms rows are (``'cms'``, r, c, count);
-    bloom rows are (``'bloom'``, 0, bit, times-set) — counting-Bloom
-    semantics, so deletions could decrement. Crash safety is the upsert
+    bloom rows are (``'bloom'``, 0, bit, increments) where increments is
+    the number of (item-occurrence, hash-function) hits on that cell —
+    TRUE counting-Bloom cells (``bloom_bit_counts``), so a deletion can
+    decrement each of an item's k cells symmetrically and ``n > 0``
+    recovers the plain bit set (``read_sketch_store`` applies that
+    filter). Crash safety is the upsert
     sink's versioned-directory + atomic pointer-flip scheme, PLUS a
     batch-id idempotency guard: foreachBatch is at-least-once, and unlike
     the upsert sink's key-replace merge a SUM-merge is NOT naturally
@@ -689,14 +698,14 @@ def sketch_sink(
     skipped instead of double-counted. Read with ``read_sketch_store``.
     """
     from impc_etl_spark.operators.aggregate import (
-        bloom_filter_build,
+        bloom_bit_counts,
         count_min_sketch,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         cms_b = count_min_sketch(batch_df, item_col, depth=depth, width=width)
-        bloom_b = bloom_filter_build(
+        bloom_b = bloom_bit_counts(
             batch_df, item_col, num_hashes=num_hashes, num_bits=num_bits
         )
         fresh = cms_b.select(
@@ -705,7 +714,7 @@ def sketch_sink(
         ).unionByName(
             bloom_b.select(
                 F.lit("bloom").alias("kind"), F.lit(0).cast("long").alias("a"),
-                F.col("bit").alias("b"), F.lit(1).cast("long").alias("n"),
+                F.col("bit").alias("b"), F.col("n").cast("long").alias("n"),
             )
         )
         current = current_store_path(store_dir)
@@ -743,8 +752,9 @@ def read_sketch_store(spark, store_dir: str) -> tuple[DataFrame, DataFrame]:
     cms = all_rows.where(F.col("kind") == "cms").select(
         F.col("a").cast("int").alias("r"), F.col("b").alias("c"), "n"
     )
-    bloom = all_rows.where(F.col("kind") == "bloom").select(
-        F.col("b").alias("bit")
+    bloom = (
+        all_rows.where((F.col("kind") == "bloom") & (F.col("n") > 0))
+        .select(F.col("b").alias("bit"))
     )
     return cms, bloom
 

@@ -157,3 +157,94 @@ def test_probe_mp3_header_parses_and_skips_id3(spark):
             for r in mp3_header_features(df).collect()}
     assert rows[1] == (128, 44100, 2)
     assert rows[2] == (None, None, None)
+
+
+def test_decode_png_roundtrip_and_all_filters():
+    """The pure-stdlib PNG decoder recovers exact pixels from the repo's
+    own encoder AND from hand-built PNGs using each of the five scanline
+    filters (None/Sub/Up/Average/Paeth) over RGB data; hostile inputs
+    (truncated, corrupt, non-PNG) return None instead of raising."""
+    import hashlib
+    import random
+    import struct
+    import zlib
+
+    from impc_etl_spark.multimodal.media import _png_gray, decode_png
+
+    digest = hashlib.md5(b"hello world").digest()
+    png = _png_gray(digest, 4, 4)
+    w, h, mode, samples = decode_png(png)
+    assert (w, h, mode) == (4, 4, "L") and bytes(samples) == digest
+
+    def chunk(tag, data):
+        body = tag + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    random.seed(7)
+    W, H, BPP = 5, 4, 3
+    pix = [bytes(random.randrange(256) for _ in range(W * BPP))
+           for _ in range(H)]
+    for ft in range(5):
+        rows, prev = [], bytes(W * BPP)
+        for r in range(H):
+            cur, line = pix[r], bytearray()
+            for x in range(W * BPP):
+                left = cur[x - BPP] if x >= BPP else 0
+                up = prev[x]
+                ul = prev[x - BPP] if x >= BPP else 0
+                delta = {0: cur[x], 1: cur[x] - left, 2: cur[x] - up,
+                         3: cur[x] - (left + up) // 2,
+                         4: cur[x] - paeth(left, up, ul)}[ft]
+                line.append(delta & 0xFF)
+            rows.append(bytes([ft]) + bytes(line))
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0)
+        png2 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + chunk(b"IEND", b""))
+        w2, h2, m2, s2 = decode_png(png2)
+        assert (w2, h2, m2) == (W, H, "RGB")
+        assert bytes(s2) == b"".join(pix), f"filter {ft}"
+
+    assert decode_png(b"") is None
+    assert decode_png(b"\x89PNG\r\n\x1a\nxxxx") is None
+    assert decode_png(png[:20]) is None
+    assert decode_png(b"\xff\xd8\xff\xe0") is None
+
+
+def test_decode_image_features_end_to_end(spark):
+    """synth PNG → decode_image_features recovers the md5-derived pixels
+    (width/height/mode/mean) and yields NULLs for an undecodable payload
+    injected into the same frame."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_image_features, synth_gray_png,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta gamma")], ["doc_id", "text"]
+    )
+    pngs = synth_gray_png(attach_binary(df, "text", "doc_id"))
+    # inject a hostile non-PNG payload alongside the real ones
+    bad = spark.createDataFrame([(99,)], "media_id bigint").select(
+        "media_id", F.encode(F.lit("not a png"), "UTF-8").alias("content")
+    )
+    got = {r["media_id"]: r
+           for r in decode_image_features(pngs.unionByName(bad)).collect()}
+    for doc_id, text in [(1, "alpha"), (2, "beta gamma")]:
+        d = hashlib.md5(text.encode()).digest()
+        r = got[doc_id]
+        assert (r["width"], r["height"], r["img_mode"]) == (4, 4, "L")
+        assert abs(r["mean_luminance"] - sum(d) / 16) < 1e-9
+    r99 = got[99]
+    assert r99["width"] is None and r99["img_mode"] is None
+    assert r99["mean_luminance"] is None

@@ -81,14 +81,9 @@ def test_every_query_has_entry_or_documented_exception():
     from impc_etl_spark import queries as q
 
     no_oracle = set(q.QUERIES) - set(q.ORACLE)
-    # non-SQL-expressible ops only:
-    # - customer_order_bundle_gz: DuckDB has no gzip (determinism
-    #   unit-tested via roundtrip in test_operators)
-    # - orders_approx_distinct: HLL++ estimate is impl-specific
-    #   (accuracy bound unit-tested in test_operators)
-    assert no_oracle <= {
-        "customer_order_bundle_gz", "orders_approx_distinct",
-    }, no_oracle
+    # r4: zero exceptions — the gz bundle round-trips to a comparable
+    # string inside the plan, and the HLL query self-checks its bound
+    assert not no_oracle, no_oracle
 
 
 # Queries whose operators have nondeterminism POTENTIAL (set collection,

@@ -441,7 +441,7 @@ def test_read_binary_files_roundtrip(spark, tmp_path):
     assert {"path", "modificationTime", "length", "content"} <= cols
 
 
-def test_single_text_sink(spark, tmp_path):
+def test_single_text_sink_line_count(spark, tmp_path):
     from impc_etl_spark.sources.sinks import write_single_text
 
     df = spark.range(50).selectExpr("concat('line-', id) as s")
@@ -577,3 +577,50 @@ def test_z_order_key_interleave_exact(spark):
     const = spark.createDataFrame([(1, 5), (2, 5)], "x int, y int")
     ks = [r["z_key"] for r in z_order_key(const, ["x", "y"], bits=2).collect()]
     assert len(set(ks)) == 2  # x still discriminates
+
+
+def test_read_jsonl_infers_schema_without_rdd(spark, tmp_path):
+    """Prefix-stripped JSONL with NO explicit schema: the bounded-sample
+    schema_of_json inference must merge fields across lines (line 2
+    introduces `extra`) and parse everything via from_json — no RDD."""
+    from impc_etl_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "sp.jsonl"
+    p.write_text(
+        'STATPACKET: {"procedure": "IMPC_001", "p_value": 0.03}\n'
+        '\n'
+        'STATPACKET: {"procedure": "IMPC_002", "p_value": 0.9, "extra": "x"}\n'
+    )
+    df = read_jsonl(spark, str(p), strip_prefix_regex=r"^STATPACKET: ")
+    assert {"procedure", "p_value", "extra"} <= set(df.columns)
+    rows = {r["procedure"]: (r["p_value"], r["extra"])
+            for r in df.where(F.col("procedure").isNotNull()).collect()}
+    assert rows == {"IMPC_001": (0.03, None), "IMPC_002": (0.9, "x")}
+
+
+def test_mongo_write_option_map_pinned():
+    """No Mongo service exists here, but the connector option plumbing is
+    a pure function — pin it to the reference's connector config
+    (impc_bulk_api_mongo_load.py:55-66: write uri, database, collection,
+    majority write concern)."""
+    from impc_etl_spark.sources.sinks import mongo_write_options
+
+    opts = mongo_write_options(
+        "mongodb://host:27017", "impc", "gene_bundles"
+    )
+    assert opts == {
+        "spark.mongodb.write.uri": "mongodb://host:27017",
+        "database": "impc",
+        "collection": "gene_bundles",
+        "writeConcern.w": "majority",
+    }
+
+
+def test_mongo_document_shape_class_discriminator(spark):
+    from impc_etl_spark.sources.sinks import shape_mongo_documents
+
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    out = shape_mongo_documents(df, "org.mousephenotype.api.Gene")
+    rows = out.collect()
+    assert out.columns == ["k", "v", "_class"]
+    assert rows[0]["_class"] == "org.mousephenotype.api.Gene"

@@ -693,3 +693,63 @@ def test_additive_sinks_skip_replayed_batch(spark, tmp_path):
     cms2, bloom2 = read_sketch_store(spark, store)
     assert (sorted(map(tuple, cms2.collect())),
             sorted(map(tuple, bloom2.collect()))) == snap
+
+
+def test_asof_join_stream_late_left_within_watermark_matches(spark, tmp_path):
+    """Regression (r3 advice): a left arriving in a LATER micro-batch more
+    than `tolerance` behind its key's newest event — but inside the
+    watermark — must still match its nearest-prior right. The old
+    eviction horizon (per-key max event time - tolerance) dropped the
+    candidate right; the watermark-based horizon keeps it.
+
+    Timeline (seconds): clicks at 13000 and 20000 land in batch 1; the
+    purchase at 13500 lands in batch 2. After batch 1 the watermark is
+    20000 - 7200 = 12800, so the 13500 purchase is admissible, sits 6500s
+    (> 30 min tolerance) behind the key's max, and must match the 13000
+    click."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    import pyspark.sql.functions as F2
+
+    from impc_etl_spark.streaming.jobs import (
+        asof_join_stream, read_event_stream, run_available_now,
+    )
+
+    schema = ("event_id bigint, ts bigint, user_id bigint, "
+              "event_type string, value double, props string")
+    b1 = spark.createDataFrame(
+        [(100, 13_000, 7, "click", 2.5, "{}"),
+         (101, 20_000, 7, "click", 9.0, "{}")], schema,
+    ).withColumn("ts", F2.col("ts") * F2.lit(1_000_000_000))  # sec → ns
+    b2 = spark.createDataFrame(
+        [(200, 13_500, 7, "purchase", 1.0, "{}")], schema,
+    ).withColumn("ts", F2.col("ts") * F2.lit(1_000_000_000))
+
+    src = str(tmp_path / "late_src")
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+    flat = str(tmp_path / "late_flat")
+    os.makedirs(flat)
+    base = time.time() - 100
+    for i, f in enumerate(sorted(glob.glob(src + "/f*/part-*.parquet"))):
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))  # fix arrival order
+
+    es = read_event_stream(spark, flat, max_files_per_trigger=1)
+    stream = asof_join_stream(
+        es.where(F.col("event_type") == "purchase"),
+        es.where(F.col("event_type") == "click"),
+        key="user_id", tolerance="30 minutes", watermark="2 hours",
+    )
+    run_available_now(stream, "asof_late", str(tmp_path / "ckpt"),
+                      output_mode="append")
+    rows = spark.table("asof_late").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["left_id"] == 200
+    assert r["matched_value"] == 2.5           # the 13000s click, not null
+    assert r["matched_ts"] is not None
