@@ -426,3 +426,67 @@ def top_fraction_per_key(
     if out is not None:
         return kept.withColumnRenamed("__rank", out).drop("__n")
     return kept.drop("__rank", "__n")
+
+
+def priority_sample_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: str | Column,
+    n: int,
+    id_cols: Sequence[str],
+    salt: str = "",
+    priority_out: str | None = None,
+    est_weight_out: str | None = None,
+) -> DataFrame:
+    """Weighted-without-replacement sampling per key via PRIORITY SAMPLING
+    (Duffield, Lund & Thorup, JACM '07): each row gets priority
+    ``q = w / u`` with ``u`` a uniform in (0,1), and the top-``n``
+    priorities per key form the sample — heavier rows are proportionally
+    likelier, and with ``est_weight_out`` set each kept row also carries
+    ``max(w, τ)`` (τ = the (n+1)-th priority), the DLT estimator that
+    makes per-key subset-sum estimates UNBIASED from just the sample.
+
+    Determinism contract of this module: ``u`` derives from
+    ``hash_bucket(id_cols, salt)`` (``(bucket + 0.5) / NUM_BUCKETS`` — a
+    pure row function, never an RNG), so re-runs, repartitions, and other
+    engines reproduce the identical sample; the DuckDB oracle replays
+    ``w/u`` bit-for-bit because IEEE double division is exactly rounded.
+    Rows with weight ≤ 0 are excluded (they can never be sampled).
+
+    Scale: one shuffle on ``key_cols``. DLT only ever needs the top
+    ``n+1`` priorities per key (the sample plus τ), so the rank filter to
+    ``n+1`` comes FIRST — it plans as WindowGroupLimit, each mapper
+    pre-trimming to its local top-(n+1) before the exchange — and τ is a
+    second window function over the already-trimmed ≤(n+1)-row groups on
+    the SAME partitioning: no extra shuffle, no self-join, and hot keys
+    ship ~n rows per mapper instead of the whole stratum.
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (hash_bucket(list(id_cols), salt=salt) + F.lit(0.5)) / F.lit(
+        float(NUM_BUCKETS)
+    )
+    prio = w.cast("double") / u
+    ranked = df.where(w > 0).withColumn("__prio", prio)
+    order = Window.partitionBy(*key_cols).orderBy(
+        F.desc("__prio"), *[F.col(c) for c in id_cols]
+    )
+    ranked = (
+        ranked.withColumn("__rk", F.row_number().over(order))
+        .where(F.col("__rk") <= n + 1)
+    )
+    whole = Window.partitionBy(*key_cols)
+    ranked = ranked.withColumn(
+        "__tau",
+        F.max(F.when(F.col("__rk") == n + 1, F.col("__prio"))).over(whole),
+    )
+    out = ranked.where(F.col("__rk") <= n)
+    if est_weight_out:
+        out = out.withColumn(
+            est_weight_out,
+            F.greatest(w.cast("double"), F.coalesce("__tau", F.lit(0.0))),
+        )
+    if priority_out:
+        out = out.withColumn(priority_out, F.col("__prio"))
+    return out.drop("__prio", "__rk", "__tau")

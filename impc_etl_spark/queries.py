@@ -5758,3 +5758,83 @@ SELECT o_orderstatus,
        TRUE AS within_bounds
 FROM orders GROUP BY o_orderstatus
 """
+
+
+def docs_priority_sample(spark, sf_dir):
+    """Weighted per-stratum sampling via DLT priority sampling (Duffield–
+    Lund–Thorup '07): per language keep the 10 documents with the highest
+    priority w/u (w = n_chars, u = a deterministic md5-uniform), plus the
+    unbiased subset-sum estimator max(w, τ). Length-weighted corpus
+    subsampling whose totals remain estimable from the sample alone —
+    one window exchange, WindowGroupLimit pre-trim, no RNG (re-runs and
+    other engines reproduce the identical sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_ops.priority_sample_per_key(
+        docs.select("doc_id", "lang", "n_chars"),
+        ["lang"], "n_chars", 10, ["doc_id"], salt="ps",
+        priority_out="__p", est_weight_out="__e",
+    )
+    return out.select(
+        "lang", "doc_id", "n_chars",
+        _rnd("__p", 4).alias("priority"),
+        _rnd("__e", 4).alias("est_weight"),
+    )
+
+
+QUERIES["docs_priority_sample"] = docs_priority_sample
+
+ORACLE["docs_priority_sample"] = """
+WITH u AS (
+  SELECT lang, doc_id, n_chars,
+         ((CAST(concat('0x', substring(md5(concat_ws('|', 'ps', doc_id::VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000) + 0.5) / 10000.0 AS uu
+  FROM documents WHERE n_chars > 0),
+p AS (SELECT *, CAST(n_chars AS DOUBLE) / uu AS prio FROM u),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY prio DESC, doc_id) AS rk FROM p),
+t AS (SELECT lang, max(CASE WHEN rk = 11 THEN prio END) AS tau FROM r GROUP BY lang)
+SELECT r.lang, r.doc_id, r.n_chars,
+       floor(r.prio * 10000 + 0.5) / 10000 AS priority,
+       floor(greatest(CAST(r.n_chars AS DOUBLE), coalesce(t.tau, 0.0)) * 10000 + 0.5) / 10000 AS est_weight
+FROM r JOIN t USING (lang) WHERE r.rk <= 10
+"""
+
+
+def lineitem_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch for the 100 TB path: percentile_approx
+    (Greenwald–Khanna summaries — partial aggregates merge across
+    partitions/shards like every sketch in the family) per return flag,
+    in the SELF-CHECKING form: exact interpolated p50/p95 plus booleans
+    asserting the sketch landed inside the [p45,p55] / [p90,p99] exact
+    envelope (rank error at accuracy=10000 is ~0.01%, so the envelope is
+    generous) — an out-of-tolerance sketch hash-mismatches the oracle
+    instead of passing unexamined."""
+    li = _t(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+    )
+    exact = F.percentile(
+        "l_extendedprice",
+        F.array(*[F.lit(x) for x in (0.45, 0.5, 0.55, 0.9, 0.95, 0.99)]),
+    )
+    agg = li.groupBy("l_returnflag").agg(approx.alias("ap"), exact.alias("ex"))
+    ap = lambda i: F.element_at(F.col("ap"), i)
+    ex = lambda i: F.element_at(F.col("ex"), i)
+    return agg.select(
+        "l_returnflag",
+        _rnd(ex(2), 4).alias("p50_exact"),
+        _rnd(ex(5), 4).alias("p95_exact"),
+        ((ap(1) >= ex(1)) & (ap(1) <= ex(3))).alias("p50_ok"),
+        ((ap(2) >= ex(4)) & (ap(2) <= ex(6))).alias("p95_ok"),
+    )
+
+
+QUERIES["lineitem_quantile_sketch"] = lineitem_quantile_sketch
+
+ORACLE["lineitem_quantile_sketch"] = """
+SELECT l_returnflag,
+       floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS p50_exact,
+       floor(quantile_cont(l_extendedprice, 0.95) * 10000 + 0.5) / 10000 AS p95_exact,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM lineitem GROUP BY l_returnflag
+"""

@@ -2143,3 +2143,52 @@ def test_bloom_probe_duplicate_rows_and_cms_absent_items(spark):
     assert len(est) == 200                     # no probe item dropped
     assert min(est.values()) == 0              # absent cells count as 0
     assert all(v >= 0 for v in est.values())
+
+
+def test_priority_sample_per_key_matches_bruteforce(spark):
+    """DLT priority sampling: the kept set per key is exactly the top-n by
+    w/u (u = the deterministic md5-uniform), the estimator is max(w, tau)
+    with tau the (n+1)-th priority, zero-weight rows are excluded, and
+    the plan pre-trims via WindowGroupLimit over a single exchange."""
+    from impc_etl_spark.operators.sampling import (
+        NUM_BUCKETS, hash_bucket, priority_sample_per_key,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    n = 7
+    out = priority_sample_per_key(
+        docs, ["lang"], "n_chars", n, ["doc_id"], salt="t",
+        priority_out="prio", est_weight_out="est",
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["lang"], []).append((r["doc_id"], r["prio"], r["est"]))
+
+    # brute force: replicate u via the same hash_bucket expression
+    base = docs.withColumn(
+        "u", (hash_bucket(["doc_id"], salt="t") + F.lit(0.5)) / F.lit(float(NUM_BUCKETS))
+    ).collect()
+    want = {}
+    for r in base:
+        if r["n_chars"] > 0:
+            want.setdefault(r["lang"], []).append(
+                (r["n_chars"] / r["u"], r["doc_id"], float(r["n_chars"]))
+            )
+    assert set(got) == set(want)
+    for lang, rows in want.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        tau = rows[n][0] if len(rows) > n else 0.0
+        exp = sorted((d, round(p, 6), round(max(w, tau), 6))
+                     for p, d, w in rows[:n])
+        assert sorted((d, round(p, 6), round(e, 6))
+                      for d, p, e in got[lang]) == exp, lang
+
+    # plan: WindowGroupLimit pre-trim, exactly one exchange (AQE's
+    # toString repeats the plan under an "Initial Plan" section — only
+    # the final section counts)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "WindowGroupLimit" in final
+    assert final.count("Exchange") == 1
