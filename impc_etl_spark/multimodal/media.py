@@ -56,9 +56,11 @@ def _decode_stub(kind: str):
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Decode an image payload to (width, height, pixels). STUB: real
-    decode needs PIL, which is intentionally not a dependency here."""
+def decode_image(payload: bytes):
+    """Decode an image payload to (width, height, pixels): PIL when
+    importable (any format), else the pure-stdlib ``decode_png`` path for
+    PNG payloads; non-PNG formats without PIL raise the honest stub error
+    (JPEG/WebP decode genuinely needs a codec library)."""
     try:
         from PIL import Image  # type: ignore[import-not-found]
         import io
@@ -66,6 +68,10 @@ def decode_image(payload: bytes):  # pragma: no cover - stub
         img = Image.open(io.BytesIO(payload))
         return img.width, img.height, img
     except ImportError:
+        decoded = decode_png(payload)
+        if decoded is not None:
+            w, h, _mode, samples = decoded
+            return w, h, samples
         _decode_stub("image")
 
 

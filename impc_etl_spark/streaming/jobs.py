@@ -435,10 +435,14 @@ def upsert_sink(
     (``v<batch_id>``) and then flips the ``_CURRENT`` pointer with an
     atomic rename — the previous version is never modified, so a crash
     mid-write leaves the store readable at its last committed version and
-    checkpoint replay re-runs the same batch id idempotently (overwriting
-    the orphaned version dir before re-flipping). Only a MISSING pointer
-    is treated as "first batch"; any other store-read failure aborts the
-    query loudly instead of silently rebuilding from one micro-batch.
+    checkpoint replay re-runs the same batch id safely: a crash BEFORE
+    the flip leaves an orphaned version dir that the re-run simply
+    overwrites, and a crash AFTER the flip (pointer at ``v<batch_id>``
+    but checkpoint uncommitted) is detected and SKIPPED — the committed
+    version already is this batch's result, and re-merging would read
+    and overwrite the same directory. Only a MISSING pointer is treated
+    as "first batch"; any other store-read failure aborts the query
+    loudly instead of silently rebuilding from one micro-batch.
     Version dirs older than the previous one are garbage-collected after
     each flip. The pointer rename is atomic on POSIX filesystems; on
     object stores, front it with a rename/commit layer or use a table
@@ -463,6 +467,11 @@ def upsert_sink(
         from pyspark.sql import Window
 
         current = current_store_path(store_dir)
+        # crash-after-flip replay: the committed version IS this batch's
+        # result — re-merging would lazily read v<batch_id> while
+        # overwriting the same directory (self-overwrite); skip instead
+        if _batch_already_committed(current, batch_id):
+            return
         if op_col is not None:
             store_cols = [c for c in batch_df.columns if c != op_col]
             snapshot = (
@@ -544,6 +553,10 @@ def scd2_sink(
     def do_merge(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(*keys, F.col(ts_col), *attr_cols, *tb)
         current = current_store_path(store_dir)
+        # crash-after-flip replay guard (see upsert_sink): v<batch_id>
+        # already contains this batch; re-merging would self-overwrite
+        if _batch_already_committed(current, batch_id):
+            return
         if current is None:
             rebuilt = scd2_build(batch, keys, ts_col, attr_cols, tb)
             _commit_version(store_dir, rebuilt.select(*out_cols), batch_id, None)
@@ -629,6 +642,11 @@ def dedup_ingest_sink(
 
     def do_ingest(batch_df: DataFrame, batch_id: int) -> None:
         current = current_store_path(store_dir)
+        # crash-after-flip replay guard (see upsert_sink): the committed
+        # v<batch_id> already holds this batch's survivors; re-running
+        # would read and overwrite the same directory
+        if _batch_already_committed(current, batch_id):
+            return
         # in-batch exact dedup: keep min id per fingerprint (same
         # semantics as dedup.exact_dedup but retaining full rows)
         from impc_etl_spark.operators.text import fingerprint

@@ -248,3 +248,21 @@ def test_decode_image_features_end_to_end(spark):
     r99 = got[99]
     assert r99["width"] is None and r99["img_mode"] is None
     assert r99["mean_luminance"] is None
+
+
+def test_decode_image_native_png_path():
+    """decode_image falls back to the stdlib PNG decoder when PIL is
+    absent (and still raises the stub error for non-PNG payloads)."""
+    import hashlib
+
+    from impc_etl_spark.multimodal.media import _png_gray, decode_image
+
+    try:
+        import PIL  # noqa: F401
+        import pytest as _pytest
+        _pytest.skip("PIL present; native fallback not exercised")
+    except ImportError:
+        pass
+    digest = hashlib.md5(b"xyz").digest()
+    w, h, samples = decode_image(_png_gray(digest, 4, 4))
+    assert (w, h) == (4, 4) and bytes(samples) == digest

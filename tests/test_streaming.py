@@ -753,3 +753,79 @@ def test_asof_join_stream_late_left_within_watermark_matches(spark, tmp_path):
     assert r["left_id"] == 200
     assert r["matched_value"] == 2.5           # the 13000s click, not null
     assert r["matched_ts"] is not None
+
+
+def test_upsert_sink_crash_after_flip_replay_is_skipped(spark, tmp_path):
+    """Crash-after-flip recovery: the _CURRENT pointer already names
+    v<batch_id> but the streaming checkpoint never committed the batch —
+    restart replays the SAME batch id. The sink must detect the committed
+    version and skip (re-merging would lazily read v<batch_id> while
+    overwriting that same directory). Simulated by wiping the checkpoint
+    after a successful drain: the fresh query re-delivers the source as
+    batch 0 while the store pointer already names v0 — exactly the state
+    a crash between pointer flip and checkpoint commit leaves behind."""
+    import shutil
+
+    from impc_etl_spark.streaming.jobs import read_store, upsert_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(k, f"v{k}", 100) for k in range(1, 21)], "k long, v string, ts long"
+    ).coalesce(1).write.parquet(str(tmp_path / "w"))
+    for f in (tmp_path / "w").glob("*.parquet"):
+        shutil.copy(f, src / "wave.parquet")
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    def run():
+        upsert_sink(
+            spark.readStream.schema("k long, v string, ts long").parquet(str(src)),
+            store, keys=["k"], checkpoint_dir=ckpt, dedup_order=["ts"],
+        )
+
+    run()
+    before = sorted(map(tuple, read_store(spark, store).collect()))
+    assert len(before) == 20
+
+    # simulate crash AFTER the pointer flip but BEFORE the checkpoint
+    # commit: wipe the checkpoint so restart re-delivers batch 0
+    shutil.rmtree(ckpt)
+    run()  # replays batch 0 with the same id — must skip, not self-overwrite
+    after = sorted(map(tuple, read_store(spark, store).collect()))
+    assert after == before
+
+
+def test_dedup_ingest_sink_crash_after_flip_replay_is_skipped(spark, tmp_path):
+    """Same crash-after-flip simulation for the dedup ingest sink: the
+    replayed batch must leave the committed store byte-identical (no
+    doubled docs, no self-overwrite failure)."""
+    import shutil
+
+    from impc_etl_spark.streaming.jobs import dedup_ingest_sink, read_store
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "dw"))
+    for f in (tmp_path / "dw").glob("*.parquet"):
+        shutil.copy(f, src / "docs.parquet")
+
+    store, ckpt = str(tmp_path / "dstore"), str(tmp_path / "dckpt")
+
+    def run():
+        dedup_ingest_sink(
+            spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+            store, checkpoint_dir=ckpt,
+        )
+
+    run()
+    before = sorted(r["doc_id"] for r in read_store(spark, store).collect())
+    assert before == [1, 2]  # in-batch exact dup (3) collapsed
+
+    shutil.rmtree(ckpt)
+    run()
+    after = sorted(r["doc_id"] for r in read_store(spark, store).collect())
+    assert after == before
