@@ -200,3 +200,63 @@ def rolling_zscore(
     return df.withColumn(out, z).withColumn(
         "is_anomaly", F.coalesce(F.abs(F.col(out)) > threshold, F.lit(False))
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    out: str = "ewma",
+    tiebreak_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the canonical
+    LINEAR RECURRENCE (``e_t = α·v_t + (1-α)·e_{t-1}``, seeded
+    ``e_0 = v_0``) that windowed aggregates cannot express: every output
+    depends on the entire prefix, and the weight product overflows any
+    sum-of-transformed-terms rewrite for long series. The sanctioned
+    custom-op escape hatch applies: one shuffle on ``key_cols``, then an
+    Arrow-batched ``applyInPandas`` computes each key's series with an
+    O(n) vectorized pandas ``ewm`` pass — per-group memory is one key's
+    series (bounded: per-entity event history, never the whole corpus;
+    10⁶-row series ≈ 16 MB).
+
+    Ordering inside a key is (ts, tiebreak_cols) ascending and must be
+    total for determinism — pass ``tiebreak_cols`` when timestamps can
+    collide. Output: the input columns plus ``out``.
+
+    Cross-engine determinism: the recurrence is evaluated literally as
+    ``α·v + (1−α)·e`` with ``1−α`` computed (not a rounded literal), the
+    exact double operations an oracle's recursive CTE performs — pandas'
+    ``ewm`` is NOT used because its weight normalization differs in the
+    last ulp, which surfaces as rounding flips at scale.
+    """
+    import pandas as pd
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    tb = list(tiebreak_cols or [])
+    sort_cols = [ts_col, *tb]
+    in_cols = df.columns
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out}` double"
+    beta = 1.0 - alpha
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        vals = pdf[value_col].astype("float64").to_list()
+        acc = []
+        e = None
+        for v in vals:
+            e = v if e is None else alpha * v + beta * e
+            acc.append(e)
+        pdf[out] = acc
+        return pdf
+
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .applyInPandas(compute, schema=schema_ddl)
+        .select(*in_cols, out)
+    )

@@ -5838,3 +5838,94 @@ SELECT l_returnflag,
        TRUE AS p95_ok
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+def events_value_ewma(spark, sf_dir):
+    """Per-user exponentially weighted moving average of event values
+    (α = 0.3) — the canonical linear recurrence no windowed aggregate can
+    express (every output depends on the whole prefix), implemented as
+    the sanctioned custom stateful op: one shuffle on the key, then an
+    Arrow-batched applyInPandas pass per user series
+    (``timeseries.ewma``). The oracle replays the recurrence with a
+    recursive CTE; both sides evaluate literally α·v + (1−α)·e with
+    computed 1−α, so the doubles agree bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    out = ts_ops.ewma(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["user_id"], "ts", "value", alpha=0.3,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", _rnd("ewma", 6).alias("ewma")
+    )
+
+
+QUERIES["events_value_ewma"] = events_value_ewma
+
+ORACLE["events_value_ewma"] = """
+WITH RECURSIVE o AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+walk(user_id, rn, event_id, e) AS (
+  SELECT user_id, rn, event_id, CAST(value AS DOUBLE) FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.event_id, 0.3 * o.value + (1.0 - 0.3) * w.e
+  FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1)
+SELECT event_id, user_id, floor(e * 1000000 + 0.5) / 1000000 AS ewma
+FROM walk
+"""
+
+
+def orders_status_overlap_hll(spark, sf_dir):
+    """Sketch SET ALGEBRA: distinct customers appearing in BOTH order
+    statuses 'F' and 'O', estimated from three HLL sketches by
+    inclusion–exclusion (|A∩B| = |A|+|B|−|A∪B|) — the standard way to
+    intersect distinct-count sketches, since HLLs union natively but
+    cannot intersect. Self-checking form (same pattern as
+    orders_approx_distinct): the exact overlap plus a boolean asserting
+    the estimate landed within 3·rsd of the three terms' combined error
+    budget, so a broken estimator hash-mismatches the oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    ca = F.col("o_orderstatus") == "F"
+    cb = F.col("o_orderstatus") == "O"
+    c = F.col("o_custkey")
+    per = orders.groupBy("o_custkey").agg(
+        F.max(ca.cast("int")).alias("fa"),
+        F.max(cb.cast("int")).alias("fb"),
+    )
+    exact = per.agg(
+        F.sum(F.when(F.col("fa") + F.col("fb") == 2, 1).otherwise(0))
+        .cast("bigint").alias("n_exact_overlap"),
+        F.sum("fa").cast("bigint").alias("na"),
+        F.sum("fb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+    )
+    est = orders.agg(
+        F.approx_count_distinct(F.when(ca, c), 0.02).alias("ea"),
+        F.approx_count_distinct(F.when(cb, c), 0.02).alias("eb"),
+        F.approx_count_distinct(F.when(ca | cb, c), 0.02).alias("eu"),
+    )
+    j = exact.crossJoin(est)  # 1×1 rows — trivially safe
+    budget = (F.col("na") + F.col("nb") + F.col("nu")) * 0.06 + F.lit(1)
+    return j.select(
+        "n_exact_overlap",
+        (
+            F.abs(F.col("ea") + F.col("eb") - F.col("eu")
+                  - F.col("n_exact_overlap")) <= budget
+        ).alias("within_bounds"),
+    )
+
+
+QUERIES["orders_status_overlap_hll"] = orders_status_overlap_hll
+
+ORACLE["orders_status_overlap_hll"] = """
+WITH per AS (
+  SELECT o_custkey,
+         max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fa,
+         max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS fb
+  FROM orders GROUP BY o_custkey)
+SELECT CAST(sum(CASE WHEN fa + fb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_overlap,
+       TRUE AS within_bounds
+FROM per
+"""

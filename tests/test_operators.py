@@ -2192,3 +2192,40 @@ def test_priority_sample_per_key_matches_bruteforce(spark):
     final = plan.split("Initial Plan")[0]
     assert "WindowGroupLimit" in final
     assert final.count("Exchange") == 1
+
+
+def test_ewma_matches_reference_recurrence(spark):
+    """ewma equals the hand-computed recurrence per key regardless of
+    input partitioning/order, and rejects out-of-range alpha."""
+    import pytest as _pytest
+
+    from impc_etl_spark.operators.timeseries import ewma
+
+    rows = [
+        # (event_id, user_id, ts, value) — deliberately shuffled order
+        (3, 1, 30, 7.0), (1, 1, 10, 2.0), (2, 1, 20, 4.0),
+        (5, 2, 10, 10.0), (4, 2, 5, 1.0),
+        (6, 3, 1, -3.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    ).repartition(7)
+    out = ewma(df, ["user_id"], "ts", "value", alpha=0.25,
+               tiebreak_cols=["event_id"])
+    got = {r["event_id"]: r["ewma"] for r in out.collect()}
+
+    want = {}
+    a, b = 0.25, 1.0 - 0.25
+    for uid, series in {
+        1: [(1, 2.0), (2, 4.0), (3, 7.0)],
+        2: [(4, 1.0), (5, 10.0)],
+        3: [(6, -3.5)],
+    }.items():
+        e = None
+        for eid, v in series:
+            e = v if e is None else a * v + b * e
+            want[eid] = e
+    assert got == want
+
+    with _pytest.raises(ValueError, match="alpha"):
+        ewma(df, ["user_id"], "ts", "value", alpha=0.0)

@@ -35,6 +35,7 @@ BNL_ALLOWED = {
     "docs_strip_boilerplate",  # cross join with a broadcast 1-ROW corpus-docs count
     "nation_trade_pagerank",  # cross joins with broadcast 1-ROW N / dangling-mass frames
     "docs_importance_resample",  # cross join with a broadcast 1-ROW (N_raw, N_target) totals frame
+    "orders_status_overlap_hll",  # cross join of two 1-ROW aggregate frames (exact × HLL)
 }
 
 
