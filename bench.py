@@ -77,10 +77,14 @@ def main() -> int:
     for name in names:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(reps):
+        done = 0
+        # sub-second queries are scheduler-noise dominated: give them up
+        # to 2 extra reps (they're cheap) so the reported min stabilizes
+        while done < reps or (best < 1.0 and done < reps + 2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
+            done += 1
         timings[name] = round(best, 3)
         total += best
 
