@@ -5929,3 +5929,13 @@ SELECT CAST(sum(CASE WHEN fa + fb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_o
        TRUE AS within_bounds
 FROM per
 """
+
+
+# Round-4 late rotation: the four operators ADDED this round get driver
+# evidence this round (displacing multi-round-green entries whose
+# families stay represented in-window; everything displaced remains
+# locally oracle-checked every test run).
+_promote("events_value_ewma", "supplier_rule_calls")        # A9 twin stays via stats_results_mart
+_promote("docs_priority_sample", "docs_bm25_search")        # text family keeps lang_id/pack/minhash
+_promote("lineitem_quantile_sketch", "customer_order_rollup")  # A-family keeps A3/A5/A8
+_promote("orders_status_overlap_hll", "emb_semantic_dedup")    # emb family keeps cosine/ann

@@ -838,3 +838,78 @@ def incremental_agg_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def ewma_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-key EWMA — the online-feature twin of
+    ``timeseries.ewma``: the exponentially weighted average is a linear
+    recurrence whose state is ONE number per key, so
+    ``applyInPandasWithState`` carries (e, last_ts) across micro-batches
+    and each event emits its smoothed value the moment it arrives.
+    Within a micro-batch rows are processed in EVENT-time order (id
+    tiebreak), so intra-batch arrival order never matters; across
+    batches, an event older than its key's last PROCESSED event time
+    cannot be integrated without rewriting already-emitted outputs and
+    is dropped with a NULL ewma — the same append-only late-data
+    contract as ``scd2_sink`` (batch ``ewma`` over the stored history is
+    the exact backfill twin when late data matters; the recurrence uses
+    the identical literal α·v + (1−α)·e doubles, so in-order replay
+    matches bit-for-bit).
+
+    Output: (key, event_id, ts, value, ewma). State per key is O(1) —
+    bounded regardless of stream length or rate.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    beta = 1.0 - alpha
+    src = events.withWatermark("ts", watermark).select(
+        F.col(key).alias("k"), "event_id", "ts",
+        F.col(value_col).cast("double").alias("v"),
+    )
+
+    def update(kt, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            e, last_us, seen = state.get
+        else:
+            e, last_us, seen = 0.0, -(1 << 62), False
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            yield pd.DataFrame(columns=["k", "event_id", "ts", "v", "ewma"])
+            return
+        batch = pd.concat(batches, ignore_index=True)
+        batch["__us"] = batch["ts"].astype("datetime64[us]").astype("int64")
+        batch = batch.sort_values(["__us", "event_id"], kind="mergesort")
+        out = []
+        for us, v in zip(batch["__us"], batch["v"]):
+            if us < last_us:
+                out.append(None)  # late beyond state: dropped, not rewritten
+                continue
+            e = v if not seen else alpha * v + beta * e
+            seen = True
+            last_us = us
+            out.append(e)
+        batch["ewma"] = pd.array(out, dtype="float64")
+        state.update((float(e), int(last_us), bool(seen)))
+        yield batch.drop(columns=["__us"])
+
+    out = src.groupBy("k").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "k bigint, event_id bigint, ts timestamp, v double, ewma double"
+        ),
+        stateStructType="e double, last_us bigint, seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        F.col("k").alias(key), "event_id", "ts",
+        F.col("v").alias(value_col), "ewma",
+    )

@@ -829,3 +829,64 @@ def test_dedup_ingest_sink_crash_after_flip_replay_is_skipped(spark, tmp_path):
     run()
     after = sorted(r["doc_id"] for r in read_store(spark, store).collect())
     assert after == before
+
+
+def test_ewma_stream_matches_batch_and_drops_late(spark, tmp_path):
+    """In-order two-batch drain of the streaming EWMA equals the batch
+    timeseries.ewma twin bit-for-bit; an event arriving in a later batch
+    with ts behind its key's last processed event emits a NULL ewma
+    (append-only late contract) without disturbing the live recurrence."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    import pyspark.sql.functions as F2
+
+    from impc_etl_spark.operators.timeseries import ewma
+    from impc_etl_spark.streaming.jobs import (
+        ewma_stream, read_event_stream, run_available_now,
+    )
+
+    schema = ("event_id bigint, ts bigint, user_id bigint, "
+              "event_type string, value double, props string")
+    b1 = spark.createDataFrame(
+        [(1, 100, 7, "m", 2.0, "{}"),
+         (2, 200, 7, "m", 4.0, "{}"),
+         (3, 100, 8, "m", 10.0, "{}")], schema,
+    ).withColumn("ts", F2.col("ts") * F2.lit(1_000_000_000))
+    b2 = spark.createDataFrame(
+        [(4, 300, 7, "m", 8.0, "{}"),
+         (5, 150, 7, "m", 99.0, "{}"),   # LATE: behind key 7's last (200)
+         (6, 400, 8, "m", 20.0, "{}")], schema,
+    ).withColumn("ts", F2.col("ts") * F2.lit(1_000_000_000))
+
+    src = str(tmp_path / "esrc")
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+    flat = str(tmp_path / "eflat")
+    os.makedirs(flat)
+    base = time.time() - 100
+    for i, f in enumerate(sorted(glob.glob(src + "/f*/part-*.parquet"))):
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    stream = ewma_stream(read_event_stream(spark, flat, max_files_per_trigger=1),
+                         alpha=0.3)
+    run_available_now(stream, "ewma_s", str(tmp_path / "eckpt"),
+                      output_mode="append")
+    got = {r["event_id"]: r["ewma"] for r in spark.table("ewma_s").collect()}
+    assert len(got) == 6
+    assert got[5] is None                      # late event: dropped, not folded
+
+    # batch twin over the SAME in-order events (late one excluded)
+    all_ev = spark.read.parquet(flat).where(F2.col("event_id") != 5).select(
+        "event_id", "user_id",
+        F2.expr("timestamp_micros(ts div 1000)").alias("ts"), "value",
+    )
+    want = {r["event_id"]: r["ewma"]
+            for r in ewma(all_ev, ["user_id"], "ts", "value", alpha=0.3,
+                          tiebreak_cols=["event_id"]).collect()}
+    for eid, v in want.items():
+        assert got[eid] == v, (eid, got[eid], v)  # bit-exact parity
