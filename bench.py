@@ -79,8 +79,9 @@ def main() -> int:
         best = float("inf")
         done = 0
         # sub-second queries are scheduler-noise dominated: give them up
-        # to 2 extra reps (they're cheap) so the reported min stabilizes
-        while done < reps or (best < 1.0 and done < reps + 2):
+        # to 2 extra reps (they're cheap) so the reported min stabilizes;
+        # reps=1 keeps strict single-shot semantics (no extras)
+        while done < reps or (reps > 1 and best < 1.0 and done < reps + 2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

@@ -57,21 +57,25 @@ def _decode_stub(kind: str):
 
 
 def decode_image(payload: bytes):
-    """Decode an image payload to (width, height, pixels): PIL when
-    importable (any format), else the pure-stdlib ``decode_png`` path for
-    PNG payloads; non-PNG formats without PIL raise the honest stub error
-    (JPEG/WebP decode genuinely needs a codec library)."""
+    """Decode an image payload to (width, height, samples) with
+    ``samples`` the raw channel bytes in scan order ON EITHER PATH — PIL
+    when importable (any format; ``img.tobytes()``), else the
+    pure-stdlib ``decode_png`` path for PNG payloads — so numeric code
+    over the result behaves identically on a heterogeneous cluster where
+    only some workers have PIL. Non-PNG formats without PIL raise the
+    honest stub error (JPEG/WebP decode genuinely needs a codec
+    library)."""
     try:
         from PIL import Image  # type: ignore[import-not-found]
         import io
 
         img = Image.open(io.BytesIO(payload))
-        return img.width, img.height, img
+        return img.width, img.height, img.tobytes()
     except ImportError:
         decoded = decode_png(payload)
         if decoded is not None:
             w, h, _mode, samples = decoded
-            return w, h, samples
+            return w, h, bytes(samples)
         _decode_stub("image")
 
 
@@ -481,6 +485,8 @@ def decode_png(payload: bytes) -> tuple[int, int, str, bytearray] | None:
                 )
                 if depth != 8 or ilace != 0 or comp != 0 or filt != 0:
                     return None
+                if width == 0 or height == 0:  # degenerate: no pixels
+                    return None
                 if ctype not in _PNG_MODES:
                     return None
                 mode, bpp = _PNG_MODES[ctype]
@@ -562,7 +568,13 @@ def decode_image_features(df: DataFrame, content_col: str = "content") -> DataFr
                     decoded = decode_png(raw)
                     if decoded is not None:
                         w, h, mode, samples = decoded
-                        lum = sum(samples) / len(samples)
+                        # decode_png rejects 0×0 images, so samples is
+                        # non-empty; guard anyway — this branch must NEVER
+                        # throw (one hostile payload would kill the scan)
+                        try:
+                            lum = sum(samples) / len(samples)
+                        except Exception:
+                            w = h = mode = lum = None
                 ws.append(w)
                 hs.append(h)
                 modes.append(mode)

@@ -5899,7 +5899,8 @@ def orders_status_overlap_hll(spark, sf_dir):
         .cast("bigint").alias("n_exact_overlap"),
         F.sum("fa").cast("bigint").alias("na"),
         F.sum("fb").cast("bigint").alias("nb"),
-        F.count(F.lit(1)).cast("bigint").alias("nu"),
+        F.sum(F.when(F.col("fa") + F.col("fb") >= 1, 1).otherwise(0))
+        .cast("bigint").alias("nu"),
     )
     est = orders.agg(
         F.approx_count_distinct(F.when(ca, c), 0.02).alias("ea"),

@@ -391,18 +391,63 @@ def read_store(spark, store_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _checkpoint_query_id(checkpoint_dir: str) -> str | None:
+    """The streaming query's STABLE id from the checkpoint's metadata file
+    (written at query start, persisted across restarts of the same
+    checkpoint; a fresh checkpoint mints a new id). This is the
+    discriminator that tells a crash-after-flip REPLAY (same checkpoint,
+    same batch id) apart from a DIFFERENT query run that merely reuses
+    batch id 0 (new checkpoint over an existing store)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return json.load(f).get("id")
+    except Exception:
+        return None
+
+
+def _version_meta(version_dir: str) -> dict:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(version_dir, "_COMMIT_META.json")) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
 def _commit_version(
-    store_dir: str, merged: DataFrame, batch_id: int, current: str | None
+    store_dir: str,
+    merged: DataFrame,
+    batch_id: int,
+    current: str | None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Write ``merged`` as version ``v<batch_id>`` and flip the _CURRENT
-    pointer atomically (shared by the upsert and SCD2 sinks); GC version
-    dirs older than the previous one."""
+    pointer atomically (shared by every versioned-store sink); GC version
+    dirs older than the previous one. Each version carries a
+    ``_COMMIT_META.json`` marker (underscore-prefixed: invisible to
+    parquet readers) recording (query id, batch id) for the replay guard.
+    If the natural name collides with the CURRENT version (a different
+    query reusing a batch id), an ``r<n>`` suffix is chosen so the merge
+    never reads and overwrites the same directory."""
+    import json
     import os
     import shutil
 
     version = f"v{batch_id}"
+    n = 0
+    while current is not None and version == os.path.basename(current):
+        n += 1
+        version = f"v{batch_id}r{n}"
     new_dir = os.path.join(store_dir, version)
     merged.write.mode("overwrite").parquet(new_dir)
+    qid = _checkpoint_query_id(checkpoint_dir) if checkpoint_dir else None
+    with open(os.path.join(new_dir, "_COMMIT_META.json"), "w") as f:
+        json.dump({"query_id": qid, "batch_id": batch_id}, f)
     ptr, tmp_ptr = _store_pointer(store_dir), _store_pointer(store_dir) + ".tmp"
     with open(tmp_ptr, "w") as f:
         f.write(version)
@@ -470,7 +515,7 @@ def upsert_sink(
         # crash-after-flip replay: the committed version IS this batch's
         # result — re-merging would lazily read v<batch_id> while
         # overwriting the same directory (self-overwrite); skip instead
-        if _batch_already_committed(current, batch_id):
+        if _batch_already_committed(current, batch_id, checkpoint_dir):
             return
         if op_col is not None:
             store_cols = [c for c in batch_df.columns if c != op_col]
@@ -504,7 +549,7 @@ def upsert_sink(
                 if current is None
                 else merge_upsert(spark.read.parquet(current), updates, keys)
             )
-        _commit_version(store_dir, merged, batch_id, current)
+        _commit_version(store_dir, merged, batch_id, current, checkpoint_dir)
 
     q = (
         stream_df.writeStream.foreachBatch(do_merge)
@@ -555,11 +600,11 @@ def scd2_sink(
         current = current_store_path(store_dir)
         # crash-after-flip replay guard (see upsert_sink): v<batch_id>
         # already contains this batch; re-merging would self-overwrite
-        if _batch_already_committed(current, batch_id):
+        if _batch_already_committed(current, batch_id, checkpoint_dir):
             return
         if current is None:
             rebuilt = scd2_build(batch, keys, ts_col, attr_cols, tb)
-            _commit_version(store_dir, rebuilt.select(*out_cols), batch_id, None)
+            _commit_version(store_dir, rebuilt.select(*out_cols), batch_id, None, checkpoint_dir)
             return
         store = spark.read.parquet(current)
         affected = batch.select(*keys).distinct()
@@ -589,7 +634,7 @@ def scd2_sink(
             .select(*out_cols)
         )
         merged = untouched.unionByName(rebuilt.select(*out_cols))
-        _commit_version(store_dir, merged, batch_id, current)
+        _commit_version(store_dir, merged, batch_id, current, checkpoint_dir)
 
     q = (
         stream_df.writeStream.foreachBatch(do_merge)
@@ -645,7 +690,7 @@ def dedup_ingest_sink(
         # crash-after-flip replay guard (see upsert_sink): the committed
         # v<batch_id> already holds this batch's survivors; re-running
         # would read and overwrite the same directory
-        if _batch_already_committed(current, batch_id):
+        if _batch_already_committed(current, batch_id, checkpoint_dir):
             return
         # in-batch exact dedup: keep min id per fingerprint (same
         # semantics as dedup.exact_dedup but retaining full rows)
@@ -670,7 +715,7 @@ def dedup_ingest_sink(
             merged = store.unionByName(batch)
         else:
             merged = batch
-        _commit_version(store_dir, merged, batch_id, current)
+        _commit_version(store_dir, merged, batch_id, current, checkpoint_dir)
 
     q = (
         stream_df.writeStream.foreachBatch(do_ingest)
@@ -712,8 +757,12 @@ def sketch_sink(
     batch-id idempotency guard: foreachBatch is at-least-once, and unlike
     the upsert sink's key-replace merge a SUM-merge is NOT naturally
     idempotent — so if the committed version already carries this batch's
-    id (crash after flip, before checkpoint commit), the replay is
-    skipped instead of double-counted. Read with ``read_sketch_store``.
+    (query id, batch id) pair (crash after flip, before checkpoint
+    commit), the replay is skipped instead of double-counted. A NEW query
+    (fresh checkpoint) over the same store is deliberately NOT skipped:
+    reprocessing the same source through a new query re-adds its counts,
+    which is what "reprocess everything" means for an additive sketch —
+    start a fresh store to rebuild. Read with ``read_sketch_store``.
     """
     from impc_etl_spark.operators.aggregate import (
         bloom_bit_counts,
@@ -736,12 +785,12 @@ def sketch_sink(
             )
         )
         current = current_store_path(store_dir)
-        if _batch_already_committed(current, batch_id):
+        if _batch_already_committed(current, batch_id, checkpoint_dir):
             return
         if current is not None:
             fresh = fresh.unionByName(spark.read.parquet(current))
         merged = fresh.groupBy("kind", "a", "b").agg(F.sum("n").alias("n"))
-        _commit_version(store_dir, merged, batch_id, current)
+        _commit_version(store_dir, merged, batch_id, current, checkpoint_dir)
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)
@@ -752,15 +801,34 @@ def sketch_sink(
     q.awaitTermination()
 
 
-def _batch_already_committed(current: str | None, batch_id: int) -> bool:
-    """True when the committed store version already carries this batch id
-    — an at-least-once replay after the pointer flip. Additive merges
-    (sum counters, sum partials) MUST skip it or they double-count; the
-    version dir is named ``v<batch_id>``, so the check is just the
-    pointer's basename."""
+def _batch_already_committed(
+    current: str | None, batch_id: int, checkpoint_dir: str | None = None
+) -> bool:
+    """True when the committed store version is THIS query's commit of
+    THIS batch id — an at-least-once replay after the pointer flip.
+    Additive merges (sum counters, sum partials) MUST skip it or they
+    double-count; key-replace merges must skip it or they read and
+    overwrite the same directory. The check compares the version's
+    ``_COMMIT_META.json`` (query id + batch id) against the live
+    checkpoint's query id, so a DIFFERENT query that merely reuses batch
+    id 0 over an existing store (fresh checkpoint — its data is genuinely
+    new) is NOT mistaken for a replay. Falls back to the basename
+    heuristic for stores committed before the marker existed."""
     import os
 
-    return current is not None and os.path.basename(current) == f"v{batch_id}"
+    if current is None:
+        return False
+    meta = _version_meta(current)
+    if meta:
+        if meta.get("batch_id") != batch_id:
+            return False
+        stored = meta.get("query_id")
+        live = _checkpoint_query_id(checkpoint_dir) if checkpoint_dir else None
+        # same batch id: a replay iff the same query committed it (treat
+        # unknown identity as a replay — the conservative, self-overwrite-
+        # safe side; _commit_version's r-suffix keeps even that path safe)
+        return stored is None or live is None or stored == live
+    return os.path.basename(current) == f"v{batch_id}"
 
 
 def read_sketch_store(spark, store_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -821,7 +889,7 @@ def incremental_agg_sink(
             for out, (fn, src) in aggs.items()
         ])
         current = current_store_path(store_dir)
-        if _batch_already_committed(current, batch_id):
+        if _batch_already_committed(current, batch_id, checkpoint_dir):
             return
         if current is not None:
             partial = partial.unionByName(spark.read.parquet(current))
@@ -829,7 +897,7 @@ def incremental_agg_sink(
             getattr(F, MERGEABLE_AGGS[fn])(out).alias(out)
             for out, (fn, _src) in aggs.items()
         ])
-        _commit_version(store_dir, merged, batch_id, current)
+        _commit_version(store_dir, merged, batch_id, current, checkpoint_dir)
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)
@@ -854,9 +922,9 @@ def ewma_stream(
     and each event emits its smoothed value the moment it arrives.
     Within a micro-batch rows are processed in EVENT-time order (id
     tiebreak), so intra-batch arrival order never matters; across
-    batches, an event older than its key's last PROCESSED event time
-    cannot be integrated without rewriting already-emitted outputs and
-    is dropped with a NULL ewma — the same append-only late-data
+    batches, an event at or before its key's last PROCESSED (event time,
+    event id) cannot be integrated without rewriting already-emitted
+    outputs and is dropped with a NULL ewma — the same append-only late-data
     contract as ``scd2_sink`` (batch ``ewma`` over the stored history is
     the exact backfill twin when late data matters; the recurrence uses
     the identical literal α·v + (1−α)·e doubles, so in-order replay
@@ -867,6 +935,8 @@ def ewma_stream(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if not 0.0 < alpha <= 1.0:  # same contract as the batch twin
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     beta = 1.0 - alpha
     src = events.withWatermark("ts", watermark).select(
         F.col(key).alias("k"), "event_id", "ts",
@@ -877,9 +947,9 @@ def ewma_stream(
         import pandas as pd
 
         if state.exists:
-            e, last_us, seen = state.get
+            e, last_us, last_id, seen = state.get
         else:
-            e, last_us, seen = 0.0, -(1 << 62), False
+            e, last_us, last_id, seen = 0.0, -(1 << 62), -(1 << 62), False
         batches = [pdf for pdf in pdfs if len(pdf)]
         if not batches:
             yield pd.DataFrame(columns=["k", "event_id", "ts", "v", "ewma"])
@@ -888,16 +958,19 @@ def ewma_stream(
         batch["__us"] = batch["ts"].astype("datetime64[us]").astype("int64")
         batch = batch.sort_values(["__us", "event_id"], kind="mergesort")
         out = []
-        for us, v in zip(batch["__us"], batch["v"]):
-            if us < last_us:
-                out.append(None)  # late beyond state: dropped, not rewritten
+        for us, eid, v in zip(batch["__us"], batch["event_id"], batch["v"]):
+            # late beyond state: anything that would sort BEFORE the last
+            # processed (ts, event_id) in the batch twin's order — folding
+            # it now would put it after, diverging from the backfill
+            if us < last_us or (us == last_us and eid <= last_id):
+                out.append(None)
                 continue
             e = v if not seen else alpha * v + beta * e
             seen = True
-            last_us = us
+            last_us, last_id = us, eid
             out.append(e)
         batch["ewma"] = pd.array(out, dtype="float64")
-        state.update((float(e), int(last_us), bool(seen)))
+        state.update((float(e), int(last_us), int(last_id), bool(seen)))
         yield batch.drop(columns=["__us"])
 
     out = src.groupBy("k").applyInPandasWithState(
@@ -905,7 +978,7 @@ def ewma_stream(
         outputStructType=(
             "k bigint, event_id bigint, ts timestamp, v double, ewma double"
         ),
-        stateStructType="e double, last_us bigint, seen boolean",
+        stateStructType="e double, last_us bigint, last_id bigint, seen boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

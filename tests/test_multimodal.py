@@ -266,3 +266,34 @@ def test_decode_image_native_png_path():
     digest = hashlib.md5(b"xyz").digest()
     w, h, samples = decode_image(_png_gray(digest, 4, 4))
     assert (w, h) == (4, 4) and bytes(samples) == digest
+
+
+def test_decode_png_rejects_zero_pixel_image(spark):
+    """A crafted 0x0 PNG (valid chunks, empty IDAT) must decode to None —
+    and the mapInPandas feature stage must emit a NULL row for it, never
+    divide by zero (one hostile payload must not kill a scan)."""
+    import struct
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.multimodal.media import decode_image_features, decode_png
+
+    def chunk(tag, data):
+        body = tag + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    zero = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b""))
+            + chunk(b"IEND", b""))
+    assert decode_png(zero) is None
+
+    df = spark.createDataFrame([(1,)], "media_id bigint").select(
+        "media_id", F.lit(zero).alias("content")
+    )
+    rows = decode_image_features(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["width"] is None and r["mean_luminance"] is None

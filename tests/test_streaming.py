@@ -756,14 +756,15 @@ def test_asof_join_stream_late_left_within_watermark_matches(spark, tmp_path):
 
 
 def test_upsert_sink_crash_after_flip_replay_is_skipped(spark, tmp_path):
-    """Crash-after-flip recovery: the _CURRENT pointer already names
-    v<batch_id> but the streaming checkpoint never committed the batch —
-    restart replays the SAME batch id. The sink must detect the committed
-    version and skip (re-merging would lazily read v<batch_id> while
-    overwriting that same directory). Simulated by wiping the checkpoint
-    after a successful drain: the fresh query re-delivers the source as
-    batch 0 while the store pointer already names v0 — exactly the state
-    a crash between pointer flip and checkpoint commit leaves behind."""
+    """Batch-id collision safety: after wiping the checkpoint, a fresh
+    query re-delivers the source as batch 0 while the store pointer
+    already names v0. The new query id means this is NOT treated as a
+    replay — the sink re-merges (idempotent for key-replace) into a
+    SUFFIXED version dir, never reading and overwriting the same
+    directory, and the store ends byte-identical. (The true same-query
+    crash-after-flip skip is unit-tested in
+    test_replay_guard_distinguishes_query_identity — Spark's commit-log
+    validation prevents simulating it end-to-end.)"""
     import shutil
 
     from impc_etl_spark.streaming.jobs import read_store, upsert_sink
@@ -797,9 +798,9 @@ def test_upsert_sink_crash_after_flip_replay_is_skipped(spark, tmp_path):
 
 
 def test_dedup_ingest_sink_crash_after_flip_replay_is_skipped(spark, tmp_path):
-    """Same crash-after-flip simulation for the dedup ingest sink: the
-    replayed batch must leave the committed store byte-identical (no
-    doubled docs, no self-overwrite failure)."""
+    """Same batch-id-collision simulation for the dedup ingest sink: the
+    re-delivered batch must leave the committed store byte-identical (the
+    store-probe dedup drops every re-seen document; no self-overwrite)."""
     import shutil
 
     from impc_etl_spark.streaming.jobs import dedup_ingest_sink, read_store
@@ -890,3 +891,130 @@ def test_ewma_stream_matches_batch_and_drops_late(spark, tmp_path):
                           tiebreak_cols=["event_id"]).collect()}
     for eid, v in want.items():
         assert got[eid] == v, (eid, got[eid], v)  # bit-exact parity
+
+
+def test_fresh_checkpoint_over_existing_store_is_not_mistaken_for_replay(
+    spark, tmp_path
+):
+    """A NEW streaming query (fresh checkpoint → new query id) started
+    over an existing store delivers everything as batch 0 — the replay
+    guard must see the different query id and MERGE, not skip (skipping
+    silently loses the new data); the commit lands in a suffixed version
+    dir so the merge never overwrites what it reads."""
+    import os
+    import shutil
+
+    from impc_etl_spark.streaming.jobs import current_store_path, read_store, upsert_sink
+
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    store = str(tmp_path / "fstore")
+
+    def add_wave(name, lo, hi, ts):
+        spark.createDataFrame(
+            [(k, f"w{ts}", ts) for k in range(lo, hi)],
+            "k long, v string, ts long",
+        ).coalesce(1).write.parquet(str(tmp_path / name))
+        for f in (tmp_path / name).glob("*.parquet"):
+            shutil.copy(f, src / f"{name}.parquet")
+
+    add_wave("w1", 0, 10, 100)
+    upsert_sink(
+        spark.readStream.schema("k long, v string, ts long").parquet(str(src)),
+        store, keys=["k"], checkpoint_dir=str(tmp_path / "ckptA"),
+        dedup_order=["ts"],
+    )
+    assert read_store(spark, store).count() == 10
+
+    # new data arrives; the query restarts with a FRESH checkpoint (new id)
+    add_wave("w2", 10, 25, 200)
+    upsert_sink(
+        spark.readStream.schema("k long, v string, ts long").parquet(str(src)),
+        store, keys=["k"], checkpoint_dir=str(tmp_path / "ckptB"),
+        dedup_order=["ts"],
+    )
+    got = {r["k"] for r in read_store(spark, store).collect()}
+    assert got == set(range(25))            # new keys merged, none lost
+    cur = os.path.basename(current_store_path(store))
+    assert cur.startswith("v0") and cur != "v0"   # suffixed, no self-overwrite
+
+
+def test_ewma_stream_tie_on_last_processed_ts_is_dropped(spark, tmp_path):
+    """Cross-batch event-time TIE with the last processed event: an id
+    that would sort BEFORE the processed one in the batch twin's
+    (ts, event_id) order is dropped (NULL), while a tie sorting AFTER is
+    folded — keeping stream output a prefix-consistent subset of the
+    batch recurrence."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    import pyspark.sql.functions as F2
+    import pytest as _pytest
+
+    from impc_etl_spark.streaming.jobs import (
+        ewma_stream, read_event_stream, run_available_now,
+    )
+
+    schema = ("event_id bigint, ts bigint, user_id bigint, "
+              "event_type string, value double, props string")
+    b1 = spark.createDataFrame(
+        [(10, 100, 7, "m", 2.0, "{}")], schema,
+    ).withColumn("ts", F2.col("ts") * F2.lit(1_000_000_000))
+    b2 = spark.createDataFrame(
+        [(9, 100, 7, "m", 50.0, "{}"),    # tie, id before → dropped
+         (11, 100, 7, "m", 4.0, "{}")], schema,  # tie, id after → folded
+    ).withColumn("ts", F2.col("ts") * F2.lit(1_000_000_000))
+    src = str(tmp_path / "tsrc")
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+    flat = str(tmp_path / "tflat")
+    os.makedirs(flat)
+    base = time.time() - 100
+    for i, f in enumerate(sorted(glob.glob(src + "/f*/part-*.parquet"))):
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    stream = ewma_stream(read_event_stream(spark, flat, max_files_per_trigger=1),
+                         alpha=0.3)
+    run_available_now(stream, "ewma_tie", str(tmp_path / "tckpt"),
+                      output_mode="append")
+    got = {r["event_id"]: r["ewma"] for r in spark.table("ewma_tie").collect()}
+    assert got[10] == 2.0
+    assert got[9] is None
+    assert got[11] == 0.3 * 4.0 + (1.0 - 0.3) * 2.0
+
+    with _pytest.raises(ValueError, match="alpha"):
+        ewma_stream(read_event_stream(spark, flat), alpha=0.0)
+
+
+def test_replay_guard_distinguishes_query_identity(tmp_path):
+    """Unit contract of _batch_already_committed: same (query id, batch
+    id) → replay (skip); different query id or batch id → not a replay;
+    missing metadata falls back to the basename heuristic."""
+    import json
+    import os
+
+    from impc_etl_spark.streaming.jobs import _batch_already_committed
+
+    store = tmp_path / "g"
+    v0 = store / "v0"
+    v0.mkdir(parents=True)
+    ckA = tmp_path / "ckA"; ckA.mkdir()
+    ckB = tmp_path / "ckB"; ckB.mkdir()
+    (ckA / "metadata").write_text(json.dumps({"id": "qA"}))
+    (ckB / "metadata").write_text(json.dumps({"id": "qB"}))
+
+    # legacy store (no marker): basename heuristic
+    assert _batch_already_committed(str(v0), 0, str(ckA))
+    assert not _batch_already_committed(str(v0), 1, str(ckA))
+
+    (v0 / "_COMMIT_META.json").write_text(
+        json.dumps({"query_id": "qA", "batch_id": 0})
+    )
+    assert _batch_already_committed(str(v0), 0, str(ckA))       # true replay
+    assert not _batch_already_committed(str(v0), 0, str(ckB))   # new query
+    assert not _batch_already_committed(str(v0), 1, str(ckA))   # new batch
+    assert not _batch_already_committed(None, 0, str(ckA))
