@@ -19,10 +19,13 @@ md5 hex strings is a valid uniform min-hash.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from impc_etl_spark.operators.partitioning import fan_out
+from impc_etl_spark.operators.text import re_escape
 from impc_etl_spark.operators.text import bind, fingerprint, tokens, word_shingles
 
 
@@ -147,7 +150,12 @@ def line_dedup(
         fan_out(df)
         .select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__seg"),
+            # sep is a LITERAL separator: escape it — F.split's second
+            # argument is a regex, and e.g. sep='.' or '|' would
+            # otherwise split on every character and shred the corpus
+            F.posexplode(
+                F.split(F.col(text_col), re_escape(sep))
+            ).alias("__pos", "__seg"),
         )
         .where(F.trim(F.col("__seg")) != "")
         .withColumn("__key", F.md5(F.lower(F.trim(F.col("__seg")))))
@@ -208,7 +216,12 @@ def strip_boilerplate_lines(
         fan_out(df)
         .select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__seg"),
+            # sep is a LITERAL separator: escape it — F.split's second
+            # argument is a regex, and e.g. sep='.' or '|' would
+            # otherwise split on every character and shred the corpus
+            F.posexplode(
+                F.split(F.col(text_col), re_escape(sep))
+            ).alias("__pos", "__seg"),
         )
         .where(F.trim(F.col("__seg")) != "")
         .withColumn("__key", F.md5(F.lower(F.trim(F.col("__seg")))))
@@ -326,13 +339,21 @@ def ngram_jaccard_pairs(
     scale, run it per LSH bucket (see lsh_candidate_pairs) instead of
     globally.
     """
-    sh = shingle_table(df, text_col, id_col, k)
-    # |A| per doc is row-local (size of the distinct shingle array) — no
-    # extra shuffle over the exploded shingle table.
-    sizes = df.select(
-        F.col(id_col),
-        F.size(F.array_distinct(word_shingles(tokens(text_col), k))).alias("n_shingles"),
-    ).where(F.col("n_shingles") > 0)
+    # ONE tokenize+shingle pass materialized, feeding BOTH the exploded
+    # shingle table and the row-local |A| sizes (the shared-scan pattern
+    # verified_near_dups measures at ~1.9x on the CPU-dense stage —
+    # recomputing the regex pipeline for the sizes frame doubles scan CPU)
+    base = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(tokens(text_col), k)).alias("__sh"),
+        )
+        .where(F.size("__sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    sh = base.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+    sizes = base.select(F.col(id_col), F.size("__sh").alias("n_shingles"))
     # Group docs per shingle, emit in-bucket pairs, count co-occurrences.
     # Same pair cardinality as the textbook shingle self-join but the
     # shingle table is computed/shuffled ONCE instead of twice.
@@ -930,6 +951,12 @@ def simhash(
     band equality on substrings of the bitstring (same LSH trick as
     minhash).
     """
+    if bits <= 0 or bits % 4 != 0 or bits > 128:
+        raise ValueError(
+            f"simhash bits must be a positive multiple of 4 (<=128), got {bits} "
+            "— the hash is built 4 bits per md5 hex digit, so a non-multiple "
+            "would silently truncate and under-count hamming distances"
+        )
     ndigits = bits // 4
     hs = F.transform(tokens(text_col), lambda t: F.substring(F.md5(t), 1, ndigits))
     # vote per bit: digit d (0..ndigits-1), bit j (0..3, LSB-first to match

@@ -106,7 +106,14 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    # a src whose weights sum to 0 has no usable out-edges: keep it OUT
+    # of outw so it lands in the dangling set below — dividing by its 0
+    # total would crash under ANSI mode (DIVIDE_BY_ZERO) or silently
+    # leak its rank mass as NULL contributions with ANSI off
+    outw = (
+        e.groupBy("src").agg(F.sum("w").alias("outw"))
+        .where(F.col("outw") > 0)
+    )
     norm_edges = _ck(
         e.join(outw, "src").select(
             "src", "dst", (F.col("w") / F.col("outw")).alias("p")
@@ -160,6 +167,7 @@ def triangle_count(
     edges: DataFrame,
     a_col: str = "src",
     b_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-node triangle counts via degree-ordered edge orientation — the
     classic distributed algorithm (node-iterator++ / Cohen's MapReduce
@@ -185,6 +193,15 @@ def triangle_count(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # the canonical edge set feeds THREE consumers (degree agg, the
+    # oriented-edge build, the wedge-closing join): materialize it once
+    # instead of re-executing the upstream edge-building subtree per
+    # consumer (same cut pagerank applies to its edge frame)
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        e = e.checkpoint(eager=True)
+    else:
+        e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

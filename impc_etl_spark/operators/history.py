@@ -53,12 +53,13 @@ def scd2_build(
 
     def changed() -> Column:
         # NULL-safe per-attribute comparison vs the previous row; the
-        # first row per key (lag is NULL for every attr AND ts) always
-        # counts as changed via the lag(ts) sentinel.
+        # first row per key always counts as changed via row_number()==1
+        # (NOT a lag(ts)-is-null sentinel — that misfires when the
+        # PREVIOUS row's ts is legitimately NULL, duplicating versions).
         conds = [
             ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w)) for a in attr_cols
         ]
-        first = F.lag(F.col(ts_col)).over(w).isNull()
+        first = F.row_number().over(w) == 1
         out = first
         for c in conds:
             out = out | c
@@ -69,13 +70,12 @@ def scd2_build(
         .where(F.col("__chg"))
         .drop("__chg")
     )
-    w2 = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         change_points.select(
             *key_cols,
             *attr_cols,
             F.col(ts_col).alias("valid_from"),
-            F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+            F.lead(F.col(ts_col)).over(w).alias("valid_to"),
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )
@@ -115,8 +115,10 @@ def cdc_apply(
         .drop("__rn")
     )
     out_cols = snapshot.columns
-    upserts = latest.where(F.col(op_col) != delete_op)
-    deletes = latest.where(F.col(op_col) == delete_op).select(*key_cols)
+    # null-safe op split: a NULL op is an upsert, not a silently-dropped
+    # key (plain != would evaluate NULL and land the row in NEITHER set)
+    upserts = latest.where(~F.col(op_col).eqNullSafe(delete_op))
+    deletes = latest.where(F.col(op_col).eqNullSafe(delete_op)).select(*key_cols)
 
     tagged = (
         upserts.select(
@@ -162,13 +164,24 @@ def snapshot_diff(
     Returns ``(keys..., old_fingerprint, new_fingerprint, status)``.
     """
     keys = list(key_cols)
-    o = old.select(*keys, F.col(fingerprint_col).alias("old_fingerprint"))
-    n = new.select(*keys, F.col(fingerprint_col).alias("new_fingerprint"))
+    # presence flags, NOT fingerprint nullness, decide NEW/REMOVED: a key
+    # present in both snapshots with a NULL fingerprint (failed
+    # fingerprint job) must not masquerade as NEW/REMOVED, and two NULL
+    # fingerprints compare UNCHANGED (eqNullSafe), not CHANGED
+    o = old.select(
+        *keys, F.col(fingerprint_col).alias("old_fingerprint")
+    ).withColumn("__in_old", F.lit(True))
+    n = new.select(
+        *keys, F.col(fingerprint_col).alias("new_fingerprint")
+    ).withColumn("__in_new", F.lit(True))
     joined = o.join(n, keys, "full_outer")
     status = (
-        F.when(F.col("old_fingerprint").isNull(), F.lit("NEW"))
-        .when(F.col("new_fingerprint").isNull(), F.lit("REMOVED"))
-        .when(F.col("old_fingerprint") == F.col("new_fingerprint"), F.lit("UNCHANGED"))
+        F.when(F.col("__in_old").isNull(), F.lit("NEW"))
+        .when(F.col("__in_new").isNull(), F.lit("REMOVED"))
+        .when(
+            F.col("old_fingerprint").eqNullSafe(F.col("new_fingerprint")),
+            F.lit("UNCHANGED"),
+        )
         .otherwise(F.lit("CHANGED"))
     )
     return joined.select(*keys, "old_fingerprint", "new_fingerprint", status.alias(status_col))

@@ -63,7 +63,7 @@ def hash_split(
       of both train and test at once.
     """
     if not weights:
-        raise ValueError("weights must be non-empty")
+        raise ValueError("weights must be a non-empty mapping")
     total = float(sum(weights.values()))
     bucket = hash_bucket(key_cols, salt=salt)
     # Cumulative thresholds over the bucket space; last split takes the
@@ -101,6 +101,8 @@ def deterministic_sample(
     """
     if (fraction is None) == (rates is None):
         raise ValueError("pass exactly one of fraction= or rates=")
+    if rates is not None and not rates:
+        raise ValueError("rates= must be a non-empty mapping")
     bucket = hash_bucket(key_cols, salt=salt)
     if fraction is not None:
         return df.where(bucket < int(round(fraction * NUM_BUCKETS)))
@@ -180,6 +182,8 @@ def per_key_sample(
 def split_thresholds(weights: Mapping[str, float]) -> list[tuple[str, int]]:
     """(name, exclusive upper bucket bound) pairs — exposed so oracles and
     downstream writers can replay the exact same cuts."""
+    if not weights:
+        raise ValueError("weights must be a non-empty mapping")
     total = float(sum(weights.values()))
     out: list[tuple[str, int]] = []
     acc = 0.0
@@ -212,7 +216,10 @@ def coherent_sample(
     o_custkey, lineitem via its order's custkey would need that column
     materialized; sample on the key the tables actually share).
     """
-    cut = int(rate * num_buckets)
+    # round(), not int()-truncation: the same cut arithmetic as
+    # deterministic_sample, so the two samplers keep identical row sets
+    # for the same rate/salt (int() differs at float-boundary rates)
+    cut = int(round(rate * num_buckets))
     out = {}
     for name, df in tables.items():
         b = hash_bucket([key[name]], salt=salt, num_buckets=num_buckets)
@@ -262,10 +269,15 @@ def mixture_select(
         ).alias("__rate"),
     )
     bucket = hash_bucket(key_cols, salt=salt, num_buckets=num_buckets)
+    # NULL-SAFE stratum match: an unlabeled (NULL-stratum) group has its
+    # own rate row from the groupBy above, and an equi join would drop
+    # every such row (null == null never matches) — silently losing the
+    # whole unlabeled slice instead of applying default_weight
+    r = F.broadcast(rates.withColumnRenamed(stratum_col, "__stratum"))
     return (
-        df.join(F.broadcast(rates), stratum_col)
+        df.join(r, F.col(stratum_col).eqNullSafe(F.col("__stratum")))
         .where(bucket < F.floor(F.col("__rate") * num_buckets).cast("bigint"))
-        .drop("__rate")
+        .drop("__rate", "__stratum")
     )
 
 
@@ -306,6 +318,10 @@ def importance_weights(
     b = int(buckets)
     a = float(smoothing)
 
+    # NOTE: this md5 bucket uses the ':'-joined scheme (salt:token), NOT
+    # hash_bucket's '|'-joined concat_ws — the divergence is intentional
+    # and PINNED by the DSIR replay oracles; do not "unify" it without
+    # re-deriving every importance-resampling oracle.
     def _bucket(tok: Column) -> Column:
         return (
             F.conv(
@@ -414,6 +430,14 @@ def top_fraction_per_key(
 
     if not (0.0 < fraction <= 1.0):
         raise ValueError("fraction must be in (0, 1]")
+    if not tiebreak_cols:
+        # the module contract is run/partitioning-stable row sets; with
+        # tied boundary scores and no tiebreak, row_number keeps whichever
+        # row arrived first — pass a unique id column
+        raise ValueError(
+            "top_fraction_per_key requires tiebreak_cols (a unique id) — "
+            "boundary-score ties would otherwise keep partition-dependent rows"
+        )
     order = [F.col(score_col).desc()] + [F.col(c) for c in tiebreak_cols]
     w_rank = Window.partitionBy(*key_cols).orderBy(*order)
     w_all = Window.partitionBy(*key_cols)

@@ -63,7 +63,7 @@ def cosine_topk(
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     scored = fan_out(df).select(
         F.col(id_col),
-        F.round(dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qnorm)), 6).alias("cos_sim"),
+        F.round(F.try_divide(dot(F.col(vec_col), q), norm(F.col(vec_col)) * F.lit(qnorm)), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -95,8 +95,14 @@ def cosine_topk_pandas(
         m = np.vstack(vecs.to_numpy())
         dots = m.astype(np.float64) @ q
         norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0.0] = 1.0
-        return pd.Series(np.round(dots / (norms * qn), 6))
+        zero = norms == 0.0
+        safe = np.where(zero, 1.0, norms)
+        out = pd.Series(np.round(dots / (safe * qn), 6)).astype("Float64")
+        # zero-norm vectors score NULL, matching the JVM path's
+        # divide-by-null semantics (NULL sorts LAST under desc) — a 0.0
+        # score would rank them above negative-similarity rows
+        out[pd.Series(zero)] = pd.NA
+        return out
 
     scored = fan_out(df).select(F.col(id_col), score(F.col(vec_col)).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
@@ -137,7 +143,7 @@ def cosine_pairs(
             F.col("a.id").alias("vec_a"),
             F.col("b.id").alias("vec_b"),
             F.round(
-                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+                F.try_divide(dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")), 6
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
@@ -153,6 +159,7 @@ def cosine_banded_pairs(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded hyperplane-LSH near-dup pairs — the scale form of
     `cosine_pairs`.
@@ -173,7 +180,20 @@ def cosine_banded_pairs(
     from impc_etl_spark.operators.dedup import _bucket_pairs
 
     n_planes = bands * band_width
-    sk = hyperplane_sketch(fan_out(df), dim, n_planes, seed, vec_col, out="__bucket")
+    # ONE materialized pass over the (possibly expensive) source feeds the
+    # sketch AND both verification join sides — without the cut the
+    # upstream subtree executes three times (Spark has no cross-tree CSE;
+    # same shared-scan pattern verified_near_dups measures at ~1.9x)
+    side = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            norm(F.col(vec_col)).alias("__n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sk = hyperplane_sketch(side, dim, n_planes, seed, "__v", out="__bucket")
     band_entries = [
         F.struct(
             F.lit(b).alias("band"),
@@ -182,20 +202,18 @@ def cosine_banded_pairs(
         for b in range(bands)
     ]
     banded = sk.select(
-        F.col(id_col), F.explode(F.array(*band_entries)).alias("bk")
-    ).select(id_col, "bk.band", "bk.band_key")
+        F.col("__id"), F.explode(F.array(*band_entries)).alias("bk")
+    ).select("__id", "bk.band", "bk.band_key")
     buckets = (
         banded.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .agg(F.sort_array(F.collect_set(F.col("__id"))).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    cands = _bucket_pairs(buckets).distinct().select(
+    # max_bucket_size: the same mega-bucket star-edge guard the MinHash
+    # LSH path exposes — identical/padding embeddings can put 10^5+ ids
+    # in one (band, key) bucket, and quadratic expansion there is fatal
+    cands = _bucket_pairs(buckets, max_bucket_size=max_bucket_size).distinct().select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
-    )
-    side = fan_out(df).select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        norm(F.col(vec_col)).alias("__n"),
     )
     a = side.select(
         F.col("__id").alias("vec_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
@@ -208,7 +226,7 @@ def cosine_banded_pairs(
         .select(
             "vec_a",
             "vec_b",
-            F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6).alias("cos_sim"),
+            F.round(F.try_divide(dot(F.col("__va"), F.col("__vb")), F.col("__na") * F.col("__nb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -241,7 +259,7 @@ def batch_topk(
     scored = c.join(F.broadcast(q)).select(
         F.col(q_id_col),
         F.col(id_col),
-        F.round(dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")), 6).alias("cos_sim"),
+        F.round(F.try_divide(dot(F.col("__cv"), F.col("__qv")), F.col("__cn") * F.col("__qn")), 6).alias("cos_sim"),
     )
     from pyspark.sql import Window
 
@@ -431,23 +449,33 @@ def quantize_embeddings(
     ships int8, not float32.
     """
     def mk(a: Column) -> Column:
-        max_abs = F.aggregate(
-            a,
-            F.lit(0.0),
-            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
-        )
-        return F.struct(
-            (max_abs / F.lit(127.0)).alias("scale"),
-            F.when(max_abs == 0, F.transform(a, lambda x: F.lit(0).cast("int")))
-            .otherwise(
-                F.transform(
-                    a,
-                    lambda x: F.floor(
-                        x.cast("double") / (max_abs / F.lit(127.0)) + F.lit(0.5)
-                    ).cast("int"),
+        # NESTED bind: the max-abs fold is O(d), and referencing it inside
+        # the per-element transform would re-run the fold per element
+        # (O(d^2) per row) — let-bind the SCALAR too, so each element
+        # reads a slot instead of re-folding
+        def with_max(max_abs: Column) -> Column:
+            scale = max_abs / F.lit(127.0)
+            return F.struct(
+                scale.alias("scale"),
+                F.when(max_abs == 0, F.transform(a, lambda x: F.lit(0).cast("int")))
+                .otherwise(
+                    F.transform(
+                        a,
+                        lambda x: F.floor(
+                            x.cast("double") / scale + F.lit(0.5)
+                        ).cast("int"),
+                    )
                 )
+                .alias("q"),
             )
-            .alias("q"),
+
+        return bind(
+            F.aggregate(
+                a,
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+            ),
+            with_max,
         )
 
     packed = df.withColumn("__qz", bind(F.col(emb_col), mk))
@@ -583,7 +611,7 @@ def hard_negatives(
             id_col,
             label_col,
             F.round(
-                dot(F.col("__cv"), F.col("__av")) / (F.col("__cn") * F.col("__an")), 6
+                F.try_divide(dot(F.col("__cv"), F.col("__av")), F.col("__cn") * F.col("__an")), 6
             ).alias("cos_sim"),
         )
     )
@@ -634,7 +662,7 @@ def positive_pairs(
             id_col,
             label_col,
             F.round(
-                dot(F.col("__cv"), F.col("__av")) / (F.col("__cn") * F.col("__an")), 6
+                F.try_divide(dot(F.col("__cv"), F.col("__av")), F.col("__cn") * F.col("__an")), 6
             ).alias("cos_sim"),
         )
     )

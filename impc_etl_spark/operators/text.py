@@ -522,7 +522,18 @@ def add_quality_signals(
     n_tokens = F.size(toks)
     alpha_chars = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
     punct_chars = F.length(F.regexp_replace(c, "[^.,;:!?'\"()]", ""))
-    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])))
+    # stopword OCCURRENCES, not distinct marker TYPES: with only ~10
+    # markers, a distinct count caps at 10 and the ratio decays to ~0 for
+    # long docs — every long document would lose the whole stopword
+    # component of the score. Frequency counting matches language_id.
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda x: F.array_contains(
+                F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]), x
+            ),
+        )
+    )
     alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
     punct_ratio = punct_chars / F.greatest(n_chars, F.lit(1))
     mean_tok_len = (
@@ -599,12 +610,25 @@ def repetition_signals(
 
 #: PII redaction patterns, applied in order (SSN before phone — the phone
 #: pattern would otherwise consume SSN-shaped digit runs). RE2-compatible
-#: so the same patterns run in Spark (Java regex) and ANSI-SQL oracles.
+#: (no lookarounds) so the same patterns run in Spark (Java regex) and
+#: ANSI-SQL oracles. The phone pattern is an alternation of actual phone
+#: SHAPES — international +CC, parenthesized area code, separator-grouped
+#: 3-3-4 / 3-4, and bare 10-11 digit runs — rather than the generic
+#: "digit + 7 of [digit/space/sep]" form, which redacted ISO dates
+#: (2026-08-14), year ranges (1914-1918), and whole numeric tables (its
+#: \s matched newlines) as <PHONE>.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
-    ("phone", r"\+?\d[\d\s().-]{7,}\d"),
+    (
+        "phone",
+        r"\+\d[\d ().-]{6,}\d"
+        r"|\(\d{2,4}\)[ .-]?\d[\d .-]{4,}\d"
+        r"|\b\d{3}[ .-]\d{3}[ .-]\d{4}\b"
+        r"|\b\d{3}[ .-]\d{4}\b"
+        r"|\b\d{10,11}\b",
+    ),
 )
 
 
@@ -987,13 +1011,19 @@ def pack_sequences_bestfit(
         pdf[out] = ["-".join(prefix + [str(a)]) for a in assigned]
         return pdf[keys + [id_col, count_col, out]]
 
+    # keep the id column's REAL type: a blind cast('long') silently nulls
+    # string ids (url keys, uuids) and the returned assignments could
+    # never join back to the documents
+    id_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[
+        id_col
+    ]
     schema_parts = (
         [f"`{k}` string" for k in keys]
-        + [f"`{id_col}` long", f"`{count_col}` long", f"`{out}` string"]
+        + [f"`{id_col}` {id_type}", f"`{count_col}` long", f"`{out}` string"]
     )
     src = df.select(
         *[F.col(k).cast("string").alias(k) for k in keys],
-        F.col(id_col).cast("long"),
+        F.col(id_col),
         F.col(count_col).cast("long"),
     )
     out_schema = ", ".join(schema_parts)
@@ -1042,8 +1072,13 @@ def learn_bpe_merges(
     merge_right, pair_count), merge_rank 1-based in merge order.
     """
     m = marker
-    if len(m) != 1 or m.isalnum():
-        raise ValueError("marker must be a single non-alphanumeric char")
+    if len(m) != 1 or m.isalnum() or m in "$\\":
+        # '$' and '\' are Java regexp_replace REPLACEMENT metacharacters
+        # (group refs / escapes): they would corrupt the "{m}$1{m}"
+        # replacement string at merge time instead of failing here
+        raise ValueError(
+            "marker must be a single non-alphanumeric char other than '$' or '\\'"
+        )
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")

@@ -144,12 +144,21 @@ def resample_ffill(
     bounds = pts.groupBy(*keys).agg(
         F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
     )
+    # the grid steps in EPOCH SECONDS, not INTERVAL arithmetic: interval
+    # day/week addition is calendar-aware in the session timezone, so a
+    # DST transition would shift the grid off the epoch-floored buckets
+    # above and silently drop every post-transition observation from the
+    # join — epoch stepping keeps both sides on exact step_s multiples
     grid = bounds.select(
         *keys,
         F.explode(
-            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
-        ).alias("__b"),
-    )
+            F.sequence(
+                F.unix_timestamp("__lo"),
+                F.unix_timestamp("__hi"),
+                F.lit(step_s).cast("long"),
+            )
+        ).alias("__bs"),
+    ).select(*keys, F.timestamp_seconds(F.col("__bs")).alias("__b"))
     joined = grid.join(pts, [*key_cols, "__b"], "left")
     w = (
         Window.partitionBy(*keys)
@@ -217,10 +226,12 @@ def ewma(
     depends on the entire prefix, and the weight product overflows any
     sum-of-transformed-terms rewrite for long series. The sanctioned
     custom-op escape hatch applies: one shuffle on ``key_cols``, then an
-    Arrow-batched ``applyInPandas`` computes each key's series with an
-    O(n) vectorized pandas ``ewm`` pass — per-group memory is one key's
-    series (bounded: per-entity event history, never the whole corpus;
-    10⁶-row series ≈ 16 MB).
+    Arrow-batched ``applyInPandas`` runs each key's series through an
+    O(n) explicit-recurrence loop — per-group memory is one key's series
+    (bounded: per-entity event history, never the whole corpus). NULL
+    values emit a NULL ewma and are SKIPPED by the recurrence (the state
+    carries over), so one bad telemetry point cannot NaN-poison the rest
+    of the series.
 
     Ordering inside a key is (ts, tiebreak_cols) ascending and must be
     total for determinism — pass ``tiebreak_cols`` when timestamps can
@@ -250,9 +261,12 @@ def ewma(
         acc = []
         e = None
         for v in vals:
+            if v is None or v != v:  # NULL/NaN: skip, state carries over
+                acc.append(None)
+                continue
             e = v if e is None else alpha * v + beta * e
             acc.append(e)
-        pdf[out] = acc
+        pdf[out] = pd.array(acc, dtype="float64")
         return pdf
 
     return (

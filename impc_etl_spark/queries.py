@@ -3191,7 +3191,7 @@ sig AS (
   SELECT doc_id, len(toks) AS q_n_tokens,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
          length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,
-         len(list_filter(list_distinct(toks), x -> list_contains({_EN_MARKERS_SQL}, x))) * 1.0
+         len(list_filter(toks, x -> list_contains({_EN_MARKERS_SQL}, x))) * 1.0
              / greatest(len(toks), 1) AS stop_ratio
   FROM t)
 SELECT doc_id, q_n_tokens,
@@ -3343,7 +3343,7 @@ FROM c GROUP BY 1
 """
 
 ORACLE["media_resize"] = "\nSELECT doc_id AS media_id, 64 AS width, 64 AS height,\n       md5(text || ':64x64') AS thumb_md5\nFROM documents\n"
-ORACLE["corpus_prepare"] = '\nWITH t AS (\n  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), \'[^a-z0-9]+\'), x -> x <> \'\') AS toks, length(text) AS n_chars FROM documents),\nsig AS (\n  SELECT doc_id, text, toks, len(toks) AS q_n_tokens,\n         length(regexp_replace(text, \'[^A-Za-z]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,\n         length(regexp_replace(text, \'[^.,;:!?\'\'"()]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,\n         len(list_filter(list_distinct(toks), x -> list_contains([\'the\',\'and\',\'of\',\'to\',\'is\',\'in\',\'that\',\'with\',\'for\',\'was\'], x))) * 1.0\n             / greatest(len(toks), 1) AS stop_ratio\n  FROM t),\nscored AS (\n  SELECT doc_id, text, toks, q_n_tokens,\n         floor((0.25 * least(q_n_tokens / 50.0, 1.0)\n             + 0.25 * alpha_ratio\n             + 0.25 * least(stop_ratio * 5.0, 1.0)\n             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score\n  FROM sig),\nq1 AS (SELECT * FROM scored WHERE quality_score >= 0.3),\nq2 AS (\n  SELECT * FROM (\n    SELECT *, min(doc_id) OVER (PARTITION BY md5(array_to_string(toks, \' \'))) AS keeper\n    FROM q1) WHERE doc_id = keeper),\nsh AS (\n  SELECT DISTINCT doc_id, unnest([array_to_string(toks[i:i+2], \' \') FOR i IN range(1, len(toks) - 1)]) AS shingle\n  FROM q2 WHERE len(toks) >= 3),\nmh AS (\n  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || \':\' || shingle)) AS mh\n  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s\n  GROUP BY doc_id, s.seed),\nbands AS (\n  SELECT doc_id, seed // 3 AS band,\n         md5(string_agg(mh, \'|\' ORDER BY seed)) AS band_key\n  FROM mh GROUP BY doc_id, seed // 3),\nlosers AS (\n  SELECT DISTINCT b.doc_id\n  FROM bands a JOIN bands b\n    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)\nSELECT doc_id, len(toks) AS n_tokens, quality_score\nFROM q2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)\n'
+ORACLE["corpus_prepare"] = '\nWITH t AS (\n  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), \'[^a-z0-9]+\'), x -> x <> \'\') AS toks, length(text) AS n_chars FROM documents),\nsig AS (\n  SELECT doc_id, text, toks, len(toks) AS q_n_tokens,\n         length(regexp_replace(text, \'[^A-Za-z]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,\n         length(regexp_replace(text, \'[^.,;:!?\'\'"()]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,\n         len(list_filter(toks, x -> list_contains([\'the\',\'and\',\'of\',\'to\',\'is\',\'in\',\'that\',\'with\',\'for\',\'was\'], x))) * 1.0\n             / greatest(len(toks), 1) AS stop_ratio\n  FROM t),\nscored AS (\n  SELECT doc_id, text, toks, q_n_tokens,\n         floor((0.25 * least(q_n_tokens / 50.0, 1.0)\n             + 0.25 * alpha_ratio\n             + 0.25 * least(stop_ratio * 5.0, 1.0)\n             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score\n  FROM sig),\nq1 AS (SELECT * FROM scored WHERE quality_score >= 0.3),\nq2 AS (\n  SELECT * FROM (\n    SELECT *, min(doc_id) OVER (PARTITION BY md5(array_to_string(toks, \' \'))) AS keeper\n    FROM q1) WHERE doc_id = keeper),\nsh AS (\n  SELECT DISTINCT doc_id, unnest([array_to_string(toks[i:i+2], \' \') FOR i IN range(1, len(toks) - 1)]) AS shingle\n  FROM q2 WHERE len(toks) >= 3),\nmh AS (\n  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || \':\' || shingle)) AS mh\n  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s\n  GROUP BY doc_id, s.seed),\nbands AS (\n  SELECT doc_id, seed // 3 AS band,\n         md5(string_agg(mh, \'|\' ORDER BY seed)) AS band_key\n  FROM mh GROUP BY doc_id, seed // 3),\nlosers AS (\n  SELECT DISTINCT b.doc_id\n  FROM bands a JOIN bands b\n    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)\nSELECT doc_id, len(toks) AS n_tokens, quality_score\nFROM q2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)\n'
 
 ORACLE["docs_split_assign"] = """
 WITH b AS (
@@ -3521,7 +3521,7 @@ sig AS (
   SELECT doc_id, len(toks) AS q_n_tokens,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
          length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,
-         len(list_filter(list_distinct(toks), x -> list_contains(['the','and','of','to','is','in','that','with','for','was'], x))) * 1.0
+         len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','with','for','was'], x))) * 1.0
              / greatest(len(toks), 1) AS stop_ratio
   FROM t),
 scored AS (
@@ -3907,7 +3907,7 @@ sig AS (
   SELECT doc_id, lang, source, len(toks) AS q_n_tokens,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
          length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,
-         len(list_filter(list_distinct(toks), x -> list_contains(['the','and','of','to','is','in','that','with','for','was'], x))) * 1.0
+         len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','with','for','was'], x))) * 1.0
              / greatest(len(toks), 1) AS stop_ratio
   FROM t),
 scored AS (
@@ -3936,7 +3936,7 @@ sig AS (
   SELECT doc_id, lang, source, len(toks) AS q_n_tokens,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
          length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,
-         len(list_filter(list_distinct(toks), x -> list_contains(['the','and','of','to','is','in','that','with','for','was'], x))) * 1.0
+         len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','with','for','was'], x))) * 1.0
              / greatest(len(toks), 1) AS stop_ratio
   FROM t),
 scored AS (
@@ -4202,7 +4202,7 @@ sig AS (
   SELECT t.doc_id, len(toks) AS q_n_tokens,
          length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(d.text), 1) AS alpha_ratio,
          length(regexp_replace(d.text, '[^.,;:!?''"()]', '', 'g')) * 1.0 / greatest(length(d.text), 1) AS punct_ratio,
-         len(list_filter(list_distinct(toks), x -> list_contains(['the','and','of','to','is','in','that','with','for','was'], x))) * 1.0
+         len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','with','for','was'], x))) * 1.0
              / greatest(len(toks), 1) AS stop_ratio
   FROM tok t JOIN documents d USING (doc_id)),
 scored AS (

@@ -965,6 +965,10 @@ def ewma_stream(
             if us < last_us or (us == last_us and eid <= last_id):
                 out.append(None)
                 continue
+            if v is None or v != v:  # NULL/NaN: skip like the batch twin
+                last_us, last_id = us, eid
+                out.append(None)
+                continue
             e = v if not seen else alpha * v + beta * e
             seen = True
             last_us, last_id = us, eid

@@ -1811,10 +1811,10 @@ def test_top_fraction_per_key_adaptive_cut(spark):
     assert sorted(by_lang["en"]) == [5, 6, 7, 8, 9]
     assert sorted(by_lang["de"]) == [2, 3]
     # fraction=1 keeps everything; bad fraction raises
-    assert top_fraction_per_key(df, ["lang"], "q", 1.0).count() == 14
+    assert top_fraction_per_key(df, ["lang"], "q", 1.0, ["doc_id"]).count() == 14
     import pytest as _pytest
     with _pytest.raises(ValueError):
-        top_fraction_per_key(df, ["lang"], "q", 0.0)
+        top_fraction_per_key(df, ["lang"], "q", 0.0, ["doc_id"])
 
 
 def test_rolling_zscore_trailing_window_only(spark):
@@ -2229,3 +2229,261 @@ def test_ewma_matches_reference_recurrence(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         ewma(df, ["user_id"], "ts", "value", alpha=0.0)
+
+
+def test_scd2_null_prev_ts_does_not_duplicate_version(spark):
+    """A NULL ts on the previous row must not retrigger the first-row
+    sentinel: (a@NULL, a@5, b@10) collapses to ONE 'a' version."""
+    from impc_etl_spark.operators.history import scd2_build
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (1, "a", 5), (1, "b", 10)],
+        "id long, attr string, ts long",
+    )
+    out = scd2_build(df, ["id"], "ts", ["attr"]).collect()
+    by_attr = {}
+    for r in out:
+        by_attr.setdefault(r["attr"], []).append((r["valid_from"], r["valid_to"]))
+    assert by_attr["a"] == [(None, 10)]      # one collapsed version
+    assert by_attr["b"] == [(10, None)]
+
+
+def test_cdc_apply_null_op_upserts_not_drops(spark):
+    """A change row with NULL op must upsert (not vanish into neither
+    branch of an op != 'D' split)."""
+    from impc_etl_spark.operators.history import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    chg = spark.createDataFrame(
+        [(1, "x", 10, None)], "k long, v string, ts long, op string"
+    )
+    out = {r["k"]: r["v"] for r in cdc_apply(snap, chg, ["k"], "ts").collect()}
+    assert out == {1: "x"}
+
+    # and a NULL op arriving after a delete resurrects via upsert
+    chg2 = spark.createDataFrame(
+        [(1, None, 10, "D"), (1, "y", 20, None)],
+        "k long, v string, ts long, op string",
+    )
+    out2 = {r["k"]: r["v"] for r in cdc_apply(snap, chg2, ["k"], "ts").collect()}
+    assert out2 == {1: "y"}
+
+
+def test_snapshot_diff_null_fingerprints(spark):
+    """Presence (not fingerprint nullness) decides NEW/REMOVED; two NULL
+    fingerprints are UNCHANGED; NULL→value is CHANGED."""
+    from impc_etl_spark.operators.history import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(7, None), (8, None), (9, "keep")], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(7, "abc"), (8, None), (10, "fresh")], "doc_id long, fp string"
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new, ["doc_id"], "fp").collect()}
+    assert got == {7: "CHANGED", 8: "UNCHANGED", 9: "REMOVED", 10: "NEW"}
+
+
+def test_pagerank_zero_weight_source_is_dangling(spark):
+    """A src whose edge weights sum to 0 must be treated as dangling —
+    not crash with DIVIDE_BY_ZERO under ANSI mode, not leak rank mass."""
+    from impc_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0.0), ("b", "a", 1.0)], "src string, dst string, w double"
+    )
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(edges, weight_col="w", iterations=5).collect()}
+    assert set(ranks) == {"a", "b"}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9   # no mass leaked
+    # a is dangling (its only out-edge has weight 0) and receives ALL of
+    # b's rank each round, while b gets only teleport + dangling spread
+    assert ranks["a"] > ranks["b"]
+
+
+def test_ewma_null_value_skipped_not_poisoning(spark):
+    """One NULL value yields a NULL ewma for THAT row only; the
+    recurrence state carries over to later rows."""
+    from impc_etl_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, 1.0), (2, 1, 2, None), (3, 1, 3, 3.0)],
+        "event_id long, user_id long, ts long, value double",
+    )
+    got = {r["event_id"]: r["ewma"]
+           for r in ewma(df, ["user_id"], "ts", "value", alpha=0.5,
+                         tiebreak_cols=["event_id"]).collect()}
+    assert got[1] == 1.0
+    assert got[2] is None
+    assert got[3] == 0.5 * 3.0 + 0.5 * 1.0   # state skipped the NULL
+
+
+def test_resample_ffill_grid_survives_dst_transition(spark):
+    """Day-stepped resampling across a DST boundary in a non-UTC session
+    timezone: the epoch-stepped grid must still align with the
+    epoch-floored buckets, so the post-transition observation appears."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        from impc_etl_spark.operators.timeseries import resample_ffill
+
+        df = spark.createDataFrame(
+            [(1, "2026-03-07 12:00:00", 1.0), (1, "2026-03-10 12:00:00", 2.0)],
+            "k long, t string, v double",
+        ).select("k", F.to_timestamp("t").alias("t"), "v")
+        out = resample_ffill(df, ["k"], "t", "v", step="1 day")
+        vals = [r["value_ffill"] for r in out.orderBy("bucket_start").collect()]
+        assert vals[0] == 1.0
+        assert vals[-1] == 2.0          # post-DST observation not dropped
+        assert len(vals) == 4           # 4 daily buckets span the range
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_line_dedup_literal_separator_not_regex(spark):
+    """sep is a LITERAL: '.' or '|' must split on that character only —
+    the old raw-regex F.split made '.' split on EVERY character and the
+    whole corpus vanished."""
+    from impc_etl_spark.operators.dedup import line_dedup, strip_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(1, "alpha.beta.gamma"), (2, "alpha.delta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["clean_text"]
+           for r in line_dedup(df, sep=".").collect()}
+    assert out[1] == "alpha.beta.gamma"
+    assert out[2] == "delta"            # 'alpha' deduped at first occurrence
+
+    df2 = spark.createDataFrame(
+        [(1, "nav|body one"), (2, "nav|body two"), (3, "nav|body three")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r["clean_text"]
+            for r in strip_boilerplate_lines(
+                df2, sep="|", max_df_ratio=0.9, min_df=2).collect()}
+    # 'nav' appears in all 3 docs -> boilerplate; bodies survive intact
+    assert out2 == {1: "body one", 2: "body two", 3: "body three"}
+
+
+def test_cosine_topk_pandas_zero_norm_matches_jvm(spark):
+    """A zero vector must rank LAST on both scoring paths (NULL score),
+    not float to the middle with score 0.0 above negative similarities."""
+    from impc_etl_spark.operators.similarity import cosine_topk, cosine_topk_pandas
+
+    rows = [
+        (1, [1.0, 0.0]),     # cos +1
+        (2, [-1.0, 0.0]),    # cos -1
+        (3, [0.0, 0.0]),     # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0]
+    jvm = [(r["vec_id"], r["cos_sim"]) for r in cosine_topk(df, q, k=3).collect()]
+    pnd = [(r["vec_id"], r["cos_sim"]) for r in cosine_topk_pandas(df, q, k=3).collect()]
+    assert jvm == pnd
+    assert [i for i, _ in jvm] == [1, 2, 3]     # zero vector last
+    assert jvm[2][1] is None                    # NULL score, not 0.0
+
+
+def test_simhash_rejects_non_multiple_of_four_bits(spark):
+    import pytest as _pytest
+
+    from impc_etl_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="multiple of 4"):
+        simhash(df, bits=30)
+
+
+def test_cosine_banded_pairs_mega_bucket_cap(spark):
+    """Identical vectors all land in one bucket: with the star-edge cap
+    the pair count is O(n), without it O(n^2)."""
+    from impc_etl_spark.operators.similarity import cosine_banded_pairs
+
+    n = 30
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    capped = cosine_banded_pairs(
+        df, dim=4, threshold=0.9, bands=2, band_width=4, max_bucket_size=5
+    ).count()
+    uncapped = cosine_banded_pairs(
+        df, dim=4, threshold=0.9, bands=2, band_width=4
+    ).count()
+    assert uncapped == n * (n - 1) // 2
+    assert capped == n - 1                     # star edges only
+
+
+def test_pack_sequences_bestfit_string_ids_preserved(spark):
+    """String doc ids must survive FFD packing (the old cast('long')
+    nulled them, making assignments unjoinable)."""
+    from impc_etl_spark.operators.text import pack_sequences_bestfit
+
+    df = spark.createDataFrame(
+        [("url-a", 6), ("url-b", 5), ("url-c", 4)],
+        "doc_id string, n_tokens long",
+    )
+    out = pack_sequences_bestfit(df, "n_tokens", budget=10).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {"url-a", "url-b", "url-c"}
+    assert all(r["pack_id"] is not None for r in out)
+
+
+def test_mixture_select_null_stratum_gets_default_weight(spark):
+    """Rows with a NULL stratum must flow through with default_weight
+    applied (the equi join silently dropped them before)."""
+    from impc_etl_spark.operators.sampling import mixture_select
+
+    df = spark.createDataFrame(
+        [(1, "en", 100), (2, None, 100), (3, None, 100)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    kept = mixture_select(
+        df, "lang", {"en": 0.5}, "n_tokens", token_budget=1_000_000,
+        key_cols=["doc_id"], default_weight=1.0,
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    # budget >> tokens: every stratum rate caps at 1.0 → ALL rows kept,
+    # including the NULL-stratum ones
+    assert ids == {1, 2, 3}
+    # and with the default 0.0 weight the null-stratum rows drop by RATE,
+    # not by join loss (en stays)
+    kept0 = mixture_select(
+        df, "lang", {"en": 0.5}, "n_tokens", token_budget=1_000_000,
+        key_cols=["doc_id"],
+    )
+    assert {r["doc_id"] for r in kept0.collect()} == {1}
+
+
+def test_pii_phone_pattern_spares_dates_and_ranges(spark):
+    """ISO dates, year ranges, and numeric tables are NOT phones; real
+    phone shapes still redact."""
+    from impc_etl_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "meeting on 2026-08-14 and war of 1914-1918 scores 10 - 20 (30) 40"),
+        (2, "call +1 415-555-2671 or (415) 555 2671 or 555-2671 or 4155552671"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["c"]
+           for r in df.select("doc_id", scrub_pii("text").alias("c")).collect()}
+    assert got[1] == rows[0][1]                  # untouched
+    assert "<PHONE>" in got[2] and "415" not in got[2] and "2671" not in got[2]
+
+
+def test_sampling_validation_errors(spark):
+    import pytest as _pytest
+
+    from impc_etl_spark.operators.sampling import (
+        deterministic_sample, split_thresholds, top_fraction_per_key,
+    )
+
+    df = spark.createDataFrame([(1, "a", 0.5)], "id long, k string, s double")
+    with _pytest.raises(ValueError, match="non-empty"):
+        deterministic_sample(df, ["id"], rates={}, stratum_col="k")
+    with _pytest.raises(ValueError, match="non-empty"):
+        split_thresholds({})
+    with _pytest.raises(ValueError, match="tiebreak"):
+        top_fraction_per_key(df, ["k"], "s", 0.5)
