@@ -40,7 +40,11 @@ def conditional_count_distinct(cond: Column, col: str | Column) -> Column:
     conditional — identical semantics (when() yields null on false, and
     both collect_set and count_distinct drop nulls), but keeps map-side
     partial aggregation instead of shipping full sets."""
-    return F.count_distinct(F.when(cond, col))
+    c = F.col(col) if isinstance(col, str) else col
+    # resolve a str argument to a COLUMN — F.when lifts plain values to
+    # literals, so passing 'v' by name would count the distinct literal
+    # string 'v' (always 1) instead of the column
+    return F.count_distinct(F.when(cond, c))
 
 
 def mode_by_count(
@@ -91,7 +95,10 @@ def pivot_agg(
     Always pass ``values`` at scale: without them Spark runs an extra
     distinct job over 100 TB just to discover the pivot domain."""
     g = df.groupBy(*keys)
-    p = g.pivot(pivot_col, list(values)) if values else g.pivot(pivot_col)
+    # `is not None`, not truthiness: an explicitly EMPTY value list means
+    # "pivot over nothing", not "run the full-domain discovery scan the
+    # docstring warns about"
+    p = g.pivot(pivot_col, list(values)) if values is not None else g.pivot(pivot_col)
     return p.agg(agg)
 
 
@@ -114,7 +121,14 @@ def salted_agg(
     # Algebraic aggregates (sum/count/min/max) already combine map-side;
     # salting matters for HOLISTIC aggregates (collect_set/list, exact
     # distinct bundles) whose per-key state must otherwise fit one reducer.
-    salt = (F.spark_partition_id() % buckets).alias("__salt")
+    # ROW-CONTENT salt, not spark_partition_id(): after an upstream
+    # shuffle/join on these same keys a hot key sits in ONE partition, so
+    # a partition-id salt is a constant for exactly the rows that need
+    # spreading — a content hash spreads regardless of input partitioning
+    # (deterministic too, so re-runs bucket identically)
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets)).alias(
+        "__salt"
+    )
     stage1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

@@ -137,7 +137,17 @@ def dict_tree_lookup(
     for path, v in _flatten_tree(tree):
         entries += [F.lit(_TREE_SEP.join(path)), F.lit(v)]
     m = F.create_map(*entries)
-    got = F.try_element_at(m, F.concat_ws(_TREE_SEP, *keys))
+    # a NULL key anywhere on the path means NO match (the reference dict
+    # UDF raises KeyError -> None): concat_ws SKIPS nulls, so without the
+    # guard ('a', NULL, 'c') would collide with the 2-level path 'a/c'
+    # and fabricate a confident wrong answer
+    all_present = None
+    for k in keys:
+        p = k.isNotNull()
+        all_present = p if all_present is None else (all_present & p)
+    got = F.when(
+        all_present, F.try_element_at(m, F.concat_ws(_TREE_SEP, *keys))
+    )
     return F.coalesce(got, default) if default is not None else got
 
 

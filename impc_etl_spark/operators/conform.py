@@ -80,6 +80,16 @@ def merge_upsert(
     """
     from pyspark.sql import Window
 
+    # schema-drift guard: a winning update row null-fills any column it
+    # is missing (allowMissingColumns), silently WIPING stored values —
+    # an incremental batch missing a column must fail loudly instead
+    missing = set(existing.columns) - set(updates.columns)
+    if missing:
+        raise ValueError(
+            "merge_upsert: updates frame is missing store columns "
+            f"{sorted(missing)} — a merged key would silently null them; "
+            "project the updates to the full store schema first"
+        )
     tagged = updates.withColumn("__prio", F.lit(0)).unionByName(
         existing.withColumn("__prio", F.lit(1)), allowMissingColumns=True
     )

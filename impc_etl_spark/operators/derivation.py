@@ -89,7 +89,10 @@ def _compile(node: tuple, resolver: Callable[[str], Column]) -> Column:
     if n == "mul":
         return _fold(args, lambda a, b: a * b)
     if n == "div":
-        return _fold(args, lambda a, b: a / b)
+        # try_divide: a zero denominator yields NULL like the reference's
+        # JVM evaluator — plain '/' ABORTS the job under Spark 4's
+        # default ANSI mode the first time any experiment divides by 0
+        return _fold(args, lambda a, b: F.try_divide(a, b))
     if n == "sub":
         return _fold(args, lambda a, b: a - b)
     if n in ("sum", "add"):
@@ -116,7 +119,9 @@ def _compile(node: tuple, resolver: Callable[[str], Column]) -> Column:
         # arg: array<struct<increment,value>> column → mean of values
         arr = _compile_array(raw_args[0], resolver)
         total = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x["value"].cast("double"))
-        return total / F.size(arr)
+        # try_divide: an EMPTY series yields NULL instead of an ANSI
+        # DIVIDE_BY_ZERO job abort
+        return F.try_divide(total, F.size(arr))
     if n == "areaundercurve":
         # trapezoid over (increment, value) sorted by increment
         arr = F.array_sort(_compile_array(raw_args[0], resolver))
@@ -126,7 +131,13 @@ def _compile(node: tuple, resolver: Callable[[str], Column]) -> Column:
             lambda a, b: (b["increment"].cast("double") - a["increment"].cast("double"))
             * (a["value"].cast("double") + b["value"].cast("double")) / 2.0,
         )
-        return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+        # guard the EMPTY series: slice(size-1) is NEGATIVE-LENGTH for
+        # size 0 (runtime abort) — NULL there; a single point folds over
+        # zero trapezoids to 0.0, same as the SQL oracle
+        return F.when(
+            F.size(arr) >= 1,
+            F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x),
+        )
     raise DerivationError(f"unknown function {name!r}")
 
 
@@ -180,8 +191,17 @@ def merge_struct_array(arr: Column, updates: Column, key_field: str) -> Column:
             e,
         ),
     )
-    appended = F.filter(
+    fresh = F.filter(
         updates, lambda u: ~F.exists(arr, lambda e: e[key_field] == u[key_field])
+    )
+    # dedupe appended keys, LAST update winning — without this, duplicate
+    # update keys absent from arr would ALL append, breaking the
+    # key-uniqueness the reference's dict build guarantees
+    appended = F.transform(
+        F.array_distinct(F.transform(fresh, lambda u: u[key_field])),
+        lambda k: F.try_element_at(
+            F.filter(fresh, lambda u: u[key_field] == k), F.lit(-1)
+        ),
     )
     return (
         F.when(arr.isNull(), updates)

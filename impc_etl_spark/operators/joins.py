@@ -58,20 +58,25 @@ def priority_lookup_join(
     instead of one non-equi join that degenerates to nested loops.
     """
     out = left
-    staged: list[list[str]] = []
+    staged: list[str] = []
     for i, (lk, rk) in enumerate(key_pairs):
-        alias_cols = [F.col(rk).alias(f"__pk_{i}")] + [
-            F.col(v).alias(f"__v{i}_{v}") for v in value_cols
-        ]
-        dim = right.select(*alias_cols).dropDuplicates([f"__pk_{i}"])
+        # bundle the value columns into ONE struct per priority level so
+        # the first MATCHING ROW supplies every value column together — a
+        # per-column coalesce would let a matched-but-NULL value fall
+        # through to a lower-priority row, mixing fields of two different
+        # lookup rows into one output row
+        dim = right.select(
+            F.col(rk).alias(f"__pk_{i}"),
+            F.struct(*[F.col(v).alias(v) for v in value_cols]).alias(f"__s{i}"),
+        ).dropDuplicates([f"__pk_{i}"])
         if broadcast_right:
             dim = F.broadcast(dim)
         out = out.join(dim, out[lk] == dim[f"__pk_{i}"], "left_outer").drop(f"__pk_{i}")
-        staged.append([f"__v{i}_{v}" for v in value_cols])
-    for j, v in enumerate(value_cols):
-        out = out.withColumn(v, F.coalesce(*[F.col(stage[j]) for stage in staged]))
-    drop_cols = [c for stage in staged for c in stage]
-    return out.drop(*drop_cols)
+        staged.append(f"__s{i}")
+    picked = F.coalesce(*[F.col(c) for c in staged])
+    for v in value_cols:
+        out = out.withColumn(v, picked[v])
+    return out.drop(*staged)
 
 
 def asof_join(
@@ -123,7 +128,19 @@ def asof_join(
     elif direction == "forward":
         time_pred, order = rt >= lt, [rt.asc()]
     elif direction == "nearest":
-        delta = F.abs(lt.cast("double") - rt.cast("double"))
+        def as_num(c: Column, dtype: str) -> Column:
+            # date→double is an ANSI-mode AnalysisException and the two
+            # temporal types number in different units; epoch MICROS puts
+            # dates and (sub-second) timestamps on one comparable axis
+            if dtype == "date":
+                return (F.unix_date(c).cast("double")) * F.lit(86_400_000_000.0)
+            if dtype.startswith("timestamp"):
+                return F.unix_micros(c.cast("timestamp")).cast("double")
+            return c.cast("double")
+
+        l_dt = dict(left.dtypes)[left_time]
+        r_dt = dict(right.dtypes)[right_time]
+        delta = F.abs(as_num(lt, l_dt) - as_num(rt, r_dt))
         time_pred, order = F.lit(True), [delta.asc()]
     else:
         raise ValueError(f"unknown direction {direction!r}")
@@ -240,15 +257,21 @@ def subset_join(
 def _bin_of(df: DataFrame, col_name: str, bin_width: int) -> Column:
     """Map a time/numeric column to a long bin id, monotonically.
 
-    date → days since epoch; timestamp → epoch seconds; numeric → trunc to
-    long. Only used for the equi-join bucketing — the exact range predicate
-    always re-checks the ORIGINAL columns, so truncation here can never
-    change results, only candidate fan-out.
+    date → epoch SECONDS (days × 86400); timestamp → epoch seconds;
+    numeric → trunc to long — ONE unit for every temporal type, so
+    ``bin_width`` always means seconds, a date side and a timestamp side
+    bin onto the same grid, and the repo's own '7*86400' callers get the
+    one-week buckets they intend (a per-type unit made date columns bin
+    in DAYS, collapsing every row into bucket 0 — a correct but
+    single-key join, i.e. the quadratic blowup this operator exists to
+    avoid). Only used for the equi-join bucketing — the exact range
+    predicate always re-checks the ORIGINAL columns, so bin granularity
+    can never change results, only candidate fan-out.
     """
     dt = dict(df.dtypes)[col_name]
     c = F.col(col_name)
     if dt == "date":
-        longs = F.datediff(c, F.to_date(F.lit("1970-01-01")))
+        longs = F.datediff(c, F.to_date(F.lit("1970-01-01"))).cast("long") * F.lit(86400)
     elif dt.startswith("timestamp"):
         # NTZ values are interpreted in the session timezone (pinned UTC by
         # the engine session) — consistent with oracles treating naive
@@ -295,7 +318,7 @@ def interval_point_join(
     post-join dedup, and the join is an ordinary shuffled/broadcast hash
     join.
 
-    ``bin_width`` is in days for date columns, seconds for timestamps,
+    ``bin_width`` is in SECONDS for date and timestamp columns alike,
     value units for numerics. Pick it near the TYPICAL interval length:
     cost per interval row is ``len/bin_width + 1`` exploded rows, cost per
     bucket is the candidate fan-in. ``closed`` picks boundary semantics

@@ -182,8 +182,27 @@ def map_to_observations_fused(nested: DataFrame) -> DataFrame:
     """
     nd = F.lit(None).cast("double")
     ns = F.lit(None).cast("string")
-    simple = F.transform(
-        F.col("simpleParameter"),
+
+    def _present(col_name: str, built: Column) -> Column:
+        # NULL-family guard replicating the union twin's posexplode_outer
+        # + isNotNull: a missing family array contributes NOTHING — but
+        # concat(NULL, x) is NULL, which would silently drop the OTHER
+        # family's observations too (the whole experiment vanishes)
+        return F.when(F.col(col_name).isNotNull(), built).otherwise(F.array())
+
+    def _live(col_name: str, build) -> Column:
+        # build per-element structs at ORIGINAL positions, then drop the
+        # ones whose source element was NULL (same rows the union twin's
+        # isNotNull filter removes, same pos numbering)
+        indexed = F.transform(
+            F.col(col_name),
+            lambda p, i: F.struct(p.alias("p"), i.alias("i")),
+        )
+        live = F.filter(indexed, lambda x: x["p"].isNotNull())
+        return F.transform(live, lambda x: build(x["p"], x["i"]))
+
+    simple = _present("simpleParameter", _live(
+        "simpleParameter",
         lambda p, i: F.struct(
             F.lit("simpleParameter").alias("family"),
             i.alias("pos"),
@@ -194,9 +213,9 @@ def map_to_observations_fused(nested: DataFrame) -> DataFrame:
             nd.alias("time_point"),
             nd.alias("discrete_point"),
         ),
-    )
-    series = F.transform(
-        F.col("seriesParameter"),
+    ))
+    series = _present("seriesParameter", _live(
+        "seriesParameter",
         lambda p, i: F.struct(
             F.lit("seriesParameter").alias("family"),
             i.alias("pos"),
@@ -207,7 +226,7 @@ def map_to_observations_fused(nested: DataFrame) -> DataFrame:
             p["increment"].cast("double").alias("time_point"),
             i.cast("double").alias("discrete_point"),
         ),
-    )
+    ))
     exploded = nested.select(
         "experiment_id",
         "metadata_group",

@@ -16,6 +16,8 @@ materializes.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import ArrayType, BooleanType, StringType, StructField, StructType
 
@@ -25,6 +27,9 @@ TERM_SCHEMA = StructType([
     StructField("parents", ArrayType(StringType())),
     StructField("is_obsolete", BooleanType()),
 ])
+
+
+_QUALIFIER_RE = re.compile(r"\s*\{[^}]*\}\s*$")
 
 
 def parse_obo(text: str) -> list[dict]:
@@ -46,6 +51,10 @@ def parse_obo(text: str) -> list[dict]:
             continue
         key, _, val = line.partition(":")
         val = val.strip().split(" !")[0].strip()
+        # strip OBO trailing qualifier blocks ('is_a: MP:1 {source="x"}')
+        # — leaving them in corrupts the parent id and silently drops the
+        # edge (and every ancestor through it) from the closure
+        val = _QUALIFIER_RE.sub("", val).strip()
         if key == "id":
             cur["term_id"] = val
         elif key == "name":

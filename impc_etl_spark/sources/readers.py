@@ -71,7 +71,10 @@ def read_jsonl(
     text = spark.read.text(path)
     value = F.col("value")
     if strip_prefix_regex:
-        value = F.regexp_replace(value, strip_prefix_regex, "")
+        # anchor to the line START: the contract is "strip a PREFIX", and
+        # an unanchored pattern would also delete matching text inside
+        # the JSON payload itself
+        value = F.regexp_replace(value, f"^(?:{strip_prefix_regex})", "")
     if schema is not None:
         return text.select(F.from_json(value, schema).alias("j")).select("j.*")
     sample = [

@@ -292,7 +292,11 @@ def write_shards_with_manifest(
 
     from impc_etl_spark.operators.sampling import hash_bucket
 
-    shard = (hash_bucket(key_cols, salt=salt) % num_shards).alias("shard")
+    # hash straight into num_shards buckets: a second mod over the default
+    # 10000-bucket space skews shard sizes whenever num_shards doesn't
+    # divide 10000 (~11% at 1024 shards) and leaves shards permanently
+    # EMPTY when num_shards exceeds it
+    shard = hash_bucket(key_cols, salt=salt, num_buckets=num_shards).alias("shard")
     tagged = df.withColumn("shard", shard).repartition(num_shards, "shard")
     tagged.write.mode("overwrite").partitionBy("shard").parquet(path)
 
@@ -313,8 +317,21 @@ def write_shards_with_manifest(
     }
     if token_col:
         manifest["total_tokens"] = int(sum(r["n_tokens"] for r in stats))
-    with open(_os.path.join(path, "_manifest.json"), "w") as f:
-        _json.dump(manifest, f, indent=1, default=int)
+    # write through the Hadoop FileSystem API so object-store/HDFS paths
+    # work — builtin open() only handles local paths and would strand the
+    # export in the exact data-without-manifest state this function
+    # exists to prevent
+    spark = tagged.sparkSession
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(
+        _os.path.join(path, "_manifest.json")
+    )
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jvm_path, True)
+    try:
+        out.write(bytearray(_json.dumps(manifest, indent=1, default=int),
+                            "utf-8"))
+    finally:
+        out.close()
     return manifest
 
 

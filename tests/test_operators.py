@@ -2487,3 +2487,154 @@ def test_sampling_validation_errors(spark):
         split_thresholds({})
     with _pytest.raises(ValueError, match="tiebreak"):
         top_fraction_per_key(df, ["k"], "s", 0.5)
+
+
+def test_interval_point_join_mixed_date_timestamp_units(spark):
+    """A timestamp point inside a date-typed interval must match: both
+    sides bin in epoch SECONDS (a per-type unit put dates in days and the
+    bin equi-join never paired them — silent data loss)."""
+    from impc_etl_spark.operators.joins import interval_point_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-05 12:00:00")], "pid long, t string"
+    ).select("pid", F.to_timestamp("t").alias("t"))
+    intervals = spark.createDataFrame(
+        [(7, "2024-01-01", "2024-01-10")], "iid long, s string, e string"
+    ).select("iid", F.to_date("s").alias("s"), F.to_date("e").alias("e"))
+    out = interval_point_join(points, intervals, "t", "s", "e",
+                              bin_width=86400).collect()
+    assert len(out) == 1 and out[0]["iid"] == 7
+
+    # date-only sides with a week bin produce DIFFERENT bins across a
+    # wide range (not one global bucket)
+    from impc_etl_spark.operators.joins import _bin_of
+    dates = spark.createDataFrame(
+        [("2020-01-01",), ("2026-01-01",)], "d string"
+    ).select(F.to_date("d").alias("d"))
+    bins = {r["b"] for r in dates.select(
+        _bin_of(dates, "d", 7 * 86400).alias("b")).collect()}
+    assert len(bins) == 2
+
+
+def test_conditional_count_distinct_accepts_column_name(spark):
+    from impc_etl_spark.operators.aggregate import conditional_count_distinct
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (0, "d")], "f int, v string"
+    )
+    got = df.agg(
+        conditional_count_distinct(F.col("f") == 1, "v").alias("n")
+    ).collect()[0]["n"]
+    assert got == 3      # was 1: the string was counted as a literal
+
+
+def test_priority_lookup_join_first_match_supplies_all_columns(spark):
+    """A matched-but-NULL value must NOT fall through to a lower-priority
+    row: the first matching ROW supplies every value column together."""
+    from impc_etl_spark.operators.joins import priority_lookup_join
+
+    left = spark.createDataFrame([(100, 200)], "a long, b long")
+    right = spark.createDataFrame(
+        [(100, None, "w1"), (200, "v2", "w2")], "key long, v string, w string"
+    )
+    out = priority_lookup_join(
+        left, right, [("a", "key"), ("b", "key")], ["v", "w"]
+    ).collect()[0]
+    assert out["w"] == "w1"
+    assert out["v"] is None        # from the SAME priority-1 row, not 'v2'
+
+
+def test_asof_join_nearest_on_date_columns(spark):
+    """direction='nearest' on DATE time columns must work under ANSI mode
+    (the old double cast was an AnalysisException)."""
+    from impc_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-10")], "id long, d string"
+    ).select("id", F.to_date("d").alias("d"))
+    right = spark.createDataFrame(
+        [("2024-01-08", 8.0), ("2024-01-11", 11.0), ("2024-01-20", 20.0)],
+        "rd string, val double",
+    ).select(F.to_date("rd").alias("rd"), "val")
+    out = asof_join(left, right, on=[], left_time="d", right_time="rd",
+                    direction="nearest", left_key=["id"]).collect()
+    assert len(out) == 1 and out[0]["val"] == 11.0   # |1 day| beats |2 days|
+
+
+def test_merge_upsert_rejects_missing_columns(spark):
+    import pytest as _pytest
+
+    from impc_etl_spark.operators.conform import merge_upsert
+
+    existing = spark.createDataFrame([(1, "old", 99)], "id long, val string, extra long")
+    updates = spark.createDataFrame([(1, "new")], "id long, val string")
+    with _pytest.raises(ValueError, match="missing store columns"):
+        merge_upsert(existing, updates, ["id"])
+
+
+def test_fused_observations_handles_null_families_and_entries(spark):
+    """The fused single-scan mapper must equal the union twin when a
+    family array is NULL or contains NULL entries (concat(NULL) is NULL —
+    without the guard the whole experiment's observations vanish)."""
+    from impc_etl_spark.plans.observations import (
+        map_to_observations, map_to_observations_fused,
+    )
+
+    nested = spark.createDataFrame(
+        [("e1", "m1", [(5.0, "A", 1)], [(1, 2.0)]),
+         ("e2", "m2", [(15.0, "B", 2)], None),
+         ("e3", "m3", None, [(3, 4.0)]),
+         ("e4", "m4", [(5.0, "A", 1), None, (25.0, "C", 3)], None)],
+        "experiment_id string, metadata_group string, "
+        "simpleParameter array<struct<qty double, flag string, seq int>>, "
+        "seriesParameter array<struct<increment int, value double>>",
+    )
+    a = sorted(map(tuple, map_to_observations(nested).collect()))
+    b = sorted(map(tuple, map_to_observations_fused(nested).collect()))
+    assert a == b
+    assert len(b) == 6          # e1:2, e2:1, e3:1, e4:2 (null entry dropped)
+
+
+def test_derivation_edge_cases_null_not_crash(spark):
+    """div-by-zero, empty series: NULL results, never ANSI job aborts."""
+    from impc_etl_spark.operators.derivation import compile_derivation
+
+    df = spark.createDataFrame(
+        [(1.0, 0.0, [])],
+        "a double, b double, ts array<struct<increment int, value double>>",
+    )
+    row = df.select(
+        compile_derivation("div('a','b')").alias("d"),
+        compile_derivation("meanOfIncrements('ts')").alias("m"),
+        compile_derivation("areaUnderCurve('ts')").alias("auc"),
+    ).collect()[0]
+    assert row["d"] is None and row["m"] is None and row["auc"] is None
+
+
+def test_merge_struct_array_dedupes_appended_updates(spark):
+    """Duplicate update keys absent from arr append ONCE, last wins."""
+    from impc_etl_spark.operators.derivation import merge_struct_array
+
+    df = spark.createDataFrame(
+        [([("a", 1)], [("b", 2), ("b", 3)])],
+        "arr array<struct<k string, v int>>, upd array<struct<k string, v int>>",
+    )
+    got = df.select(
+        merge_struct_array(F.col("arr"), F.col("upd"), "k").alias("m")
+    ).collect()[0]["m"]
+    assert [(e["k"], e["v"]) for e in got] == [("a", 1), ("b", 3)]
+
+
+def test_dict_tree_lookup_null_key_is_no_match(spark):
+    """A NULL mid-path key must yield the default/NULL — not collide with
+    a shorter tree path (concat_ws silently skips nulls)."""
+    from impc_etl_spark.operators.clean import dict_tree_lookup
+
+    tree = {"a": {"c": "SHALLOW", "b": {"c": "DEEP"}}}
+    df = spark.createDataFrame(
+        [("a", None, "c"), ("a", "b", "c")], "k1 string, k2 string, k3 string"
+    )
+    got = [r["v"] for r in df.select(
+        dict_tree_lookup(tree, [F.col("k1"), F.col("k2"), F.col("k3")]).alias("v")
+    ).collect()]
+    assert got == [None, "DEEP"]
