@@ -73,6 +73,7 @@ def main() -> int:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    rep_counts: dict[str, int] = {}
     total = 0.0
     for name in names:
         fn = QUERIES[name]
@@ -87,6 +88,7 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
             done += 1
         timings[name] = round(best, 3)
+        rep_counts[name] = done
         total += best
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -94,12 +96,17 @@ def main() -> int:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # self-describing methodology (round-4 verdict item 6): per-query rep
+    # counts and the warmup setting, so cross-round comparisons are honest
     print(json.dumps({
         "metric": "headline_total_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "reps": rep_counts,
+        "estimator": "min",
+        "warmup": os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0",
     }))
     return 0
 

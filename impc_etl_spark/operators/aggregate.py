@@ -102,6 +102,20 @@ def pivot_agg(
     return p.agg(agg)
 
 
+def _contains_map(dt) -> bool:
+    """True if the type tree contains a MapType anywhere — such columns
+    cannot feed F.hash (Spark raises on map hashing)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -121,12 +135,20 @@ def salted_agg(
     # Algebraic aggregates (sum/count/min/max) already combine map-side;
     # salting matters for HOLISTIC aggregates (collect_set/list, exact
     # distinct bundles) whose per-key state must otherwise fit one reducer.
-    # ROW-CONTENT salt, not spark_partition_id(): after an upstream
-    # shuffle/join on these same keys a hot key sits in ONE partition, so
-    # a partition-id salt is a constant for exactly the rows that need
-    # spreading — a content hash spreads regardless of input partitioning
-    # (deterministic too, so re-runs bucket identically)
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets)).alias(
+    # Salt = content hash + per-row position, not spark_partition_id()
+    # alone: after an upstream shuffle/join on these same keys a hot key
+    # sits in ONE partition, where a partition-id salt is constant for
+    # exactly the rows that need spreading. The position term
+    # (monotonically_increasing_id) additionally spreads hot keys whose
+    # rows are exact DUPLICATES — a common skew shape for collect_set
+    # inputs — where a pure content hash is constant too. Map-typed
+    # columns are excluded from the hash (F.hash raises on MapType);
+    # rows still spread via the position term even if nothing is hashable.
+    hashable = [
+        F.col(f.name) for f in df.schema.fields if not _contains_map(f.dataType)
+    ]
+    content = F.hash(*hashable).cast("long") if hashable else F.lit(0).cast("long")
+    salt = F.pmod(content + F.monotonically_increasing_id(), F.lit(buckets)).alias(
         "__salt"
     )
     stage1 = (

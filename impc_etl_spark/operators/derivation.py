@@ -173,9 +173,12 @@ def merge_struct_array(arr: Column, updates: Column, key_field: str) -> Column:
     ``key_field`` appears in ``updates`` are replaced in place (last update
     with that key wins, like the reference's dict build); other entries
     keep their position; updates with keys not present in ``arr`` are
-    appended in update order. Null handling mirrors the reference's caller:
-    null ``arr`` → ``updates``; null ``updates`` → ``arr``. Keys must be
-    non-null.
+    appended in update order — ALL of them, duplicates included, exactly
+    as the reference's ``for result in results`` append loop does (it
+    guards only against keys present in ``simple_parameters``, not against
+    duplicate keys within ``results``). Null handling mirrors the
+    reference's caller: null ``arr`` → ``updates``; null ``updates`` →
+    ``arr``. Keys must be non-null.
 
     Pure higher-order Column algebra (transform/filter/exists) — row-local,
     codegen'd, no UDF and no ``map_from_entries``/mapKeyDedupPolicy
@@ -194,19 +197,10 @@ def merge_struct_array(arr: Column, updates: Column, key_field: str) -> Column:
     fresh = F.filter(
         updates, lambda u: ~F.exists(arr, lambda e: e[key_field] == u[key_field])
     )
-    # dedupe appended keys, LAST update winning — without this, duplicate
-    # update keys absent from arr would ALL append, breaking the
-    # key-uniqueness the reference's dict build guarantees
-    appended = F.transform(
-        F.array_distinct(F.transform(fresh, lambda u: u[key_field])),
-        lambda k: F.try_element_at(
-            F.filter(fresh, lambda u: u[key_field] == k), F.lit(-1)
-        ),
-    )
     return (
         F.when(arr.isNull(), updates)
         .when(updates.isNull(), arr)
-        .otherwise(F.concat(replaced, appended))
+        .otherwise(F.concat(replaced, fresh))
     )
 
 

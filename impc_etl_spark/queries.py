@@ -951,8 +951,11 @@ def order_params_merged(spark, sf_dir):
     (experiment_parameter_derivator.py:114-149) as native array<struct>
     algebra composed with the derivation compiler. Each order's lineitem
     (pid=linenumber, val=quantity) array gets derived entries merged in —
-    pid 1 overwritten with a compiled formula, pid 99 appended — then
-    exploded to rows for the oracle compare."""
+    pid 1 overwritten twice (last update wins, like the reference's dict
+    build), pid 99 appended twice (append-ALL, duplicates included, like
+    the reference's append loop) — then exploded to rows for the oracle
+    compare. The duplicate update keys exercise both divergence-prone
+    paths of the merge."""
     from impc_etl_spark.operators.derivation import merge_struct_array
 
     li = _t(spark, sf_dir, "lineitem")
@@ -971,7 +974,15 @@ def order_params_merged(spark, sf_dir):
                 F.lit(1).alias("pid"),
                 _rnd(compile_derivation("div('o_totalprice', 1000)"), 2).alias("val"),
             ),
+            F.struct(
+                F.lit(1).alias("pid"),
+                _rnd(compile_derivation("div('o_totalprice', 100)"), 2).alias("val"),
+            ),
             F.struct(F.lit(99).alias("pid"), F.col("o_custkey").cast("double").alias("val")),
+            F.struct(
+                F.lit(99).alias("pid"),
+                (F.col("o_custkey").cast("double") + F.lit(0.5)).alias("val"),
+            ),
         ).alias("updates"),
     )
     joined = derived.join(
@@ -1951,12 +1962,52 @@ def media_feature_extract(spark, sf_dir):
 
 
 def media_resize(spark, sf_dir):
-    """Resize stage plumbing (mapInPandas; resample kernel stubbed as a
-    deterministic digest)."""
-    from impc_etl_spark.multimodal.media import attach_binary, resize_media
+    """REAL resize end-to-end: every document's payload becomes a genuine
+    4×4 grayscale PNG (pixel bytes = md5 digest), the decoder recovers
+    the ACTUAL pixels (PIL or pure-stdlib PNG inflate+unfilter), and the
+    real nearest-neighbor kernel resamples them to 3×3 — a non-integer
+    scale, so the floor mapping is genuinely exercised. The output carries
+    the resized pixel values themselves; the oracle replays them
+    byte-for-byte from md5(text). Two narrow Arrow-batched mapInPandas
+    stages — no shuffle, pipelined behind the scan at any scale
+    (reference analog: observation_mapper.py:851-997)."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, resize_media, synth_gray_png,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return resize_media(attach_binary(docs, "text", "doc_id"), width=64, height=64)
+    pngs = synth_gray_png(attach_binary(docs, "text", "doc_id"))
+    resized = resize_media(pngs, width=3, height=3)
+    # the driver's hash-compare factorizes cells and rejects list values —
+    # serialize the pixel array for comparison (values still byte-exact)
+    return resized.select(
+        "media_id", "width", "height",
+        F.array_join("pixels", ",").alias("pixels"),
+        _rnd("mean_luminance", 6).alias("mean_luminance"),
+    )
+
+
+def media_audio_features(spark, sf_dir):
+    """REAL audio decode end-to-end: every document's payload becomes a
+    genuine mono PCM16 WAV (real RIFF/fmt/data encoder, 8 frames = the
+    payload's md5 digest as little-endian int16 pairs), then the
+    pure-stdlib PCM decoder recovers the ACTUAL samples into sample
+    rate / channels / frames / duration / RMS / peak. Both stages are
+    narrow Arrow-batched mapInPandas maps — no shuffle, pipelined behind
+    the scan at any scale. The sample statistics are pure functions of
+    md5(text), so the oracle replays the decoded values exactly
+    (reference analog: media-observation columns,
+    observation_mapper.py:851-997)."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_audio_features, synth_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wavs = synth_wav(attach_binary(docs, "text", "doc_id"))
+    return decode_audio_features(wavs).select(
+        "media_id", "sample_rate", "n_channels", "n_frames", "duration_sec",
+        _rnd("rms", 6).alias("rms"), "peak",
+    )
 
 
 def corpus_prepare(spark, sf_dir, checkpoint_dir=None):
@@ -2462,6 +2513,7 @@ QUERIES = {
     "customer_order_bundle_gz": customer_order_bundle_gz,
     "orders_approx_distinct": orders_approx_distinct,
     "media_resize": media_resize,
+    "media_audio_features": media_audio_features,
     "media_frame_sample": media_frame_sample,
     "docs_tfidf_terms": docs_tfidf_terms,
     "segment_big_spenders": segment_big_spenders,
@@ -3342,7 +3394,42 @@ SELECT shard::VARCHAR || '-' || floor(before / 512)::INT::VARCHAR AS pack_id,
 FROM c GROUP BY 1
 """
 
-ORACLE["media_resize"] = "\nSELECT doc_id AS media_id, 64 AS width, 64 AS height,\n       md5(text || ':64x64') AS thumb_md5\nFROM documents\n"
+# The resized pixels replay from md5(text): the 4×4 source pixels are the
+# 16 digest bytes in scan order, and the 3×3 floor mapping (x*4//3, y*4//3)
+# selects source indices {0,1,2, 4,5,6, 8,9,10}.
+ORACLE["media_resize"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+px AS (
+  SELECT media_id,
+         [CAST(concat('0x', substring(hx, 2 * i + 1, 2)) AS INT)
+          FOR i IN [0, 1, 2, 4, 5, 6, 8, 9, 10]] AS pixels
+  FROM h)
+SELECT media_id, CAST(3 AS INT) AS width, CAST(3 AS INT) AS height,
+       array_to_string(pixels, ',') AS pixels,
+       floor(list_avg(pixels) * 1000000 + 0.5) / 1000000 AS mean_luminance
+FROM px
+"""
+
+# The decoded samples replay from md5(text): sample j (0..7) is digest
+# bytes (2j, 2j+1) read little-endian as a signed int16.
+ORACLE["media_audio_features"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+s AS (
+  SELECT media_id,
+         CAST(concat('0x', substring(hx, 4 * j + 3, 2)) AS INT) * 256
+         + CAST(concat('0x', substring(hx, 4 * j + 1, 2)) AS INT) AS u
+  FROM h CROSS JOIN (SELECT unnest(range(8)) AS j) t),
+sg AS (SELECT media_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+       FROM s)
+SELECT media_id,
+       CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+       CAST(8 AS BIGINT) AS n_frames,
+       CAST(8 AS DOUBLE) / 8000 AS duration_sec,
+       floor(sqrt(avg(CAST(v AS DOUBLE) * v)) * 1000000 + 0.5) / 1000000
+         AS rms,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM sg GROUP BY media_id
+"""
 ORACLE["corpus_prepare"] = '\nWITH t AS (\n  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), \'[^a-z0-9]+\'), x -> x <> \'\') AS toks, length(text) AS n_chars FROM documents),\nsig AS (\n  SELECT doc_id, text, toks, len(toks) AS q_n_tokens,\n         length(regexp_replace(text, \'[^A-Za-z]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,\n         length(regexp_replace(text, \'[^.,;:!?\'\'"()]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,\n         len(list_filter(toks, x -> list_contains([\'the\',\'and\',\'of\',\'to\',\'is\',\'in\',\'that\',\'with\',\'for\',\'was\'], x))) * 1.0\n             / greatest(len(toks), 1) AS stop_ratio\n  FROM t),\nscored AS (\n  SELECT doc_id, text, toks, q_n_tokens,\n         floor((0.25 * least(q_n_tokens / 50.0, 1.0)\n             + 0.25 * alpha_ratio\n             + 0.25 * least(stop_ratio * 5.0, 1.0)\n             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score\n  FROM sig),\nq1 AS (SELECT * FROM scored WHERE quality_score >= 0.3),\nq2 AS (\n  SELECT * FROM (\n    SELECT *, min(doc_id) OVER (PARTITION BY md5(array_to_string(toks, \' \'))) AS keeper\n    FROM q1) WHERE doc_id = keeper),\nsh AS (\n  SELECT DISTINCT doc_id, unnest([array_to_string(toks[i:i+2], \' \') FOR i IN range(1, len(toks) - 1)]) AS shingle\n  FROM q2 WHERE len(toks) >= 3),\nmh AS (\n  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || \':\' || shingle)) AS mh\n  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s\n  GROUP BY doc_id, s.seed),\nbands AS (\n  SELECT doc_id, seed // 3 AS band,\n         md5(string_agg(mh, \'|\' ORDER BY seed)) AS band_key\n  FROM mh GROUP BY doc_id, seed // 3),\nlosers AS (\n  SELECT DISTINCT b.doc_id\n  FROM bands a JOIN bands b\n    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)\nSELECT doc_id, len(toks) AS n_tokens, quality_score\nFROM q2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)\n'
 
 ORACLE["docs_split_assign"] = """
@@ -3770,16 +3857,30 @@ WITH params AS (
   FROM lineitem),
 upd AS (
   SELECT o_orderkey, 1 AS pid,
-         floor((o_totalprice / 1000) * 100 + 0.5) / 100 AS val
+         floor((o_totalprice / 1000) * 100 + 0.5) / 100 AS val, 1 AS seq
   FROM orders
   UNION ALL
-  SELECT o_orderkey, 99 AS pid, o_custkey::DOUBLE AS val FROM orders),
+  SELECT o_orderkey, 1 AS pid,
+         floor((o_totalprice / 100) * 100 + 0.5) / 100 AS val, 2 AS seq
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 99 AS pid, o_custkey::DOUBLE AS val, 3 AS seq FROM orders
+  UNION ALL
+  SELECT o_orderkey, 99 AS pid, o_custkey::DOUBLE + 0.5 AS val, 4 AS seq
+  FROM orders),
+last_upd AS (
+  SELECT o_orderkey, pid, val FROM upd
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey, pid ORDER BY seq DESC) = 1),
 kept AS (
   SELECT p.o_orderkey, p.pid, coalesce(u.val, p.val) AS val
-  FROM params p LEFT JOIN upd u ON u.o_orderkey = p.o_orderkey AND u.pid = p.pid),
+  FROM params p
+  LEFT JOIN last_upd u ON u.o_orderkey = p.o_orderkey AND u.pid = p.pid),
 appended AS (
+  -- append-ALL: every update row whose pid is absent from params, dups kept
   SELECT u.o_orderkey, u.pid, u.val
-  FROM upd u LEFT JOIN params p ON p.o_orderkey = u.o_orderkey AND p.pid = u.pid
+  FROM upd u
+  LEFT JOIN (SELECT DISTINCT o_orderkey, pid FROM params) p
+    ON p.o_orderkey = u.o_orderkey AND p.pid = u.pid
   WHERE p.pid IS NULL)
 SELECT o_orderkey, pid, val FROM kept
 UNION ALL
@@ -5866,7 +5967,7 @@ ORACLE["events_value_ewma"] = """
 WITH RECURSIVE o AS (
   SELECT event_id, user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 walk(user_id, rn, event_id, e) AS (
   SELECT user_id, rn, event_id, CAST(value AS DOUBLE) FROM o WHERE rn = 1
   UNION ALL
@@ -5874,6 +5975,12 @@ walk(user_id, rn, event_id, e) AS (
   FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1)
 SELECT event_id, user_id, floor(e * 1000000 + 0.5) / 1000000 AS ewma
 FROM walk
+UNION ALL
+-- the operator SKIPS NULL values (state carries over) and emits NULL
+-- ewma for them; mirror by excluding them from the recursive walk above
+-- and appending them here
+SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS ewma
+FROM events WHERE value IS NULL
 """
 
 
@@ -5940,3 +6047,19 @@ _promote("events_value_ewma", "supplier_rule_calls")        # A9 twin stays via 
 _promote("docs_priority_sample", "docs_bm25_search")        # text family keeps lang_id/pack/minhash
 _promote("lineitem_quantile_sketch", "customer_order_rollup")  # A-family keeps A3/A5/A8
 _promote("orders_status_overlap_hll", "emb_semantic_dedup")    # emb family keeps cosine/ann
+
+# Round-5 rotation (r4 verdict item 4): ten NEVER-windowed queries get
+# their first driver evidence — the two new real-decode media queries
+# plus eight operators whose only green was local oracle parity.
+# Displaced entries are all r4-driver-green with their family still
+# represented in-window, and stay locally oracle-checked every test run.
+_promote("docs_decontaminate", "docs_exact_dedup")        # dedup family keeps lsh/groups/incremental
+_promote("media_resize", "media_decode_features")         # decode path still exercised (resize decodes PNG)
+_promote("media_audio_features", "priority_map_normalize")  # P4/U1 r4-green; map-normalize logic also in-window via derived_unit_margin
+_promote("emb_ivf_topk", "docs_lang_id")                  # emb family adds the IVF scale path
+_promote("orders_customer_cms", "clerk_string_surface")   # sketch family: CMS probe gets driver evidence
+_promote("customers_bloom_membership", "part_token_stats")  # sketch family: Bloom probe
+_promote("corpus_bpe_merges", "modal_priority_per_segment")  # BPE trainer first driver run
+_promote("docs_group_safe_split", "segment_term_chooser")  # leakage-safe split
+_promote("part_copurchase_triangles", "solr_doc_shape")   # graph family beyond ancestry
+_promote("orders_upsert_merge", "union_customers_suppliers")  # CDC/upsert family

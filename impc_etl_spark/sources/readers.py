@@ -86,6 +86,26 @@ def read_jsonl(
     ]
     if not sample:
         raise ValueError(f"cannot infer JSON schema: no non-empty lines in {path}")
+    # DROPMALFORMED-style tolerance for the INFERENCE sample: one bad line
+    # in the first 256 must not fail the whole read with an opaque
+    # schema_of_json error (crawl/statpacket inputs are hostile). The
+    # sample is bounded, so a driver-side json.loads filter is cheap.
+    import json as _json
+
+    parseable, bad = [], []
+    for line in sample:
+        try:
+            _json.loads(line)
+            parseable.append(line)
+        except ValueError:
+            bad.append(line)
+    if not parseable:
+        raise ValueError(
+            f"cannot infer JSON schema: none of the first {len(sample)} "
+            f"non-empty lines of {path} parse as JSON "
+            f"(first offender: {bad[0][:200]!r})"
+        )
+    sample = parseable
     arr_ddl = (
         spark.range(1)
         .select(F.schema_of_json(F.lit("[" + ",".join(sample) + "]")))

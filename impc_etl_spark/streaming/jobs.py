@@ -824,9 +824,22 @@ def _batch_already_committed(
             return False
         stored = meta.get("query_id")
         live = _checkpoint_query_id(checkpoint_dir) if checkpoint_dir else None
-        # same batch id: a replay iff the same query committed it (treat
-        # unknown identity as a replay — the conservative, self-overwrite-
-        # safe side; _commit_version's r-suffix keeps even that path safe)
+        # same batch id: a replay iff the same query committed it. An
+        # UNKNOWN stored identity (pre-marker store) is treated as a
+        # replay — the conservative, self-overwrite-safe side. But when
+        # the STORE recorded a query id and the LIVE checkpoint's id
+        # cannot be read, that is an environment fault (permissions,
+        # transient FS error) — silently calling it a replay would DROP
+        # a genuinely new query's batch, which is silent data loss for
+        # additive sinks. Abort loudly instead.
+        if stored is not None and checkpoint_dir and live is None:
+            raise RuntimeError(
+                f"cannot read streaming query id from checkpoint "
+                f"{checkpoint_dir!r} while the store's committed version "
+                f"carries query id {stored!r} for batch {batch_id} — "
+                "refusing to guess replay-vs-new (a wrong guess either "
+                "drops or double-applies this batch)"
+            )
         return stored is None or live is None or stored == live
     return os.path.basename(current) == f"v{batch_id}"
 

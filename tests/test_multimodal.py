@@ -4,11 +4,127 @@ stages' oracle parity is covered in test_oracle_parity (media_* queries)."""
 import pytest
 
 
-def test_decode_audio_is_stubbed():
-    from impc_etl_spark.multimodal.media import decode_audio
+def test_decode_audio_real_for_wav_stub_for_compressed():
+    from impc_etl_spark.multimodal.media import _wav_pcm16, decode_audio
 
+    sr, samples = decode_audio(_wav_pcm16([0, 100, -100, 32767, -32768], 8000))
+    assert sr == 8000 and samples == [0, 100, -100, 32767, -32768]
+    # non-WAV payloads keep the honest stub error (MP3/AAC need a codec lib)
     with pytest.raises(NotImplementedError):
         decode_audio(b"\x00\x01")
+
+
+def test_decode_wav_formats_and_hostile_inputs():
+    """Pure-stdlib PCM decode: 16-bit roundtrip via the repo's own
+    encoder, hand-built 8-bit (unsigned, recentred) and stereo payloads,
+    ragged-tail truncation to whole frames, and hostile inputs → None."""
+    import struct
+
+    from impc_etl_spark.multimodal.media import _wav_pcm16, decode_wav
+
+    assert decode_wav(_wav_pcm16([5, -5, 0], 44100)) == (44100, 1, [5, -5, 0])
+
+    def wav(fmt_tag, ch, sr, bits, data):
+        fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+            "<HHIIHH", fmt_tag, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits
+        )
+        body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 8-bit PCM is unsigned; decode recentres around 0
+    assert decode_wav(wav(1, 1, 8000, 8, bytes([128, 255, 0]))) == (
+        8000, 1, [0, 127, -128])
+    # stereo: interleaved samples, frame count = samples // channels
+    st = decode_wav(wav(1, 2, 16000, 16, struct.pack("<4h", 1, 2, 3, 4)))
+    assert st == (16000, 2, [1, 2, 3, 4])
+    # ragged tail (5 samples, 2 channels) truncates to 2 whole frames
+    rg = decode_wav(wav(1, 2, 16000, 16, struct.pack("<5h", 1, 2, 3, 4, 5)))
+    assert rg == (16000, 2, [1, 2, 3, 4])
+    # non-PCM format tag, unsupported depth, non-WAV container → None
+    assert decode_wav(wav(3, 1, 8000, 16, b"\x00\x00")) is None
+    assert decode_wav(wav(1, 1, 8000, 24, b"\x00\x00\x00")) is None
+    assert decode_wav(b"RIFF\x00\x00\x00\x00AVI ") is None
+    assert decode_wav(b"") is None
+
+
+def test_decode_audio_features_end_to_end(spark):
+    """synth WAV → decode_audio_features recovers the md5-derived PCM16
+    samples (rate/frames/duration/rms/peak) and yields NULLs for an
+    undecodable payload injected into the same frame."""
+    import hashlib
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_audio_features, synth_wav,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta gamma")], ["doc_id", "text"]
+    )
+    wavs = synth_wav(attach_binary(df, "text", "doc_id"))
+    bad = spark.createDataFrame([(99,)], "media_id bigint").select(
+        "media_id", F.encode(F.lit("not a wav"), "UTF-8").alias("content")
+    )
+    got = {r["media_id"]: r
+           for r in decode_audio_features(wavs.unionByName(bad)).collect()}
+    for doc_id, text in [(1, "alpha"), (2, "beta gamma")]:
+        s = struct.unpack("<8h", hashlib.md5(text.encode()).digest())
+        r = got[doc_id]
+        assert (r["sample_rate"], r["n_channels"], r["n_frames"]) == (8000, 1, 8)
+        assert abs(r["duration_sec"] - 8 / 8000) < 1e-12
+        assert abs(r["rms"] - math.sqrt(sum(v * v for v in s) / 8)) < 1e-9
+        assert r["peak"] == max(abs(v) for v in s)
+    r99 = got[99]
+    assert r99["sample_rate"] is None and r99["rms"] is None
+
+
+def test_resize_media_real_pixels(spark):
+    """Real nearest-neighbor resize over decoded PNG pixels: the 3×3
+    output of a synth 4×4 gray PNG is exactly the digest bytes the floor
+    mapping selects; an undecodable payload yields NULL pixels."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, resize_media, synth_gray_png,
+    )
+
+    df = spark.createDataFrame([(1, "alpha")], ["doc_id", "text"])
+    pngs = synth_gray_png(attach_binary(df, "text", "doc_id"))
+    bad = spark.createDataFrame([(99,)], "media_id bigint").select(
+        "media_id", F.encode(F.lit("not a png"), "UTF-8").alias("content")
+    )
+    got = {r["media_id"]: r
+           for r in resize_media(pngs.unionByName(bad), 3, 3).collect()}
+    d = hashlib.md5(b"alpha").digest()
+    want = [d[i] for i in (0, 1, 2, 4, 5, 6, 8, 9, 10)]
+    r = got[1]
+    assert (r["width"], r["height"]) == (3, 3)
+    assert r["pixels"] == want
+    assert abs(r["mean_luminance"] - sum(want) / 9) < 1e-9
+    r99 = got[99]
+    assert r99["pixels"] is None and r99["mean_luminance"] is None
+
+
+def test_nearest_resize_kernel_multichannel():
+    """Kernel unit cases: identity mapping, 2× downscale, upscale, and
+    RGB channel-mean collapse — checked against a naive reimplementation."""
+    from impc_etl_spark.multimodal.media import _nearest_resize
+
+    # 2×2 gray identity
+    assert _nearest_resize(bytes([10, 20, 30, 40]), 2, 2, 1, 2, 2) == [
+        10, 20, 30, 40]
+    # 4×4 gray → 2×2 picks (0,0) (2,0) (0,2) (2,2) = indices 0, 2, 8, 10
+    src = bytes(range(16))
+    assert _nearest_resize(src, 4, 4, 1, 2, 2) == [0, 2, 8, 10]
+    # 1×1 → 2×2 upscale replicates the single pixel
+    assert _nearest_resize(bytes([7]), 1, 1, 1, 2, 2) == [7, 7, 7, 7]
+    # RGB 2×1 → 1×1: picks pixel 0, luminance = mean of its channels
+    assert _nearest_resize(bytes([30, 60, 90, 0, 0, 0]), 2, 1, 3, 1, 1) == [60]
 
 
 def test_decode_image_stubbed_without_pil():

@@ -312,6 +312,56 @@ def test_salted_agg_equals_plain(spark):
     assert got == want
 
 
+def test_salted_agg_map_column_and_duplicate_rows(spark):
+    """Regression (r4 advice): a MapType column must not feed F.hash
+    (Spark raises), and a hot key of EXACT-DUPLICATE rows must still
+    spread across salt buckets instead of collapsing to one (the content
+    hash alone is constant for duplicates)."""
+    from pyspark.sql import functions as SF
+
+    from impc_etl_spark.operators.aggregate import _contains_map, salted_agg
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, MapType, StringType, StructField, StructType,
+    )
+
+    assert _contains_map(MapType(StringType(), IntegerType()))
+    assert _contains_map(ArrayType(MapType(StringType(), IntegerType())))
+    assert _contains_map(
+        StructType([StructField("m", MapType(StringType(), IntegerType()))])
+    )
+    assert not _contains_map(ArrayType(IntegerType()))
+
+    # 512 exact-duplicate rows of one hot key, with a map column present
+    df = (
+        spark.range(512)
+        .select(
+            SF.lit("hot").alias("k"),
+            SF.lit(1).alias("v"),
+            SF.create_map(SF.lit("a"), SF.lit(1)).alias("m"),
+        )
+    )
+    out = salted_agg(
+        df, ["k"], {"n": (SF.count(SF.lit(1)), SF.sum("n"))}, buckets=8
+    ).collect()
+    assert [(r["k"], r["n"]) for r in out] == [("hot", 512)]
+
+    # spread check against the operator's own salt construction: exact
+    # duplicates must land in >1 bucket
+    hashable = [SF.col(f.name) for f in df.schema.fields
+                if not _contains_map(f.dataType)]
+    n_buckets = (
+        df.select(
+            SF.pmod(
+                SF.hash(*hashable).cast("long") + SF.monotonically_increasing_id(),
+                SF.lit(8),
+            ).alias("s")
+        )
+        .agg(SF.countDistinct("s"))
+        .head()[0]
+    )
+    assert n_buckets > 1
+
+
 def test_fan_out_noop_on_wide_input(spark):
     from impc_etl_spark.operators.partitioning import fan_out
 
@@ -561,6 +611,38 @@ def test_connected_components_long_chain_converges(spark):
         got = {r["doc_id"]: r["group_id"]
                for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(60)}
+
+
+def test_connected_components_stable_under_repartitioning(spark):
+    """Determinism insurance for the dedup family's keystone (r4 verdict
+    item 7): the min-id label choice must not depend on physical
+    partitioning — run the same random graph under two different
+    spark.sql.shuffle.partitions settings and require identical labels."""
+    import random
+
+    from impc_etl_spark.operators.dedup import connected_components
+
+    rng = random.Random(41)
+    edges = sorted({(rng.randrange(120), rng.randrange(120)) for _ in range(150)})
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        labels = []
+        for n_part in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            labels.append({
+                r["doc_id"]: r["group_id"]
+                for r in connected_components(pairs.repartition(int(n_part))).collect()
+            })
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert labels[0] == labels[1]
+    # min-id invariant: every group is labeled by its smallest member
+    by_group = {}
+    for d, g in labels[0].items():
+        by_group.setdefault(g, []).append(d)
+    assert all(g == min(members) for g, members in by_group.items())
 
 
 def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
@@ -2611,18 +2693,22 @@ def test_derivation_edge_cases_null_not_crash(spark):
     assert row["d"] is None and row["m"] is None and row["auc"] is None
 
 
-def test_merge_struct_array_dedupes_appended_updates(spark):
-    """Duplicate update keys absent from arr append ONCE, last wins."""
+def test_merge_struct_array_appends_all_duplicate_key_updates(spark):
+    """Reference semantics (experiment_parameter_derivator.py:130-149):
+    duplicate update keys absent from arr ALL append in update order (the
+    reference's append loop guards only against keys present in
+    simple_parameters); a key present in arr is replaced once, last
+    update winning."""
     from impc_etl_spark.operators.derivation import merge_struct_array
 
     df = spark.createDataFrame(
-        [([("a", 1)], [("b", 2), ("b", 3)])],
+        [([("a", 1)], [("b", 2), ("b", 3), ("a", 9), ("a", 10)])],
         "arr array<struct<k string, v int>>, upd array<struct<k string, v int>>",
     )
     got = df.select(
         merge_struct_array(F.col("arr"), F.col("upd"), "k").alias("m")
     ).collect()[0]["m"]
-    assert [(e["k"], e["v"]) for e in got] == [("a", 1), ("b", 3)]
+    assert [(e["k"], e["v"]) for e in got] == [("a", 10), ("b", 2), ("b", 3)]
 
 
 def test_dict_tree_lookup_null_key_is_no_match(spark):

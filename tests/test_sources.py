@@ -598,6 +598,33 @@ def test_read_jsonl_infers_schema_without_rdd(spark, tmp_path):
     assert rows == {"IMPC_001": (0.03, None), "IMPC_002": (0.9, "x")}
 
 
+def test_read_jsonl_inference_tolerates_malformed_sample_lines(spark, tmp_path):
+    """Regression (r4 advice): one malformed line inside the inference
+    sample must not fail the whole read with an opaque schema_of_json
+    error — it is dropped from the SAMPLE (the parse itself stays
+    from_json, which NULLs it); an all-malformed sample raises a clear
+    error naming the offender."""
+    import pytest
+
+    from impc_etl_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "hostile.jsonl"
+    p.write_text(
+        'STATPACKET: {"procedure": "IMPC_001", "p_value": 0.03}\n'
+        'STATPACKET: {broken json!!\n'
+        'STATPACKET: {"procedure": "IMPC_002", "p_value": 0.9}\n'
+    )
+    df = read_jsonl(spark, str(p), strip_prefix_regex=r"^STATPACKET: ")
+    rows = {r["procedure"]: r["p_value"]
+            for r in df.where(F.col("procedure").isNotNull()).collect()}
+    assert rows == {"IMPC_001": 0.03, "IMPC_002": 0.9}
+
+    allbad = tmp_path / "allbad.jsonl"
+    allbad.write_text("STATPACKET: {nope\nSTATPACKET: {also nope\n")
+    with pytest.raises(ValueError, match="first offender"):
+        read_jsonl(spark, str(allbad), strip_prefix_regex=r"^STATPACKET: ")
+
+
 def test_mongo_write_option_map_pinned():
     """No Mongo service exists here, but the connector option plumbing is
     a pure function — pin it to the reference's connector config

@@ -1018,3 +1018,14 @@ def test_replay_guard_distinguishes_query_identity(tmp_path):
     assert not _batch_already_committed(str(v0), 0, str(ckB))   # new query
     assert not _batch_already_committed(str(v0), 1, str(ckA))   # new batch
     assert not _batch_already_committed(None, 0, str(ckA))
+
+    # store carries a query id but the live checkpoint's id is UNREADABLE:
+    # an environment fault must abort loudly, not silently drop the batch
+    import pytest
+
+    ckBroken = tmp_path / "ckBroken"; ckBroken.mkdir()  # no metadata file
+    with pytest.raises(RuntimeError, match="refusing to guess"):
+        _batch_already_committed(str(v0), 0, str(ckBroken))
+    # ... but with no checkpoint dir at all (caller opted out of identity
+    # tracking) the conservative replay-side answer stands
+    assert _batch_already_committed(str(v0), 0, None)
