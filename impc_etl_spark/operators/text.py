@@ -1150,3 +1150,57 @@ def apply_bpe_merges(
     return F.split(
         F.regexp_replace(s, f"^{re_escape(m)}|{re_escape(m)}$", ""), re_escape(m) * 2
     )
+
+
+# --- URL canonicalization (crawl-pipeline dedup key) -------------------------
+
+_URL_TRACKING = r"(?:utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid)"
+
+
+def canonicalize_url(col: str | Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the standard key for
+    URL-level dedup of a web crawl (the step before any content dedup;
+    without it the same page fetched via tracking links counts as distinct):
+
+    - drop the fragment (``#...``)
+    - lowercase the scheme and authority (never the path/query — those
+      are case-sensitive per RFC 3986)
+    - strip default ports (``:80`` for http, ``:443`` for https)
+    - remove tracking parameters (``utm_*``, ``gclid``, ``fbclid``,
+      ``msclkid``, ``mc_eid``) with separator cleanup
+    - collapse duplicate slashes in the path; empty path becomes ``/``
+
+    Pure chained regexp/`concat` Column algebra — row-local, codegen'd,
+    zero shuffle at any scale. Non-http(s)/relative inputs (no
+    ``scheme://``) pass through with only the fragment stripped."""
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, r"#.*", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    after = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    auth = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+    auth = F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", "")) \
+        .otherwise(auth)
+    tail = F.regexp_replace(after, r"^[^/?]*", "")
+    path = F.regexp_replace(F.regexp_extract(tail, r"^([^?]*)", 1), r"/{2,}", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(tail, r"(\?.*)$", 1)
+    query = F.regexp_replace(query, _URL_TRACKING + r"=[^&]*", "")
+    query = F.regexp_replace(query, r"[?&]+$", "")
+    query = F.regexp_replace(query, r"\?&+", "?")
+    query = F.regexp_replace(query, r"&&+", "&")
+    return F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), auth, path, query)
+    )
+
+
+def url_domain(col: str | Column) -> Column:
+    """Registrable-ish domain key for per-domain caps/sampling: the
+    lowercased authority minus user-info, port, and a leading ``www.`` —
+    the grouping key ``sampling.per_key_cap`` expects for domain-balanced
+    corpus construction. Row-local regex; zero shuffle."""
+    u = F.col(col) if isinstance(col, str) else col
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)", 1)
+    )
+    return F.regexp_replace(host, r"^www\.", "")

@@ -2006,7 +2006,56 @@ def media_audio_features(spark, sf_dir):
     wavs = synth_wav(attach_binary(docs, "text", "doc_id"))
     return decode_audio_features(wavs).select(
         "media_id", "sample_rate", "n_channels", "n_frames", "duration_sec",
-        _rnd("rms", 6).alias("rms"), "peak",
+        _rnd("rms", 6).alias("rms"), "peak", _rnd("zcr", 6).alias("zcr"),
+    )
+
+
+def media_mp4_probe(spark, sf_dir):
+    """REAL video-container probe end-to-end: every document's payload
+    becomes a genuine minimal MP4 (real ISO-BMFF box encoder — ftyp +
+    moov(mvhd v0 + trak boxes), duration/track-count derived from the
+    payload's md5), then the real box walker recovers timescale /
+    duration / track count. Both stages are narrow Arrow-batched
+    mapInPandas maps — no shuffle, pipelined behind the scan at any
+    scale; the probed values replay exactly from md5(text) (reference
+    analog: media-observation columns, observation_mapper.py:851-997)."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, mp4_header_features, synth_mp4,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mp4s = synth_mp4(attach_binary(docs, "text", "doc_id"))
+    return mp4_header_features(mp4s).select(
+        "media_id", "timescale", "duration_ticks",
+        _rnd("duration_sec", 6).alias("duration_sec"), "n_tracks",
+    )
+
+
+def docs_url_canonical(spark, sf_dir):
+    """Crawl-pipeline URL canonicalization: each document gets a messy
+    absolute URL built deterministically from its fields (mixed-case
+    scheme/host, explicit default port, doubled path slashes, utm/fbclid
+    tracking params, fragment), and `canonicalize_url` reduces it to the
+    dedup key — all row-local regexp/concat Column algebra, zero shuffle.
+    The oracle computes the EXPECTED canonical form directly from the
+    same fields (independent of the operator's regex pipeline), so this
+    checks the canonicalization itself, not a replay of it. `url_domain`
+    yields the per-domain grouping key the domain-cap sampler consumes."""
+    from impc_etl_spark.operators.text import canonicalize_url, url_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    messy = F.concat(
+        F.lit("HTTPS://WWW."), F.substring(F.md5("text"), 1, 6),
+        F.lit(".Example.COM:443//a//b/"), did,
+        F.lit("?utm_source=feed&id="), did,
+        F.lit("&fbclid=XYZ&page=2#sec-3"),
+    )
+    with_url = docs.select("doc_id", messy.alias("url"))
+    return with_url.select(
+        "doc_id",
+        canonicalize_url("url").alias("canonical_url"),
+        url_domain("url").alias("domain"),
     )
 
 
@@ -2514,6 +2563,8 @@ QUERIES = {
     "orders_approx_distinct": orders_approx_distinct,
     "media_resize": media_resize,
     "media_audio_features": media_audio_features,
+    "media_mp4_probe": media_mp4_probe,
+    "docs_url_canonical": docs_url_canonical,
     "media_frame_sample": media_frame_sample,
     "docs_tfidf_terms": docs_tfidf_terms,
     "segment_big_spenders": segment_big_spenders,
@@ -3415,20 +3466,55 @@ FROM px
 ORACLE["media_audio_features"] = """
 WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
 s AS (
-  SELECT media_id,
+  SELECT media_id, j,
          CAST(concat('0x', substring(hx, 4 * j + 3, 2)) AS INT) * 256
          + CAST(concat('0x', substring(hx, 4 * j + 1, 2)) AS INT) AS u
   FROM h CROSS JOIN (SELECT unnest(range(8)) AS j) t),
-sg AS (SELECT media_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
-       FROM s)
+sg AS (SELECT media_id, j,
+              CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+       FROM s),
+sl AS (SELECT media_id, v,
+              lead(v) OVER (PARTITION BY media_id ORDER BY j) AS nxt
+       FROM sg)
 SELECT media_id,
        CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
        CAST(8 AS BIGINT) AS n_frames,
        CAST(8 AS DOUBLE) / 8000 AS duration_sec,
        floor(sqrt(avg(CAST(v AS DOUBLE) * v)) * 1000000 + 0.5) / 1000000
          AS rms,
-       CAST(max(abs(v)) AS INT) AS peak
-FROM sg GROUP BY media_id
+       CAST(max(abs(v)) AS INT) AS peak,
+       floor(CAST(sum(CASE WHEN v * nxt < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / 7 * 1000000 + 0.5) / 1000000 AS zcr
+FROM sl GROUP BY media_id
+"""
+# The probed MP4 values replay from md5(text): duration ticks = digest
+# u32 (hex chars 1..8) % 3_600_000 at timescale 600; track count =
+# digest byte 4 (hex chars 9..10) % 3 + 1.
+ORACLE["media_mp4_probe"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+v AS (
+  SELECT media_id,
+         CAST(concat('0x', substring(hx, 1, 8)) AS BIGINT) % 3600000 AS dur,
+         CAST(concat('0x', substring(hx, 9, 2)) AS INT) % 3 + 1 AS n_tracks
+  FROM h)
+SELECT media_id, CAST(600 AS INT) AS timescale,
+       CAST(dur AS BIGINT) AS duration_ticks,
+       floor(CAST(dur AS DOUBLE) / 600 * 1000000 + 0.5) / 1000000
+         AS duration_sec,
+       CAST(n_tracks AS INT) AS n_tracks
+FROM v
+"""
+
+# Independent oracle: the EXPECTED canonical form computed directly from
+# the same fields — lowercased scheme/host, default port gone, doubled
+# slashes collapsed, tracking params removed, fragment dropped.
+ORACLE["docs_url_canonical"] = """
+SELECT doc_id,
+       concat('https://www.', substring(md5(text), 1, 6),
+              '.example.com/a/b/', doc_id::VARCHAR,
+              '?id=', doc_id::VARCHAR, '&page=2') AS canonical_url,
+       concat(substring(md5(text), 1, 6), '.example.com') AS domain
+FROM documents
 """
 ORACLE["corpus_prepare"] = '\nWITH t AS (\n  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), \'[^a-z0-9]+\'), x -> x <> \'\') AS toks, length(text) AS n_chars FROM documents),\nsig AS (\n  SELECT doc_id, text, toks, len(toks) AS q_n_tokens,\n         length(regexp_replace(text, \'[^A-Za-z]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS alpha_ratio,\n         length(regexp_replace(text, \'[^.,;:!?\'\'"()]\', \'\', \'g\')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,\n         len(list_filter(toks, x -> list_contains([\'the\',\'and\',\'of\',\'to\',\'is\',\'in\',\'that\',\'with\',\'for\',\'was\'], x))) * 1.0\n             / greatest(len(toks), 1) AS stop_ratio\n  FROM t),\nscored AS (\n  SELECT doc_id, text, toks, q_n_tokens,\n         floor((0.25 * least(q_n_tokens / 50.0, 1.0)\n             + 0.25 * alpha_ratio\n             + 0.25 * least(stop_ratio * 5.0, 1.0)\n             + 0.25 * (1.0 - least(punct_ratio * 4.0, 1.0))) * 10000 + 0.5) / 10000 AS quality_score\n  FROM sig),\nq1 AS (SELECT * FROM scored WHERE quality_score >= 0.3),\nq2 AS (\n  SELECT * FROM (\n    SELECT *, min(doc_id) OVER (PARTITION BY md5(array_to_string(toks, \' \'))) AS keeper\n    FROM q1) WHERE doc_id = keeper),\nsh AS (\n  SELECT DISTINCT doc_id, unnest([array_to_string(toks[i:i+2], \' \') FOR i IN range(1, len(toks) - 1)]) AS shingle\n  FROM q2 WHERE len(toks) >= 3),\nmh AS (\n  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || \':\' || shingle)) AS mh\n  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s\n  GROUP BY doc_id, s.seed),\nbands AS (\n  SELECT doc_id, seed // 3 AS band,\n         md5(string_agg(mh, \'|\' ORDER BY seed)) AS band_key\n  FROM mh GROUP BY doc_id, seed // 3),\nlosers AS (\n  SELECT DISTINCT b.doc_id\n  FROM bands a JOIN bands b\n    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)\nSELECT doc_id, len(toks) AS n_tokens, quality_score\nFROM q2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)\n'
 
@@ -6063,3 +6149,9 @@ _promote("corpus_bpe_merges", "modal_priority_per_segment")  # BPE trainer first
 _promote("docs_group_safe_split", "segment_term_chooser")  # leakage-safe split
 _promote("part_copurchase_triangles", "solr_doc_shape")   # graph family beyond ancestry
 _promote("orders_upsert_merge", "union_customers_suppliers")  # CDC/upsert family
+
+# Round-5 late additions: the real MP4 container probe and the URL
+# canonicalization operator get driver evidence immediately (displacing
+# r4-green S6/J4 representatives; both stay locally oracle-checked).
+_promote("media_mp4_probe", "statpacket_restructure")
+_promote("docs_url_canonical", "best_customer_per_nation")

@@ -413,3 +413,98 @@ def test_decode_png_rejects_zero_pixel_image(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["width"] is None and r["mean_luminance"] is None
+
+
+def test_probe_mp4_header_walks_boxes_and_versions():
+    """Real ISO-BMFF walking: the repo's own minimal encoder roundtrips;
+    a hand-built mvhd v1 (64-bit times) parses; 64-bit largesize and
+    size-0 (to-EOF) boxes are honored; hostile inputs → None."""
+    import struct
+
+    from impc_etl_spark.multimodal.media import (
+        _mp4_box, _mp4_min, probe_mp4_header,
+    )
+
+    assert probe_mp4_header(_mp4_min(600, 123456, 2)) == (600, 123456, 2)
+    assert probe_mp4_header(_mp4_min(1000, 0, 1)) == (1000, 0, 1)
+
+    # mvhd version 1: 8-byte creation/modification times, 8-byte duration
+    mvhd_v1 = (
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 90000)
+        + struct.pack(">Q", 5_000_000)
+        + b"\x00" * 80
+    )
+    moov = _mp4_box(b"mvhd", mvhd_v1) + _mp4_box(b"trak", b"")
+    payload = _mp4_box(b"ftyp", b"isom") + _mp4_box(b"moov", moov)
+    assert probe_mp4_header(payload) == (90000, 5_000_000, 1)
+
+    # 64-bit largesize on the moov box (size field == 1)
+    big_moov = (
+        struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov)) + moov
+    )
+    assert probe_mp4_header(_mp4_box(b"ftyp", b"isom") + big_moov) == (
+        90000, 5_000_000, 1)
+
+    # size-0: box extends to EOF
+    eof_moov = struct.pack(">I", 0) + b"moov" + moov
+    assert probe_mp4_header(_mp4_box(b"ftyp", b"isom") + eof_moov) == (
+        90000, 5_000_000, 1)
+
+    assert probe_mp4_header(b"") is None
+    assert probe_mp4_header(b"not an mp4 at all") is None
+    assert probe_mp4_header(_mp4_box(b"ftyp", b"isom")) is None   # no moov
+    assert probe_mp4_header(payload[:30]) is None                  # truncated
+
+
+def test_mp4_header_features_end_to_end(spark):
+    """synth MP4 → probe recovers the md5-derived duration/track count;
+    hostile payloads yield NULLs in the same frame."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, mp4_header_features, synth_mp4,
+    )
+
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    mp4s = synth_mp4(attach_binary(df, "text", "doc_id"))
+    bad = spark.createDataFrame([(99,)], "media_id bigint").select(
+        "media_id", F.encode(F.lit("nope"), "UTF-8").alias("content")
+    )
+    got = {r["media_id"]: r
+           for r in mp4_header_features(mp4s.unionByName(bad)).collect()}
+    for doc_id, text in [(1, "alpha"), (2, "beta")]:
+        d = hashlib.md5(text.encode()).digest()
+        r = got[doc_id]
+        assert r["timescale"] == 600
+        assert r["duration_ticks"] == int.from_bytes(d[:4], "big") % 3_600_000
+        assert r["n_tracks"] == d[4] % 3 + 1
+        assert abs(r["duration_sec"] - r["duration_ticks"] / 600) < 1e-9
+    assert got[99]["timescale"] is None and got[99]["duration_sec"] is None
+
+
+def test_audio_zcr_counts_strict_sign_flips(spark):
+    """ZCR = strict sign changes / (n-1): zeros break a flip (product 0),
+    constant-sign audio scores 0, alternating audio scores 1."""
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.multimodal.media import (
+        _wav_pcm16, decode_audio_features,
+    )
+
+    cases = {
+        1: [1, -1, 1, -1],        # alternating: 3/3 = 1.0
+        2: [5, 6, 7, 8],          # constant sign: 0.0
+        3: [1, 0, -1, 1],         # zero breaks flips: only (-1,1) counts
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(_wav_pcm16(v, 8000))) for k, v in cases.items()],
+        "media_id bigint, content binary",
+    )
+    got = {r["media_id"]: r["zcr"] for r in decode_audio_features(df).collect()}
+    assert got[1] == 1.0
+    assert got[2] == 0.0
+    assert got[3] == 1 / 3

@@ -2724,3 +2724,43 @@ def test_dict_tree_lookup_null_key_is_no_match(spark):
         dict_tree_lookup(tree, [F.col("k1"), F.col("k2"), F.col("k3")]).alias("v")
     ).collect()]
     assert got == [None, "DEEP"]
+
+
+def test_canonicalize_url_and_domain(spark):
+    """URL canonicalization edge cases: scheme/host lowercasing (path
+    case preserved), default-port stripping per scheme, tracking-param
+    removal in first/middle/last/only positions, fragment drop, duplicate
+    slash collapse, empty path, non-http passthrough."""
+    from impc_etl_spark.operators.text import canonicalize_url, url_domain
+
+    cases = [
+        ("HTTP://Example.COM:80/Path/UP?a=1#frag", "http://example.com/Path/UP?a=1"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),  # non-default kept
+        ("http://example.com:443/x", "http://example.com:443/x"),       # wrong scheme kept
+        ("https://a.b//x///y?id=2", "https://a.b/x/y?id=2"),
+        ("https://a.b", "https://a.b/"),                                # empty path
+        ("https://a.b?utm_source=x", "https://a.b/"),                   # only-tracking query
+        ("https://a.b/p?utm_a=1&id=2", "https://a.b/p?id=2"),           # first
+        ("https://a.b/p?id=2&gclid=Z&x=3", "https://a.b/p?id=2&x=3"),   # middle
+        ("https://a.b/p?id=2&fbclid=Q", "https://a.b/p?id=2"),          # last
+        ("ftp://Host/X", "ftp://host/X"),                               # other scheme: host lowered, port rules skipped
+        ("relative/path#frag", "relative/path"),                        # no scheme: fragment only
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i int, url string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", canonicalize_url("url").alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+    dom = spark.createDataFrame(
+        [(1, "HTTPS://user:pw@WWW.Sub.Example.COM:443/p"),
+         (2, "http://example.org/x"),
+         (3, "not a url")],
+        "i int, url string")
+    gd = {r["i"]: r["d"] for r in dom.select(
+        "i", url_domain("url").alias("d")).collect()}
+    assert gd[1] == "sub.example.com"
+    assert gd[2] == "example.org"
+    assert gd[3] == ""                       # no authority → empty key

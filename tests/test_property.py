@@ -896,8 +896,11 @@ def test_asof_stream_shuffled_arrival_and_eviction_contract(spark, data):
         key="user_id", tolerance="30 minutes", watermark="1 hour",
     )
     run_available_now(stream, qname, flat + "_ckpt", output_mode="append")
-    out = {r["left_id"]: r for r in spark.table(qname).collect()}
-    assert sorted(out) == sorted(e[0] for e in lefts)   # exactly once each
+    out_rows = spark.table(qname).collect()
+    out = {r["left_id"]: r for r in out_rows}
+    # exactly once each — compare the full multiset so a double-emitted
+    # left cannot hide behind the dict
+    assert sorted(r["left_id"] for r in out_rows) == sorted(e[0] for e in lefts)
 
     for (lid, lts, lk, _t, _v, _p) in lefts:
         # rights of the same key that ARRIVED no later than the left
