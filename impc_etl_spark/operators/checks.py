@@ -90,6 +90,8 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     check — (check_name, n_rows, n_violations, pass). Map-side combine makes
     this a single scan + single tiny reduce regardless of how many
     expectations are registered."""
+    if not checks:
+        raise ValueError("run_checks needs at least one Check")
     # violation flags materialize in a projection first: window-backed
     # checks (unique_key) may not appear inside an aggregate expression
     tagged = df.select(

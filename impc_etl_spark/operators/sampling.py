@@ -259,13 +259,20 @@ def mixture_select(
     for name, w in weights.items():
         pairs += [F.lit(name), F.lit(float(w))]
     wmap = F.create_map(*pairs) if pairs else F.create_map()
+    # try_divide: a stratum whose docs all have zero/NULL tokens sums to
+    # __toks = 0, and plain division is an ANSI DIVIDE_BY_ZERO crash.
+    # NULL ratio → least() skips it → rate 1.0: such docs contribute no
+    # tokens to the budget either way, so "keep all" is the consistent
+    # reading of the rate-capped-at-1 shortfall rule.
     rates = avail.select(
         F.col(stratum_col),
         F.least(
             F.lit(1.0),
-            F.lit(float(token_budget))
-            * F.coalesce(wmap[F.col(stratum_col)], F.lit(float(default_weight)))
-            / F.col("__toks"),
+            F.try_divide(
+                F.lit(float(token_budget))
+                * F.coalesce(wmap[F.col(stratum_col)], F.lit(float(default_weight))),
+                F.col("__toks"),
+            ),
         ).alias("__rate"),
     )
     bucket = hash_bucket(key_cols, salt=salt, num_buckets=num_buckets)

@@ -42,7 +42,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero vector has norm 0 and plain division is an ANSI
+    # DIVIDE_BY_ZERO crash — NULL (undefined similarity) is the contract,
+    # matching the zero-vector handling on every internal scoring path
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(

@@ -232,7 +232,11 @@ def pack_sequences(
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         before = F.coalesce(F.sum(count_col).over(w), F.lit(0))
-        local = F.floor(before / budget).cast("int")
+        # floor() already yields LONG — no int cast: a shard holding more
+        # than 2^31 packs' worth of tokens would make the narrow cast an
+        # ANSI overflow crash, and the digits rendered into the string id
+        # are identical either way
+        local = F.floor(before / budget)
         return df.withColumn(
             out, F.concat_ws("-", *[F.col(k) for k in partition_keys], local)
         )

@@ -1305,6 +1305,25 @@ def test_mixture_select_hits_targets_and_nests(spark):
     assert small_ids <= big_ids
 
 
+def test_mixture_select_zero_token_stratum_does_not_crash(spark):
+    """Regression (r5 review): a stratum whose docs all have zero tokens
+    sums to 0 and plain division was an ANSI DIVIDE_BY_ZERO crash; with
+    try_divide the rate caps at 1 and the (token-free) docs are kept."""
+    from impc_etl_spark.operators.sampling import mixture_select
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 0), (3, "b", 0)],
+        "doc_id int, src string, toks int",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in mixture_select(
+            df, "src", {"a": 0.5, "b": 0.5}, "toks", 100.0, ["doc_id"]
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+
+
 def test_dedup_against_store_drops_known_fingerprints(spark):
     from impc_etl_spark.operators.dedup import dedup_against_store
 
