@@ -76,8 +76,12 @@ def scd2_build(
             *attr_cols,
             F.col(ts_col).alias("valid_from"),
             F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+            # POSITIONAL last-version flag, not valid_to-is-null: lead(ts)
+            # is ALSO null when the next version's ts is legitimately NULL,
+            # which would mark a superseded version current (same NULL-ts
+            # trap as the lag sentinel in changed() above)
+            F.lead(F.lit(1)).over(w).isNull().alias("is_current"),
         )
-        .withColumn("is_current", F.col("valid_to").isNull())
     )
 
 

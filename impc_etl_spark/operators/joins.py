@@ -65,10 +65,18 @@ def priority_lookup_join(
         # per-column coalesce would let a matched-but-NULL value fall
         # through to a lower-priority row, mixing fields of two different
         # lookup rows into one output row
-        dim = right.select(
-            F.col(rk).alias(f"__pk_{i}"),
-            F.struct(*[F.col(v).alias(v) for v in value_cols]).alias(f"__s{i}"),
-        ).dropDuplicates([f"__pk_{i}"])
+        # deterministic pick for duplicate lookup keys: min over the value
+        # struct (field-lexicographic), not dropDuplicates — which keeps
+        # whichever row a partition happened to deliver first and breaks
+        # the module's run/partitioning-stability contract
+        dim = (
+            right.select(
+                F.col(rk).alias(f"__pk_{i}"),
+                F.struct(*[F.col(v).alias(v) for v in value_cols]).alias(f"__s{i}"),
+            )
+            .groupBy(f"__pk_{i}")
+            .agg(F.min(f"__s{i}").alias(f"__s{i}"))
+        )
         if broadcast_right:
             dim = F.broadcast(dim)
         out = out.join(dim, out[lk] == dim[f"__pk_{i}"], "left_outer").drop(f"__pk_{i}")
@@ -181,8 +189,17 @@ def salted_join(
     """
     if how not in ("inner", "left_outer"):
         raise ValueError("salted_join supports how='inner'|'left_outer'")
+    # same salt construction as aggregate.salted_agg: content hash (maps
+    # excluded — F.hash raises on MapType) + per-row position, so a hot
+    # key of exact-duplicate rows still spreads across buckets
+    from impc_etl_spark.operators.aggregate import _contains_map
+
+    hashable = [
+        F.col(f.name) for f in left.schema.fields if not _contains_map(f.dataType)
+    ]
+    content = F.hash(*hashable).cast("long") if hashable else F.lit(0).cast("long")
     salted_l = left.withColumn(
-        "__salt", (F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(buckets)))
+        "__salt", F.pmod(content + F.monotonically_increasing_id(), F.lit(buckets))
     )
     salted_r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -2783,3 +2783,41 @@ def test_canonicalize_url_and_domain(spark):
     assert gd[1] == "sub.example.com"
     assert gd[2] == "example.org"
     assert gd[3] == ""                       # no authority → empty key
+
+
+def test_priority_lookup_join_duplicate_keys_deterministic(spark):
+    """Regression (r5 review): duplicate lookup keys previously resolved
+    by dropDuplicates (partition-dependent); now the field-lexicographic
+    MIN value struct wins, independent of input order."""
+    from impc_etl_spark.operators.joins import priority_lookup_join
+
+    left = spark.createDataFrame([(100,)], "a long")
+    rows = [(100, "z", 9), (100, "a", 5), (100, "a", 3)]
+    for ordering in (rows, rows[::-1]):
+        right = spark.createDataFrame(ordering, "key long, v string, w int")
+        out = priority_lookup_join(left, right, [("a", "key")], ["v", "w"]).collect()[0]
+        assert (out["v"], out["w"]) == ("a", 3)
+
+
+def test_salted_join_map_column_and_duplicates(spark):
+    """Regression (r5 review): a MapType column on the salted side must
+    not feed F.hash, and exact-duplicate hot rows must still match the
+    plain join exactly."""
+    from pyspark.sql import functions as SF
+
+    from impc_etl_spark.operators.joins import salted_join
+
+    left = spark.range(300).select(
+        SF.lit(1).alias("k"),
+        SF.lit("dup").alias("v"),
+        SF.create_map(SF.lit("m"), SF.lit(1)).alias("meta"),
+    )
+    right = spark.createDataFrame([(1, "name")], "k long, name string")
+    plain = sorted(
+        (r["k"], r["v"], r["name"]) for r in left.join(right, ["k"]).collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(left, right, ["k"], buckets=4).collect()
+    )
+    assert salted == plain

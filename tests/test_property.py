@@ -916,3 +916,92 @@ def test_asof_stream_shuffled_arrival_and_eviction_contract(spark, data):
             assert got_val == best[4], (lid, got_val, best)
         elif got_val is not None:                        # (4)
             assert got_val in {r[4] for r in in_window}, (lid, got_val)
+
+
+# --- SCD2 build vs a Python reference model ---------------------------------
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_scd2_build_matches_python_model(spark, data):
+    """Random change logs (duplicate timestamps, NULL attributes, NULL
+    timestamps, single-row keys): scd2_build's version collapse, interval
+    close, and is_current flag equal a direct Python walk of the
+    (ts, id)-ordered log with null-safe attribute comparison."""
+    from impc_etl_spark.operators.history import scd2_build
+
+    n = data.draw(st.integers(1, 14), label="n")
+    rows = []
+    for i in range(n):
+        rows.append((
+            data.draw(st.sampled_from([1, 2]), label=f"k{i}"),
+            data.draw(st.one_of(st.none(), st.integers(0, 5)), label=f"ts{i}"),
+            data.draw(st.sampled_from(["x", "y", None]), label=f"a{i}"),
+            i,
+        ))
+    df = spark.createDataFrame(rows, "k int, ts int, attr string, id int")
+    got = {
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_build(df, ["k"], "ts", ["attr"], tiebreak_cols=["id"]).collect()
+    }
+
+    want = set()
+    by_key: dict[int, list] = {}
+    for k, ts, attr, i in rows:
+        by_key.setdefault(k, []).append((ts, i, attr))
+    for k, evs in by_key.items():
+        # Spark asc ordering: NULL ts first, then ts, then id
+        evs.sort(key=lambda e: (e[0] is not None, e[0] if e[0] is not None else 0, e[1]))
+        versions = []               # (attr, valid_from)
+        prev_attr = object()        # sentinel != any attr incl. None
+        for ts, _i, attr in evs:
+            if not versions or attr != prev_attr:
+                versions.append((attr, ts))
+            prev_attr = attr
+        for vi, (attr, vfrom) in enumerate(versions):
+            vto = versions[vi + 1][1] if vi + 1 < len(versions) else None
+            want.add((k, attr, vfrom, vto, vi == len(versions) - 1))
+    assert got == want, (sorted(rows, key=repr), got ^ want)
+
+
+# --- PageRank vs a Python power-iteration model -----------------------------
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_pagerank_matches_python_power_iteration(spark, data):
+    """Random digraphs (self-loops, parallel semantics via weight sum,
+    dangling nodes): the distributed fixed-iteration PageRank equals a
+    direct Python power iteration with uniform dangling redistribution,
+    to float tolerance."""
+    from impc_etl_spark.operators.graph import pagerank
+
+    n_nodes = data.draw(st.integers(2, 7), label="n_nodes")
+    n_edges = data.draw(st.integers(1, 12), label="n_edges")
+    edges = sorted({
+        (data.draw(st.integers(0, n_nodes - 1), label=f"s{i}"),
+         data.draw(st.integers(0, n_nodes - 1), label=f"d{i}"))
+        for i in range(n_edges)
+    })
+    iters = data.draw(st.integers(1, 4), label="iters")
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iterations=iters, damping=0.85).collect()}
+
+    nodes = sorted({u for e in edges for u in e})
+    N = len(nodes)
+    outdeg = {}
+    for s, _d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: 1.0 / N for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] / outdeg[s]
+        dm = sum(rank[v] for v in nodes if v not in outdeg)
+        rank = {
+            v: (1 - 0.85) / N + 0.85 * (contrib[v] + dm / N) for v in nodes
+        }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], abs=1e-9), (v, got[v], rank[v])
