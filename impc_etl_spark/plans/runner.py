@@ -59,6 +59,8 @@ class Pipeline:
         """Register a task whose body is a SQL statement over its parents
         (each parent task is visible as a temp view under its own name) —
         the config-driven task form; see ``pipeline_from_spec``."""
+        if name in self._tasks:  # same contract as the task() decorator —
+            raise ValueError(f"duplicate task {name!r}")  # no silent overwrite
         def fn(spark: SparkSession, *parents: DataFrame) -> DataFrame:
             for pname, pdf in zip(inputs, parents):
                 pdf.createOrReplaceTempView(pname)
@@ -128,6 +130,8 @@ def pipeline_from_spec(spark: SparkSession, root: str, spec: dict) -> Pipeline:
     for t in spec["tasks"]:
         name = t["name"]
         if "source" in t:
+            if name in p._tasks:
+                raise ValueError(f"duplicate task {name!r}")
             path = t["source"]
 
             def mk_src(pth):

@@ -1005,3 +1005,140 @@ def test_pagerank_matches_python_power_iteration(spark, data):
     assert set(got) == set(nodes)
     for v in nodes:
         assert got[v] == pytest.approx(rank[v], abs=1e-9), (v, got[v], rank[v])
+
+
+# --- interval joins vs naive range predicates --------------------------------
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_interval_point_join_matches_naive(spark, data):
+    """The binned-grid interval/point join (bucket explode + first-bucket
+    meeting) equals a naive O(n·m) range scan for every closed-mode,
+    random bin width, and optional extra equi key — including intervals
+    spanning many bins, zero-length intervals, and negative coordinates."""
+    from impc_etl_spark.operators.joins import interval_point_join
+
+    n_p = data.draw(st.integers(1, 12), label="n_points")
+    n_i = data.draw(st.integers(1, 10), label="n_intervals")
+    closed = data.draw(st.sampled_from(["both", "left", "right", "neither"]),
+                       label="closed")
+    bin_width = data.draw(st.sampled_from([1, 3, 7, 50]), label="bin_width")
+    use_key = data.draw(st.booleans(), label="use_key")
+
+    points = [(i, data.draw(st.integers(-30, 30), label=f"pt{i}"),
+               data.draw(st.sampled_from([1, 2]), label=f"pk{i}"))
+              for i in range(n_p)]
+    intervals = []
+    for j in range(n_i):
+        a = data.draw(st.integers(-30, 30), label=f"ia{j}")
+        b = data.draw(st.integers(0, 15), label=f"ib{j}")
+        intervals.append((100 + j, a, a + b,
+                          data.draw(st.sampled_from([1, 2]), label=f"ik{j}")))
+
+    pdf = spark.createDataFrame(points, "pid int, t long, k int")
+    idf = spark.createDataFrame(intervals, "iid int, s long, e long, k int")
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_point_join(
+            pdf, idf, "t", "s", "e", on=["k"] if use_key else (),
+            bin_width=bin_width, closed=closed,
+        ).collect()
+    }
+
+    def pred(t, s, e):
+        lo = s <= t if closed in ("both", "left") else s < t
+        hi = t <= e if closed in ("both", "right") else t < e
+        return lo and hi
+
+    want = {
+        (pid, iid)
+        for pid, t, pk in points
+        for iid, s, e, ik in intervals
+        if pred(t, s, e) and (pk == ik or not use_key)
+    }
+    assert got == want, (closed, bin_width, use_key, got ^ want)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_interval_overlap_join_matches_naive(spark, data):
+    """The first-common-bucket overlap join equals the naive closed-
+    interval overlap scan — every overlapping pair appears EXACTLY once
+    (the dedup-free guarantee), none twice, none missed."""
+    from impc_etl_spark.operators.joins import interval_overlap_join
+
+    n_l = data.draw(st.integers(1, 8), label="n_l")
+    n_r = data.draw(st.integers(1, 8), label="n_r")
+    bin_width = data.draw(st.sampled_from([1, 4, 25]), label="bin_width")
+
+    def ivs(n, base, tag):
+        out = []
+        for j in range(n):
+            a = data.draw(st.integers(-20, 20), label=f"{tag}a{j}")
+            b = data.draw(st.integers(0, 12), label=f"{tag}b{j}")
+            out.append((base + j, a, a + b))
+        return out
+
+    lrows, rrows = ivs(n_l, 0, "l"), ivs(n_r, 100, "r")
+    ldf = spark.createDataFrame(lrows, "lid int, ls long, le long")
+    rdf = spark.createDataFrame(rrows, "rid int, rs long, re long")
+    rows = interval_overlap_join(
+        ldf, rdf, "ls", "le", "rs", "re", bin_width=bin_width
+    ).collect()
+    got = [(r["lid"], r["rid"]) for r in rows]
+    want = {
+        (lid, rid)
+        for lid, ls, le in lrows
+        for rid, rs, re in rrows
+        if ls <= re and rs <= le
+    }
+    assert len(got) == len(set(got)), "pair emitted twice"   # exactly-once
+    assert set(got) == want, (bin_width, set(got) ^ want)
+
+
+# --- CDC apply vs a Python reference model ----------------------------------
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_cdc_apply_matches_python_model(spark, data):
+    """Random snapshots + change streams (duplicate change timestamps,
+    NULL ops, deletes of absent keys, re-inserts after delete): cdc_apply
+    equals a Python walk that keeps the latest (ts, id) change per key —
+    delete removes, anything else (NULL op included) upserts."""
+    from impc_etl_spark.operators.history import cdc_apply
+
+    snap_keys = data.draw(st.lists(st.integers(0, 5), unique=True,
+                                   min_size=0, max_size=5), label="snap")
+    snapshot_rows = [(k, f"s{k}") for k in snap_keys]
+    n_ch = data.draw(st.integers(0, 12), label="n_changes")
+    changes = []
+    for i in range(n_ch):
+        changes.append((
+            data.draw(st.integers(0, 5), label=f"ck{i}"),
+            f"c{i}",
+            data.draw(st.integers(0, 4), label=f"cts{i}"),
+            data.draw(st.sampled_from(["U", "D", None]), label=f"cop{i}"),
+            i,
+        ))
+    snapshot = spark.createDataFrame(snapshot_rows, "k int, v string") \
+        if snapshot_rows else spark.createDataFrame([], "k int, v string")
+    chg = spark.createDataFrame(changes, "k int, v string, ts int, op string, id int") \
+        if changes else spark.createDataFrame([], "k int, v string, ts int, op string, id int")
+    got = {(r["k"], r["v"])
+           for r in cdc_apply(snapshot, chg, ["k"], "ts",
+                              tiebreak_cols=["id"]).collect()}
+
+    state = {k: v for k, v in snapshot_rows}
+    latest: dict[int, tuple] = {}
+    for k, v, ts, op, i in changes:
+        if k not in latest or (ts, i) > (latest[k][0], latest[k][1]):
+            latest[k] = (ts, i, v, op)
+    for k, (_ts, _i, v, op) in latest.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == {(k, v) for k, v in state.items()}
