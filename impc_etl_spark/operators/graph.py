@@ -168,6 +168,7 @@ def triangle_count(
     a_col: str = "src",
     b_col: str = "dst",
     checkpoint_dir: str | None = None,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts via degree-ordered edge orientation — the
     classic distributed algorithm (node-iterator++ / Cohen's MapReduce
@@ -184,15 +185,23 @@ def triangle_count(
     hot nodes beyond that are ordinary join skew → AQE.
 
     Returns (node, n_triangles) for every node in at least one triangle.
+
+    ``edges_canonical=True`` skips the canonicalize+distinct pass (one
+    full shuffle of the edge list) when the caller GUARANTEES the input
+    is already distinct with ``a_col < b_col`` row-wise — true for
+    ``co_occurrence_pairs`` output and most dedup'd pair tables.
     """
-    e = (
-        edges.select(
-            F.least(F.col(a_col), F.col(b_col)).alias("u"),
-            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+    if edges_canonical:
+        e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(a_col), F.col(b_col)).alias("u"),
+                F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
         )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
     # the canonical edge set feeds THREE consumers (degree agg, the
     # oriented-edge build, the wedge-closing join): materialize it once
     # instead of re-executing the upstream edge-building subtree per

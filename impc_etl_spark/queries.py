@@ -5603,7 +5603,9 @@ def part_copurchase_triangles(spark, sf_dir):
     )
     from impc_etl_spark.operators.graph import triangle_count
 
-    return triangle_count(pairs, "item_a", "item_b").select(
+    # co_occurrence_pairs output is distinct with item_a < item_b —
+    # edges_canonical skips triangle_count's canonicalize+distinct shuffle
+    return triangle_count(pairs, "item_a", "item_b", edges_canonical=True).select(
         F.col("node").alias("l_partkey"), "n_triangles"
     )
 
