@@ -194,3 +194,30 @@ def test_training_corpus_pipeline_example(spark, tmp_path):
     assert splits.count() == clean
     assert splits.groupBy("group_id").agg(
         F.countDistinct("split").alias("n")).where("n > 1").count() == 0
+
+
+def test_example_pipelines_run_end_to_end(spark, tmp_path):
+    """The three shipped example pipelines must build AND execute against
+    the smoke-SF data — the guard that keeps examples from bitrotting as
+    operator APIs evolve (r5: resize_media/audio schema changes would
+    otherwise only surface for users)."""
+    import importlib
+    import os
+    import sys
+
+    sf = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
+    examples_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
+    )
+    sys.path.insert(0, examples_dir)
+    try:
+        for name in ("training_corpus_pipeline", "release_pipeline"):
+            mod = importlib.import_module(name)
+            statuses = mod.build(spark, sf, str(tmp_path / name)).run()
+            assert statuses and all(v == "ran" for v in statuses.values()), (
+                name, statuses)
+        crawl = importlib.import_module("incremental_crawl_pipeline")
+        summary = crawl.build(spark, sf, str(tmp_path / "crawl"))
+        assert summary["batches"] == 2 and summary["store_deduped"] > 0
+    finally:
+        sys.path.remove(examples_dir)
