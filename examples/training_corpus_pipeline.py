@@ -136,6 +136,40 @@ def build(spark, sf_dir: str, out_dir: str):
     def features(s, corpus):
         return media_features(attach_binary(corpus, "text", "doc_id"))
 
+    @p.task("media_decoded", inputs=["selected"])
+    def media_decoded(s, corpus):
+        # REAL decode round-trips: image pixels (PNG inflate+unfilter →
+        # mean luminance) and audio samples (WAV PCM → RMS/peak/ZCR) —
+        # both narrow Arrow-batched maps, no shuffle
+        from impc_etl_spark.multimodal.media import (
+            decode_audio_features, decode_image_features, synth_gray_png,
+            synth_wav,
+        )
+
+        payloads = attach_binary(corpus, "text", "doc_id")
+        img = decode_image_features(synth_gray_png(payloads)).select(
+            "media_id", "width", "height", "mean_luminance"
+        )
+        aud = decode_audio_features(synth_wav(payloads)).select(
+            "media_id", "rms", "peak", "zcr"
+        )
+        return img.join(aud, "media_id")
+
+    @p.task("url_keys", inputs=["documents"])
+    def url_keys(s, docs):
+        # crawl-level dedup keys: canonical URL + registrable domain (the
+        # per_key_sample grouping key for domain-balanced corpora)
+        did = F.col("doc_id").cast("string")
+        messy = F.concat(
+            F.lit("HTTPS://WWW."), F.substring(F.md5("text"), 1, 6),
+            F.lit(".Example.COM:443//d/"), did, F.lit("?utm_source=crawl#f"),
+        )
+        return docs.select(
+            "doc_id",
+            T.canonicalize_url(messy).alias("canonical_url"),
+            T.url_domain(messy).alias("domain"),
+        )
+
     return p
 
 
