@@ -1142,3 +1142,44 @@ def test_cdc_apply_matches_python_model(spark, data):
         else:
             state[k] = v
     assert got == {(k, v) for k, v in state.items()}
+
+
+# --- decoder fuzz: the never-raise contract ---------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_byte_decoders_never_raise_on_hostile_input(data):
+    """Every codec-free byte parser must return a value or None — never
+    raise — on arbitrary bytes AND on truncations/mutations of VALID
+    payloads (the nastier case: plausible prefixes with corrupt
+    interiors). One hostile payload must never kill a 100 TB scan task."""
+    from impc_etl_spark.multimodal.media import (
+        _mp4_min, _png_gray, _wav_pcm16, decode_png, decode_wav,
+        probe_image_header, probe_mp3_header, probe_mp4_header,
+        probe_wav_header,
+    )
+
+    valid = [
+        _png_gray(bytes(range(16)), 4, 4),
+        _wav_pcm16([1, -1, 32767, -32768], 8000),
+        _mp4_min(600, 12345, 2),
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 40,
+        b"RIFF\xff\xff\xff\xffWAVE" + b"\x00" * 40,
+        b"\xff\xd8\xff\xe0" + b"\x00" * 40,
+        b"ID3\x04\x00\x00\x00\x00\x00\x14" + b"\x00" * 30,
+    ]
+    base = data.draw(st.one_of(
+        st.binary(min_size=0, max_size=200),
+        st.sampled_from(valid),
+    ), label="base")
+    # mutate: truncate and/or flip a byte
+    if base and data.draw(st.booleans(), label="truncate"):
+        base = base[: data.draw(st.integers(0, len(base)), label="cut")]
+    if base and data.draw(st.booleans(), label="mutate"):
+        i = data.draw(st.integers(0, len(base) - 1), label="pos")
+        b = data.draw(st.integers(0, 255), label="val")
+        base = base[:i] + bytes([b]) + base[i + 1 :]
+
+    for fn in (decode_png, decode_wav, probe_image_header, probe_wav_header,
+               probe_mp3_header, probe_mp4_header):
+        fn(base)            # must not raise; return value unconstrained
