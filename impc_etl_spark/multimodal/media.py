@@ -53,9 +53,9 @@ def attach_binary(df: DataFrame, src_col: str, id_col: str, out: str = "content"
 
 def _decode_stub(kind: str):
     raise NotImplementedError(
-        f"{kind} decode requires an optional codec library (PIL/librosa/av) "
-        "not present in this environment; use fake=True for the "
-        "deterministic test path"
+        f"{kind} decode for this format requires an optional codec library "
+        "(PIL/librosa/av) not present in this environment; codec-free "
+        "formats (PNG pixels, WAV PCM, container headers) decode natively"
     )
 
 

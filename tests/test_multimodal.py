@@ -508,3 +508,46 @@ def test_audio_zcr_counts_strict_sign_flips(spark):
     assert got[1] == 1.0
     assert got[2] == 0.0
     assert got[3] == 1 / 3
+
+
+def test_decode_stages_run_on_streams(spark, tmp_path):
+    """The decode family is stateless Arrow maps, so the SAME operators
+    run unchanged on a Structured Streaming source — drain a file stream
+    through synth+decode (image and audio) and require bit-exact parity
+    with the batch run over the same files."""
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.multimodal.media import (
+        decode_audio_features, decode_image_features, synth_gray_png,
+        synth_wav,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(20)],
+        "media_id bigint, text string",
+    ).select(
+        "media_id", F.encode("text", "UTF-8").alias("content")
+    ).write.parquet(str(src))
+
+    batch = spark.read.parquet(str(src))
+    stream = spark.readStream.schema("media_id bigint, content binary").parquet(
+        str(src)
+    )
+
+    for tag, stage in (
+        ("img", lambda df: decode_image_features(synth_gray_png(df))),
+        ("aud", lambda df: decode_audio_features(synth_wav(df))),
+    ):
+        q = (
+            stage(stream).writeStream.format("memory")
+            .queryName(f"decode_stream_{tag}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.table(f"decode_stream_{tag}").collect()))
+        want = sorted(map(tuple, stage(batch).collect()))
+        assert got == want, tag
