@@ -521,3 +521,37 @@ def priority_sample_per_key(
     if priority_out:
         out = out.withColumn(priority_out, F.col("__prio"))
     return out.drop("__prio", "__rk", "__tau")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    epoch: int,
+    out: str = "shuffle_key",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch corpus shuffling: attach the md5 rank key
+    ``md5(salt:epoch:id…)`` that orders this epoch's pass — the standard
+    replacement for an RNG shuffle in training-data pipelines. Sorting or
+    range-partitioning by ``out`` yields a uniform permutation that is a
+    pure row function: every re-run, engine, and partitioning produces
+    the SAME epoch order (resumable mid-epoch), epochs are mutually
+    independent permutations, and no global RNG state exists to
+    coordinate across 1000 executors.
+
+    This operator only ATTACHES the key (zero shuffle — the decision is
+    row-local); compose with ``partitioning.assign_global_ids(df,
+    [out, *id_cols])`` for dense epoch sample indices, or
+    ``repartitionByRange(out).sortWithinPartitions(out)`` to materialize
+    shard files in epoch order (one range shuffle, the same price any
+    shuffle pays).
+    """
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(salt),
+            F.lit(int(epoch)).cast("string"),
+            *[F.col(c).cast("string") for c in id_cols],
+        )
+    )
+    return df.withColumn(out, key)

@@ -2031,6 +2031,30 @@ def media_mp4_probe(spark, sf_dir):
     )
 
 
+def docs_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch corpus shuffling (`sampling.epoch_shuffle`):
+    each document gets its epoch-1 and epoch-2 md5 rank keys plus the
+    within-source epoch order those keys induce — two independent uniform
+    permutations that are pure row functions (resumable, engine-stable,
+    no RNG state across 1000 executors). The rank window partitions by
+    source (the shard key), so no global single-partition sort exists at
+    any scale; the oracle replays both permutations exactly."""
+    from pyspark.sql import Window
+
+    from impc_etl_spark.operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = epoch_shuffle(docs, ["doc_id"], epoch=1, out="k1")
+    out = epoch_shuffle(out, ["doc_id"], epoch=2, out="k2")
+    w1 = Window.partitionBy("source").orderBy("k1", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("k2", "doc_id")
+    return out.select(
+        "doc_id", "source",
+        F.row_number().over(w1).alias("epoch1_rank"),
+        F.row_number().over(w2).alias("epoch2_rank"),
+    )
+
+
 def docs_url_canonical(spark, sf_dir):
     """Crawl-pipeline URL canonicalization: each document gets a messy
     absolute URL built deterministically from its fields (mixed-case
@@ -2565,6 +2589,7 @@ QUERIES = {
     "media_audio_features": media_audio_features,
     "media_mp4_probe": media_mp4_probe,
     "docs_url_canonical": docs_url_canonical,
+    "docs_epoch_shuffle": docs_epoch_shuffle,
     "media_frame_sample": media_frame_sample,
     "docs_tfidf_terms": docs_tfidf_terms,
     "segment_big_spenders": segment_big_spenders,
@@ -3503,6 +3528,19 @@ SELECT media_id, CAST(600 AS INT) AS timescale,
          AS duration_sec,
        CAST(n_tracks AS INT) AS n_tracks
 FROM v
+"""
+
+ORACLE["docs_epoch_shuffle"] = """
+SELECT doc_id, source,
+       CAST(row_number() OVER (
+         PARTITION BY source
+         ORDER BY md5('epoch:1:' || doc_id::VARCHAR), doc_id) AS INT)
+         AS epoch1_rank,
+       CAST(row_number() OVER (
+         PARTITION BY source
+         ORDER BY md5('epoch:2:' || doc_id::VARCHAR), doc_id) AS INT)
+         AS epoch2_rank
+FROM documents
 """
 
 # Independent oracle: the EXPECTED canonical form computed directly from
@@ -6157,3 +6195,8 @@ _promote("orders_upsert_merge", "union_customers_suppliers")  # CDC/upsert famil
 # r4-green S6/J4 representatives; both stay locally oracle-checked).
 _promote("media_mp4_probe", "statpacket_restructure")
 _promote("docs_url_canonical", "best_customer_per_nation")
+
+# Epoch-shuffle joins the window too (deterministic training-order family
+# had no driver representative; date_cascade_parse is r4-green and the
+# §2.8 family keeps derived_unit_margin + order_surrogate_keys in-window).
+_promote("docs_epoch_shuffle", "date_cascade_parse")

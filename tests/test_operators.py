@@ -2821,3 +2821,24 @@ def test_salted_join_map_column_and_duplicates(spark):
         for r in salted_join(left, right, ["k"], buckets=4).collect()
     )
     assert salted == plain
+
+
+def test_epoch_shuffle_permutations(spark):
+    """epoch_shuffle: same epoch → identical keys under repartitioning;
+    different epochs → different (independent) permutations; the induced
+    order is a permutation of the input."""
+    from impc_etl_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    k_a = {r["doc_id"]: r["shuffle_key"]
+           for r in epoch_shuffle(df, ["doc_id"], epoch=3).collect()}
+    k_b = {r["doc_id"]: r["shuffle_key"]
+           for r in epoch_shuffle(df.repartition(7), ["doc_id"], epoch=3).collect()}
+    assert k_a == k_b                                  # partitioning-stable
+    k_c = {r["doc_id"]: r["shuffle_key"]
+           for r in epoch_shuffle(df, ["doc_id"], epoch=4).collect()}
+    assert k_a != k_c                                  # epochs independent
+    order3 = sorted(k_a, key=lambda d: k_a[d])
+    order4 = sorted(k_c, key=lambda d: k_c[d])
+    assert sorted(order3) == sorted(order4) == list(range(200))
+    assert order3 != order4                            # genuinely reshuffled
