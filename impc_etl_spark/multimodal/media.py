@@ -87,9 +87,10 @@ def decode_image(payload: bytes):
 
 def decode_audio(payload: bytes):
     """Decode an audio payload to (sample_rate, samples). REAL for
-    RIFF/WAVE PCM (8/16-bit — pure ``struct`` byte layout, no codec
-    library); compressed codecs (MP3/AAC/FLAC) genuinely need a decoder
-    library absent here, so they keep the honest stub error."""
+    RIFF/WAVE PCM (8/16-bit — pure ``struct`` byte layout) and G.711
+    µ-law/A-law (ITU expansion formulas, no codec library); compressed
+    codecs (MP3/AAC/FLAC) genuinely need a decoder library absent here,
+    so they keep the honest stub error."""
     decoded = decode_wav(payload)
     if decoded is not None:
         return decoded[0], decoded[2]
@@ -658,9 +659,29 @@ AUDIO_SCHEMA = (
 )
 
 
+def _ulaw_to_linear(u: int) -> int:
+    """ITU-T G.711 µ-law expansion (the public Sun g711.c formulation):
+    complement, rebuild mantissa+bias, shift by the segment, re-bias."""
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
+def _alaw_to_linear(a: int) -> int:
+    """ITU-T G.711 A-law expansion: XOR 0x55, then segment-wise linear
+    reconstruction; sign bit SET means positive in A-law."""
+    a ^= 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = t + 8 if seg == 0 else ((t + 0x108) << (seg - 1))
+    return t if a & 0x80 else -t
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, list[int]] | None:
-    """REAL pure-stdlib WAV PCM decode: walk RIFF chunks to 'fmt ' and
-    'data', require PCM (format tag 1) at 8 or 16 bits, and unpack the
+    """REAL pure-stdlib WAV decode: walk RIFF chunks to 'fmt ' and
+    'data', accept linear PCM (format tag 1, 8/16-bit) plus the G.711
+    telephony codings — A-law (tag 6) and µ-law (tag 7), expanded to
+    linear 16-bit through the public ITU formulas — and unpack the
     sample stream — 16-bit signed little-endian via ``struct``, 8-bit
     unsigned recentred to signed — returning
     (sample_rate, n_channels, samples) with ``samples`` the interleaved
@@ -687,13 +708,19 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]] | None:
         if fmt is None or data is None:
             return None
         tag, ch, sr, bits = fmt
-        if tag != 1 or ch < 1 or sr <= 0 or bits not in (8, 16):
+        if ch < 1 or sr <= 0:
             return None
-        if bits == 16:
+        if tag == 6 and bits == 8:
+            samples = [_alaw_to_linear(b) for b in data]
+        elif tag == 7 and bits == 8:
+            samples = [_ulaw_to_linear(b) for b in data]
+        elif tag == 1 and bits == 16:
             n_samp = len(data) // 2
             samples = list(struct.unpack(f"<{n_samp}h", data[: n_samp * 2]))
-        else:
+        elif tag == 1 and bits == 8:
             samples = [b - 128 for b in data]
+        else:
+            return None
         # truncate ragged tails to whole frames
         n_frames = len(samples) // ch
         return (sr, ch, samples[: n_frames * ch])
@@ -1200,3 +1227,38 @@ def decode_gif(payload: bytes) -> tuple[int, int, str, bytearray] | None:
         return None
     except Exception:
         return None
+
+
+def _wav_g711(codes: bytes, sample_rate: int, law: str = "ulaw") -> bytes:
+    """Minimal valid mono G.711 WAV (format tag 7 = µ-law, 6 = A-law,
+    8 bits/sample) from raw companded code bytes. Pure byte layout."""
+    import struct
+
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(codes)) + codes
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_g711_wav(
+    df: DataFrame,
+    content_col: str = "content",
+    sample_rate: int = 8000,
+    law: str = "ulaw",
+) -> DataFrame:
+    """Deterministic telephony-audio synthesis: each payload becomes a
+    real mono G.711 WAV whose 16 companded code bytes are the payload's
+    md5 digest — a genuine µ-law/A-law stream a real expander must
+    decode, yet every downstream statistic is a pure function of
+    md5(payload) an oracle can replay through the public ITU expansion
+    formula. Narrow Arrow-batched map; no shuffle."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                out.append(_wav_g711(digest, sample_rate, law))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)

@@ -6022,6 +6022,63 @@ def media_gif_decode(spark, sf_dir):
 
 QUERIES["media_gif_decode"] = media_gif_decode
 
+
+def media_g711_audio(spark, sf_dir):
+    """REAL telephony-codec decode end-to-end: every document's payload
+    becomes a genuine mono G.711 µ-law WAV (format tag 7, 16 companded
+    code bytes = the payload's md5 digest), then `decode_wav` expands the
+    codes to linear 16-bit through the public ITU G.711 formula and the
+    feature stage computes frames/duration/RMS/peak/ZCR over the ACTUAL
+    expanded samples. The expansion is pure bit math, so the DuckDB
+    oracle replays every statistic from md5(text) through the same
+    formula. Two narrow Arrow-batched mapInPandas stages — no shuffle,
+    pipelined behind the scan at any scale (reference analog:
+    media-observation columns, observation_mapper.py:851-997)."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_audio_features, synth_g711_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wavs = synth_g711_wav(attach_binary(docs, "text", "doc_id"))
+    return decode_audio_features(wavs).select(
+        "media_id", "sample_rate", "n_channels", "n_frames", "duration_sec",
+        _rnd("rms", 6).alias("rms"), "peak", _rnd("zcr", 6).alias("zcr"),
+    )
+
+
+QUERIES["media_g711_audio"] = media_g711_audio
+
+# The oracle replays the ITU µ-law expansion (Sun g711.c formulation) in
+# SQL bit math over the digest bytes: u = ~code & 0xFF, magnitude =
+# (((u & 15) << 3) + 132) << segment, sign from bit 0x80, re-bias by 132.
+ORACLE["media_g711_audio"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+c AS (
+  SELECT media_id, i,
+         255 - CAST(concat('0x', substring(hx, 2 * i + 1, 2)) AS INT) AS u
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) t),
+e AS (
+  SELECT media_id, i,
+         CASE WHEN (u & 128) != 0
+              THEN 132 - ((((u & 15) * 8) + 132) * (1 << ((u & 112) // 16)))
+              ELSE ((((u & 15) * 8) + 132) * (1 << ((u & 112) // 16))) - 132
+         END AS v
+  FROM c),
+sl AS (SELECT media_id, v,
+              lead(v) OVER (PARTITION BY media_id ORDER BY i) AS nxt
+       FROM e)
+SELECT media_id,
+       CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+       CAST(16 AS BIGINT) AS n_frames,
+       CAST(16 AS DOUBLE) / 8000 AS duration_sec,
+       floor(sqrt(avg(CAST(v AS DOUBLE) * v)) * 1000000 + 0.5) / 1000000
+         AS rms,
+       CAST(max(abs(v)) AS INT) AS peak,
+       floor(CAST(sum(CASE WHEN v * nxt < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / 15 * 1000000 + 0.5) / 1000000 AS zcr
+FROM sl GROUP BY media_id
+"""
+
 # Same replay contract as media_decode_features: the GIF carries the 16
 # digest bytes as its 4×4 pixels through an identity grayscale palette,
 # so mean luminance == avg of md5(text) bytes and the container fields

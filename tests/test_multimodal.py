@@ -663,3 +663,42 @@ def test_media_gif_decode_query_matches_png_twin(spark):
         for r in media_decode_features(spark, SF_SMOKE).collect()
     }
     assert gif == png and len(gif) > 0
+
+
+def test_g711_expansion_anchors_and_container():
+    """µ-law/A-law expanders hit the published G.711 anchor values, are
+    odd-symmetric, monotone within the negative half, and flow through
+    the WAV container (format tags 7/6) into decode_wav; non-8-bit G.711
+    and unknown tags still return None."""
+    import hashlib
+    import struct
+
+    from impc_etl_spark.multimodal.media import (
+        _alaw_to_linear, _ulaw_to_linear, _wav_g711, decode_wav,
+    )
+
+    assert _ulaw_to_linear(0x00) == -32124 and _ulaw_to_linear(0x80) == 32124
+    assert _ulaw_to_linear(0xFF) == 0 and _ulaw_to_linear(0x7F) == 0
+    assert _alaw_to_linear(0x55) == -8 and _alaw_to_linear(0xD5) == 8
+    assert _alaw_to_linear(0x2A) == -32256 and _alaw_to_linear(0xAA) == 32256
+    for f in (_ulaw_to_linear, _alaw_to_linear):
+        # sign bit flips the magnitude exactly
+        assert all(f(c) == -f(c ^ 0x80) for c in range(256))
+    neg = [_ulaw_to_linear(c) for c in range(0x80)]
+    assert all(a < b <= 0 for a, b in zip(neg, neg[1:]))
+
+    digest = hashlib.md5(b"g711").digest()
+    assert decode_wav(_wav_g711(digest, 8000, "ulaw")) == (
+        8000, 1, [_ulaw_to_linear(b) for b in digest])
+    assert decode_wav(_wav_g711(digest, 16000, "alaw")) == (
+        16000, 1, [_alaw_to_linear(b) for b in digest])
+
+    def wav(tag, bits, data):
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, bits)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert decode_wav(wav(7, 16, b"\x00\x00")) is None   # G.711 is 8-bit
+    assert decode_wav(wav(6, 16, b"\x00\x00")) is None
+    assert decode_wav(wav(2, 8, b"\x00")) is None        # ADPCM: not ours
