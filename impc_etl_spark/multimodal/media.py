@@ -547,9 +547,13 @@ def decode_png(payload: bytes) -> tuple[int, int, str, bytearray] | None:
             i += 12 + clen  # len + tag + data + crc
         if width is None or not idat:
             return None
-        raw = zlib.decompress(bytes(idat))
         stride = width * bpp
-        if len(raw) != height * (stride + 1):
+        want = height * (stride + 1)
+        # bound the inflate at want+1 bytes: a deflate bomb (tiny IDAT
+        # expanding to GBs) must not materialize before the length check —
+        # one hostile crawl payload would OOM the executor, not just fail
+        raw = zlib.decompressobj().decompress(bytes(idat), want + 1)
+        if len(raw) != want:
             return None
         out = bytearray(height * stride)
         for r in range(height):
@@ -1032,11 +1036,17 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray | None:
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, max_out: int | None = None
+) -> bytearray | None:
     """Real GIF LZW decompression — the exact inverse of
     ``_gif_lzw_encode`` and of any spec-conforming encoder, including
     deferred-clear streams (table frozen at 4096, width pinned at 12).
-    Returns None on any malformed stream (never raises)."""
+    Returns None on any malformed stream (never raises). ``max_out``
+    stops decoding once that many indices exist: LZW expands up to
+    ~2700× (4096-byte dictionary entries from 12-bit codes), so an
+    unbounded decode of a hostile crawl payload is an executor-OOM
+    bomb — callers that know the pixel count must pass it."""
     try:
         if not 2 <= min_code_size <= 8:
             return None
@@ -1073,6 +1083,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray | None:
                     return None
                 entry = table[code]
                 out += entry
+                if max_out is not None and len(out) >= max_out:
+                    return out
                 prev = entry
                 continue
             if code < len(table):
@@ -1082,6 +1094,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray | None:
             else:
                 return None
             out += entry
+            if max_out is not None and len(out) >= max_out:
+                return out
             if len(table) < 4096:
                 table.append(prev + entry[:1])
                 # the decoder runs one table entry BEHIND the encoder: the
@@ -1198,7 +1212,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, str, bytearray] | None:
                 blen = payload[i]
                 lzw.extend(payload[i + 1 : i + 1 + blen])
                 i += 1 + blen
-            indices = _gif_lzw_decode(bytes(lzw), mcs)
+            indices = _gif_lzw_decode(bytes(lzw), mcs, max_out=w * h)
             if indices is None or len(indices) < w * h:
                 return None
             indices = indices[: w * h]

@@ -545,6 +545,11 @@ def epoch_shuffle(
     ``repartitionByRange(out).sortWithinPartitions(out)`` to materialize
     shard files in epoch order (one range shuffle, the same price any
     shuffle pays).
+
+    ``id_cols`` must be a non-null unique key (the repo-wide
+    ``concat_ws`` key convention: NULL components drop out of the
+    concatenation, so NULL-keyed rows would share one rank key and fall
+    back to the consumer's tie-break order).
     """
     key = F.md5(
         F.concat_ws(

@@ -702,3 +702,62 @@ def test_g711_expansion_anchors_and_container():
     assert decode_wav(wav(7, 16, b"\x00\x00")) is None   # G.711 is 8-bit
     assert decode_wav(wav(6, 16, b"\x00\x00")) is None
     assert decode_wav(wav(2, 8, b"\x00")) is None        # ADPCM: not ours
+
+
+def test_decompression_bombs_bounded():
+    """Hostile payloads whose compressed stream expands far beyond the
+    declared pixel count must be rejected (PNG) or capped (GIF) WITHOUT
+    materializing the expansion — a crawl-scale executor-OOM vector
+    otherwise. Valid images are unaffected."""
+    import hashlib
+    import struct
+    import time
+    import zlib
+
+    from impc_etl_spark.multimodal.media import (
+        _gif_gray, _gif_lzw_decode, _gif_lzw_encode, decode_gif, decode_png,
+    )
+
+    # PNG bomb: IHDR claims 1×1 gray (want = 2 bytes) but IDAT inflates
+    # to 64 MB of zeros; must be None, and fast (bounded inflate)
+    def chunk(tag, data):
+        body = tag + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(64 * 1024 * 1024)))
+            + chunk(b"IEND", b""))
+    t0 = time.monotonic()
+    assert decode_png(bomb) is None
+    assert time.monotonic() - t0 < 2.0
+    # valid 1×1 still decodes
+    ok = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+          + chunk(b"IDAT", zlib.compress(b"\x00\x07"))
+          + chunk(b"IEND", b""))
+    assert decode_png(ok) == (1, 1, "L", bytearray([7]))
+
+    # GIF bomb: LZW of 32 MB of zeros is ~64 KB; a container claiming
+    # 2×2 must decode capped near 4 indices, not 32M
+    lzw = _gif_lzw_encode(bytes(32 * 1024 * 1024), 8)
+    assert len(lzw) < 200_000
+    capped = _gif_lzw_decode(lzw, 8, max_out=4)
+    assert capped is not None and 4 <= len(capped) < 5000
+    # splice the bomb stream into a hand-built 2×2 container
+    head = (b"GIF87a" + struct.pack("<HHBBB", 2, 2, 0xF7, 0, 0)
+            + bytes(v for i in range(256) for v in (i, i, i)))
+    idesc = struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+    blocks = bytearray([8])
+    for i in range(0, len(lzw), 255):
+        blocks.append(len(lzw[i:i + 255]))
+        blocks.extend(lzw[i:i + 255])
+    blocks.append(0)
+    t0 = time.monotonic()
+    got = decode_gif(head + idesc + bytes(blocks) + b"\x3b")
+    assert got == (2, 2, "L", bytearray(4))
+    assert time.monotonic() - t0 < 2.0
+
+    # the cap never truncates a legitimately-sized image
+    digest = hashlib.md5(b"x").digest()
+    assert decode_gif(_gif_gray(digest, 4, 4)) == (4, 4, "L", bytearray(digest))
