@@ -761,3 +761,168 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --- PCA / whitening ---------------------------------------------------------
+#
+# Standard embedding preprocessing for training-data pipelines (SemDeDup-
+# style clustering, retrieval whitening, dimensionality reduction before
+# ANN). The 100 TB shape: a d-dim embedding's second-moment matrix is
+# d×d REGARDLESS of row count, so each partition reduces its rows to one
+# (n, Σx, ΣxxT) partial via vectorized numpy (mapInPandas), and only
+# ≤numPartitions tiny partial rows ever move — no per-row shuffle, no
+# driver-side loop over data. The eigendecomposition runs on the d×d
+# matrix (microseconds); the projection is pure JVM Column algebra.
+
+
+def moment_partials(df: DataFrame, vec_col: str = "embedding",
+                    dim: int | None = None) -> DataFrame:
+    """Per-partition (n, sum, flattened second-moment) rows: the mergeable
+    sufficient statistic for mean/covariance/PCA. One narrow Arrow map;
+    output size = numPartitions × (d² + d + 1) doubles, independent of
+    row count."""
+    import pandas as pd
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+
+    def partial(batches):
+        import numpy as np
+
+        n = 0
+        s = np.zeros(dim)
+        m = np.zeros((dim, dim))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            m += X.T @ X
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "m": [m.reshape(-1).tolist()]}
+        )
+
+    return df.select(vec_col).mapInPandas(
+        partial, schema="n bigint, s array<double>, m array<double>"
+    ).where(F.col("n") > 0)
+
+
+def covariance_entries(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    row: int | None = None,
+    diagonal: bool = True,
+) -> DataFrame:
+    """Covariance entries cov(i,j) = E[x_i x_j] − E[x_i]E[x_j] as a
+    DataFrame (i, j, cov) — combined fully IN-PLAN from the mergeable
+    partials (explode ≤numPartitions tiny rows → sum per index), so no
+    driver collect anywhere. ``row``/``diagonal`` restrict the output
+    (the full d² grid is available with row=None, diagonal=False →
+    everything)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    parts = moment_partials(df, vec_col, dim)
+    n_tot = parts.agg(F.sum("n").alias("n"))
+    s_sum = (
+        parts.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i").agg(F.sum("v").alias("s"))
+    )
+    m_sum = (
+        parts.select(F.posexplode("m").alias("pos", "v"))
+        .groupBy("pos").agg(F.sum("v").alias("m"))
+        .select(
+            (F.col("pos") / dim).cast("int").alias("i"),
+            F.pmod("pos", F.lit(dim)).cast("int").alias("j"),
+            "m",
+        )
+    )
+    keep = None
+    if diagonal:
+        keep = F.col("i") == F.col("j")
+    if row is not None:
+        cond = F.col("i") == int(row)
+        keep = cond if keep is None else (keep | cond)
+    if keep is not None:
+        m_sum = m_sum.where(keep)
+    out = (
+        m_sum.crossJoin(F.broadcast(n_tot))
+        .join(F.broadcast(s_sum.withColumnsRenamed({"i": "ii", "s": "si"})),
+              F.col("i") == F.col("ii"))
+        .join(F.broadcast(s_sum.withColumnsRenamed({"i": "jj", "s": "sj"})),
+              F.col("j") == F.col("jj"))
+    )
+    cov = (F.col("m") / F.col("n")
+           - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")))
+    return out.select("i", "j", cov.alias("cov"))
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int | None = None,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit PCA: (mean, components k×d, eigenvalues desc). The only
+    driver-side data is the ≤numPartitions moment partials (the same
+    bounded-collect pattern as `ivf_build`'s centroids); the d×d ``eigh``
+    is microseconds. Component signs are canonicalized (largest-|entry|
+    coordinate made positive) so the fit is deterministic up to
+    eigenvalue ties."""
+    import numpy as np
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    parts = moment_partials(df, vec_col, dim).collect()
+    if not parts:
+        raise ValueError("pca_fit: no vectors")
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    m = np.sum([np.asarray(r["m"]).reshape(dim, dim) for r in parts], axis=0)
+    mean = s / n
+    cov = m / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending, orthonormal
+    order = np.argsort(evals)[::-1][: int(k)]
+    comps = evecs[:, order].T.copy()
+    evals = np.maximum(evals[order], 0.0)       # clip fp-negative tail
+    for c in comps:
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c *= -1.0
+    return mean.tolist(), [c.tolist() for c in comps], evals.tolist()
+
+
+def pca_project(
+    df: DataFrame,
+    mean: Sequence[float],
+    components: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    out: str = "pca",
+    whiten: Sequence[float] | None = None,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project vectors onto fitted components: out_j = (x − mean)·c_j,
+    optionally whitened by /sqrt(eigval_j + eps). Pure JVM Column algebra
+    (zip_with + aggregate — no UDF), with the centered vector let-bound
+    via `bind` so it is evaluated ONCE per row, not once per component:
+    at k components an unbound expression would re-center the array k
+    times — a k× scan-CPU bill at 100 TB."""
+    mu = F.array(*[F.lit(float(v)) for v in mean])
+
+    def proj(centered: Column) -> Column:
+        cols = []
+        for j, comp in enumerate(components):
+            c = F.array(*[F.lit(float(v)) for v in comp])
+            p = dot(centered, c)
+            if whiten is not None:
+                p = p / float(math.sqrt(float(whiten[j]) + eps))
+            cols.append(p)
+        return F.array(*cols)
+
+    centered = F.zip_with(
+        F.col(vec_col), mu, lambda x, m: x.cast("double") - m
+    )
+    return df.withColumn(out, bind(centered, proj))

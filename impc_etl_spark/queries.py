@@ -6048,6 +6048,114 @@ def media_g711_audio(spark, sf_dir):
 
 QUERIES["media_g711_audio"] = media_g711_audio
 
+
+def emb_covariance(spark, sf_dir):
+    """Distributed covariance over the embedding table — the mergeable-
+    moments pattern that makes PCA/whitening 100 TB-sane: every partition
+    reduces its rows to ONE (n, Σx, ΣxxT) partial (vectorized numpy via
+    mapInPandas), and the combine runs fully IN-PLAN over ≤numPartitions
+    tiny rows (posexplode → sum per index → broadcast joins), so shuffle
+    volume is O(partitions·d²) regardless of row count and there is no
+    driver collect. Output: the diagonal and row 0 of cov(i,j) =
+    E[x_i x_j] − E[x_i]E[x_j], which the oracle recomputes per-entry."""
+    from impc_etl_spark.operators.similarity import covariance_entries
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = covariance_entries(emb, "embedding", dim=64, row=0, diagonal=True)
+    return out.select("i", "j", _rnd("cov", 9).alias("cov"))
+
+
+QUERIES["emb_covariance"] = emb_covariance
+
+ORACLE["emb_covariance"] = """
+WITH idx AS (SELECT unnest(range(64)) AS i),
+pairs AS (
+  SELECT a.i AS i, b.i AS j
+  FROM idx a CROSS JOIN idx b
+  WHERE a.i = b.i OR a.i = 0)
+SELECT p.i AS i, p.j AS j,
+       floor((avg(list_extract(embedding, p.i + 1)
+                  * list_extract(embedding, p.j + 1))
+              - avg(list_extract(embedding, p.i + 1))
+                * avg(list_extract(embedding, p.j + 1)))
+             * 1000000000 + 0.5) / 1000000000 AS cov
+FROM embeddings CROSS JOIN pairs p
+GROUP BY p.i, p.j
+"""
+
+
+def emb_pca_whiten(spark, sf_dir):
+    """PCA + whitening end-to-end, self-checking: fit k=6 components from
+    the mergeable moment partials (driver sees only ≤numPartitions
+    sufficient-statistic rows — same bounded pattern as IVF centroids),
+    project every embedding with pure JVM Column algebra (the centered
+    vector let-bound so it is computed once per row, not once per
+    component), and verify IN-PLAN that the per-component projected
+    variance equals the fitted eigenvalue and whitened variance is 1 —
+    a broken fit, projection, or whitening hash-mismatches the oracle.
+    Orthonormality and eigenvalue ordering are asserted at fit time."""
+    import math as _math
+
+    from impc_etl_spark.operators.similarity import pca_fit, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, evals = pca_fit(emb, "embedding", k=6, dim=64)
+    g_ok = all(
+        abs(sum(a * b for a, b in zip(ci, cj)) - (1.0 if i == j else 0.0))
+        < 1e-8
+        for i, ci in enumerate(comps)
+        for j, cj in enumerate(comps)
+    )
+    desc_ok = all(a >= b - 1e-12 for a, b in zip(evals, evals[1:]))
+    proj = pca_project(emb, mean, comps, out="p")
+    projw = pca_project(emb, mean, comps, out="pw", whiten=evals)
+    both = proj.join(projw.select("vec_id", "pw"), "vec_id")
+    per_comp = (
+        both.select(F.posexplode("p").alias("j", "v"),
+                    F.col("pw"))
+        .select("j", "v", F.element_at("pw", F.col("j") + 1).alias("vw"))
+        .groupBy("j")
+        .agg(F.var_pop("v").alias("var_p"), F.var_pop("vw").alias("var_w"))
+    )
+    ev = F.element_at(
+        F.array(*[F.lit(float(e)) for e in evals]), F.col("j") + 1
+    )
+    checks = per_comp.agg(
+        F.min(
+            (F.abs(F.col("var_p") - ev) <= 1e-6 * (ev + F.lit(1e-9)))
+        ).alias("variance_matches_eigenvalue"),
+        F.min(
+            F.abs(F.col("var_w") - 1.0) <= 1e-4
+        ).alias("whitened_unit_variance"),
+    )
+    n = emb.agg(F.count("*").cast("bigint").alias("n_vectors"))
+    return (
+        n.crossJoin(F.broadcast(checks))
+        .select(
+            "n_vectors",
+            F.lit(6).alias("k"),
+            F.lit(bool(g_ok)).alias("components_orthonormal"),
+            F.lit(bool(desc_ok)).alias("eigenvalues_descending"),
+            "variance_matches_eigenvalue",
+            "whitened_unit_variance",
+        )
+    )
+
+
+QUERIES["emb_pca_whiten"] = emb_pca_whiten
+
+# Self-checking oracle (same pattern as orders_approx_distinct /
+# orders_status_overlap_hll): the row count is recomputed independently
+# and every invariant must come out TRUE for the hash to match.
+ORACLE["emb_pca_whiten"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors, 6 AS k,
+       true AS components_orthonormal,
+       true AS eigenvalues_descending,
+       true AS variance_matches_eigenvalue,
+       true AS whitened_unit_variance
+FROM embeddings
+"""
+
 # The oracle replays the ITU µ-law expansion (Sun g711.c formulation) in
 # SQL bit math over the digest bytes: u = ~code & 0xFF, magnitude =
 # (((u & 15) << 3) + 132) << segment, sign from bit 0x80, re-bias by 132.

@@ -2842,3 +2842,51 @@ def test_epoch_shuffle_permutations(spark):
     order4 = sorted(k_c, key=lambda d: k_c[d])
     assert sorted(order3) == sorted(order4) == list(range(200))
     assert order3 != order4                            # genuinely reshuffled
+
+
+def test_pca_fit_project_matches_numpy(spark):
+    """Distributed PCA from mergeable moment partials must agree with a
+    single-node numpy PCA on the same data: mean, eigenvalues, component
+    orthonormality, per-component projected variance, whitened unit
+    variance — and be invariant to partitioning (partials merge
+    exactly)."""
+    import numpy as np
+
+    from impc_etl_spark.operators.similarity import (
+        covariance_entries, pca_fit, pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    # anisotropic data so eigenvalues are well-separated
+    base = rng.normal(size=(300, 8)) * np.array([5, 3, 2, 1, .5, .3, .2, .1])
+    rows = [(i, [float(v) for v in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    mean, comps, evals = pca_fit(df.repartition(7), "embedding", k=4, dim=8)
+    mu = base.mean(0)
+    C = np.cov(base.T, bias=True)
+    ev = np.sort(np.linalg.eigvalsh(C))[::-1][:4]
+    assert np.allclose(mean, mu, atol=1e-10)
+    assert np.allclose(evals, ev, atol=1e-8)
+    G = np.array(comps)
+    assert np.allclose(G @ G.T, np.eye(4), atol=1e-8)
+
+    # partitioning-invariant (exact merge of partials)
+    mean2, comps2, evals2 = pca_fit(df.repartition(2), "embedding", k=4, dim=8)
+    assert np.allclose(mean, mean2, atol=1e-12)
+    assert np.allclose(comps, comps2, atol=1e-9)
+
+    P = np.array([r["p"] for r in
+                  pca_project(df, mean, comps, out="p").select("p").collect()])
+    assert np.allclose(P.var(axis=0), ev, rtol=1e-9)
+    Pw = np.array([r["p"] for r in
+                   pca_project(df, mean, comps, out="p", whiten=evals)
+                   .select("p").collect()])
+    assert np.allclose(Pw.var(axis=0), 1.0, rtol=1e-6)
+
+    # in-plan covariance entries equal the numpy covariance
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in covariance_entries(df, "embedding", dim=8, row=0).collect()}
+    assert len(got) == 8 + 7
+    for (i, j), v in got.items():
+        assert abs(v - C[i, j]) < 1e-10

@@ -36,6 +36,8 @@ BNL_ALLOWED = {
     "nation_trade_pagerank",  # cross joins with broadcast 1-ROW N / dangling-mass frames
     "docs_importance_resample",  # cross join with a broadcast 1-ROW (N_raw, N_target) totals frame
     "orders_status_overlap_hll",  # cross join of two 1-ROW aggregate frames (exact × HLL)
+    "emb_covariance",  # cross join with a broadcast 1-ROW total-count frame
+    "emb_pca_whiten",  # cross join of 1-ROW count × 1-ROW invariant-checks frames
 }
 
 
