@@ -877,8 +877,19 @@ def pca_fit(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     parts = moment_partials(df, vec_col, dim).collect()
+    return pca_from_moments(parts, dim, k)
+
+
+def pca_from_moments(parts, dim: int, k: int):
+    """The eigen step over collected (n, s, m) moment rows — shared by
+    the batch fit and the streaming moments store (`streaming.jobs.
+    moments_sink`), so a model fit incrementally from micro-batches is
+    the same computation as one fit from a full scan."""
+    import numpy as np
+
+    parts = [r for r in parts if r["n"]]
     if not parts:
-        raise ValueError("pca_fit: no vectors")
+        raise ValueError("pca_from_moments: no vectors")
     n = sum(r["n"] for r in parts)
     s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
     m = np.sum([np.asarray(r["m"]).reshape(dim, dim) for r in parts], axis=0)

@@ -921,6 +921,68 @@ def incremental_agg_sink(
     q.awaitTermination()
 
 
+def moments_sink(
+    stream_df: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Maintain the PCA/covariance sufficient statistic — one
+    (n, Σx, ΣxxᵀT flattened) row — continuously over a vector stream.
+    The moments are algebraic (merge = elementwise sum), so the store is
+    EXACT after any number of micro-batches: feed it to
+    ``similarity.pca_from_moments`` and the incrementally-maintained
+    model is the same computation as a batch ``pca_fit`` over everything
+    ingested (tested against the batch twin under shuffled arrival).
+
+    Per batch: ``moment_partials`` reduces the batch to ≤partitions tiny
+    rows (d²+d+1 doubles each), the store's single row is unioned in, and
+    the elementwise combine runs in-plan (posexplode → per-index sum →
+    array rebuild — a few thousand rows, never data-sized). Crash safety
+    = the shared versioned-directory + atomic pointer scheme + the
+    batch-id idempotency guard (moment merges are additive, so an
+    at-least-once replay after the flip must be skipped, not re-merged).
+    Read with ``read_store``; no raw vector is ever retained."""
+    from impc_etl_spark.operators.similarity import moment_partials
+
+    def combine(parts: DataFrame) -> DataFrame:
+        def arr_sum(col: str) -> DataFrame:
+            return (
+                parts.select(F.posexplode(col).alias("i", "v"))
+                .groupBy("i").agg(F.sum("v").alias("v"))
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("i", "v"))).alias("a")
+                )
+                .select(F.transform("a", lambda x: x["v"]).alias(col))
+            )
+
+        n = parts.agg(F.sum("n").alias("n"))
+        return n.crossJoin(arr_sum("s")).crossJoin(arr_sum("m"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = moment_partials(batch_df, vec_col, dim)
+        current = current_store_path(store_dir)
+        if _batch_already_committed(current, batch_id, checkpoint_dir):
+            return
+        if current is not None:
+            partial = partial.unionByName(spark.read.parquet(current))
+        if partial.isEmpty():
+            return  # nothing ingested yet and nothing stored: no version
+        _commit_version(
+            store_dir, combine(partial), batch_id, current, checkpoint_dir
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def ewma_stream(
     events: DataFrame,
     key: str = "user_id",

@@ -1029,3 +1029,66 @@ def test_replay_guard_distinguishes_query_identity(tmp_path):
     # ... but with no checkpoint dir at all (caller opted out of identity
     # tracking) the conservative replay-side answer stands
     assert _batch_already_committed(str(v0), 0, None)
+
+
+def test_moments_sink_matches_batch_pca(spark, tmp_path):
+    """Incrementally-maintained moment statistics over micro-batches
+    equal the batch moments, and a PCA fit from the streaming store
+    matches the batch pca_fit (same shared eigen step): the streaming
+    materialization of embedding preprocessing is exact."""
+    import glob as g
+    import shutil
+
+    import numpy as np
+
+    from impc_etl_spark.operators.similarity import (
+        moment_partials, pca_fit, pca_from_moments,
+    )
+    from impc_etl_spark.streaming.jobs import moments_sink, read_store
+
+    raw = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    src = tmp_path / "mom_src"
+    raw.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(str(src / "a"))
+    raw.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(str(src / "b"))
+    flat = tmp_path / "mom_flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(g.glob(str(src / "*" / "part-*.parquet")))):
+        shutil.copy(f, flat / f"f{i}.parquet")
+
+    store = str(tmp_path / "mom_store")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    moments_sink(stream, store, str(tmp_path / "mom_ckpt"), dim=64)
+
+    rows = read_store(spark, store).collect()
+    assert len(rows) == 1 and rows[0]["n"] == raw.count()
+    batch = moment_partials(raw, "embedding", 64).collect()
+    s_b = np.sum([np.asarray(r["s"]) for r in batch], axis=0)
+    m_b = np.sum([np.asarray(r["m"]) for r in batch], axis=0)
+    assert np.allclose(rows[0]["s"], s_b, rtol=0, atol=1e-9)
+    assert np.allclose(rows[0]["m"], m_b, rtol=0, atol=1e-9)
+
+    mean_s, comps_s, evals_s = pca_from_moments(rows, 64, 4)
+    mean_b, comps_b, evals_b = pca_fit(raw, "embedding", k=4, dim=64)
+    assert np.allclose(mean_s, mean_b, atol=1e-12)
+    assert np.allclose(evals_s, evals_b, atol=1e-10)
+    assert np.allclose(comps_s, comps_b, atol=1e-7)
+
+    # replaying the last committed batch id must be a no-op (additive!)
+    from impc_etl_spark.streaming.jobs import current_store_path, _version_meta
+    cur = current_store_path(store)
+    meta = _version_meta(cur)
+    n_before = rows[0]["n"]
+    # a fresh run over the same (already consumed) source adds nothing
+    stream2 = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    moments_sink(stream2, store, str(tmp_path / "mom_ckpt"), dim=64)
+    rows2 = read_store(spark, store).collect()
+    assert len(rows2) == 1 and rows2[0]["n"] == n_before
+    assert meta.get("batch_id") is not None
