@@ -6450,3 +6450,10 @@ _promote("docs_epoch_shuffle", "date_cascade_parse")
 # and a genuine compressed-bitstream codec is stronger decode evidence
 # than digest plumbing. media_feature_extract stays locally oracle-checked.
 _promote("media_gif_decode", "media_feature_extract")
+
+# Round-5 continued rotation: the remaining new-this-round operators take
+# slots whose queries are already r4-driver-green (both displaced queries
+# stay fully locally oracle-checked every session). emb_pca_whiten carries
+# the new PCA/whitening family; media_g711_audio the telephony decode.
+_promote("emb_pca_whiten", "emb_cosine_topk")
+_promote("media_g711_audio", "computed_key_join")
