@@ -11,6 +11,8 @@
             ─ tokenizer (BPE merges learned from the cleaned corpus)
             ─ splits (leakage-safe train/val/test keyed on near-dup groups)
             ─ features (multimodal payload features via mapInPandas)
+            ─ epoch_order (deterministic per-epoch shuffle keys)
+            ─ embedding_model (PCA/whitening from moment partials)
 
 Run:  python examples/training_corpus_pipeline.py [sf_dir] [out_dir]
 """
@@ -154,6 +156,32 @@ def build(spark, sf_dir: str, out_dir: str):
             "media_id", "rms", "peak", "zcr"
         )
         return img.join(aud, "media_id")
+
+    @p.task("epoch_order", inputs=["selected"])
+    def epoch_order(s, corpus):
+        # deterministic per-epoch training order: md5 rank keys, no RNG
+        # state — resumable mid-epoch, identical on every engine/re-run
+        from impc_etl_spark.operators.sampling import epoch_shuffle
+
+        out = epoch_shuffle(corpus.select("doc_id", "lang"),
+                            ["doc_id"], epoch=1, out="epoch1_key")
+        return epoch_shuffle(out, ["doc_id"], epoch=2, out="epoch2_key")
+
+    @p.task("embedding_model", inputs=[])
+    def embedding_model(s):
+        # PCA/whitening from mergeable moment partials: the projection
+        # basis for semantic dedup / ANN, fit without any raw-vector
+        # collect (driver sees ≤partitions sufficient-statistic rows)
+        from impc_etl_spark.operators.similarity import pca_fit, pca_project
+
+        emb = s.read.parquet(f"{sf_dir}/embeddings.parquet")
+        mean, comps, evals = pca_fit(emb, "embedding", k=8, dim=64)
+        proj = pca_project(emb, mean, comps, out="pca", whiten=evals)
+        return proj.select(
+            "vec_id", F.array_join(F.transform(
+                "pca", lambda x: F.round(x, 6).cast("string")), ",",
+            ).alias("pca_whitened"),
+        )
 
     @p.task("url_keys", inputs=["documents"])
     def url_keys(s, docs):
