@@ -780,11 +780,18 @@ def moment_partials(df: DataFrame, vec_col: str = "embedding",
     """Per-partition (n, sum, flattened second-moment) rows: the mergeable
     sufficient statistic for mean/covariance/PCA. One narrow Arrow map;
     output size = numPartitions × (d² + d + 1) doubles, independent of
-    row count."""
+    row count. NULL or wrong-dimension vectors are filtered IN-PLAN
+    before the numpy stage (a single ragged row would otherwise fail the
+    whole-partition matmul — hostile-input robustness, same contract as
+    the decode family)."""
     import pandas as pd
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    df = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == int(dim))
+        & ~F.exists(vec_col, lambda x: x.isNull())
+    )
 
     def partial(batches):
         import numpy as np

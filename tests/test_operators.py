@@ -2890,3 +2890,30 @@ def test_pca_fit_project_matches_numpy(spark):
     assert len(got) == 8 + 7
     for (i, j), v in got.items():
         assert abs(v - C[i, j]) < 1e-10
+
+
+def test_moment_partials_filters_hostile_vectors(spark):
+    """NULL vectors, wrong-dimension vectors, and vectors containing NULL
+    elements must be filtered before the numpy stage — one ragged row
+    must not fail the whole partition's matmul — and the moments must
+    equal those over only the clean rows."""
+    import numpy as np
+
+    from impc_etl_spark.operators.similarity import moment_partials
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [3.0, 4.0]),
+        (3, None),
+        (4, [5.0]),                # wrong dim
+        (5, [6.0, None]),          # NULL element
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    parts = moment_partials(df.repartition(3), "embedding", 2).collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    m = np.sum([np.asarray(r["m"]).reshape(2, 2) for r in parts], axis=0)
+    X = np.array([[1.0, 2.0], [3.0, 4.0]])
+    assert n == 2
+    assert np.allclose(s, X.sum(0))
+    assert np.allclose(m, X.T @ X)

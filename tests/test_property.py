@@ -1216,3 +1216,26 @@ def test_gif_lzw_roundtrip(data):
     enc = _gif_lzw_encode(idx, mcs)
     dec = _gif_lzw_decode(enc, mcs)
     assert dec is not None and bytes(dec) == idx
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.data())
+def test_png_and_gif_codecs_agree_on_random_pixels(data):
+    """Encode the SAME random grayscale pixels through both real codecs
+    (PNG: struct+zlib; GIF: from-spec LZW) and decode both — identical
+    (w, h, mode, samples) out. Two independent codec stacks cannot share
+    a bug and both pass; catches container/filter/palette/LZW slips the
+    single-codec roundtrips could miss."""
+    from impc_etl_spark.multimodal.media import (
+        _gif_gray, _png_gray, decode_gif, decode_png,
+    )
+
+    w = data.draw(st.integers(1, 12), label="w")
+    h = data.draw(st.integers(1, 12), label="h")
+    pixels = bytes(
+        data.draw(st.integers(0, 255), label=f"px{i}") for i in range(w * h)
+    )
+    png = decode_png(_png_gray(pixels, w, h))
+    gif = decode_gif(_gif_gray(pixels, w, h))
+    assert png is not None and gif is not None
+    assert png == gif == (w, h, "L", bytearray(pixels))
