@@ -832,7 +832,10 @@ def covariance_entries(
     everything)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    parts = moment_partials(df, vec_col, dim)
+    # the partials frame is referenced THREE times below (n, s, m) —
+    # without materialization Spark would rerun the data-sized numpy
+    # scan per reference; the checkpoint is ≤numPartitions tiny rows
+    parts = moment_partials(df, vec_col, dim).localCheckpoint(eager=True)
     n_tot = parts.agg(F.sum("n").alias("n"))
     s_sum = (
         parts.select(F.posexplode("s").alias("i", "v"))

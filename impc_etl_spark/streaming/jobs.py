@@ -962,10 +962,16 @@ def moments_sink(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        partial = moment_partials(batch_df, vec_col, dim)
         current = current_store_path(store_dir)
         if _batch_already_committed(current, batch_id, checkpoint_dir):
             return
+        # materialize the batch's tiny partials once: combine() references
+        # the frame three times (n, s, m), and isEmpty() a fourth — an
+        # unmaterialized plan would rerun the batch-sized numpy scan per
+        # reference
+        partial = moment_partials(batch_df, vec_col, dim).localCheckpoint(
+            eager=True
+        )
         if current is not None:
             partial = partial.unionByName(spark.read.parquet(current))
         if partial.isEmpty():
