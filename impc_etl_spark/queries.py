@@ -6065,6 +6065,132 @@ def emb_covariance(spark, sf_dir):
     return out.select("i", "j", _rnd("cov", 9).alias("cov"))
 
 
+def media_adpcm_audio(spark, sf_dir):
+    """REAL lossy-compressed-codec decode end-to-end: every document's
+    payload becomes 8 int16 samples (its md5 digest), IMA-ADPCM-encoded
+    FOR REAL (4-bit adaptive-predictor nibbles, tag-0x11 WAV), then the
+    decoder walks the adaptive state machine back to the reconstructed
+    samples. Every quantity below — first/last reconstructed sample, RMS,
+    peak — depends on the full nibble-by-nibble predictor/step-index
+    chain, and the DuckDB oracle replays BOTH the quantizer and the
+    reconstruction step-exactly in a recursive CTE over pure integer
+    math, so a single off-by-one in either state machine hash-mismatches.
+    Two narrow Arrow-batched mapInPandas stages; no shuffle (reference
+    analog: media-observation columns, observation_mapper.py:851-997)."""
+    import math as _math
+
+    import pandas as pd_
+
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_ima_wav, synth_ima_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wavs = synth_ima_wav(attach_binary(docs, "text", "doc_id"))
+
+    def compute(batches):
+        for pdf in batches:
+            nfs, firsts, lasts, rmss, peaks = [], [], [], [], []
+            for p in pdf["content"]:
+                decoded = decode_ima_wav(bytes(p))
+                if decoded is None:
+                    nfs.append(None); firsts.append(None); lasts.append(None)
+                    rmss.append(None); peaks.append(None)
+                else:
+                    _sr, _ch, s = decoded
+                    nfs.append(len(s))
+                    firsts.append(s[0]); lasts.append(s[-1])
+                    rmss.append(_math.sqrt(sum(v * v for v in s) / len(s)))
+                    peaks.append(max(abs(v) for v in s))
+            yield pd_.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_frames": pd_.array(nfs, dtype="Int64"),
+                "first_sample": pd_.array(firsts, dtype="Int32"),
+                "last_sample": pd_.array(lasts, dtype="Int32"),
+                "rms": pd_.array(rmss, dtype="float64"),
+                "peak": pd_.array(peaks, dtype="Int32"),
+            })
+
+    out = wavs.mapInPandas(
+        compute,
+        schema="media_id bigint, n_frames bigint, first_sample int, "
+               "last_sample int, rms double, peak int",
+    )
+    return out.select(
+        "media_id", "n_frames", "first_sample", "last_sample",
+        _rnd("rms", 6).alias("rms"), "peak",
+    )
+
+
+QUERIES["media_adpcm_audio"] = media_adpcm_audio
+
+# The oracle simulates the IMA reference algorithm (quantize + reconstruct)
+# over the digest-derived int16 samples: the recursive CTE carries
+# (predictor, step index) per document and applies the public update rules
+# in integer arithmetic, exactly as the codec does.
+_IMA_STEPS_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,"
+    "73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,"
+    "408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,"
+    "1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,"
+    "7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,"
+    "22385,24623,27086,29794,32767]"
+)
+
+ORACLE["media_adpcm_audio"] = f"""
+WITH RECURSIVE h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+smp AS (
+  SELECT media_id, j,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+  FROM (
+    SELECT media_id, j,
+           CAST(concat('0x', substring(hx, 4 * j + 3, 2)) AS INT) * 256
+           + CAST(concat('0x', substring(hx, 4 * j + 1, 2)) AS INT) AS u
+    FROM h CROSS JOIN (SELECT unnest(range(8)) AS j) t)),
+chain(media_id, j, pred, idx) AS (
+  SELECT media_id, 0, x, 0 FROM smp WHERE j = 0
+  UNION ALL
+  SELECT media_id, j,
+         GREATEST(-32768, LEAST(32767,
+           pred + CASE WHEN neg THEN -diff ELSE diff END)),
+         GREATEST(0, LEAST(88, idx +
+           CASE mag WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+                    ELSE -1 END))
+  FROM (
+    SELECT media_id, j, pred, idx, neg,
+           step // 8 + CASE WHEN b4 THEN step ELSE 0 END
+                     + CASE WHEN b2 THEN step // 2 ELSE 0 END
+                     + CASE WHEN b1 THEN step // 4 ELSE 0 END AS diff,
+           CASE WHEN b4 THEN 4 ELSE 0 END + CASE WHEN b2 THEN 2 ELSE 0 END
+             + CASE WHEN b1 THEN 1 ELSE 0 END AS mag
+    FROM (
+      SELECT *,
+             (r2 - CASE WHEN b2 THEN step // 2 ELSE 0 END) >= step // 4 AS b1
+      FROM (
+        SELECT *, r1 - CASE WHEN b4 THEN step ELSE 0 END AS r2,
+               (r1 - CASE WHEN b4 THEN step ELSE 0 END) >= step // 2 AS b2
+        FROM (
+          SELECT *, ad AS r1, ad >= step AS b4
+          FROM (
+            SELECT c.media_id, c.j + 1 AS j, c.pred AS pred, c.idx AS idx,
+                   s.x - c.pred AS delta, abs(s.x - c.pred) AS ad,
+                   s.x - c.pred < 0 AS neg,
+                   list_extract({_IMA_STEPS_SQL}, c.idx + 1) AS step
+            FROM chain c
+            JOIN smp s ON s.media_id = c.media_id AND s.j = c.j + 1
+            WHERE c.j < 7)))))
+)
+SELECT media_id,
+       CAST(8 AS BIGINT) AS n_frames,
+       CAST(min(CASE WHEN j = 0 THEN pred END) AS INT) AS first_sample,
+       CAST(min(CASE WHEN j = 7 THEN pred END) AS INT) AS last_sample,
+       floor(sqrt(avg(CAST(pred AS DOUBLE) * pred)) * 1000000 + 0.5)
+         / 1000000 AS rms,
+       CAST(max(abs(pred)) AS INT) AS peak
+FROM chain GROUP BY media_id
+"""
+
+
 QUERIES["emb_covariance"] = emb_covariance
 
 ORACLE["emb_covariance"] = """

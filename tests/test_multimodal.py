@@ -761,3 +761,49 @@ def test_decompression_bombs_bounded():
     # the cap never truncates a legitimately-sized image
     digest = hashlib.md5(b"x").digest()
     assert decode_gif(_gif_gray(digest, 4, 4)) == (4, 4, "L", bytearray(digest))
+
+
+def test_ima_adpcm_codec_paths():
+    """IMA ADPCM: sample 0 survives exactly (block-header predictor), a
+    slow ramp reconstructs within the quantizer's step bound, multi-block
+    streams decode block-by-block with state reset per block header, and
+    hostile inputs return None (never raise)."""
+    import struct
+
+    from impc_etl_spark.multimodal.media import (
+        _wav_ima_adpcm, decode_ima_wav, ima_adpcm_decode_block,
+        ima_adpcm_encode,
+    )
+
+    ramp = [i * 8 - 800 for i in range(200)]
+    sr, ch, dec = decode_ima_wav(_wav_ima_adpcm(ramp, 8000))
+    assert (sr, ch, len(dec)) == (8000, 1, 200)
+    assert dec[0] == ramp[0]
+    assert max(abs(a - b) for a, b in zip(ramp, dec)) < 64
+
+    # saturation: a full-scale square wave must stay clamped in [-32768, 32767]
+    square = [32767, -32768] * 50
+    _, _, dsq = decode_ima_wav(_wav_ima_adpcm(square, 8000))
+    assert all(-32768 <= v <= 32767 for v in dsq)
+
+    # two hand-built blocks: each block's header re-seeds predictor+index
+    b1 = ima_adpcm_encode([100, 120, 90])        # 4 hdr + 1 byte (2 nibbles)
+    b2 = ima_adpcm_encode([-5000, -5100, -4900])
+    assert len(b1) == len(b2) == 5
+    spb, ba = 3, 5
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, ba, 4, 2, spb)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 10) + b1 + b2)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    _, _, d2 = decode_ima_wav(wav)
+    assert len(d2) == 6 and d2[0] == 100 and d2[3] == -5000
+    assert d2[:3] == ima_adpcm_decode_block(b1, 3)
+    assert d2[3:] == ima_adpcm_decode_block(b2, 3)
+
+    # hostile: truncated container, bad index, non-ADPCM tags
+    assert decode_ima_wav(wav[:30]) is None
+    bad = bytearray(b1)
+    bad[2] = 200                                  # step index > 88
+    assert ima_adpcm_decode_block(bytes(bad), 3) is None
+    assert ima_adpcm_decode_block(b"", 1) is None
+    assert decode_ima_wav(b"RIFF\x00\x00\x00\x00WAVE") is None

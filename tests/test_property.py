@@ -1154,8 +1154,9 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
     payloads (the nastier case: plausible prefixes with corrupt
     interiors). One hostile payload must never kill a 100 TB scan task."""
     from impc_etl_spark.multimodal.media import (
-        _gif_gray, _mp4_min, _png_gray, _wav_pcm16, decode_gif, decode_png,
-        decode_wav, probe_image_header, probe_mp3_header, probe_mp4_header,
+        _gif_gray, _mp4_min, _png_gray, _wav_ima_adpcm, _wav_pcm16,
+        decode_gif, decode_ima_wav, decode_png, decode_wav,
+        probe_image_header, probe_mp3_header, probe_mp4_header,
         probe_wav_header,
     )
 
@@ -1163,6 +1164,7 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         _png_gray(bytes(range(16)), 4, 4),
         _gif_gray(bytes(range(16)), 4, 4),
         _wav_pcm16([1, -1, 32767, -32768], 8000),
+        _wav_ima_adpcm([0, 500, -500, 30000, -30000], 8000),
         _mp4_min(600, 12345, 2),
         b"\x89PNG\r\n\x1a\n" + b"\x00" * 40,
         b"GIF89a" + b"\x00" * 40,
@@ -1182,8 +1184,9 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         b = data.draw(st.integers(0, 255), label="val")
         base = base[:i] + bytes([b]) + base[i + 1 :]
 
-    for fn in (decode_png, decode_gif, decode_wav, probe_image_header,
-               probe_wav_header, probe_mp3_header, probe_mp4_header):
+    for fn in (decode_png, decode_gif, decode_wav, decode_ima_wav,
+               probe_image_header, probe_wav_header, probe_mp3_header,
+               probe_mp4_header):
         fn(base)            # must not raise; return value unconstrained
 
 
