@@ -1474,3 +1474,85 @@ def synth_ima_wav(
             yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
 
     return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+def probe_flac_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, n_channels, bits_per_sample, total_samples) from a
+    FLAC STREAMINFO block — the mandatory first metadata block after the
+    'fLaC' magic (public format spec): bit-packed 20-bit sample rate,
+    3-bit channels-1, 5-bit bits-1, 36-bit total samples. Header-only
+    (never touches audio frames), None on anything unrecognized (never
+    raises) — the ingest-time crawl filter for FLAC payloads."""
+    try:
+        if payload[:4] != b"fLaC" or len(payload) < 8 + 34:
+            return None
+        btype = payload[4] & 0x7F
+        blen = int.from_bytes(payload[5:8], "big")
+        if btype != 0 or blen < 34:  # STREAMINFO must come first
+            return None
+        si = payload[8 : 8 + 34]
+        # bytes 10..17 hold rate(20) | chans(3) | bits(5) | total(36)
+        packed = int.from_bytes(si[10:18], "big")
+        total = packed & ((1 << 36) - 1)
+        bits = ((packed >> 36) & 0x1F) + 1
+        chans = ((packed >> 41) & 0x07) + 1
+        rate = (packed >> 44) & ((1 << 20) - 1)
+        if rate == 0:
+            return None
+        return (rate, chans, bits, total)
+    except Exception:
+        return None
+
+
+def _flac_streaminfo(
+    sample_rate: int, n_channels: int, bits: int, total_samples: int
+) -> bytes:
+    """Minimal valid FLAC header: magic + last-block STREAMINFO with the
+    bit-packed audio parameters (min/max block/frame sizes and MD5 left
+    zero — legal per spec for unknown). Pure byte layout."""
+    packed = (
+        (sample_rate & ((1 << 20) - 1)) << 44
+        | ((n_channels - 1) & 0x07) << 41
+        | ((bits - 1) & 0x1F) << 36
+        | (total_samples & ((1 << 36) - 1))
+    )
+    si = bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
+
+
+def probe_ogg_header(payload: bytes) -> tuple[int, int, int] | None:
+    """(version, header_type, n_segments) from an Ogg page header
+    ('OggS' capture pattern, public RFC 3533 layout) — the container-
+    level probe that classifies Ogg streams (Vorbis/Opus/Theora live in
+    the packets) without reading packet data. None on anything
+    unrecognized (never raises)."""
+    try:
+        if payload[:4] != b"OggS" or len(payload) < 27:
+            return None
+        version = payload[4]
+        htype = payload[5]
+        n_seg = payload[26]
+        if version != 0:
+            return None
+        return (version, htype, n_seg)
+    except Exception:
+        return None
+
+
+def synth_flac(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Deterministic FLAC-header synthesis: md5-derived audio parameters
+    through the real bit-packing writer, so the probe's outputs replay
+    from md5(payload). Narrow Arrow-batched map."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                d = hashlib.md5(bytes(p)).digest()
+                rate = 8000 + int.from_bytes(d[0:2], "big") % 40000
+                chans = d[2] % 8 + 1
+                bits = d[3] % 25 + 8
+                total = int.from_bytes(d[4:8], "big") % 10_000_000
+                out.append(_flac_streaminfo(rate, chans, bits, total))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)

@@ -2031,6 +2031,48 @@ def media_mp4_probe(spark, sf_dir):
     )
 
 
+def media_flac_probe(spark, sf_dir):
+    """FLAC ingest-time probe end-to-end: every document's payload becomes
+    a genuine FLAC header (real bit-packed STREAMINFO writer — 20-bit
+    rate, 3-bit channels, 5-bit depth, 36-bit total samples packed into
+    one 64-bit field, per the public spec), then `probe_flac_header`
+    unpacks the bit fields back. Header-only both ways — the 100 TB crawl
+    filter never touches audio frames. Narrow Arrow-batched maps; the
+    probed values replay exactly from md5(text)."""
+    import pandas as pd_
+
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, probe_flac_header, synth_flac,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    flacs = synth_flac(attach_binary(docs, "text", "doc_id"))
+
+    def compute(batches):
+        for pdf in batches:
+            rates, chans, bits, totals = [], [], [], []
+            for p in pdf["content"]:
+                probed = probe_flac_header(bytes(p))
+                r = c = b = t = None
+                if probed is not None:
+                    r, c, b, t = probed
+                rates.append(r); chans.append(c)
+                bits.append(b); totals.append(t)
+            yield pd_.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": pd_.array(rates, dtype="Int32"),
+                "n_channels": pd_.array(chans, dtype="Int32"),
+                "bits_per_sample": pd_.array(bits, dtype="Int32"),
+                "total_samples": pd_.array(totals, dtype="Int64"),
+            })
+
+    return flacs.mapInPandas(
+        compute,
+        schema="media_id bigint, sample_rate int, n_channels int, "
+               "bits_per_sample int, total_samples bigint",
+    )
+
+
 def docs_epoch_shuffle(spark, sf_dir):
     """Deterministic per-epoch corpus shuffling (`sampling.epoch_shuffle`):
     each document gets its epoch-1 and epoch-2 md5 rank keys plus the
@@ -6123,6 +6165,25 @@ def media_adpcm_audio(spark, sf_dir):
 
 
 QUERIES["media_adpcm_audio"] = media_adpcm_audio
+
+QUERIES["media_flac_probe"] = media_flac_probe
+
+# The synth parameters are pure functions of the digest bytes; the probe
+# must invert the bit packing exactly.
+ORACLE["media_flac_probe"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents)
+SELECT media_id,
+       CAST(8000 + (CAST(concat('0x', substring(hx, 1, 4)) AS INT) % 40000)
+            AS INT) AS sample_rate,
+       CAST(CAST(concat('0x', substring(hx, 5, 2)) AS INT) % 8 + 1
+            AS INT) AS n_channels,
+       CAST(CAST(concat('0x', substring(hx, 7, 2)) AS INT) % 25 + 8
+            AS INT) AS bits_per_sample,
+       CAST(CAST(concat('0x', substring(hx, 9, 8)) AS BIGINT) % 10000000
+            AS BIGINT) AS total_samples
+FROM h
+"""
+
 
 # The oracle simulates the IMA reference algorithm (quantize + reconstruct)
 # over the digest-derived int16 samples: the recursive CTE carries

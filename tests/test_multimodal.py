@@ -807,3 +807,39 @@ def test_ima_adpcm_codec_paths():
     assert ima_adpcm_decode_block(bytes(bad), 3) is None
     assert ima_adpcm_decode_block(b"", 1) is None
     assert decode_ima_wav(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_flac_and_ogg_probes():
+    """FLAC STREAMINFO bit unpacking inverts the writer across the field
+    boundaries (20/3/5/36 bits), rejects non-STREAMINFO-first and
+    truncated payloads; the Ogg page probe reads RFC 3533 fields and
+    rejects non-Ogg bytes."""
+    from impc_etl_spark.multimodal.media import (
+        _flac_streaminfo, probe_flac_header, probe_ogg_header,
+    )
+
+    cases = [
+        (8000, 1, 8, 0),
+        (44100, 2, 16, 123456789),
+        (48000, 8, 32, (1 << 36) - 1),      # max channels/depth/samples
+        ((1 << 20) - 1, 3, 24, 1),          # max 20-bit rate
+    ]
+    for rate, ch, bits, total in cases:
+        assert probe_flac_header(_flac_streaminfo(rate, ch, bits, total)) == (
+            rate, ch, bits, total), (rate, ch, bits, total)
+    good = _flac_streaminfo(44100, 2, 16, 10)
+    assert probe_flac_header(good[:20]) is None
+    assert probe_flac_header(b"fLaC") is None
+    assert probe_flac_header(b"OggS" + good[4:]) is None
+    # a non-STREAMINFO first block is rejected (type must be 0)
+    bad = bytearray(good)
+    bad[4] = 0x84                          # type 4 (VORBIS_COMMENT), last
+    assert probe_flac_header(bytes(bad)) is None
+    # rate 0 is reserved/invalid
+    assert probe_flac_header(_flac_streaminfo(0, 2, 16, 10)) is None
+
+    page = b"OggS" + bytes([0, 0x02]) + bytes(20) + bytes([7])
+    assert probe_ogg_header(page) == (0, 2, 7)
+    assert probe_ogg_header(page[:20]) is None
+    assert probe_ogg_header(b"RIFF" + bytes(30)) is None
+    assert probe_ogg_header(b"OggS" + bytes([1]) + bytes(25)) is None  # bad version

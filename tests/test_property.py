@@ -1155,9 +1155,9 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
     interiors). One hostile payload must never kill a 100 TB scan task."""
     from impc_etl_spark.multimodal.media import (
         _gif_gray, _mp4_min, _png_gray, _wav_ima_adpcm, _wav_pcm16,
-        decode_gif, decode_ima_wav, decode_png, decode_wav,
-        probe_image_header, probe_mp3_header, probe_mp4_header,
-        probe_wav_header,
+        _flac_streaminfo, decode_gif, decode_ima_wav, decode_png,
+        decode_wav, probe_flac_header, probe_image_header, probe_mp3_header,
+        probe_mp4_header, probe_ogg_header, probe_wav_header,
     )
 
     valid = [
@@ -1171,6 +1171,8 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         b"RIFF\xff\xff\xff\xffWAVE" + b"\x00" * 40,
         b"\xff\xd8\xff\xe0" + b"\x00" * 40,
         b"ID3\x04\x00\x00\x00\x00\x00\x14" + b"\x00" * 30,
+        _flac_streaminfo(44100, 2, 16, 999),
+        b"OggS" + b"\x00" * 30,
     ]
     base = data.draw(st.one_of(
         st.binary(min_size=0, max_size=200),
@@ -1186,7 +1188,7 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
 
     for fn in (decode_png, decode_gif, decode_wav, decode_ima_wav,
                probe_image_header, probe_wav_header, probe_mp3_header,
-               probe_mp4_header):
+               probe_mp4_header, probe_flac_header, probe_ogg_header):
         fn(base)            # must not raise; return value unconstrained
 
 
