@@ -22,9 +22,11 @@ nearest-neighbor resize over decoded pixels
 pure-stdlib byte layouts. Only formats that genuinely need a codec
 library absent from this environment (JPEG/WebP pixel decode without
 PIL; MP3/AAC/FLAC sample decode) raise the honest ``NotImplementedError``
-stub; frame extraction for video likewise uses a deterministic
-digest-based expansion so the Spark-side plumbing — schemas, batch
-iteration, multi-row frame expansion — is fully real and oracle-checked.
+stub. Video frame EXTRACTION is real at the container level —
+`demux_avi_frames` walks the RIFF/AVI tree to each frame chunk's bytes
+without a codec (frame PIXEL decode would need one); the older
+`sample_frames` digest-based expansion remains as the codec-agnostic
+plumbing twin.
 """
 
 from __future__ import annotations
@@ -1556,3 +1558,119 @@ def synth_flac(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
 
     return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+# --- real AVI container demux (video frame extraction without a codec) -------
+
+
+def _avi_container(frames: list[bytes], width: int = 16, height: int = 16,
+                   fps: int = 5) -> bytes:
+    """Minimal valid AVI (RIFF) holding ``frames`` as '00dc' video chunks
+    inside the 'movi' LIST, with an avih main header carrying the frame
+    count and dimensions. Pure byte layout per the public RIFF/AVI spec."""
+    import struct
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(1, fps), 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack(
+        "<I", 4 + len(chunk(b"avih", avih))
+    ) + b"hdrl" + chunk(b"avih", avih)
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi_frames(payload: bytes) -> list[bytes] | None:
+    """REAL container-level video demux: walk the RIFF tree to the 'movi'
+    LIST and return each frame chunk's bytes ('00dc'/'00db' compressed/
+    uncompressed video, any stream number) in stream order — no codec
+    needed, the 100 TB path for per-frame sampling/statistics before any
+    decode. None for anything unrecognized (never raises)."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            return None
+        frames: list[bytes] = []
+
+        def walk(lo: int, hi: int) -> None:
+            i = lo
+            while i + 8 <= hi:
+                tag = payload[i : i + 4]
+                clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+                end = min(i + 8 + clen, hi)
+                if tag == b"LIST":
+                    ltype = payload[i + 8 : i + 12]
+                    if ltype in (b"movi", b"rec "):
+                        walk(i + 12, end)
+                elif (len(tag) == 4 and tag[:2].isdigit()
+                      and tag[2:4] in (b"dc", b"db")):
+                    frames.append(payload[i + 8 : end])
+                i = end + (clen & 1)
+
+        walk(12, len(payload))
+        return frames if frames else None
+    except Exception:
+        return None
+
+
+def synth_avi(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Deterministic AVI synthesis: 1-4 frames (digest-derived count),
+    each frame's bytes the md5 digest tiled to a digest-derived size —
+    a genuine RIFF/AVI container the demuxer must walk, with every
+    downstream frame statistic a pure function of md5(payload). Narrow
+    Arrow-batched map."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                d = hashlib.md5(bytes(p)).digest()
+                n = d[0] % 4 + 1
+                frames = []
+                for i in range(n):
+                    size = d[i + 1] % 48 + 8
+                    frames.append((d * (size // 16 + 1))[:size])
+                out.append(_avi_container(frames))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+AVI_FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, n_bytes int, byte_sum bigint"
+)
+
+
+def avi_frame_stats(df: DataFrame, content_col: str = "content",
+                    every_n: int = 1) -> DataFrame:
+    """Per-frame statistics via the REAL demuxer: one output row per
+    sampled frame (every ``every_n``-th), with the frame's byte count and
+    byte sum — the pre-decode video profiling pass. One narrow
+    Arrow-batched multi-row mapInPandas stage; undecodable payloads
+    contribute no rows (hostile-input contract)."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf[content_col]):
+                frames = demux_avi_frames(bytes(p))
+                if frames is None:
+                    continue
+                for i in range(0, len(frames), max(1, every_n)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    sizes.append(len(frames[i]))
+                    sums.append(sum(frames[i]))
+            yield pd.DataFrame({
+                "media_id": pd.array(ids, dtype="int64"),
+                "frame_idx": pd.array(idxs, dtype="Int32"),
+                "n_bytes": pd.array(sizes, dtype="Int32"),
+                "byte_sum": pd.array(sums, dtype="Int64"),
+            })
+
+    return df.mapInPandas(compute, schema=AVI_FRAME_SCHEMA)

@@ -6168,6 +6168,57 @@ QUERIES["media_adpcm_audio"] = media_adpcm_audio
 
 QUERIES["media_flac_probe"] = media_flac_probe
 
+
+def media_avi_frames(spark, sf_dir):
+    """REAL video-container demux end-to-end: every document's payload
+    becomes a genuine RIFF/AVI (real container writer — hdrl/avih +
+    movi LIST with 1-4 '00dc' frame chunks of digest-derived sizes),
+    then `demux_avi_frames` walks the RIFF tree back to each frame's
+    bytes and the stats stage emits one row per frame — the pre-decode
+    per-frame profiling pass a 100 TB video crawl runs without any
+    codec. Two narrow Arrow-batched mapInPandas stages (the second
+    multi-row); the oracle replays frame count, sizes, and byte sums
+    from md5(text) via tiling arithmetic."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, avi_frame_stats, synth_avi,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    avis = synth_avi(attach_binary(docs, "text", "doc_id"))
+    return avi_frame_stats(avis)
+
+
+QUERIES["media_avi_frames"] = media_avi_frames
+
+# Frame i's bytes are the 16-byte digest tiled to size so
+# byte_sum = (size // 16) * sum(digest) + prefix_sum(size % 16).
+ORACLE["media_avi_frames"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+px AS (
+  SELECT media_id, i,
+         CAST(concat('0x', substring(hx, 2 * i + 1, 2)) AS INT) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) t),
+agg AS (SELECT media_id, sum(v) AS dsum FROM px GROUP BY media_id),
+pre AS (SELECT media_id, i,
+               sum(v) OVER (PARTITION BY media_id ORDER BY i) AS psum
+        FROM px),
+nf AS (SELECT media_id, v % 4 + 1 AS n FROM px WHERE i = 0),
+fr AS (SELECT nf.media_id, gi.i AS frame_idx
+       FROM nf JOIN (SELECT unnest(range(4)) AS i) gi ON gi.i < nf.n),
+sz AS (SELECT fr.media_id, fr.frame_idx, px.v % 48 + 8 AS n_bytes
+       FROM fr JOIN px
+         ON px.media_id = fr.media_id AND px.i = fr.frame_idx + 1)
+SELECT sz.media_id,
+       CAST(sz.frame_idx AS INT) AS frame_idx,
+       CAST(sz.n_bytes AS INT) AS n_bytes,
+       CAST((sz.n_bytes // 16) * agg.dsum + COALESCE(pre.psum, 0)
+            AS BIGINT) AS byte_sum
+FROM sz
+JOIN agg ON agg.media_id = sz.media_id
+LEFT JOIN pre ON pre.media_id = sz.media_id
+             AND pre.i = sz.n_bytes % 16 - 1
+"""
+
 # The synth parameters are pure functions of the digest bytes; the probe
 # must invert the bit packing exactly.
 ORACLE["media_flac_probe"] = """

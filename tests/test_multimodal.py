@@ -843,3 +843,48 @@ def test_flac_and_ogg_probes():
     assert probe_ogg_header(page[:20]) is None
     assert probe_ogg_header(b"RIFF" + bytes(30)) is None
     assert probe_ogg_header(b"OggS" + bytes([1]) + bytes(25)) is None  # bad version
+
+
+def test_avi_demux_paths(spark):
+    """The RIFF walker recovers exact frame bytes (00dc and 00db tags,
+    odd-length word-alignment padding, frames nested in 'rec ' lists),
+    ignores non-video chunks, samples every-nth frame, and returns
+    None/no-rows on hostile payloads."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.multimodal.media import (
+        _avi_container, avi_frame_stats, demux_avi_frames,
+    )
+
+    frames = [b"a", b"bc", b"\xff" * 5]
+    assert demux_avi_frames(_avi_container(frames)) == frames
+
+    # hand-build: 01db tag (stream 1, uncompressed), a junk chunk to
+    # ignore, and a frame inside a 'rec ' grouping list
+    def chunk(tag, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    rec = b"LIST" + struct.pack("<I", 4 + len(chunk(b"00dc", b"zz"))) \
+        + b"rec " + chunk(b"00dc", b"zz")
+    movi_body = chunk(b"01db", b"xyz") + chunk(b"JUNK", b"skip") + rec
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert demux_avi_frames(avi) == [b"xyz", b"zz"]
+
+    assert demux_avi_frames(b"") is None
+    assert demux_avi_frames(b"RIFF\x08\x00\x00\x00WAVEdata") is None
+
+    df = spark.createDataFrame([(1,)], "media_id bigint").select(
+        "media_id",
+        F.lit(_avi_container([b"a", b"bb", b"ccc", b"dddd"])).alias("content"),
+    )
+    got = avi_frame_stats(df, every_n=2).collect()
+    assert [(r["frame_idx"], r["n_bytes"]) for r in got] == [(0, 1), (2, 3)]
+    bad = spark.createDataFrame([(9,)], "media_id bigint").select(
+        "media_id", F.encode(F.lit("nope"), "UTF-8").alias("content")
+    )
+    assert avi_frame_stats(bad).count() == 0

@@ -1155,9 +1155,10 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
     interiors). One hostile payload must never kill a 100 TB scan task."""
     from impc_etl_spark.multimodal.media import (
         _gif_gray, _mp4_min, _png_gray, _wav_ima_adpcm, _wav_pcm16,
-        _flac_streaminfo, decode_gif, decode_ima_wav, decode_png,
-        decode_wav, probe_flac_header, probe_image_header, probe_mp3_header,
-        probe_mp4_header, probe_ogg_header, probe_wav_header,
+        _avi_container, _flac_streaminfo, decode_gif, decode_ima_wav,
+        decode_png, decode_wav, demux_avi_frames, probe_flac_header,
+        probe_image_header, probe_mp3_header, probe_mp4_header,
+        probe_ogg_header, probe_wav_header,
     )
 
     valid = [
@@ -1172,6 +1173,7 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         b"\xff\xd8\xff\xe0" + b"\x00" * 40,
         b"ID3\x04\x00\x00\x00\x00\x00\x14" + b"\x00" * 30,
         _flac_streaminfo(44100, 2, 16, 999),
+        _avi_container([b"frame1", b"frame22"]),
         b"OggS" + b"\x00" * 30,
     ]
     base = data.draw(st.one_of(
@@ -1188,7 +1190,8 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
 
     for fn in (decode_png, decode_gif, decode_wav, decode_ima_wav,
                probe_image_header, probe_wav_header, probe_mp3_header,
-               probe_mp4_header, probe_flac_header, probe_ogg_header):
+               probe_mp4_header, probe_flac_header, probe_ogg_header,
+               demux_avi_frames):
         fn(base)            # must not raise; return value unconstrained
 
 
