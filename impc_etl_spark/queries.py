@@ -6190,6 +6190,52 @@ def media_avi_frames(spark, sf_dir):
 
 QUERIES["media_avi_frames"] = media_avi_frames
 
+
+def media_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode end-to-end (ITU T.81, zero codec
+    libraries): every document's payload becomes a genuine 32×16
+    grayscale JPEG — real forward DCT, Annex K.1 quantization, canonical
+    Huffman entropy coding — of eight 8×8 blocks each constant at a
+    digest byte, then `decode_jpeg` walks markers, rebuilds the Huffman
+    tables from DHT, entropy-decodes, dequantizes, and runs the IDCT
+    back to pixels. Constant blocks reconstruct integer-exactly —
+    pixel = clamp(2·floor((8(b−128))/16 + 0.5) + 128) — so the oracle
+    replays width/height/mode/mean-luminance from md5(text) while the
+    decoder still exercises the full compressed path (the hard AC/
+    roundtrip cases are pinned by unit + property tests). Two narrow
+    Arrow-batched mapInPandas stages; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_image_features, synth_gray_jpeg,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    jpegs = synth_gray_jpeg(attach_binary(docs, "text", "doc_id"))
+    return decode_image_features(jpegs).select(
+        "media_id", "width", "height", "img_mode",
+        _rnd("mean_luminance", 6).alias("mean_luminance"),
+    )
+
+
+QUERIES["media_jpeg_decode"] = media_jpeg_decode
+
+# Eight constant blocks from digest bytes 0..7 (32×16 = 4×2 blocks); each
+# reconstructs to clamp(2*floor((8*(b-128))/16 + 0.5) + 128).
+ORACLE["media_jpeg_decode"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+px AS (
+  SELECT media_id,
+         GREATEST(0, LEAST(255,
+           2 * CAST(floor((8 * (CAST(concat('0x', substring(hx, 2 * i + 1, 2))
+                                    AS INT) - 128)) / 16.0 + 0.5) AS INT)
+           + 128)) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(8)) AS i) t)
+SELECT media_id,
+       CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+       'L' AS img_mode,
+       floor(avg(v) * 1000000 + 0.5) / 1000000 AS mean_luminance
+FROM px GROUP BY media_id
+"""
+
 # Frame i's bytes are the 16-byte digest tiled to size so
 # byte_sum = (size // 16) * sum(digest) + prefix_sum(size % 16).
 ORACLE["media_avi_frames"] = """

@@ -888,3 +888,57 @@ def test_avi_demux_paths(spark):
         "media_id", F.encode(F.lit("nope"), "UTF-8").alias("content")
     )
     assert avi_frame_stats(bad).count() == 0
+
+
+def test_jpeg_codec_paths():
+    """Baseline JPEG from-spec pair: constant blocks reconstruct to the
+    exact integer formula across all 256 levels, smooth gradients survive
+    within a tight bound, the DCT/IDCT agree with an independent numpy
+    DCT matrix to 1e-9, odd sizes pad correctly, and hostile inputs
+    return None (never raise)."""
+    import math
+    import random
+
+    import numpy as np
+
+    from impc_etl_spark.multimodal.media import (
+        _fdct_2d, _idct_2d, decode_jpeg, encode_jpeg_gray,
+        probe_image_header,
+    )
+
+    for b in range(256):
+        got = decode_jpeg(encode_jpeg_gray(bytes([b] * 64), 8, 8))
+        dc = math.floor((8 * (b - 128)) / 16 + 0.5)
+        want = max(0, min(255, 2 * dc + 128))
+        assert got is not None and got[:3] == (8, 8, "L")
+        assert set(got[3]) == {want}, (b, want, set(got[3]))
+
+    w, h = 16, 16
+    grad = bytes((x * 3 + y * 2) % 200 + 20 for y in range(h) for x in range(w))
+    got = decode_jpeg(encode_jpeg_gray(grad, w, h))
+    assert max(abs(a - c) for a, c in zip(grad, got[3])) <= 8
+
+    # independent DCT construction (orthonormal DCT-II matrix)
+    M = np.array([[np.sqrt((1 if u == 0 else 2) / 8)
+                   * np.cos((2 * x + 1) * u * np.pi / 16)
+                   for x in range(8)] for u in range(8)])
+    random.seed(3)
+    B = np.array([random.uniform(-128, 127) for _ in range(64)]).reshape(8, 8)
+    assert np.abs(M @ B @ M.T
+                  - np.array(_fdct_2d(list(B.reshape(-1)))).reshape(8, 8)
+                  ).max() < 1e-9
+    assert np.abs(np.array(_idct_2d(list((M @ B @ M.T).reshape(-1))))
+                  .reshape(8, 8) - B).max() < 1e-9
+
+    got = decode_jpeg(encode_jpeg_gray(bytes(range(100, 135)), 7, 5))
+    assert got is not None and got[:2] == (7, 5)
+    assert probe_image_header(encode_jpeg_gray(bytes(64), 8, 8)) == ("jpeg", 8, 8)
+
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xe0") is None
+    assert decode_jpeg(encode_jpeg_gray(bytes(64), 8, 8)[:40]) is None
+    # progressive frame type must be rejected, not misdecoded
+    j = bytearray(encode_jpeg_gray(bytes(64), 8, 8))
+    i = j.index(b"\xff\xc0")
+    j[i + 1] = 0xC2
+    assert decode_jpeg(bytes(j)) is None

@@ -1156,9 +1156,10 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
     from impc_etl_spark.multimodal.media import (
         _gif_gray, _mp4_min, _png_gray, _wav_ima_adpcm, _wav_pcm16,
         _avi_container, _flac_streaminfo, decode_gif, decode_ima_wav,
-        decode_png, decode_wav, demux_avi_frames, probe_flac_header,
-        probe_image_header, probe_mp3_header, probe_mp4_header,
-        probe_ogg_header, probe_wav_header,
+        decode_jpeg, decode_png, decode_wav, demux_avi_frames,
+        encode_jpeg_gray, probe_flac_header, probe_image_header,
+        probe_mp3_header, probe_mp4_header, probe_ogg_header,
+        probe_wav_header,
     )
 
     valid = [
@@ -1174,6 +1175,7 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         b"ID3\x04\x00\x00\x00\x00\x00\x14" + b"\x00" * 30,
         _flac_streaminfo(44100, 2, 16, 999),
         _avi_container([b"frame1", b"frame22"]),
+        encode_jpeg_gray(bytes(range(64)), 8, 8),
         b"OggS" + b"\x00" * 30,
     ]
     base = data.draw(st.one_of(
@@ -1191,7 +1193,7 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
     for fn in (decode_png, decode_gif, decode_wav, decode_ima_wav,
                probe_image_header, probe_wav_header, probe_mp3_header,
                probe_mp4_header, probe_flac_header, probe_ogg_header,
-               demux_avi_frames):
+               demux_avi_frames, decode_jpeg):
         fn(base)            # must not raise; return value unconstrained
 
 
@@ -1247,3 +1249,33 @@ def test_png_and_gif_codecs_agree_on_random_pixels(data):
     gif = decode_gif(_gif_gray(pixels, w, h))
     assert png is not None and gif is not None
     assert png == gif == (w, h, "L", bytearray(pixels))
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_jpeg_roundtrip_error_bounded(data):
+    """Random grayscale images survive the real encode→decode roundtrip
+    with quantization-bounded error: smooth images (low-frequency) come
+    back within a few levels; arbitrary noise decodes without error
+    explosion (mean error well under the worst quantization step)."""
+    from impc_etl_spark.multimodal.media import decode_jpeg, encode_jpeg_gray
+
+    w = data.draw(st.integers(1, 24), label="w")
+    h = data.draw(st.integers(1, 24), label="h")
+    smooth = data.draw(st.booleans(), label="smooth")
+    if smooth:
+        a = data.draw(st.integers(0, 255), label="a")
+        gx = data.draw(st.integers(-3, 3), label="gx")
+        gy = data.draw(st.integers(-3, 3), label="gy")
+        px = bytes(max(0, min(255, a + gx * x + gy * y))
+                   for y in range(h) for x in range(w))
+    else:
+        px = bytes(data.draw(st.integers(0, 255), label=f"p{i}")
+                   for i in range(w * h))
+    got = decode_jpeg(encode_jpeg_gray(px, w, h))
+    assert got is not None and got[:3] == (w, h, "L")
+    errs = [abs(a - b) for a, b in zip(px, got[3])]
+    if smooth:
+        assert max(errs) <= 16
+    else:
+        assert sum(errs) / len(errs) <= 40
