@@ -6741,3 +6741,9 @@ _promote("media_gif_decode", "media_feature_extract")
 # the new PCA/whitening family; media_g711_audio the telephony decode.
 _promote("emb_pca_whiten", "emb_cosine_topk")
 _promote("media_g711_audio", "computed_key_join")
+
+# The T.81 JPEG decode takes orders_status_overlap_hll's slot (the sketch
+# family keeps three in-window reps: CMS, Bloom, quantile; the HLL overlap
+# stays locally oracle-checked) — the full compressed path through marker/
+# Huffman/IDCT machinery is the round's strongest decode evidence.
+_promote("media_jpeg_decode", "orders_status_overlap_hll")
