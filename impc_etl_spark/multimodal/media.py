@@ -246,6 +246,25 @@ def probe_image_header(payload: bytes) -> tuple[str, int, int] | None:
             w = int.from_bytes(payload[6:8], "little")
             h = int.from_bytes(payload[8:10], "little")
             return ("gif", w, h)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            tag = payload[12:16]
+            if tag == b"VP8X":  # extended: 24-bit canvas size minus one
+                w = 1 + int.from_bytes(payload[24:27], "little")
+                h = 1 + int.from_bytes(payload[27:30], "little")
+                return ("webp", w, h)
+            if tag == b"VP8 ":  # lossy: sync code then 14-bit dims
+                if payload[23:26] != b"\x9d\x01\x2a":
+                    return None
+                w = int.from_bytes(payload[26:28], "little") & 0x3FFF
+                h = int.from_bytes(payload[28:30], "little") & 0x3FFF
+                return ("webp", w, h)
+            if tag == b"VP8L":  # lossless: 14-bit dims minus one, packed
+                if payload[20] != 0x2F:
+                    return None
+                bits = int.from_bytes(payload[21:25], "little")
+                return ("webp", (bits & 0x3FFF) + 1,
+                        ((bits >> 14) & 0x3FFF) + 1)
+            return None
         if payload[:2] == b"\xff\xd8":
             # walk JPEG segments to the first SOF marker (C0-CF minus the
             # non-frame C4/C8/CC); layout: FF xx LL LL [P HH HH WW WW ...]

@@ -942,3 +942,113 @@ def test_jpeg_codec_paths():
     i = j.index(b"\xff\xc0")
     j[i + 1] = 0xC2
     assert decode_jpeg(bytes(j)) is None
+
+
+def test_jpeg_color_decode_path():
+    """The 4:4:4 YCbCr path: hand-build a 3-component JPEG (constant
+    DC-only blocks per channel, interleaved MCU, shared tables) and check
+    the decoder converts to the exact T.871 RGB values."""
+    import math
+    import struct
+
+    from impc_etl_spark.multimodal.media import _JPEG_LUM_Q, decode_jpeg
+
+    q = _JPEG_LUM_Q
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                              for s in range(1, 11)]
+    ac_counts = [0] * 16
+    ac_counts[8] = len(ac_syms)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    class W:
+        def __init__(self):
+            self.out, self.acc, self.n = bytearray(), 0, 0
+
+        def put(self, code, ln):
+            for k in range(ln - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> k) & 1)
+                self.n += 1
+                if self.n == 8:
+                    b = self.acc & 0xFF
+                    self.out.append(b)
+                    if b == 0xFF:
+                        self.out.append(0)
+                    self.acc = self.n = 0
+
+        def flush(self):
+            if self.n:
+                self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+            return bytes(self.out)
+
+    def put_dc_only_block(w, level, pred):
+        # quantized DC for a constant block at `level` (centered)
+        dc = math.floor(8 * (level - 128) / q[0] + 0.5)
+        diff = dc - pred
+        s = 0 if diff == 0 else abs(diff).bit_length()
+        w.put(s, 4)                       # DC sym s == code s (canonical)
+        if s:
+            w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        w.put(0, 9)                       # AC EOB (symbol index 0)
+        return dc
+
+    y0, cb0, cr0 = 140, 90, 180
+    w = W()
+    dcs = [put_dc_only_block(w, lv, 0) for lv in (y0, cb0, cr0)]
+
+    jpeg = (b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes(q))
+            + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                  + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes(dc_counts[:16]) + bytes(dc_syms)
+                  + bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+            + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+            + w.flush() + b"\xff\xd9")
+
+    got = decode_jpeg(jpeg)
+    assert got is not None and got[:3] == (8, 8, "RGB")
+    rec = [min(255, max(0, 2 * dc + 128)) for dc in dcs]
+    yy, cb, cr = rec[0], rec[1] - 128, rec[2] - 128
+    want = tuple(
+        min(255, max(0, int(v + 0.5)))
+        for v in (yy + 1.402 * cr,
+                  yy - 0.344136 * cb - 0.714136 * cr,
+                  yy + 1.772 * cb)
+    )
+    px = got[3]
+    assert all(tuple(px[i * 3 : i * 3 + 3]) == want for i in range(64)), (
+        want, tuple(px[:3]))
+
+
+def test_webp_probe_variants():
+    """probe_image_header reads all three WebP container variants per the
+    public spec: VP8 (lossy sync code + 14-bit dims), VP8L (lossless
+    packed dims minus one), VP8X (24-bit canvas minus one); corrupt sync
+    bytes reject."""
+    import struct
+
+    from impc_etl_spark.multimodal.media import probe_image_header
+
+    def riff(tag, chunk_body):
+        body = b"WEBP" + tag + struct.pack("<I", len(chunk_body)) + chunk_body
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    lossy = riff(b"VP8 ", bytes(3) + b"\x9d\x01\x2a"
+                 + struct.pack("<HH", 320, 240) + bytes(4))
+    assert probe_image_header(lossy) == ("webp", 320, 240)
+
+    bits = (517 - 1) | ((129 - 1) << 14)
+    lossless = riff(b"VP8L", bytes([0x2F]) + struct.pack("<I", bits))
+    assert probe_image_header(lossless) == ("webp", 517, 129)
+
+    ext = riff(b"VP8X", bytes(4) + (1919).to_bytes(3, "little")
+               + (1079).to_bytes(3, "little"))
+    assert probe_image_header(ext) == ("webp", 1920, 1080)
+
+    bad = riff(b"VP8 ", bytes(3) + b"\x00\x01\x2a" + struct.pack("<HH", 1, 1))
+    assert probe_image_header(bad) is None
+    assert probe_image_header(riff(b"ALPH", b"\x00")) is None
+    assert probe_image_header(b"RIFF\x04\x00\x00\x00WAVE") is None
