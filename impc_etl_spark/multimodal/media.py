@@ -23,7 +23,7 @@ nearest-neighbor resize over decoded pixels
 (`_nearest_resize`), and image/WAV/MP3/MP4 header probes — all
 pure-stdlib byte layouts. Only formats that genuinely need a codec
 library absent from this environment (WebP/AVIF and progressive-JPEG
-pixels without PIL; MP3/AAC/FLAC sample decode) raise the honest ``NotImplementedError``
+pixels without PIL; MP3/AAC sample decode; FLAC LPC subframes) raise the honest ``NotImplementedError``
 stub. Video frame EXTRACTION is real at the container level —
 `demux_avi_frames` walks the RIFF/AVI tree to each frame chunk's bytes
 without a codec (frame PIXEL decode would need one); the older
@@ -97,9 +97,11 @@ def decode_audio(payload: bytes):
     RIFF/WAVE PCM (8/16-bit — pure ``struct`` byte layout), G.711
     µ-law/A-law (ITU expansion formulas), and IMA ADPCM (the 4:1
     adaptive-predictor codec, from the public IMA reference algorithm);
-    the remaining compressed codecs (MP3/AAC/FLAC) genuinely need a
+    FLAC (lossless fixed-predictor + Rice, CRC-verified); the remaining
+    compressed codecs (MP3/AAC; FLAC LPC subframes) genuinely need a
     decoder library absent here, so they keep the honest stub error."""
-    decoded = decode_wav(payload) or decode_ima_wav(payload)
+    decoded = (decode_wav(payload) or decode_ima_wav(payload)
+               or flac_decode(payload))
     if decoded is not None:
         return decoded[0], decoded[2]
     _decode_stub("audio")
@@ -812,7 +814,8 @@ def decode_audio_features(df: DataFrame, content_col: str = "content") -> DataFr
             for p in pdf[content_col]:
                 sr = ch = nf = dur = rms = peak = zcr = None
                 raw = bytes(p)
-                decoded = decode_wav(raw) or decode_ima_wav(raw)
+                decoded = (decode_wav(raw) or decode_ima_wav(raw)
+                           or flac_decode(raw))
                 if decoded is not None and decoded[2]:
                     sr, ch, samples = decoded
                     nf = len(samples) // ch
@@ -2154,6 +2157,341 @@ def synth_gray_jpeg(
                             base = (by * 8 + y) * w + bx * 8
                             px[base : base + 8] = bytes([b]) * 8
                 out.append(encode_jpeg_gray(bytes(px), w, h))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+# --- real FLAC decode (a LOSSLESS COMPRESSED audio codec) --------------------
+#
+# Implemented from the public FLAC format specification (xiph.org /
+# RFC 9639): frame sync + header with CRC-8, subframes (CONSTANT,
+# VERBATIM, FIXED predictors order 0-4), Rice-coded residual partitions
+# with escape codes, wasted-bits unary prefix, frame CRC-16 — all
+# verified, so corrupt streams are rejected, not mis-decoded. The
+# encoder writes genuine FIXED-predictor + Rice frames (real
+# compression, not stored), and losslessness means decoded samples
+# equal the originals EXACTLY — the oracle contract. LPC subframes and
+# stereo decorrelation return None (honestly unsupported).
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for k in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc & 0xFF)
+                self.acc = self.n = 0
+
+    def unary(self, q: int) -> None:
+        for _ in range(q):
+            self.put(0, 1)
+        self.put(1, 1)
+
+    def align(self) -> None:
+        while self.n:
+            self.put(0, 1)
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, start: int = 0):
+        self.data = data
+        self.i = start
+        self.bit = 0
+
+    def bits(self, n: int) -> int:
+        v = 0
+        d = self.data
+        for _ in range(n):
+            if self.i >= len(d):
+                raise ValueError("flac overrun")
+            v = (v << 1) | ((d[self.i] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.i += 1
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("unary runaway")
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.i += 1
+
+
+_FLAC_FIXED_COEFS = {
+    0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1],
+}
+
+
+def _rice_write(w: _FlacBitWriter, v: int, param: int) -> None:
+    u = (v << 1) if v >= 0 else ((-v) << 1) - 1  # zigzag fold
+    w.unary(u >> param)
+    if param:
+        w.put(u & ((1 << param) - 1), param)
+
+
+def _rice_read(r: _FlacBitReader, param: int) -> int:
+    q = r.unary()
+    u = (q << param) | (r.bits(param) if param else 0)
+    return (u >> 1) ^ -(u & 1)
+
+
+def flac_encode_mono16(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Real FLAC encoder for one mono 16-bit frame: best FIXED predictor
+    (order 0-2 by residual magnitude), single-partition Rice residual
+    with a data-fitted parameter, correct CRC-8/CRC-16, preceded by a
+    STREAMINFO header. Spec-conforming output any FLAC decoder reads."""
+    n = len(samples)
+    if n == 0:
+        raise ValueError("flac_encode_mono16: empty")
+    best = None
+    for order in (0, 1, 2):
+        if n <= order:
+            continue
+        res = []
+        for i in range(order, n):
+            pred = sum(
+                c * samples[i - 1 - j]
+                for j, c in enumerate(_FLAC_FIXED_COEFS[order])
+            )
+            res.append(samples[i] - pred)
+        cost = sum(abs(v) for v in res)
+        if best is None or cost < best[1]:
+            best = (order, cost, res)
+    order, _, res = best
+    mean = max(1, sum(abs(v) for v in res) // max(1, len(res)) + 1)
+    param = min(14, max(0, mean.bit_length()))
+
+    w = _FlacBitWriter()
+    w.put(0b11111111111110, 14)
+    w.put(0, 1)          # reserved
+    w.put(0, 1)          # fixed blocking
+    w.put(0b0111, 4)     # block size: 16-bit value - 1 follows
+    w.put(0b0000, 4)     # sample rate: from STREAMINFO
+    w.put(0b0000, 4)     # channels: mono
+    w.put(0b100, 3)      # 16-bit samples
+    w.put(0, 1)          # reserved
+    w.put(0x00, 8)       # frame number 0 (UTF-8)
+    w.put(n - 1, 16)
+    hdr = bytes(w.out)
+    assert w.n == 0
+    w.put(_crc8(hdr), 8)
+    # subframe: FIXED, chosen order, no wasted bits
+    w.put(0, 1)
+    w.put(0b001000 | order, 6)
+    w.put(0, 1)
+    for s in samples[:order]:
+        w.put(s & 0xFFFF, 16)
+    w.put(0, 2)          # residual method: 4-bit Rice
+    w.put(0, 4)          # partition order 0 -> one partition
+    w.put(param, 4)
+    for v in res:
+        _rice_write(w, v, param)
+    w.align()
+    body = bytes(w.out)
+    frame = body + _crc16(body).to_bytes(2, "big")
+    return _flac_streaminfo(sample_rate, 1, 16, n) + frame
+
+
+def flac_decode(payload: bytes) -> tuple[int, int, list[int]] | None:
+    """REAL FLAC decode: STREAMINFO probe, then frames — sync check,
+    header parse with CRC-8 verify, per-channel subframes (CONSTANT /
+    VERBATIM / FIXED 0-4 with Rice partitions, escapes, wasted bits),
+    CRC-16 verify — returning (sample_rate, n_channels, samples) with
+    interleaved frames, or None for anything unsupported (LPC, stereo
+    decorrelation) or corrupt (never raises)."""
+    try:
+        info = probe_flac_header(payload)
+        if info is None:
+            return None
+        rate, nch, bits, _total = info
+        if bits not in (8, 16):
+            return None
+        # skip metadata blocks to the first frame
+        i = 4
+        while True:
+            last = payload[i] & 0x80
+            blen = int.from_bytes(payload[i + 1 : i + 4], "big")
+            i += 4 + blen
+            if last:
+                break
+        out: list[int] = []
+        while i < len(payload) - 2:
+            r = _FlacBitReader(payload, i)
+            if r.bits(14) != 0b11111111111110:
+                return None
+            r.bits(1)
+            r.bits(1)
+            bs_code = r.bits(4)
+            sr_code = r.bits(4)
+            ch_code = r.bits(4)
+            ss_code = r.bits(3)
+            r.bits(1)
+            if ch_code >= 8:
+                return None          # stereo decorrelation unsupported
+            if ch_code + 1 != nch:
+                return None
+            # UTF-8 frame number: count leading ones of first byte
+            first = r.bits(8)
+            extra = 0
+            if first >= 0xC0:
+                b = first
+                while b & 0x40:
+                    extra += 1
+                    b <<= 1
+            for _ in range(extra):
+                r.bits(8)
+            if bs_code == 0b0110:
+                bsize = r.bits(8) + 1
+            elif bs_code == 0b0111:
+                bsize = r.bits(16) + 1
+            elif bs_code == 0b0001:
+                bsize = 192
+            elif 0b0010 <= bs_code <= 0b0101:
+                bsize = 576 << (bs_code - 2)
+            elif bs_code >= 0b1000:
+                bsize = 256 << (bs_code - 8)
+            else:
+                return None
+            if sr_code == 0b1100:
+                r.bits(8)
+            elif sr_code in (0b1101, 0b1110):
+                r.bits(16)
+            # CRC-8 covers the header up to (not incl.) the crc byte; the
+            # header is byte-aligned here by construction
+            if r.bit != 0:
+                return None
+            hdr_end = r.i
+            if r.bits(8) != _crc8(payload[i:hdr_end]):
+                return None
+            sbits = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20,
+                     0b110: 24}.get(ss_code, 16 if ss_code == 0 else None)
+            if ss_code == 0:
+                sbits = bits
+            if sbits is None or sbits != bits:
+                return None
+            chans = []
+            for _c in range(nch):
+                if r.bits(1) != 0:
+                    return None
+                stype = r.bits(6)
+                wasted = 0
+                if r.bits(1):
+                    wasted = 1 + r.unary()
+                eff = sbits - wasted
+                if stype == 0:                     # CONSTANT
+                    v = r.signed(eff)
+                    ch = [v] * bsize
+                elif stype == 1:                   # VERBATIM
+                    ch = [r.signed(eff) for _ in range(bsize)]
+                elif 0b001000 <= stype <= 0b001100:  # FIXED 0-4
+                    order = stype & 0x07
+                    ch = [r.signed(eff) for _ in range(order)]
+                    method = r.bits(2)
+                    if method > 1:
+                        return None
+                    pbits = 4 + method
+                    escape = (1 << pbits) - 1
+                    po = r.bits(4)
+                    nparts = 1 << po
+                    if bsize % nparts or bsize // nparts <= order and po:
+                        return None
+                    res: list[int] = []
+                    for p in range(nparts):
+                        cnt = bsize // nparts - (order if p == 0 else 0)
+                        prm = r.bits(pbits)
+                        if prm == escape:
+                            raw = r.bits(5)
+                            res.extend(
+                                r.signed(raw) if raw else 0
+                                for _ in range(cnt)
+                            )
+                        else:
+                            res.extend(
+                                _rice_read(r, prm) for _ in range(cnt)
+                            )
+                    coefs = _FLAC_FIXED_COEFS[order]
+                    for k, v in enumerate(res):
+                        idx = order + k
+                        pred = sum(
+                            c * ch[idx - 1 - j] for j, c in enumerate(coefs)
+                        )
+                        ch.append(v + pred)
+                else:
+                    return None                    # LPC: unsupported
+                if wasted:
+                    ch = [v << wasted for v in ch]
+                chans.append(ch)
+            r.align()
+            frame_end = r.i
+            if _crc16(payload[i:frame_end]) != int.from_bytes(
+                payload[frame_end : frame_end + 2], "big"
+            ):
+                return None
+            for k in range(bsize):
+                for c in range(nch):
+                    out.append(chans[c][k])
+            i = frame_end + 2
+        return (rate, nch, out) if out else None
+    except Exception:
+        return None
+
+
+def synth_flac_audio(
+    df: DataFrame, content_col: str = "content", sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic lossless-compressed-audio synthesis: the payload's
+    md5 digest becomes 8 int16 samples pushed through the REAL FLAC
+    encoder (fixed-predictor + Rice entropy coding, CRC-sealed). FLAC is
+    lossless, so the decoded samples equal the digest samples EXACTLY —
+    the strongest oracle contract a compressed codec can offer. Narrow
+    Arrow-batched map."""
+    import struct
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                samples = list(struct.unpack("<8h", digest))
+                out.append(flac_encode_mono16(samples, sample_rate))
             yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
 
     return df.mapInPandas(compute, schema=PNG_SCHEMA)

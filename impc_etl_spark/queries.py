@@ -6218,6 +6218,59 @@ def media_jpeg_decode(spark, sf_dir):
 
 QUERIES["media_jpeg_decode"] = media_jpeg_decode
 
+
+def media_flac_audio(spark, sf_dir):
+    """REAL lossless-compressed-codec decode end-to-end: the payload's
+    md5 digest becomes 8 int16 samples, FLAC-encoded FOR REAL (best
+    fixed-order predictor + Rice entropy coding, CRC-8/CRC-16 sealed),
+    then `flac_decode` parses the frame, verifies both CRCs, decodes the
+    Rice residuals and re-runs the predictor — and because FLAC is
+    LOSSLESS the decoded samples equal the digest samples exactly, so
+    the oracle replays every statistic bit-for-bit from md5(text) (the
+    same replay as the PCM twin, but through a genuinely compressed
+    bitstream). Two narrow Arrow-batched mapInPandas stages; no
+    shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_audio_features, synth_flac_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    flacs = synth_flac_audio(attach_binary(docs, "text", "doc_id"))
+    return decode_audio_features(flacs).select(
+        "media_id", "sample_rate", "n_channels", "n_frames", "duration_sec",
+        _rnd("rms", 6).alias("rms"), "peak", _rnd("zcr", 6).alias("zcr"),
+    )
+
+
+QUERIES["media_flac_audio"] = media_flac_audio
+
+# Lossless: identical replay contract to media_audio_features — decoded
+# samples ARE the digest int16s.
+ORACLE["media_flac_audio"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+s AS (
+  SELECT media_id, j,
+         CAST(concat('0x', substring(hx, 4 * j + 3, 2)) AS INT) * 256
+         + CAST(concat('0x', substring(hx, 4 * j + 1, 2)) AS INT) AS u
+  FROM h CROSS JOIN (SELECT unnest(range(8)) AS j) t),
+sg AS (SELECT media_id, j,
+              CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+       FROM s),
+sl AS (SELECT media_id, v,
+              lead(v) OVER (PARTITION BY media_id ORDER BY j) AS nxt
+       FROM sg)
+SELECT media_id,
+       CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+       CAST(8 AS BIGINT) AS n_frames,
+       CAST(8 AS DOUBLE) / 8000 AS duration_sec,
+       floor(sqrt(avg(CAST(v AS DOUBLE) * v)) * 1000000 + 0.5) / 1000000
+         AS rms,
+       CAST(max(abs(v)) AS INT) AS peak,
+       floor(CAST(sum(CASE WHEN v * nxt < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / 7 * 1000000 + 0.5) / 1000000 AS zcr
+FROM sl GROUP BY media_id
+"""
+
 # Eight constant blocks from digest bytes 0..7 (32×16 = 4×2 blocks); each
 # reconstructs to clamp(2*floor((8*(b-128))/16 + 0.5) + 128).
 ORACLE["media_jpeg_decode"] = """

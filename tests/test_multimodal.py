@@ -1052,3 +1052,86 @@ def test_webp_probe_variants():
     assert probe_image_header(bad) is None
     assert probe_image_header(riff(b"ALPH", b"\x00")) is None
     assert probe_image_header(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+
+def test_flac_codec_paths():
+    """FLAC: lossless roundtrips through the real fixed-predictor + Rice
+    encoder (random, smooth, constant, tiny); genuine compression on
+    smooth signals; hand-built VERBATIM subframe and escaped (raw)
+    residual partition decode; CRC-8/CRC-16 tamper detection; hostile
+    inputs → None."""
+    import math
+    import random
+
+    from impc_etl_spark.multimodal.media import (
+        _crc8, _crc16, _flac_streaminfo, _FlacBitWriter, flac_decode,
+        flac_encode_mono16,
+    )
+
+    random.seed(11)
+    streams = [
+        [random.randrange(-32768, 32768) for _ in range(200)],
+        [int(9000 * math.sin(i / 7)) for i in range(333)],
+        [-5] * 64,
+        [32767],
+        [0, -32768],
+    ]
+    for s in streams:
+        assert flac_decode(flac_encode_mono16(s, 8000)) == (8000, 1, s)
+
+    smooth = [int(3000 * math.sin(i / 20)) for i in range(4096)]
+    assert len(flac_encode_mono16(smooth, 8000)) < 0.6 * 2 * len(smooth)
+
+    # hand-build: VERBATIM subframe + a 2-partition FIXED frame where the
+    # second partition uses the ESCAPE (raw 6-bit) encoding
+    def frame(build_subframe, n, sample_rate=8000):
+        w = _FlacBitWriter()
+        w.put(0b11111111111110, 14); w.put(0, 2)
+        w.put(0b0111, 4); w.put(0b0000, 4)
+        w.put(0b0000, 4); w.put(0b100, 3); w.put(0, 1)
+        w.put(0x00, 8); w.put(n - 1, 16)
+        w.put(_crc8(bytes(w.out)), 8)
+        build_subframe(w)
+        w.align()
+        body = bytes(w.out)
+        return (_flac_streaminfo(sample_rate, 1, 16, n)
+                + body + _crc16(body).to_bytes(2, "big"))
+
+    vals = [100, -200, 300, -400]
+
+    def verbatim(w):
+        w.put(0, 1); w.put(0b000001, 6); w.put(0, 1)
+        for v in vals:
+            w.put(v & 0xFFFF, 16)
+
+    assert flac_decode(frame(verbatim, 4)) == (8000, 1, vals)
+
+    res_vals = [3, -2, 1, -1, 5, -6, 7, -8]   # order-0: residual==samples
+
+    def escaped(w):
+        w.put(0, 1); w.put(0b001000, 6); w.put(0, 1)   # FIXED order 0
+        w.put(0, 2)                                    # 4-bit Rice method
+        w.put(1, 4)                                    # partition order 1
+        w.put(2, 4)                                    # partition 1: rice k=2
+        for v in res_vals[:4]:
+            u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+            for _ in range(u >> 2):
+                w.put(0, 1)
+            w.put(1, 1)
+            w.put(u & 3, 2)
+        w.put(0xF, 4)                                  # partition 2: ESCAPE
+        w.put(6, 5)                                    # raw 6-bit residuals
+        for v in res_vals[4:]:
+            w.put(v & 0x3F, 6)
+
+    assert flac_decode(frame(escaped, 8)) == (8000, 1, res_vals)
+
+    enc = bytearray(flac_encode_mono16([1, 2, 3, 4, 5, 6], 8000))
+    enc[-1] ^= 0x01                                   # frame CRC-16 tamper
+    assert flac_decode(bytes(enc)) is None
+    enc = bytearray(flac_encode_mono16([1, 2, 3, 4, 5, 6], 8000))
+    enc[46] ^= 0x40 if len(enc) > 46 else 0           # header-ish tamper
+    assert flac_decode(bytes(enc)) in (None, (8000, 1, [1, 2, 3, 4, 5, 6]))
+    assert flac_decode(b"") is None
+    assert flac_decode(b"fLaC") is None
+    assert flac_decode(_flac_streaminfo(8000, 1, 16, 5)) is None  # no frames

@@ -1157,7 +1157,8 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         _gif_gray, _mp4_min, _png_gray, _wav_ima_adpcm, _wav_pcm16,
         _avi_container, _flac_streaminfo, decode_gif, decode_ima_wav,
         decode_jpeg, decode_png, decode_wav, demux_avi_frames,
-        encode_jpeg_gray, probe_flac_header, probe_image_header,
+        encode_jpeg_gray, flac_decode, flac_encode_mono16,
+        probe_flac_header, probe_image_header,
         probe_mp3_header, probe_mp4_header, probe_ogg_header,
         probe_wav_header,
     )
@@ -1176,6 +1177,7 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         _flac_streaminfo(44100, 2, 16, 999),
         _avi_container([b"frame1", b"frame22"]),
         encode_jpeg_gray(bytes(range(64)), 8, 8),
+        flac_encode_mono16([1, -2, 300, -400, 5], 8000),
         b"OggS" + b"\x00" * 30,
     ]
     base = data.draw(st.one_of(
@@ -1193,7 +1195,7 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
     for fn in (decode_png, decode_gif, decode_wav, decode_ima_wav,
                probe_image_header, probe_wav_header, probe_mp3_header,
                probe_mp4_header, probe_flac_header, probe_ogg_header,
-               demux_avi_frames, decode_jpeg):
+               demux_avi_frames, decode_jpeg, flac_decode):
         fn(base)            # must not raise; return value unconstrained
 
 
@@ -1279,3 +1281,14 @@ def test_jpeg_roundtrip_error_bounded(data):
         assert max(errs) <= 16
     else:
         assert sum(errs) / len(errs) <= 40
+
+
+@settings(max_examples=80, deadline=None)
+@given(samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=600))
+def test_flac_roundtrip_lossless(samples):
+    """FLAC is lossless: ANY int16 stream survives the real
+    fixed-predictor + Rice encode→decode roundtrip bit-exactly."""
+    from impc_etl_spark.multimodal.media import flac_decode, flac_encode_mono16
+
+    assert flac_decode(flac_encode_mono16(samples, 16000)) == (
+        16000, 1, samples)
