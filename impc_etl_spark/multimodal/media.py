@@ -23,7 +23,7 @@ nearest-neighbor resize over decoded pixels
 (`_nearest_resize`), and image/WAV/MP3/MP4 header probes — all
 pure-stdlib byte layouts. Only formats that genuinely need a codec
 library absent from this environment (WebP/AVIF and progressive-JPEG
-pixels without PIL; MP3/AAC sample decode; FLAC LPC subframes) raise the honest ``NotImplementedError``
+pixels without PIL; MP3/AAC sample decode) raise the honest ``NotImplementedError``
 stub. Video frame EXTRACTION is real at the container level —
 `demux_avi_frames` walks the RIFF/AVI tree to each frame chunk's bytes
 without a codec (frame PIXEL decode would need one); the older
@@ -97,9 +97,10 @@ def decode_audio(payload: bytes):
     RIFF/WAVE PCM (8/16-bit — pure ``struct`` byte layout), G.711
     µ-law/A-law (ITU expansion formulas), and IMA ADPCM (the 4:1
     adaptive-predictor codec, from the public IMA reference algorithm);
-    FLAC (lossless fixed-predictor + Rice, CRC-verified); the remaining
-    compressed codecs (MP3/AAC; FLAC LPC subframes) genuinely need a
-    decoder library absent here, so they keep the honest stub error."""
+    FLAC (lossless — fixed and LPC predictors, Rice entropy coding,
+    stereo decorrelation, CRC-verified); the remaining compressed codecs
+    (MP3/AAC) genuinely need a decoder library absent here, so they keep
+    the honest stub error."""
     decoded = (decode_wav(payload) or decode_ima_wav(payload)
                or flac_decode(payload))
     if decoded is not None:
@@ -2172,7 +2173,7 @@ def synth_gray_jpeg(
 # encoder writes genuine FIXED-predictor + Rice frames (real
 # compression, not stored), and losslessness means decoded samples
 # equal the originals EXACTLY — the oracle contract. LPC subframes and
-# stereo decorrelation return None (honestly unsupported).
+# the three stereo decorrelation modes decode as well.
 
 
 def _crc8(data: bytes) -> int:
@@ -2335,8 +2336,11 @@ def flac_decode(payload: bytes) -> tuple[int, int, list[int]] | None:
     header parse with CRC-8 verify, per-channel subframes (CONSTANT /
     VERBATIM / FIXED 0-4 with Rice partitions, escapes, wasted bits),
     CRC-16 verify — returning (sample_rate, n_channels, samples) with
-    interleaved frames, or None for anything unsupported (LPC, stereo
-    decorrelation) or corrupt (never raises)."""
+    interleaved frames. LPC subframes (order 1-32, quantized coefficients
+    + arithmetic shift) and all three stereo decorrelation modes
+    (left/side, right/side, mid/side — the side channel's extra bit
+    included) decode too, so real-world fixed-blocking FLAC files read.
+    None for anything else or corrupt (never raises)."""
     try:
         info = probe_flac_header(payload)
         if info is None:
@@ -2364,9 +2368,15 @@ def flac_decode(payload: bytes) -> tuple[int, int, list[int]] | None:
             ch_code = r.bits(4)
             ss_code = r.bits(3)
             r.bits(1)
-            if ch_code >= 8:
-                return None          # stereo decorrelation unsupported
-            if ch_code + 1 != nch:
+            if ch_code <= 7:
+                if ch_code + 1 != nch:
+                    return None
+                frame_nch = ch_code + 1
+            elif ch_code in (8, 9, 10):  # left/side, right/side, mid/side
+                if nch != 2:
+                    return None
+                frame_nch = 2
+            else:
                 return None
             # UTF-8 frame number: count leading ones of first byte
             first = r.bits(8)
@@ -2407,15 +2417,45 @@ def flac_decode(payload: bytes) -> tuple[int, int, list[int]] | None:
                 sbits = bits
             if sbits is None or sbits != bits:
                 return None
+            def read_residual(order: int) -> list[int]:
+                method = r.bits(2)
+                if method > 1:
+                    raise ValueError("bad residual method")
+                pbits = 4 + method
+                escape = (1 << pbits) - 1
+                po = r.bits(4)
+                nparts = 1 << po
+                if bsize % nparts or (po and bsize // nparts <= order):
+                    raise ValueError("bad partition order")
+                res: list[int] = []
+                for p in range(nparts):
+                    cnt = bsize // nparts - (order if p == 0 else 0)
+                    prm = r.bits(pbits)
+                    if prm == escape:
+                        raw = r.bits(5)
+                        res.extend(
+                            r.signed(raw) if raw else 0 for _ in range(cnt)
+                        )
+                    else:
+                        res.extend(_rice_read(r, prm) for _ in range(cnt))
+                return res
+
             chans = []
-            for _c in range(nch):
+            for c in range(frame_nch):
+                # the SIDE channel carries one extra sample-size bit:
+                # left/side & mid/side put it in subframe 1, right/side
+                # in subframe 0
+                side_extra = int(
+                    (ch_code in (8, 10) and c == 1)
+                    or (ch_code == 9 and c == 0)
+                )
                 if r.bits(1) != 0:
                     return None
                 stype = r.bits(6)
                 wasted = 0
                 if r.bits(1):
                     wasted = 1 + r.unary()
-                eff = sbits - wasted
+                eff = sbits + side_extra - wasted
                 if stype == 0:                     # CONSTANT
                     v = r.signed(eff)
                     ch = [v] * bsize
@@ -2424,41 +2464,49 @@ def flac_decode(payload: bytes) -> tuple[int, int, list[int]] | None:
                 elif 0b001000 <= stype <= 0b001100:  # FIXED 0-4
                     order = stype & 0x07
                     ch = [r.signed(eff) for _ in range(order)]
-                    method = r.bits(2)
-                    if method > 1:
-                        return None
-                    pbits = 4 + method
-                    escape = (1 << pbits) - 1
-                    po = r.bits(4)
-                    nparts = 1 << po
-                    if bsize % nparts or bsize // nparts <= order and po:
-                        return None
-                    res: list[int] = []
-                    for p in range(nparts):
-                        cnt = bsize // nparts - (order if p == 0 else 0)
-                        prm = r.bits(pbits)
-                        if prm == escape:
-                            raw = r.bits(5)
-                            res.extend(
-                                r.signed(raw) if raw else 0
-                                for _ in range(cnt)
-                            )
-                        else:
-                            res.extend(
-                                _rice_read(r, prm) for _ in range(cnt)
-                            )
                     coefs = _FLAC_FIXED_COEFS[order]
-                    for k, v in enumerate(res):
+                    for k, v in enumerate(read_residual(order)):
                         idx = order + k
                         pred = sum(
-                            c * ch[idx - 1 - j] for j, c in enumerate(coefs)
+                            c2 * ch[idx - 1 - j]
+                            for j, c2 in enumerate(coefs)
                         )
                         ch.append(v + pred)
+                elif stype & 0b100000:             # LPC, order 1-32
+                    order = (stype & 0x1F) + 1
+                    ch = [r.signed(eff) for _ in range(order)]
+                    prec = r.bits(4) + 1
+                    if prec == 16:                 # 0b1111 is invalid
+                        return None
+                    shift = r.signed(5)
+                    if shift < 0:
+                        return None
+                    coefs = [r.signed(prec) for _ in range(order)]
+                    for k, v in enumerate(read_residual(order)):
+                        idx = order + k
+                        pred = sum(
+                            c2 * ch[idx - 1 - j]
+                            for j, c2 in enumerate(coefs)
+                        ) >> shift                 # arithmetic shift (spec)
+                        ch.append(v + pred)
                 else:
-                    return None                    # LPC: unsupported
+                    return None
                 if wasted:
                     ch = [v << wasted for v in ch]
                 chans.append(ch)
+            if ch_code == 8:       # left/side: right = left - side
+                chans = [chans[0],
+                         [l - s for l, s in zip(chans[0], chans[1])]]
+            elif ch_code == 9:     # right/side: left = right + side
+                chans = [[rt + s for s, rt in zip(chans[0], chans[1])],
+                         chans[1]]
+            elif ch_code == 10:    # mid/side (T.? xiph): reconstruct pair
+                left, right = [], []
+                for mid, side in zip(chans[0], chans[1]):
+                    m2 = (mid << 1) | (side & 1)
+                    left.append((m2 + side) >> 1)
+                    right.append((m2 - side) >> 1)
+                chans = [left, right]
             r.align()
             frame_end = r.i
             if _crc16(payload[i:frame_end]) != int.from_bytes(

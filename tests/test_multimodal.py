@@ -1135,3 +1135,71 @@ def test_flac_codec_paths():
     assert flac_decode(b"") is None
     assert flac_decode(b"fLaC") is None
     assert flac_decode(_flac_streaminfo(8000, 1, 16, 5)) is None  # no frames
+
+
+def test_flac_lpc_and_stereo_decode():
+    """LPC subframes (quantized coefficients + arithmetic shift) and all
+    three stereo decorrelation modes — including the side channel's
+    extra sample-size bit and odd mid/side sums — reconstruct exactly
+    from hand-built spec-conforming frames."""
+    from impc_etl_spark.multimodal.media import (
+        _crc8, _crc16, _flac_streaminfo, _FlacBitWriter, flac_decode,
+    )
+
+    def frame(nch_code, build, n, rate=8000, stream_nch=1):
+        w = _FlacBitWriter()
+        w.put(0b11111111111110, 14); w.put(0, 2)
+        w.put(0b0111, 4); w.put(0b0000, 4)
+        w.put(nch_code, 4); w.put(0b100, 3); w.put(0, 1)
+        w.put(0x00, 8); w.put(n - 1, 16)
+        w.put(_crc8(bytes(w.out)), 8)
+        build(w)
+        w.align()
+        body = bytes(w.out)
+        return (_flac_streaminfo(rate, stream_nch, 16, n)
+                + body + _crc16(body).to_bytes(2, "big"))
+
+    # LPC order 1 with coef = 1<<shift acts as a previous-sample predictor
+    vals = [100, 130, 90, 60, 120, 55]
+
+    def lpc(w):
+        w.put(0, 1); w.put(0b100000, 6); w.put(0, 1)
+        w.put(vals[0] & 0xFFFF, 16)
+        w.put(4, 4)                   # precision 5
+        w.put(2, 5)                   # shift 2
+        w.put(4, 5)                   # coef 4 == 1<<2
+        w.put(0, 2); w.put(0, 4); w.put(7, 4)
+        for i in range(1, len(vals)):
+            v = vals[i] - vals[i - 1]
+            u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+            for _ in range(u >> 7):
+                w.put(0, 1)
+            w.put(1, 1); w.put(u & 127, 7)
+
+    assert flac_decode(frame(0, lpc, len(vals))) == (8000, 1, vals)
+
+    def const_pair(v0, bits0, v1, bits1):
+        def build(w):
+            w.put(0, 1); w.put(0, 6); w.put(0, 1)
+            w.put(v0 & ((1 << bits0) - 1), bits0)
+            w.put(0, 1); w.put(0, 6); w.put(0, 1)
+            w.put(v1 & ((1 << bits1) - 1), bits1)
+        return build
+
+    # left/side: right = left - side; side carries 17 bits
+    got = flac_decode(frame(8, const_pair(1000, 16, 300, 17), 4,
+                            stream_nch=2))
+    assert got == (8000, 2, [1000, 700] * 4)
+    # right/side: side first (17 bits), then right
+    lt, rt = 11, 4
+    mid, side = (lt + rt) >> 1, lt - rt      # odd sum: side LSB matters
+    got = flac_decode(frame(9, const_pair(side, 17, rt, 16), 2,
+                            stream_nch=2))
+    assert got == (8000, 2, [lt, rt] * 2)
+    # mid/side
+    got = flac_decode(frame(10, const_pair(mid, 16, side, 17), 3,
+                            stream_nch=2))
+    assert got == (8000, 2, [lt, rt] * 3)
+    # stereo frames against a mono STREAMINFO are rejected
+    assert flac_decode(frame(8, const_pair(1, 16, 1, 17), 2,
+                             stream_nch=1)) is None
