@@ -49,6 +49,14 @@ FEATURE_SCHEMA = (
 
 FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_md5 string"
 
+# Hard ceiling on decoded output size (samples/pixels·channels) for every
+# byte decoder: header-declared dimensions are ATTACKER data on a crawl,
+# and a 65535×65535 header (or a FLAC stream of zero-bit escape residual
+# frames) would otherwise allocate gigabytes before any content check —
+# an executor-OOM bomb. 1<<26 ≈ an 8K×8K RGB image; raise deliberately if
+# a pipeline genuinely ingests larger media.
+MAX_DECODE_SAMPLES = 1 << 26
+
 
 def attach_binary(df: DataFrame, src_col: str, id_col: str, out: str = "content") -> DataFrame:
     """Materialize a binary payload column (here: UTF-8 bytes of a string
@@ -567,6 +575,9 @@ def decode_png(payload: bytes) -> tuple[int, int, str, bytearray] | None:
                     return None
                 if width == 0 or height == 0:  # degenerate: no pixels
                     return None
+                if width * height * _PNG_MODES.get(ctype, ("", 4))[1] \
+                        > MAX_DECODE_SAMPLES:
+                    return None  # header-claimed size: decode bomb
                 if ctype not in _PNG_MODES:
                     return None
                 mode, bpp = _PNG_MODES[ctype]
@@ -1238,6 +1249,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, str, bytearray] | None:
                 i += 3 * n
             if pal is None or w == 0 or h == 0:
                 return None
+            if w * h * 3 > MAX_DECODE_SAMPLES:
+                return None  # header-claimed size: decode bomb
             mcs = payload[i]
             i += 1
             lzw = bytearray()
@@ -1910,6 +1923,8 @@ def decode_jpeg(payload: bytes):
                 nc = body[5]
                 if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                     return None
+                if w * h * nc > MAX_DECODE_SAMPLES:
+                    return None  # header-claimed size: decode bomb
                 comps = []
                 for k in range(nc):
                     cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
@@ -2357,7 +2372,18 @@ def flac_decode(payload: bytes) -> tuple[int, int, list[int]] | None:
             if last:
                 break
         out: list[int] = []
+        # zero-bit escape residuals make FLAC legally infinitely
+        # expansible — bound output by the declared total (when set),
+        # the global ceiling, AND a 64× payload-proportional budget
+        # (beyond 64:1, lossless audio is a crafted bomb, not music)
+        max_out = min(
+            _total * nch if _total else MAX_DECODE_SAMPLES,
+            MAX_DECODE_SAMPLES,
+            64 * len(payload),
+        )
         while i < len(payload) - 2:
+            if len(out) > max_out:
+                return None
             r = _FlacBitReader(payload, i)
             if r.bits(14) != 0b11111111111110:
                 return None
@@ -2400,6 +2426,8 @@ def flac_decode(payload: bytes) -> tuple[int, int, list[int]] | None:
                 bsize = 256 << (bs_code - 8)
             else:
                 return None
+            if bsize * nch > max_out + 65536:
+                return None  # single frame exceeding the output bound
             if sr_code == 0b1100:
                 r.bits(8)
             elif sr_code in (0b1101, 0b1110):

@@ -1203,3 +1203,43 @@ def test_flac_lpc_and_stereo_decode():
     # stereo frames against a mono STREAMINFO are rejected
     assert flac_decode(frame(8, const_pair(1, 16, 1, 17), 2,
                              stream_nch=1)) is None
+
+
+def test_header_claimed_decode_bombs_rejected():
+    """Header-declared dimensions are attacker data: 65535×65535 JPEG /
+    60000×60000 PNG headers and a FLAC stream of zero-bit escape-residual
+    frames (legally ~infinite expansion) must all be rejected fast,
+    before allocating anything output-sized."""
+    import struct
+    import time
+
+    from impc_etl_spark.multimodal.media import (
+        _crc8, _crc16, _flac_streaminfo, _FlacBitWriter, _png_gray,
+        decode_jpeg, decode_png, encode_jpeg_gray, flac_decode,
+    )
+
+    j = bytearray(encode_jpeg_gray(bytes(64), 8, 8))
+    i = j.index(b"\xff\xc0")
+    j[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
+    t0 = time.monotonic()
+    assert decode_jpeg(bytes(j)) is None
+    assert time.monotonic() - t0 < 0.5
+
+    p = bytearray(_png_gray(bytes(16), 4, 4))
+    p[16:24] = struct.pack(">II", 60000, 60000)
+    assert decode_png(bytes(p)) is None
+
+    w = _FlacBitWriter()
+    w.put(0b11111111111110, 14); w.put(0, 2)
+    w.put(0b0111, 4); w.put(0, 4); w.put(0, 4); w.put(0b100, 3); w.put(0, 1)
+    w.put(0, 8); w.put(65534, 16)
+    w.put(_crc8(bytes(w.out)), 8)
+    w.put(0, 1); w.put(0b001000, 6); w.put(0, 1)   # FIXED order 0
+    w.put(0, 2); w.put(0, 4); w.put(0xF, 4); w.put(0, 5)  # escape raw=0
+    w.align()
+    body = bytes(w.out)
+    frame = body + _crc16(body).to_bytes(2, "big")
+    bomb = _flac_streaminfo(8000, 1, 16, 0) + frame * 2000
+    t0 = time.monotonic()
+    assert flac_decode(bomb) is None
+    assert time.monotonic() - t0 < 5
