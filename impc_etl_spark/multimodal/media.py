@@ -2571,3 +2571,88 @@ def synth_flac_audio(
             yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
 
     return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+# 8-point DFT coefficients as FIXED literals (cos/sin of 2πj/8). Literals
+# — not math.cos — so any engine (the DuckDB oracle included) reproduces
+# bit-identical doubles; the eighth-roots are exact except ±√½.
+_DFT8_R = 0.7071067811865476
+_DFT8_COS = [1.0, _DFT8_R, 0.0, -_DFT8_R, -1.0, -_DFT8_R, 0.0, _DFT8_R]
+_DFT8_SIN = [0.0, _DFT8_R, 1.0, _DFT8_R, 0.0, -_DFT8_R, -1.0, -_DFT8_R]
+
+SPECTRUM_SCHEMA = (
+    "media_id bigint, dominant_bin int, spectral_centroid double, "
+    "total_power double"
+)
+
+
+def audio_spectrum_features(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Frequency-domain features over REAL decoded audio: an 8-point DFT
+    of the first 8 decoded samples (any supported codec — PCM, G.711,
+    ADPCM, FLAC) → dominant positive-frequency bin (argmax |X_k|,
+    k=1..4, smallest wins ties), spectral centroid (Σk|X_k|/Σ|X_k|),
+    and total spectral power. One narrow Arrow-batched mapInPandas
+    stage; NULLs for undecodable or too-short payloads."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            bins, cents, powers = [], [], []
+            for p in pdf[content_col]:
+                raw = bytes(p)
+                decoded = (decode_wav(raw) or decode_ima_wav(raw)
+                           or flac_decode(raw))
+                bin_ = cent = power = None
+                if decoded is not None and len(decoded[2]) >= 8:
+                    s = decoded[2][:8]
+                    mags = []
+                    for k in range(1, 5):
+                        # exact-integer partial sums, ONE float op each:
+                        # re = a + r·b is bit-identical on every engine
+                        # regardless of summation order (a SQL SUM has
+                        # no order guarantee; an 8-term float sum does
+                        # not) — the oracle mirrors this form
+                        a_re = b_re = a_im = b_im = 0
+                        for n in range(8):
+                            idx = (k * n) % 8
+                            v = s[n]
+                            if idx == 0:
+                                a_re += v
+                            elif idx == 4:
+                                a_re -= v
+                            elif idx in (1, 7):
+                                b_re += v
+                            else:
+                                if idx in (3, 5):
+                                    b_re -= v
+                            if idx == 2:
+                                a_im -= v
+                            elif idx == 6:
+                                a_im += v
+                            elif idx in (1, 3):
+                                b_im -= v
+                            elif idx in (5, 7):
+                                b_im += v
+                        re = a_re + _DFT8_R * b_re
+                        im = a_im + _DFT8_R * b_im
+                        mags.append(math.sqrt(re * re + im * im))
+                    total = sum(mags)
+                    if total > 0:
+                        cent = sum((k + 1) * m
+                                   for k, m in enumerate(mags)) / total
+                        bin_ = 1 + max(range(4),
+                                       key=lambda k: (mags[k], -k))
+                    power = sum(m * m for m in mags)
+                bins.append(bin_)
+                cents.append(cent)
+                powers.append(power)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "dominant_bin": pd.array(bins, dtype="Int32"),
+                "spectral_centroid": pd.array(cents, dtype="float64"),
+                "total_power": pd.array(powers, dtype="float64"),
+            })
+
+    return df.mapInPandas(compute, schema=SPECTRUM_SCHEMA)

@@ -6244,6 +6244,76 @@ def media_flac_audio(spark, sf_dir):
 
 QUERIES["media_flac_audio"] = media_flac_audio
 
+
+def media_audio_spectrum(spark, sf_dir):
+    """Frequency-domain features over REAL decoded compressed audio: the
+    digest samples ride through the true FLAC encode→decode (lossless),
+    then an 8-point DFT — coefficients are FIXED literals (±1, ±√½), not
+    libm calls, so every engine computes identical doubles — yields the
+    dominant positive-frequency bin, spectral centroid, and total power.
+    The oracle replays the DFT term-by-term from md5(text) with the same
+    literal table. Narrow Arrow-batched maps; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, audio_spectrum_features, synth_flac_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    flacs = synth_flac_audio(attach_binary(docs, "text", "doc_id"))
+    return audio_spectrum_features(flacs).select(
+        "media_id", "dominant_bin",
+        _rnd("spectral_centroid", 6).alias("spectral_centroid"),
+        _rnd("total_power", 3).alias("total_power"),
+    )
+
+
+QUERIES["media_audio_spectrum"] = media_audio_spectrum
+
+ORACLE["media_audio_spectrum"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+smp AS (
+  SELECT media_id, j,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+  FROM (
+    SELECT media_id, j,
+           CAST(concat('0x', substring(hx, 4 * j + 3, 2)) AS INT) * 256
+           + CAST(concat('0x', substring(hx, 4 * j + 1, 2)) AS INT) AS u
+    FROM h CROSS JOIN (SELECT unnest(range(8)) AS j) t)),
+-- exact-integer partial sums + ONE float op per component: re = a + r*b
+-- is bit-identical to the operator regardless of SQL summation order
+terms AS (
+  SELECT media_id, k.k AS k, (k.k * j) % 8 AS idx, x
+  FROM smp CROSS JOIN (SELECT unnest(range(1, 5)) AS k) k),
+spec AS (
+  SELECT media_id, k,
+    CAST(sum(CASE WHEN idx = 0 THEN x WHEN idx = 4 THEN -x
+                  ELSE 0 END) AS DOUBLE)
+      + 0.7071067811865476
+        * sum(CASE WHEN idx IN (1, 7) THEN x
+                   WHEN idx IN (3, 5) THEN -x ELSE 0 END) AS re,
+    CAST(sum(CASE WHEN idx = 2 THEN -x WHEN idx = 6 THEN x
+                  ELSE 0 END) AS DOUBLE)
+      + 0.7071067811865476
+        * sum(CASE WHEN idx IN (1, 3) THEN -x
+                   WHEN idx IN (5, 7) THEN x ELSE 0 END) AS im
+  FROM terms GROUP BY media_id, k),
+mags AS (
+  SELECT media_id,
+         max(CASE WHEN k = 1 THEN sqrt(re * re + im * im) END) AS m1,
+         max(CASE WHEN k = 2 THEN sqrt(re * re + im * im) END) AS m2,
+         max(CASE WHEN k = 3 THEN sqrt(re * re + im * im) END) AS m3,
+         max(CASE WHEN k = 4 THEN sqrt(re * re + im * im) END) AS m4
+  FROM spec GROUP BY media_id)
+SELECT media_id,
+       CAST(CASE WHEN m1 >= m2 AND m1 >= m3 AND m1 >= m4 THEN 1
+                 WHEN m2 >= m3 AND m2 >= m4 THEN 2
+                 WHEN m3 >= m4 THEN 3 ELSE 4 END AS INT) AS dominant_bin,
+       floor((m1 * 1 + m2 * 2 + m3 * 3 + m4 * 4) / (m1 + m2 + m3 + m4)
+             * 1000000 + 0.5) / 1000000 AS spectral_centroid,
+       floor((m1 * m1 + m2 * m2 + m3 * m3 + m4 * m4) * 1000 + 0.5) / 1000
+         AS total_power
+FROM mags
+"""
+
 # Lossless: identical replay contract to media_audio_features — decoded
 # samples ARE the digest int16s.
 ORACLE["media_flac_audio"] = """

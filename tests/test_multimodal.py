@@ -1243,3 +1243,33 @@ def test_header_claimed_decode_bombs_rejected():
     t0 = time.monotonic()
     assert flac_decode(bomb) is None
     assert time.monotonic() - t0 < 5
+
+
+def test_audio_spectrum_features_known_signals(spark):
+    """DFT features recover known spectra: a period-2 alternation puts
+    all power in the Nyquist bin (k=4), a period-8 sinusoid in k=1, a
+    constant has zero positive-frequency power (NULL centroid/bin), and
+    undecodable payloads yield NULL rows."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.multimodal.media import (
+        _wav_pcm16, audio_spectrum_features,
+    )
+
+    alt = _wav_pcm16([1000, -1000] * 4, 8000)
+    one = _wav_pcm16(
+        [int(1000 * __import__("math").sin(2 * __import__("math").pi * n / 8))
+         for n in range(8)], 8000)
+    flat = _wav_pcm16([500] * 8, 8000)
+    rows = [(1, alt), (2, one), (3, flat), (9, b"junk")]
+    df = spark.createDataFrame(rows, "media_id bigint, content binary")
+    got = {r["media_id"]: r for r in audio_spectrum_features(df).collect()}
+    assert got[1]["dominant_bin"] == 4
+    assert abs(got[1]["spectral_centroid"] - 4.0) < 1e-9
+    assert got[2]["dominant_bin"] == 1
+    # integer-rounded samples leak a little into other bins
+    assert abs(got[2]["spectral_centroid"] - 1.0) < 1e-3
+    assert got[3]["dominant_bin"] is None and got[3]["total_power"] == 0.0
+    assert got[9]["total_power"] is None and got[9]["dominant_bin"] is None
