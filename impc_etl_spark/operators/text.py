@@ -1208,3 +1208,29 @@ def url_domain(col: str | Column) -> Column:
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)", 1)
     )
     return F.regexp_replace(host, r"^www\.", "")
+
+
+def normalize_unicode(col: str | Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) via the stdlib UCD —
+    the canonical first step for multilingual corpora (combining marks,
+    compatibility forms, width variants collapse to one representation
+    so dedup fingerprints and tokenizers see one spelling). Spark has no
+    built-in normalizer, so this is an Arrow-batched pandas_udf (the
+    sanctioned Python surface — one vectorized hop, never per-row
+    pickling). NULL in → NULL out."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: None if v is None else unicodedata.normalize(form, v)
+        )
+
+    # functional form: this module uses postponed annotations, which turn
+    # the decorator's type hints into unresolvable strings
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_norm, "string")(c)

@@ -6268,6 +6268,46 @@ def media_audio_spectrum(spark, sf_dir):
 
 QUERIES["media_audio_spectrum"] = media_audio_spectrum
 
+
+def docs_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization over a deterministically-uglified corpus:
+    each document's text gets a decomposed suffix (base letters + COMBINING
+    ACUTE/ DIAERESIS, U+0301/U+0308) plus a trailing doc-derived letter, and
+    `text.normalize_unicode` recomposes it — the multilingual-corpus
+    canonicalization step (dedup fingerprints and tokenizers must see ONE
+    spelling). The oracle recomputes with DuckDB's independent nfc_normalize
+    implementation, so the two Unicode stacks must agree codepoint-for-
+    codepoint. Arrow-batched pandas_udf; zero shuffle."""
+    from impc_etl_spark.operators.text import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.col("text"), F.lit("e\u0301o\u0308"),
+        F.substring(F.md5("text"), 1, 1),
+    )
+    return docs.select(
+        "doc_id",
+        F.length(messy).alias("messy_len"),
+        normalize_unicode(messy).alias("text_nfc"),
+        F.length(normalize_unicode(messy)).alias("nfc_len"),
+    )
+
+
+QUERIES["docs_unicode_normalize"] = docs_unicode_normalize
+
+ORACLE["docs_unicode_normalize"] = """
+WITH m AS (
+  SELECT doc_id,
+         text || 'e' || chr(769) || 'o' || chr(776)
+              || substring(md5(text), 1, 1) AS messy
+  FROM documents)
+SELECT doc_id,
+       CAST(length(messy) AS INT) AS messy_len,
+       nfc_normalize(messy) AS text_nfc,
+       CAST(length(nfc_normalize(messy)) AS INT) AS nfc_len
+FROM m
+"""
+
 ORACLE["media_audio_spectrum"] = """
 WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
 smp AS (

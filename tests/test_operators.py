@@ -2917,3 +2917,29 @@ def test_moment_partials_filters_hostile_vectors(spark):
     assert n == 2
     assert np.allclose(s, X.sum(0))
     assert np.allclose(m, X.T @ X)
+
+
+def test_normalize_unicode_forms(spark):
+    """Unicode normalization: NFC composes combining marks, NFKC folds
+    compatibility forms (fullwidth digits, ligatures), NULLs pass
+    through, and unknown forms raise."""
+    import pytest
+
+    from impc_etl_spark.operators.text import normalize_unicode
+
+    rows = [
+        (1, "é"),            # e + COMBINING ACUTE -> é
+        (2, "１２"),       # fullwidth 12
+        (3, "ﬁle"),           # fi ligature + le
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    nfc = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_unicode("t").alias("n")).collect()}
+    assert nfc[1] == "é" and nfc[2] == "１２"
+    assert nfc[4] is None
+    nfkc = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_unicode("t", "NFKC").alias("n")).collect()}
+    assert nfkc[1] == "é" and nfkc[2] == "12" and nfkc[3] == "file"
+    with pytest.raises(ValueError):
+        normalize_unicode("t", "NFX")
