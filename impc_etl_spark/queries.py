@@ -6295,6 +6295,68 @@ def docs_unicode_normalize(spark, sf_dir):
 
 QUERIES["docs_unicode_normalize"] = docs_unicode_normalize
 
+
+def docs_warc_roundtrip(spark, sf_dir):
+    """WARC ingest end-to-end (ISO 28500 — the Common-Crawl interchange
+    format, THE input of a web-scale training pipeline): every document
+    becomes a two-record gzipped WARC (warcinfo + response, real CRLF/
+    Content-Length framing through `build_warc`), then `warc_records_df`
+    parses the records back into one row each — headers, byte-exact
+    content length, and the UTF-8 payload text. The oracle reconstructs
+    both records per document directly from the table. Two narrow
+    Arrow-batched mapInPandas stages (the second multi-row); no
+    shuffle."""
+    import pandas as pd_
+
+    from impc_etl_spark.sources.readers import build_warc, warc_records_df
+    from impc_etl_spark.multimodal.media import attach_binary
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = attach_binary(docs, "text", "doc_id")
+
+    def mk(batches):
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["content"]):
+                text = bytes(p)
+                out.append(build_warc([
+                    {"type": "warcinfo",
+                     "record_id": f"<urn:doc:{mid}:info>",
+                     "date": "2026-01-01T00:00:00Z",
+                     "payload": f"doc: {mid}".encode()},
+                    {"type": "response",
+                     "record_id": f"<urn:doc:{mid}>",
+                     "target_uri": f"https://corpus.example/{mid}",
+                     "date": "2026-01-01T00:00:00Z",
+                     "payload": text},
+                ], compress=True))
+            yield pd_.DataFrame({"media_id": pdf["media_id"],
+                                 "content": out})
+
+    warcs = payloads.mapInPandas(mk, schema="media_id bigint, content binary")
+    return warc_records_df(warcs).select(
+        F.col("media_id").alias("doc_id"), "record_idx", "warc_type",
+        "target_uri", "content_length", "text",
+    )
+
+
+QUERIES["docs_warc_roundtrip"] = docs_warc_roundtrip
+
+ORACLE["docs_warc_roundtrip"] = """
+SELECT doc_id, CAST(0 AS INT) AS record_idx, 'warcinfo' AS warc_type,
+       CAST(NULL AS VARCHAR) AS target_uri,
+       CAST(strlen('doc: ' || doc_id::VARCHAR) AS BIGINT)
+         AS content_length,
+       'doc: ' || doc_id::VARCHAR AS text
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS INT) AS record_idx, 'response' AS warc_type,
+       'https://corpus.example/' || doc_id::VARCHAR AS target_uri,
+       CAST(strlen(text) AS BIGINT) AS content_length,
+       text
+FROM documents
+"""
+
 ORACLE["docs_unicode_normalize"] = """
 WITH m AS (
   SELECT doc_id,

@@ -238,3 +238,133 @@ def tag_path_component(
     src = F.col(path_col) if path_col else F.input_file_name()
     pattern = r"([^/]+)" + r"/[^/]+" * (index_from_end - 1) + r"/?$"
     return df.withColumn(col_name, F.regexp_extract(src, pattern, 1))
+
+
+# --- WARC (Web ARChive, ISO 28500) -------------------------------------------
+#
+# The web-crawl interchange format (Common Crawl et al.) — THE input
+# format of a web-scale training-data pipeline. Implemented from the
+# public ISO 28500 / WARC 1.0 specification: version line, named header
+# fields, Content-Length-delimited payload, CRLF CRLF record separator.
+# gzip members (the .warc.gz convention: one gzip member per record)
+# decompress via stdlib zlib.
+
+
+def parse_warc_records(payload: bytes) -> list[dict] | None:
+    """Parse a WARC file's records → [{type, record_id, target_uri,
+    date, content_length, payload}] in file order. Handles plain WARC
+    and the record-per-gzip-member .warc.gz convention. None for
+    anything unrecognized (never raises — crawl inputs are hostile);
+    individual malformed records end the parse with what was read."""
+    import gzip
+    import io
+
+    try:
+        if payload[:2] == b"\x1f\x8b":  # .warc.gz: concatenated members
+            try:
+                payload = gzip.decompress(payload)
+            except Exception:
+                return None
+        if not payload.startswith(b"WARC/"):
+            return None
+        out: list[dict] = []
+        i = 0
+        n = len(payload)
+        while i < n:
+            if not payload.startswith(b"WARC/", i):
+                break
+            hdr_end = payload.find(b"\r\n\r\n", i)
+            if hdr_end < 0:
+                break
+            lines = payload[i:hdr_end].split(b"\r\n")
+            fields: dict[str, str] = {}
+            for ln in lines[1:]:
+                k, _, v = ln.partition(b":")
+                fields[k.strip().lower().decode("ascii", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+            try:
+                clen = int(fields.get("content-length", ""))
+            except ValueError:
+                break
+            body = payload[hdr_end + 4 : hdr_end + 4 + clen]
+            if len(body) != clen:
+                break
+            out.append({
+                "type": fields.get("warc-type"),
+                "record_id": fields.get("warc-record-id"),
+                "target_uri": fields.get("warc-target-uri"),
+                "date": fields.get("warc-date"),
+                "content_length": clen,
+                "payload": body,
+            })
+            i = hdr_end + 4 + clen
+            # records end with two CRLFs
+            while payload.startswith(b"\r\n", i):
+                i += 2
+        return out or None
+    except Exception:
+        return None
+
+
+def build_warc(records: list[dict], compress: bool = False) -> bytes:
+    """Serialize records (same dict shape `parse_warc_records` emits) to
+    a spec-conforming WARC byte stream; ``compress`` gzips the whole
+    stream (deterministic: mtime pinned to 0)."""
+    import gzip
+
+    out = bytearray()
+    for r in records:
+        body = r["payload"]
+        hdr = [b"WARC/1.0"]
+        for key, field in (
+            ("type", b"WARC-Type"), ("record_id", b"WARC-Record-ID"),
+            ("target_uri", b"WARC-Target-URI"), ("date", b"WARC-Date"),
+        ):
+            if r.get(key) is not None:
+                hdr.append(field + b": " + str(r[key]).encode())
+        hdr.append(b"Content-Length: " + str(len(body)).encode())
+        out += b"\r\n".join(hdr) + b"\r\n\r\n" + body + b"\r\n\r\n"
+    raw = bytes(out)
+    return gzip.compress(raw, mtime=0) if compress else raw
+
+
+def warc_records_df(df, content_col: str = "content", id_col: str = "media_id"):
+    """Explode WARC payloads into one row per record via an Arrow-batched
+    multi-row mapInPandas stage — the crawl-ingest entry point: each
+    record's headers plus its payload decoded as UTF-8 text (replace
+    errors; crawl bytes are hostile). Unparseable payloads contribute no
+    rows; no shuffle at any scale."""
+    import pandas as pd
+
+    def compute(batches):
+        for pdf in batches:
+            ids, idxs, types, uris, dates, lens, texts = ([] for _ in range(7))
+            for mid, p in zip(pdf[id_col], pdf[content_col]):
+                recs = parse_warc_records(bytes(p))
+                if recs is None:
+                    continue
+                for k, r in enumerate(recs):
+                    ids.append(mid)
+                    idxs.append(k)
+                    types.append(r["type"])
+                    uris.append(r["target_uri"])
+                    dates.append(r["date"])
+                    lens.append(r["content_length"])
+                    texts.append(r["payload"].decode("utf-8", "replace"))
+            yield pd.DataFrame({
+                id_col: pd.array(ids, dtype="int64"),
+                "record_idx": pd.array(idxs, dtype="Int32"),
+                "warc_type": types,
+                "target_uri": uris,
+                "warc_date": dates,
+                "content_length": pd.array(lens, dtype="Int64"),
+                "text": texts,
+            })
+
+    return df.mapInPandas(
+        compute,
+        schema=f"{id_col} bigint, record_idx int, warc_type string, "
+               "target_uri string, warc_date string, content_length bigint, "
+               "text string",
+    )

@@ -651,3 +651,46 @@ def test_mongo_document_shape_class_discriminator(spark):
     rows = out.collect()
     assert out.columns == ["k", "v", "_class"]
     assert rows[0]["_class"] == "org.mousephenotype.api.Gene"
+
+
+def test_warc_parse_build_paths(spark):
+    """WARC: plain and per-stream-gzip roundtrips, multi-record files,
+    CRLF framing with binary payloads containing CRLFCRLF (Content-Length
+    delimiting must win over separator scanning), truncated/hostile
+    inputs, and the exploding reader's row shape."""
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.sources.readers import (
+        build_warc, parse_warc_records, warc_records_df,
+    )
+
+    tricky = b"a\r\n\r\nb" * 3          # payload containing the separator
+    recs = [
+        {"type": "response", "record_id": "<urn:1>",
+         "target_uri": "https://x/1", "date": "2026-01-01T00:00:00Z",
+         "payload": tricky},
+        {"type": "response", "record_id": "<urn:2>",
+         "target_uri": "https://x/2", "date": "2026-01-01T00:00:00Z",
+         "payload": b""},               # empty payload is legal
+        {"type": "metadata", "record_id": "<urn:3>",
+         "target_uri": None, "date": None, "payload": b"k: v"},
+    ]
+    for compress in (False, True):
+        got = parse_warc_records(build_warc(recs, compress=compress))
+        assert [r["payload"] for r in got] == [tricky, b"", b"k: v"]
+        assert got[2]["target_uri"] is None and got[0]["type"] == "response"
+
+    blob = build_warc(recs)
+    assert parse_warc_records(blob[:25]) is None          # truncated header
+    part = parse_warc_records(blob[: len(blob) - 10])     # truncated tail
+    assert part is not None and len(part) == 2            # keeps whole recs
+    assert parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\n") is None
+
+    df = spark.createDataFrame(
+        [(1, build_warc(recs, compress=True)), (2, b"junk")],
+        "media_id bigint, content binary",
+    )
+    rows = warc_records_df(df).collect()
+    assert len(rows) == 3 and all(r["media_id"] == 1 for r in rows)
+    assert [r["record_idx"] for r in sorted(rows, key=lambda r: r["record_idx"])] == [0, 1, 2]
+    assert {r["content_length"] for r in rows} == {len(tricky), 0, 4}
