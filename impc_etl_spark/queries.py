@@ -6342,6 +6342,58 @@ def docs_warc_roundtrip(spark, sf_dir):
 
 QUERIES["docs_warc_roundtrip"] = docs_warc_roundtrip
 
+
+def docs_zip_roundtrip(spark, sf_dir):
+    """ZIP archive ingest end-to-end: every document becomes a real
+    two-member DEFLATE archive (its text + a doc-derived manifest,
+    deterministic timestamps), then `zip_entries_df` explodes it back
+    into per-member rows with names, exact uncompressed sizes, method,
+    and UTF-8 content — the .zip/.docx/.epub ingest path of a crawl
+    pipeline. The oracle reconstructs both members per document from the
+    table. Two narrow Arrow-batched mapInPandas stages (the second
+    multi-row); no shuffle."""
+    import pandas as pd_
+
+    from impc_etl_spark.multimodal.media import attach_binary
+    from impc_etl_spark.sources.readers import build_zip, zip_entries_df
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = attach_binary(docs, "text", "doc_id")
+
+    def mk(batches):
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["content"]):
+                out.append(build_zip([
+                    ("doc.txt", bytes(p)),
+                    ("manifest.json", f'{{"doc_id": {mid}}}'.encode()),
+                ]))
+            yield pd_.DataFrame({"media_id": pdf["media_id"],
+                                 "content": out})
+
+    zips = payloads.mapInPandas(mk, schema="media_id bigint, content binary")
+    return zip_entries_df(zips).select(
+        F.col("media_id").alias("doc_id"), "member_name", "n_bytes",
+        "method", "text",
+    )
+
+
+QUERIES["docs_zip_roundtrip"] = docs_zip_roundtrip
+
+ORACLE["docs_zip_roundtrip"] = """
+SELECT doc_id, 'doc.txt' AS member_name,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       'deflate' AS method, text
+FROM documents
+UNION ALL
+SELECT doc_id, 'manifest.json' AS member_name,
+       CAST(strlen('{"doc_id": ' || doc_id::VARCHAR || '}') AS BIGINT)
+         AS n_bytes,
+       'deflate' AS method,
+       '{"doc_id": ' || doc_id::VARCHAR || '}' AS text
+FROM documents
+"""
+
 ORACLE["docs_warc_roundtrip"] = """
 SELECT doc_id, CAST(0 AS INT) AS record_idx, 'warcinfo' AS warc_type,
        CAST(NULL AS VARCHAR) AS target_uri,

@@ -368,3 +368,80 @@ def warc_records_df(df, content_col: str = "content", id_col: str = "media_id"):
                "target_uri string, warc_date string, content_length bigint, "
                "text string",
     )
+
+
+def zip_entries_df(df, content_col: str = "content", id_col: str = "media_id",
+                   max_member_bytes: int = 1 << 26):
+    """Explode ZIP archive payloads into one row per member (name,
+    sizes, compression method, UTF-8 text) via a multi-row Arrow stage —
+    the archive-ingest path for crawled .zip/.docx/.epub-style content.
+    Members larger than ``max_member_bytes`` (header-declared — attacker
+    data; a zip bomb expands ~1000×) yield their metadata with NULL
+    text; unparseable payloads contribute no rows; never raises."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    def compute(batches):
+        for pdf in batches:
+            ids, names, sizes, csizes, methods, texts = ([] for _ in range(6))
+            for mid, p in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(bytes(p)))
+                    infos = zf.infolist()
+                except Exception:
+                    continue
+                for info in infos:
+                    ids.append(mid)
+                    names.append(info.filename)
+                    sizes.append(info.file_size)
+                    csizes.append(info.compress_size)
+                    methods.append(
+                        {0: "stored", 8: "deflate"}.get(
+                            info.compress_type, str(info.compress_type)
+                        )
+                    )
+                    if info.file_size > max_member_bytes:
+                        texts.append(None)
+                        continue
+                    try:
+                        texts.append(
+                            zf.read(info.filename).decode("utf-8", "replace")
+                        )
+                    except Exception:
+                        texts.append(None)
+            yield pd.DataFrame({
+                id_col: pd.array(ids, dtype="int64"),
+                "member_name": names,
+                "n_bytes": pd.array(sizes, dtype="Int64"),
+                "compressed_bytes": pd.array(csizes, dtype="Int64"),
+                "method": methods,
+                "text": texts,
+            })
+
+    return df.mapInPandas(
+        compute,
+        schema=f"{id_col} bigint, member_name string, n_bytes bigint, "
+               "compressed_bytes bigint, method string, text string",
+    )
+
+
+def build_zip(members: list[tuple[str, bytes]], compress: bool = True) -> bytes:
+    """Deterministic in-memory ZIP (fixed timestamps) from (name, bytes)
+    members — the synth twin for `zip_entries_df`."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(
+        buf, "w",
+        zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED,
+    ) as zf:
+        for name, data in members:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = (
+                zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+            )
+            zf.writestr(info, data)
+    return buf.getvalue()

@@ -694,3 +694,34 @@ def test_warc_parse_build_paths(spark):
     assert len(rows) == 3 and all(r["media_id"] == 1 for r in rows)
     assert [r["record_idx"] for r in sorted(rows, key=lambda r: r["record_idx"])] == [0, 1, 2]
     assert {r["content_length"] for r in rows} == {len(tricky), 0, 4}
+
+
+def test_zip_entries_paths(spark):
+    """ZIP explode: member metadata + content for deflate and stored
+    archives, bomb-guard (header-declared size over the cap → metadata
+    row with NULL text), junk payloads contribute no rows, and the
+    builder is byte-deterministic."""
+    from impc_etl_spark.sources.readers import build_zip, zip_entries_df
+
+    z1 = build_zip([("a.txt", b"hello"), ("d/b.txt", b"world!")])
+    z2 = build_zip([("s.txt", b"stored")], compress=False)
+    assert z1 == build_zip([("a.txt", b"hello"), ("d/b.txt", b"world!")])
+    df = spark.createDataFrame(
+        [(1, z1), (2, z2), (9, b"PK\x03\x04junk")],
+        "media_id bigint, content binary",
+    )
+    rows = {(r["media_id"], r["member_name"]): r
+            for r in zip_entries_df(df).collect()}
+    assert len(rows) == 3
+    assert rows[(1, "a.txt")]["text"] == "hello"
+    assert rows[(1, "d/b.txt")]["n_bytes"] == 6
+    assert rows[(1, "a.txt")]["method"] == "deflate"
+    assert rows[(2, "s.txt")]["method"] == "stored"
+    assert rows[(2, "s.txt")]["text"] == "stored"
+
+    capped = zip_entries_df(
+        spark.createDataFrame([(5, z1)], "media_id bigint, content binary"),
+        max_member_bytes=3,
+    ).collect()
+    assert all(r["text"] is None for r in capped)       # cap: metadata only
+    assert {r["member_name"] for r in capped} == {"a.txt", "d/b.txt"}
