@@ -1210,8 +1210,10 @@ def url_domain(col: str | Column) -> Column:
     return F.regexp_replace(host, r"^www\.", "")
 
 
-def normalize_unicode(col: str | Column, form: str = "NFC") -> Column:
-    """Unicode normalization (NFC/NFD/NFKC/NFKD) via the stdlib UCD —
+def ucd_normalize(col: str | Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) via the stdlib UCD
+    (distinct from `normalize_unicode` above, the repo's punctuation/
+    whitespace cleaner) —
     the canonical first step for multilingual corpora (combining marks,
     compatibility forms, width variants collapse to one representation
     so dedup fingerprints and tokenizers see one spelling). Spark has no

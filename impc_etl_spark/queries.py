@@ -6273,12 +6273,12 @@ def docs_unicode_normalize(spark, sf_dir):
     """Unicode NFC normalization over a deterministically-uglified corpus:
     each document's text gets a decomposed suffix (base letters + COMBINING
     ACUTE/ DIAERESIS, U+0301/U+0308) plus a trailing doc-derived letter, and
-    `text.normalize_unicode` recomposes it — the multilingual-corpus
+    `text.ucd_normalize` recomposes it — the multilingual-corpus
     canonicalization step (dedup fingerprints and tokenizers must see ONE
     spelling). The oracle recomputes with DuckDB's independent nfc_normalize
     implementation, so the two Unicode stacks must agree codepoint-for-
     codepoint. Arrow-batched pandas_udf; zero shuffle."""
-    from impc_etl_spark.operators.text import normalize_unicode
+    from impc_etl_spark.operators.text import ucd_normalize
 
     docs = _t(spark, sf_dir, "documents")
     messy = F.concat(
@@ -6288,8 +6288,8 @@ def docs_unicode_normalize(spark, sf_dir):
     return docs.select(
         "doc_id",
         F.length(messy).alias("messy_len"),
-        normalize_unicode(messy).alias("text_nfc"),
-        F.length(normalize_unicode(messy)).alias("nfc_len"),
+        ucd_normalize(messy).alias("text_nfc"),
+        F.length(ucd_normalize(messy)).alias("nfc_len"),
     )
 
 

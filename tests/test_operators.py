@@ -2925,7 +2925,7 @@ def test_normalize_unicode_forms(spark):
     through, and unknown forms raise."""
     import pytest
 
-    from impc_etl_spark.operators.text import normalize_unicode
+    from impc_etl_spark.operators.text import ucd_normalize
 
     rows = [
         (1, "é"),            # e + COMBINING ACUTE -> é
@@ -2935,11 +2935,11 @@ def test_normalize_unicode_forms(spark):
     ]
     df = spark.createDataFrame(rows, "id int, t string")
     nfc = {r["id"]: r["n"] for r in df.select(
-        "id", normalize_unicode("t").alias("n")).collect()}
+        "id", ucd_normalize("t").alias("n")).collect()}
     assert nfc[1] == "é" and nfc[2] == "１２"
     assert nfc[4] is None
     nfkc = {r["id"]: r["n"] for r in df.select(
-        "id", normalize_unicode("t", "NFKC").alias("n")).collect()}
+        "id", ucd_normalize("t", "NFKC").alias("n")).collect()}
     assert nfkc[1] == "é" and nfkc[2] == "12" and nfkc[3] == "file"
     with pytest.raises(ValueError):
-        normalize_unicode("t", "NFX")
+        ucd_normalize("t", "NFX")
