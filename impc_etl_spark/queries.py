@@ -7024,3 +7024,11 @@ _promote("media_g711_audio", "computed_key_join")
 # stays locally oracle-checked) — the full compressed path through marker/
 # Huffman/IDCT machinery is the round's strongest decode evidence.
 _promote("media_jpeg_decode", "orders_status_overlap_hll")
+
+# Final round-5 rotation: WARC crawl ingest and the lossless FLAC codec
+# take slots from two r4-driver-green queries whose families keep other
+# in-window representatives (equi joins: lineitem_part_mart/region pair
+# via priority_customer_lookup; windows: customer_status_running_sets).
+# Displaced queries remain locally oracle-checked every session.
+_promote("docs_warc_roundtrip", "region_revenue")
+_promote("media_flac_audio", "top_customers_per_nation")
