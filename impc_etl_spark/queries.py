@@ -6380,6 +6380,52 @@ def docs_zip_roundtrip(spark, sf_dir):
 
 QUERIES["docs_zip_roundtrip"] = docs_zip_roundtrip
 
+
+def docs_tar_roundtrip(spark, sf_dir):
+    """Tar archive ingest end-to-end: every document becomes a real
+    gzipped USTAR archive (its text + a manifest, zeroed metadata for
+    determinism), exploded back into per-member rows by
+    `tar_entries_df` — the .tar.gz ingest path. Oracle reconstructs both
+    members per document. Two narrow Arrow-batched mapInPandas stages
+    (the second multi-row); no shuffle."""
+    import pandas as pd_
+
+    from impc_etl_spark.multimodal.media import attach_binary
+    from impc_etl_spark.sources.readers import build_tar, tar_entries_df
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = attach_binary(docs, "text", "doc_id")
+
+    def mk(batches):
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["content"]):
+                out.append(build_tar([
+                    ("doc.txt", bytes(p)),
+                    ("manifest.txt", f"doc_id={mid}".encode()),
+                ], gz=True))
+            yield pd_.DataFrame({"media_id": pdf["media_id"],
+                                 "content": out})
+
+    tars = payloads.mapInPandas(mk, schema="media_id bigint, content binary")
+    return tar_entries_df(tars).select(
+        F.col("media_id").alias("doc_id"), "member_name", "n_bytes", "text",
+    )
+
+
+QUERIES["docs_tar_roundtrip"] = docs_tar_roundtrip
+
+ORACLE["docs_tar_roundtrip"] = """
+SELECT doc_id, 'doc.txt' AS member_name,
+       CAST(strlen(text) AS BIGINT) AS n_bytes, text
+FROM documents
+UNION ALL
+SELECT doc_id, 'manifest.txt' AS member_name,
+       CAST(strlen('doc_id=' || doc_id::VARCHAR) AS BIGINT) AS n_bytes,
+       'doc_id=' || doc_id::VARCHAR AS text
+FROM documents
+"""
+
 ORACLE["docs_zip_roundtrip"] = """
 SELECT doc_id, 'doc.txt' AS member_name,
        CAST(strlen(text) AS BIGINT) AS n_bytes,

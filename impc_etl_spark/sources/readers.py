@@ -445,3 +445,75 @@ def build_zip(members: list[tuple[str, bytes]], compress: bool = True) -> bytes:
             )
             zf.writestr(info, data)
     return buf.getvalue()
+
+
+def tar_entries_df(df, content_col: str = "content", id_col: str = "media_id",
+                   max_member_bytes: int = 1 << 26):
+    """Explode tar archive payloads (plain, .tar.gz, .tar.bz2 — stdlib
+    tarfile sniffs) into one row per regular-file member: name, size,
+    UTF-8 text. Same contracts as `zip_entries_df`: oversized members
+    (header-declared — attacker data) keep metadata with NULL text;
+    unparseable payloads contribute no rows; never raises."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    def compute(batches):
+        for pdf in batches:
+            ids, names, sizes, texts = [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    tf = tarfile.open(fileobj=io.BytesIO(bytes(p)))
+                    members = tf.getmembers()
+                except Exception:
+                    continue
+                for info in members:
+                    if not info.isfile():
+                        continue
+                    ids.append(mid)
+                    names.append(info.name)
+                    sizes.append(info.size)
+                    if info.size > max_member_bytes:
+                        texts.append(None)
+                        continue
+                    try:
+                        texts.append(
+                            tf.extractfile(info).read()
+                            .decode("utf-8", "replace")
+                        )
+                    except Exception:
+                        texts.append(None)
+            yield pd.DataFrame({
+                id_col: pd.array(ids, dtype="int64"),
+                "member_name": names,
+                "n_bytes": pd.array(sizes, dtype="Int64"),
+                "text": texts,
+            })
+
+    return df.mapInPandas(
+        compute,
+        schema=f"{id_col} bigint, member_name string, n_bytes bigint, "
+               "text string",
+    )
+
+
+def build_tar(members: list[tuple[str, bytes]], gz: bool = False) -> bytes:
+    """Deterministic in-memory tar (zeroed mtimes/owners; gzip mtime
+    pinned) from (name, bytes) members — the synth twin for
+    `tar_entries_df`."""
+    import gzip
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    return gzip.compress(raw, mtime=0) if gz else raw

@@ -1292,3 +1292,33 @@ def test_flac_roundtrip_lossless(samples):
 
     assert flac_decode(flac_encode_mono16(samples, 16000)) == (
         16000, 1, samples)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_warc_roundtrip_property(data):
+    """Any record list — arbitrary binary payloads (separator bytes
+    included), optional headers — survives build_warc → parse_warc_records
+    exactly, plain and gzipped."""
+    from impc_etl_spark.sources.readers import build_warc, parse_warc_records
+
+    n = data.draw(st.integers(1, 6), label="n")
+    recs = []
+    for k in range(n):
+        recs.append({
+            "type": data.draw(st.sampled_from(
+                ["response", "request", "metadata", "warcinfo"]),
+                label=f"t{k}"),
+            "record_id": f"<urn:test:{k}>",
+            "target_uri": data.draw(st.one_of(
+                st.none(), st.just(f"https://x/{k}")), label=f"u{k}"),
+            "date": "2026-01-01T00:00:00Z",
+            "payload": data.draw(st.binary(max_size=300), label=f"p{k}"),
+        })
+    gz = data.draw(st.booleans(), label="gz")
+    got = parse_warc_records(build_warc(recs, compress=gz))
+    assert got is not None and len(got) == len(recs)
+    for want, have in zip(recs, got):
+        assert have["type"] == want["type"]
+        assert have["target_uri"] == want["target_uri"]
+        assert have["payload"] == want["payload"]

