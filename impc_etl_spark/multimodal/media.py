@@ -257,6 +257,11 @@ def probe_image_header(payload: bytes) -> tuple[str, int, int] | None:
             w = int.from_bytes(payload[6:8], "little")
             h = int.from_bytes(payload[8:10], "little")
             return ("gif", w, h)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            probed = probe_tiff_header(payload)
+            if probed is None:
+                return None
+            return ("tiff", probed[0], probed[1])
         if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             tag = payload[12:16]
             if tag == b"VP8X":  # extended: 24-bit canvas size minus one
@@ -2656,3 +2661,41 @@ def audio_spectrum_features(
             })
 
     return df.mapInPandas(compute, schema=SPECTRUM_SCHEMA)
+
+
+def probe_tiff_header(payload: bytes) -> tuple[int, int, int] | None:
+    """(width, height, n_ifd_entries) from a TIFF header — both byte
+    orders ('II'/'MM'), first-IFD walk reading ImageWidth (256) and
+    ImageLength (257) from SHORT or LONG entries, per the public TIFF 6.0
+    spec. Header-only; None on anything unrecognized (never raises)."""
+    try:
+        if payload[:4] == b"II*\x00":
+            endian = "little"
+        elif payload[:4] == b"MM\x00*":
+            endian = "big"
+        else:
+            return None
+
+        def num(lo: int, n: int) -> int:
+            return int.from_bytes(payload[lo : lo + n], endian)
+
+        ifd = num(4, 4)
+        count = num(ifd, 2)
+        if count == 0 or count > 4096:
+            return None
+        w = h = None
+        for e in range(count):
+            base = ifd + 2 + 12 * e
+            tag = num(base, 2)
+            typ = num(base + 2, 2)
+            if tag in (256, 257):
+                val = num(base + 8, 2 if typ == 3 else 4)
+                if tag == 256:
+                    w = val
+                else:
+                    h = val
+        if not w or not h:
+            return None
+        return (w, h, count)
+    except Exception:
+        return None

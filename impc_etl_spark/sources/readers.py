@@ -256,13 +256,26 @@ def parse_warc_records(payload: bytes) -> list[dict] | None:
     and the record-per-gzip-member .warc.gz convention. None for
     anything unrecognized (never raises — crawl inputs are hostile);
     individual malformed records end the parse with what was read."""
-    import gzip
-    import io
+    import zlib
 
     try:
         if payload[:2] == b"\x1f\x8b":  # .warc.gz: concatenated members
+            # bounded inflate: a crafted 10 KB gzip can legally expand to
+            # gigabytes; cap at 1024x the compressed size (generous for
+            # real crawl text) and reject beyond instead of materializing
+            cap = 1024 * max(1, len(payload))
             try:
-                payload = gzip.decompress(payload)
+                out = bytearray()
+                data = payload
+                while data:
+                    d = zlib.decompressobj(wbits=31)
+                    out += d.decompress(data, cap + 1 - len(out))
+                    if len(out) > cap:
+                        return None
+                    if d.unconsumed_tail:
+                        return None       # cap reached mid-member
+                    data = d.unused_data  # next concatenated member
+                payload = bytes(out)
             except Exception:
                 return None
         if not payload.startswith(b"WARC/"):

@@ -1273,3 +1273,32 @@ def test_audio_spectrum_features_known_signals(spark):
     assert abs(got[2]["spectral_centroid"] - 1.0) < 1e-3
     assert got[3]["dominant_bin"] is None and got[3]["total_power"] == 0.0
     assert got[9]["total_power"] is None and got[9]["dominant_bin"] is None
+
+
+def test_tiff_probe_both_byte_orders():
+    """TIFF probe: II and MM byte orders, SHORT and LONG dimension
+    entries, integration into probe_image_header, hostile rejects."""
+    import struct
+
+    from impc_etl_spark.multimodal.media import (
+        probe_image_header, probe_tiff_header,
+    )
+
+    def tiff(endian, w, h, typ=3):
+        e = "<" if endian == "II" else ">"
+        hdr = (b"II*\x00" if endian == "II" else b"MM\x00*") \
+            + struct.pack(e + "I", 8)
+        entries = struct.pack(e + "H", 2)
+        for tag, val in ((256, w), (257, h)):
+            if typ == 3:
+                entries += struct.pack(e + "HHIHH", tag, 3, 1, val, 0)
+            else:
+                entries += struct.pack(e + "HHII", tag, 4, 1, val)
+        return hdr + entries + struct.pack(e + "I", 0)
+
+    assert probe_tiff_header(tiff("II", 640, 480)) == (640, 480, 2)
+    assert probe_tiff_header(tiff("MM", 1920, 1080)) == (1920, 1080, 2)
+    assert probe_tiff_header(tiff("MM", 99, 77, typ=4)) == (99, 77, 2)
+    assert probe_image_header(tiff("II", 640, 480)) == ("tiff", 640, 480)
+    assert probe_tiff_header(b"II*\x00") is None
+    assert probe_tiff_header(b"II*\x00" + b"\xff" * 40) is None

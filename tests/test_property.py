@@ -1158,7 +1158,7 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         _avi_container, _flac_streaminfo, decode_gif, decode_ima_wav,
         decode_jpeg, decode_png, decode_wav, demux_avi_frames,
         encode_jpeg_gray, flac_decode, flac_encode_mono16,
-        probe_flac_header, probe_image_header,
+        probe_flac_header, probe_image_header, probe_tiff_header,
         probe_mp3_header, probe_mp4_header, probe_ogg_header,
         probe_wav_header,
     )
@@ -1179,6 +1179,7 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         encode_jpeg_gray(bytes(range(64)), 8, 8),
         flac_encode_mono16([1, -2, 300, -400, 5], 8000),
         b"OggS" + b"\x00" * 30,
+        b"II*\x00\x08\x00\x00\x00" + b"\x00" * 30,
     ]
     base = data.draw(st.one_of(
         st.binary(min_size=0, max_size=200),
@@ -1195,7 +1196,8 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
     for fn in (decode_png, decode_gif, decode_wav, decode_ima_wav,
                probe_image_header, probe_wav_header, probe_mp3_header,
                probe_mp4_header, probe_flac_header, probe_ogg_header,
-               demux_avi_frames, decode_jpeg, flac_decode):
+               demux_avi_frames, decode_jpeg, flac_decode,
+               probe_tiff_header):
         fn(base)            # must not raise; return value unconstrained
 
 

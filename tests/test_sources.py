@@ -765,3 +765,26 @@ def test_tar_entries_paths(spark):
         max_member_bytes=3,
     ).collect()
     assert all(r["text"] is None for r in capped) and len(capped) == 2
+
+
+def test_warc_gzip_bomb_bounded_and_members_concatenate():
+    """A crafted gzip expanding past 1024x its compressed size is
+    rejected fast (decompression bomb), while the legitimate
+    one-gzip-member-per-record .warc.gz convention (concatenated
+    members) still parses."""
+    import gzip
+    import time
+
+    from impc_etl_spark.sources.readers import build_warc, parse_warc_records
+
+    rec = [{"type": "response", "record_id": "<u:1>",
+            "target_uri": "https://x", "date": "2026-01-01T00:00:00Z",
+            "payload": b"abc"}]
+    blob = build_warc(rec, compress=True)
+    got = parse_warc_records(blob + blob)        # two concatenated members
+    assert got is not None and len(got) == 2
+
+    bomb = gzip.compress(b"WARC/1.0\r\n" + b"\x00" * (64 * 1024 * 1024), 9)
+    t0 = time.monotonic()
+    assert parse_warc_records(bomb) is None
+    assert time.monotonic() - t0 < 3
