@@ -43,7 +43,7 @@ def _canon(rows, colnames):
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sel = sys.argv[1] if len(sys.argv) > 1 else "50"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
     from impc_etl_spark.session import get_spark
@@ -55,7 +55,8 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     results = {}
-    names = list(q.QUERIES)[:n]
+    # first-N window (digits) or an explicit comma-separated name list
+    names = list(q.QUERIES)[: int(sel)] if sel.isdigit() else sel.split(",")
     for name in names:
         try:
             sdf = q.QUERIES[name](spark, sf_dir)

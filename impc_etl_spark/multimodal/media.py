@@ -93,7 +93,8 @@ def decode_image(payload: bytes):
         return img.width, img.height, img.tobytes()
     except ImportError:
         decoded = (decode_png(payload) or decode_gif(payload)
-                   or decode_jpeg(payload))
+                   or decode_jpeg(payload) or decode_bmp(payload)
+                   or decode_tiff(payload) or decode_pnm(payload))
         if decoded is not None:
             w, h, _mode, samples = decoded
             return w, h, bytes(samples)
@@ -110,7 +111,7 @@ def decode_audio(payload: bytes):
     (MP3/AAC) genuinely need a decoder library absent here, so they keep
     the honest stub error."""
     decoded = (decode_wav(payload) or decode_ima_wav(payload)
-               or flac_decode(payload))
+               or flac_decode(payload) or decode_aiff(payload))
     if decoded is not None:
         return decoded[0], decoded[2]
     _decode_stub("audio")
@@ -667,7 +668,8 @@ def decode_image_features(df: DataFrame, content_col: str = "content") -> DataFr
                         pass
                 else:
                     decoded = (decode_png(raw) or decode_gif(raw)
-                               or decode_jpeg(raw))
+                               or decode_jpeg(raw) or decode_bmp(raw)
+                               or decode_tiff(raw) or decode_pnm(raw))
                     if decoded is not None:
                         w, h, mode, samples = decoded
                         # decode_png rejects 0×0 images, so samples is
@@ -832,7 +834,7 @@ def decode_audio_features(df: DataFrame, content_col: str = "content") -> DataFr
                 sr = ch = nf = dur = rms = peak = zcr = None
                 raw = bytes(p)
                 decoded = (decode_wav(raw) or decode_ima_wav(raw)
-                           or flac_decode(raw))
+                           or flac_decode(raw) or decode_aiff(raw))
                 if decoded is not None and decoded[2]:
                     sr, ch, samples = decoded
                     nf = len(samples) // ch
@@ -2608,7 +2610,7 @@ def audio_spectrum_features(
             for p in pdf[content_col]:
                 raw = bytes(p)
                 decoded = (decode_wav(raw) or decode_ima_wav(raw)
-                           or flac_decode(raw))
+                           or flac_decode(raw) or decode_aiff(raw))
                 bin_ = cent = power = None
                 if decoded is not None and len(decoded[2]) >= 8:
                     s = decoded[2][:8]
@@ -2699,3 +2701,536 @@ def probe_tiff_header(payload: bytes) -> tuple[int, int, int] | None:
         return (w, h, count)
     except Exception:
         return None
+
+
+def _bmp_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal valid 8-bit paletted BMP (BITMAPINFOHEADER, grayscale
+    identity palette, bottom-up rows, 4-byte row padding) from raw
+    pixel bytes. Pure byte layout per the public BMP format."""
+    import struct
+
+    stride = (width + 3) & ~3
+    pal = bytes(v for i in range(256) for v in (i, i, i, 0))
+    rows = b"".join(
+        pixels[r * width : (r + 1) * width].ljust(stride, b"\x00")
+        for r in range(height - 1, -1, -1)
+    )
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+                       len(rows), 2835, 2835, 256, 0)
+    return hdr + info + pal + rows
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, str, bytearray] | None:
+    """REAL BMP decode (BITMAPINFOHEADER, uncompressed): 24-bit BGR and
+    8-bit paletted images, bottom-up or top-down rows, 4-byte row
+    padding — per the public format. Returns the same (w, h, mode,
+    samples) shape as the other image decoders; None for compressed
+    (RLE) or other depths, and for anything corrupt (never raises)."""
+    import struct
+
+    try:
+        if payload[:2] != b"BM":
+            return None
+        off = int.from_bytes(payload[10:14], "little")
+        hsize = int.from_bytes(payload[14:18], "little")
+        if hsize < 40:
+            return None
+        w, h = struct.unpack("<ii", payload[18:26])
+        planes, bpp = struct.unpack("<HH", payload[26:30])
+        comp = int.from_bytes(payload[30:34], "little")
+        top_down = h < 0
+        h = abs(h)
+        if (planes != 1 or comp != 0 or w <= 0 or h == 0
+                or bpp not in (8, 24)):
+            return None
+        if w * h * 3 > MAX_DECODE_SAMPLES:
+            return None  # header-claimed size: decode bomb
+        stride = (w * (bpp // 8) + 3) & ~3
+        need = off + stride * h
+        if len(payload) < need:
+            return None
+        if bpp == 8:
+            n_colors = int.from_bytes(payload[46:50], "little") or 256
+            pal_lo = 14 + hsize
+            pal = payload[pal_lo : pal_lo + 4 * n_colors]
+            if len(pal) < 4 * n_colors:
+                return None
+            gray = all(
+                pal[4 * i] == pal[4 * i + 1] == pal[4 * i + 2]
+                for i in range(n_colors)
+            )
+        out = bytearray()
+        order = range(h) if top_down else range(h - 1, -1, -1)
+        rows = [b""] * h
+        for file_r, img_r in enumerate(order):
+            rows[img_r] = payload[off + file_r * stride
+                                  : off + file_r * stride + w * (bpp // 8)]
+        if bpp == 24:
+            for row in rows:
+                for x in range(w):
+                    b_, g, r = row[3 * x : 3 * x + 3]
+                    out.extend((r, g, b_))          # BGR file order → RGB
+            return (w, h, "RGB", out)
+        for row in rows:
+            if any(v >= n_colors for v in row):
+                return None
+            if gray:
+                out.extend(pal[4 * v] for v in row)
+            else:
+                for v in row:
+                    out.extend((pal[4 * v + 2], pal[4 * v + 1], pal[4 * v]))
+        return (w, h, "L" if gray else "RGB", out)
+    except Exception:
+        return None
+
+
+def synth_gray_bmp(
+    df: DataFrame,
+    content_col: str = "content",
+    width: int = 4,
+    height: int = 4,
+) -> DataFrame:
+    """Deterministic BMP synthesis: md5-digest pixels through the real
+    paletted writer (bottom-up rows, stride padding) — same oracle-
+    replayable contract as the PNG/GIF/JPEG synths. Narrow map."""
+    n_px = width * height
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                pixels = (digest * (n_px // len(digest) + 1))[:n_px]
+                out.append(_bmp_gray(pixels, width, height))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Real PackBits (TIFF 6.0 §9) RLE encode: runs of >=3 identical
+    bytes become (257-n, byte); literals are chunked at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            j = lit_start
+            while j < i:                      # flush pending literals
+                k = min(128, i - j)
+                out.append(k - 1)
+                out += data[j : j + k]
+                j += k
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    j = lit_start
+    while j < n:
+        k = min(128, n - j)
+        out.append(k - 1)
+        out += data[j : j + k]
+        j += k
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes | None:
+    """PackBits decode with an output bound (RLE is a trivial
+    decompression bomb: 2 input bytes -> 128 output bytes)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:                            # h+1 literal bytes
+            if i + h + 1 > n:
+                return None
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:                          # 257-h repeats of next byte
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op per spec
+        if len(out) > max_out:
+            return None
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, str, bytearray] | None:
+    """REAL TIFF pixel decode per the public TIFF 6.0 spec: both byte
+    orders, first-IFD tag walk with out-of-line value arrays, strip
+    assembly (StripOffsets/StripByteCounts/RowsPerStrip), uncompressed
+    (Compression=1) and PackBits (32773) data, 8-bit grayscale
+    (Photometric 0/1, WhiteIsZero inverted) and RGB (Photometric 2,
+    SamplesPerPixel 3, chunky planar config). Returns the common
+    (w, h, mode, samples) decoder shape; None for tiled/planar/other
+    depths/compressions and anything corrupt (never raises)."""
+    try:
+        if payload[:4] == b"II*\x00":
+            endian = "little"
+        elif payload[:4] == b"MM\x00*":
+            endian = "big"
+        else:
+            return None
+
+        def num(lo: int, nb: int) -> int:
+            if lo + nb > len(payload):
+                raise ValueError("truncated")
+            return int.from_bytes(payload[lo : lo + nb], endian)
+
+        ifd = num(4, 4)
+        count = num(ifd, 2)
+        if count == 0 or count > 4096:
+            return None
+        _SZ = {1: 1, 3: 2, 4: 4}
+        tags: dict[int, list[int]] = {}
+        for e in range(count):
+            base = ifd + 2 + 12 * e
+            tag, typ = num(base, 2), num(base + 2, 2)
+            cnt = num(base + 4, 4)
+            if typ not in _SZ or cnt > 1 << 20:
+                tags[tag] = []                 # present but unreadable type
+                continue
+            sz = _SZ[typ]
+            lo = base + 8 if sz * cnt <= 4 else num(base + 8, 4)
+            tags[tag] = [num(lo + sz * k, sz) for k in range(cnt)]
+
+        if 322 in tags or 323 in tags:         # tiled layout unsupported
+            return None
+        w = (tags.get(256) or [0])[0]
+        h = (tags.get(257) or [0])[0]
+        photo = (tags.get(262) or [None])[0]
+        comp = (tags.get(259) or [1])[0]
+        spp = (tags.get(277) or [1])[0]
+        planar = (tags.get(284) or [1])[0]
+        bits = tags.get(258) or [1]
+        offs = tags.get(273) or []
+        counts = tags.get(279) or []
+        rps = (tags.get(278) or [h])[0] or h
+        if (not w or not h or planar != 1 or comp not in (1, 32773)
+                or any(b != 8 for b in bits) or len(bits) != spp
+                or len(offs) != len(counts) or not offs):
+            return None
+        if photo in (0, 1):
+            if spp != 1:
+                return None
+        elif photo == 2:
+            if spp != 3:
+                return None
+        else:
+            return None
+        if w * h * spp > MAX_DECODE_SAMPLES:
+            return None                        # header-claimed size: bomb
+        if len(offs) != -(-h // rps):          # strip count must cover image
+            return None
+        out = bytearray()
+        for off, clen in zip(offs, counts):
+            strip = payload[off : off + clen]
+            if len(strip) < clen:
+                return None
+            if comp == 32773:
+                dec = _packbits_decode(strip, w * h * spp - len(out))
+                if dec is None:
+                    return None
+                out += dec
+            else:
+                out += strip
+        if len(out) != w * h * spp:
+            return None
+        if photo == 0:                         # WhiteIsZero -> invert
+            out = bytearray(255 - v for v in out)
+        return (w, h, "L" if spp == 1 else "RGB", out)
+    except Exception:
+        return None
+
+
+def _tiff_gray(
+    pixels: bytes, width: int, height: int, *,
+    rows_per_strip: int = 1 << 30, packbits: bool = False,
+    big_endian: bool = False,
+) -> bytes:
+    """Minimal valid grayscale TIFF (single IFD, BlackIsZero, chunky,
+    optional multi-strip + PackBits compression, either byte order) from
+    raw pixel bytes. Pure TIFF 6.0 byte layout."""
+    bo = "big" if big_endian else "little"
+    rps = min(rows_per_strip, height)
+    strips = []
+    for r0 in range(0, height, rps):
+        raw = pixels[r0 * width : min(r0 + rps, height) * width]
+        strips.append(_packbits_encode(raw) if packbits else raw)
+    n_ifd = 9
+    # layout: header(8) | IFD | strip-offset array | strip-count array | data
+    ifd_lo = 8
+    arr_lo = ifd_lo + 2 + 12 * n_ifd + 4
+    need_arrays = len(strips) > 1
+    data_lo = arr_lo + (8 * len(strips) if need_arrays else 0)
+    offs, cur = [], data_lo
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+
+    def ent(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        sz = {3: 2, 4: 4}[typ]
+        inline = val.to_bytes(sz, bo).ljust(4, b"\x00")
+        return (tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+                + cnt.to_bytes(4, bo) + inline)
+
+    if need_arrays:
+        off_ent = ent(273, 4, len(strips), arr_lo)
+        cnt_ent = ent(279, 4, len(strips), arr_lo + 4 * len(strips))
+    else:
+        off_ent = ent(273, 4, 1, offs[0])
+        cnt_ent = ent(279, 4, 1, len(strips[0]))
+    entries = [
+        ent(256, 3, 1, width), ent(257, 3, 1, height),
+        ent(258, 3, 1, 8), ent(259, 3, 1, 32773 if packbits else 1),
+        ent(262, 3, 1, 1), off_ent, ent(277, 3, 1, 1),
+        ent(278, 3, 1, rps), cnt_ent,
+    ]
+    entries.sort(key=lambda e: int.from_bytes(e[:2], bo))  # spec: ascending
+    out = bytearray()
+    out += (b"II*\x00" if not big_endian else b"MM\x00*")
+    out += ifd_lo.to_bytes(4, bo)
+    out += n_ifd.to_bytes(2, bo)
+    for e in entries:
+        out += e
+    out += (0).to_bytes(4, bo)                 # next-IFD pointer
+    if need_arrays:
+        for o in offs:
+            out += o.to_bytes(4, bo)
+        for s in strips:
+            out += len(s).to_bytes(4, bo)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def synth_gray_tiff(
+    df: DataFrame,
+    content_col: str = "content",
+    width: int = 6,
+    height: int = 3,
+) -> DataFrame:
+    """Deterministic TIFF synthesis: md5-digest pixels through the real
+    writer with PackBits compression and 2-row strips, so the decode
+    path exercises RLE decompression and multi-strip assembly on every
+    image — same oracle-replayable contract as the PNG/GIF/BMP synths."""
+    n_px = width * height
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                pixels = (digest * (n_px // len(digest) + 1))[:n_px]
+                out.append(_tiff_gray(pixels, width, height,
+                                      rows_per_strip=2, packbits=True))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+def decode_pnm(payload: bytes) -> tuple[int, int, str, bytearray] | None:
+    """REAL Netpbm decode per the public PGM/PPM specs: P5/P6 binary and
+    P2/P3 ASCII variants, '#' comments anywhere in the header, maxval up
+    to 255 (16-bit maxvals rejected), exactly one whitespace byte
+    between maxval and binary raster. Returns the common (w, h, mode,
+    samples) decoder shape; None for P1/P4 bitmaps, 16-bit data, and
+    anything corrupt (never raises)."""
+    try:
+        magic = payload[:2]
+        if magic not in (b"P2", b"P3", b"P5", b"P6"):
+            return None
+        ascii_ = magic in (b"P2", b"P3")
+        gray = magic in (b"P2", b"P5")
+        i, n = 2, len(payload)
+
+        def token() -> int:
+            nonlocal i
+            while True:
+                while i < n and payload[i : i + 1].isspace():
+                    i += 1
+                if i < n and payload[i] == 0x23:       # '#' comment
+                    while i < n and payload[i] not in (0x0A, 0x0D):
+                        i += 1
+                else:
+                    break
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            if j == i:
+                raise ValueError("bad header token")
+            v = int(payload[i:j])
+            i = j
+            return v
+
+        w, h, maxval = token(), token(), token()
+        spp = 1 if gray else 3
+        if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+            return None
+        need = w * h * spp
+        if need > MAX_DECODE_SAMPLES:
+            return None
+        if ascii_:
+            vals = [token() for _ in range(need)]
+            if any(v > maxval for v in vals):
+                return None
+            out = bytearray(vals)
+        else:
+            if i >= n or not payload[i : i + 1].isspace():
+                return None
+            i += 1                                     # single WS then raster
+            raster = payload[i : i + need]
+            if len(raster) < need or any(v > maxval for v in raster):
+                return None
+            out = bytearray(raster)
+        if maxval != 255:                              # scale to full range
+            out = bytearray((v * 255 + maxval // 2) // maxval for v in out)
+        return (w, h, "L" if gray else "RGB", out)
+    except Exception:
+        return None
+
+
+def _pgm_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal valid binary PGM (P5, maxval 255) from raw pixel bytes."""
+    return b"P5\n%d %d\n255\n" % (width, height) + pixels
+
+
+def synth_gray_pnm(
+    df: DataFrame,
+    content_col: str = "content",
+    width: int = 4,
+    height: int = 5,
+) -> DataFrame:
+    """Deterministic PGM synthesis: md5-digest pixels through the real
+    P5 writer — same oracle-replayable contract as the other synths."""
+    n_px = width * height
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                pixels = (digest * (n_px // len(digest) + 1))[:n_px]
+                out.append(_pgm_gray(pixels, width, height))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+def _f80_to_int(b: bytes) -> int | None:
+    """Decode an 80-bit IEEE 754 extended float (AIFF sample-rate field)
+    to a non-negative integer — sample rates are exact integers, so the
+    mantissa shift is exact; None for negatives/NaN/inf/fractional."""
+    if len(b) != 10:
+        return None
+    sign = b[0] >> 7
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    if sign or exp in (0, 0x7FFF):
+        return None
+    shift = exp - 16383 - 63
+    if shift >= 0:
+        return mant << shift
+    if mant & ((1 << -shift) - 1):
+        return None                            # fractional rate
+    return mant >> -shift
+
+
+def _int_to_f80(v: int) -> bytes:
+    """Encode a positive integer as an 80-bit IEEE extended float."""
+    e = v.bit_length() - 1
+    return ((16383 + e).to_bytes(2, "big")
+            + (v << (63 - e)).to_bytes(8, "big"))
+
+
+def decode_aiff(payload: bytes) -> tuple[int, int, list[int]] | None:
+    """REAL pure-stdlib AIFF decode per the public AIFF-1.3 spec: FORM
+    container walk (even-padded chunks), COMM (channels / frame count /
+    sample size / 80-bit extended-float rate), SSND (offset + blockSize
+    header, big-endian PCM — 16-bit signed, or 8-bit which AIFF defines
+    as SIGNED, unlike WAV's unsigned 8-bit). Returns the same
+    (sample_rate, n_channels, samples) shape as `decode_wav`; None for
+    AIFC/compressed/other depths and anything corrupt (never raises)."""
+    import struct
+
+    try:
+        if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+            return None
+        i, n = 12, len(payload)
+        comm = data = None
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            clen = int.from_bytes(payload[i + 4 : i + 8], "big")
+            body = payload[i + 8 : i + 8 + clen]
+            if cid == b"COMM" and clen >= 18:
+                ch, nf, bits = struct.unpack(">hIh", body[:8])
+                sr = _f80_to_int(body[8:18])
+                comm = (ch, nf, bits, sr)
+            elif cid == b"SSND" and clen >= 8:
+                off, _block = struct.unpack(">II", body[:8])
+                data = body[8 + off :]
+            i += 8 + clen + (clen & 1)         # chunks are word-aligned
+        if comm is None or data is None:
+            return None
+        ch, nf, bits, sr = comm
+        if ch < 1 or not sr or nf * ch > MAX_DECODE_SAMPLES:
+            return None
+        if bits == 16:
+            if len(data) < nf * ch * 2:
+                return None
+            samples = list(struct.unpack(f">{nf * ch}h", data[: nf * ch * 2]))
+        elif bits == 8:
+            if len(data) < nf * ch:
+                return None
+            samples = list(struct.unpack(f"{nf * ch}b", data[: nf * ch]))
+        else:
+            return None
+        return (sr, ch, samples)
+    except Exception:
+        return None
+
+
+def _aiff_pcm16(samples: list[int], sample_rate: int) -> bytes:
+    """Minimal valid mono PCM16 AIFF from signed samples — FORM/COMM/
+    SSND with correct sizes and the real 80-bit extended rate field."""
+    import struct
+
+    data = struct.pack(f">{len(samples)}h", *samples)
+    comm = struct.pack(">hIh", 1, len(samples), 16) + _int_to_f80(sample_rate)
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def synth_aiff(
+    df: DataFrame, content_col: str = "content", sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic AIFF synthesis: each payload becomes a real mono
+    PCM16 AIFF whose 8 frames are the payload's md5 digest read as
+    BIG-endian int16 pairs (the format's native byte order) — the
+    byte-order mirror of `synth_wav`, equally oracle-replayable."""
+    import struct
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                samples = list(struct.unpack(">8h", digest))
+                out.append(_aiff_pcm16(samples, sample_rate))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)

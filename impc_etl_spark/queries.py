@@ -6415,6 +6415,162 @@ def docs_tar_roundtrip(spark, sf_dir):
 
 QUERIES["docs_tar_roundtrip"] = docs_tar_roundtrip
 
+
+def media_bmp_decode(spark, sf_dir):
+    """BMP decode end-to-end: digest pixels through the real paletted
+    writer and back through `decode_bmp`. The 5×3 shape forces the
+    4-byte stride-padding path (a width-4 image would be aligned and
+    skip it) and bottom-up row order is exercised on every image. Exact
+    replay from md5(text), like the PNG/GIF/JPEG twins. Narrow
+    Arrow-batched maps; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_image_features, synth_gray_bmp,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bmps = synth_gray_bmp(attach_binary(docs, "text", "doc_id"),
+                          width=5, height=3)
+    return decode_image_features(bmps).select(
+        "media_id", "width", "height", "img_mode",
+        _rnd("mean_luminance", 6).alias("mean_luminance"),
+    )
+
+
+QUERIES["media_bmp_decode"] = media_bmp_decode
+
+
+def media_tiff_decode(spark, sf_dir):
+    """TIFF decode end-to-end: digest pixels through the real TIFF 6.0
+    writer (PackBits compression, 2-row strips) and back through
+    `decode_tiff`, so every image exercises RLE decompression and
+    multi-strip assembly. Exact replay from md5(text), like the
+    PNG/GIF/JPEG/BMP twins. Narrow Arrow-batched maps; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_image_features, synth_gray_tiff,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tiffs = synth_gray_tiff(attach_binary(docs, "text", "doc_id"),
+                            width=6, height=3)
+    return decode_image_features(tiffs).select(
+        "media_id", "width", "height", "img_mode",
+        _rnd("mean_luminance", 6).alias("mean_luminance"),
+    )
+
+
+QUERIES["media_tiff_decode"] = media_tiff_decode
+
+
+def media_pnm_decode(spark, sf_dir):
+    """Netpbm decode end-to-end: digest pixels through the real binary
+    PGM (P5) writer and back through `decode_pnm`. Exact replay from
+    md5(text), like the other codec twins. Narrow Arrow-batched maps;
+    no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_image_features, synth_gray_pnm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pnms = synth_gray_pnm(attach_binary(docs, "text", "doc_id"),
+                          width=4, height=5)
+    return decode_image_features(pnms).select(
+        "media_id", "width", "height", "img_mode",
+        _rnd("mean_luminance", 6).alias("mean_luminance"),
+    )
+
+
+QUERIES["media_pnm_decode"] = media_pnm_decode
+
+
+def media_aiff_audio(spark, sf_dir):
+    """AIFF decode end-to-end: each payload becomes a real big-endian
+    mono PCM16 AIFF (FORM/COMM/SSND with a genuine 80-bit extended-float
+    rate field) whose 8 frames are the md5 digest read as BIG-endian
+    int16 pairs; `decode_audio_features` recovers the actual samples.
+    The byte-order mirror of `media_audio_features`. Narrow Arrow maps;
+    no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_audio_features, synth_aiff,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    aiffs = synth_aiff(attach_binary(docs, "text", "doc_id"))
+    return decode_audio_features(aiffs).select(
+        "media_id", "sample_rate", "n_channels", "n_frames", "duration_sec",
+        _rnd("rms", 6).alias("rms"), "peak", _rnd("zcr", 6).alias("zcr"),
+    )
+
+
+QUERIES["media_aiff_audio"] = media_aiff_audio
+
+# 8 frames = md5 digest as BIG-endian int16 pairs (vs WAV's little-endian)
+ORACLE["media_aiff_audio"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+s AS (
+  SELECT media_id, j,
+         CAST(concat('0x', substring(hx, 4 * j + 1, 2)) AS INT) * 256
+         + CAST(concat('0x', substring(hx, 4 * j + 3, 2)) AS INT) AS u
+  FROM h CROSS JOIN (SELECT unnest(range(8)) AS j) t),
+sg AS (SELECT media_id, j,
+              CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+       FROM s),
+sl AS (SELECT media_id, v,
+              lead(v) OVER (PARTITION BY media_id ORDER BY j) AS nxt
+       FROM sg)
+SELECT media_id,
+       CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+       CAST(8 AS BIGINT) AS n_frames,
+       CAST(8 AS DOUBLE) / 8000 AS duration_sec,
+       floor(sqrt(avg(CAST(v AS DOUBLE) * v)) * 1000000 + 0.5) / 1000000
+         AS rms,
+       CAST(max(abs(v)) AS INT) AS peak,
+       floor(CAST(sum(CASE WHEN v * nxt < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / 7 * 1000000 + 0.5) / 1000000 AS zcr
+FROM sl GROUP BY media_id
+"""
+
+# 20 pixels = md5 digest bytes tiled (i % 16)
+ORACLE["media_pnm_decode"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+px AS (
+  SELECT media_id,
+         CAST(concat('0x', substring(hx, 2 * (i % 16) + 1, 2)) AS INT) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(20)) AS i) t)
+SELECT media_id,
+       CAST(4 AS INT) AS width, CAST(5 AS INT) AS height,
+       'L' AS img_mode,
+       floor(avg(v) * 1000000 + 0.5) / 1000000 AS mean_luminance
+FROM px GROUP BY media_id
+"""
+
+# 18 pixels = md5 digest bytes tiled (i % 16)
+ORACLE["media_tiff_decode"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+px AS (
+  SELECT media_id,
+         CAST(concat('0x', substring(hx, 2 * (i % 16) + 1, 2)) AS INT) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(18)) AS i) t)
+SELECT media_id,
+       CAST(6 AS INT) AS width, CAST(3 AS INT) AS height,
+       'L' AS img_mode,
+       floor(avg(v) * 1000000 + 0.5) / 1000000 AS mean_luminance
+FROM px GROUP BY media_id
+"""
+
+# 15 pixels = digest bytes 0..14 tiled (15 < 16: first 15 bytes)
+ORACLE["media_bmp_decode"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+px AS (
+  SELECT media_id,
+         CAST(concat('0x', substring(hx, 2 * i + 1, 2)) AS INT) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(15)) AS i) t)
+SELECT media_id,
+       CAST(5 AS INT) AS width, CAST(3 AS INT) AS height,
+       'L' AS img_mode,
+       floor(avg(v) * 1000000 + 0.5) / 1000000 AS mean_luminance
+FROM px GROUP BY media_id
+"""
+
 ORACLE["docs_tar_roundtrip"] = """
 SELECT doc_id, 'doc.txt' AS member_name,
        CAST(strlen(text) AS BIGINT) AS n_bytes, text
@@ -7078,3 +7234,14 @@ _promote("media_jpeg_decode", "orders_status_overlap_hll")
 # Displaced queries remain locally oracle-checked every session.
 _promote("docs_warc_roundtrip", "region_revenue")
 _promote("media_flac_audio", "top_customers_per_nation")
+
+# Session-3 rotation: the two most machinery-heavy new codecs get driver
+# slots — TIFF (PackBits RLE + multi-strip assembly + both byte orders)
+# and AIFF (big-endian PCM + 80-bit extended rate; byte-order mirror of
+# the in-window WAV query). Displaced: segment_status_pivot (A5,
+# r4-green; agg family keeps pricing_summary + quantile sketch) and
+# conditional_predicate_join (J2, r4-green; join family keeps asof,
+# interval, OR-key, array-overlap, semi/anti in-window). BMP/PNM decode
+# stay local-green: same decode_image_features machinery as TIFF.
+_promote("media_tiff_decode", "segment_status_pivot")
+_promote("media_aiff_audio", "conditional_predicate_join")

@@ -1302,3 +1302,170 @@ def test_tiff_probe_both_byte_orders():
     assert probe_image_header(tiff("II", 640, 480)) == ("tiff", 640, 480)
     assert probe_tiff_header(b"II*\x00") is None
     assert probe_tiff_header(b"II*\x00" + b"\xff" * 40) is None
+
+
+def test_bmp_decode_paths():
+    """BMP: paletted roundtrip with stride padding, 24-bit BGR→RGB with
+    bottom-up AND top-down row orders, color palettes, out-of-palette
+    indices rejected, hostile inputs → None."""
+    import struct
+
+    from impc_etl_spark.multimodal.media import _bmp_gray, decode_bmp
+
+    px = bytes(range(5 * 3))
+    assert decode_bmp(_bmp_gray(px, 5, 3)) == (5, 3, "L", bytearray(px))
+
+    def bmp24(w, h, rgb_rows, top_down=False):
+        stride = (w * 3 + 3) & ~3
+        rows = rgb_rows if top_down else rgb_rows[::-1]
+        data = b"".join(
+            b"".join(bytes([b, g, r]) for r, g, b in row).ljust(stride, b"\0")
+            for row in rows
+        )
+        off = 14 + 40
+        hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                           1, 24, 0, len(data), 0, 0, 0, 0)
+        return hdr + info + data
+
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    want = bytearray(v for row in rows for p in row for v in p)
+    for td in (False, True):
+        got = decode_bmp(bmp24(2, 2, rows, top_down=td))
+        assert got == (2, 2, "RGB", want), td
+
+    # color palette → RGB out
+    pal = bytes([10, 20, 30, 0]) + bytes([200, 100, 50, 0]) + bytes(8)
+    stride = 4
+    data = bytes([0, 1, 0, 0])
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 8, 0, len(data),
+                       0, 0, 4, 0)
+    got = decode_bmp(hdr + info + pal + data)
+    assert got == (2, 1, "RGB", bytearray([30, 20, 10, 50, 100, 200]))
+
+    # index beyond declared palette size (biClrUsed=4 → max index 3)
+    bad_data = bytes([0, 4, 0, 0])
+    assert decode_bmp(hdr + info + pal + bad_data) is None
+    assert decode_bmp(b"") is None
+    assert decode_bmp(_bmp_gray(px, 5, 3)[:30]) is None
+
+
+def test_tiff_decode_paths():
+    """TIFF: gray roundtrips over byte order × strip layout × PackBits;
+    WhiteIsZero inversion; RGB chunky; tiled/planar/16-bit rejected;
+    PackBits bomb bounded; hostile inputs → None."""
+    from impc_etl_spark.multimodal.media import (
+        _packbits_decode, _packbits_encode, _tiff_gray, decode_tiff,
+    )
+
+    px = bytes(range(18))
+    for pb in (False, True):
+        for be in (False, True):
+            for rps in (1, 2, 100):
+                t = _tiff_gray(px, 6, 3, rows_per_strip=rps,
+                               packbits=pb, big_endian=be)
+                assert decode_tiff(t) == (6, 3, "L", bytearray(px))
+
+    # WhiteIsZero (photometric 0) inverts; patch the 262 entry value
+    t = bytearray(_tiff_gray(px, 6, 3))
+    i = t.find(bytes([262 & 0xFF, 1]))  # tag 0x0106 little-endian
+    assert i > 0 and t[i + 8] == 1
+    t[i + 8] = 0
+    assert decode_tiff(bytes(t)) == (
+        6, 3, "L", bytearray(255 - v for v in px))
+
+    # PackBits: long-run RLE + literal mix roundtrips; bomb is bounded
+    data = b"\x00" * 300 + b"abc" + b"\xff" * 5
+    assert _packbits_decode(_packbits_encode(data), 10_000) == data
+    assert _packbits_decode(b"\x81A", 128) == b"A" * 128
+    assert _packbits_decode(b"\x81A", 10) is None
+    assert _packbits_decode(b"\x05ab", 100) is None  # truncated literal
+
+    # RGB chunky, hand-built: photometric 2, spp 3, BitsPerSample an
+    # out-of-line 3-SHORT array (6 bytes > the 4-byte inline slot)
+    def ent(tag, typ, cnt, val):
+        sz = {3: 2, 4: 4}[typ]
+        return (tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+                + cnt.to_bytes(4, "little")
+                + val.to_bytes(sz, "little").ljust(4, b"\x00"))
+
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7])  # 2×2 RGB
+    bits_lo = 8 + 2 + 12 * 8 + 4
+    data_lo = bits_lo + 6
+    body = b"".join([
+        ent(256, 3, 1, 2), ent(257, 3, 1, 2), ent(258, 3, 3, bits_lo),
+        ent(259, 3, 1, 1), ent(262, 3, 1, 2), ent(273, 4, 1, data_lo),
+        ent(277, 3, 1, 3), ent(279, 4, 1, len(rgb)),
+    ])
+    t = (b"II*\x00" + (8).to_bytes(4, "little") + (8).to_bytes(2, "little")
+         + body + b"\x00" * 4 + b"\x08\x00" * 3 + rgb)
+    assert decode_tiff(t) == (2, 2, "RGB", bytearray(rgb))
+
+    # RGB with samples-per-pixel 2 (no valid photometric) rejected
+    bad_spp = t.replace(ent(277, 3, 1, 3), ent(277, 3, 1, 2), 1)
+    assert decode_tiff(bad_spp) is None
+
+    # hostile: truncated file, strip overrun, bad magic
+    good = _tiff_gray(px, 6, 3)
+    assert decode_tiff(good[:20]) is None
+    assert decode_tiff(b"II+\x00" + good[4:]) is None
+    assert decode_tiff(good[:-5]) is None  # last strip truncated
+
+
+def test_pnm_decode_paths():
+    """Netpbm: P5 roundtrip; P2/P3 ASCII with comments; P6 binary;
+    maxval scaling; bitmaps/16-bit/truncated/overflow → None."""
+    from impc_etl_spark.multimodal.media import _pgm_gray, decode_pnm
+
+    px = bytes(range(20))
+    assert decode_pnm(_pgm_gray(px, 4, 5)) == (4, 5, "L", bytearray(px))
+
+    p2 = b"P2 # c\n2 2\n# mid\n15\n0 5 10 15\n"
+    assert decode_pnm(p2) == (2, 2, "L", bytearray([0, 85, 170, 255]))
+    p3 = b"P3\n1 2\n255\n1 2 3 4 5 6"
+    assert decode_pnm(p3) == (1, 2, "RGB", bytearray([1, 2, 3, 4, 5, 6]))
+    p6 = b"P6\n2 1\n255\n" + bytes([9, 8, 7, 6, 5, 4])
+    assert decode_pnm(p6) == (2, 1, "RGB", bytearray([9, 8, 7, 6, 5, 4]))
+
+    assert decode_pnm(b"P5\n2 2\n255\nab") is None       # truncated raster
+    assert decode_pnm(b"P4\n2 2\n") is None              # bitmap
+    assert decode_pnm(b"P5\n2 2\n65535\n" + b"a" * 8) is None  # 16-bit
+    assert decode_pnm(b"P2\n1 1\n10\n11") is None        # value > maxval
+    assert decode_pnm(b"P5\n-2 2\n255\n") is None
+    assert decode_pnm(b"") is None
+
+
+def test_aiff_decode_paths():
+    """AIFF: PCM16 roundtrip; 80-bit extended rate field exact for real
+    sample rates; signed 8-bit; odd-chunk padding walk; AIFC and
+    truncated SSND rejected."""
+    import struct
+
+    from impc_etl_spark.multimodal.media import (
+        _aiff_pcm16, _f80_to_int, _int_to_f80, decode_aiff,
+    )
+
+    for sr in (8000, 11025, 22050, 44100, 48000, 96000, 192000, 1):
+        assert _f80_to_int(_int_to_f80(sr)) == sr
+    assert _f80_to_int(b"\x00" * 10) == 0
+    assert _f80_to_int(b"\xff" * 10) is None       # negative/NaN
+    assert _f80_to_int(b"\x00" * 9) is None
+
+    s = [0, 100, -32768, 32767, -1]
+    assert decode_aiff(_aiff_pcm16(s, 44100)) == (44100, 1, s)
+
+    # 8-bit AIFF samples are SIGNED (unlike WAV); odd COMM pad honored
+    comm = struct.pack(">hIh", 1, 3, 8) + _int_to_f80(8000)
+    pad = b"ANNO" + struct.pack(">I", 3) + b"abc\x00"  # odd chunk + pad
+    ssnd = struct.pack(">II", 0, 0) + bytes([0x7F, 0x80, 0xFF])
+    body = (b"AIFF" + pad[:12]  # 3-byte body written with its pad byte
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    payload = b"FORM" + struct.pack(">I", len(body)) + body
+    assert decode_aiff(payload) == (8000, 1, [127, -128, -1])
+
+    assert decode_aiff(b"FORM\x00\x00\x00\x04AIFC") is None
+    assert decode_aiff(_aiff_pcm16(s, 8000)[:-3]) is None
+    assert decode_aiff(b"") is None
