@@ -22,9 +22,8 @@ state machine, `decode_ima_wav` — a real lossy compressed codec),
 nearest-neighbor resize over decoded pixels
 (`_nearest_resize`), and image/WAV/MP3/MP4 header probes — all
 pure-stdlib byte layouts. Only formats that genuinely need a codec
-library absent from this environment (WebP/AVIF and progressive-JPEG
-pixels without PIL; MP3/AAC sample decode) raise the honest ``NotImplementedError``
-stub. Video frame EXTRACTION is real at the container level —
+library absent from this environment (WebP/AVIF pixels without PIL;
+MP3/AAC sample decode) raise the honest ``NotImplementedError`` stub. Video frame EXTRACTION is real at the container level —
 `demux_avi_frames` walks the RIFF/AVI tree to each frame chunk's bytes
 without a codec (frame PIXEL decode would need one); the older
 `sample_frames` digest-based expansion remains as the codec-agnostic
@@ -84,7 +83,7 @@ def decode_image(payload: bytes):
     ``decode_jpeg`` paths — so numeric code over the result behaves
     identically on a heterogeneous cluster where only some workers have
     PIL. Remaining formats without PIL raise the honest stub error
-    (WebP/AVIF and progressive JPEG genuinely need a codec library)."""
+    (WebP/AVIF genuinely need a codec library)."""
     try:
         from PIL import Image  # type: ignore[import-not-found]
         import io
@@ -1731,8 +1730,9 @@ def avi_frame_stats(df: DataFrame, content_col: str = "content",
 # decode with byte unstuffing and restart markers, dequantize + inverse
 # zigzag + separable float IDCT, level shift and clamp; 1-component
 # grayscale and 3-component 4:4:4 YCbCr (BT.601 full-range conversion per
-# T.871). Progressive (SOF2), arithmetic coding, and subsampled chroma
-# return None — honestly unsupported rather than wrong.
+# T.871). Progressive (SOF2) routes to the dedicated Annex G multi-scan
+# path below; arithmetic coding and subsampled chroma return None —
+# honestly unsupported rather than wrong.
 
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -1883,8 +1883,9 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg(payload: bytes):
     """REAL baseline JPEG decode → (width, height, mode, samples) with
     samples the raw channel bytes in scan order ('L' or 'RGB'), or None
-    for anything unsupported (progressive, arithmetic, subsampled
-    chroma, >8-bit) or corrupt — never raises."""
+    for anything unsupported (arithmetic, subsampled chroma, >8-bit)
+    or corrupt — never raises; progressive (SOF2) frames dispatch to
+    the Annex G multi-scan decoder."""
     try:
         d = payload
         if d[:2] != b"\xff\xd8":
@@ -1939,9 +1940,11 @@ def decode_jpeg(payload: bytes):
                         return None  # subsampled chroma: unsupported
                     comps.append((cid, tq))
                 sof = (w, h, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker == 0xC2:     # progressive: dedicated multi-scan path
+                return _decode_jpeg_progressive(d)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None          # non-baseline frame types
+                return None          # other non-baseline frame types
             elif marker == 0xDD:     # DRI
                 dri = int.from_bytes(body[0:2], "big")
             elif marker == 0xDA:     # SOS
@@ -2156,16 +2159,20 @@ def synth_gray_jpeg(
     content_col: str = "content",
     blocks_w: int = 4,
     blocks_h: int = 2,
+    progressive: bool = False,
 ) -> DataFrame:
     """Deterministic JPEG synthesis: a 32×16 grayscale image of eight 8×8
     blocks, block i constant at digest byte i, pushed through the REAL
-    baseline encoder (DCT → quantize → Huffman). Constant blocks make the
-    reconstruction integer-exact — pixel = clamp(2·floor((8(b−128))/16 +
-    0.5) + 128) — so an oracle replays the decoded image from
-    md5(payload) while the decoder still exercises the full marker/
-    Huffman/IDCT machinery. Narrow Arrow-batched map."""
+    encoder (DCT → quantize → Huffman; the baseline single-scan form, or
+    the six-scan progressive form when ``progressive``). Constant blocks
+    make the reconstruction integer-exact — pixel = clamp(2·floor((8(b−
+    128))/16 + 0.5) + 128), identical for both encodings since they carry
+    the same quantized coefficients — so an oracle replays the decoded
+    image from md5(payload) while the decoder still exercises the full
+    marker/Huffman/IDCT machinery. Narrow Arrow-batched map."""
     w = blocks_w * 8
     h = blocks_h * 8
+    enc = encode_jpeg_gray_progressive if progressive else encode_jpeg_gray
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2179,10 +2186,475 @@ def synth_gray_jpeg(
                         for y in range(8):
                             base = (by * 8 + y) * w + bx * 8
                             px[base : base + 8] = bytes([b]) * 8
-                out.append(encode_jpeg_gray(bytes(px), w, h))
+                out.append(enc(bytes(px), w, h))
             yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
 
     return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+# --- real PROGRESSIVE JPEG decode (ITU T.81 Annex G, Huffman) ---------------
+#
+# Progressive frames deliver DCT coefficients across multiple scans:
+# spectral selection (each scan carries a zigzag band [Ss..Se]) and
+# successive approximation (first pass at reduced precision Al, then
+# one-bit refinement passes with Ah = previous Al). Implemented from the
+# public spec: per-component coefficient accumulation, DC first/refine
+# (interleaved allowed), AC first/refine (single-component scans) with
+# EOBn end-of-band run codes and ZRL over zero-HISTORY positions,
+# table redefinition between scans, restart intervals, then one
+# dequantize + IDCT reconstruction over the accumulated coefficients.
+
+
+def _jpeg_ac_first(reader, table, zz, ss, se, al, eobrun) -> int:
+    """One block of an AC first scan (T.81 G.1.2.2): EOBRUN counts
+    blocks (including the current one) whose band is finished."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16              # ZRL
+                continue
+            eobrun = (1 << r) + (reader.bits(r) if r else 0)
+            return eobrun - 1        # covers this block
+        k += r
+        if k > se:
+            raise ValueError("AC index overrun")
+        zz[k] = _extend(reader.bits(s), s) * (1 << al)
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(reader, table, zz, ss, se, al, eobrun) -> int:
+    """One block of an AC refinement scan (T.81 G.1.2.3): newly-nonzero
+    coefficients arrive as (run,1) codes + sign, already-nonzero ones
+    take one correction bit each as the scan passes them, and runs/ZRL
+    count only zero-history positions."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, table)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (reader.bits(r) if r else 0)
+                    break            # remaining positions refined below
+                val = 0              # ZRL: 16 zero-history skips
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement size")
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:               # corrections for the covered block
+            if zz[k] != 0:
+                if reader.bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(d: bytes):
+    """Full progressive decode: multi-scan marker walk accumulating
+    coefficients, then dequantize + IDCT. Same support envelope as the
+    baseline path (8-bit, 1 or 3 components, no subsampling); None for
+    anything else or corrupt — never raises."""
+    try:
+        i = 2
+        qt: dict[int, list[int]] = {}
+        huff_dc: dict[int, dict] = {}
+        huff_ac: dict[int, dict] = {}
+        sof = None
+        dri = 0
+        coefs = None
+        bw = bh = 0
+        while i + 2 <= len(d):
+            if d[i] != 0xFF:
+                return None
+            marker = d[i + 1]
+            if marker == 0xD9:
+                break                # EOI
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(d[i + 2 : i + 4], "big")
+            body = d[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:       # DQT (may appear between scans)
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 0x0F
+                    j += 1
+                    if pq != 0:
+                        return None
+                    qt[tq] = list(body[j : j + 64])
+                    j += 64
+            elif marker == 0xC4:     # DHT (may be redefined between scans)
+                j = 0
+                while j < len(body):
+                    tc, th = body[j] >> 4, body[j] & 0x0F
+                    counts = list(body[j + 1 : j + 17])
+                    n = sum(counts)
+                    syms = list(body[j + 17 : j + 17 + n])
+                    (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(
+                        counts, syms
+                    )
+                    j += 17 + n
+            elif marker == 0xC2:     # SOF2
+                prec = body[0]
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                nc = body[5]
+                if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
+                    return None
+                if w * h * nc > MAX_DECODE_SAMPLES:
+                    return None      # header-claimed size: decode bomb
+                comps = []
+                for k in range(nc):
+                    cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
+                    if hv != 0x11:
+                        return None  # subsampled chroma: unsupported
+                    comps.append((cid, tq))
+                sof = (w, h, comps)
+                bw = (w + 7) // 8
+                bh = (h + 7) // 8
+                coefs = [
+                    [[0] * 64 for _ in range(bw * bh)] for _ in comps
+                ]
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None
+            elif marker == 0xDD:     # DRI
+                dri = int.from_bytes(body[0:2], "big")
+            elif marker == 0xDA:     # SOS: one progressive scan
+                if sof is None:
+                    return None
+                w, h, comps = sof
+                ns = body[0]
+                scomp = []
+                for k in range(ns):
+                    cs, t = body[1 + 2 * k : 3 + 2 * k]
+                    ci = next(
+                        (j for j, (cid, _) in enumerate(comps) if cid == cs),
+                        None,
+                    )
+                    if ci is None:
+                        return None
+                    scomp.append((ci, t >> 4, t & 0x0F))
+                ss = body[1 + 2 * ns]
+                se = body[2 + 2 * ns]
+                a = body[3 + 2 * ns]
+                ah, al = a >> 4, a & 0x0F
+                reader = _JpegBitReader(d, i + 2 + seg_len)
+                eobrun = 0
+                if ss == 0:          # DC scan (interleaved allowed)
+                    if se != 0:
+                        return None
+                    pred = [0] * len(scomp)
+                    for m in range(bw * bh):
+                        if dri and m and m % dri == 0:
+                            reader.align_restart()
+                            pred = [0] * len(scomp)
+                        for si, (ci, td, _ta) in enumerate(scomp):
+                            zz = coefs[ci][m]
+                            if ah == 0:
+                                t = huff_dc.get(td)
+                                if t is None:
+                                    return None
+                                s = _huff_decode(reader, t)
+                                diff = _extend(reader.bits(s), s) if s else 0
+                                pred[si] += diff
+                                zz[0] = pred[si] << al
+                            else:
+                                zz[0] |= reader.bit() << al
+                else:                # AC scan: single component only
+                    if len(scomp) != 1 or se > 63 or ss > se:
+                        return None
+                    ci, _td, ta = scomp[0]
+                    t = huff_ac.get(ta)
+                    if t is None:
+                        return None
+                    step = _jpeg_ac_refine if ah else _jpeg_ac_first
+                    for m in range(bw * bh):
+                        if dri and m and m % dri == 0:
+                            reader.align_restart()
+                            eobrun = 0
+                        eobrun = step(
+                            reader, t, coefs[ci][m], ss, se, al, eobrun
+                        )
+                # skip to the next true marker (RSTs/stuffing pass by)
+                j = reader.i
+                while j + 1 < len(d):
+                    if (d[j] == 0xFF and d[j + 1] != 0x00
+                            and not 0xD0 <= d[j + 1] <= 0xD7):
+                        break
+                    j += 1
+                i = j
+                continue
+            i += 2 + seg_len
+        if sof is None or coefs is None:
+            return None
+        w, h, comps = sof
+        planes = []
+        stride = bw * 8
+        for ci, (_cid, tq) in enumerate(comps):
+            q = qt.get(tq)
+            if q is None:
+                return None
+            plane = bytearray(stride * bh * 8)
+            for bi, zz in enumerate(coefs[ci]):
+                by, bx = divmod(bi, bw)
+                coef = [0.0] * 64
+                for k in range(64):
+                    coef[_JPEG_ZIGZAG[k]] = zz[k] * q[k]
+                px = _idct_2d(coef)
+                for y in range(8):
+                    base = (by * 8 + y) * stride + bx * 8
+                    for x in range(8):
+                        v = int(px[y * 8 + x] + 128.5)
+                        plane[base + x] = (
+                            0 if v < 0 else 255 if v > 255 else v
+                        )
+            planes.append(plane)
+        if len(comps) == 1:
+            out = bytearray(w * h)
+            for y in range(h):
+                out[y * w : (y + 1) * w] = planes[0][
+                    y * stride : y * stride + w
+                ]
+            return (w, h, "L", out)
+        out = bytearray(w * h * 3)
+        for y in range(h):
+            for x in range(w):
+                yy = planes[0][y * stride + x]
+                cb = planes[1][y * stride + x] - 128
+                cr = planes[2][y * stride + x] - 128
+                o = (y * w + x) * 3
+                for oi, val in enumerate((
+                    yy + 1.402 * cr,
+                    yy - 0.344136 * cb - 0.714136 * cr,
+                    yy + 1.772 * cb,
+                )):
+                    v = int(val + 0.5)
+                    out[o + oi] = 0 if v < 0 else 255 if v > 255 else v
+        return (w, h, "RGB", out)
+    except Exception:
+        return None
+
+
+def _tz(v: int, sh: int) -> int:
+    """Point transform for AC coefficients (T.81 A.4): division by 2^sh
+    with truncation toward zero (DC uses plain arithmetic shift)."""
+    return (abs(v) >> sh) if v >= 0 else -(abs(v) >> sh)
+
+
+def encode_jpeg_gray_progressive(
+    pixels: bytes, width: int, height: int
+) -> bytes:
+    """REAL progressive JPEG encoder for grayscale: the same quantized
+    coefficients as `encode_jpeg_gray`, delivered over six scans —
+    DC first (Al=1), two AC spectral bands (1-5, 6-63) at Al=1, then
+    one-bit DC and AC refinement passes down to full precision — with
+    genuine EOBn run accumulation, ZRL-over-zero-history splitting, and
+    deferred correction bits, so a conforming decoder exercises every
+    Annex G path. Losslessly equivalent to the baseline encoding: both
+    decode to identical pixels."""
+    import math
+    import struct
+
+    q = _JPEG_LUM_Q
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            block = []
+            for y in range(8):
+                sy = min(by * 8 + y, height - 1)
+                for x in range(8):
+                    sx = min(bx * 8 + x, width - 1)
+                    block.append(float(pixels[sy * width + sx]) - 128.0)
+            coef = _fdct_2d(block)
+            blocks.append([
+                math.floor(round(coef[_JPEG_ZIGZAG[k]], 6) / q[k] + 0.5)
+                for k in range(64)
+            ])
+
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    ac_syms = ([0x00, 0xF0] + [r << 4 for r in range(1, 15)]
+               + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+    ac_counts = [0] * 16
+    ac_counts[8] = len(ac_syms)
+    dc_code = {s: (i2, 4) for i2, s in enumerate(dc_syms)}
+    ac_code = {s: (i2, 9) for i2, s in enumerate(ac_syms)}
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(ss: int, se: int, ah: int, al: int, data: bytes) -> bytes:
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + data
+
+    def dc_first(al: int) -> bytes:
+        wtr = _JpegBitWriter()
+        pred = 0
+        for zz in blocks:
+            v = zz[0] >> al          # DC point transform: arithmetic shift
+            diff = v - pred
+            pred = v
+            s = _jpeg_category(diff)
+            c, ln = dc_code[s]
+            wtr.put(c, ln)
+            if s:
+                wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        return wtr.flush()
+
+    def dc_refine(al: int) -> bytes:
+        wtr = _JpegBitWriter()
+        for zz in blocks:
+            wtr.put((zz[0] >> al) & 1, 1)
+        return wtr.flush()
+
+    def ac_first(ss: int, se: int, al: int) -> bytes:
+        wtr = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            while eobrun > 0:
+                chunk = min(eobrun, 32767)
+                r = chunk.bit_length() - 1
+                c, ln = ac_code[r << 4]
+                wtr.put(c, ln)
+                if r:
+                    wtr.put(chunk - (1 << r), r)
+                eobrun -= chunk
+
+        for zz in blocks:
+            vals = [_tz(zz[k], al) for k in range(ss, se + 1)]
+            last = max((i2 for i2, v in enumerate(vals) if v), default=-1)
+            if last < 0:
+                eobrun += 1
+                continue
+            flush_eob()
+            run = 0
+            for i2 in range(last + 1):
+                v = vals[i2]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_code[0xF0]
+                    wtr.put(c, ln)
+                    run -= 16
+                s = _jpeg_category(v)
+                c, ln = ac_code[(run << 4) | s]
+                wtr.put(c, ln)
+                wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < se - ss:
+                eobrun += 1          # trailing zeros: defer the EOB
+        flush_eob()
+        return wtr.flush()
+
+    def ac_refine(ss: int, se: int, al: int) -> bytes:
+        wtr = _JpegBitWriter()
+        eobrun = 0
+        pending: list[int] = []      # correction bits for EOB-covered blocks
+
+        def flush_eob() -> None:
+            nonlocal eobrun, pending
+            while eobrun > 0:
+                chunk = min(eobrun, 32767)
+                r = chunk.bit_length() - 1
+                c, ln = ac_code[r << 4]
+                wtr.put(c, ln)
+                if r:
+                    wtr.put(chunk - (1 << r), r)
+                eobrun -= chunk
+            for b in pending:
+                wtr.put(b, 1)
+            pending = []
+
+        for zz in blocks:
+            # 'z' = zero-history zero; ('b', bit) = already-nonzero
+            # correction; ('n', sign) = newly nonzero (|value| == 1)
+            events: list = []
+            for k in range(ss, se + 1):
+                vc = _tz(zz[k], al)
+                vp = _tz(zz[k], al + 1)
+                if vp != 0:
+                    events.append(("b", abs(vc) & 1))
+                elif vc == 0:
+                    events.append("z")
+                else:
+                    events.append(("n", 1 if vc > 0 else 0))
+            if not any(e[0] == "n" for e in events if e != "z"):
+                eobrun += 1          # whole band rides the EOB run
+                pending.extend(e[1] for e in events if e != "z")
+                continue
+            flush_eob()
+            runq: list = []          # events since the last emitted symbol
+            for ev in events:
+                if ev == "z" or ev[0] == "b":
+                    runq.append(ev)
+                    continue
+                nz = sum(1 for e in runq if e == "z")
+                while nz > 15:      # ZRL consumes 16 zero-history slots
+                    c, ln = ac_code[0xF0]
+                    wtr.put(c, ln)
+                    consumed, rest = 0, []
+                    for e in runq:
+                        if consumed >= 16:
+                            rest.append(e)
+                        elif e == "z":
+                            consumed += 1
+                        else:
+                            wtr.put(e[1], 1)
+                        # corrections before the 16th zero ride this ZRL
+                    runq = rest
+                    nz -= 16
+                c, ln = ac_code[(nz << 4) | 1]
+                wtr.put(c, ln)
+                wtr.put(ev[1], 1)    # sign bit
+                for e in runq:
+                    if e != "z":
+                        wtr.put(e[1], 1)
+                runq = []
+            if runq:                 # positions after the last new value
+                eobrun += 1
+                pending.extend(e[1] for e in runq if e != "z")
+        flush_eob()
+        return wtr.flush()
+
+    dqt = seg(0xDB, bytes([0]) + bytes(q))
+    sof = seg(0xC2, bytes([8]) + struct.pack(">HH", height, width)
+              + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_counts[:16]) + bytes(dc_syms)
+              + bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    return (b"\xff\xd8" + dqt + sof + dht
+            + sos(0, 0, 0, 1, dc_first(1))
+            + sos(1, 5, 0, 1, ac_first(1, 5, 1))
+            + sos(6, 63, 0, 1, ac_first(6, 63, 1))
+            + sos(0, 0, 1, 0, dc_refine(0))
+            + sos(1, 5, 1, 0, ac_refine(1, 5, 0))
+            + sos(6, 63, 1, 0, ac_refine(6, 63, 0))
+            + b"\xff\xd9")
 
 
 # --- real FLAC decode (a LOSSLESS COMPRESSED audio codec) --------------------

@@ -6219,6 +6219,32 @@ def media_jpeg_decode(spark, sf_dir):
 QUERIES["media_jpeg_decode"] = media_jpeg_decode
 
 
+def media_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG decode end-to-end (ITU T.81 Annex G): the same
+    constant-block image as `media_jpeg_decode`, but encoded over SIX
+    scans — DC first at reduced precision, two AC spectral-selection
+    bands, then one-bit DC and AC successive-approximation refinement
+    passes with real EOBn run codes — and decoded by the multi-scan
+    coefficient-accumulation path. Progressive and baseline encodings
+    carry identical quantized coefficients, so the same integer-exact
+    oracle replays the pixels from md5(text). Two narrow Arrow-batched
+    mapInPandas stages; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_image_features, synth_gray_jpeg,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    jpegs = synth_gray_jpeg(attach_binary(docs, "text", "doc_id"),
+                            progressive=True)
+    return decode_image_features(jpegs).select(
+        "media_id", "width", "height", "img_mode",
+        _rnd("mean_luminance", 6).alias("mean_luminance"),
+    )
+
+
+QUERIES["media_jpeg_progressive"] = media_jpeg_progressive
+
+
 def media_flac_audio(spark, sf_dir):
     """REAL lossless-compressed-codec decode end-to-end: the payload's
     md5 digest becomes 8 int16 samples, FLAC-encoded FOR REAL (best
@@ -6700,6 +6726,23 @@ FROM sl GROUP BY media_id
 # Eight constant blocks from digest bytes 0..7 (32×16 = 4×2 blocks); each
 # reconstructs to clamp(2*floor((8*(b-128))/16 + 0.5) + 128).
 ORACLE["media_jpeg_decode"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+px AS (
+  SELECT media_id,
+         GREATEST(0, LEAST(255,
+           2 * CAST(floor((8 * (CAST(concat('0x', substring(hx, 2 * i + 1, 2))
+                                    AS INT) - 128)) / 16.0 + 0.5) AS INT)
+           + 128)) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(8)) AS i) t)
+SELECT media_id,
+       CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+       'L' AS img_mode,
+       floor(avg(v) * 1000000 + 0.5) / 1000000 AS mean_luminance
+FROM px GROUP BY media_id
+"""
+
+# identical reconstruction: same quantized coefficients, six-scan delivery
+ORACLE["media_jpeg_progressive"] = """
 WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
 px AS (
   SELECT media_id,
@@ -7245,3 +7288,9 @@ _promote("media_flac_audio", "top_customers_per_nation")
 # stay local-green: same decode_image_features machinery as TIFF.
 _promote("media_tiff_decode", "segment_status_pivot")
 _promote("media_aiff_audio", "conditional_predicate_join")
+
+# Progressive JPEG (Annex G multi-scan) joins its baseline twin in the
+# window — the round's headline codec addition. Displaced:
+# customers_without_orders (J7 semi/anti, r4-green; the join family
+# keeps asof, interval, OR-key, array-overlap in-window).
+_promote("media_jpeg_progressive", "customers_without_orders")

@@ -1469,3 +1469,62 @@ def test_aiff_decode_paths():
     assert decode_aiff(b"FORM\x00\x00\x00\x04AIFC") is None
     assert decode_aiff(_aiff_pcm16(s, 8000)[:-3]) is None
     assert decode_aiff(b"") is None
+
+
+def test_progressive_jpeg_equals_baseline():
+    """Progressive (Annex G) and baseline encodings carry the same
+    quantized coefficients, so they must decode to IDENTICAL pixels —
+    across noise (dense AC, ZRL + refinement runs), gradients, constant
+    blocks (pure EOB-run accumulation), and non-multiple-of-8 sizes."""
+    import random
+
+    from impc_etl_spark.multimodal.media import (
+        decode_jpeg, encode_jpeg_gray, encode_jpeg_gray_progressive,
+    )
+
+    rnd = random.Random(1234)
+    for trial in range(12):
+        w = rnd.choice([8, 16, 24, 31, 17])
+        h = rnd.choice([8, 16, 15, 9])
+        kind = trial % 3
+        if kind == 0:
+            px = bytes(rnd.randrange(256) for _ in range(w * h))
+        elif kind == 1:
+            px = bytes(((x * 7 + y * 3) % 256)
+                       for y in range(h) for x in range(w))
+        else:
+            px = bytes([rnd.randrange(256)]) * (w * h)
+        base = decode_jpeg(encode_jpeg_gray(px, w, h))
+        prog = decode_jpeg(encode_jpeg_gray_progressive(px, w, h))
+        assert prog is not None and prog == base, (trial, w, h)
+
+
+def test_progressive_jpeg_hostile():
+    """Progressive path: header decode-bomb rejected fast, truncated
+    scans and truncated refinement streams → None, scan for an unknown
+    component id → None — never an exception."""
+    import struct
+    import time
+
+    from impc_etl_spark.multimodal.media import (
+        decode_jpeg, encode_jpeg_gray_progressive,
+    )
+
+    good = encode_jpeg_gray_progressive(bytes(range(64)), 8, 8)
+    assert decode_jpeg(good) is not None
+
+    j = bytearray(good)
+    i = j.index(b"\xff\xc2")
+    j[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
+    t0 = time.monotonic()
+    assert decode_jpeg(bytes(j)) is None
+    assert time.monotonic() - t0 < 0.5
+
+    for cut in (20, len(good) // 2, len(good) - 5):
+        got = decode_jpeg(good[:cut])          # truncation never raises
+        assert got is None or isinstance(got, tuple)
+
+    j = bytearray(good)
+    i = j.index(b"\xff\xda")
+    j[i + 5] = 99                 # SOS names a component id not in SOF2
+    assert decode_jpeg(bytes(j)) is None
