@@ -22,8 +22,9 @@ state machine, `decode_ima_wav` — a real lossy compressed codec),
 nearest-neighbor resize over decoded pixels
 (`_nearest_resize`), and image/WAV/MP3/MP4 header probes — all
 pure-stdlib byte layouts. Only formats that genuinely need a codec
-library absent from this environment (WebP/AVIF pixels without PIL;
-MP3/AAC sample decode) raise the honest ``NotImplementedError`` stub. Video frame EXTRACTION is real at the container level —
+library absent from this environment (lossy-VP8 WebP and AVIF pixels
+without PIL; MP3/AAC sample decode) raise the honest
+``NotImplementedError`` stub — WebP LOSSLESS (VP8L) decodes natively. Video frame EXTRACTION is real at the container level —
 `demux_avi_frames` walks the RIFF/AVI tree to each frame chunk's bytes
 without a codec (frame PIXEL decode would need one); the older
 `sample_frames` digest-based expansion remains as the codec-agnostic
@@ -83,7 +84,8 @@ def decode_image(payload: bytes):
     ``decode_jpeg`` paths — so numeric code over the result behaves
     identically on a heterogeneous cluster where only some workers have
     PIL. Remaining formats without PIL raise the honest stub error
-    (WebP/AVIF genuinely need a codec library)."""
+    (lossy-VP8 WebP and AVIF genuinely need a codec library; VP8L
+    lossless WebP decodes natively via ``decode_webp``)."""
     try:
         from PIL import Image  # type: ignore[import-not-found]
         import io
@@ -93,7 +95,8 @@ def decode_image(payload: bytes):
     except ImportError:
         decoded = (decode_png(payload) or decode_gif(payload)
                    or decode_jpeg(payload) or decode_bmp(payload)
-                   or decode_tiff(payload) or decode_pnm(payload))
+                   or decode_tiff(payload) or decode_pnm(payload)
+                   or decode_webp(payload))
         if decoded is not None:
             w, h, _mode, samples = decoded
             return w, h, bytes(samples)
@@ -668,7 +671,8 @@ def decode_image_features(df: DataFrame, content_col: str = "content") -> DataFr
                 else:
                     decoded = (decode_png(raw) or decode_gif(raw)
                                or decode_jpeg(raw) or decode_bmp(raw)
-                               or decode_tiff(raw) or decode_pnm(raw))
+                               or decode_tiff(raw) or decode_pnm(raw)
+                               or decode_webp(raw))
                     if decoded is not None:
                         w, h, mode, samples = decoded
                         # decode_png rejects 0×0 images, so samples is
@@ -2655,6 +2659,695 @@ def encode_jpeg_gray_progressive(
             + sos(1, 5, 1, 0, ac_refine(1, 5, 0))
             + sos(6, 63, 1, 0, ac_refine(6, 63, 0))
             + b"\xff\xd9")
+
+
+# --- real WebP-lossless (VP8L) decode ---------------------------------------
+#
+# Implemented from the public WebP Lossless Bitstream Specification
+# (RFC 9649 / Google's webp-lossless-bitstream-spec): RIFF container to
+# the VP8L chunk, LSB-first bit reading with DEFLATE-style canonical
+# prefix codes (simple 1/2-symbol form and the 19-symbol code-length
+# code with 16/17/18 repeat ops and the max-symbol cap), optional
+# meta-prefix entropy image selecting per-tile code groups, color
+# cache (the 0x1e35a7bd multiplicative hash), LZ77 backward references
+# with the 40-symbol distance alphabet and the 120-entry 2D
+# near-neighbor distance map, and ALL FOUR inverse transforms —
+# predictor (14 modes incl. Select and ClampAddSubtract), cross-color,
+# subtract-green, and color-indexing with sub-byte pixel packing.
+# Lossy VP8 frames genuinely need a full video-intra decoder and keep
+# the honest stub behavior (None).
+
+_VP8L_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                  13, 14, 15]
+
+
+class _Vp8lBitReader:
+    """LSB-first bit reader (RIFF/VP8L convention)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0                 # absolute bit position
+
+    def bit(self) -> int:
+        p = self.pos
+        if p >> 3 >= len(self.data):
+            raise ValueError("VP8L bitstream overrun")
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (p & 7)) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for k in range(n):
+            v |= self.bit() << k
+        return v
+
+
+class _Vp8lCode:
+    """Canonical prefix code: decode bit-by-bit MSB-first (codes are
+    written reversed into the LSB-first stream, so sequential bit reads
+    traverse the canonical code from its most significant bit)."""
+
+    def __init__(self, lengths: list[int]):
+        counts = [0] * 16
+        for ln in lengths:
+            if ln:
+                counts[ln] += 1
+        if sum(counts) == 1:         # degenerate: zero-bit code
+            self.single = lengths.index(1) if 1 in lengths else next(
+                i for i, ln in enumerate(lengths) if ln
+            )
+            self.table = None
+            return
+        self.single = None
+        code = 0
+        table = {}
+        next_code = [0] * 16
+        for ln in range(1, 16):
+            code = (code + counts[ln - 1]) << 1
+            next_code[ln] = code
+        total = 0
+        for sym, ln in enumerate(lengths):
+            if ln:
+                table[(ln, next_code[ln])] = sym
+                next_code[ln] += 1
+                total += 1
+        if total == 0:
+            raise ValueError("empty prefix code")
+        self.table = table
+
+    @classmethod
+    def single_symbol(cls, sym: int) -> "_Vp8lCode":
+        c = cls.__new__(cls)
+        c.single = sym
+        c.table = None
+        return c
+
+    def read(self, br: _Vp8lBitReader) -> int:
+        if self.table is None:
+            return self.single
+        code = 0
+        for ln in range(1, 16):
+            code = (code << 1) | br.bit()
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+
+def _vp8l_read_code(br: _Vp8lBitReader, alphabet: int) -> _Vp8lCode:
+    """One prefix code: simple (1-2 symbols) or code-length coded."""
+    if br.bit():                     # simple code
+        n_sym = br.bit() + 1
+        first_8bit = br.bit()
+        lengths = [0] * alphabet
+        s0 = br.bits(8 if first_8bit else 1)
+        if s0 >= alphabet:
+            raise ValueError("symbol out of range")
+        if n_sym == 2:
+            s1 = br.bits(8)
+            if s1 >= alphabet or s1 == s0:
+                raise ValueError("bad simple code")
+            lengths[s0] = lengths[s1] = 1
+            return _Vp8lCode(lengths)
+        return _Vp8lCode.single_symbol(s0)
+    n_cl = 4 + br.bits(4)
+    cl_lengths = [0] * 19
+    for k in range(n_cl):
+        cl_lengths[_VP8L_CL_ORDER[k]] = br.bits(3)
+    cl_code = _Vp8lCode(cl_lengths)
+    if br.bit():                     # explicit max-symbol cap
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    i = 0
+    while i < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = cl_code.read(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.bits(2)
+            for _ in range(rep):
+                if i >= alphabet:
+                    raise ValueError("repeat overrun")
+                lengths[i] = prev
+                i += 1
+        elif s == 17:
+            i += 3 + br.bits(3)
+        else:
+            i += 11 + br.bits(7)
+        if i > alphabet:
+            raise ValueError("repeat overrun")
+    return _Vp8lCode(lengths)
+
+
+def _vp8l_lz77_value(br: _Vp8lBitReader, prefix: int) -> int:
+    """LZ77 length/distance prefix decoding (spec §4.2.2)."""
+    if prefix < 4:
+        return prefix + 1
+    extra = (prefix - 2) >> 1
+    offset = (2 + (prefix & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _vp8l_distance(code: int, xsize: int) -> int:
+    """Map a distance code to a scan-line distance: codes 1-120 are 2D
+    near-neighbor offsets, the rest are linear minus 120."""
+    if code > 120:
+        return code - 120
+    dx, dy = _VP8L_DIST_MAP[code - 1]
+    return max(1, dy * xsize + dx)
+
+
+# the spec's fixed 120-entry (dx, dy) near-neighbor table (§4.2.2.3),
+# verbatim — the order is normative and not derivable from a metric
+_VP8L_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+assert len(_VP8L_DIST_MAP) == 120
+
+
+def _vp8l_decode_image(br: _Vp8lBitReader, w: int, h: int,
+                       level0: bool) -> tuple[list[int], list]:
+    """Decode one VP8L image stream (spec §5): optional transforms
+    (level 0 only), optional color cache, optional meta-prefix groups,
+    prefix-coded ARGB pixels with LZ77 and cache references. Returns
+    (argb pixels row-major, transforms innermost-last)."""
+    transforms = []
+    xsize = w
+    if level0:
+        while br.bit():
+            ttype = br.bits(2)
+            if any(t[0] == ttype for t in transforms):
+                raise ValueError("duplicate transform")
+            if ttype in (0, 1):      # predictor / cross-color
+                size_bits = br.bits(3) + 2
+                bw = (xsize + (1 << size_bits) - 1) >> size_bits
+                bh = (h + (1 << size_bits) - 1) >> size_bits
+                sub, _ = _vp8l_decode_image(br, bw, bh, False)
+                transforms.append((ttype, size_bits, sub))
+            elif ttype == 2:         # subtract green
+                transforms.append((2, 0, None))
+            else:                    # color indexing
+                n_colors = br.bits(8) + 1
+                pal, _ = _vp8l_decode_image(br, n_colors, 1, False)
+                # palette is delta-coded left-to-right, per channel
+                for i in range(1, n_colors):
+                    pal[i] = (
+                        ((pal[i] & 0xFF00FF00) + (pal[i - 1] & 0xFF00FF00))
+                        & 0xFF00FF00
+                    ) | (
+                        ((pal[i] & 0x00FF00FF) + (pal[i - 1] & 0x00FF00FF))
+                        & 0x00FF00FF
+                    )
+                if n_colors <= 2:
+                    wbits = 3
+                elif n_colors <= 4:
+                    wbits = 2
+                elif n_colors <= 16:
+                    wbits = 1
+                else:
+                    wbits = 0
+                transforms.append((3, wbits, pal))
+                if wbits:
+                    xsize = (xsize + (1 << wbits) - 1) >> wbits
+        if any(t[0] == 3 for t in transforms) and len(transforms) > 1:
+            # color-indexing changes pixel geometry; real encoders use it
+            # alone, and mixed-geometry inversion is ill-defined here
+            raise ValueError("color-index combined with other transforms")
+    cache_bits = br.bits(4) if br.bit() else 0
+    if cache_bits > 11:
+        raise ValueError("bad cache bits")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if level0 and br.bit():          # meta-prefix image
+        meta_bits = br.bits(3) + 2
+        mw = (xsize + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta, _ = _vp8l_decode_image(br, mw, mh, False)
+        n_groups = max((p >> 8) & 0xFFFF for p in meta) + 1
+    groups = []
+    for _ in range(n_groups):
+        green = _vp8l_read_code(br, 256 + 24 + cache_size)
+        red = _vp8l_read_code(br, 256)
+        blue = _vp8l_read_code(br, 256)
+        alpha = _vp8l_read_code(br, 256)
+        dist = _vp8l_read_code(br, 40)
+        groups.append((green, red, blue, alpha, dist))
+    n_px = xsize * h
+    out: list[int] = []
+    cache = [0] * cache_size
+    mw = ((xsize + (1 << meta_bits) - 1) >> meta_bits) if meta else 0
+
+    def cache_insert(argb: int) -> None:
+        if cache_size:
+            cache[((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)] \
+                = argb
+
+    while len(out) < n_px:
+        if meta is not None:
+            x, y = len(out) % xsize, len(out) // xsize
+            mpx = meta[(y >> meta_bits) * mw + (x >> meta_bits)]
+            g_green, g_red, g_blue, g_alpha, g_dist = groups[
+                (mpx >> 8) & 0xFFFF
+            ]
+        else:
+            g_green, g_red, g_blue, g_alpha, g_dist = groups[0]
+        s = g_green.read(br)
+        if s < 256:                  # literal
+            r = g_red.read(br)
+            b = g_blue.read(br)
+            a = g_alpha.read(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out.append(px)
+            cache_insert(px)
+        elif s < 280:                # LZ77 back-reference
+            length = _vp8l_lz77_value(br, s - 256)
+            dist_code = _vp8l_lz77_value(br, g_dist.read(br))
+            dist = _vp8l_distance(dist_code, xsize)
+            if dist > len(out) or len(out) + length > n_px:
+                raise ValueError("bad back-reference")
+            for _ in range(length):
+                px = out[-dist]
+                out.append(px)
+                cache_insert(px)
+        else:                        # color-cache hit
+            idx = s - 280
+            if idx >= cache_size:
+                raise ValueError("cache index out of range")
+            out.append(cache[idx])
+    return out, transforms
+
+
+def _vp8l_apply_inverse(argb: list[int], w: int, h: int,
+                        transforms: list) -> list[int]:
+    """Apply inverse transforms in reverse reading order (spec §6)."""
+    for ttype, bits, data in reversed(transforms):
+        if ttype == 3:               # color indexing (+ unpacking)
+            pal = data
+            if bits:
+                packed_w = (w + (1 << bits) - 1) >> bits
+                per = 1 << bits
+                field = 8 >> bits
+                mask = (1 << field) - 1
+                full = []
+                for y in range(h):
+                    row = []
+                    for px_i in range(packed_w):
+                        v = (argb[y * packed_w + px_i] >> 8) & 0xFF
+                        for k in range(per):
+                            row.append((v >> (k * field)) & mask)
+                    full.extend(row[:w])
+                idxs = full
+            else:
+                idxs = [(p >> 8) & 0xFF for p in argb]
+            argb = [pal[i] if i < len(pal) else 0 for i in idxs]
+        elif ttype == 2:             # add green
+            argb = [
+                (p & 0xFF00FF00)
+                | ((((p >> 16) + (p >> 8)) & 0xFF) << 16)
+                | (((p + (p >> 8)) & 0xFF))
+                for p in argb
+            ]
+        elif ttype == 1:             # inverse cross-color
+            sub = data
+            bw = (w + (1 << bits) - 1) >> bits
+            for y in range(h):
+                for x in range(w):
+                    cpx = sub[(y >> bits) * bw + (x >> bits)]
+                    # multipliers ride the B/G/R channels in that order
+                    g2r = _vp8l_s8(cpx)
+                    g2b = _vp8l_s8(cpx >> 8)
+                    r2b = _vp8l_s8(cpx >> 16)
+                    p = argb[y * w + x]
+                    a = (p >> 24) & 0xFF
+                    r = (p >> 16) & 0xFF
+                    g = (p >> 8) & 0xFF
+                    b = p & 0xFF
+                    r = (r + ((g2r * _vp8l_s8v(g)) >> 5)) & 0xFF
+                    b = (b + ((g2b * _vp8l_s8v(g)) >> 5)) & 0xFF
+                    b = (b + ((r2b * _vp8l_s8v(r)) >> 5)) & 0xFF
+                    argb[y * w + x] = (a << 24) | (r << 16) | (g << 8) | b
+        elif ttype == 0:             # inverse predictor
+            sub = data
+            bw = (w + (1 << bits) - 1) >> bits
+            for y in range(h):
+                for x in range(w):
+                    i = y * w + x
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = argb[i - 1]
+                    elif x == 0:
+                        pred = argb[i - w]
+                    else:
+                        mode = (sub[(y >> bits) * bw + (x >> bits)] >> 8) \
+                            & 0xFF
+                        pred = _vp8l_predict(argb, i, w, x, mode)
+                    argb[i] = _vp8l_add_px(argb[i], pred)
+    return argb
+
+
+def _vp8l_s8(v: int) -> int:
+    v &= 0xFF
+    return v - 256 if v >= 128 else v
+
+
+def _vp8l_s8v(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _vp8l_add_px(p: int, q: int) -> int:
+    return (
+        (((p >> 24) + (q >> 24)) & 0xFF) << 24
+        | ((((p >> 16) + (q >> 16)) & 0xFF) << 16)
+        | ((((p >> 8) + (q >> 8)) & 0xFF) << 8)
+        | (((p + q) & 0xFF))
+    )
+
+
+def _vp8l_avg2(p: int, q: int) -> int:
+    return (
+        ((((p >> 24) & 0xFF) + ((q >> 24) & 0xFF)) >> 1) << 24
+        | ((((p >> 16) & 0xFF) + ((q >> 16) & 0xFF)) >> 1) << 16
+        | ((((p >> 8) & 0xFF) + ((q >> 8) & 0xFF)) >> 1) << 8
+        | ((((p & 0xFF) + (q & 0xFF)) >> 1))
+    )
+
+
+def _vp8l_predict(argb: list[int], i: int, w: int, x: int,
+                  mode: int) -> int:
+    L = argb[i - 1]
+    T = argb[i - w]
+    TL = argb[i - w - 1]
+    # rightmost column: i-w+1 wraps to the current row's first pixel,
+    # already reconstructed — the spec's linear-array addressing rule
+    TR = argb[i - w + 1]
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(L, TR), T)
+    if mode == 6:
+        return _vp8l_avg2(L, TL)
+    if mode == 7:
+        return _vp8l_avg2(L, T)
+    if mode == 8:
+        return _vp8l_avg2(TL, T)
+    if mode == 9:
+        return _vp8l_avg2(T, TR)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+    if mode == 11:                   # Select
+        pr = 0
+        pl = 0
+        for sh in (24, 16, 8, 0):
+            pt = abs(((L >> sh) & 0xFF) - ((TL >> sh) & 0xFF))
+            ql = abs(((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF))
+            pr += pt
+            pl += ql
+        return L if pl < pr else T
+    if mode == 12:                   # ClampAddSubtractFull
+        out = 0
+        for sh in (24, 16, 8, 0):
+            v = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF)
+            out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+        return out
+    if mode == 13:                   # ClampAddSubtractHalf
+        out = 0
+        for sh in (24, 16, 8, 0):
+            ave = (((L >> sh) & 0xFF) + ((T >> sh) & 0xFF)) >> 1
+            d = ave - ((TL >> sh) & 0xFF)
+            v = ave + (d // 2 if d >= 0 else -((-d) // 2))  # trunc toward 0
+            out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+        return out
+    raise ValueError("bad predictor mode")
+
+
+def decode_webp(payload: bytes) -> tuple[int, int, str, bytearray] | None:
+    """REAL WebP-LOSSLESS decode per the public VP8L bitstream spec:
+    RIFF walk to the VP8L chunk, then the full format — canonical
+    prefix codes (simple + code-length-coded), meta-prefix groups,
+    color cache, LZ77 with the 2D distance map, and all four inverse
+    transforms. Returns the common (w, h, mode, samples) decoder shape
+    ('L' when gray+opaque collapses, 'RGB' when opaque, 'RGBA'
+    otherwise); None for lossy VP8/VP8X-animation payloads (these
+    genuinely need a video-intra codec) and for anything corrupt —
+    never raises."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+            return None
+        i, n = 12, len(payload)
+        chunk = None
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if cid == b"VP8L":
+                chunk = payload[i + 8 : i + 8 + clen]
+                break
+            i += 8 + clen + (clen & 1)
+        if chunk is None or not chunk or chunk[0] != 0x2F:
+            return None
+        br = _Vp8lBitReader(chunk)
+        br.pos = 8                   # past the signature byte
+        w = br.bits(14) + 1
+        h = br.bits(14) + 1
+        br.bit()                     # alpha-used hint
+        if br.bits(3) != 0:
+            return None              # version must be 0
+        if w * h * 4 > MAX_DECODE_SAMPLES:
+            return None              # header-claimed size: decode bomb
+        argb, transforms = _vp8l_decode_image(br, w, h, True)
+        argb = _vp8l_apply_inverse(argb, w, h, transforms)
+        if len(argb) != w * h:
+            return None
+        opaque = all((p >> 24) & 0xFF == 0xFF for p in argb)
+        gray = opaque and all(
+            ((p >> 16) & 0xFF) == ((p >> 8) & 0xFF) == (p & 0xFF)
+            for p in argb
+        )
+        if gray:
+            return (w, h, "L", bytearray((p >> 8) & 0xFF for p in argb))
+        out = bytearray()
+        if opaque:
+            for p in argb:
+                out.extend(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
+            return (w, h, "RGB", out)
+        for p in argb:
+            out.extend(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF,
+                        (p >> 24) & 0xFF))
+        return (w, h, "RGBA", out)
+    except Exception:
+        return None
+
+
+class _Vp8lBitWriter:
+    """LSB-first bit writer (the VP8L stream convention). Prefix-code
+    values are written MSB-first via ``code`` so sequential LSB-first
+    reads traverse the canonical code top-down."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.nbits = 0
+
+    def put(self, v: int, n: int) -> None:
+        for k in range(n):
+            if self.nbits % 8 == 0:
+                self.out.append(0)
+            if (v >> k) & 1:
+                self.out[-1] |= 1 << (self.nbits % 8)
+            self.nbits += 1
+
+    def code(self, c: int, length: int) -> None:
+        for k in range(length - 1, -1, -1):
+            self.put((c >> k) & 1, 1)
+
+
+def _vp8l_canonical(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (DEFLATE rule): {sym: (code, len)}."""
+    counts = [0] * 16
+    for ln in lengths:
+        if ln:
+            counts[ln] += 1
+    next_code = [0] * 16
+    code = 0
+    for ln in range(1, 16):
+        code = (code + counts[ln - 1]) << 1
+        next_code[ln] = code
+    out = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+def _vp8l_huff_lengths(freqs: dict[int, int], alphabet: int) -> list[int]:
+    """Code lengths for the present symbols: true Huffman via pairing,
+    falling back to a balanced fixed-length code if depth exceeds 15."""
+    import heapq
+
+    syms = sorted(freqs)
+    lengths = [0] * alphabet
+    if len(syms) == 1:
+        lengths[syms[0]] = 1
+        return lengths
+    heap = [(f, i, [s]) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    depth = dict.fromkeys(syms, 0)
+    nid = len(heap)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, nid, s1 + s2))
+        nid += 1
+    if max(depth.values()) > 15:
+        flat = (len(syms) - 1).bit_length()
+        for s in syms:
+            lengths[s] = flat
+        return lengths
+    for s, d in depth.items():
+        lengths[s] = d
+    return lengths
+
+
+def _vp8l_write_code(wtr: _Vp8lBitWriter, lengths: list[int]) -> dict:
+    """Emit one prefix code; simple form for 1-2 symbols, else the
+    code-length-coded form (every length a literal — correctness over
+    compactness). Returns the {sym: (code, len)} encode table."""
+    present = [s for s, ln in enumerate(lengths) if ln]
+    if len(present) == 1:
+        wtr.put(1, 1)                # simple
+        wtr.put(0, 1)                # one symbol
+        s0 = present[0]
+        if s0 < 2:
+            wtr.put(0, 1)            # 1-bit first symbol
+            wtr.put(s0, 1)
+        else:
+            wtr.put(1, 1)
+            wtr.put(s0, 8)
+        return {s0: (0, 0)}
+    if len(present) == 2 and all(lengths[s] == 1 for s in present):
+        wtr.put(1, 1)
+        wtr.put(1, 1)                # two symbols
+        wtr.put(1, 1)                # 8-bit first symbol
+        wtr.put(present[0], 8)
+        wtr.put(present[1], 8)
+        return {present[0]: (0, 1), present[1]: (1, 1)}
+    wtr.put(0, 1)                    # normal: code-length coded
+    used = sorted({0} | {ln for ln in lengths if ln})
+    cl_lengths = [0] * 19
+    flat = max(1, (len(used) - 1).bit_length())
+    for u in used:
+        cl_lengths[u] = flat
+    # all 19 entries of the code-length code, in the magic order
+    wtr.put(19 - 4, 4)
+    for sym in _VP8L_CL_ORDER:
+        wtr.put(cl_lengths[sym], 3)
+    cl_table = _vp8l_canonical(cl_lengths)
+    wtr.put(0, 1)                    # no max-symbol cap: all entries coded
+    for ln in lengths:
+        c, cl = cl_table[ln]
+        wtr.code(c, cl)
+    return _vp8l_canonical(lengths)
+
+
+def encode_webp_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """REAL VP8L (WebP-lossless) encoder for grayscale: subtract-green
+    transform (so R and B collapse to single-symbol codes), a genuine
+    Huffman green code emitted through the code-length code, and the
+    RIFF/WEBP container. Lossless: any conforming decoder recovers the
+    input bytes exactly."""
+    import struct
+
+    wtr = _Vp8lBitWriter()
+    wtr.put(0x2F, 8)                 # signature
+    wtr.put(width - 1, 14)
+    wtr.put(height - 1, 14)
+    wtr.put(0, 1)                    # no alpha
+    wtr.put(0, 3)                    # version
+    wtr.put(1, 1)                    # a transform follows
+    wtr.put(2, 2)                    # subtract-green
+    wtr.put(0, 1)                    # no more transforms
+    wtr.put(0, 1)                    # no color cache
+    wtr.put(0, 1)                    # no meta-prefix image
+    freqs: dict[int, int] = {}
+    for v in pixels:
+        freqs[v] = freqs.get(v, 0) + 1
+    green = _vp8l_write_code(wtr, _vp8l_huff_lengths(freqs, 280))
+    for chan_sym in (0, 0, 255):     # red, blue (post-subtract), alpha
+        lengths = [0] * 256
+        lengths[chan_sym] = 1
+        _vp8l_write_code(wtr, lengths)
+    dist_lengths = [0] * 40
+    dist_lengths[0] = 1
+    _vp8l_write_code(wtr, dist_lengths)
+    for v in pixels:
+        c, ln = green[v]
+        wtr.code(c, ln)
+    chunk = bytes(wtr.out)
+    if len(chunk) & 1:
+        padded = chunk + b"\x00"
+    else:
+        padded = chunk
+    body = b"WEBP" + b"VP8L" + struct.pack("<I", len(chunk)) + padded
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_gray_webp(
+    df: DataFrame,
+    content_col: str = "content",
+    width: int = 7,
+    height: int = 3,
+) -> DataFrame:
+    """Deterministic WebP synthesis: md5-digest pixels through the real
+    VP8L encoder (subtract-green + Huffman-coded literals) — same
+    oracle-replayable contract as the other codec synths."""
+    n_px = width * height
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                px = (digest * (n_px // len(digest) + 1))[:n_px]
+                out.append(encode_webp_gray(px, width, height))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)
 
 
 # --- real FLAC decode (a LOSSLESS COMPRESSED audio codec) --------------------

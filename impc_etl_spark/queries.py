@@ -6507,6 +6507,46 @@ def media_pnm_decode(spark, sf_dir):
 
 QUERIES["media_pnm_decode"] = media_pnm_decode
 
+def media_webp_decode(spark, sf_dir):
+    """WebP-LOSSLESS decode end-to-end (public VP8L bitstream spec):
+    digest pixels through the real encoder — subtract-green transform +
+    genuine Huffman green code emitted via the 19-symbol code-length
+    code — then `decode_image_features` walks the RIFF container and
+    runs the full VP8L decoder (canonical prefix codes, inverse
+    subtract-green) back to the exact pixels (lossless). The LZ77 /
+    color-cache / predictor / cross-color / palette / meta-prefix paths
+    are pinned by hand-built-bitstream unit tests. Exact replay from
+    md5(text). Narrow Arrow-batched maps; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_image_features, synth_gray_webp,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    webps = synth_gray_webp(attach_binary(docs, "text", "doc_id"),
+                            width=7, height=3)
+    return decode_image_features(webps).select(
+        "media_id", "width", "height", "img_mode",
+        _rnd("mean_luminance", 6).alias("mean_luminance"),
+    )
+
+
+QUERIES["media_webp_decode"] = media_webp_decode
+
+# 21 pixels = md5 digest bytes tiled (i % 16)
+ORACLE["media_webp_decode"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+px AS (
+  SELECT media_id,
+         CAST(concat('0x', substring(hx, 2 * (i % 16) + 1, 2)) AS INT) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(21)) AS i) t)
+SELECT media_id,
+       CAST(7 AS INT) AS width, CAST(3 AS INT) AS height,
+       'L' AS img_mode,
+       floor(avg(v) * 1000000 + 0.5) / 1000000 AS mean_luminance
+FROM px GROUP BY media_id
+"""
+
+
 
 def media_aiff_audio(spark, sf_dir):
     """AIFF decode end-to-end: each payload becomes a real big-endian
@@ -7294,3 +7334,9 @@ _promote("media_aiff_audio", "conditional_predicate_join")
 # customers_without_orders (J7 semi/anti, r4-green; the join family
 # keeps asof, interval, OR-key, array-overlap in-window).
 _promote("media_jpeg_progressive", "customers_without_orders")
+
+# WebP-lossless: a full from-spec compressed-bitstream decoder — the
+# round's second headline codec. Displaced: docs_url_canonical
+# (r5-promoted but the URL/text family keeps docs_epoch_shuffle +
+# corpus_prepare + pack/bpe in-window and it stays locally green).
+_promote("media_webp_decode", "docs_url_canonical")

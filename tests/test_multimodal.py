@@ -1528,3 +1528,230 @@ def test_progressive_jpeg_hostile():
     i = j.index(b"\xff\xda")
     j[i + 5] = 99                 # SOS names a component id not in SOF2
     assert decode_jpeg(bytes(j)) is None
+
+
+def _vp8l_header(wtr, w, h):
+    wtr.put(0x2F, 8)
+    wtr.put(w - 1, 14)
+    wtr.put(h - 1, 14)
+    wtr.put(0, 1)
+    wtr.put(0, 3)
+
+
+def _vp8l_wrap(wtr):
+    import struct
+
+    chunk = bytes(wtr.out)
+    padded = chunk + (b"\x00" if len(chunk) & 1 else b"")
+    body = b"WEBP" + b"VP8L" + struct.pack("<I", len(chunk)) + padded
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _vp8l_codes(wtr, green_syms, red_syms, blue_syms, alpha_syms,
+                dist_syms, cache_size=0):
+    """Emit the 5-code group; returns encode tables per channel."""
+    from impc_etl_spark.multimodal.media import (
+        _vp8l_huff_lengths, _vp8l_write_code,
+    )
+
+    tables = []
+    for syms, alphabet in ((green_syms, 280 + cache_size), (red_syms, 256),
+                           (blue_syms, 256), (alpha_syms, 256),
+                           (dist_syms, 40)):
+        freqs = {s: 1 for s in syms}
+        tables.append(_vp8l_write_code(wtr, _vp8l_huff_lengths(freqs, alphabet)))
+    return tables
+
+
+def test_webp_lossless_roundtrip():
+    """VP8L: encoder→decoder roundtrip over noise/constant/gradient and
+    awkward sizes (exercises subtract-green + Huffman literals)."""
+    import random
+
+    from impc_etl_spark.multimodal.media import decode_webp, encode_webp_gray
+
+    rnd = random.Random(99)
+    for w, h in ((1, 1), (7, 3), (16, 9), (33, 2)):
+        for px in (
+            bytes(rnd.randrange(256) for _ in range(w * h)),
+            bytes([77]) * (w * h),
+            bytes((x * 11 + 40) % 256 for x in range(w * h)),
+        ):
+            assert decode_webp(encode_webp_gray(px, w, h)) == \
+                (w, h, "L", bytearray(px))
+
+
+def test_webp_palette_and_packing():
+    """Color-indexing transform with 2 colors → 8-pixels-per-byte
+    packing, delta-coded palette."""
+    from impc_etl_spark.multimodal.media import _Vp8lBitWriter, decode_webp
+
+    wtr = _Vp8lBitWriter()
+    _vp8l_header(wtr, 8, 1)
+    wtr.put(1, 1)                    # transform present
+    wtr.put(3, 2)                    # color-indexing
+    wtr.put(1, 8)                    # 2 colors
+    # palette image stream (2×1): black then delta-to-white
+    wtr.put(0, 1)                    # no color cache
+    t = _vp8l_codes(wtr, [0x00, 0xFF], [0x00, 0xFF], [0x00, 0xFF],
+                    [0xFF, 0x00], [0])
+    for a, r, g, b in ((0xFF, 0, 0, 0), (0x00, 0xFF, 0xFF, 0xFF)):
+        for table, sym in ((t[0], g), (t[1], r), (t[2], b), (t[3], a)):
+            c, ln = table[sym]
+            wtr.code(c, ln)
+    wtr.put(0, 1)                    # no more transforms
+    # main (packed 1×1) image: indices 1,0,1,0,1,0,1,1 LSB-first
+    wtr.put(0, 1)                    # no cache
+    wtr.put(0, 1)                    # no meta
+    packed = 0b11010101
+    t = _vp8l_codes(wtr, [packed], [0], [0], [0xFF], [0])
+    # all codes are single-symbol → zero data bits needed
+    got = decode_webp(_vp8l_wrap(wtr))
+    assert got == (8, 1, "L", bytearray([255, 0, 255, 0, 255, 0, 255, 255]))
+
+
+def test_webp_lz77_and_cache():
+    """LZ77 back-references (linear distance > 120 and the 2D
+    near-neighbor map) and color-cache hits."""
+    from impc_etl_spark.multimodal.media import _Vp8lBitWriter, decode_webp
+
+    # 2D map: dist code 1 = (0,1) → one row up; copy whole first row
+    wtr = _Vp8lBitWriter()
+    _vp8l_header(wtr, 4, 2)
+    wtr.put(0, 1)                    # no transforms
+    wtr.put(0, 1)                    # no cache
+    wtr.put(0, 1)                    # no meta
+    t = _vp8l_codes(wtr, [10, 20, 30, 40, 259], [10, 20, 30, 40],
+                    [10, 20, 30, 40], [0xFF], [0])
+    for v in (10, 20, 30, 40):
+        for table, sym in ((t[0], v), (t[1], v), (t[2], v), (t[3], 0xFF)):
+            c, ln = table[sym]
+            wtr.code(c, ln)
+    c, ln = t[0][259]                # length prefix 3 → length 4
+    wtr.code(c, ln)
+    c, ln = t[4][0]                  # distance prefix 0 → code 1 → (0,1)
+    wtr.code(c, ln)
+    got = decode_webp(_vp8l_wrap(wtr))
+    assert got == (4, 2, "L", bytearray([10, 20, 30, 40] * 2))
+
+    # linear distance (code 121 → dist 1) + cache hits for both pixels
+    def cache_idx(argb):
+        return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> 28
+
+    iA, iB = cache_idx(0xFF0A0A0A), cache_idx(0xFF141414)
+    assert iA != iB
+    wtr = _Vp8lBitWriter()
+    _vp8l_header(wtr, 6, 1)
+    wtr.put(0, 1)                    # no transforms
+    wtr.put(1, 1)                    # color cache
+    wtr.put(4, 4)                    # 16 entries
+    wtr.put(0, 1)                    # no meta
+    t = _vp8l_codes(wtr, [10, 20, 257, 280 + iA, 280 + iB],
+                    [10, 20], [10, 20], [0xFF], [13], cache_size=16)
+    for v in (10, 20):
+        for table, sym in ((t[0], v), (t[1], v), (t[2], v), (t[3], 0xFF)):
+            c, ln = table[sym]
+            wtr.code(c, ln)
+    c, ln = t[0][257]                # length prefix 1 → length 2
+    wtr.code(c, ln)
+    c, ln = t[4][13]                 # dist prefix 13 + 5 extra bits
+    wtr.code(c, ln)
+    wtr.put(24, 5)                   # 96 + 24 + 1 = code 121 → dist 1
+    for sym in (280 + iA, 280 + iB):
+        c, ln = t[0][sym]
+        wtr.code(c, ln)
+    got = decode_webp(_vp8l_wrap(wtr))
+    assert got == (6, 1, "L", bytearray([10, 20, 20, 20, 10, 20]))
+
+
+def test_webp_predictor_and_cross_color():
+    """Inverse predictor transform (mode 2: top) and inverse cross-color
+    (green-to-red multiplier) reconstruct exactly."""
+    from impc_etl_spark.multimodal.media import _Vp8lBitWriter, decode_webp
+
+    wtr = _Vp8lBitWriter()
+    _vp8l_header(wtr, 4, 2)
+    wtr.put(1, 1)
+    wtr.put(0, 2)                    # predictor transform
+    wtr.put(0, 3)                    # size_bits = 2 → one 4×4 tile
+    wtr.put(0, 1)                    # tile image: no cache
+    _vp8l_codes(wtr, [2], [0], [0], [0], [0])   # mode 2 (top), 0 bits
+    wtr.put(0, 1)                    # no more transforms
+    wtr.put(0, 1)                    # no cache
+    wtr.put(0, 1)                    # no meta
+    t = _vp8l_codes(wtr, [10, 40], [10, 40], [10, 40], [0], [0])
+    # residuals: row0 all 10 (left chain), row1 all 40 (top pred)
+    for v in (10, 10, 10, 10, 40, 40, 40, 40):
+        for table, sym in ((t[0], v), (t[1], v), (t[2], v), (t[3], 0)):
+            c, ln = table[sym]
+            wtr.code(c, ln)
+    got = decode_webp(_vp8l_wrap(wtr))
+    assert got == (4, 2, "L",
+                   bytearray([10, 20, 30, 40, 50, 60, 70, 80]))
+
+    wtr = _Vp8lBitWriter()
+    _vp8l_header(wtr, 2, 1)
+    wtr.put(1, 1)
+    wtr.put(1, 2)                    # cross-color transform
+    wtr.put(0, 3)                    # size_bits = 2 → one tile
+    wtr.put(0, 1)
+    _vp8l_codes(wtr, [0], [0], [16], [0], [0])  # g2r=16 in blue channel
+    wtr.put(0, 1)
+    wtr.put(0, 1)
+    wtr.put(0, 1)
+    t = _vp8l_codes(wtr, [64, 100], [32, 50], [64, 100], [0xFF], [0])
+    for g, r, b in ((64, 32, 64), (100, 50, 100)):
+        for table, sym in ((t[0], g), (t[1], r), (t[2], b), (t[3], 0xFF)):
+            c, ln = table[sym]
+            wtr.code(c, ln)
+    got = decode_webp(_vp8l_wrap(wtr))
+    assert got == (2, 1, "L", bytearray([64, 100]))
+
+
+def test_webp_meta_prefix_groups():
+    """Meta-prefix image selects different code groups per 4-px tile."""
+    from impc_etl_spark.multimodal.media import _Vp8lBitWriter, decode_webp
+
+    wtr = _Vp8lBitWriter()
+    _vp8l_header(wtr, 8, 1)
+    wtr.put(0, 1)                    # no transforms
+    wtr.put(0, 1)                    # no cache
+    wtr.put(1, 1)                    # meta-prefix image present
+    wtr.put(0, 3)                    # meta bits = 2 → 2 tiles of 4 px
+    wtr.put(0, 1)                    # meta image: no cache
+    mt = _vp8l_codes(wtr, [0, 1], [0], [0], [0], [0])
+    for g in (0, 1):                 # tile 0 → group 0, tile 1 → group 1
+        c, ln = mt[0][g]
+        wtr.code(c, ln)
+    g0 = _vp8l_codes(wtr, [5], [5], [5], [0xFF], [0])
+    g1 = _vp8l_codes(wtr, [9], [9], [9], [0xFF], [0])
+    # every code in both groups is single-symbol → zero data bits
+    del g0, g1
+    got = decode_webp(_vp8l_wrap(wtr))
+    assert got == (8, 1, "L", bytearray([5] * 4 + [9] * 4))
+
+
+def test_webp_hostile():
+    """Corrupt VP8L payloads → None, never an exception; lossy VP8 and
+    decode bombs rejected."""
+    import struct
+    import time
+
+    from impc_etl_spark.multimodal.media import (
+        _Vp8lBitWriter, decode_webp, encode_webp_gray,
+    )
+
+    good = encode_webp_gray(bytes(range(21)), 7, 3)
+    assert decode_webp(good) is not None
+    for cut in (4, 12, 20, len(good) - 2):
+        assert decode_webp(good[:cut]) is None
+    assert decode_webp(b"RIFF\x04\x00\x00\x00WEBP") is None
+    lossy = good.replace(b"VP8L", b"VP8 ")
+    assert decode_webp(lossy) is None
+
+    wtr = _Vp8lBitWriter()
+    _vp8l_header(wtr, 16383, 16383)  # 14-bit max dims: 1 GiB decode bomb
+    t0 = time.monotonic()
+    assert decode_webp(_vp8l_wrap(wtr)) is None
+    assert time.monotonic() - t0 < 0.5
+    del struct
