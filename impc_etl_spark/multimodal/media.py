@@ -76,6 +76,39 @@ def _decode_stub(kind: str):
     )
 
 
+def _decode_any_image(payload: bytes):
+    """THE pure-stdlib image fallback chain — every feature stage must
+    agree on which payloads decode, so this is defined exactly once."""
+    return (decode_png(payload) or decode_gif(payload)
+            or decode_jpeg(payload) or decode_bmp(payload)
+            or decode_tiff(payload) or decode_pnm(payload)
+            or decode_webp(payload))
+
+
+def _decode_any_audio(payload: bytes):
+    """THE audio fallback chain (same single-definition contract)."""
+    return (decode_wav(payload) or decode_ima_wav(payload)
+            or flac_decode(payload) or decode_aiff(payload))
+
+
+def _synth_digest_media(df: DataFrame, content_col: str,
+                        encode, n_px: int) -> DataFrame:
+    """Shared digest-tiling synthesis loop: every DuckDB pixel-replay
+    oracle depends on this exact byte contract (md5 digest tiled to
+    n_px), so it is defined once and parameterized by the encoder."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                pixels = (digest * (n_px // len(digest) + 1))[:n_px]
+                out.append(encode(pixels))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to (width, height, samples) with
     ``samples`` the raw channel bytes in scan order ON EITHER PATH — PIL
@@ -93,10 +126,7 @@ def decode_image(payload: bytes):
         img = Image.open(io.BytesIO(payload))
         return img.width, img.height, img.tobytes()
     except ImportError:
-        decoded = (decode_png(payload) or decode_gif(payload)
-                   or decode_jpeg(payload) or decode_bmp(payload)
-                   or decode_tiff(payload) or decode_pnm(payload)
-                   or decode_webp(payload))
+        decoded = _decode_any_image(payload)
         if decoded is not None:
             w, h, _mode, samples = decoded
             return w, h, bytes(samples)
@@ -112,8 +142,7 @@ def decode_audio(payload: bytes):
     stereo decorrelation, CRC-verified); the remaining compressed codecs
     (MP3/AAC) genuinely need a decoder library absent here, so they keep
     the honest stub error."""
-    decoded = (decode_wav(payload) or decode_ima_wav(payload)
-               or flac_decode(payload) or decode_aiff(payload))
+    decoded = _decode_any_audio(payload)
     if decoded is not None:
         return decoded[0], decoded[2]
     _decode_stub("audio")
@@ -669,10 +698,7 @@ def decode_image_features(df: DataFrame, content_col: str = "content") -> DataFr
                     except Exception:
                         pass
                 else:
-                    decoded = (decode_png(raw) or decode_gif(raw)
-                               or decode_jpeg(raw) or decode_bmp(raw)
-                               or decode_tiff(raw) or decode_pnm(raw)
-                               or decode_webp(raw))
+                    decoded = _decode_any_image(raw)
                     if decoded is not None:
                         w, h, mode, samples = decoded
                         # decode_png rejects 0×0 images, so samples is
@@ -836,8 +862,7 @@ def decode_audio_features(df: DataFrame, content_col: str = "content") -> DataFr
             for p in pdf[content_col]:
                 sr = ch = nf = dur = rms = peak = zcr = None
                 raw = bytes(p)
-                decoded = (decode_wav(raw) or decode_ima_wav(raw)
-                           or flac_decode(raw) or decode_aiff(raw))
+                decoded = _decode_any_audio(raw)
                 if decoded is not None and decoded[2]:
                     sr, ch, samples = decoded
                     nf = len(samples) // ch
@@ -1829,7 +1854,10 @@ class _JpegBitReader:
                 self.i += 1          # stuffed byte
             else:
                 raise ValueError("marker inside entropy data")
-        self.acc = (self.acc << 8) | b
+        # keep only unread bits: an unmasked accumulator grows with the
+        # whole scan and turns every shift into bignum work (quadratic
+        # total cost on megabyte entropy segments)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def bit(self) -> int:
@@ -1882,6 +1910,35 @@ def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
 def _extend(v: int, s: int) -> int:
     """T.81 F.2.2.1 EXTEND: map s extra bits to a signed value."""
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_assemble(planes: list[bytearray], w: int, h: int,
+                   stride: int):
+    """Crop padded component planes to the image and convert — shared by
+    the baseline and progressive paths so the T.871 YCbCr constants and
+    rounding live in exactly one place."""
+    if len(planes) == 1:
+        out = bytearray(w * h)
+        for y in range(h):
+            out[y * w : (y + 1) * w] = planes[0][
+                y * stride : y * stride + w
+            ]
+        return (w, h, "L", out)
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            yy = planes[0][y * stride + x]
+            cb = planes[1][y * stride + x] - 128
+            cr = planes[2][y * stride + x] - 128
+            o = (y * w + x) * 3
+            for oi, val in enumerate((
+                yy + 1.402 * cr,
+                yy - 0.344136 * cb - 0.714136 * cr,
+                yy + 1.772 * cb,
+            )):
+                v = int(val + 0.5)
+                out[o + oi] = 0 if v < 0 else 255 if v > 255 else v
+    return (w, h, "RGB", out)
 
 
 def decode_jpeg(payload: bytes):
@@ -2012,29 +2069,7 @@ def decode_jpeg(payload: bytes):
                                     plane[base + x] = (
                                         0 if v < 0 else 255 if v > 255 else v
                                     )
-                stride = bw * 8
-                if len(comps) == 1:
-                    out = bytearray(w * h)
-                    for y in range(h):
-                        out[y * w : (y + 1) * w] = planes[0][
-                            y * stride : y * stride + w
-                        ]
-                    return (w, h, "L", out)
-                out = bytearray(w * h * 3)
-                for y in range(h):
-                    for x in range(w):
-                        yy = planes[0][y * stride + x]
-                        cb = planes[1][y * stride + x] - 128
-                        cr = planes[2][y * stride + x] - 128
-                        o = (y * w + x) * 3
-                        for oi, val in enumerate((
-                            yy + 1.402 * cr,
-                            yy - 0.344136 * cb - 0.714136 * cr,
-                            yy + 1.772 * cb,
-                        )):
-                            v = int(val + 0.5)
-                            out[o + oi] = 0 if v < 0 else 255 if v > 255 else v
-                return (w, h, "RGB", out)
+                return _jpeg_assemble(planes, w, h, bw * 8)
             i += 2 + seg_len
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
                 i = i - seg_len      # standalone markers have no body
@@ -2274,6 +2309,22 @@ def _jpeg_ac_refine(reader, table, zz, ss, se, al, eobrun) -> int:
     return eobrun
 
 
+_JPEG_ZERO_BLOCK = [0] * 64          # shared read-only pad block
+
+# EOBn ceiling (T.81: r <= 14 -> max run 32767). Module-level so tests
+# can shrink it to exercise the chunk-boundary flush cheaply.
+_JPEG_EOB_RUN_CAP = 32767
+
+
+def _jpeg_blk(blocks: list, m: int) -> list[int]:
+    """Lazily grow a component's coefficient plane to block m: memory
+    tracks blocks actually decoded, not the header-claimed frame size
+    (scans touch blocks strictly in order, so append-on-demand works)."""
+    while len(blocks) <= m:
+        blocks.append([0] * 64)
+    return blocks[m]
+
+
 def _decode_jpeg_progressive(d: bytes):
     """Full progressive decode: multi-scan marker walk accumulating
     coefficients, then dequantize + IDCT. Same support envelope as the
@@ -2337,9 +2388,12 @@ def _decode_jpeg_progressive(d: bytes):
                 sof = (w, h, comps)
                 bw = (w + 7) // 8
                 bh = (h + 7) // 8
-                coefs = [
-                    [[0] * 64 for _ in range(bw * bh)] for _ in comps
-                ]
+                if bw * bh > 8 * len(d):
+                    return None      # every block needs ≥1 bit per scan
+                # grown lazily (see _jpeg_blk): a 17-byte payload whose
+                # SOF2 claims 8192×8192 must not allocate the ~700 MB
+                # coefficient plane before its first scan overruns
+                coefs = [[] for _ in comps]
             elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None
@@ -2375,7 +2429,7 @@ def _decode_jpeg_progressive(d: bytes):
                             reader.align_restart()
                             pred = [0] * len(scomp)
                         for si, (ci, td, _ta) in enumerate(scomp):
-                            zz = coefs[ci][m]
+                            zz = _jpeg_blk(coefs[ci], m)
                             if ah == 0:
                                 t = huff_dc.get(td)
                                 if t is None:
@@ -2399,7 +2453,8 @@ def _decode_jpeg_progressive(d: bytes):
                             reader.align_restart()
                             eobrun = 0
                         eobrun = step(
-                            reader, t, coefs[ci][m], ss, se, al, eobrun
+                            reader, t, _jpeg_blk(coefs[ci], m),
+                            ss, se, al, eobrun
                         )
                 # skip to the next true marker (RSTs/stuffing pass by)
                 j = reader.i
@@ -2421,6 +2476,9 @@ def _decode_jpeg_progressive(d: bytes):
             if q is None:
                 return None
             plane = bytearray(stride * bh * 8)
+            # blocks never reached by any scan decode as all-zero
+            while len(coefs[ci]) < bw * bh:
+                coefs[ci].append(_JPEG_ZERO_BLOCK)
             for bi, zz in enumerate(coefs[ci]):
                 by, bx = divmod(bi, bw)
                 coef = [0.0] * 64
@@ -2435,28 +2493,7 @@ def _decode_jpeg_progressive(d: bytes):
                             0 if v < 0 else 255 if v > 255 else v
                         )
             planes.append(plane)
-        if len(comps) == 1:
-            out = bytearray(w * h)
-            for y in range(h):
-                out[y * w : (y + 1) * w] = planes[0][
-                    y * stride : y * stride + w
-                ]
-            return (w, h, "L", out)
-        out = bytearray(w * h * 3)
-        for y in range(h):
-            for x in range(w):
-                yy = planes[0][y * stride + x]
-                cb = planes[1][y * stride + x] - 128
-                cr = planes[2][y * stride + x] - 128
-                o = (y * w + x) * 3
-                for oi, val in enumerate((
-                    yy + 1.402 * cr,
-                    yy - 0.344136 * cb - 0.714136 * cr,
-                    yy + 1.772 * cb,
-                )):
-                    v = int(val + 0.5)
-                    out[o + oi] = 0 if v < 0 else 255 if v > 255 else v
-        return (w, h, "RGB", out)
+        return _jpeg_assemble(planes, w, h, stride)
     except Exception:
         return None
 
@@ -2541,7 +2578,7 @@ def encode_jpeg_gray_progressive(
         def flush_eob() -> None:
             nonlocal eobrun
             while eobrun > 0:
-                chunk = min(eobrun, 32767)
+                chunk = min(eobrun, _JPEG_EOB_RUN_CAP)
                 r = chunk.bit_length() - 1
                 c, ln = ac_code[r << 4]
                 wtr.put(c, ln)
@@ -2584,7 +2621,7 @@ def encode_jpeg_gray_progressive(
         def flush_eob() -> None:
             nonlocal eobrun, pending
             while eobrun > 0:
-                chunk = min(eobrun, 32767)
+                chunk = min(eobrun, _JPEG_EOB_RUN_CAP)
                 r = chunk.bit_length() - 1
                 c, ln = ac_code[r << 4]
                 wtr.put(c, ln)
@@ -2611,6 +2648,11 @@ def encode_jpeg_gray_progressive(
             if not any(e[0] == "n" for e in events if e != "z"):
                 eobrun += 1          # whole band rides the EOB run
                 pending.extend(e[1] for e in events if e != "z")
+                if eobrun >= _JPEG_EOB_RUN_CAP:
+                    # flush at the EOBn ceiling: a longer run would
+                    # split into chunks whose correction bits must
+                    # interleave per chunk, not trail the last one
+                    flush_eob()
                 continue
             flush_eob()
             runq: list = []          # events since the last emitted symbol
@@ -3213,10 +3255,14 @@ def _vp8l_canonical(lengths: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
-def _vp8l_huff_lengths(freqs: dict[int, int], alphabet: int) -> list[int]:
+def _vp8l_huff_lengths(freqs: dict[int, int], alphabet: int,
+                       max_len: int = 15) -> list[int]:
     """Code lengths for the present symbols: true Huffman via pairing,
-    falling back to a balanced fixed-length code if depth exceeds 15."""
+    then clamped to ``max_len`` and rebalanced to a Kraft sum of
+    exactly 1 — conforming decoders (libwebp) reject under-complete
+    codes, so completeness is part of the interop contract."""
     import heapq
+    from fractions import Fraction
 
     syms = sorted(freqs)
     lengths = [0] * alphabet
@@ -3234,11 +3280,22 @@ def _vp8l_huff_lengths(freqs: dict[int, int], alphabet: int) -> list[int]:
             depth[s] += 1
         heapq.heappush(heap, (f1 + f2, nid, s1 + s2))
         nid += 1
-    if max(depth.values()) > 15:
-        flat = (len(syms) - 1).bit_length()
-        for s in syms:
-            lengths[s] = flat
-        return lengths
+    for s in depth:
+        if depth[s] > max_len:
+            depth[s] = max_len
+    kraft = sum(Fraction(1, 1 << d) for d in depth.values())
+    by_freq = sorted(syms, key=lambda s: (freqs[s], s))
+    while kraft > 1:                 # overfull after clamping: demote
+        s = next(s for s in by_freq if depth[s] < max_len)
+        kraft -= Fraction(1, 1 << (depth[s] + 1))
+        depth[s] += 1
+    while kraft < 1:                 # fill the remaining code space
+        s = max((s for s in syms
+                 if depth[s] > 1
+                 and Fraction(1, 1 << depth[s]) <= 1 - kraft),
+                key=lambda s: (depth[s], -freqs[s]))
+        kraft += Fraction(1, 1 << depth[s])
+        depth[s] -= 1
     for s, d in depth.items():
         lengths[s] = d
     return lengths
@@ -3268,11 +3325,12 @@ def _vp8l_write_code(wtr: _Vp8lBitWriter, lengths: list[int]) -> dict:
         wtr.put(present[1], 8)
         return {present[0]: (0, 1), present[1]: (1, 1)}
     wtr.put(0, 1)                    # normal: code-length coded
-    used = sorted({0} | {ln for ln in lengths if ln})
-    cl_lengths = [0] * 19
-    flat = max(1, (len(used) - 1).bit_length())
-    for u in used:
-        cl_lengths[u] = flat
+    cl_freqs: dict[int, int] = {}
+    for ln in lengths:
+        cl_freqs[ln] = cl_freqs.get(ln, 0) + 1
+    # a complete (Kraft = 1) code-length code — libwebp rejects
+    # under-complete codes; 3-bit length fields cap depths at 7
+    cl_lengths = _vp8l_huff_lengths(cl_freqs, 19, max_len=7)
     # all 19 entries of the code-length code, in the magic order
     wtr.put(19 - 4, 4)
     for sym in _VP8L_CL_ORDER:
@@ -3337,17 +3395,7 @@ def synth_gray_webp(
     VP8L encoder (subtract-green + Huffman-coded literals) — same
     oracle-replayable contract as the other codec synths."""
     n_px = width * height
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for p in pdf[content_col]:
-                digest = hashlib.md5(bytes(p)).digest()
-                px = (digest * (n_px // len(digest) + 1))[:n_px]
-                out.append(encode_webp_gray(px, width, height))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
-
-    return df.mapInPandas(compute, schema=PNG_SCHEMA)
+    return _synth_digest_media(df, content_col, lambda px: encode_webp_gray(px, width, height), n_px)
 
 
 # --- real FLAC decode (a LOSSLESS COMPRESSED audio codec) --------------------
@@ -3774,8 +3822,7 @@ def audio_spectrum_features(
             bins, cents, powers = [], [], []
             for p in pdf[content_col]:
                 raw = bytes(p)
-                decoded = (decode_wav(raw) or decode_ima_wav(raw)
-                           or flac_decode(raw) or decode_aiff(raw))
+                decoded = _decode_any_audio(raw)
                 bin_ = cent = power = None
                 if decoded is not None and len(decoded[2]) >= 8:
                     s = decoded[2][:8]
@@ -3961,17 +4008,7 @@ def synth_gray_bmp(
     paletted writer (bottom-up rows, stride padding) — same oracle-
     replayable contract as the PNG/GIF/JPEG synths. Narrow map."""
     n_px = width * height
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for p in pdf[content_col]:
-                digest = hashlib.md5(bytes(p)).digest()
-                pixels = (digest * (n_px // len(digest) + 1))[:n_px]
-                out.append(_bmp_gray(pixels, width, height))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
-
-    return df.mapInPandas(compute, schema=PNG_SCHEMA)
+    return _synth_digest_media(df, content_col, lambda px: _bmp_gray(px, width, height), n_px)
 
 
 def _packbits_encode(data: bytes) -> bytes:
@@ -4057,13 +4094,21 @@ def decode_tiff(payload: bytes) -> tuple[int, int, str, bytearray] | None:
         if count == 0 or count > 4096:
             return None
         _SZ = {1: 1, 3: 2, 4: 4}
+        # only these tags are ever consulted — materializing value
+        # arrays for arbitrary tags would let a hostile IFD (4096
+        # entries × 2^20 values each) pin a core for minutes; skipped
+        # tags are recorded presence-only. The strip arrays (273/279)
+        # are additionally capped: h strips at most, one per row.
+        _WANTED = {256, 257, 258, 259, 262, 273, 277, 278, 279, 284,
+                   322, 323}
         tags: dict[int, list[int]] = {}
         for e in range(count):
             base = ifd + 2 + 12 * e
             tag, typ = num(base, 2), num(base + 2, 2)
             cnt = num(base + 4, 4)
-            if typ not in _SZ or cnt > 1 << 20:
-                tags[tag] = []                 # present but unreadable type
+            if (tag not in _WANTED or typ not in _SZ
+                    or cnt > (1 << 16)):
+                tags[tag] = []                 # present but not readable
                 continue
             sz = _SZ[typ]
             lo = base + 8 if sz * cnt <= 4 else num(base + 8, 4)
@@ -4190,18 +4235,7 @@ def synth_gray_tiff(
     path exercises RLE decompression and multi-strip assembly on every
     image — same oracle-replayable contract as the PNG/GIF/BMP synths."""
     n_px = width * height
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for p in pdf[content_col]:
-                digest = hashlib.md5(bytes(p)).digest()
-                pixels = (digest * (n_px // len(digest) + 1))[:n_px]
-                out.append(_tiff_gray(pixels, width, height,
-                                      rows_per_strip=2, packbits=True))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
-
-    return df.mapInPandas(compute, schema=PNG_SCHEMA)
+    return _synth_digest_media(df, content_col, lambda px: _tiff_gray(px, width, height, rows_per_strip=2, packbits=True), n_px)
 
 
 def decode_pnm(payload: bytes) -> tuple[int, int, str, bytearray] | None:
@@ -4279,17 +4313,7 @@ def synth_gray_pnm(
     """Deterministic PGM synthesis: md5-digest pixels through the real
     P5 writer — same oracle-replayable contract as the other synths."""
     n_px = width * height
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for p in pdf[content_col]:
-                digest = hashlib.md5(bytes(p)).digest()
-                pixels = (digest * (n_px // len(digest) + 1))[:n_px]
-                out.append(_pgm_gray(pixels, width, height))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
-
-    return df.mapInPandas(compute, schema=PNG_SCHEMA)
+    return _synth_digest_media(df, content_col, lambda px: _pgm_gray(px, width, height), n_px)
 
 
 def _f80_to_int(b: bytes) -> int | None:

@@ -1755,3 +1755,60 @@ def test_webp_hostile():
     assert decode_webp(_vp8l_wrap(wtr)) is None
     assert time.monotonic() - t0 < 0.5
     del struct
+
+
+def test_progressive_eob_chunk_boundary(monkeypatch):
+    """Refinement EOB runs that hit the EOBn ceiling must flush run +
+    correction bits together per chunk — with the cap shrunk to 3, a
+    band of history-only blocks crosses several chunk boundaries and
+    must still round-trip bit-identically."""
+    import impc_etl_spark.multimodal.media as media
+
+    monkeypatch.setattr(media, "_JPEG_EOB_RUN_CAP", 3)
+    # 16 blocks; every block's AC band holds a history coefficient with
+    # an odd low bit (constant 96 alternating rows → strong AC terms)
+    w, h = 32, 32
+    px = bytes((200 if (y // 2) % 2 else 40) for y in range(h) for _ in range(w))
+    base = media.decode_jpeg(media.encode_jpeg_gray(px, w, h))
+    prog = media.decode_jpeg(media.encode_jpeg_gray_progressive(px, w, h))
+    assert prog is not None and prog == base
+
+
+def test_decode_cpu_bombs_bounded():
+    """Hostile payloads must fail in bounded time: a TIFF whose IFD
+    declares huge value arrays for unconsulted tags, a long JPEG entropy
+    segment (the bit-reader accumulator must not grow with the scan),
+    and a tiny SOF2 claiming a maximal frame."""
+    import struct
+    import time
+
+    from impc_etl_spark.multimodal.media import (
+        _JpegBitReader, decode_jpeg, decode_tiff,
+    )
+
+    # IFD with 64 entries, each type BYTE count 2^20 offset 0 — every
+    # read is in-bounds against the 1 MB body, but the tags are junk
+    body = b"\x00" * (1 << 20)
+    n_ent = 64
+    entries = b"".join(
+        struct.pack("<HHII", 40000 + e, 1, 1 << 20, 8)
+        for e in range(n_ent)
+    )
+    tiff = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", n_ent) \
+        + entries + struct.pack("<I", 0) + body
+    t0 = time.monotonic()
+    assert decode_tiff(tiff) is None
+    assert time.monotonic() - t0 < 0.5
+
+    # 80 KB of entropy bits must stream in linear time
+    r = _JpegBitReader(b"\x55" * 80_000, 0)
+    t0 = time.monotonic()
+    for _ in range(80_000 * 8):
+        r.bit()
+    assert time.monotonic() - t0 < 2.0
+
+    sof2 = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes([8])
+            + struct.pack(">HH", 8192, 8192) + bytes([1, 1, 0x11, 0]))
+    t0 = time.monotonic()
+    assert decode_jpeg(sof2) is None
+    assert time.monotonic() - t0 < 0.5
