@@ -6532,6 +6532,91 @@ def media_webp_decode(spark, sf_dir):
 
 QUERIES["media_webp_decode"] = media_webp_decode
 
+def media_mp3_scan(spark, sf_dir):
+    """Codec-free MP3 duration/VBR-bitrate: each payload becomes a real
+    variable-bitrate MPEG-1 Layer-III frame chain (digest-driven frame
+    count, per-frame bitrate index and padding bit), then
+    `mp3_scan_features` walks every frame header — the frame's own
+    declared byte length chains the walk, so VBR statistics are exact
+    without any sample decode (sample decode is the one honestly
+    stubbed piece; duration/bitrate never needed it). Narrow
+    Arrow-batched maps; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, mp3_scan_features, synth_mp3,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mp3s = synth_mp3(attach_binary(docs, "text", "doc_id"))
+    return mp3_scan_features(mp3s).select(
+        "media_id", "n_frames",
+        _rnd("duration_sec", 6).alias("duration_sec"), "bitrate_sum_kbps",
+    )
+
+
+QUERIES["media_mp3_scan"] = media_mp3_scan
+
+def media_adts_scan(spark, sf_dir):
+    """Codec-free AAC/ADTS duration: digest-driven variable-length ADTS
+    frame chains walked via each frame's own 13-bit length field —
+    duration/rate/channels exact without sample decode. Narrow
+    Arrow-batched maps; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        adts_scan_features, attach_binary, synth_adts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    aacs = synth_adts(attach_binary(docs, "text", "doc_id"))
+    return adts_scan_features(aacs).select(
+        "media_id", "n_frames",
+        _rnd("duration_sec", 6).alias("duration_sec"),
+        "sample_rate", "n_channels",
+    )
+
+
+QUERIES["media_adts_scan"] = media_adts_scan
+
+# n = byte0 % 4 + 1; rate = (48000,44100,8000)[byte1 % 3]; ch = byte1 % 2 + 1
+ORACLE["media_adts_scan"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+v AS (SELECT media_id,
+             CAST(concat('0x', substring(hx, 1, 2)) AS INT) % 4 + 1 AS nf,
+             CAST(concat('0x', substring(hx, 3, 2)) AS INT) AS b1
+      FROM h)
+SELECT media_id, CAST(nf AS INT) AS n_frames,
+       floor(nf * 1024.0 / (CASE b1 % 3 WHEN 0 THEN 48000
+                            WHEN 1 THEN 44100 ELSE 8000 END)
+             * 1000000 + 0.5) / 1000000 AS duration_sec,
+       CAST(CASE b1 % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+            ELSE 8000 END AS INT) AS sample_rate,
+       CAST(b1 % 2 + 1 AS INT) AS n_channels
+FROM v
+"""
+
+
+# frame count = digest byte 0 % 5 + 2; frame i bitrate = V1L3 table at
+# (digest byte i % 14 + 1); duration = n·1152/44100 regardless of rate
+ORACLE["media_mp3_scan"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+n AS (SELECT media_id, hx,
+             CAST(concat('0x', substring(hx, 1, 2)) AS INT) % 5 + 2 AS nf
+      FROM h),
+fr AS (
+  SELECT media_id, nf,
+         CAST(concat('0x', substring(hx, 2 * i + 1, 2)) AS INT) % 14 + 1
+           AS idx
+  FROM n CROSS JOIN (SELECT unnest(range(6)) AS i) t WHERE i < nf),
+kb(idx, kbps) AS (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),
+                         (7,96),(8,112),(9,128),(10,160),(11,192),
+                         (12,224),(13,256),(14,320))
+SELECT media_id, CAST(nf AS INT) AS n_frames,
+       floor(nf * 1152.0 / 44100 * 1000000 + 0.5) / 1000000
+         AS duration_sec,
+       CAST(sum(kbps) AS BIGINT) AS bitrate_sum_kbps
+FROM fr JOIN kb USING (idx)
+GROUP BY media_id, nf
+"""
+
+
 # 21 pixels = md5 digest bytes tiled (i % 16)
 ORACLE["media_webp_decode"] = """
 WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),

@@ -1812,3 +1812,28 @@ def test_decode_cpu_bombs_bounded():
     t0 = time.monotonic()
     assert decode_jpeg(sof2) is None
     assert time.monotonic() - t0 < 0.5
+
+
+def test_mp3_adts_frame_walks():
+    """Frame walks: VBR MP3 chains sum per-frame lengths (padding bit
+    honored), truncated tails drop the final frame, junk prefixes are
+    skipped, ADTS parameter changes stop the walk — never raises."""
+    from impc_etl_spark.multimodal.media import (
+        _adts_frame, _mp3_frame, walk_adts_frames, walk_mp3_frames,
+    )
+
+    m = _mp3_frame(9, 0) + _mp3_frame(1, 1) + _mp3_frame(14, 0)
+    assert walk_mp3_frames(m) == (3, 3 * 1152 / 44100, 128 + 32 + 320)
+    assert walk_mp3_frames(m[:-5]) == (2, 2 * 1152 / 44100, 160)
+    assert walk_mp3_frames(b"\x00junk" + m)[0] == 3
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x05" + bytes(5)
+    assert walk_mp3_frames(id3 + m)[0] == 3
+    assert walk_mp3_frames(b"junk") is None
+    assert walk_mp3_frames(b"") is None
+
+    a = _adts_frame(4, 2, 100) + _adts_frame(4, 2, 50)
+    assert walk_adts_frames(a) == (2, 2 * 1024 / 44100, 44100, 2)
+    assert walk_adts_frames(a[:-3]) == (1, 1024 / 44100, 44100, 2)
+    mixed = _adts_frame(4, 2, 10) + _adts_frame(3, 2, 10)
+    assert walk_adts_frames(mixed) == (1, 1024 / 44100, 44100, 2)
+    assert walk_adts_frames(b"\xff\xf1") is None
