@@ -2475,11 +2475,17 @@ def _decode_jpeg_progressive(d: bytes):
             q = qt.get(tq)
             if q is None:
                 return None
-            plane = bytearray(stride * bh * 8)
+            if not coefs[ci]:
+                return None          # a component no scan ever touched
             # blocks never reached by any scan decode as all-zero
             while len(coefs[ci]) < bw * bh:
                 coefs[ci].append(_JPEG_ZERO_BLOCK)
+            plane = bytearray(b"\x80" * (stride * bh * 8))
             for bi, zz in enumerate(coefs[ci]):
+                if not any(zz):
+                    continue         # all-zero block IDCTs to flat 128:
+                                     # skip the O(8^3) work (also the
+                                     # no-scan CPU-bomb vector)
                 by, bx = divmod(bi, bw)
                 coef = [0.0] * 64
                 for k in range(64):
@@ -4102,14 +4108,16 @@ def decode_tiff(payload: bytes) -> tuple[int, int, str, bytearray] | None:
         _WANTED = {256, 257, 258, 259, 262, 273, 277, 278, 279, 284,
                    322, 323}
         tags: dict[int, list[int]] = {}
-        for e in range(count):
-            base = ifd + 2 + 12 * e
+        budget = 1 << 16                       # TOTAL values across the
+        for e in range(count):                 # IFD — duplicate wanted
+            base = ifd + 2 + 12 * e            # tags must not multiply it
             tag, typ = num(base, 2), num(base + 2, 2)
             cnt = num(base + 4, 4)
-            if (tag not in _WANTED or typ not in _SZ
-                    or cnt > (1 << 16)):
-                tags[tag] = []                 # present but not readable
+            if (tag not in _WANTED or tag in tags or typ not in _SZ
+                    or cnt > budget):
+                tags.setdefault(tag, [])       # present but not readable
                 continue
+            budget -= cnt
             sz = _SZ[typ]
             lo = base + 8 if sz * cnt <= 4 else num(base + 8, 4)
             tags[tag] = [num(lo + sz * k, sz) for k in range(cnt)]
@@ -4438,51 +4446,62 @@ _ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
                16000, 12000, 11025, 8000, 7350, None, None, None)
 
 
+def _mp3_frame_at(payload: bytes, i: int) -> tuple[int, int, int] | None:
+    """Parse one Layer-III frame header at offset i: returns
+    (flen, samples_per_frame, sample_rate, kbps), or None if the bytes
+    are not a valid header for a whole frame within the payload."""
+    n = len(payload)
+    if i + 4 > n:
+        return None
+    if not (payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0):
+        return None
+    version = (payload[i + 1] >> 3) & 0x3
+    layer = (payload[i + 1] >> 1) & 0x3
+    if version == 1 or layer != 1:
+        return None
+    br_idx = (payload[i + 2] >> 4) & 0xF
+    sr_idx = (payload[i + 2] >> 2) & 0x3
+    pad = (payload[i + 2] >> 1) & 0x1
+    table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+    if sr_idx == 3 or table[br_idx] is None:
+        return None
+    kbps = table[br_idx]
+    sr = _MP3_RATES[version][sr_idx]
+    if version == 3:
+        flen, spf = (144000 * kbps) // sr + pad, 1152
+    else:
+        flen, spf = (72000 * kbps) // sr + pad, 576
+    if flen < 4 or i + flen > n:
+        return None
+    return (flen, spf, sr, kbps)
+
+
 def walk_mp3_frames(payload: bytes) -> tuple[int, float, int] | None:
     """(n_frames, duration_sec, bitrate_sum_kbps) by walking EVERY
     MPEG-1/2/2.5 Layer-III frame: per-frame byte length is
     144000·kbps/rate (+padding) for MPEG-1 and 72000·kbps/rate for
     MPEG-2/2.5 (576-sample frames), so VBR streams sum exactly. ID3v2
-    prefix skipped; walk stops at the first non-frame byte; None unless
-    at least one whole frame parses. Never raises."""
+    and junk prefixes are scanned past until a WHOLE valid frame parses
+    (a sync-looking byte pair with reserved header fields does not end
+    the search); after the first frame the chain walk stops at the
+    first non-frame byte. None unless at least one frame parses. Never
+    raises."""
     try:
         n = len(payload)
         i = 0
         if payload[:3] == b"ID3" and n >= 10:
             i = 10 + ((payload[6] << 21) | (payload[7] << 14)
                       | (payload[8] << 7) | payload[9])
-        # find the first sync like the probe does (junk prefixes happen)
-        while i + 4 <= n and not (
-            payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0
-        ):
+        while i + 4 <= n and _mp3_frame_at(payload, i) is None:
             i += 1
         frames = 0
         duration = 0.0
         kbps_sum = 0
-        while i + 4 <= n:
-            if not (payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0):
+        while True:
+            got = _mp3_frame_at(payload, i)
+            if got is None:
                 break
-            version = (payload[i + 1] >> 3) & 0x3
-            layer = (payload[i + 1] >> 1) & 0x3
-            if version == 1 or layer != 1:
-                break
-            br_idx = (payload[i + 2] >> 4) & 0xF
-            sr_idx = (payload[i + 2] >> 2) & 0x3
-            pad = (payload[i + 2] >> 1) & 0x1
-            table = (_MP3_BITRATES_V1L3 if version == 3
-                     else _MP3_BITRATES_V2L3)
-            if sr_idx == 3 or table[br_idx] is None:
-                break
-            kbps = table[br_idx]
-            sr = _MP3_RATES[version][sr_idx]
-            if version == 3:
-                flen = (144000 * kbps) // sr + pad
-                spf = 1152
-            else:
-                flen = (72000 * kbps) // sr + pad
-                spf = 576
-            if flen < 4 or i + flen > n:
-                break                # truncated final frame: not counted
+            flen, spf, sr, kbps = got
             frames += 1
             duration += spf / sr
             kbps_sum += kbps
@@ -4494,37 +4513,53 @@ def walk_mp3_frames(payload: bytes) -> tuple[int, float, int] | None:
         return None
 
 
+def _adts_frame_at(payload: bytes, i: int) -> tuple[int, int, int, int] | None:
+    """Parse one ADTS frame header at offset i: (flen, n_blocks, sr, ch)
+    or None unless a whole valid frame fits."""
+    n = len(payload)
+    if i + 7 > n:
+        return None
+    if not (payload[i] == 0xFF and (payload[i + 1] & 0xF6) == 0xF0):
+        return None
+    sr_idx = (payload[i + 2] >> 2) & 0xF
+    sr = _ADTS_RATES[sr_idx]
+    ch = ((payload[i + 2] & 0x1) << 2) | (payload[i + 3] >> 6)
+    flen = (((payload[i + 3] & 0x3) << 11)
+            | (payload[i + 4] << 3) | (payload[i + 5] >> 5))
+    nblocks = (payload[i + 6] & 0x3) + 1
+    if sr is None or ch == 0 or flen < 7 or i + flen > n:
+        return None
+    return (flen, nblocks, sr, ch)
+
+
 def walk_adts_frames(payload: bytes) -> tuple[int, float, int, int] | None:
     """(n_frames, duration_sec, sample_rate, n_channels) by walking
-    ADTS AAC frames: 12-bit sync, then the header's own 13-bit
-    frame-length field (header included), 1024 samples per frame.
-    None unless at least one whole frame parses. Never raises."""
+    ADTS AAC frames via each header's own 13-bit length field. Each
+    ADTS frame carries number_of_raw_data_blocks+1 AAC frames of 1024
+    samples (ISO 13818-7), so duration credits nblocks·1024/rate. Junk
+    prefixes are scanned past until a WHOLE valid frame parses; the
+    walk then stops at the first non-frame byte or mid-stream
+    parameter change. None unless at least one frame parses. Never
+    raises."""
     try:
         n = len(payload)
         i = 0
-        while i + 7 <= n and not (
-            payload[i] == 0xFF and (payload[i + 1] & 0xF6) == 0xF0
-        ):
+        while i + 7 <= n and _adts_frame_at(payload, i) is None:
             i += 1
         frames = 0
         duration = 0.0
         sr = ch = None
-        while i + 7 <= n:
-            if not (payload[i] == 0xFF and (payload[i + 1] & 0xF6) == 0xF0):
+        while True:
+            got = _adts_frame_at(payload, i)
+            if got is None:
                 break
-            sr_idx = (payload[i + 2] >> 2) & 0xF
-            this_sr = _ADTS_RATES[sr_idx]
-            this_ch = ((payload[i + 2] & 0x1) << 2) | (payload[i + 3] >> 6)
-            flen = (((payload[i + 3] & 0x3) << 11)
-                    | (payload[i + 4] << 3) | (payload[i + 5] >> 5))
-            if this_sr is None or this_ch == 0 or flen < 7 or i + flen > n:
-                break
+            flen, nblocks, this_sr, this_ch = got
             if sr is None:
                 sr, ch = this_sr, this_ch
             elif (this_sr, this_ch) != (sr, ch):
                 break                # mid-stream parameter change
             frames += 1
-            duration += 1024 / sr
+            duration += nblocks * 1024 / sr
             i += flen
         if frames == 0:
             return None

@@ -1837,3 +1837,47 @@ def test_mp3_adts_frame_walks():
     mixed = _adts_frame(4, 2, 10) + _adts_frame(3, 2, 10)
     assert walk_adts_frames(mixed) == (1, 1024 / 44100, 44100, 2)
     assert walk_adts_frames(b"\xff\xf1") is None
+
+
+def test_frame_walk_false_sync_and_nblocks():
+    """A sync-looking byte pair with reserved header fields must not end
+    the initial scan (the probe keeps looking; so must the walks), and
+    ADTS frames carrying multiple raw data blocks credit all of them."""
+    from impc_etl_spark.multimodal.media import (
+        _adts_frame, _mp3_frame, decode_tiff, walk_adts_frames,
+        walk_mp3_frames,
+    )
+    import struct
+    import time
+
+    m = _mp3_frame(9, 0) + _mp3_frame(1, 1)
+    assert walk_mp3_frames(b"\xff\xe0\x00\x00" + m) == \
+        (2, 2 * 1152 / 44100, 160)
+    a = _adts_frame(4, 2, 30)
+    assert walk_adts_frames(b"\xff\xf0\x00" + a) == \
+        (1, 1024 / 44100, 44100, 2)
+    a3 = bytearray(a)
+    a3[6] |= 0x2                     # number_of_raw_data_blocks = 2 → 3
+    assert walk_adts_frames(bytes(a3)) == (1, 3 * 1024 / 44100, 44100, 2)
+
+    # duplicate WANTED tags must not multiply the TIFF value budget
+    body = b"\x00" * (1 << 18)
+    entries = b"".join(
+        struct.pack("<HHII", 273, 4, 1 << 16, 8) for _ in range(256)
+    )
+    bomb = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 256)
+            + entries + struct.pack("<I", 0) + body)
+    t0 = time.monotonic()
+    assert decode_tiff(bomb) is None
+    assert time.monotonic() - t0 < 0.5
+
+    # SOF2 with no scans: no fabricated gray image, bounded time
+    from impc_etl_spark.multimodal.media import decode_jpeg
+
+    sof2 = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes([8])
+            + struct.pack(">HH", 2048, 2048) + bytes([1, 1, 0x11, 0]))
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([16] * 64)
+    com = b"\xff\xfe" + struct.pack(">H", 9000) + b"\x00" * 8998
+    t0 = time.monotonic()
+    assert decode_jpeg(sof2[:2] + dqt + sof2[2:] + com + b"\xff\xd9") is None
+    assert time.monotonic() - t0 < 0.5

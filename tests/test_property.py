@@ -1161,6 +1161,10 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         probe_flac_header, probe_image_header, probe_tiff_header,
         probe_mp3_header, probe_mp4_header, probe_ogg_header,
         probe_wav_header,
+        _aiff_pcm16, _bmp_gray, _mp3_frame, _adts_frame, _pgm_gray,
+        _tiff_gray, decode_aiff, decode_bmp, decode_pnm, decode_tiff,
+        decode_webp, encode_jpeg_gray_progressive, encode_webp_gray,
+        walk_adts_frames, walk_mp3_frames,
     )
 
     valid = [
@@ -1180,6 +1184,14 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         flac_encode_mono16([1, -2, 300, -400, 5], 8000),
         b"OggS" + b"\x00" * 30,
         b"II*\x00\x08\x00\x00\x00" + b"\x00" * 30,
+        _bmp_gray(bytes(range(15)), 5, 3),
+        _tiff_gray(bytes(range(18)), 6, 3, rows_per_strip=2, packbits=True),
+        _pgm_gray(bytes(range(20)), 4, 5),
+        _aiff_pcm16([1, -1, 32767, -32768], 8000),
+        encode_jpeg_gray_progressive(bytes(range(64)), 8, 8),
+        encode_webp_gray(bytes(range(21)), 7, 3),
+        _mp3_frame(9, 1) + _mp3_frame(1, 0),
+        _adts_frame(4, 2, 40),
     ]
     base = data.draw(st.one_of(
         st.binary(min_size=0, max_size=200),
@@ -1197,7 +1209,9 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
                probe_image_header, probe_wav_header, probe_mp3_header,
                probe_mp4_header, probe_flac_header, probe_ogg_header,
                demux_avi_frames, decode_jpeg, flac_decode,
-               probe_tiff_header):
+               probe_tiff_header, decode_bmp, decode_tiff, decode_pnm,
+               decode_aiff, decode_webp, walk_mp3_frames,
+               walk_adts_frames):
         fn(base)            # must not raise; return value unconstrained
 
 
@@ -1324,3 +1338,48 @@ def test_warc_roundtrip_property(data):
         assert have["type"] == want["type"]
         assert have["target_uri"] == want["target_uri"]
         assert have["payload"] == want["payload"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_webp_lossless_roundtrip_property(data):
+    """VP8L is lossless: ANY random grayscale image survives the real
+    encode→decode roundtrip bit-exactly (exercises simple codes, true
+    Huffman + Kraft rebalancing, and the subtract-green transform)."""
+    from impc_etl_spark.multimodal.media import decode_webp, encode_webp_gray
+
+    w = data.draw(st.integers(1, 16), label="w")
+    h = data.draw(st.integers(1, 10), label="h")
+    skew = data.draw(st.booleans(), label="skew")
+    if skew:
+        # heavy-tailed histograms drive deep Huffman trees
+        vals = data.draw(st.lists(st.integers(0, 255), min_size=1,
+                                  max_size=4, unique=True), label="vals")
+        px = bytes(
+            data.draw(st.sampled_from(vals + [data.draw(
+                st.integers(0, 255), label=f"r{i}")]), label=f"px{i}")
+            for i in range(w * h)
+        )
+    else:
+        px = bytes(data.draw(st.integers(0, 255), label=f"px{i}")
+                   for i in range(w * h))
+    assert decode_webp(encode_webp_gray(px, w, h)) == \
+        (w, h, "L", bytearray(px))
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_progressive_equals_baseline_property(data):
+    """Progressive and baseline JPEG encodings of the same image carry
+    identical quantized coefficients and must decode bit-identically."""
+    from impc_etl_spark.multimodal.media import (
+        decode_jpeg, encode_jpeg_gray, encode_jpeg_gray_progressive,
+    )
+
+    w = data.draw(st.integers(1, 20), label="w")
+    h = data.draw(st.integers(1, 20), label="h")
+    px = bytes(data.draw(st.integers(0, 255), label=f"px{i}")
+               for i in range(w * h))
+    base = decode_jpeg(encode_jpeg_gray(px, w, h))
+    prog = decode_jpeg(encode_jpeg_gray_progressive(px, w, h))
+    assert prog is not None and prog == base
