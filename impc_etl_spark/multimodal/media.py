@@ -82,7 +82,7 @@ def _decode_any_image(payload: bytes):
     return (decode_png(payload) or decode_gif(payload)
             or decode_jpeg(payload) or decode_bmp(payload)
             or decode_tiff(payload) or decode_pnm(payload)
-            or decode_webp(payload))
+            or decode_webp(payload) or decode_ico(payload))
 
 
 def _decode_any_audio(payload: bytes):
@@ -4689,3 +4689,112 @@ def synth_adts(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
 
     return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+def decode_ico(payload: bytes) -> tuple[int, int, str, bytearray] | None:
+    """REAL ICO/CUR (favicon) decode per the public format: directory
+    walk picking the largest image, then either an embedded PNG
+    (delegated to `decode_png`) or an ICO-style DIB — a BITMAPINFOHEADER
+    with DOUBLED height (XOR pixels + AND transparency mask) and no 'BM'
+    file header, rebuilt into a BMP for `decode_bmp`. Favicons are
+    everywhere in a web crawl, so this is an ingest-relevant container.
+    1-bit AND masks are parsed but transparency is not applied (the
+    common 32-bit-with-alpha and PNG forms carry their own alpha).
+    None for anything corrupt — never raises."""
+    import struct
+
+    try:
+        if len(payload) < 6:
+            return None
+        res, typ, count = struct.unpack("<HHH", payload[:6])
+        if res != 0 or typ not in (1, 2) or count == 0 or count > 64:
+            return None
+        best = None
+        for e in range(count):
+            base = 6 + 16 * e
+            if base + 16 > len(payload):
+                return None
+            bw, bh = payload[base], payload[base + 1]
+            bw, bh = bw or 256, bh or 256      # 0 encodes 256
+            size, off = struct.unpack("<II", payload[base + 8 : base + 16])
+            if best is None or bw * bh > best[0] * best[1]:
+                best = (bw, bh, size, off)
+        w, h, size, off = best
+        body = payload[off : off + size]
+        if len(body) < size:
+            return None
+        if body[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(body)
+        if len(body) < 40:
+            return None
+        hsize = int.from_bytes(body[0:4], "little")
+        dib_h = int.from_bytes(body[8:12], "little", signed=True)
+        if hsize != 40:
+            return None
+        # ICO DIBs store XOR+AND stacked: height is doubled
+        xor_h = abs(dib_h) // 2
+        bpp = int.from_bytes(body[14:16], "little")
+        if bpp == 32:
+            # 32-bit BGRA: decode inline (decode_bmp handles 8/24 only)
+            comp = int.from_bytes(body[16:20], "little")
+            if comp != 0 or xor_h == 0:
+                return None
+            if w * h * 4 > MAX_DECODE_SAMPLES:
+                return None
+            stride = w * 4
+            if 40 + stride * xor_h > len(body):
+                return None
+            out = bytearray()
+            opaque = True
+            rows = range(xor_h - 1, -1, -1) if dib_h > 0 else range(xor_h)
+            px = body[40:]
+            for r in rows:
+                row = px[r * stride : (r + 1) * stride]
+                for x in range(w):
+                    b_, g, rr, a = row[4 * x : 4 * x + 4]
+                    out.extend((rr, g, b_, a))
+                    if a != 0xFF:
+                        opaque = False
+            if opaque:
+                out = bytearray(
+                    v for i, v in enumerate(out) if i % 4 != 3
+                )
+                return (w, xor_h, "RGB", out)
+            return (w, xor_h, "RGBA", out)
+        # 8-bit paletted / 24-bit: rebuild a standalone BMP with the
+        # XOR block only and hand it to the real BMP decoder
+        fixed = bytearray(body)
+        fixed[8:12] = (xor_h if dib_h > 0 else -xor_h).to_bytes(
+            4, "little", signed=True
+        )
+        # body starts at the info header (no BM prefix): biClrUsed at 32
+        n_colors = int.from_bytes(body[32:36], "little") or (
+            256 if bpp == 8 else 0
+        )
+        data_off = 14 + 40 + 4 * n_colors
+        hdr = b"BM" + struct.pack("<IHHI", data_off, 0, 0, data_off)
+        return decode_bmp(hdr + bytes(fixed))
+    except Exception:
+        return None
+
+
+def synth_favicon(
+    df: DataFrame,
+    content_col: str = "content",
+    width: int = 4,
+    height: int = 4,
+) -> DataFrame:
+    """Deterministic favicon synthesis: digest pixels through the real
+    PNG encoder wrapped in a genuine ICO directory (the dominant
+    favicon form on the web) — same oracle-replayable contract as the
+    other codec synths."""
+    import struct
+
+    def enc(px: bytes) -> bytes:
+        png = _png_gray(px, width, height)
+        return (struct.pack("<HHH", 0, 1, 1)
+                + bytes([width % 256, height % 256, 0, 0])
+                + struct.pack("<HHII", 1, 32, len(png), 22)
+                + png)
+
+    return _synth_digest_media(df, content_col, enc, width * height)

@@ -6575,6 +6575,44 @@ def media_adts_scan(spark, sf_dir):
 
 QUERIES["media_adts_scan"] = media_adts_scan
 
+def media_ico_decode(spark, sf_dir):
+    """Favicon (ICO container) decode end-to-end: digest pixels through
+    the real PNG encoder wrapped in a genuine ICO directory, then
+    `decode_image_features` walks the directory, picks the image, and
+    runs the full PNG decode — the dominant favicon form in a web
+    crawl. The DIB (doubled-height XOR/AND) and 32-bit BGRA forms are
+    pinned by unit tests. Exact replay from md5(text). Narrow
+    Arrow-batched maps; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_image_features, synth_favicon,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    icos = synth_favicon(attach_binary(docs, "text", "doc_id"),
+                         width=4, height=4)
+    return decode_image_features(icos).select(
+        "media_id", "width", "height", "img_mode",
+        _rnd("mean_luminance", 6).alias("mean_luminance"),
+    )
+
+
+QUERIES["media_ico_decode"] = media_ico_decode
+
+# 16 pixels = the md5 digest bytes exactly
+ORACLE["media_ico_decode"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+px AS (
+  SELECT media_id,
+         CAST(concat('0x', substring(hx, 2 * i + 1, 2)) AS INT) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS i) t)
+SELECT media_id,
+       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       'L' AS img_mode,
+       floor(avg(v) * 1000000 + 0.5) / 1000000 AS mean_luminance
+FROM px GROUP BY media_id
+"""
+
+
 # n = byte0 % 4 + 1; rate = (48000,44100,8000)[byte1 % 3]; ch = byte1 % 2 + 1
 ORACLE["media_adts_scan"] = """
 WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),

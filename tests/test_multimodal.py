@@ -1881,3 +1881,54 @@ def test_frame_walk_false_sync_and_nblocks():
     t0 = time.monotonic()
     assert decode_jpeg(sof2[:2] + dqt + sof2[2:] + com + b"\xff\xd9") is None
     assert time.monotonic() - t0 < 0.5
+
+
+def test_ico_decode_paths():
+    """ICO: PNG-in-ICO, doubled-height DIB via the BMP decoder, 32-bit
+    BGRA with and without transparency, largest-entry selection,
+    hostile inputs → None."""
+    import struct
+
+    from impc_etl_spark.multimodal.media import (
+        _bmp_gray, _png_gray, decode_ico,
+    )
+
+    def ico_wrap(entries):
+        hdr = struct.pack("<HHH", 0, 1, len(entries))
+        dirs = b""
+        off = 6 + 16 * len(entries)
+        blobs = b""
+        for w, h, body in entries:
+            dirs += bytes([w % 256, h % 256, 0, 0]) \
+                + struct.pack("<HHII", 1, 32, len(body), off)
+            off += len(body)
+            blobs += body
+        return hdr + dirs + blobs
+
+    png = _png_gray(bytes(range(16)), 4, 4)
+    assert decode_ico(ico_wrap([(4, 4, png)])) == \
+        (4, 4, "L", bytearray(range(16)))
+
+    dib = bytearray(_bmp_gray(bytes(range(15)), 5, 3)[14:])
+    dib[8:12] = (6).to_bytes(4, "little")   # doubled height
+    assert decode_ico(ico_wrap([(5, 3, bytes(dib))])) == \
+        (5, 3, "L", bytearray(range(15)))
+
+    w, h = 2, 2
+    info = struct.pack("<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0, 0, 0, 0, 0, 0)
+    rows = [[(10, 20, 30, 255), (40, 50, 60, 255)],
+            [(70, 80, 90, 255), (1, 2, 3, 255)]]
+    data = b"".join(bytes([b, g, r, a])
+                    for row in rows[::-1] for (r, g, b, a) in row)
+    want = bytearray(v for row in rows for (r, g, b, a) in row
+                     for v in (r, g, b))
+    assert decode_ico(ico_wrap([(w, h, info + data)])) == (2, 2, "RGB", want)
+    data2 = bytearray(data)
+    data2[3] = 128                   # one translucent pixel → RGBA out
+    got = decode_ico(ico_wrap([(w, h, info + bytes(data2))]))
+    assert got[2] == "RGBA" and len(got[3]) == 16
+
+    assert decode_ico(ico_wrap([(1, 1, b"xx"), (4, 4, png)])) == \
+        (4, 4, "L", bytearray(range(16)))
+    assert decode_ico(b"") is None
+    assert decode_ico(b"\x00\x00\x01\x00\x01\x00" + b"\xff" * 20) is None
