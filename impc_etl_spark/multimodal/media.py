@@ -82,7 +82,8 @@ def _decode_any_image(payload: bytes):
     return (decode_png(payload) or decode_gif(payload)
             or decode_jpeg(payload) or decode_bmp(payload)
             or decode_tiff(payload) or decode_pnm(payload)
-            or decode_webp(payload) or decode_ico(payload))
+            or decode_webp(payload) or decode_ico(payload)
+            or decode_tga(payload))
 
 
 def _decode_any_audio(payload: bytes):
@@ -332,6 +333,22 @@ def probe_image_header(payload: bytes) -> tuple[str, int, int] | None:
                     return ("jpeg", w, h)
                 i += 2 + seg_len
             return None
+        if payload[:2] == b"BM":
+            w = int.from_bytes(payload[18:22], "little", signed=True)
+            h = int.from_bytes(payload[22:26], "little", signed=True)
+            if w > 0 and h != 0:
+                return ("bmp", w, abs(h))
+            return None
+        if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
+            probed = decode_pnm(payload)
+            if probed is None:
+                return None
+            return ("pnm", probed[0], probed[1])
+        if payload.lstrip()[:5] in (b"<?xml", b"<svg ", b"<svg>"):
+            probed = probe_svg_header(payload)
+            if probed is None:
+                return None
+            return ("svg", probed[0], probed[1])
         return None
     except (IndexError, ValueError):
         return None
@@ -4798,3 +4815,190 @@ def synth_favicon(
                 + png)
 
     return _synth_digest_media(df, content_col, enc, width * height)
+
+
+def probe_svg_header(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from an SVG document — the other favicon/figure
+    format a web crawl meets constantly. Parses the root <svg> element
+    with the stdlib XML pull parser (no regex over attacker markup):
+    integer-pixel width/height attributes preferred (px suffix
+    tolerated), viewBox fallback. Header-only triage like the other
+    probes; None for non-SVG/corrupt/unsized documents (never raises)."""
+    try:
+        if b"<svg" not in payload[:4096]:
+            return None
+        import io
+        import xml.etree.ElementTree as ET
+
+        # pull-parse only to the root element: hostile payloads with
+        # megabytes of children never get walked
+        for _event, elem in ET.iterparse(
+            io.BytesIO(payload), events=("start",)
+        ):
+            if not elem.tag.endswith("svg"):
+                return None
+
+            def dim(name: str) -> int | None:
+                v = elem.get(name, "").strip().removesuffix("px")
+                return int(v) if v.isdigit() and int(v) > 0 else None
+
+            w, h = dim("width"), dim("height")
+            if w and h:
+                return (w, h)
+            vb = elem.get("viewBox", "").replace(",", " ").split()
+            if len(vb) == 4:
+                try:
+                    w = int(float(vb[2]))
+                    h = int(float(vb[3]))
+                    if w > 0 and h > 0:
+                        return (w, h)
+                except ValueError:
+                    return None
+            return None
+        return None
+    except Exception:
+        return None
+
+
+def decode_tga(payload: bytes) -> tuple[int, int, str, bytearray] | None:
+    """REAL TGA (Targa) decode per the public spec: type 2 (uncompressed
+    true-color 24/32-bit BGR(A)), type 3 (uncompressed 8-bit gray), and
+    their RLE twins 10/11 (packet header: bit 7 = run, low 7 bits =
+    count-1), bottom-up or top-down via the descriptor origin bit.
+    TGA has NO magic number, so structural fields are validated
+    strictly (zero color-map for the supported types, known depths).
+    None for color-mapped/corrupt payloads — never raises."""
+    try:
+        if len(payload) < 18:
+            return None
+        id_len = payload[0]
+        cmap_type = payload[1]
+        img_type = payload[2]
+        w = int.from_bytes(payload[12:14], "little")
+        h = int.from_bytes(payload[14:16], "little")
+        bpp = payload[16]
+        desc = payload[17]
+        if cmap_type != 0 or img_type not in (2, 3, 10, 11):
+            return None
+        if payload[3:8] != b"\x00\x00\x00\x00\x00":  # no color map fields
+            return None
+        gray = img_type in (3, 11)
+        rle = img_type in (10, 11)
+        if w == 0 or h == 0 or (gray and bpp != 8) \
+                or (not gray and bpp not in (24, 32)):
+            return None
+        npx = w * h
+        nch = bpp // 8
+        if npx * nch > MAX_DECODE_SAMPLES:
+            return None
+        i = 18 + id_len
+        if rle:
+            raw = bytearray()
+            while len(raw) < npx * nch:
+                if i >= len(payload):
+                    return None
+                hdr = payload[i]
+                i += 1
+                count = (hdr & 0x7F) + 1
+                if hdr & 0x80:       # run packet
+                    px = payload[i : i + nch]
+                    if len(px) < nch:
+                        return None
+                    i += nch
+                    raw += px * count
+                else:                # literal packet
+                    lit = payload[i : i + count * nch]
+                    if len(lit) < count * nch:
+                        return None
+                    i += count * nch
+                    raw += lit
+            raw = raw[: npx * nch]
+        else:
+            raw = payload[i : i + npx * nch]
+            if len(raw) < npx * nch:
+                return None
+        top_down = bool(desc & 0x20)
+        rows = [raw[r * w * nch : (r + 1) * w * nch] for r in range(h)]
+        if not top_down:
+            rows = rows[::-1]
+        if gray:
+            return (w, h, "L", bytearray(b"".join(rows)))
+        out = bytearray()
+        opaque = True
+        for row in rows:
+            for x in range(w):
+                px = row[x * nch : (x + 1) * nch]
+                out.extend((px[2], px[1], px[0]))
+                if nch == 4:
+                    out.append(px[3])
+                    if px[3] != 0xFF:
+                        opaque = False
+        if nch == 3:
+            return (w, h, "RGB", out)
+        if opaque:
+            out = bytearray(v for k, v in enumerate(out) if k % 4 != 3)
+            return (w, h, "RGB", out)
+        return (w, h, "RGBA", out)
+    except Exception:
+        return None
+
+
+def _tga_gray(pixels: bytes, width: int, height: int,
+              rle: bool = False) -> bytes:
+    """Minimal valid 8-bit grayscale TGA (top-down), optionally RLE."""
+    hdr = bytes([0, 0, 11 if rle else 3]) + bytes(9) \
+        + width.to_bytes(2, "little") + height.to_bytes(2, "little") \
+        + bytes([8, 0x20])
+    if not rle:
+        return hdr + pixels
+    out = bytearray(hdr)
+    i, n = 0, len(pixels)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and pixels[i + run] == pixels[i]:
+            run += 1
+        if run >= 2:
+            out.append(0x80 | (run - 1))
+            out.append(pixels[i])
+            i += run
+        else:
+            j = i + 1
+            while (j < n and j - i < 128
+                   and not (j + 1 < n and pixels[j] == pixels[j + 1])):
+                j += 1
+            out.append(j - i - 1)
+            out += pixels[i:j]
+            i = j
+    return bytes(out)
+
+
+def synth_gray_tga(
+    df: DataFrame,
+    content_col: str = "content",
+    width: int = 6,
+    height: int = 4,
+) -> DataFrame:
+    """Deterministic TGA synthesis: digest pixels through the real RLE
+    writer — same oracle-replayable contract as the other synths."""
+    return _synth_digest_media(
+        df, content_col,
+        lambda px: _tga_gray(px, width, height, rle=True), width * height,
+    )
+
+
+def synth_svg(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Deterministic SVG synthesis: digest bytes pick the root element's
+    pixel dimensions (w = byte0 % 256 + 1, h = byte1 % 256 + 1)."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                d = hashlib.md5(bytes(p)).digest()
+                out.append(
+                    b'<?xml version="1.0"?><svg xmlns='
+                    b'"http://www.w3.org/2000/svg" width="%d" height="%d">'
+                    b"<rect/></svg>" % (d[0] + 1, d[1] + 1)
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)

@@ -6598,6 +6598,83 @@ def media_ico_decode(spark, sf_dir):
 
 QUERIES["media_ico_decode"] = media_ico_decode
 
+def media_tga_decode(spark, sf_dir):
+    """TGA decode end-to-end: digest pixels through the real RLE writer
+    (run + literal packets) and back through `decode_tga` (a format
+    with NO magic number — structural validation only). Exact replay
+    from md5(text). Narrow Arrow-batched maps; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_image_features, synth_gray_tga,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tgas = synth_gray_tga(attach_binary(docs, "text", "doc_id"),
+                          width=6, height=4)
+    return decode_image_features(tgas).select(
+        "media_id", "width", "height", "img_mode",
+        _rnd("mean_luminance", 6).alias("mean_luminance"),
+    )
+
+
+QUERIES["media_tga_decode"] = media_tga_decode
+
+# 24 pixels = md5 digest bytes tiled (i % 16)
+ORACLE["media_tga_decode"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+px AS (
+  SELECT media_id,
+         CAST(concat('0x', substring(hx, 2 * (i % 16) + 1, 2)) AS INT) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(24)) AS i) t)
+SELECT media_id,
+       CAST(6 AS INT) AS width, CAST(4 AS INT) AS height,
+       'L' AS img_mode,
+       floor(avg(v) * 1000000 + 0.5) / 1000000 AS mean_luminance
+FROM px GROUP BY media_id
+"""
+
+
+def media_svg_probe(spark, sf_dir):
+    """SVG ingest triage: digest-driven root dimensions written into
+    real SVG markup, recovered by the stdlib pull parser (root element
+    only — hostile children never walked). Narrow maps; no shuffle."""
+    import pandas as pd_
+
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, probe_svg_header, synth_svg,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    svgs = synth_svg(attach_binary(docs, "text", "doc_id"))
+
+    def compute(batches):
+        for pdf in batches:
+            ws, hs = [], []
+            for p in pdf["content"]:
+                got = probe_svg_header(bytes(p))
+                ws.append(got[0] if got else None)
+                hs.append(got[1] if got else None)
+            yield pd_.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd_.array(ws, dtype="Int32"),
+                "height": pd_.array(hs, dtype="Int32"),
+            })
+
+    return svgs.mapInPandas(compute,
+                            schema="media_id bigint, width int, height int")
+
+
+QUERIES["media_svg_probe"] = media_svg_probe
+
+ORACLE["media_svg_probe"] = """
+SELECT doc_id AS media_id,
+       CAST(CAST(concat('0x', substring(md5(text), 1, 2)) AS INT) + 1
+            AS INT) AS width,
+       CAST(CAST(concat('0x', substring(md5(text), 3, 2)) AS INT) + 1
+            AS INT) AS height
+FROM documents
+"""
+
+
 # 16 pixels = the md5 digest bytes exactly
 ORACLE["media_ico_decode"] = """
 WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),

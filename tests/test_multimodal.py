@@ -1932,3 +1932,54 @@ def test_ico_decode_paths():
         (4, 4, "L", bytearray(range(16)))
     assert decode_ico(b"") is None
     assert decode_ico(b"\x00\x00\x01\x00\x01\x00" + b"\xff" * 20) is None
+
+
+def test_svg_probe_and_tga_decode():
+    """SVG: width/height attrs (px tolerated) and viewBox fallback via
+    the pull parser, non-root <svg> rejected; TGA: gray/RLE/true-color
+    roundtrips, bottom-up rows, alpha collapse, hostile → None."""
+    import struct
+
+    from impc_etl_spark.multimodal.media import (
+        _tga_gray, decode_tga, probe_image_header, probe_svg_header,
+    )
+
+    assert probe_svg_header(b'<svg width="64px" height="32"></svg>') == \
+        (64, 32)
+    assert probe_svg_header(
+        b'<?xml version="1.0"?><svg viewBox="0 0 24 16"/>') == (24, 16)
+    assert probe_svg_header(b'<html><svg width="1" height="1"/></html>') \
+        is None
+    assert probe_svg_header(b"<svg/>") is None
+    assert probe_svg_header(b"junk") is None
+    assert probe_image_header(b'<svg width="5" height="7"/>') == \
+        ("svg", 5, 7)
+
+    px = bytes([7] * 30 + list(range(10)))
+    for rle in (False, True):
+        assert decode_tga(_tga_gray(px, 8, 5, rle=rle)) == \
+            (8, 5, "L", bytearray(px))
+
+    # 24-bit BGR bottom-up, type 2
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (9, 8, 7)]]
+    data = b"".join(bytes([b, g, r]) for row in rows[::-1]
+                    for (r, g, b) in row)
+    hdr = bytes([0, 0, 2]) + bytes(9) + struct.pack("<HH", 2, 2) \
+        + bytes([24, 0x00])
+    want = bytearray(v for row in rows for p in row for v in p)
+    assert decode_tga(hdr + data) == (2, 2, "RGB", want)
+
+    # 32-bit with one translucent pixel → RGBA; all-opaque → RGB
+    data32 = b"".join(bytes([b, g, r, 255]) for row in rows[::-1]
+                      for (r, g, b) in row)
+    hdr32 = bytes([0, 0, 2]) + bytes(9) + struct.pack("<HH", 2, 2) \
+        + bytes([32, 0x00])
+    assert decode_tga(hdr32 + data32) == (2, 2, "RGB", want)
+    trans = bytearray(data32)
+    trans[3] = 1
+    got = decode_tga(hdr32 + bytes(trans))
+    assert got[2] == "RGBA" and len(got[3]) == 16
+
+    assert decode_tga(b"") is None
+    assert decode_tga(_tga_gray(px, 8, 5)[:-3]) is None
+    assert decode_tga(bytes([0, 1, 2]) + bytes(40)) is None  # color-mapped

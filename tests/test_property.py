@@ -1163,8 +1163,9 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         probe_wav_header,
         _aiff_pcm16, _bmp_gray, _mp3_frame, _adts_frame, _pgm_gray,
         _tiff_gray, decode_aiff, decode_bmp, decode_pnm, decode_tiff,
-        decode_ico, decode_webp, encode_jpeg_gray_progressive,
-        encode_webp_gray, walk_adts_frames, walk_mp3_frames,
+        decode_ico, decode_tga, decode_webp,
+        encode_jpeg_gray_progressive, encode_webp_gray, probe_svg_header,
+        _tga_gray, walk_adts_frames, walk_mp3_frames,
     )
 
     valid = [
@@ -1194,6 +1195,8 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         _adts_frame(4, 2, 40),
         b"\x00\x00\x01\x00\x01\x00\x04\x04\x00\x00\x01\x00\x20\x00"
         + b"\x10\x00\x00\x00\x16\x00\x00\x00" + b"\x00" * 16,
+        _tga_gray(bytes(range(24)), 6, 4, rle=True),
+        b'<?xml version="1.0"?><svg width="9" height="9"/>',
     ]
     base = data.draw(st.one_of(
         st.binary(min_size=0, max_size=200),
@@ -1212,8 +1215,8 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
                probe_mp4_header, probe_flac_header, probe_ogg_header,
                demux_avi_frames, decode_jpeg, flac_decode,
                probe_tiff_header, decode_bmp, decode_tiff, decode_pnm,
-               decode_aiff, decode_webp, decode_ico, walk_mp3_frames,
-               walk_adts_frames):
+               decode_aiff, decode_webp, decode_ico, decode_tga,
+               probe_svg_header, walk_mp3_frames, walk_adts_frames):
         fn(base)            # must not raise; return value unconstrained
 
 
