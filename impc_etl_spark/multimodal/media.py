@@ -334,17 +334,20 @@ def probe_image_header(payload: bytes) -> tuple[str, int, int] | None:
                 i += 2 + seg_len
             return None
         if payload[:2] == b"BM":
+            if int.from_bytes(payload[14:18], "little") < 40:
+                return None          # OS/2 BITMAPCOREHEADER: 16-bit dims
             w = int.from_bytes(payload[18:22], "little", signed=True)
             h = int.from_bytes(payload[22:26], "little", signed=True)
             if w > 0 and h != 0:
                 return ("bmp", w, abs(h))
             return None
         if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
-            probed = decode_pnm(payload)
+            probed = _pnm_header(payload)   # header-only: O(1), not O(px)
             if probed is None:
                 return None
-            return ("pnm", probed[0], probed[1])
-        if payload.lstrip()[:5] in (b"<?xml", b"<svg ", b"<svg>"):
+            return ("pnm", probed[1], probed[2])
+        if (b"svg" in payload[:1024]
+                and payload.lstrip()[:1] == b"<"):  # probe verifies root
             probed = probe_svg_header(payload)
             if probed is None:
                 return None
@@ -4263,6 +4266,45 @@ def synth_gray_tiff(
     return _synth_digest_media(df, content_col, lambda px: _tiff_gray(px, width, height, rows_per_strip=2, packbits=True), n_px)
 
 
+def _pnm_token(payload: bytes, i: int) -> tuple[int, int]:
+    """One whitespace/comment-delimited integer token from a Netpbm
+    header or ASCII raster: returns (value, next_index); raises on a
+    missing token (callers convert to None)."""
+    n = len(payload)
+    while True:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i] == 0x23:               # '#' comment
+            while i < n and payload[i] not in (0x0A, 0x0D):
+                i += 1
+        else:
+            break
+    j = i
+    while j < n and payload[j : j + 1].isdigit():
+        j += 1
+    if j == i:
+        raise ValueError("bad header token")
+    return int(payload[i:j]), j
+
+
+def _pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int] | None:
+    """(magic, width, height, maxval, raster_index) from a Netpbm header
+    — O(header) only, never touches pixel data, so the triage probe
+    stays cheap on multi-megabyte ASCII rasters."""
+    try:
+        magic = payload[:2]
+        if magic not in (b"P2", b"P3", b"P5", b"P6"):
+            return None
+        w, i = _pnm_token(payload, 2)
+        h, i = _pnm_token(payload, i)
+        maxval, i = _pnm_token(payload, i)
+        if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+            return None
+        return (magic, w, h, maxval, i)
+    except Exception:
+        return None
+
+
 def decode_pnm(payload: bytes) -> tuple[int, int, str, bytearray] | None:
     """REAL Netpbm decode per the public PGM/PPM specs: P5/P6 binary and
     P2/P3 ASCII variants, '#' comments anywhere in the header, maxval up
@@ -4271,41 +4313,22 @@ def decode_pnm(payload: bytes) -> tuple[int, int, str, bytearray] | None:
     samples) decoder shape; None for P1/P4 bitmaps, 16-bit data, and
     anything corrupt (never raises)."""
     try:
-        magic = payload[:2]
-        if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        head = _pnm_header(payload)
+        if head is None:
             return None
+        magic, w, h, maxval, i = head
         ascii_ = magic in (b"P2", b"P3")
         gray = magic in (b"P2", b"P5")
-        i, n = 2, len(payload)
-
-        def token() -> int:
-            nonlocal i
-            while True:
-                while i < n and payload[i : i + 1].isspace():
-                    i += 1
-                if i < n and payload[i] == 0x23:       # '#' comment
-                    while i < n and payload[i] not in (0x0A, 0x0D):
-                        i += 1
-                else:
-                    break
-            j = i
-            while j < n and payload[j : j + 1].isdigit():
-                j += 1
-            if j == i:
-                raise ValueError("bad header token")
-            v = int(payload[i:j])
-            i = j
-            return v
-
-        w, h, maxval = token(), token(), token()
+        n = len(payload)
         spp = 1 if gray else 3
-        if w <= 0 or h <= 0 or not 0 < maxval <= 255:
-            return None
         need = w * h * spp
         if need > MAX_DECODE_SAMPLES:
             return None
         if ascii_:
-            vals = [token() for _ in range(need)]
+            vals = []
+            for _ in range(need):
+                v, i = _pnm_token(payload, i)
+                vals.append(v)
             if any(v > maxval for v in vals):
                 return None
             out = bytearray(vals)
@@ -4708,6 +4731,17 @@ def synth_adts(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(compute, schema=PNG_SCHEMA)
 
 
+def _finish_rgba(w: int, h: int, out: bytearray, opaque: bool):
+    """Shared RGBA finisher: fully-opaque images collapse to RGB so
+    downstream luminance math sees 3 channels (ICO and TGA both need
+    this; one definition keeps their alpha semantics identical)."""
+    if opaque:
+        return (w, h, "RGB", bytearray(
+            v for i, v in enumerate(out) if i % 4 != 3
+        ))
+    return (w, h, "RGBA", out)
+
+
 def decode_ico(payload: bytes) -> tuple[int, int, str, bytearray] | None:
     """REAL ICO/CUR (favicon) decode per the public format: directory
     walk picking the largest image, then either an embedded PNG
@@ -4752,11 +4786,16 @@ def decode_ico(payload: bytes) -> tuple[int, int, str, bytearray] | None:
         xor_h = abs(dib_h) // 2
         bpp = int.from_bytes(body[14:16], "little")
         if bpp == 32:
-            # 32-bit BGRA: decode inline (decode_bmp handles 8/24 only)
+            # 32-bit BGRA: decode inline (decode_bmp handles 8/24 only).
+            # The DIB's biWidth is authoritative — the 1-byte directory
+            # dims are frequently sloppy in real favicons, and slicing
+            # rows with the wrong stride would yield silent garbage.
+            dib_w = int.from_bytes(body[4:8], "little", signed=True)
             comp = int.from_bytes(body[16:20], "little")
-            if comp != 0 or xor_h == 0:
+            if comp != 0 or xor_h == 0 or dib_w <= 0:
                 return None
-            if w * h * 4 > MAX_DECODE_SAMPLES:
+            w = dib_w
+            if w * xor_h * 4 > MAX_DECODE_SAMPLES:
                 return None
             stride = w * 4
             if 40 + stride * xor_h > len(body):
@@ -4772,12 +4811,7 @@ def decode_ico(payload: bytes) -> tuple[int, int, str, bytearray] | None:
                     out.extend((rr, g, b_, a))
                     if a != 0xFF:
                         opaque = False
-            if opaque:
-                out = bytearray(
-                    v for i, v in enumerate(out) if i % 4 != 3
-                )
-                return (w, xor_h, "RGB", out)
-            return (w, xor_h, "RGBA", out)
+            return _finish_rgba(w, xor_h, out, opaque)
         # 8-bit paletted / 24-bit: rebuild a standalone BMP with the
         # XOR block only and hand it to the real BMP decoder
         fixed = bytearray(body)
@@ -4825,7 +4859,17 @@ def probe_svg_header(payload: bytes) -> tuple[int, int] | None:
     tolerated), viewBox fallback. Header-only triage like the other
     probes; None for non-SVG/corrupt/unsized documents (never raises)."""
     try:
-        if b"<svg" not in payload[:4096]:
+        # cheap gate before any XML work; 'svg' alone (not '<svg') so
+        # namespace-prefixed roots like <s:svg> still qualify
+        if b"svg" not in payload[:4096] or payload.lstrip()[:1] != b"<":
+            return None
+        # bound the parse input (the root tag of any sane SVG sits well
+        # inside 1 MiB) and refuse DTDs outright: entity expansion in a
+        # root ATTRIBUTE would otherwise amplify a crawl blob ~100×
+        # inside this "header-only" probe — the decode-bomb class every
+        # other probe closes via explicit ceilings
+        head = payload[: 1 << 20]
+        if b"<!DOCTYPE" in head or b"<!ENTITY" in head:
             return None
         import io
         import xml.etree.ElementTree as ET
@@ -4833,10 +4877,10 @@ def probe_svg_header(payload: bytes) -> tuple[int, int] | None:
         # pull-parse only to the root element: hostile payloads with
         # megabytes of children never get walked
         for _event, elem in ET.iterparse(
-            io.BytesIO(payload), events=("start",)
+            io.BytesIO(head), events=("start",)
         ):
-            if not elem.tag.endswith("svg"):
-                return None
+            if elem.tag.rsplit("}", 1)[-1] != "svg":
+                return None          # exact localname, any namespace
 
             def dim(name: str) -> int | None:
                 v = elem.get(name, "").strip().removesuffix("px")
@@ -4918,9 +4962,16 @@ def decode_tga(payload: bytes) -> tuple[int, int, str, bytearray] | None:
             if len(raw) < npx * nch:
                 return None
         top_down = bool(desc & 0x20)
+        right_to_left = bool(desc & 0x10)
         rows = [raw[r * w * nch : (r + 1) * w * nch] for r in range(h)]
         if not top_down:
             rows = rows[::-1]
+        if right_to_left:            # spec origin bit: mirror each row
+            rows = [
+                b"".join(row[x * nch : (x + 1) * nch]
+                         for x in range(w - 1, -1, -1))
+                for row in rows
+            ]
         if gray:
             return (w, h, "L", bytearray(b"".join(rows)))
         out = bytearray()
@@ -4935,10 +4986,7 @@ def decode_tga(payload: bytes) -> tuple[int, int, str, bytearray] | None:
                         opaque = False
         if nch == 3:
             return (w, h, "RGB", out)
-        if opaque:
-            out = bytearray(v for k, v in enumerate(out) if k % 4 != 3)
-            return (w, h, "RGB", out)
-        return (w, h, "RGBA", out)
+        return _finish_rgba(w, h, out, opaque)
     except Exception:
         return None
 

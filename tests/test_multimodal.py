@@ -1983,3 +1983,45 @@ def test_svg_probe_and_tga_decode():
     assert decode_tga(b"") is None
     assert decode_tga(_tga_gray(px, 8, 5)[:-3]) is None
     assert decode_tga(bytes([0, 1, 2]) + bytes(40)) is None  # color-mapped
+
+
+def test_probe_and_decode_review_regressions():
+    """Pinned review findings: SVG DTD/entity rejection + prefixed
+    namespaces + exact localname; OS/2 BMP probe rejection; ICO DIB
+    width beats sloppy directory bytes; TGA right-to-left mirroring;
+    PNM probe is header-only."""
+    import struct
+
+    from impc_etl_spark.multimodal.media import (
+        decode_ico, decode_tga, probe_image_header, probe_svg_header,
+    )
+
+    assert probe_svg_header(
+        b'<!DOCTYPE svg [<!ENTITY c "x">]><svg width="5" height="7"/>'
+    ) is None
+    assert probe_svg_header(b'<foosvg width="5" height="7"/>') is None
+    assert probe_svg_header(
+        b'<s:svg xmlns:s="http://www.w3.org/2000/svg" width="3" height="4"/>'
+    ) == (3, 4)
+    assert probe_image_header(b'<svg\n width="5" height="7"/>') == \
+        ("svg", 5, 7)
+
+    core = (b"BM" + struct.pack("<IHHI", 100, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 5, 3, 1, 8) + bytes(60))
+    assert probe_image_header(core) is None  # OS/2 core header: 16-bit dims
+
+    assert probe_image_header(b"P2 2 2 255 ") == ("pnm", 2, 2)  # header only
+
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 32, 0, 0, 0, 0, 0, 0)
+    pix = [(i, i + 1, i + 2, 255) for i in range(0, 16, 4)]
+    data = b"".join(bytes([b, g, r, a]) for (r, g, b, a) in pix)
+    ico = (struct.pack("<HHH", 0, 1, 1) + bytes([2, 1, 0, 0])
+           + struct.pack("<HHII", 1, 32, len(info + data), 22)
+           + info + data)
+    assert decode_ico(ico) == (4, 1, "RGB", bytearray(
+        v for (r, g, b, a) in pix for v in (r, g, b)))
+
+    hdr = (bytes([0, 0, 3]) + bytes(9) + struct.pack("<HH", 2, 2)
+           + bytes([8, 0x30]))
+    assert decode_tga(hdr + bytes([1, 2, 3, 4])) == \
+        (2, 2, "L", bytearray([2, 1, 4, 3]))
