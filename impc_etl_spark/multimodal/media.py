@@ -5050,3 +5050,91 @@ def synth_svg(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
 
     return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+def walk_gif_frames(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(n_frames, total_delay_cs, width, height) from an animated GIF by
+    walking the container only — image descriptors counted, Graphic
+    Control Extension delays (centiseconds) summed, LZW data sub-blocks
+    skipped by their declared lengths, never decompressed. The
+    animation-triage pass for a crawl: frame count and duration without
+    touching pixels. None unless at least one frame is present (never
+    raises)."""
+    import struct
+
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+        i = 13
+        if packed & 0x80:
+            i += 3 * (2 << (packed & 0x07))
+        n = len(payload)
+        frames = 0
+        delay_cs = 0
+        pending_delay = 0
+        while i < n:
+            b = payload[i]
+            if b == 0x3B:            # trailer
+                break
+            if b == 0x21:            # extension
+                if i + 2 > n:
+                    return None
+                label = payload[i + 1]
+                i += 2
+                if label == 0xF9 and i + 5 <= n and payload[i] == 4:
+                    pending_delay = int.from_bytes(
+                        payload[i + 2 : i + 4], "little"
+                    )
+                while i < n and payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+            elif b == 0x2C:          # image descriptor
+                if i + 10 > n:
+                    return None
+                lpacked = payload[i + 9]
+                i += 10
+                if lpacked & 0x80:
+                    i += 3 * (2 << (lpacked & 0x07))
+                i += 1               # LZW minimum code size
+                while i < n and payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+                frames += 1
+                delay_cs += pending_delay
+                pending_delay = 0
+            else:
+                return None
+        if frames == 0:
+            return None
+        return (frames, delay_cs, sw, sh)
+    except Exception:
+        return None
+
+
+def synth_animated_gif(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Deterministic animated-GIF synthesis: digest byte 0 picks the
+    frame count (1-4); frame i is a REAL 4×4 LZW-encoded image preceded
+    by a Graphic Control Extension whose delay is digest[i] cs."""
+    import struct
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                d = hashlib.md5(bytes(p)).digest()
+                nf = d[0] % 4 + 1
+                single = _gif_gray((d * 1)[:16], 4, 4)
+                # strip header(6)+LSD(7)+GCT(3*256? _gif_gray layout) —
+                # reuse its body between descriptor and trailer instead
+                hdr_end = 13 + 3 * (2 << (single[10] & 0x07))
+                body = single[hdr_end:-1]      # image blocks, no trailer
+                frames = b""
+                for k in range(nf):
+                    gce = (b"\x21\xf9\x04\x00"
+                           + struct.pack("<H", d[k]) + b"\x00\x00")
+                    frames += gce + body
+                out.append(single[:hdr_end] + frames + b"\x3b")
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)

@@ -6665,6 +6665,64 @@ def media_svg_probe(spark, sf_dir):
 
 QUERIES["media_svg_probe"] = media_svg_probe
 
+def media_gif_frames(spark, sf_dir):
+    """Animated-GIF triage end-to-end: digest-driven multi-frame GIFs
+    (real LZW-encoded frames + Graphic Control Extension delays) walked
+    at the container level — frame count and total duration without
+    decompressing a single pixel, the pre-decode pass a crawl runs on
+    every animation. Narrow Arrow-batched maps; no shuffle."""
+    import pandas as pd_
+
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, synth_animated_gif, walk_gif_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gifs = synth_animated_gif(attach_binary(docs, "text", "doc_id"))
+
+    def compute(batches):
+        for pdf in batches:
+            nfs, dls, ws, hs = [], [], [], []
+            for p in pdf["content"]:
+                got = walk_gif_frames(bytes(p))
+                nfs.append(got[0] if got else None)
+                dls.append(got[1] if got else None)
+                ws.append(got[2] if got else None)
+                hs.append(got[3] if got else None)
+            yield pd_.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_frames": pd_.array(nfs, dtype="Int32"),
+                "total_delay_cs": pd_.array(dls, dtype="Int64"),
+                "width": pd_.array(ws, dtype="Int32"),
+                "height": pd_.array(hs, dtype="Int32"),
+            })
+
+    return gifs.mapInPandas(
+        compute,
+        schema="media_id bigint, n_frames int, total_delay_cs bigint, "
+               "width int, height int",
+    )
+
+
+QUERIES["media_gif_frames"] = media_gif_frames
+
+# n = byte0 % 4 + 1; total delay = sum of digest bytes 0..n-1 (cs)
+ORACLE["media_gif_frames"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+n AS (SELECT media_id, hx,
+             CAST(concat('0x', substring(hx, 1, 2)) AS INT) % 4 + 1 AS nf
+      FROM h),
+fr AS (
+  SELECT media_id, nf,
+         CAST(concat('0x', substring(hx, 2 * i + 1, 2)) AS INT) AS dly
+  FROM n CROSS JOIN (SELECT unnest(range(4)) AS i) t WHERE i < nf)
+SELECT media_id, CAST(nf AS INT) AS n_frames,
+       CAST(sum(dly) AS BIGINT) AS total_delay_cs,
+       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height
+FROM fr GROUP BY media_id, nf
+"""
+
+
 ORACLE["media_svg_probe"] = """
 SELECT doc_id AS media_id,
        CAST(CAST(concat('0x', substring(md5(text), 1, 2)) AS INT) + 1

@@ -2025,3 +2025,27 @@ def test_probe_and_decode_review_regressions():
            + bytes([8, 0x30]))
     assert decode_tga(hdr + bytes([1, 2, 3, 4])) == \
         (2, 2, "L", bytearray([2, 1, 4, 3]))
+
+
+def test_gif_frame_walk():
+    """Animated GIF: frame count + GCE delay summation at container
+    level; single-frame GIFs report zero delay; 87a/89a; hostile → None."""
+    import struct
+
+    from impc_etl_spark.multimodal.media import _gif_gray, walk_gif_frames
+
+    g = _gif_gray(bytes(range(16)), 4, 4)
+    assert walk_gif_frames(g) == (1, 0, 4, 4)
+
+    hdr_end = 13 + 3 * (2 << (g[10] & 0x07))
+    body = g[hdr_end:-1]
+    out = g[:hdr_end]
+    for dly in (10, 20, 30):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", dly) + b"\x00\x00" \
+            + body
+    out += b"\x3b"
+    assert walk_gif_frames(out) == (3, 60, 4, 4)
+
+    assert walk_gif_frames(b"GIF89a") is None
+    assert walk_gif_frames(b"NOPE" + g[4:]) is None
+    assert walk_gif_frames(g[:13] + b"\xff") is None  # bogus block type

@@ -1165,7 +1165,7 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
         _tiff_gray, decode_aiff, decode_bmp, decode_pnm, decode_tiff,
         decode_ico, decode_tga, decode_webp,
         encode_jpeg_gray_progressive, encode_webp_gray, probe_svg_header,
-        _tga_gray, walk_adts_frames, walk_mp3_frames,
+        _tga_gray, walk_adts_frames, walk_gif_frames, walk_mp3_frames,
     )
 
     valid = [
@@ -1216,7 +1216,8 @@ def test_byte_decoders_never_raise_on_hostile_input(data):
                demux_avi_frames, decode_jpeg, flac_decode,
                probe_tiff_header, decode_bmp, decode_tiff, decode_pnm,
                decode_aiff, decode_webp, decode_ico, decode_tga,
-               probe_svg_header, walk_mp3_frames, walk_adts_frames):
+               probe_svg_header, walk_mp3_frames, walk_adts_frames,
+               walk_gif_frames):
         fn(base)            # must not raise; return value unconstrained
 
 
