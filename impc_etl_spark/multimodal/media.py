@@ -346,8 +346,9 @@ def probe_image_header(payload: bytes) -> tuple[str, int, int] | None:
             if probed is None:
                 return None
             return ("pnm", probed[1], probed[2])
-        if (b"svg" in payload[:1024]
-                and payload.lstrip()[:1] == b"<"):  # probe verifies root
+        if (b"svg" in payload[:4096]
+                and payload.lstrip()[:1] == b"<"):  # same window as the
+            # dedicated probe, so the two classifiers agree per payload
             probed = probe_svg_header(payload)
             if probed is None:
                 return None
@@ -5056,11 +5057,20 @@ def walk_gif_frames(payload: bytes) -> tuple[int, int, int, int] | None:
     """(n_frames, total_delay_cs, width, height) from an animated GIF by
     walking the container only — image descriptors counted, Graphic
     Control Extension delays (centiseconds) summed, LZW data sub-blocks
-    skipped by their declared lengths, never decompressed. The
-    animation-triage pass for a crawl: frame count and duration without
-    touching pixels. None unless at least one frame is present (never
+    skipped by their declared lengths, never decompressed. Truncation
+    semantics match the MP3/ADTS walks: whole frames count, a frame cut
+    anywhere (descriptor, palette, or data stream) is dropped and ends
+    the walk. None unless at least one complete frame is present (never
     raises)."""
     import struct
+
+    def skip_subblocks(i: int) -> int | None:
+        """Past the 0-terminated sub-block chain; None if it overruns."""
+        while i < n:
+            if payload[i] == 0:
+                return i + 1
+            i += 1 + payload[i]
+        return None
 
     try:
         if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -5079,27 +5089,31 @@ def walk_gif_frames(payload: bytes) -> tuple[int, int, int, int] | None:
                 break
             if b == 0x21:            # extension
                 if i + 2 > n:
-                    return None
+                    break
                 label = payload[i + 1]
                 i += 2
                 if label == 0xF9 and i + 5 <= n and payload[i] == 4:
                     pending_delay = int.from_bytes(
                         payload[i + 2 : i + 4], "little"
                     )
-                while i < n and payload[i] != 0:
-                    i += 1 + payload[i]
-                i += 1
+                nxt = skip_subblocks(i)
+                if nxt is None:
+                    break
+                i = nxt
             elif b == 0x2C:          # image descriptor
                 if i + 10 > n:
-                    return None
+                    break            # truncated frame: drop it
                 lpacked = payload[i + 9]
                 i += 10
                 if lpacked & 0x80:
                     i += 3 * (2 << (lpacked & 0x07))
                 i += 1               # LZW minimum code size
-                while i < n and payload[i] != 0:
-                    i += 1 + payload[i]
-                i += 1
+                if i > n:
+                    break
+                nxt = skip_subblocks(i)
+                if nxt is None:
+                    break            # data stream cut mid-frame
+                i = nxt
                 frames += 1
                 delay_cs += pending_delay
                 pending_delay = 0
@@ -5124,9 +5138,9 @@ def synth_animated_gif(df: DataFrame, content_col: str = "content") -> DataFrame
             for p in pdf[content_col]:
                 d = hashlib.md5(bytes(p)).digest()
                 nf = d[0] % 4 + 1
-                single = _gif_gray((d * 1)[:16], 4, 4)
-                # strip header(6)+LSD(7)+GCT(3*256? _gif_gray layout) —
-                # reuse its body between descriptor and trailer instead
+                single = _gif_gray(d, 4, 4)
+                # header(6) + LSD(7) + GCT (3·(2<<(packed&7)) bytes);
+                # the frame body between there and the trailer repeats
                 hdr_end = 13 + 3 * (2 << (single[10] & 0x07))
                 body = single[hdr_end:-1]      # image blocks, no trailer
                 frames = b""
@@ -5134,7 +5148,8 @@ def synth_animated_gif(df: DataFrame, content_col: str = "content") -> DataFrame
                     gce = (b"\x21\xf9\x04\x00"
                            + struct.pack("<H", d[k]) + b"\x00\x00")
                     frames += gce + body
-                out.append(single[:hdr_end] + frames + b"\x3b")
+                # GCE blocks are 89a-only; _gif_gray stamps 87a
+                out.append(b"GIF89a" + single[6:hdr_end] + frames + b"\x3b")
             yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
 
     return df.mapInPandas(compute, schema=PNG_SCHEMA)

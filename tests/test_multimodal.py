@@ -2049,3 +2049,37 @@ def test_gif_frame_walk():
     assert walk_gif_frames(b"GIF89a") is None
     assert walk_gif_frames(b"NOPE" + g[4:]) is None
     assert walk_gif_frames(g[:13] + b"\xff") is None  # bogus block type
+
+
+def test_gif_walk_truncation_and_89a_stamp(spark):
+    """Fourth-pass regressions: truncated frames are dropped (whole
+    frames still count, like the MP3 walk); synthesized animated GIFs
+    carry the GIF89a signature their GCE blocks require; the image
+    probe's SVG gate window matches the dedicated probe."""
+    import struct
+
+    from impc_etl_spark.multimodal.media import (
+        _gif_gray, probe_image_header, synth_animated_gif,
+        walk_gif_frames,
+    )
+
+    g = _gif_gray(bytes(range(16)), 4, 4)
+    hdr_end = 13 + 3 * (2 << (g[10] & 0x07))
+    body = g[hdr_end:-1]
+    out = g[:hdr_end]
+    for dly in (10, 20, 30):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", dly) + b"\x00\x00" \
+            + body
+    out += b"\x3b"
+    cut = out[: hdr_end + 2 * (8 + len(body)) - 5]
+    got = walk_gif_frames(cut)
+    assert got is not None and got[0] <= 2
+    assert walk_gif_frames(g[:-2]) is None
+
+    df = spark.createDataFrame([(1, b"seed")], "media_id bigint, content binary")
+    payload = bytes(synth_animated_gif(df).collect()[0]["content"])
+    assert payload[:6] == b"GIF89a"
+    assert walk_gif_frames(payload) is not None
+
+    svg = b"<!-- " + b"x" * 1100 + b' --><svg width="3" height="4"/>'
+    assert probe_image_header(svg) == ("svg", 3, 4)
