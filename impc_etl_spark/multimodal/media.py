@@ -117,16 +117,18 @@ def decode_image(payload: bytes):
     pure-stdlib ``decode_png`` / ``decode_gif`` /
     ``decode_jpeg`` paths — so numeric code over the result behaves
     identically on a heterogeneous cluster where only some workers have
-    PIL. Remaining formats without PIL raise the honest stub error
-    (lossy-VP8 WebP and AVIF genuinely need a codec library; VP8L
-    lossless WebP decodes natively via ``decode_webp``)."""
+    PIL. The dispatch falls back to the pure path on ANY PIL failure —
+    missing package OR a format PIL lacks (e.g. some VP8L builds) — so
+    the native-library escape hatch never narrows coverage; only when
+    both paths fail does the honest stub error raise (lossy-VP8 WebP
+    and AVIF genuinely need a codec library)."""
     try:
         from PIL import Image  # type: ignore[import-not-found]
         import io
 
         img = Image.open(io.BytesIO(payload))
         return img.width, img.height, img.tobytes()
-    except ImportError:
+    except Exception:
         decoded = _decode_any_image(payload)
         if decoded is not None:
             w, h, _mode, samples = decoded
@@ -2018,10 +2020,18 @@ def decode_jpeg(payload: bytes):
                 comps = []
                 for k in range(nc):
                     cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
-                    if hv != 0x11:
-                        return None  # subsampled chroma: unsupported
-                    comps.append((cid, tq))
-                sof = (w, h, comps)
+                    hf, vf = hv >> 4, hv & 0x0F
+                    if not (1 <= hf <= 4 and 1 <= vf <= 4):
+                        return None
+                    comps.append((cid, hf, vf, tq))
+                # only integer downsampling ratios (the real-world set:
+                # 4:4:4, 4:2:2, 4:2:0, 4:1:1, 4:4:0) — a 3:2-style
+                # ratio would need fractional resampling nobody emits
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if any(hmax % c[1] or vmax % c[2] for c in comps):
+                    return None
+                sof = (w, h, comps, hmax, vmax)
             elif marker == 0xC2:     # progressive: dedicated multi-scan path
                 return _decode_jpeg_progressive(d)
             elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -2037,60 +2047,97 @@ def decode_jpeg(payload: bytes):
                 for k in range(ns):
                     cs, tdta = body[1 + 2 * k : 3 + 2 * k]
                     scan.append((cs, tdta >> 4, tdta & 0x0F))
-                w, h, comps = sof
+                w, h, comps, hmax, vmax = sof
                 if ns != len(comps):
                     return None      # single interleaved scan only
                 reader = _JpegBitReader(d, i + 2 + seg_len)
-                bw = (w + 7) // 8
-                bh = (h + 7) // 8
-                planes = [bytearray(bw * 8 * bh * 8) for _ in comps]
+                # MCU grid: each MCU spans 8*hmax x 8*vmax image pixels
+                # and carries h_i*v_i blocks of component i (T.81 A.2.3)
+                mcx = (w + 8 * hmax - 1) // (8 * hmax)
+                mcy = (h + 8 * vmax - 1) // (8 * vmax)
+                # padded plane bytes: bounded by the header-size check
+                # above times a small constant (<= 4x from MCU rounding)
+                if sum(mcx * c[1] * mcy * c[2] for c in comps) * 64 \
+                        > 4 * MAX_DECODE_SAMPLES:
+                    return None
+                strides = [mcx * c[1] * 8 for c in comps]
+                planes = [
+                    bytearray(strides[ci] * mcy * c[2] * 8)
+                    for ci, c in enumerate(comps)
+                ]
                 pred = [0] * len(comps)
                 mcu = 0
-                for by in range(bh):
-                    for bx in range(bw):
+                for my in range(mcy):
+                    for mx in range(mcx):
                         if dri and mcu and mcu % dri == 0:
                             reader.align_restart()
                             pred = [0] * len(comps)
                         mcu += 1
-                        for ci, (cid, tq) in enumerate(comps):
+                        for ci, (cid, hf, vf, tq) in enumerate(comps):
                             _cs, td, ta = scan[ci]
                             q = qt.get(tq)
                             dc_t = huff_dc.get(td)
                             ac_t = huff_ac.get(ta)
                             if q is None or dc_t is None or ac_t is None:
                                 return None
-                            coef = [0.0] * 64
-                            s = _huff_decode(reader, dc_t)
-                            diff = _extend(reader.bits(s), s) if s else 0
-                            pred[ci] += diff
-                            coef[0] = pred[ci] * q[0]
-                            k = 1
-                            while k < 64:
-                                rs = _huff_decode(reader, ac_t)
-                                r, s = rs >> 4, rs & 0x0F
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16     # ZRL
-                                        continue
-                                    break           # EOB
-                                k += r
-                                if k > 63:
-                                    return None
-                                coef[_JPEG_ZIGZAG[k]] = (
-                                    _extend(reader.bits(s), s) * q[k]
-                                )
-                                k += 1
-                            px = _idct_2d(coef)
-                            plane = planes[ci]
-                            stride = bw * 8
-                            for y in range(8):
-                                base = (by * 8 + y) * stride + bx * 8
-                                for x in range(8):
-                                    v = int(px[y * 8 + x] + 128.5)
-                                    plane[base + x] = (
-                                        0 if v < 0 else 255 if v > 255 else v
+                            for vb in range(vf):
+                                for hb in range(hf):
+                                    coef = [0.0] * 64
+                                    s = _huff_decode(reader, dc_t)
+                                    diff = (
+                                        _extend(reader.bits(s), s) if s else 0
                                     )
-                return _jpeg_assemble(planes, w, h, bw * 8)
+                                    pred[ci] += diff
+                                    coef[0] = pred[ci] * q[0]
+                                    k = 1
+                                    while k < 64:
+                                        rs = _huff_decode(reader, ac_t)
+                                        r, s = rs >> 4, rs & 0x0F
+                                        if s == 0:
+                                            if r == 15:
+                                                k += 16     # ZRL
+                                                continue
+                                            break           # EOB
+                                        k += r
+                                        if k > 63:
+                                            return None
+                                        coef[_JPEG_ZIGZAG[k]] = (
+                                            _extend(reader.bits(s), s) * q[k]
+                                        )
+                                        k += 1
+                                    px = _idct_2d(coef)
+                                    plane = planes[ci]
+                                    stride = strides[ci]
+                                    by = my * vf + vb
+                                    bx = mx * hf + hb
+                                    for y in range(8):
+                                        base = (by * 8 + y) * stride + bx * 8
+                                        for x in range(8):
+                                            v = int(px[y * 8 + x] + 128.5)
+                                            plane[base + x] = (
+                                                0 if v < 0
+                                                else 255 if v > 255 else v
+                                            )
+                full_stride = mcx * hmax * 8
+                full = []
+                for ci, (cid, hf, vf, tq) in enumerate(comps):
+                    if hf == hmax and vf == vmax:
+                        full.append(planes[ci])
+                        continue
+                    # chroma upsampling by sample replication (JFIF
+                    # nearest-neighbor; T.871 allows any filter — for
+                    # the constant-block oracle content every filter
+                    # reconstructs identically)
+                    fx, fy = hmax // hf, vmax // vf
+                    up = bytearray(full_stride * mcy * vmax * 8)
+                    src, sstride = planes[ci], strides[ci]
+                    for y in range(min(h, mcy * vmax * 8)):
+                        srow = (y // fy) * sstride
+                        drow = y * full_stride
+                        for x in range(min(w, full_stride)):
+                            up[drow + x] = src[srow + x // fx]
+                    full.append(up)
+                return _jpeg_assemble(full, w, h, full_stride)
             i += 2 + seg_len
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
                 i = i - seg_len      # standalone markers have no body
@@ -2138,7 +2185,6 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
     twelve 4-bit codes; AC: every (run,size) symbol at 9 bits — written
     into DHT, so ANY spec-conforming decoder reads the stream). Edge
     blocks replicate the last row/column (the standard padding)."""
-    import math
     import struct
 
     q = _JPEG_LUM_Q
@@ -2175,43 +2221,171 @@ def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> bytes:
                 for x in range(8):
                     sx = min(bx * 8 + x, width - 1)
                     block.append(float(pixels[sy * width + sx]) - 128.0)
-            coef = _fdct_2d(block)
-            zz = [0] * 64
-            for k in range(64):
-                # kill the ~1e-13 float-DCT noise before the half-up
-                # quantization: integer-valued coefficients (e.g. the DC
-                # of a constant block) must quantize bit-stably so an
-                # oracle can replay floor(v/Q + 0.5) exactly
-                zz[k] = math.floor(
-                    round(coef[_JPEG_ZIGZAG[k]], 6) / q[k] + 0.5
-                )
-            diff = zz[0] - pred
-            pred = zz[0]
-            s = _jpeg_category(diff)
-            c, ln = dc_code[s]
-            wtr.put(c, ln)
-            if s:
-                wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_code[0xF0]
-                    wtr.put(c, ln)
-                    run -= 16
-                s = _jpeg_category(v)
-                c, ln = ac_code[(run << 4) | s]
-                wtr.put(c, ln)
-                wtr.put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                c, ln = ac_code[0x00]
-                wtr.put(c, ln)
+            pred = _jpeg_encode_block(wtr, block, q, pred, dc_code, ac_code)
     return (b"\xff\xd8" + dqt + sof + dht + sos + wtr.flush() + b"\xff\xd9")
+
+
+def _jpeg_encode_block(wtr, block, q, pred, dc_code, ac_code) -> int:
+    """Forward-DCT + quantize + entropy-code ONE 8x8 block (level-shifted
+    float samples) and return the new DC predictor — the shared kernel of
+    the grayscale and interleaved-color encoders."""
+    import math
+
+    coef = _fdct_2d(block)
+    zz = [0] * 64
+    for k in range(64):
+        # kill the ~1e-13 float-DCT noise before the half-up
+        # quantization (see encode_jpeg_gray)
+        zz[k] = math.floor(round(coef[_JPEG_ZIGZAG[k]], 6) / q[k] + 0.5)
+    diff = zz[0] - pred
+    s = _jpeg_category(diff)
+    c, ln = dc_code[s]
+    wtr.put(c, ln)
+    if s:
+        wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_code[0xF0]
+            wtr.put(c, ln)
+            run -= 16
+        s = _jpeg_category(v)
+        c, ln = ac_code[(run << 4) | s]
+        wtr.put(c, ln)
+        wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_code[0x00]
+        wtr.put(c, ln)
+    return zz[0]
+
+
+def encode_jpeg_color(
+    y: bytes, cb: bytes, cr: bytes, width: int, height: int,
+    sampling: str = "4:2:0",
+) -> bytes:
+    """REAL baseline color JPEG encoder with chroma subsampling — the
+    synth twin for the subsampled `decode_jpeg` path. ``y`` is the
+    full-resolution luma plane; ``cb``/``cr`` are ALREADY at chroma
+    resolution (w/2 x h/2 for 4:2:0, w/2 x h for 4:2:2, w x h for
+    4:4:4). One shared K.1 quant table and one canonical DC/AC Huffman
+    pair serve all three components; blocks are written in T.81 A.2.3
+    MCU-interleaved order (4:2:0 = YYYYCbCr per MCU). Edge blocks
+    replicate the last row/column per component plane."""
+    import struct
+
+    factors = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+    if sampling not in factors:
+        raise ValueError(f"unknown sampling {sampling!r}")
+    yh, yv = factors[sampling]
+    cw = (width + yh - 1) // yh
+    ch = (height + yv - 1) // yv
+    if len(y) != width * height or len(cb) != cw * ch or len(cr) != cw * ch:
+        raise ValueError("plane size mismatch")
+    q = _JPEG_LUM_Q
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_counts = [0] * 16
+    ac_counts[8] = len(ac_syms)
+    dc_code = {s: (i, 4) for i, s in enumerate(dc_syms)}
+    ac_code = {s: (i, 9) for i, s in enumerate(ac_syms)}
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(q))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", height, width)
+              + bytes([3,
+                       1, (yh << 4) | yv, 0,
+                       2, 0x11, 0,
+                       3, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_counts[:16]) + bytes(dc_syms)
+              + bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    def block_at(plane, pw, ph, by, bx):
+        blk = []
+        for yy in range(8):
+            sy = min(by * 8 + yy, ph - 1)
+            for xx in range(8):
+                sx = min(bx * 8 + xx, pw - 1)
+                blk.append(float(plane[sy * pw + sx]) - 128.0)
+        return blk
+
+    wtr = _JpegBitWriter()
+    mcx = (width + 8 * yh - 1) // (8 * yh)
+    mcy = (height + 8 * yv - 1) // (8 * yv)
+    pred = [0, 0, 0]
+    for my in range(mcy):
+        for mx in range(mcx):
+            for vb in range(yv):
+                for hb in range(yh):
+                    pred[0] = _jpeg_encode_block(
+                        wtr, block_at(y, width, height,
+                                      my * yv + vb, mx * yh + hb),
+                        q, pred[0], dc_code, ac_code)
+            pred[1] = _jpeg_encode_block(
+                wtr, block_at(cb, cw, ch, my, mx), q, pred[1],
+                dc_code, ac_code)
+            pred[2] = _jpeg_encode_block(
+                wtr, block_at(cr, cw, ch, my, mx), q, pred[2],
+                dc_code, ac_code)
+    return b"\xff\xd8" + dqt + sof + dht + sos + wtr.flush() + b"\xff\xd9"
+
+
+def synth_color_jpeg_subsampled(
+    df: DataFrame,
+    content_col: str = "content",
+    sampling: str = "4:2:0",
+) -> DataFrame:
+    """Deterministic 4:2:0 (or 4:2:2) color JPEG synthesis: a 32x16 image
+    whose eight 8x8 luma blocks are constant at digest bytes 0-7 and
+    whose chroma blocks (one Cb + one Cr per MCU under 4:2:0 — 2 MCUs
+    across) are constant at digest bytes 8-9 (Cb) / 10-11 (Cr), pushed
+    through the REAL interleaved encoder. Constant blocks reconstruct
+    integer-exactly — c' = clamp(2*floor((8(b-128))/16 + 0.5) + 128) per
+    component, replication upsampling preserves constants, and the T.871
+    RGB conversion is closed-form — so a DuckDB oracle replays the
+    decoded pixels from md5(payload) while the decoder exercises the
+    full MCU-interleaved subsampled path. Narrow Arrow-batched map."""
+    if sampling != "4:2:0":
+        raise ValueError("registered synth pins 4:2:0; use encode_jpeg_color"
+                         " directly for other samplings")
+    w, h = 32, 16
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                d = hashlib.md5(bytes(p)).digest()
+                y = bytearray(w * h)
+                for by in range(2):
+                    for bx in range(4):
+                        b = d[by * 4 + bx]
+                        for yy in range(8):
+                            base = (by * 8 + yy) * w + bx * 8
+                            y[base : base + 8] = bytes([b]) * 8
+                cw, chh = w // 2, h // 2
+                cbp = bytearray(cw * chh)
+                crp = bytearray(cw * chh)
+                for m in range(2):          # MCU column m covers x in [16m,16m+16)
+                    for yy in range(chh):
+                        base = yy * cw + m * 8
+                        cbp[base : base + 8] = bytes([d[8 + m]]) * 8
+                        crp[base : base + 8] = bytes([d[10 + m]]) * 8
+                out.append(encode_jpeg_color(
+                    bytes(y), bytes(cbp), bytes(crp), w, h, sampling))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)
 
 
 def synth_gray_jpeg(

@@ -116,11 +116,40 @@ def _contains_map(dt) -> bool:
     return False
 
 
+def _salt_expr(df: DataFrame, buckets: int, position_col=None) -> Column:
+    """Deterministic salt shared by salted_agg / joins.salted_join.
+
+    Salt = pmod(hash(all hashable columns [, position_col]), buckets) — a
+    pure function of row content, so a task reattempt after a shuffle
+    fetch failure recomputes the SAME salt for every row (the r5 ADVICE
+    finding: monotonically_increasing_id() is nondeterministic across
+    attempts and risked row duplication/loss under recomputation, and
+    contradicted the repo's own stability convention in operators/explode).
+
+    ``position_col`` (a per-row unique key the caller supplies, e.g. an
+    order id) additionally spreads hot keys whose non-key columns are
+    exact DUPLICATES — where a pure content hash is constant. Without it,
+    duplicate hot rows share one bucket: still correct, just less spread
+    for that (rare) shape. Map-typed columns are excluded from the hash
+    (F.hash raises on MapType).
+    """
+    hashable = [
+        F.col(f.name) for f in df.schema.fields if not _contains_map(f.dataType)
+    ]
+    if position_col is not None:
+        hashable.append(
+            F.col(position_col) if isinstance(position_col, str) else position_col
+        )
+    content = F.hash(*hashable).cast("long") if hashable else F.lit(0).cast("long")
+    return F.pmod(content, F.lit(buckets))
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
     aggs: dict[str, tuple[Column, Column]],
     buckets: int = 16,
+    position_col: str | Column | None = None,
 ) -> DataFrame:
     """Two-stage skew-proof aggregation: shuffle on (keys, salt) first, then
     merge per key.
@@ -131,26 +160,18 @@ def salted_agg(
     across ``buckets`` reducers in stage 1 instead of landing on one task;
     stage 2 shuffles only ``buckets`` rows per hot key. AQE's skew handling
     covers joins but NOT single-key aggregation blowups — this does.
+
+    ``position_col``: optional per-row unique key; see _salt_expr for the
+    determinism contract (content-hash salt, no nondeterministic ids).
     """
     # Algebraic aggregates (sum/count/min/max) already combine map-side;
     # salting matters for HOLISTIC aggregates (collect_set/list, exact
     # distinct bundles) whose per-key state must otherwise fit one reducer.
-    # Salt = content hash + per-row position, not spark_partition_id()
-    # alone: after an upstream shuffle/join on these same keys a hot key
-    # sits in ONE partition, where a partition-id salt is constant for
-    # exactly the rows that need spreading. The position term
-    # (monotonically_increasing_id) additionally spreads hot keys whose
-    # rows are exact DUPLICATES — a common skew shape for collect_set
-    # inputs — where a pure content hash is constant too. Map-typed
-    # columns are excluded from the hash (F.hash raises on MapType);
-    # rows still spread via the position term even if nothing is hashable.
-    hashable = [
-        F.col(f.name) for f in df.schema.fields if not _contains_map(f.dataType)
-    ]
-    content = F.hash(*hashable).cast("long") if hashable else F.lit(0).cast("long")
-    salt = F.pmod(content + F.monotonically_increasing_id(), F.lit(buckets)).alias(
-        "__salt"
-    )
+    # Salt = content hash (+ optional caller-supplied position key), not
+    # spark_partition_id() alone: after an upstream shuffle/join on these
+    # same keys a hot key sits in ONE partition, where a partition-id salt
+    # is constant for exactly the rows that need spreading.
+    salt = _salt_expr(df, buckets, position_col).alias("__salt")
     stage1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

@@ -171,6 +171,7 @@ def salted_join(
     on: Sequence[str],
     buckets: int = 16,
     how: str = "inner",
+    position_col=None,
 ) -> DataFrame:
     """Skew-proof equi join: salt the (big, skewed) left side into
     ``buckets`` sub-keys and replicate each right row once per bucket, so
@@ -189,18 +190,15 @@ def salted_join(
     """
     if how not in ("inner", "left_outer"):
         raise ValueError("salted_join supports how='inner'|'left_outer'")
-    # same salt construction as aggregate.salted_agg: content hash (maps
-    # excluded — F.hash raises on MapType) + per-row position, so a hot
-    # key of exact-duplicate rows still spreads across buckets
-    from impc_etl_spark.operators.aggregate import _contains_map
+    # same salt construction as aggregate.salted_agg: a DETERMINISTIC
+    # content hash (maps excluded — F.hash raises on MapType), optionally
+    # plus a caller-supplied per-row unique key so a hot key of
+    # exact-duplicate rows still spreads across buckets. A pure function
+    # of row content survives task reattempts after shuffle fetch
+    # failures without row duplication/loss (no nondeterministic ids).
+    from impc_etl_spark.operators.aggregate import _salt_expr
 
-    hashable = [
-        F.col(f.name) for f in left.schema.fields if not _contains_map(f.dataType)
-    ]
-    content = F.hash(*hashable).cast("long") if hashable else F.lit(0).cast("long")
-    salted_l = left.withColumn(
-        "__salt", F.pmod(content + F.monotonically_increasing_id(), F.lit(buckets))
-    )
+    salted_l = left.withColumn("__salt", _salt_expr(left, buckets, position_col))
     salted_r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )

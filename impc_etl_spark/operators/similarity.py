@@ -775,6 +775,20 @@ def pq_adc_topk(
 # matrix (microseconds); the projection is pure JVM Column algebra.
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first non-NULL vector, with a clear
+    error instead of an opaque ``TypeError: NoneType`` when the frame is
+    empty or all vectors are NULL (r5 ADVICE). Bounded: a 1-row limit
+    scan, same cost class as the previous bare ``first()``."""
+    row = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer vector dim: no non-NULL {vec_col!r} values "
+            "(empty input?) — pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def moment_partials(df: DataFrame, vec_col: str = "embedding",
                     dim: int | None = None) -> DataFrame:
     """Per-partition (n, sum, flattened second-moment) rows: the mergeable
@@ -787,7 +801,7 @@ def moment_partials(df: DataFrame, vec_col: str = "embedding",
     import pandas as pd
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
     df = df.where(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == int(dim))
         & ~F.exists(vec_col, lambda x: x.isNull())
@@ -831,7 +845,7 @@ def covariance_entries(
     (the full d² grid is available with row=None, diagonal=False →
     everything)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
     # the partials frame is referenced THREE times below (n, s, m) —
     # without materialization Spark would rerun the data-sized numpy
     # scan per reference; the checkpoint is ≤numPartitions tiny rows
@@ -885,7 +899,7 @@ def pca_fit(
     import numpy as np
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
     parts = moment_partials(df, vec_col, dim).collect()
     return pca_from_moments(parts, dim, k)
 

@@ -1189,7 +1189,10 @@ def canonicalize_url(col: str | Column) -> Column:
     path = F.regexp_replace(F.regexp_extract(tail, r"^([^?]*)", 1), r"/{2,}", "/")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(tail, r"(\?.*)$", 1)
-    query = F.regexp_replace(query, _URL_TRACKING + r"=[^&]*", "")
+    # anchor to the preceding separator (kept via backref) so a param
+    # whose name merely ENDS in a tracking name survives: '?myfbclid=1'
+    # must not become '?my' (r5 ADVICE)
+    query = F.regexp_replace(query, r"([?&])" + _URL_TRACKING + r"=[^&]*", "$1")
     query = F.regexp_replace(query, r"[?&]+$", "")
     query = F.regexp_replace(query, r"\?&+", "?")
     query = F.regexp_replace(query, r"&&+", "&")

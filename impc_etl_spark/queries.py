@@ -7598,3 +7598,342 @@ _promote("media_jpeg_progressive", "customers_without_orders")
 # (r5-promoted but the URL/text family keeps docs_epoch_shuffle +
 # corpus_prepare + pack/bpe in-window and it stays locally green).
 _promote("media_webp_decode", "docs_url_canonical")
+
+
+def media_jpeg_subsampled(spark, sf_dir):
+    """4:2:0 CHROMA-SUBSAMPLED color JPEG decode end-to-end (ITU T.81
+    A.2.3 MCU-interleaved order + JFIF replication upsampling) — the
+    dominant real-crawl JPEG form, previously rejected. Every document
+    becomes a 32x16 color JPEG whose 8 luma blocks are constant at
+    digest bytes 0-7 and whose per-MCU chroma blocks are constant at
+    bytes 8-11, REALLY encoded (interleaved YYYYCbCr blocks, shared K.1
+    quant + canonical Huffman) and decoded back through the generalized
+    MCU loop: per-component planes, 2x2 chroma upsampling, T.871 YCbCr
+    to RGB. Constant blocks reconstruct integer-exactly, so the oracle
+    replays the full RGB image from md5(text). Reference analog: the
+    images mart columns (jobs/load/observation_mapper.py:851-997). Two
+    narrow Arrow-batched mapInPandas stages; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_image_features, synth_color_jpeg_subsampled,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    jpegs = synth_color_jpeg_subsampled(attach_binary(docs, "text", "doc_id"))
+    return decode_image_features(jpegs).select(
+        "media_id", "width", "height", "img_mode",
+        _rnd("mean_luminance", 6).alias("mean_luminance"),
+    )
+
+
+QUERIES["media_jpeg_subsampled"] = media_jpeg_subsampled
+
+# Per 8x8 luma block i (bx = i%4, MCU m = bx//2): component recon
+# c' = clamp(2*floor((8(b-128))/16 + 0.5) + 128) for digest byte b (one
+# shared K.1 table, DC q=16, constant blocks carry only DC); replication
+# upsampling keeps chroma constant per MCU; T.871 RGB with half-up
+# rounding (negatives clamp to 0 under both trunc and floor, so
+# floor(v+0.5) replays Python's int(v+0.5) after the clamp).
+# mean_luminance = mean over every decoded sample = avg over the 8
+# blocks' (R+G+B)/3 (each block contributes 64 equal pixels).
+ORACLE["media_jpeg_subsampled"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+db AS (
+  SELECT media_id, i,
+         GREATEST(0, LEAST(255,
+           2 * CAST(floor((8 * (CAST(concat('0x', substring(hx, 2 * i + 1, 2))
+                                    AS INT) - 128)) / 16.0 + 0.5) AS INT)
+           + 128)) AS yv,
+         GREATEST(0, LEAST(255,
+           2 * CAST(floor((8 * (CAST(concat('0x',
+                 substring(hx, 2 * (8 + (i % 4) // 2) + 1, 2))
+                                    AS INT) - 128)) / 16.0 + 0.5) AS INT)
+           + 128)) - 128 AS cb,
+         GREATEST(0, LEAST(255,
+           2 * CAST(floor((8 * (CAST(concat('0x',
+                 substring(hx, 2 * (10 + (i % 4) // 2) + 1, 2))
+                                    AS INT) - 128)) / 16.0 + 0.5) AS INT)
+           + 128)) - 128 AS cr
+  FROM h CROSS JOIN (SELECT unnest(range(8)) AS i) t),
+px AS (
+  SELECT media_id,
+         (GREATEST(0, LEAST(255, floor(yv + 1.402 * cr + 0.5)))
+          + GREATEST(0, LEAST(255, floor(yv - 0.344136 * cb
+                                            - 0.714136 * cr + 0.5)))
+          + GREATEST(0, LEAST(255, floor(yv + 1.772 * cb + 0.5)))) / 3.0
+           AS rgb_mean
+  FROM db)
+SELECT media_id,
+       CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+       'RGB' AS img_mode,
+       floor(avg(rgb_mean) * 1000000 + 0.5) / 1000000 AS mean_luminance
+FROM px GROUP BY media_id
+"""
+
+
+def docs_xml_roundtrip(spark, sf_dir):
+    """S1+S2 XML ingest proven end-to-end under the driver oracle (r5
+    verdict item 4 — previously fixture-test evidence only): every
+    partition of `documents` is serialized as ONE well-formed XML
+    document (root + one <centre> element per doc carrying doc_id, lang
+    and two repeated <metric> children — the DCC layout shape,
+    xml_extraction_helper.py:22-108), written through the text sink
+    (one file per partition), re-read with `read_xml_entities`
+    (rowTag='centre', explicit schema, FAILFAST), and the repeated
+    element exploded by `explode_params` with the reference's
+    position-derived md5 observation id. The oracle replays rows and
+    ids from the table alone. Scale note: one in-plan string row per
+    partition, bounded by partition size; the XML scan itself is
+    Spark's distributed multiline source."""
+    import tempfile
+
+    import pandas as pd_
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    from impc_etl_spark.operators.explode import explode_params
+    from impc_etl_spark.sources.readers import read_xml_entities
+
+    docs = _t(spark, sf_dir, "documents")
+    frag = docs.select(F.concat(
+        F.lit("<centre><doc_id>"), F.col("doc_id").cast("string"),
+        F.lit("</doc_id><lang>"), F.col("lang"),
+        F.lit("</lang><metric>"), F.length("text").cast("string"),
+        F.lit("</metric><metric>"),
+        F.pmod(F.length("text"), F.lit(7)).cast("string"),
+        F.lit("</metric></centre>")).alias("x"))
+
+    def to_doc(batches):
+        parts = []
+        for pdf in batches:
+            parts.extend(pdf["x"].tolist())
+        yield pd_.DataFrame(
+            {"value": ["<centres>" + "".join(parts) + "</centres>"]})
+
+    path = tempfile.mkdtemp(prefix="xml_roundtrip_") + "/centres"
+    frag.mapInPandas(to_doc, schema="value string") \
+        .write.mode("overwrite").format("text").save(path)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("metric", ArrayType(LongType())),
+    ])
+    parsed = read_xml_entities(spark, path, row_tag="centre", schema=schema)
+    out = explode_params(parsed, "metric", "doc_id", ["lang"],
+                         id_col="obs_id")
+    return out.select("doc_id", "lang", F.col("_pos").alias("pos"),
+                      "metric", "obs_id")
+
+
+QUERIES["docs_xml_roundtrip"] = docs_xml_roundtrip
+
+ORACLE["docs_xml_roundtrip"] = """
+SELECT doc_id, lang, pos,
+       CASE pos WHEN 0 THEN length(text) ELSE length(text) % 7 END AS metric,
+       md5(concat(CAST(doc_id AS VARCHAR), '#metric#', CAST(pos AS VARCHAR)))
+         AS obs_id
+FROM documents CROSS JOIN (SELECT unnest(range(2)) AS pos) t
+"""
+
+
+def docs_tsv_roundtrip(spark, sf_dir):
+    """S3 TSV ingest proven end-to-end under the driver oracle: the
+    documents metadata (doc_id, lang, n_chars) is written as a real
+    tab-separated file set with header, then re-read through `read_tsv`
+    (explicit schema, DROPMALFORMED — the reference's IMPReSS/MGI report
+    ingest contract) with a planted malformed line per file that the
+    mode must silently drop. The oracle replays the clean rows."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from impc_etl_spark.sources.readers import read_tsv
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("lang"),
+                    F.length("text").cast("string")).alias("value"))
+    hdr = spark.range(1).select(
+        F.lit("doc_id\tlang\tn_chars").alias("value"))
+    bad = spark.range(1).select(
+        F.lit("not-a-long\toops").alias("value"))
+    path = tempfile.mkdtemp(prefix="tsv_roundtrip_") + "/docs"
+    # single file: header line must precede data rows
+    hdr.unionAll(bad).unionAll(rows.coalesce(1)) \
+        .coalesce(1).write.mode("overwrite").format("text").save(path)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    return read_tsv(spark, path, schema=schema)
+
+
+QUERIES["docs_tsv_roundtrip"] = docs_tsv_roundtrip
+
+ORACLE["docs_tsv_roundtrip"] = """
+SELECT doc_id, lang, length(text) AS n_chars FROM documents
+"""
+
+
+def docs_sized_json_roundtrip(spark, sf_dir):
+    """S10 sized-JSON sink proven end-to-end under the driver oracle:
+    the documents metadata is written through `write_sized_json` with an
+    explicit 4-file layout, re-read with an explicit schema, and the
+    result verifies BOTH the data roundtrip and the file sizing (the
+    distinct-input-file count is computed in-plan from
+    input_file_name(), no driver-side listing). One aggregate row."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from impc_etl_spark.sources.sinks import write_sized_json
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="json_roundtrip_") + "/docs"
+    write_sized_json(
+        docs.select("doc_id", "lang", F.length("text").alias("n_chars")),
+        path, num_files=4)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    back = spark.read.schema(schema).json(path) \
+        .withColumn("__file", F.input_file_name())
+    return back.agg(
+        F.count_distinct("__file").alias("n_files"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+QUERIES["docs_sized_json_roundtrip"] = docs_sized_json_roundtrip
+
+ORACLE["docs_sized_json_roundtrip"] = """
+SELECT CAST(4 AS BIGINT) AS n_files,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       sum(length(text)) AS sum_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-6 window rotation (r5 verdict item 1): 77 of 202 registered
+# queries had never held a driver CORRECTNESS slot (they carry local
+# oracle-parity + judge sf0.01 sweep evidence only). Rotate 49 of them
+# into the checked first-50 window this round — observations_pipeline
+# stays the flagship in slot 1 — and the remaining never-checked names
+# are queued immediately after slot 50 so round 7's rotation finishes
+# the backlog. Displaced queries keep full local oracle coverage
+# (tests/test_oracle_parity.py runs all 202 every session).
+
+def _set_window(front: list[str]) -> None:
+    """Reorder QUERIES so ``front`` occupies the leading slots (driver
+    window = first 50), followed by every other query in registration
+    order. Unknown names raise — the window must only name registered
+    queries."""
+    missing = [n for n in front if n not in QUERIES]
+    if missing:
+        raise KeyError(f"window names not registered: {missing}")
+    rest = [k for k in QUERIES if k not in set(front)]
+    snapshot = {k: QUERIES[k] for k in [*front, *rest]}
+    QUERIES.clear()
+    QUERIES.update(snapshot)
+
+
+_R6_WINDOW = [
+    "observations_pipeline",
+    # never-driver-checked (r1-r5) — first tranche of the 77-name backlog
+    "orders_status_at_time",
+    "emb_two_stage_topk",
+    "part_copurchase_pairs",
+    "customer_record_linkage",
+    "docs_repetition",
+    "docs_entropy",
+    "corpus_stats",
+    "docs_bigram_logprob",
+    "orders_quality_checks",
+    "orders_coherent_sample",
+    "corpus_mixture_select",
+    "docs_incremental_dedup",
+    "docs_keep_best",
+    "docs_dup_rate",
+    "docs_normalize",
+    "docs_collocations",
+    "orders_skew_report",
+    "orders_price_histogram",
+    "orders_price_outliers",
+    "corpus_vocab",
+    "events_hourly_ffill",
+    "docs_quality_select",
+    "docs_bpe_token_count",
+    "docs_winnowing",
+    "docs_collapse_repeats",
+    "docs_global_ids",
+    "docs_pii_scrub",
+    "emb_quantize",
+    "emb_dup_groups",
+    "docs_simhash",
+    "docs_fingerprint",
+    "customer_order_bundle_gz",
+    "orders_approx_distinct",
+    "media_frame_sample",
+    "docs_tfidf_terms",
+    "salted_fact_join",
+    "customer_spend_quartiles",
+    "segment_status_cube",
+    "docs_split_assign",
+    "docs_domain_mix",
+    "docs_strip_html",
+    "docs_crawl_diff",
+    "docs_length_buckets",
+    "docs_split_leakage",
+    "orders_variant_extract",
+    # new this round (r5 verdict items 2+4): subsampled-JPEG decode and
+    # the driver-proven S1/S3/S10 source roundtrips
+    "media_jpeg_subsampled",
+    "docs_xml_roundtrip",
+    "docs_tsv_roundtrip",
+    "docs_sized_json_roundtrip",
+    # --- slot 50 boundary; the names below queue for the round-7 window
+    "docs_quality_topfrac",
+    "docs_containment_dups",
+    "emb_rp_topk",
+    "events_value_zscore",
+    "lineitem_metrics_unpivot",
+    "emb_hard_negatives",
+    "orders_zorder_key",
+    "emb_positive_pairs",
+    "docs_minhash_jaccard_est",
+    "emb_ann_multiprobe_topk",
+    "docs_bpe_segments",
+    "emb_kmeans_assign",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
+    "orders_heavy_customers_cms",
+    "media_adpcm_audio",
+    "media_flac_probe",
+    "media_avi_frames",
+    "media_audio_spectrum",
+    "docs_unicode_normalize",
+    "docs_zip_roundtrip",
+    "docs_tar_roundtrip",
+    "media_bmp_decode",
+    "media_pnm_decode",
+    "media_mp3_scan",
+    "media_adts_scan",
+    "media_ico_decode",
+    "media_tga_decode",
+    "media_svg_probe",
+    "media_gif_frames",
+    "emb_covariance",
+    "docs_url_canonical",
+]
+_set_window(_R6_WINDOW)

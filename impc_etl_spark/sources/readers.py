@@ -466,7 +466,16 @@ def tar_entries_df(df, content_col: str = "content", id_col: str = "media_id",
     tarfile sniffs) into one row per regular-file member: name, size,
     UTF-8 text. Same contracts as `zip_entries_df`: oversized members
     (header-declared — attacker data) keep metadata with NULL text;
-    unparseable payloads contribute no rows; never raises."""
+    unparseable payloads contribute no rows; never raises.
+
+    Bomb bound (r5 ADVICE): the walk is STREAMING (``r|*``) and stops
+    once the cumulative header-declared tar size exceeds 1024× the
+    compressed payload — mirroring `parse_warc_records`' inflate cap —
+    so a small gzip-bomb tar costs bounded CPU, not just bounded memory
+    (in a tar the decompressed byte count IS the 512-padded sum of
+    declared member sizes, so the declared total bounds decompression
+    work; checking before advancing the member iterator prevents
+    tarfile from ever decompressing past the cap)."""
     import io
     import tarfile
 
@@ -476,27 +485,36 @@ def tar_entries_df(df, content_col: str = "content", id_col: str = "media_id",
         for pdf in batches:
             ids, names, sizes, texts = [], [], [], []
             for mid, p in zip(pdf[id_col], pdf[content_col]):
+                p = bytes(p)
+                cap = 1024 * max(len(p), 1)
                 try:
-                    tf = tarfile.open(fileobj=io.BytesIO(bytes(p)))
-                    members = tf.getmembers()
+                    tf = tarfile.open(fileobj=io.BytesIO(p), mode="r|*")
                 except Exception:
                     continue
-                for info in members:
-                    if not info.isfile():
-                        continue
-                    ids.append(mid)
-                    names.append(info.name)
-                    sizes.append(info.size)
-                    if info.size > max_member_bytes:
-                        texts.append(None)
-                        continue
-                    try:
-                        texts.append(
-                            tf.extractfile(info).read()
-                            .decode("utf-8", "replace")
-                        )
-                    except Exception:
-                        texts.append(None)
+                consumed = 0
+                try:
+                    for info in tf:
+                        # header block + 512-padded data the iterator
+                        # will have to decompress through
+                        consumed += 512 + ((info.size + 511) // 512) * 512
+                        if info.isfile():
+                            ids.append(mid)
+                            names.append(info.name)
+                            sizes.append(info.size)
+                            if info.size > max_member_bytes:
+                                texts.append(None)
+                            else:
+                                try:
+                                    texts.append(
+                                        tf.extractfile(info).read()
+                                        .decode("utf-8", "replace")
+                                    )
+                                except Exception:
+                                    texts.append(None)
+                        if consumed > cap:
+                            break
+                except Exception:
+                    pass
             yield pd.DataFrame({
                 id_col: pd.array(ids, dtype="int64"),
                 "member_name": names,

@@ -2083,3 +2083,156 @@ def test_gif_walk_truncation_and_89a_stamp(spark):
 
     svg = b"<!-- " + b"x" * 1100 + b' --><svg width="3" height="4"/>'
     assert probe_image_header(svg) == ("svg", 3, 4)
+
+
+def test_jpeg_subsampled_420_exact_and_422():
+    """4:2:0 MCU-interleaved decode: constant-per-block planes reconstruct
+    integer-exactly through encode -> MCU loop -> replication upsampling
+    -> T.871 RGB; 4:2:2 and 4:4:4 agree on constant content."""
+    import hashlib
+    import math
+
+    from impc_etl_spark.multimodal.media import decode_jpeg, encode_jpeg_color
+
+    d = hashlib.md5(b"subsampled").digest()
+    w, h = 32, 16
+    y = bytearray(w * h)
+    for by in range(2):
+        for bx in range(4):
+            b = d[by * 4 + bx]
+            for yy in range(8):
+                base = (by * 8 + yy) * w + bx * 8
+                y[base : base + 8] = bytes([b]) * 8
+    cw, ch = 16, 8
+    cbp, crp = bytearray(cw * ch), bytearray(cw * ch)
+    for m in range(2):
+        for yy in range(ch):
+            base = yy * cw + m * 8
+            cbp[base : base + 8] = bytes([d[8 + m]]) * 8
+            crp[base : base + 8] = bytes([d[10 + m]]) * 8
+    jp = encode_jpeg_color(bytes(y), bytes(cbp), bytes(crp), w, h, "4:2:0")
+    W, H, mode, samples = decode_jpeg(jp)
+    assert (W, H, mode) == (32, 16, "RGB")
+
+    def recon(b):
+        return max(0, min(255, 2 * math.floor((8 * (b - 128)) / 16 + 0.5) + 128))
+
+    for py in range(h):
+        for px in range(w):
+            Y = recon(d[(py // 8) * 4 + px // 8])
+            cb = recon(d[8 + px // 16]) - 128
+            cr = recon(d[10 + px // 16]) - 128
+            exp = []
+            for val in (Y + 1.402 * cr, Y - 0.344136 * cb - 0.714136 * cr,
+                        Y + 1.772 * cb):
+                v = int(val + 0.5)
+                exp.append(0 if v < 0 else 255 if v > 255 else v)
+            got = list(samples[(py * w + px) * 3 : (py * w + px) * 3 + 3])
+            assert got == exp, (px, py, got, exp)
+
+    # constant content: 4:2:2 and 4:4:4 must decode identically
+    yc = bytes([100]) * (w * h)
+    r422 = decode_jpeg(encode_jpeg_color(
+        yc, bytes([90]) * (16 * 16), bytes([160]) * (16 * 16), w, h, "4:2:2"))
+    r444 = decode_jpeg(encode_jpeg_color(
+        yc, bytes([90]) * (w * h), bytes([160]) * (w * h), w, h, "4:4:4"))
+    assert r422 is not None and r444 is not None
+    assert r422 == r444
+
+
+def test_jpeg_subsampled_neutral_chroma_matches_gray():
+    """Cross-path consistency: a 4:2:0 color JPEG with neutral chroma
+    (128 -> Cb'=Cr'=128 exactly) must decode to R=G=B equal to the
+    grayscale decode of the same luma plane — the chroma machinery adds
+    nothing, pinning the Y path through the MCU-interleaved loop against
+    the long-standing single-component path."""
+    import random
+
+    from impc_etl_spark.multimodal.media import (
+        decode_jpeg, encode_jpeg_color, encode_jpeg_gray,
+    )
+
+    rng = random.Random(7)
+    w, h = 32, 16
+    y = bytes(rng.randrange(256) for _ in range(w * h))
+    neutral = bytes([128]) * (16 * 8)
+    col = decode_jpeg(encode_jpeg_color(y, neutral, neutral, w, h, "4:2:0"))
+    gray = decode_jpeg(encode_jpeg_gray(y, w, h))
+    assert col is not None and gray is not None
+    assert col[2] == "RGB" and gray[2] == "L"
+    rgb, lum = col[3], gray[3]
+    for i in range(w * h):
+        r, g, b = rgb[3 * i : 3 * i + 3]
+        assert r == g == b == lum[i], i
+
+
+def test_jpeg_subsampled_hostile():
+    """Subsampled-frame robustness: truncated entropy data, a 3:2
+    fractional sampling ratio, factors outside 1..4, and a padded-plane
+    bomb all return None (never raise)."""
+    import struct
+
+    from impc_etl_spark.multimodal.media import decode_jpeg, encode_jpeg_color
+
+    y = bytes([100]) * (32 * 16)
+    c = bytes([128]) * (16 * 8)
+    jp = bytearray(encode_jpeg_color(y, c, c, 32, 16, "4:2:0"))
+    assert decode_jpeg(bytes(jp[: len(jp) - 12])) is None   # truncated scan
+
+    # corrupt the SOF sampling factors in place: find SOF0 marker
+    i = jp.index(b"\xff\xc0")
+    # components at offset i+4 (len 2) + 1 prec + 4 dims + 1 nc = i+10
+    base = i + 10
+    orig = jp[base + 1]
+    jp[base + 1] = 0x32                      # Y 3x2 vs chroma 1x1: 3%1==0...
+    jp[base + 4] = 0x21                      # Cb 2x1 -> hmax=3, 3 % 2 != 0
+    assert decode_jpeg(bytes(jp)) is None    # fractional ratio rejected
+    jp[base + 1] = 0x55                      # factor 5: out of range
+    jp[base + 4] = 0x11
+    assert decode_jpeg(bytes(jp)) is None
+    jp[base + 1] = orig
+    jp[base + 4] = 0x11
+    assert decode_jpeg(bytes(jp)) is not None  # restored: decodes again
+
+
+def _pil_available():
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(not _pil_available(), reason="PIL not installed")
+def test_native_codec_parity_with_pure_python():
+    """Native-library escape hatch (r5 verdict item 8): where PIL exists,
+    its decode of our encoder output must agree with the pure-Python
+    decoders — same dimensions and (for the exactly-reconstructible
+    constant-block JPEG content and lossless PNG/GIF) identical samples.
+    Runs only on PIL-equipped workers; the sandbox skips it."""
+    import io
+
+    from PIL import Image
+
+    from impc_etl_spark.multimodal.media import (
+        decode_jpeg, encode_jpeg_color, encode_jpeg_gray,
+    )
+
+    # constant-block grayscale JPEG: integer-exact on both decoders
+    jp = encode_jpeg_gray(bytes([90]) * (16 * 8), 16, 8)
+    pure = decode_jpeg(jp)
+    pil = Image.open(io.BytesIO(jp)).convert("L")
+    assert (pil.width, pil.height) == (pure[0], pure[1])
+    assert pil.tobytes() == bytes(pure[3])
+
+    # 4:2:0 color: constant planes -> exact on both (any upsampling
+    # filter reproduces constants)
+    jc = encode_jpeg_color(bytes([100]) * (32 * 16), bytes([90]) * (16 * 8),
+                           bytes([160]) * (16 * 8), 32, 16, "4:2:0")
+    purec = decode_jpeg(jc)
+    pilc = Image.open(io.BytesIO(jc)).convert("RGB")
+    assert (pilc.width, pilc.height) == (purec[0], purec[1])
+    assert pilc.tobytes() == bytes(purec[3])

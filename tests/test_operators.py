@@ -2943,3 +2943,92 @@ def test_normalize_unicode_forms(spark):
     assert nfkc[1] == "é" and nfkc[2] == "12" and nfkc[3] == "file"
     with pytest.raises(ValueError):
         ucd_normalize("t", "NFX")
+
+
+def test_canonicalize_url_tracking_param_left_boundary(spark):
+    """Regression (r5 ADVICE): a param whose name merely ENDS in a
+    tracking name must survive — '?myfbclid=1' is not 'fbclid' and must
+    not be corrupted to '?my'. Real tracking params in every position
+    still stripped, including consecutive runs."""
+    from impc_etl_spark.operators.text import canonicalize_url
+
+    cases = [
+        ("https://a.b/p?myfbclid=1", "https://a.b/p?myfbclid=1"),
+        ("https://a.b/p?xutm_src=1&id=2", "https://a.b/p?xutm_src=1&id=2"),
+        ("https://a.b/p?fbclid=1&myfbclid=2", "https://a.b/p?myfbclid=2"),
+        ("https://a.b/p?utm_a=1&utm_b=2&c=3", "https://a.b/p?c=3"),
+        ("https://a.b/p?a=1&gclid=x&fbclid=y", "https://a.b/p?a=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i int, url string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", canonicalize_url("url").alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_infer_dim_clear_error_on_empty_or_all_null(spark):
+    """Regression (r5 ADVICE): dim inference on an empty frame or an
+    all-NULL vector column raises a clear ValueError naming the column,
+    not an opaque NoneType TypeError; a NULL-first frame still infers
+    from the first non-NULL vector."""
+    import pytest
+
+    from impc_etl_spark.operators.similarity import _infer_dim, moment_partials
+
+    empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="embedding"):
+        _infer_dim(empty, "embedding")
+    with pytest.raises(ValueError, match="dim"):
+        moment_partials(empty, "embedding").collect()
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="embedding"):
+        _infer_dim(allnull, "embedding")
+    mixed = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0, 3.0])], "vec_id int, embedding array<double>")
+    assert _infer_dim(mixed, "embedding") == 3
+
+
+def test_salt_expr_deterministic_no_nondeterministic_ids(spark):
+    """Regression (r5 ADVICE): the salt shared by salted_agg/salted_join
+    must be a pure function of row content (task reattempts after a
+    shuffle fetch failure must recompute the SAME salt), so its plan may
+    not contain monotonically_increasing_id or any nondeterministic
+    expression; an optional caller-supplied position key spreads
+    exact-duplicate hot rows."""
+    from impc_etl_spark.operators.aggregate import _salt_expr, salted_agg
+    from impc_etl_spark.operators.joins import salted_join
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("hot", i % 3, i) for i in range(30)], "k string, v int, pos int")
+    plan = df.withColumn("__salt", _salt_expr(df, 8, "pos"))._jdf \
+        .queryExecution().analyzed().toString()
+    assert "monotonically_increasing_id" not in plan
+    # identical rows hash identically (content-only salt): re-evaluating
+    # the expression twice yields the same assignment
+    a = [r["s"] for r in df.select(_salt_expr(df, 8).alias("s")).collect()]
+    b = [r["s"] for r in df.select(_salt_expr(df, 8).alias("s")).collect()]
+    assert a == b and all(0 <= s < 8 for s in a)
+    # position key spreads exact duplicates across buckets
+    dup = spark.createDataFrame([("hot", 1, i) for i in range(64)],
+                                "k string, v int, pos int")
+    spread = {r["s"] for r in dup.select(_salt_expr(dup.drop("pos"), 8).alias("s"),
+                                         ).collect()}
+    assert len(spread) == 1  # content-only: duplicates share one bucket
+    spread_pos = {r["s"] for r in dup.select(
+        _salt_expr(dup.drop("pos"), 8, F.col("pos")).alias("s")).collect()}
+    assert len(spread_pos) > 1
+    # equivalence with plain ops still holds with position_col
+    agg = sorted(map(tuple, salted_agg(
+        df, ["k"],
+        {"vals": (F.collect_set("v"),
+                  F.array_distinct(F.flatten(F.collect_list("vals"))))},
+        buckets=4, position_col="pos",
+    ).select("k", F.sort_array("vals")).collect()))
+    assert agg == [("hot", [0, 1, 2])]
+    right = spark.createDataFrame([("hot", "H")], "k string, tag string")
+    j = salted_join(df, right, ["k"], buckets=4, position_col="pos")
+    assert j.count() == 30 and "monotonically_increasing_id" not in \
+        j._jdf.queryExecution().analyzed().toString()

@@ -788,3 +788,40 @@ def test_warc_gzip_bomb_bounded_and_members_concatenate():
     t0 = time.monotonic()
     assert parse_warc_records(bomb) is None
     assert time.monotonic() - t0 < 3
+
+
+def test_tar_decompression_bomb_bounded(spark):
+    """Regression (r5 ADVICE): a compressed tar whose decompressed size
+    vastly exceeds 1024x the payload stops early (bounded CPU, mirroring
+    the WARC inflate cap) — members past the cap are not walked — while
+    legitimate small archives are unaffected. bzip2 is the demonstration
+    codec (ratios beyond 100000:1 on repetitive data; gzip's deflate
+    tops out near the 1024x cap itself)."""
+    import io
+    import tarfile
+
+    from impc_etl_spark.sources.readers import build_tar, tar_entries_df
+
+    # bomb: 2000 members of 64 KiB zeros (~132 MB tar) -> ~4.5 KB bz2
+    buf = io.BytesIO()
+    zeros = bytes(64 * 1024)
+    with tarfile.open(fileobj=buf, mode="w:bz2",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for i in range(2000):
+            info = tarfile.TarInfo(f"z{i:04d}")
+            info.size = len(zeros)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(zeros))
+    bomb = buf.getvalue()
+    assert len(bomb) < 1 << 16
+    df = spark.createDataFrame([(1, bomb)], "media_id bigint, content binary")
+    rows = tar_entries_df(df).collect()
+    # cap = 1024 * len(bomb); each member costs 512 + 64 KiB declared
+    cap_members = (1024 * len(bomb)) // (512 + 64 * 1024) + 1
+    assert 0 < len(rows) <= cap_members < 2000
+    # legitimate archive below the cap: all members still present
+    ok = build_tar([(f"f{i}.txt", b"data") for i in range(10)], gz=True)
+    got = tar_entries_df(
+        spark.createDataFrame([(2, ok)], "media_id bigint, content binary")
+    ).collect()
+    assert len(got) == 10 and all(r["text"] == "data" for r in got)
