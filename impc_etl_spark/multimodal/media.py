@@ -1781,9 +1781,11 @@ def avi_frame_stats(df: DataFrame, content_col: str = "content",
 # spec, not just the Annex K defaults), SOF0 baseline sequential, entropy
 # decode with byte unstuffing and restart markers, dequantize + inverse
 # zigzag + separable float IDCT, level shift and clamp; 1-component
-# grayscale and 3-component 4:4:4 YCbCr (BT.601 full-range conversion per
-# T.871). Progressive (SOF2) routes to the dedicated Annex G multi-scan
-# path below; arithmetic coding and subsampled chroma return None —
+# grayscale (non-interleaved per A.2.2) and 3-component YCbCr at 4:4:4
+# or any integer chroma subsampling (4:2:0/4:2:2/4:1:1/4:4:0, the MCU-
+# interleaved A.2.3 walk + replication upsampling; BT.601 full-range
+# conversion per T.871). Progressive (SOF2) routes to the dedicated
+# Annex G multi-scan path below; arithmetic coding returns None —
 # honestly unsupported rather than wrong.
 
 _JPEG_ZIGZAG = [
@@ -1967,9 +1969,12 @@ def _jpeg_assemble(planes: list[bytearray], w: int, h: int,
 def decode_jpeg(payload: bytes):
     """REAL baseline JPEG decode → (width, height, mode, samples) with
     samples the raw channel bytes in scan order ('L' or 'RGB'), or None
-    for anything unsupported (arithmetic, subsampled chroma, >8-bit)
-    or corrupt — never raises; progressive (SOF2) frames dispatch to
-    the Annex G multi-scan decoder."""
+    for anything unsupported (arithmetic, >8-bit, non-integer sampling
+    ratios) or corrupt — never raises. Chroma-subsampled frames (4:2:0,
+    4:2:2, 4:1:1, 4:4:0) decode via the MCU-interleaved T.81 A.2.3 walk
+    with replication upsampling; single-component scans decode
+    non-interleaved per A.2.2. Progressive (SOF2) frames dispatch to
+    the Annex G multi-scan decoder (which still rejects subsampling)."""
     try:
         d = payload
         if d[:2] != b"\xff\xd8":
@@ -2031,6 +2036,17 @@ def decode_jpeg(payload: bytes):
                 vmax = max(c[2] for c in comps)
                 if any(hmax % c[1] or vmax % c[2] for c in comps):
                     return None
+                if nc == 1:
+                    # T.81 A.2.2: a single-component scan is NON-
+                    # interleaved — MCU = 1 data unit in raster order
+                    # over ceil(w/8) x ceil(h/8), its sampling factors
+                    # notwithstanding (e.g. `jpegtran -grayscale` keeps
+                    # the source's 2x2 Y factors). Walking it with the
+                    # interleaved A.2.3 grid would silently permute
+                    # blocks; normalizing to 1x1 yields exactly the
+                    # non-interleaved order.
+                    comps = [(comps[0][0], 1, 1, comps[0][3])]
+                    hmax = vmax = 1
                 sof = (w, h, comps, hmax, vmax)
             elif marker == 0xC2:     # progressive: dedicated multi-scan path
                 return _decode_jpeg_progressive(d)

@@ -140,8 +140,16 @@ def _salt_expr(df: DataFrame, buckets: int, position_col=None) -> Column:
         hashable.append(
             F.col(position_col) if isinstance(position_col, str) else position_col
         )
-    content = F.hash(*hashable).cast("long") if hashable else F.lit(0).cast("long")
-    return F.pmod(content, F.lit(buckets))
+    if not hashable:
+        # every column is map-typed and no position key given: the salt
+        # would be the CONSTANT 0 — silently disabling the skew spreading
+        # this operator exists for. Fail loud instead of no-op quiet.
+        raise ValueError(
+            "salting needs at least one non-map column or an explicit "
+            "position_col to derive a deterministic per-row salt "
+            "(all columns are map-typed)"
+        )
+    return F.pmod(F.hash(*hashable).cast("long"), F.lit(buckets))
 
 
 def salted_agg(

@@ -491,6 +491,12 @@ def tar_entries_df(df, content_col: str = "content", id_col: str = "media_id",
                     tf = tarfile.open(fileobj=io.BytesIO(p), mode="r|*")
                 except Exception:
                     continue
+                # per-payload staging: an archive that fails MID-walk
+                # (truncated/corrupt after intact leading members) must
+                # contribute NO rows — the all-or-nothing contract above
+                # — while a cap-triggered stop keeps the rows walked so
+                # far (intentional bomb truncation, not corruption)
+                p_ids, p_names, p_sizes, p_texts = [], [], [], []
                 consumed = 0
                 try:
                     for info in tf:
@@ -498,23 +504,27 @@ def tar_entries_df(df, content_col: str = "content", id_col: str = "media_id",
                         # will have to decompress through
                         consumed += 512 + ((info.size + 511) // 512) * 512
                         if info.isfile():
-                            ids.append(mid)
-                            names.append(info.name)
-                            sizes.append(info.size)
+                            p_ids.append(mid)
+                            p_names.append(info.name)
+                            p_sizes.append(info.size)
                             if info.size > max_member_bytes:
-                                texts.append(None)
+                                p_texts.append(None)
                             else:
                                 try:
-                                    texts.append(
+                                    p_texts.append(
                                         tf.extractfile(info).read()
                                         .decode("utf-8", "replace")
                                     )
                                 except Exception:
-                                    texts.append(None)
+                                    p_texts.append(None)
                         if consumed > cap:
                             break
                 except Exception:
-                    pass
+                    continue
+                ids.extend(p_ids)
+                names.extend(p_names)
+                sizes.extend(p_sizes)
+                texts.extend(p_texts)
             yield pd.DataFrame({
                 id_col: pd.array(ids, dtype="int64"),
                 "member_name": names,

@@ -2236,3 +2236,37 @@ def test_native_codec_parity_with_pure_python():
     pilc = Image.open(io.BytesIO(jc)).convert("RGB")
     assert (pilc.width, pilc.height) == (purec[0], purec[1])
     assert pilc.tobytes() == bytes(purec[3])
+
+
+def test_jpeg_single_component_noninterleaved_factors():
+    """Regression (r6 review): per T.81 A.2.2 a single-component scan is
+    NON-interleaved — one data unit per MCU in raster order — whatever
+    the SOF sampling factors say (`jpegtran -grayscale` keeps the source
+    image's 2x2 Y factors). Walking it with the interleaved A.2.3 grid
+    silently permutes blocks. The 2x2-factor stream must decode
+    identically to its 1x1 twin, with every block in place."""
+    from impc_etl_spark.multimodal.media import decode_jpeg, encode_jpeg_gray
+
+    w, h = 32, 16
+    vals = [10, 40, 70, 100, 130, 160, 190, 220]
+    px = bytearray(w * h)
+    for by in range(2):
+        for bx in range(4):
+            v = vals[by * 4 + bx]
+            for y in range(8):
+                for x in range(8):
+                    px[(by * 8 + y) * w + bx * 8 + x] = v
+    enc = encode_jpeg_gray(bytes(px), w, h)
+    i = enc.find(bytes([0xFF, 0xC0]))
+    hv_pos = i + 11          # SOF0: marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1) -> hv
+    assert enc[hv_pos] == 0x11
+    patched = bytearray(enc)
+    patched[hv_pos] = 0x22   # declare 2x2 luma factors, stream unchanged
+    base = decode_jpeg(enc)
+    got = decode_jpeg(bytes(patched))
+    assert got is not None and base is not None
+    assert (got[0], got[1], got[2]) == (w, h, "L")
+    assert bytes(got[3]) == bytes(base[3])
+    centers = [got[3][(by * 8 + 4) * w + bx * 8 + 4]
+               for by in range(2) for bx in range(4)]
+    assert centers == vals

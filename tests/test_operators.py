@@ -3032,3 +3032,23 @@ def test_salt_expr_deterministic_no_nondeterministic_ids(spark):
     j = salted_join(df, right, ["k"], buckets=4, position_col="pos")
     assert j.count() == 30 and "monotonically_increasing_id" not in \
         j._jdf.queryExecution().analyzed().toString()
+
+
+def test_salt_expr_all_map_columns_raises(spark):
+    """Regression (r6 review): a frame whose every column is map-typed
+    (nothing hashable) and no position_col would yield the CONSTANT
+    salt 0 — a silent no-op for exactly the skew shapes salting exists
+    to fix. The salt builder must fail loud instead."""
+    import pytest as _pytest
+
+    from impc_etl_spark.operators.aggregate import _salt_expr
+
+    df = spark.range(3).select(
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("m")
+    )
+    with _pytest.raises(ValueError, match="non-map column|position_col"):
+        _salt_expr(df, 16)
+    # with an explicit position key the same frame salts fine
+    df2 = df.withColumn("pos", F.monotonically_increasing_id())
+    out = df2.select(_salt_expr(df2, 16, "pos").alias("s")).collect()
+    assert all(0 <= r["s"] < 16 for r in out)

@@ -825,3 +825,32 @@ def test_tar_decompression_bomb_bounded(spark):
         spark.createDataFrame([(2, ok)], "media_id bigint, content binary")
     ).collect()
     assert len(got) == 10 and all(r["text"] == "data" for r in got)
+
+
+def test_tar_midwalk_truncation_contributes_no_rows(spark):
+    """Regression (r6 review): an archive that fails MID-walk — truncated
+    after intact leading members, the common hostile/partial-fetch crawl
+    shape — must contribute ZERO rows (the all-or-nothing contract),
+    not partial rows for the members walked before the failure. A
+    healthy sibling payload in the same batch is unaffected."""
+    import io
+    import tarfile
+
+    from impc_etl_spark.sources.readers import tar_entries_df
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in (("a.txt", b"hello " * 50), ("b.txt", b"world " * 200)):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    full = buf.getvalue()
+    # keep member a intact (hdr+512-padded data), cut b's data short:
+    # the streaming walk yields a, then raises ReadError mid-iteration
+    truncated = full[: 512 + 512 + 512 + 100]
+    df = spark.createDataFrame(
+        [(1, truncated), (2, full)], "media_id bigint, content binary"
+    )
+    rows = tar_entries_df(df).collect()
+    assert {r["media_id"] for r in rows} == {2}
+    assert sorted(r["member_name"] for r in rows) == ["a.txt", "b.txt"]
