@@ -1966,6 +1966,35 @@ def _jpeg_assemble(planes: list[bytearray], w: int, h: int,
     return (w, h, "RGB", out)
 
 
+def _jpeg_upsample_assemble(
+    planes: list[bytearray], comps, w: int, h: int,
+    mcx: int, mcy: int, hmax: int, vmax: int, strides: list[int],
+):
+    """Replication-upsample subsampled component planes to the full
+    sampling grid and assemble to 'L'/'RGB' — shared by the baseline and
+    progressive decoders. ``comps`` rows are (cid, hf, vf, tq); plane
+    ``ci`` is on the padded MCU grid with row stride ``strides[ci]``.
+    Chroma upsampling is sample replication (JFIF nearest-neighbor;
+    T.871 allows any filter — for constant-block oracle content every
+    filter reconstructs identically)."""
+    full_stride = mcx * hmax * 8
+    full = []
+    for ci, (_cid, hf, vf, _tq) in enumerate(comps):
+        if hf == hmax and vf == vmax:
+            full.append(planes[ci])
+            continue
+        fx, fy = hmax // hf, vmax // vf
+        up = bytearray(full_stride * mcy * vmax * 8)
+        src, sstride = planes[ci], strides[ci]
+        for y in range(min(h, mcy * vmax * 8)):
+            srow = (y // fy) * sstride
+            drow = y * full_stride
+            for x in range(min(w, full_stride)):
+                up[drow + x] = src[srow + x // fx]
+        full.append(up)
+    return _jpeg_assemble(full, w, h, full_stride)
+
+
 def decode_jpeg(payload: bytes):
     """REAL baseline JPEG decode → (width, height, mode, samples) with
     samples the raw channel bytes in scan order ('L' or 'RGB'), or None
@@ -2134,26 +2163,9 @@ def decode_jpeg(payload: bytes):
                                                 0 if v < 0
                                                 else 255 if v > 255 else v
                                             )
-                full_stride = mcx * hmax * 8
-                full = []
-                for ci, (cid, hf, vf, tq) in enumerate(comps):
-                    if hf == hmax and vf == vmax:
-                        full.append(planes[ci])
-                        continue
-                    # chroma upsampling by sample replication (JFIF
-                    # nearest-neighbor; T.871 allows any filter — for
-                    # the constant-block oracle content every filter
-                    # reconstructs identically)
-                    fx, fy = hmax // hf, vmax // vf
-                    up = bytearray(full_stride * mcy * vmax * 8)
-                    src, sstride = planes[ci], strides[ci]
-                    for y in range(min(h, mcy * vmax * 8)):
-                        srow = (y // fy) * sstride
-                        drow = y * full_stride
-                        for x in range(min(w, full_stride)):
-                            up[drow + x] = src[srow + x // fx]
-                    full.append(up)
-                return _jpeg_assemble(full, w, h, full_stride)
+                return _jpeg_upsample_assemble(
+                    planes, comps, w, h, mcx, mcy, hmax, vmax, strides
+                )
             i += 2 + seg_len
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
                 i = i - seg_len      # standalone markers have no body
@@ -2361,6 +2373,7 @@ def synth_color_jpeg_subsampled(
     df: DataFrame,
     content_col: str = "content",
     sampling: str = "4:2:0",
+    progressive: bool = False,
 ) -> DataFrame:
     """Deterministic 4:2:0 (or 4:2:2) color JPEG synthesis: a 32x16 image
     whose eight 8x8 luma blocks are constant at digest bytes 0-7 and
@@ -2397,7 +2410,9 @@ def synth_color_jpeg_subsampled(
                         base = yy * cw + m * 8
                         cbp[base : base + 8] = bytes([d[8 + m]]) * 8
                         crp[base : base + 8] = bytes([d[10 + m]]) * 8
-                out.append(encode_jpeg_color(
+                enc = (encode_jpeg_color_progressive if progressive
+                       else encode_jpeg_color)
+                out.append(enc(
                     bytes(y), bytes(cbp), bytes(crp), w, h, sampling))
             yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
 
@@ -2539,8 +2554,16 @@ def _jpeg_blk(blocks: list, m: int) -> list[int]:
 def _decode_jpeg_progressive(d: bytes):
     """Full progressive decode: multi-scan marker walk accumulating
     coefficients, then dequantize + IDCT. Same support envelope as the
-    baseline path (8-bit, 1 or 3 components, no subsampling); None for
-    anything else or corrupt — never raises."""
+    baseline path (8-bit, 1 or 3 components, integer sampling ratios
+    incl. 4:2:0/4:2:2 chroma subsampling); None for anything else or
+    corrupt — never raises.
+
+    Grids per T.81: DC scans with ns>1 walk the MCU-interleaved A.2.3
+    grid (h_i*v_i blocks of component i per MCU); every single-component
+    scan (all AC scans, and DC scans of 1-component frames) walks that
+    component's OWN block grid ceil(cw_i/8) x ceil(ch_i/8) in raster
+    order (A.2.2). Coefficients are stored on the padded interleaved
+    grid (stride mcx*h_i) so both walks address one plane."""
     try:
         i = 2
         qt: dict[int, list[int]] = {}
@@ -2549,7 +2572,10 @@ def _decode_jpeg_progressive(d: bytes):
         sof = None
         dri = 0
         coefs = None
-        bw = bh = 0
+        # per-component grids: padded interleaved storage (pbw/pbh) and
+        # actual non-interleaved walk (cbw/cbh)
+        pbw = pbh = cbw = cbh = None
+        mcx = mcy = 0
         while i + 2 <= len(d):
             if d[i] != 0xFF:
                 return None
@@ -2593,13 +2619,33 @@ def _decode_jpeg_progressive(d: bytes):
                 comps = []
                 for k in range(nc):
                     cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
-                    if hv != 0x11:
-                        return None  # subsampled chroma: unsupported
-                    comps.append((cid, tq))
-                sof = (w, h, comps)
-                bw = (w + 7) // 8
-                bh = (h + 7) // 8
-                if bw * bh > 8 * len(d):
+                    hf, vf = hv >> 4, hv & 0x0F
+                    if not (1 <= hf <= 4 and 1 <= vf <= 4):
+                        return None
+                    comps.append((cid, hf, vf, tq))
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if any(hmax % c[1] or vmax % c[2] for c in comps):
+                    return None      # non-integer ratio: nobody emits
+                if nc == 1:
+                    # T.81 A.2.2: single-component frames are always
+                    # non-interleaved; factors don't shape the walk
+                    comps = [(comps[0][0], 1, 1, comps[0][3])]
+                    hmax = vmax = 1
+                sof = (w, h, comps, hmax, vmax)
+                mcx = (w + 8 * hmax - 1) // (8 * hmax)
+                mcy = (h + 8 * vmax - 1) // (8 * vmax)
+                pbw = [mcx * c[1] for c in comps]
+                pbh = [mcy * c[2] for c in comps]
+                cbw = [
+                    ((w * c[1] + hmax - 1) // hmax + 7) // 8
+                    for c in comps
+                ]
+                cbh = [
+                    ((h * c[2] + vmax - 1) // vmax + 7) // 8
+                    for c in comps
+                ]
+                if sum(a * b for a, b in zip(pbw, pbh)) > 8 * len(d):
                     return None      # every block needs ≥1 bit per scan
                 # grown lazily (see _jpeg_blk): a 17-byte payload whose
                 # SOF2 claims 8192×8192 must not allocate the ~700 MB
@@ -2613,13 +2659,13 @@ def _decode_jpeg_progressive(d: bytes):
             elif marker == 0xDA:     # SOS: one progressive scan
                 if sof is None:
                     return None
-                w, h, comps = sof
+                w, h, comps, hmax, vmax = sof
                 ns = body[0]
                 scomp = []
                 for k in range(ns):
                     cs, t = body[1 + 2 * k : 3 + 2 * k]
                     ci = next(
-                        (j for j, (cid, _) in enumerate(comps) if cid == cs),
+                        (j for j, c in enumerate(comps) if c[0] == cs),
                         None,
                     )
                     if ci is None:
@@ -2631,26 +2677,58 @@ def _decode_jpeg_progressive(d: bytes):
                 ah, al = a >> 4, a & 0x0F
                 reader = _JpegBitReader(d, i + 2 + seg_len)
                 eobrun = 0
-                if ss == 0:          # DC scan (interleaved allowed)
+                if ss == 0 and ns > 1:   # interleaved DC scan
                     if se != 0:
                         return None
                     pred = [0] * len(scomp)
-                    for m in range(bw * bh):
+                    for m in range(mcx * mcy):
                         if dri and m and m % dri == 0:
                             reader.align_restart()
                             pred = [0] * len(scomp)
+                        my, mx = divmod(m, mcx)
                         for si, (ci, td, _ta) in enumerate(scomp):
-                            zz = _jpeg_blk(coefs[ci], m)
-                            if ah == 0:
-                                t = huff_dc.get(td)
-                                if t is None:
-                                    return None
-                                s = _huff_decode(reader, t)
-                                diff = _extend(reader.bits(s), s) if s else 0
-                                pred[si] += diff
-                                zz[0] = pred[si] << al
-                            else:
-                                zz[0] |= reader.bit() << al
+                            _cid, hf, vf, _tq = comps[ci]
+                            for vb in range(vf):
+                                for hb in range(hf):
+                                    zz = _jpeg_blk(
+                                        coefs[ci],
+                                        (my * vf + vb) * pbw[ci]
+                                        + mx * hf + hb,
+                                    )
+                                    if ah == 0:
+                                        t = huff_dc.get(td)
+                                        if t is None:
+                                            return None
+                                        s = _huff_decode(reader, t)
+                                        diff = (
+                                            _extend(reader.bits(s), s)
+                                            if s else 0
+                                        )
+                                        pred[si] += diff
+                                        zz[0] = pred[si] << al
+                                    else:
+                                        zz[0] |= reader.bit() << al
+                elif ss == 0:            # non-interleaved DC scan
+                    if se != 0:
+                        return None
+                    ci, td, _ta = scomp[0]
+                    pred0 = 0
+                    for m in range(cbw[ci] * cbh[ci]):
+                        if dri and m and m % dri == 0:
+                            reader.align_restart()
+                            pred0 = 0
+                        row, col = divmod(m, cbw[ci])
+                        zz = _jpeg_blk(coefs[ci], row * pbw[ci] + col)
+                        if ah == 0:
+                            t = huff_dc.get(td)
+                            if t is None:
+                                return None
+                            s = _huff_decode(reader, t)
+                            diff = _extend(reader.bits(s), s) if s else 0
+                            pred0 += diff
+                            zz[0] = pred0 << al
+                        else:
+                            zz[0] |= reader.bit() << al
                 else:                # AC scan: single component only
                     if len(scomp) != 1 or se > 63 or ss > se:
                         return None
@@ -2659,12 +2737,14 @@ def _decode_jpeg_progressive(d: bytes):
                     if t is None:
                         return None
                     step = _jpeg_ac_refine if ah else _jpeg_ac_first
-                    for m in range(bw * bh):
+                    for m in range(cbw[ci] * cbh[ci]):
                         if dri and m and m % dri == 0:
                             reader.align_restart()
                             eobrun = 0
+                        row, col = divmod(m, cbw[ci])
                         eobrun = step(
-                            reader, t, _jpeg_blk(coefs[ci], m),
+                            reader, t,
+                            _jpeg_blk(coefs[ci], row * pbw[ci] + col),
                             ss, se, al, eobrun
                         )
                 # skip to the next true marker (RSTs/stuffing pass by)
@@ -2679,25 +2759,30 @@ def _decode_jpeg_progressive(d: bytes):
             i += 2 + seg_len
         if sof is None or coefs is None:
             return None
-        w, h, comps = sof
+        w, h, comps, hmax, vmax = sof
+        # final plane allocation: mirror the baseline's bomb ceiling
+        if sum(a * b for a, b in zip(pbw, pbh)) * 64 \
+                > 4 * MAX_DECODE_SAMPLES:
+            return None
         planes = []
-        stride = bw * 8
-        for ci, (_cid, tq) in enumerate(comps):
+        strides = []
+        for ci, (_cid, _hf, _vf, tq) in enumerate(comps):
             q = qt.get(tq)
             if q is None:
                 return None
             if not coefs[ci]:
                 return None          # a component no scan ever touched
             # blocks never reached by any scan decode as all-zero
-            while len(coefs[ci]) < bw * bh:
+            while len(coefs[ci]) < pbw[ci] * pbh[ci]:
                 coefs[ci].append(_JPEG_ZERO_BLOCK)
-            plane = bytearray(b"\x80" * (stride * bh * 8))
+            stride = pbw[ci] * 8
+            plane = bytearray(b"\x80" * (stride * pbh[ci] * 8))
             for bi, zz in enumerate(coefs[ci]):
                 if not any(zz):
                     continue         # all-zero block IDCTs to flat 128:
                                      # skip the O(8^3) work (also the
                                      # no-scan CPU-bomb vector)
-                by, bx = divmod(bi, bw)
+                by, bx = divmod(bi, pbw[ci])
                 coef = [0.0] * 64
                 for k in range(64):
                     coef[_JPEG_ZIGZAG[k]] = zz[k] * q[k]
@@ -2710,7 +2795,10 @@ def _decode_jpeg_progressive(d: bytes):
                             0 if v < 0 else 255 if v > 255 else v
                         )
             planes.append(plane)
-        return _jpeg_assemble(planes, w, h, stride)
+            strides.append(stride)
+        return _jpeg_upsample_assemble(
+            planes, comps, w, h, mcx, mcy, hmax, vmax, strides
+        )
     except Exception:
         return None
 
@@ -2719,6 +2807,194 @@ def _tz(v: int, sh: int) -> int:
     """Point transform for AC coefficients (T.81 A.4): division by 2^sh
     with truncation toward zero (DC uses plain arithmetic shift)."""
     return (abs(v) >> sh) if v >= 0 else -(abs(v) >> sh)
+
+
+def _jpeg_prog_quant_blocks(plane, pw: int, ph: int,
+                            bw: int, bh: int) -> list[list[int]]:
+    """Quantized zigzag coefficient blocks for a component plane on a
+    bw x bh block grid (edge samples replicate past the plane, matching
+    the baseline encoders), against the shared K.1 table."""
+    import math
+
+    q = _JPEG_LUM_Q
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            block = []
+            for y in range(8):
+                sy = min(by * 8 + y, ph - 1)
+                for x in range(8):
+                    sx = min(bx * 8 + x, pw - 1)
+                    block.append(float(plane[sy * pw + sx]) - 128.0)
+            coef = _fdct_2d(block)
+            blocks.append([
+                math.floor(round(coef[_JPEG_ZIGZAG[k]], 6) / q[k] + 0.5)
+                for k in range(64)
+            ])
+    return blocks
+
+
+# shared canonical Huffman spec for the progressive encoders: DC sym s ->
+# code s (4 bits); AC symbols (incl. every EOBn r<<4) at 9 bits
+_JPEG_PROG_DC_SYMS = list(range(12))
+_JPEG_PROG_AC_SYMS = ([0x00, 0xF0] + [r << 4 for r in range(1, 15)]
+                      + [(r << 4) | s for r in range(16)
+                         for s in range(1, 11)])
+_JPEG_PROG_DC_CODE = {s: (i2, 4) for i2, s in enumerate(_JPEG_PROG_DC_SYMS)}
+_JPEG_PROG_AC_CODE = {s: (i2, 9) for i2, s in enumerate(_JPEG_PROG_AC_SYMS)}
+
+
+def _jpeg_prog_dht() -> bytes:
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    ac_counts = [0] * 16
+    ac_counts[8] = len(_JPEG_PROG_AC_SYMS)
+    return (bytes([0x00]) + bytes(dc_counts[:16]) + bytes(_JPEG_PROG_DC_SYMS)
+            + bytes([0x10]) + bytes(ac_counts) + bytes(_JPEG_PROG_AC_SYMS))
+
+
+def _jpeg_prog_dc_first(order_blocks, al: int) -> bytes:
+    """DC-first scan body over (group, zz) pairs in scan order — one DC
+    predictor per group (T.81 G.1.2.1; group = component)."""
+    wtr = _JpegBitWriter()
+    pred: dict = {}
+    for gi, zz in order_blocks:
+        v = zz[0] >> al              # DC point transform: arithmetic shift
+        diff = v - pred.get(gi, 0)
+        pred[gi] = v
+        s = _jpeg_category(diff)
+        c, ln = _JPEG_PROG_DC_CODE[s]
+        wtr.put(c, ln)
+        if s:
+            wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return wtr.flush()
+
+
+def _jpeg_prog_dc_refine(order_blocks, al: int) -> bytes:
+    wtr = _JpegBitWriter()
+    for _gi, zz in order_blocks:
+        wtr.put((zz[0] >> al) & 1, 1)
+    return wtr.flush()
+
+
+def _jpeg_prog_ac_first(blocks, ss: int, se: int, al: int) -> bytes:
+    ac_code = _JPEG_PROG_AC_CODE
+    wtr = _JpegBitWriter()
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        while eobrun > 0:
+            chunk = min(eobrun, _JPEG_EOB_RUN_CAP)
+            r = chunk.bit_length() - 1
+            c, ln = ac_code[r << 4]
+            wtr.put(c, ln)
+            if r:
+                wtr.put(chunk - (1 << r), r)
+            eobrun -= chunk
+
+    for zz in blocks:
+        vals = [_tz(zz[k], al) for k in range(ss, se + 1)]
+        last = max((i2 for i2, v in enumerate(vals) if v), default=-1)
+        if last < 0:
+            eobrun += 1
+            continue
+        flush_eob()
+        run = 0
+        for i2 in range(last + 1):
+            v = vals[i2]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_code[0xF0]
+                wtr.put(c, ln)
+                run -= 16
+            s = _jpeg_category(v)
+            c, ln = ac_code[(run << 4) | s]
+            wtr.put(c, ln)
+            wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < se - ss:
+            eobrun += 1          # trailing zeros: defer the EOB
+    flush_eob()
+    return wtr.flush()
+
+
+def _jpeg_prog_ac_refine(blocks, ss: int, se: int, al: int) -> bytes:
+    ac_code = _JPEG_PROG_AC_CODE
+    wtr = _JpegBitWriter()
+    eobrun = 0
+    pending: list[int] = []      # correction bits for EOB-covered blocks
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pending
+        while eobrun > 0:
+            chunk = min(eobrun, _JPEG_EOB_RUN_CAP)
+            r = chunk.bit_length() - 1
+            c, ln = ac_code[r << 4]
+            wtr.put(c, ln)
+            if r:
+                wtr.put(chunk - (1 << r), r)
+            eobrun -= chunk
+        for b in pending:
+            wtr.put(b, 1)
+        pending = []
+
+    for zz in blocks:
+        # 'z' = zero-history zero; ('b', bit) = already-nonzero
+        # correction; ('n', sign) = newly nonzero (|value| == 1)
+        events: list = []
+        for k in range(ss, se + 1):
+            vc = _tz(zz[k], al)
+            vp = _tz(zz[k], al + 1)
+            if vp != 0:
+                events.append(("b", abs(vc) & 1))
+            elif vc == 0:
+                events.append("z")
+            else:
+                events.append(("n", 1 if vc > 0 else 0))
+        if not any(e[0] == "n" for e in events if e != "z"):
+            eobrun += 1          # whole band rides the EOB run
+            pending.extend(e[1] for e in events if e != "z")
+            if eobrun >= _JPEG_EOB_RUN_CAP:
+                # flush at the EOBn ceiling: a longer run would
+                # split into chunks whose correction bits must
+                # interleave per chunk, not trail the last one
+                flush_eob()
+            continue
+        flush_eob()
+        runq: list = []          # events since the last emitted symbol
+        for ev in events:
+            if ev == "z" or ev[0] == "b":
+                runq.append(ev)
+                continue
+            nz = sum(1 for e in runq if e == "z")
+            while nz > 15:      # ZRL consumes 16 zero-history slots
+                c, ln = ac_code[0xF0]
+                wtr.put(c, ln)
+                consumed, rest = 0, []
+                for e in runq:
+                    if consumed >= 16:
+                        rest.append(e)
+                    elif e == "z":
+                        consumed += 1
+                    else:
+                        wtr.put(e[1], 1)
+                    # corrections before the 16th zero ride this ZRL
+                runq = rest
+                nz -= 16
+            c, ln = ac_code[(nz << 4) | 1]
+            wtr.put(c, ln)
+            wtr.put(ev[1], 1)    # sign bit
+            for e in runq:
+                if e != "z":
+                    wtr.put(e[1], 1)
+            runq = []
+        if runq:                 # positions after the last new value
+            eobrun += 1
+            pending.extend(e[1] for e in runq if e != "z")
+    flush_eob()
+    return wtr.flush()
 
 
 def encode_jpeg_gray_progressive(
@@ -2732,35 +3008,12 @@ def encode_jpeg_gray_progressive(
     deferred correction bits, so a conforming decoder exercises every
     Annex G path. Losslessly equivalent to the baseline encoding: both
     decode to identical pixels."""
-    import math
     import struct
 
-    q = _JPEG_LUM_Q
     bw = (width + 7) // 8
     bh = (height + 7) // 8
-    blocks = []
-    for by in range(bh):
-        for bx in range(bw):
-            block = []
-            for y in range(8):
-                sy = min(by * 8 + y, height - 1)
-                for x in range(8):
-                    sx = min(bx * 8 + x, width - 1)
-                    block.append(float(pixels[sy * width + sx]) - 128.0)
-            coef = _fdct_2d(block)
-            blocks.append([
-                math.floor(round(coef[_JPEG_ZIGZAG[k]], 6) / q[k] + 0.5)
-                for k in range(64)
-            ])
-
-    dc_counts = [0, 0, 0, 12] + [0] * 12
-    dc_syms = list(range(12))
-    ac_syms = ([0x00, 0xF0] + [r << 4 for r in range(1, 15)]
-               + [(r << 4) | s for r in range(16) for s in range(1, 11)])
-    ac_counts = [0] * 16
-    ac_counts[8] = len(ac_syms)
-    dc_code = {s: (i2, 4) for i2, s in enumerate(dc_syms)}
-    ac_code = {s: (i2, 9) for i2, s in enumerate(ac_syms)}
+    blocks = _jpeg_prog_quant_blocks(pixels, width, height, bw, bh)
+    order = [(0, zz) for zz in blocks]
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -2768,156 +3021,103 @@ def encode_jpeg_gray_progressive(
     def sos(ss: int, se: int, ah: int, al: int, data: bytes) -> bytes:
         return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + data
 
-    def dc_first(al: int) -> bytes:
-        wtr = _JpegBitWriter()
-        pred = 0
-        for zz in blocks:
-            v = zz[0] >> al          # DC point transform: arithmetic shift
-            diff = v - pred
-            pred = v
-            s = _jpeg_category(diff)
-            c, ln = dc_code[s]
-            wtr.put(c, ln)
-            if s:
-                wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-        return wtr.flush()
-
-    def dc_refine(al: int) -> bytes:
-        wtr = _JpegBitWriter()
-        for zz in blocks:
-            wtr.put((zz[0] >> al) & 1, 1)
-        return wtr.flush()
-
-    def ac_first(ss: int, se: int, al: int) -> bytes:
-        wtr = _JpegBitWriter()
-        eobrun = 0
-
-        def flush_eob() -> None:
-            nonlocal eobrun
-            while eobrun > 0:
-                chunk = min(eobrun, _JPEG_EOB_RUN_CAP)
-                r = chunk.bit_length() - 1
-                c, ln = ac_code[r << 4]
-                wtr.put(c, ln)
-                if r:
-                    wtr.put(chunk - (1 << r), r)
-                eobrun -= chunk
-
-        for zz in blocks:
-            vals = [_tz(zz[k], al) for k in range(ss, se + 1)]
-            last = max((i2 for i2, v in enumerate(vals) if v), default=-1)
-            if last < 0:
-                eobrun += 1
-                continue
-            flush_eob()
-            run = 0
-            for i2 in range(last + 1):
-                v = vals[i2]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_code[0xF0]
-                    wtr.put(c, ln)
-                    run -= 16
-                s = _jpeg_category(v)
-                c, ln = ac_code[(run << 4) | s]
-                wtr.put(c, ln)
-                wtr.put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < se - ss:
-                eobrun += 1          # trailing zeros: defer the EOB
-        flush_eob()
-        return wtr.flush()
-
-    def ac_refine(ss: int, se: int, al: int) -> bytes:
-        wtr = _JpegBitWriter()
-        eobrun = 0
-        pending: list[int] = []      # correction bits for EOB-covered blocks
-
-        def flush_eob() -> None:
-            nonlocal eobrun, pending
-            while eobrun > 0:
-                chunk = min(eobrun, _JPEG_EOB_RUN_CAP)
-                r = chunk.bit_length() - 1
-                c, ln = ac_code[r << 4]
-                wtr.put(c, ln)
-                if r:
-                    wtr.put(chunk - (1 << r), r)
-                eobrun -= chunk
-            for b in pending:
-                wtr.put(b, 1)
-            pending = []
-
-        for zz in blocks:
-            # 'z' = zero-history zero; ('b', bit) = already-nonzero
-            # correction; ('n', sign) = newly nonzero (|value| == 1)
-            events: list = []
-            for k in range(ss, se + 1):
-                vc = _tz(zz[k], al)
-                vp = _tz(zz[k], al + 1)
-                if vp != 0:
-                    events.append(("b", abs(vc) & 1))
-                elif vc == 0:
-                    events.append("z")
-                else:
-                    events.append(("n", 1 if vc > 0 else 0))
-            if not any(e[0] == "n" for e in events if e != "z"):
-                eobrun += 1          # whole band rides the EOB run
-                pending.extend(e[1] for e in events if e != "z")
-                if eobrun >= _JPEG_EOB_RUN_CAP:
-                    # flush at the EOBn ceiling: a longer run would
-                    # split into chunks whose correction bits must
-                    # interleave per chunk, not trail the last one
-                    flush_eob()
-                continue
-            flush_eob()
-            runq: list = []          # events since the last emitted symbol
-            for ev in events:
-                if ev == "z" or ev[0] == "b":
-                    runq.append(ev)
-                    continue
-                nz = sum(1 for e in runq if e == "z")
-                while nz > 15:      # ZRL consumes 16 zero-history slots
-                    c, ln = ac_code[0xF0]
-                    wtr.put(c, ln)
-                    consumed, rest = 0, []
-                    for e in runq:
-                        if consumed >= 16:
-                            rest.append(e)
-                        elif e == "z":
-                            consumed += 1
-                        else:
-                            wtr.put(e[1], 1)
-                        # corrections before the 16th zero ride this ZRL
-                    runq = rest
-                    nz -= 16
-                c, ln = ac_code[(nz << 4) | 1]
-                wtr.put(c, ln)
-                wtr.put(ev[1], 1)    # sign bit
-                for e in runq:
-                    if e != "z":
-                        wtr.put(e[1], 1)
-                runq = []
-            if runq:                 # positions after the last new value
-                eobrun += 1
-                pending.extend(e[1] for e in runq if e != "z")
-        flush_eob()
-        return wtr.flush()
-
-    dqt = seg(0xDB, bytes([0]) + bytes(q))
+    dqt = seg(0xDB, bytes([0]) + bytes(_JPEG_LUM_Q))
     sof = seg(0xC2, bytes([8]) + struct.pack(">HH", height, width)
               + bytes([1, 1, 0x11, 0]))
-    dht = seg(0xC4, bytes([0x00]) + bytes(dc_counts[:16]) + bytes(dc_syms)
-              + bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    dht = seg(0xC4, _jpeg_prog_dht())
     return (b"\xff\xd8" + dqt + sof + dht
-            + sos(0, 0, 0, 1, dc_first(1))
-            + sos(1, 5, 0, 1, ac_first(1, 5, 1))
-            + sos(6, 63, 0, 1, ac_first(6, 63, 1))
-            + sos(0, 0, 1, 0, dc_refine(0))
-            + sos(1, 5, 1, 0, ac_refine(1, 5, 0))
-            + sos(6, 63, 1, 0, ac_refine(6, 63, 0))
+            + sos(0, 0, 0, 1, _jpeg_prog_dc_first(order, 1))
+            + sos(1, 5, 0, 1, _jpeg_prog_ac_first(blocks, 1, 5, 1))
+            + sos(6, 63, 0, 1, _jpeg_prog_ac_first(blocks, 6, 63, 1))
+            + sos(0, 0, 1, 0, _jpeg_prog_dc_refine(order, 0))
+            + sos(1, 5, 1, 0, _jpeg_prog_ac_refine(blocks, 1, 5, 0))
+            + sos(6, 63, 1, 0, _jpeg_prog_ac_refine(blocks, 6, 63, 0))
             + b"\xff\xd9")
+
+
+def encode_jpeg_color_progressive(
+    y: bytes, cb: bytes, cr: bytes, width: int, height: int,
+    sampling: str = "4:2:0",
+) -> bytes:
+    """REAL progressive color JPEG encoder with chroma subsampling — the
+    synth twin for the subsampled `_decode_jpeg_progressive` path and
+    the progressive sibling of `encode_jpeg_color` (same plane
+    contract: ``cb``/``cr`` already at chroma resolution). Scans: one
+    MCU-interleaved DC-first (Al=1, per-component predictors, T.81
+    G.1.2.1), per-component AC spectral bands 1-5 / 6-63 at Al=1
+    (non-interleaved over each component's OWN ceil(cw/8) x ceil(ch/8)
+    grid per A.2.2), then interleaved DC refine and per-component AC
+    refines to full precision. Quantization matches the baseline
+    encoder exactly, so both encodings decode to identical pixels."""
+    import struct
+
+    factors = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+    if sampling not in factors:
+        raise ValueError(f"unknown sampling {sampling!r}")
+    yh, yv = factors[sampling]
+    cw = (width + yh - 1) // yh
+    ch = (height + yv - 1) // yv
+    if len(y) != width * height or len(cb) != cw * ch or len(cr) != cw * ch:
+        raise ValueError("plane size mismatch")
+    mcx = (width + 8 * yh - 1) // (8 * yh)
+    mcy = (height + 8 * yv - 1) // (8 * yv)
+    planes = [(y, width, height, yh, yv), (cb, cw, ch, 1, 1),
+              (cr, cw, ch, 1, 1)]
+    # padded interleaved grid per component (what DC scans cover) and
+    # the actual non-interleaved grid (what AC scans cover)
+    padded = []
+    actual = []
+    for plane, pw, ph, hf, vf in planes:
+        pbw, pbh = mcx * hf, mcy * vf
+        blocks = _jpeg_prog_quant_blocks(plane, pw, ph, pbw, pbh)
+        padded.append((blocks, pbw, pbh, hf, vf))
+        abw, abh = (pw + 7) // 8, (ph + 7) // 8
+        actual.append([
+            blocks[r * pbw + c]
+            for r in range(abh) for c in range(abw)
+        ])
+    order = []                       # interleaved MCU order for DC scans
+    for m in range(mcx * mcy):
+        my, mx = divmod(m, mcx)
+        for ci, (blocks, pbw, _pbh, hf, vf) in enumerate(padded):
+            for vb in range(vf):
+                for hb in range(hf):
+                    order.append(
+                        (ci, blocks[(my * vf + vb) * pbw + mx * hf + hb])
+                    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos_hdr(comps_sel, ss: int, se: int, ah: int, al: int,
+                data: bytes) -> bytes:
+        body = bytes([len(comps_sel)])
+        for cs in comps_sel:
+            body += bytes([cs, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body) + data
+
+    dqt = seg(0xDB, bytes([0]) + bytes(_JPEG_LUM_Q))
+    sof = seg(0xC2, bytes([8]) + struct.pack(">HH", height, width)
+              + bytes([3,
+                       1, (yh << 4) | yv, 0,
+                       2, 0x11, 0,
+                       3, 0x11, 0]))
+    dht = seg(0xC4, _jpeg_prog_dht())
+    out = b"\xff\xd8" + dqt + sof + dht
+    out += sos_hdr([1, 2, 3], 0, 0, 0, 1, _jpeg_prog_dc_first(order, 1))
+    for ci in range(3):
+        out += sos_hdr([ci + 1], 1, 5, 0, 1,
+                       _jpeg_prog_ac_first(actual[ci], 1, 5, 1))
+        out += sos_hdr([ci + 1], 6, 63, 0, 1,
+                       _jpeg_prog_ac_first(actual[ci], 6, 63, 1))
+    out += sos_hdr([1, 2, 3], 0, 0, 1, 0, _jpeg_prog_dc_refine(order, 0))
+    for ci in range(3):
+        out += sos_hdr([ci + 1], 1, 5, 1, 0,
+                       _jpeg_prog_ac_refine(actual[ci], 1, 5, 0))
+        out += sos_hdr([ci + 1], 6, 63, 1, 0,
+                       _jpeg_prog_ac_refine(actual[ci], 6, 63, 0))
+    return out + b"\xff\xd9"
 
 
 # --- real WebP-lossless (VP8L) decode ---------------------------------------

@@ -7937,3 +7937,32 @@ _R6_WINDOW = [
     "docs_url_canonical",
 ]
 _set_window(_R6_WINDOW)
+
+
+def media_jpeg_progressive_subsampled(spark, sf_dir):
+    """PROGRESSIVE 4:2:0 chroma-subsampled color JPEG decode end-to-end —
+    the dominant real-crawl JPEG form delivered the dominant real-crawl
+    way (multi-scan SOF2: interleaved DC-first per T.81 G.1.2.1,
+    per-component spectral-band AC scans per A.2.2, then DC/AC
+    refinement to full precision). Same 32x16 constant-block
+    construction as `media_jpeg_subsampled`; the progressive encoder
+    delivers identical quantized coefficients, so the decode is
+    bit-identical to the baseline path and the SAME closed-form oracle
+    replays it from md5(text). Reference analog: the images mart columns
+    (jobs/load/observation_mapper.py:851-997). Two narrow Arrow-batched
+    mapInPandas stages; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_image_features, synth_color_jpeg_subsampled,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    jpegs = synth_color_jpeg_subsampled(
+        attach_binary(docs, "text", "doc_id"), progressive=True)
+    return decode_image_features(jpegs).select(
+        "media_id", "width", "height", "img_mode",
+        _rnd("mean_luminance", 6).alias("mean_luminance"),
+    )
+
+
+QUERIES["media_jpeg_progressive_subsampled"] = media_jpeg_progressive_subsampled
+ORACLE["media_jpeg_progressive_subsampled"] = ORACLE["media_jpeg_subsampled"]

@@ -65,11 +65,17 @@ public class MakeGolden {
     }
 
     static byte[] encode(BufferedImage img, String fmt, float q) throws IOException {
+        return encode(img, fmt, q, false);
+    }
+
+    static byte[] encode(BufferedImage img, String fmt, float q,
+                         boolean progressive) throws IOException {
         ByteArrayOutputStream bos = new ByteArrayOutputStream();
         ImageWriter w = ImageIO.getImageWritersByFormatName(fmt).next();
         ImageWriteParam p = w.getDefaultWriteParam();
         if (q > 0) { p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
                      p.setCompressionQuality(q); }
+        if (progressive) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
         try (ImageOutputStream ios = ImageIO.createImageOutputStream(bos)) {
             w.setOutput(ios);
             w.write(null, new IIOImage(img, null, null), p);
@@ -110,6 +116,13 @@ public class MakeGolden {
         try (FileOutputStream f = new FileOutputStream(new File(dir, "jdk_color.jpg"))) { f.write(jcol); }
         BufferedImage jcBack = ImageIO.read(new ByteArrayInputStream(jcol));
         writeRaster(jcBack, new File(dir, "jdk_color.jpg.rgb").getPath());
+
+        // progressive 4:2:0 color JPEG (the dominant real-crawl form)
+        BufferedImage jp = pattern(43, 27, true, true);
+        byte[] jprog = encode(jp, "jpg", 0.85f, true);
+        try (FileOutputStream f = new FileOutputStream(new File(dir, "jdk_color_prog.jpg"))) { f.write(jprog); }
+        BufferedImage jpBack = ImageIO.read(new ByteArrayInputStream(jprog));
+        writeRaster(jpBack, new File(dir, "jdk_color_prog.jpg.rgb").getPath());
 
         // --- WAV via javax.sound: 16-bit PCM mono sine-ish LCG samples
         int n = 777, rate = 8000;
