@@ -236,7 +236,10 @@ def strip_boilerplate_lines(
         F.count(F.lit(1)).alias("__n")
     )
     flagged = (
-        segs.join(doc_freq, "__key")
+        # merge hint: doc_freq is one row per distinct segment key —
+        # data-sized; a static-underestimate auto-broadcast OOMs the
+        # driver at corpus scale (see dup_spans)
+        segs.join(doc_freq.hint("merge"), "__key")
         .crossJoin(F.broadcast(n_docs))
         .where(
             ~(
@@ -685,7 +688,18 @@ def dup_spans(
     if skew_safe:
         per_doc = per_doc.localCheckpoint(eager=False)
         ndocs = per_doc.groupBy("__h").agg(F.count("*").alias("__ndocs"))
-        with_docs = per_doc.join(ndocs, "__h")
+        # merge (sort-merge) hint, NOT broadcast or shuffle-hash: ndocs
+        # is a data-sized aggregate (one row per distinct span hash —
+        # grows with the corpus), but Catalyst's static size estimate
+        # through the explode+agg chain can land under
+        # autoBroadcastJoinThreshold and plan a broadcast that OOMs the
+        # driver at scale (observed at the sf10-equivalent rehearsal:
+        # "Not enough memory to build and broadcast"; the shuffle-hash
+        # form then died building per-partition hash maps). Sort-merge
+        # spills gracefully on both sides — the only strategy whose
+        # memory is O(1) in table size — and AQE still splits skewed
+        # partitions under it.
+        with_docs = per_doc.join(ndocs.hint("merge"), "__h")
     else:
         from pyspark.sql import Window
 

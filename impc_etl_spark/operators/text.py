@@ -284,6 +284,14 @@ def unigram_logprob(
     )
     if broadcast_vocab:
         vocab = F.broadcast(vocab)
+    else:
+        # pin sort-merge: a data-sized count table's static size
+        # estimate can land under autoBroadcastJoinThreshold (the
+        # aggregate estimate shrinks through the explode chain) and
+        # auto-broadcast would OOM the driver at corpus scale — the
+        # failure mode the sf10-equivalent rehearsal caught in
+        # dup_spans. SMJ spills gracefully; AQE still splits skew.
+        vocab = vocab.hint("merge")
     # Totals ride on the TOKEN side (not the vocab side): an unseen token
     # misses the vocab join entirely, and the smoothing floor still needs
     # N and V on that row.
@@ -338,6 +346,11 @@ def bigram_logprob(
     if broadcast_model:
         big_counts = F.broadcast(big_counts)
         ctx_counts = F.broadcast(ctx_counts)
+    else:
+        # see unigram_logprob: never let a data-sized count table
+        # auto-broadcast off an underestimate; sort-merge spills
+        big_counts = big_counts.hint("merge")
+        ctx_counts = ctx_counts.hint("merge")
     a = float(smoothing)
     tok_tbl = (
         df.select(F.col(id_col), F.explode(bigr).alias("big"))
@@ -400,8 +413,13 @@ def bigram_pmi(
     scored = (
         big.withColumn("__x", x)
         .withColumn("__y", y)
-        .join(uni.select(F.col("tok").alias("__x"), F.col("__c1").alias("__cx")), "__x")
-        .join(uni.select(F.col("tok").alias("__y"), F.col("__c1").alias("__cy")), "__y")
+        # merge hints: the unigram table is data-sized (distinct corpus
+        # tokens); an auto-broadcast off a static underestimate OOMs at
+        # scale (see unigram_logprob)
+        .join(uni.select(F.col("tok").alias("__x"),
+                         F.col("__c1").alias("__cx")).hint("merge"), "__x")
+        .join(uni.select(F.col("tok").alias("__y"),
+                         F.col("__c1").alias("__cy")).hint("merge"), "__y")
         .crossJoin(F.broadcast(totals))
     )
     pmi = F.log(
@@ -682,7 +700,9 @@ def tfidf_top_terms(
     )
     rounded = F.floor(score * 1000000 + F.lit(0.5)) / 1000000
     scored = (
-        tf.join(dfreq, "term")
+        # merge hint: dfreq is one row per distinct corpus term — data-
+        # sized; never auto-broadcast it (see unigram_logprob)
+        tf.join(dfreq.hint("merge"), "term")
         .crossJoin(F.broadcast(n))
         .select(F.col(id_col), F.col("term"), rounded.alias("tfidf"))
     )

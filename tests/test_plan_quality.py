@@ -262,3 +262,49 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_data_sized_aggregate_joins_never_broadcast(spark):
+    """Regression (r6 sf10-equivalent rehearsal): joins whose build side
+    is a DATA-SIZED aggregate (per-hash doc counts, term document
+    frequencies, n-gram count tables, distinct-token vocabs) must pin
+    sort-merge. Catalyst's static size estimate for such an aggregate —
+    propagated through explode chains or a localCheckpoint's carried
+    stats — can land under autoBroadcastJoinThreshold while the real
+    table is GBs; the resulting broadcast OOMed the driver at 100x
+    (dup_spans: 'Not enough memory to build and broadcast'), and the
+    shuffle-hash fallback then died building per-partition maps. These
+    operators' derived-aggregate joins must therefore plan
+    SortMergeJoin, never BroadcastHashJoin, regardless of estimates."""
+    import re
+
+    from impc_etl_spark.operators import dedup as dedup_ops
+    from impc_etl_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i % 7} "
+              f"iota kappa lam mu nu xi omicron pi rho sigma tau")
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    plans = {
+        "dup_spans": dedup_ops.dup_spans(docs, "text", "doc_id", k=8),
+        "tfidf": text_ops.tfidf_top_terms(docs, "text", "doc_id", k=3),
+        "bigram_lm": text_ops.bigram_logprob(
+            docs, "text", "doc_id", broadcast_model=False),
+        "unigram_lm": text_ops.unigram_logprob(
+            docs, "text", "doc_id", broadcast_vocab=False),
+        "collocations": text_ops.bigram_pmi(docs, "text", min_count=1, top_k=5),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the 1-row corpus-stats crossJoins legitimately broadcast; the
+        # equi-joins against the derived aggregates must all be SMJ
+        n_smj = len(re.findall(r"SortMergeJoin", plan))
+        assert n_smj >= 1, f"{name}: expected sort-merge join\n{plan[:1500]}"
+        for line in plan.splitlines():
+            if "BroadcastHashJoin" in line:
+                raise AssertionError(
+                    f"{name}: data-sized aggregate join planned as "
+                    f"broadcast: {line}"
+                )
