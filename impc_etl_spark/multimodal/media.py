@@ -2003,7 +2003,7 @@ def decode_jpeg(payload: bytes):
     4:2:2, 4:1:1, 4:4:0) decode via the MCU-interleaved T.81 A.2.3 walk
     with replication upsampling; single-component scans decode
     non-interleaved per A.2.2. Progressive (SOF2) frames dispatch to
-    the Annex G multi-scan decoder (which still rejects subsampling)."""
+    the Annex G multi-scan decoder (same subsampling envelope)."""
     try:
         d = payload
         if d[:2] != b"\xff\xd8":
@@ -2544,8 +2544,12 @@ _JPEG_EOB_RUN_CAP = 32767
 
 def _jpeg_blk(blocks: list, m: int) -> list[int]:
     """Lazily grow a component's coefficient plane to block m: memory
-    tracks blocks actually decoded, not the header-claimed frame size
-    (scans touch blocks strictly in order, so append-on-demand works)."""
+    tracks the highest block index a scan actually reaches, not the
+    header-claimed frame size. Access may be NON-monotonic (the
+    subsampled interleaved DC walk revisits lower indices across MCU
+    columns), so growth fills with fresh zero blocks and any earlier
+    index stays addressable — do not replace this with a
+    streaming/append-only structure."""
     while len(blocks) <= m:
         blocks.append([0] * 64)
     return blocks[m]
