@@ -5547,3 +5547,171 @@ def synth_animated_gif(df: DataFrame, content_col: str = "content") -> DataFrame
             yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
 
     return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
+# --- EXIF orientation (crawl-image normalization) ---------------------------
+#
+# Real crawl JPEGs carry camera rotation in the Exif APP1 segment (tag 274,
+# a TIFF-IFD structure per the public Exif 2.3 / TIFF 6.0 specs); a resize/
+# feature pipeline that ignores it trains on sideways images. Reference
+# analog: the images mart columns (jobs/load/observation_mapper.py:851-997)
+# consume externally-produced media where orientation is the first
+# normalization step.
+
+def _tiff_ifd_orientation(d: bytes, base: int) -> int | None:
+    """Orientation (tag 274, SHORT, 1..8) from a TIFF structure starting
+    at ``base`` — both byte orders, first IFD only, entry-count bomb cap
+    as in probe_tiff_header. None when absent/invalid (never raises)."""
+    try:
+        hdr = d[base : base + 4]
+        if hdr[:2] == b"II" and hdr[2:4] == b"*\x00":
+            endian = "little"
+        elif hdr[:2] == b"MM" and hdr[2:4] == b"\x00*":
+            endian = "big"
+        else:
+            return None
+
+        def num(lo: int, n: int) -> int:
+            return int.from_bytes(d[base + lo : base + lo + n], endian)
+
+        ifd = num(4, 4)
+        count = num(ifd, 2)
+        if count == 0 or count > 4096:
+            return None
+        for e in range(count):
+            eb = ifd + 2 + 12 * e
+            if num(eb, 2) == 274 and num(eb + 2, 2) == 3:  # SHORT
+                v = num(eb + 8, 2)
+                return v if 1 <= v <= 8 else None
+        return None
+    except Exception:
+        return None
+
+
+def exif_orientation(payload: bytes) -> int | None:
+    """EXIF orientation (1..8) from a JPEG's APP1 Exif segment or a bare
+    TIFF; None when absent/unparseable — never raises. 1 = upright;
+    2..8 = the seven mirror/rotate states of the Exif spec."""
+    try:
+        d = payload
+        if d[:4] in (b"II*\x00", b"MM\x00*"):
+            return _tiff_ifd_orientation(d, 0)
+        if d[:2] != b"\xff\xd8":
+            return None
+        i = 2
+        while i + 4 <= len(d):
+            if d[i] != 0xFF:
+                return None
+            marker = d[i + 1]
+            if marker in (0xDA, 0xD9):      # scan data / EOI: no Exif
+                return None
+            seg_len = int.from_bytes(d[i + 2 : i + 4], "big")
+            if marker == 0xE1 and d[i + 4 : i + 10] == b"Exif\x00\x00":
+                return _tiff_ifd_orientation(d, i + 10)
+            i += 2 + seg_len
+        return None
+    except Exception:
+        return None
+
+
+def add_exif_orientation(jpeg: bytes, orientation: int) -> bytes:
+    """Splice a minimal valid Exif APP1 segment (TIFF header + 1-entry
+    IFD0 carrying tag 274) right after SOI — the synth twin for
+    `exif_orientation`, so probe queries exercise the real marker walk
+    on really-encoded JPEGs."""
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1..8")
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    tiff = (b"II*\x00" + (8).to_bytes(4, "little")          # IFD at +8
+            + (1).to_bytes(2, "little")                      # 1 entry
+            + (274).to_bytes(2, "little") + (3).to_bytes(2, "little")
+            + (1).to_bytes(4, "little")
+            + orientation.to_bytes(2, "little") + b"\x00\x00"
+            + (0).to_bytes(4, "little"))                     # next IFD
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def orient_image(samples, w: int, h: int, channels: int, orientation: int):
+    """Normalize decoded pixels to upright (Exif 2.3 Table 4): returns
+    (samples, w, h) with the inverse transform applied. Row-local pure
+    Python over the already-decoded buffer — the decoders stay
+    orientation-agnostic and pipelines opt in after decode."""
+    if orientation == 1:
+        return samples, w, h
+    if not 2 <= orientation <= 8:
+        raise ValueError("orientation must be 1..8")
+    sw, sh = (h, w) if orientation >= 5 else (w, h)
+    out = bytearray(len(samples))
+    for oy in range(sh):
+        for ox in range(sw):
+            # map output (upright) position -> source position
+            if orientation == 2:    sx, sy = w - 1 - ox, oy
+            elif orientation == 3:  sx, sy = w - 1 - ox, h - 1 - oy
+            elif orientation == 4:  sx, sy = ox, h - 1 - oy
+            elif orientation == 5:  sx, sy = oy, ox
+            elif orientation == 6:  sx, sy = oy, h - 1 - ox
+            elif orientation == 7:  sx, sy = w - 1 - oy, h - 1 - ox
+            else:                   sx, sy = w - 1 - oy, ox          # 8
+            so = (sy * w + sx) * channels
+            oo = (oy * sw + ox) * channels
+            out[oo : oo + channels] = samples[so : so + channels]
+    return out, sw, sh
+
+
+EXIF_SCHEMA = "media_id bigint, orientation int, upright_width int, upright_height int"
+
+
+def exif_orientation_features(df: DataFrame, content_col: str = "content",
+                              id_col: str = "media_id") -> DataFrame:
+    """Per-payload EXIF orientation + upright dimensions (header probe +
+    marker walk only — no pixel decode). Narrow Arrow-batched map, no
+    shuffle; NULL row values for payloads without Exif."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ors, ws, hs = [], [], []
+            for p in pdf[content_col]:
+                p = bytes(p)
+                o = exif_orientation(p)
+                probe = probe_image_header(p)
+                if o is None or probe is None:
+                    ors.append(None); ws.append(None); hs.append(None)
+                    continue
+                _fmt, w, h = probe
+                if o >= 5:
+                    w, h = h, w
+                ors.append(o); ws.append(w); hs.append(h)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "orientation": pd.array(ors, dtype="Int32"),
+                "upright_width": pd.array(ws, dtype="Int32"),
+                "upright_height": pd.array(hs, dtype="Int32"),
+            })
+
+    return df.mapInPandas(compute, schema=EXIF_SCHEMA)
+
+
+def synth_exif_jpeg(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Deterministic Exif-tagged JPEG synthesis: the `synth_gray_jpeg`
+    32x16 construction with orientation (digest[12] % 8) + 1 spliced as
+    a real APP1 segment. Narrow Arrow-batched map."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                d = hashlib.md5(bytes(p)).digest()
+                w, h = 32, 16
+                px = bytearray(w * h)
+                for bi in range(8):
+                    by, bx = divmod(bi, 4)
+                    v = d[bi]
+                    for yy in range(8):
+                        base = (by * 8 + yy) * w + bx * 8
+                        px[base : base + 8] = bytes([v]) * 8
+                jpeg = encode_jpeg_gray(bytes(px), w, h)
+                out.append(add_exif_orientation(jpeg, d[12] % 8 + 1))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)

@@ -7966,3 +7966,39 @@ def media_jpeg_progressive_subsampled(spark, sf_dir):
 
 QUERIES["media_jpeg_progressive_subsampled"] = media_jpeg_progressive_subsampled
 ORACLE["media_jpeg_progressive_subsampled"] = ORACLE["media_jpeg_subsampled"]
+
+
+def media_exif_orientation(spark, sf_dir):
+    """EXIF orientation probe end-to-end — the first normalization step a
+    crawl-image pipeline runs (sideways camera JPEGs train sideways
+    models). Every document becomes a really-encoded gray JPEG with a
+    REAL Exif APP1 segment (TIFF-IFD, tag 274) spliced after SOI at
+    orientation (md5[12] % 8) + 1; `exif_orientation_features` walks the
+    markers + IFD (both probes header-only, no pixel decode) and reports
+    the upright dimensions (swapped for orientations 5-8). The oracle
+    replays orientation and dims from md5(text). Reference analog: the
+    images mart columns (jobs/load/observation_mapper.py:851-997). Two
+    narrow Arrow-batched maps; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, exif_orientation_features, synth_exif_jpeg,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    jpegs = synth_exif_jpeg(attach_binary(docs, "text", "doc_id"))
+    return exif_orientation_features(jpegs)
+
+
+QUERIES["media_exif_orientation"] = media_exif_orientation
+
+ORACLE["media_exif_orientation"] = """
+SELECT doc_id AS media_id,
+       CAST(CAST(concat('0x', substring(md5(text), 25, 2)) AS INT) % 8 + 1
+            AS INT) AS orientation,
+       CAST(CASE WHEN CAST(concat('0x', substring(md5(text), 25, 2)) AS INT)
+                      % 8 + 1 >= 5 THEN 16 ELSE 32 END AS INT)
+         AS upright_width,
+       CAST(CASE WHEN CAST(concat('0x', substring(md5(text), 25, 2)) AS INT)
+                      % 8 + 1 >= 5 THEN 32 ELSE 16 END AS INT)
+         AS upright_height
+FROM documents
+"""

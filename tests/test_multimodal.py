@@ -2356,3 +2356,59 @@ def test_jpeg_progressive_subsampled_hostile():
     bad[i + 11] = 0x33
     bad[i + 14] = 0x22
     assert decode_jpeg(bytes(bad)) is None
+
+
+def test_exif_orientation_probe_and_splice():
+    """Exif APP1 walk (tag 274 via the TIFF-IFD machinery): all eight
+    orientations survive a splice -> probe roundtrip on a really-encoded
+    JPEG; untagged JPEGs and bare TIFFs behave; the tagged stream still
+    decodes. Hostile: truncation at every prefix never raises."""
+    from impc_etl_spark.multimodal.media import (
+        add_exif_orientation, decode_jpeg, encode_jpeg_gray,
+        exif_orientation,
+    )
+
+    jpeg = encode_jpeg_gray(bytes(range(16)) * 32, 16, 32)
+    assert exif_orientation(jpeg) is None
+    for o in range(1, 9):
+        tagged = add_exif_orientation(jpeg, o)
+        assert exif_orientation(tagged) == o
+        out = decode_jpeg(tagged)
+        assert out is not None and out[:2] == (16, 32)
+    tagged = add_exif_orientation(jpeg, 6)
+    for cut in range(0, min(len(tagged), 120)):
+        r = exif_orientation(tagged[:cut])
+        assert r is None or 1 <= r <= 8
+    # big-endian bare TIFF path: reuse the repo's own TIFF synth
+    from impc_etl_spark.multimodal.media import _tiff_gray
+
+    tif = _tiff_gray(bytes(64), 8, 8)
+    assert exif_orientation(tif) is None  # synth carries no tag 274
+
+
+def test_orient_image_exif_table4():
+    """orient_image normalizes per Exif 2.3 Table 4 on an asymmetric 2x3
+    single-channel matrix; orientations 5-8 swap dimensions; applying
+    the normalization to orientation 1 is the identity; every
+    orientation is a bijection (pixel multiset preserved)."""
+    from impc_etl_spark.multimodal.media import orient_image
+
+    s = bytes([1, 2, 3, 4, 5, 6])          # w=2, h=3, row-major
+    expect = {
+        1: ([1, 2, 3, 4, 5, 6], 2, 3),
+        2: ([2, 1, 4, 3, 6, 5], 2, 3),     # mirror horizontal
+        3: ([6, 5, 4, 3, 2, 1], 2, 3),     # rotate 180
+        4: ([5, 6, 3, 4, 1, 2], 2, 3),     # mirror vertical
+        5: ([1, 3, 5, 2, 4, 6], 3, 2),     # transpose
+        6: ([5, 3, 1, 6, 4, 2], 3, 2),     # rotate 90 CW to upright
+        7: ([6, 4, 2, 5, 3, 1], 3, 2),     # transverse
+        8: ([2, 4, 6, 1, 3, 5], 3, 2),     # rotate 90 CCW to upright
+    }
+    for o, (pix, w, h) in expect.items():
+        out, ow, oh = orient_image(s, 2, 3, 1, o)
+        assert (list(out), ow, oh) == (pix, w, h), o
+        assert sorted(out) == sorted(s)
+    # multi-channel: channels move together
+    rgb = bytes([11, 12, 13, 21, 22, 23])  # w=2, h=1, 3 channels
+    out, ow, oh = orient_image(rgb, 2, 1, 3, 2)
+    assert (list(out), ow, oh) == ([21, 22, 23, 11, 12, 13], 2, 1)
