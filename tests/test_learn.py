@@ -1,0 +1,70 @@
+"""Unit tests for operators/learn.py — the trained quality scorer whose
+full gradient-descent trajectory the docs_quality_logreg oracle replays."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from impc_etl_spark.operators import learn
+
+
+def _toy(spark, n=200):
+    """Separable toy set: y = 1 iff f1 > 0.5 (f2 is noise-ish)."""
+    rows = [
+        (i, (i % 100) / 100.0, ((i * 37) % 100) / 100.0, 1 if (i % 100) / 100.0 > 0.5 else 0)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["id", "f1", "f2", "label"])
+
+
+def test_logreg_learns_separable_direction(spark):
+    df = _toy(spark)
+    w, b = learn.logreg_fit(df, ["f1", "f2"], "label", iterations=5, lr=2.0)
+    # the separating feature must carry the dominant positive weight
+    assert w[0] > 0
+    assert abs(w[0]) > abs(w[1])
+    scored = learn.logreg_score(df, ["f1", "f2"], w, b, score_col="s")
+    acc = (
+        scored.select(
+            F.avg((F.col("s_pred") == F.col("label")).cast("double")).alias("a")
+        ).first()["a"]
+    )
+    assert acc > 0.8  # beats the 0.5 majority baseline decisively
+
+
+def test_logreg_fit_is_deterministic_and_rounded(spark):
+    df = _toy(spark).repartition(8)
+    w1, b1 = learn.logreg_fit(df, ["f1", "f2"], "label", iterations=3)
+    w2, b2 = learn.logreg_fit(df.repartition(3), ["f1", "f2"], "label", iterations=3)
+    assert (w1, b1) == (w2, b2)  # partitioning must not change the trajectory
+    for v in [*w1, b1]:
+        # every weight sits exactly on the 6dp grid (floor(x*1e6+0.5)/1e6)
+        assert v == math.floor(v * 1e6 + 0.5) / 1e6
+
+
+def test_logreg_null_features_filtered_and_empty_raises(spark):
+    df = _toy(spark, 50)
+    dirty = df.withColumn(
+        "f1", F.when(F.col("id") % 7 == 0, F.lit(None)).otherwise(F.col("f1"))
+    )
+    clean = df.where(F.col("id") % 7 != 0)
+    assert learn.logreg_fit(dirty, ["f1", "f2"], "label", 2) == learn.logreg_fit(
+        clean, ["f1", "f2"], "label", 2
+    )
+    with pytest.raises(ValueError, match="no trainable rows"):
+        learn.logreg_fit(df.where(F.lit(False)), ["f1"], "label", 1)
+    with pytest.raises(ValueError, match="at least one feature"):
+        learn.logreg_fit(df, [], "label", 1)
+
+
+def test_fast_sigmoid_matches_python_replay(spark):
+    df = spark.createDataFrame([(m,) for m in (-3.0, -0.5, 0.0, 0.25, 4.0)], ["m"])
+    got = [
+        r["p"] for r in df.select(learn.fast_sigmoid(F.col("m")).alias("p"))
+        .orderBy("m").collect()
+    ]
+    want = [0.5 + 0.5 * m / (1.0 + abs(m)) for m in sorted((-3.0, -0.5, 0.0, 0.25, 4.0))]
+    assert got == want  # bit-exact: only IEEE add/mul/div/abs involved
