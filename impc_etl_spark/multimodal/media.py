@@ -1018,6 +1018,58 @@ def _mp4_min(timescale: int, duration: int, n_tracks: int) -> bytes:
     )
 
 
+def image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    cols: int = 8,
+    rows: int = 8,
+) -> DataFrame:
+    """Difference-hash (dHash) perceptual image fingerprint — the
+    standard near-duplicate key for crawled images (aHash/dHash/pHash
+    family; dHash = per-row brightness gradient signs, robust to
+    uniform exposure shifts where aHash is not). Decode (PIL when
+    importable, else the pure-stdlib decoders), nearest-resize to
+    (cols+1)xrows luminance, then bit r*cols+c = 1 iff
+    pixel[r][c] < pixel[r][c+1]. Emitted as a (cols*rows)-char
+    '0'/'1' string in row-major order: integer comparisons only, so
+    any engine replays it exactly, and banding/grouping treats it as
+    an opaque key. Undecodable payloads yield NULL (hostile crawl
+    bytes never throw a batch). One narrow Arrow-batched mapInPandas
+    stage; no shuffle — grouping on the hash afterwards is the only
+    exchange, and it ships (hash, id) pairs, never pixels."""
+    dst_w = cols + 1
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, ws, hs = [], [], []
+            for p in pdf[content_col]:
+                dh = w = h = None
+                try:
+                    w, h, samples = decode_image(bytes(p))
+                    bpp = len(samples) // (w * h)
+                    px = _nearest_resize(samples, w, h, bpp, dst_w, rows)
+                    dh = "".join(
+                        "1" if px[r * dst_w + c] < px[r * dst_w + c + 1] else "0"
+                        for r in range(rows)
+                        for c in range(cols)
+                    )
+                except Exception:
+                    dh = w = h = None
+                hashes.append(dh)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "dhash": hashes,
+            })
+
+    return df.mapInPandas(
+        compute, schema="media_id bigint, width int, height int, dhash string"
+    )
+
+
 def synth_mp4(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Deterministic video-container synthesis: each payload becomes a
     real minimal MP4 whose duration (digest u32 % 3_600_000 ticks at

@@ -8272,3 +8272,212 @@ SELECT doc_id, main_text,
        CAST(main_text = text AS INT) AS exact_recovery
 FROM k
 """
+
+
+def events_trend_slope(spark, sf_dir):
+    """Per-entity linear trend (OLS slope of value vs event time) — the
+    classic 'is this metric drifting' rollup. CENTERED formulation:
+    per-user means via one keyed window, then slope = Σ(x−x̄)(y−ȳ) /
+    Σ(x−x̄)² — algebraically equal to the textbook (nΣxy−ΣxΣy) form but
+    free of its catastrophic cancellation (epoch-seconds x ~1.7e9 would
+    eat all 6 rounded decimals). The window and the groupBy share one
+    user_id exchange. Slope reported per HOUR, 6dp floor-rounded; NULL
+    when x has no variance (single event). Mergeable at 100 TB: the
+    aggregate is sums of centered products, map-side combined."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    x = F.unix_micros(F.col("ts")).cast("double") / F.lit(1000000.0)
+    w = Window.partitionBy("user_id")
+    cen = (
+        ev.select("user_id", x.alias("x"), F.col("value").alias("y"))
+        .withColumn("xb", F.avg("x").over(w))
+        .withColumn("yb", F.avg("y").over(w))
+    )
+    out = cen.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("x") - F.col("xb")) * (F.col("y") - F.col("yb"))).alias("sxy"),
+        F.sum((F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb"))).alias("sxx"),
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.when(
+            F.col("sxx") > 0,
+            _rnd(F.col("sxy") / F.col("sxx") * F.lit(3600.0), 6),
+        ).alias("slope_per_hour"),
+    )
+
+
+QUERIES["events_trend_slope"] = events_trend_slope
+
+ORACLE["events_trend_slope"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts)::DOUBLE / 1000000.0 AS x, value AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+c AS (
+  SELECT user_id, x, y,
+         avg(x) OVER (PARTITION BY user_id) AS xb,
+         avg(y) OVER (PARTITION BY user_id) AS yb
+  FROM e),
+a AS (
+  SELECT user_id, count(*) AS n_events,
+         sum((x - xb) * (y - yb)) AS sxy,
+         sum((x - xb) * (x - xb)) AS sxx
+  FROM c GROUP BY user_id)
+SELECT user_id, n_events,
+       CASE WHEN sxx > 0
+            THEN floor(sxy / sxx * 3600.0 * 1000000 + 0.5) / 1000000 END
+         AS slope_per_hour
+FROM a
+"""
+
+
+def docs_orc_roundtrip(spark, sf_dir):
+    """S9-sibling columnar format proven end-to-end: documents' typed
+    columns written as ORC (Spark-native, zlib), re-read with the
+    n_chars >= 100 predicate — ORC scans carry min/max stripe stats, so
+    the filter prunes at the stripe level exactly like parquet row
+    groups (searchArg pushdown). The oracle replays the projection +
+    filter from the table. One narrow write + one pushed-down scan; no
+    shuffle."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/docs"
+    docs.select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).orc(path)
+    back = spark.read.orc(path)
+    return back.where(F.col("n_chars") >= 100).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+QUERIES["docs_orc_roundtrip"] = docs_orc_roundtrip
+
+ORACLE["docs_orc_roundtrip"] = """
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE n_chars >= 100
+"""
+
+
+def media_binaryfile_ingest(spark, sf_dir):
+    """The DISTRIBUTED raw-media ingest path: one opaque file per
+    document materialized on shared storage by an Arrow-batched writer
+    stage, then re-read with Spark's `binaryFile` source (path, length,
+    content) — the format a 100 TB image/audio crawl actually arrives
+    in. Filenames carry the id; the query parses it back, checks length
+    and md5 of the bytes against the table. Both stages are narrow; the
+    binaryFile scan distributes one file per task slot at scale. Oracle:
+    doc_id, byte length = length(text) (ASCII corpus), md5(text)."""
+    import os as os_
+    import tempfile
+
+    import pandas as pd_
+
+    docs = _t(spark, sf_dir, "documents")
+    outdir = tempfile.mkdtemp(prefix="binfiles_")
+
+    def write_files(batches):
+        for pdf in batches:
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                tmp = os_.path.join(outdir, f".{did}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(str(txt).encode("utf-8"))
+                os_.replace(tmp, os_.path.join(outdir, f"{did}.bin"))
+            yield pd_.DataFrame({"n": [len(pdf)]})
+
+    docs.select("doc_id", "text").mapInPandas(
+        write_files, schema="n int"
+    ).agg(F.sum("n")).collect()  # materialize the writer stage (1-row collect)
+
+    back = spark.read.format("binaryFile").load(outdir + "/*.bin")
+    return back.select(
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"^(\d+)\.bin$", 1
+        ).cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+QUERIES["media_binaryfile_ingest"] = media_binaryfile_ingest
+
+ORACLE["media_binaryfile_ingest"] = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def media_image_dhash_dedup(spark, sf_dir):
+    """Perceptual-hash IMAGE dedup end-to-end — the multimodal sibling of
+    MinHash text dedup: every document becomes a real 9x8 grayscale BMP
+    (every 10th doc shares one planted seed, so true duplicate groups
+    exist), `media.image_dhash` decodes the bytes and fingerprints the
+    brightness-gradient signs (64-bit dHash as a '0'/'1' string —
+    integer comparisons only, exactly replayable), and a window over the
+    hash yields group size + representative. At 100 TB the exchange
+    ships (hash, id) pairs only — pixels never shuffle. The oracle
+    replays pixels from the md5 digest-tiling contract and the dHash
+    comparisons verbatim. Reference analog: the images mart columns
+    (jobs/load/observation_mapper.py:851-997), upgraded with the dedup
+    step a crawl-image corpus needs."""
+    from pyspark.sql import Window
+
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, image_dhash, synth_gray_bmp,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seed = F.when(
+        F.col("doc_id") % 10 == 0, F.lit("dup-seed")
+    ).otherwise(F.col("text"))
+    src = docs.select("doc_id", seed.alias("img_seed"))
+    bmps = synth_gray_bmp(
+        attach_binary(src, "img_seed", "doc_id"), width=9, height=8
+    )
+    hashed = image_dhash(bmps, cols=8, rows=8)
+    w = Window.partitionBy("dhash")
+    return (
+        hashed.select(F.col("media_id").alias("doc_id"), "dhash")
+        .withColumn("dup_group_size", F.count(F.lit(1)).over(w))
+        .withColumn("group_rep", F.min("doc_id").over(w))
+    )
+
+
+QUERIES["media_image_dhash_dedup"] = media_image_dhash_dedup
+
+
+def _dhash_concat_sql() -> str:
+    """The 64 dHash bit comparisons over the digest-tiled 9x8 image:
+    pixel[i] = digest byte (i mod 16) = substring(hex, (i%16)*2+1, 2)."""
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            i1 = (r * 9 + c) % 16
+            i2 = (r * 9 + c + 1) % 16
+            p1 = f"CAST(concat('0x', substring(hex, {i1 * 2 + 1}, 2)) AS INT)"
+            p2 = f"CAST(concat('0x', substring(hex, {i2 * 2 + 1}, 2)) AS INT)"
+            terms.append(f"CASE WHEN {p1} < {p2} THEN '1' ELSE '0' END")
+    return ",\n           ".join(terms)
+
+
+ORACLE["media_image_dhash_dedup"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN 'dup-seed' ELSE text END AS seed
+  FROM documents),
+hx AS (SELECT doc_id, md5(seed) AS hex FROM s),
+d AS (
+  SELECT doc_id,
+         concat({_dhash_concat_sql()}) AS dhash
+  FROM hx)
+SELECT doc_id, dhash,
+       count(*) OVER (PARTITION BY dhash) AS dup_group_size,
+       min(doc_id) OVER (PARTITION BY dhash) AS group_rep
+FROM d
+"""

@@ -2412,3 +2412,26 @@ def test_orient_image_exif_table4():
     rgb = bytes([11, 12, 13, 21, 22, 23])  # w=2, h=1, 3 channels
     out, ow, oh = orient_image(rgb, 2, 1, 3, 2)
     assert (list(out), ow, oh) == ([21, 22, 23, 11, 12, 13], 2, 1)
+
+
+def test_image_dhash_duplicates_and_hostile_bytes(spark):
+    from impc_etl_spark.multimodal.media import image_dhash, synth_gray_bmp
+
+    src = spark.createDataFrame(
+        [(1, "same seed"), (2, "same seed"), (3, "different"), (4, "other")],
+        ["media_id", "payload"],
+    ).selectExpr("media_id", "CAST(payload AS BINARY) AS content")
+    bmps = synth_gray_bmp(src, width=9, height=8)
+    rows = {r["media_id"]: r for r in image_dhash(bmps).collect()}
+    assert rows[1]["dhash"] == rows[2]["dhash"]          # identical images
+    assert rows[1]["dhash"] != rows[3]["dhash"]          # differing digest
+    assert len(rows[1]["dhash"]) == 64
+    assert set(rows[1]["dhash"]) <= {"0", "1"}
+    assert rows[1]["width"] == 9 and rows[1]["height"] == 8
+
+    hostile = spark.createDataFrame(
+        [(9, bytearray(b"\x00\x01notanimage")), (10, bytearray(b""))],
+        ["media_id", "content"],
+    )
+    bad = {r["media_id"]: r for r in image_dhash(hostile).collect()}
+    assert bad[9]["dhash"] is None and bad[10]["dhash"] is None  # never raises
