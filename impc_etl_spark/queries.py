@@ -8481,3 +8481,90 @@ SELECT doc_id, dhash,
        min(doc_id) OVER (PARTITION BY dhash) AS group_rep
 FROM d
 """
+
+
+def events_funnel(spark, sf_dir):
+    """Ordered funnel analysis (view -> click -> purchase) — the classic
+    product-analytics operator: per user, the first view, the first
+    click strictly AFTER that view, and the first purchase strictly
+    after that click; emit the furthest step reached and the
+    view-to-purchase latency. All three stage anchors are conditional
+    MINs over ONE user_id window partition — Catalyst plans a single
+    exchange with three chained Window operators (each stage's
+    predicate references the previous stage's anchor), then the
+    per-user dedup reuses the same partitioning. At 100 TB this is one
+    key shuffle; no self-joins. The oracle computes the same anchors
+    with chained filtered aggregates (semantically identical form)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    step = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.select(
+        "user_id",
+        step.alias("funnel_step"),
+        (
+            (F.unix_micros("t3") - F.unix_micros("t1")).cast("double")
+            / F.lit(1000000.0)
+        ).alias("view_to_purchase_s"),
+    )
+
+
+QUERIES["events_funnel"] = events_funnel
+
+ORACLE["events_funnel"] = """
+WITH g1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+g2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN g1 USING (user_id)
+  WHERE e.event_type = 'click' AND g1.t1 IS NOT NULL AND e.ts > g1.t1
+  GROUP BY e.user_id),
+g3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN g2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > g2.t2
+  GROUP BY e.user_id)
+SELECT g1.user_id,
+       CASE WHEN g3.t3 IS NOT NULL THEN 3
+            WHEN g2.t2 IS NOT NULL THEN 2
+            WHEN g1.t1 IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_step,
+       (epoch_us(g3.t3) - epoch_us(g1.t1))::DOUBLE / 1000000.0
+         AS view_to_purchase_s
+FROM g1 LEFT JOIN g2 ON g1.user_id = g2.user_id
+        LEFT JOIN g3 ON g1.user_id = g3.user_id
+"""

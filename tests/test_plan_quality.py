@@ -308,3 +308,30 @@ def test_data_sized_aggregate_joins_never_broadcast(spark):
                     f"{name}: data-sized aggregate join planned as "
                     f"broadcast: {line}"
                 )
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """The second half of the 100 TB pruning story (static footer-stat
+    pruning is covered by the z-order/sorted-write tests): a fact table
+    PARTITIONED on the join key must get a runtime `dynamicpruning`
+    subquery in its PartitionFilters when joined to a selectively
+    filtered dim — Spark then lists and scans ONLY the partitions the
+    dim survives, instead of the whole fact. Guards the layout contract
+    `sinks.write_bucketed`'s sibling pattern relies on."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    fact_path = str(tmp_path / "fact")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("F", "closed"), ("O", "open"), ("P", "pending")], ["st", "label"]
+    )
+    j = fact.join(
+        dim.where(F.col("label") == "closed"), fact.o_orderstatus == dim.st
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the pruned plan still computes the right answer
+    expected = orders.where(F.col("o_orderstatus") == "F").count()
+    assert j.count() == expected
