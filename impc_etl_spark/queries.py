@@ -8568,3 +8568,125 @@ SELECT g1.user_id,
 FROM g1 LEFT JOIN g2 ON g1.user_id = g2.user_id
         LEFT JOIN g3 ON g1.user_id = g3.user_id
 """
+
+
+def docs_temperature_mix(spark, sf_dir):
+    """Temperature-scaled corpus mixing (the multilingual-LM sampling
+    rule: domain share ∝ n^α, α=0.5 — up-weights tail languages without
+    drowning the head): per-language quotas k_d = round(T·√n_d / Σ√n)
+    are computed IN-PLAN from the observed counts (√ is an exactly
+    rounded IEEE op, so both engines derive identical quotas), then each
+    language keeps exactly its quota by deterministic md5 rank — integer
+    comparisons, no float coin, fully replayable and nested (a larger T
+    is a strict superset). One count aggregate (5 rows), one broadcast
+    join, one per-language window — at 100 TB the only data exchange is
+    the rank window's language shuffle. Reference analog: the
+    blocklist/sampling clean ops; the α-mix rule itself is the
+    public multilingual-pretraining recipe."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_d"))
+    wsum = Window.partitionBy()  # 5-row frame: total weight
+    quotas = counts.select(
+        "lang",
+        "n_d",
+        F.floor(
+            F.lit(250.0)
+            * F.sqrt(F.col("n_d").cast("double"))
+            / F.sum(F.sqrt(F.col("n_d").cast("double"))).over(wsum)
+            + F.lit(0.5)
+        ).cast("int").alias("quota"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#mix"))),
+            "doc_id",
+        )
+    )
+    ranked = docs.join(F.broadcast(quotas), "lang").withColumn("mix_rank", rk)
+    return ranked.where(F.col("mix_rank") <= F.col("quota")).select(
+        "doc_id", "lang", "mix_rank", "quota"
+    )
+
+
+QUERIES["docs_temperature_mix"] = docs_temperature_mix
+
+ORACLE["docs_temperature_mix"] = """
+WITH c AS (
+  SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
+q AS (
+  SELECT lang, n_d,
+         CAST(floor(250.0 * sqrt(n_d::DOUBLE)
+                    / sum(sqrt(n_d::DOUBLE)) OVER () + 0.5) AS INT) AS quota
+  FROM c),
+r AS (
+  SELECT d.doc_id, d.lang, q.quota,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5(concat(CAST(d.doc_id AS VARCHAR), '#mix')), d.doc_id
+         ) AS mix_rank
+  FROM documents d JOIN q USING (lang))
+SELECT doc_id, lang, mix_rank, quota
+FROM r WHERE mix_rank <= quota
+"""
+
+
+def emb_ann_recall(spark, sf_dir):
+    """Self-checking ANN quality measurement — the metric an index owner
+    actually operates on: recall@10 of a REDUCED-probe IVF search
+    (nprobe=1 of 4 clusters) against the exact brute-force top-10, as
+    one row (k, nprobe, n_hits, recall). Both arms are replay-exact
+    (6dp-rounded Lloyd trajectory + 6dp cosine with vec_id tiebreaks),
+    so the oracle recomputes BOTH searches and the intersection must
+    match bit-for-bit — unlike a fixed assertion, the driver verifies
+    the measurement itself. One scan per arm; the probe filter is the
+    pushable IN predicate that prunes partitions at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = sim_ops.cosine_topk(emb, qv, k=10).select("vec_id")
+    indexed, cents = sim_ops.ivf_build(emb, nlist=4, iterations=2, round_to=6)
+    approx = sim_ops.ivf_topk(indexed, cents, qv, k=10, nprobe=1).select(
+        "vec_id"
+    )
+    hits = exact.join(approx, "vec_id")
+    return hits.agg(
+        F.lit(10).alias("k"),
+        F.lit(1).alias("nprobe"),
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / F.lit(10.0)).alias("recall"),
+    )
+
+
+QUERIES["emb_ann_recall"] = emb_ann_recall
+
+ORACLE["emb_ann_recall"] = f"""
+WITH {_kmeans_ctes(4, 2)},
+qd AS (
+  SELECT c.c, sum((q.v - c.v) * (q.v - c.v)) AS d
+  FROM c2 c JOIN eb q ON q.i = c.i AND q.vec_id = 0 GROUP BY c.c),
+probe AS (
+  SELECT c FROM (
+    SELECT c, row_number() OVER (ORDER BY d, c) AS rn FROM qd) WHERE rn = 1),
+qv AS (SELECT i, v AS qe FROM eb WHERE vec_id = 0),
+dall AS (
+  SELECT e.vec_id, sum(e.v * q.qe) AS dp,
+         sum(e.v * e.v) AS nv, sum(q.qe * q.qe) AS nq
+  FROM eb e JOIN qv q USING (i) GROUP BY e.vec_id),
+ranked AS (
+  SELECT vec_id,
+         floor((dp / (sqrt(nv) * sqrt(nq))) * 1000000 + 0.5) / 1000000 AS cs
+  FROM dall),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id) AS rn
+    FROM ranked) WHERE rn <= 10),
+approx AS (
+  SELECT vec_id FROM (
+    SELECT r.vec_id, row_number() OVER (ORDER BY r.cs DESC, r.vec_id) AS rn
+    FROM ranked r JOIN af a ON a.vec_id = r.vec_id
+                  JOIN probe p ON a.c = p.c) WHERE rn <= 10)
+SELECT CAST(10 AS INT) AS k, CAST(1 AS INT) AS nprobe,
+       count(*) AS n_hits, count(*)::DOUBLE / 10.0 AS recall
+FROM exact JOIN approx USING (vec_id)
+"""

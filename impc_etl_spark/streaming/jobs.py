@@ -1071,3 +1071,84 @@ def ewma_stream(
         F.col("k").alias(key), "event_id", "ts",
         F.col("v").alias(value_col), "ewma",
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming ordered-funnel tracker — the online twin of the batch
+    `queries.events_funnel`: per key, anchor the first ``steps[0]``, the
+    first ``steps[1]`` strictly after it, and so on. State per key is
+    one bigint per step (first-anchor µs, -1 unset) plus the last
+    processed (event time, id) — O(len(steps)), bounded forever. Rows
+    are integrated in EVENT-time order within each micro-batch (id
+    tiebreak); an event at or before its key's last processed (ts, id)
+    emits a NULL step and leaves the anchors untouched (the same
+    append-only late contract as ``ewma_stream``; in-order replay
+    matches the batch twin exactly — the parity test drains two
+    micro-batches and compares). Each processed event emits the step
+    count reached so far, so a sink sees funnel progression live."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    n_steps = len(steps)
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    src = events.withWatermark("ts", watermark).select(
+        F.col(key).alias("k"), "event_id", "ts",
+        F.col("event_type").alias("etype"),
+    )
+
+    def update(kt, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            stored = state.get
+            anchors = list(stored[:n_steps])
+            last_us, last_id = stored[n_steps], stored[n_steps + 1]
+        else:
+            anchors = [-1] * n_steps
+            last_us, last_id = -(1 << 62), -(1 << 62)
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            yield pd.DataFrame(
+                columns=["k", "event_id", "ts", "etype", "funnel_step"])
+            return
+        batch = pd.concat(batches, ignore_index=True)
+        batch["__us"] = batch["ts"].astype("datetime64[us]").astype("int64")
+        batch = batch.sort_values(["__us", "event_id"], kind="mergesort")
+        out = []
+        for us, eid, et in zip(batch["__us"], batch["event_id"], batch["etype"]):
+            if us < last_us or (us == last_us and eid <= last_id):
+                out.append(None)          # late beyond state: see docstring
+                continue
+            last_us, last_id = us, eid
+            i = step_of.get(et)
+            if i is not None and anchors[i] < 0 and (
+                i == 0 or (anchors[i - 1] >= 0 and us > anchors[i - 1])
+            ):
+                anchors[i] = us
+            out.append(sum(1 for a in anchors if a >= 0))
+        batch["funnel_step"] = pd.array(out, dtype="Int32")
+        state.update((*[int(a) for a in anchors], int(last_us), int(last_id)))
+        yield batch.drop(columns=["__us"])
+
+    anchor_fields = ", ".join(f"a{i} bigint" for i in range(n_steps))
+    out = src.groupBy("k").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "k bigint, event_id bigint, ts timestamp, etype string, "
+            "funnel_step int"
+        ),
+        stateStructType=f"{anchor_fields}, last_us bigint, last_id bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        F.col("k").alias(key), "event_id", "ts",
+        F.col("etype").alias("event_type"), "funnel_step",
+    )

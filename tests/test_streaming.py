@@ -1092,3 +1092,72 @@ def test_moments_sink_matches_batch_pca(spark, tmp_path):
     rows2 = read_store(spark, store).collect()
     assert len(rows2) == 1 and rows2[0]["n"] == n_before
     assert meta.get("batch_id") is not None
+
+
+def test_funnel_stream_matches_batch_and_drops_late(spark, tmp_path):
+    """Two-batch in-order drain of the streaming funnel reaches the same
+    per-key step as the batch events_funnel twin; a late event (behind
+    its key's last processed ts) emits NULL and leaves anchors alone."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    import pyspark.sql.functions as F2
+
+    from impc_etl_spark.streaming.jobs import (
+        funnel_stream, read_event_stream, run_available_now,
+    )
+
+    schema = ("event_id bigint, ts bigint, user_id bigint, "
+              "event_type string, value double, props string")
+    # key 7: view@100 -> click@200 -> purchase@300 (full funnel, step 3)
+    # key 8: click@100 (before any view) -> view@150 -> click@150 (tie, NOT
+    #        strictly after? click ts 150 == view ts 150 -> not counted)
+    b1 = spark.createDataFrame(
+        [(1, 100, 7, "view", 0.0, "{}"),
+         (2, 200, 7, "click", 0.0, "{}"),
+         (3, 100, 8, "click", 0.0, "{}"),
+         (4, 150, 8, "view", 0.0, "{}"),
+         (5, 150, 8, "click", 0.0, "{}")], schema,
+    ).withColumn("ts", F2.col("ts") * F2.lit(1_000_000_000))
+    # batch 2: key 7 completes; key 8 gets a LATE view@50 (NULL, ignored)
+    # then a click@400 that NOW counts (after view anchor 150)
+    b2 = spark.createDataFrame(
+        [(6, 300, 7, "purchase", 0.0, "{}"),
+         (7, 50, 8, "view", 0.0, "{}"),
+         (8, 400, 8, "click", 0.0, "{}")], schema,
+    ).withColumn("ts", F2.col("ts") * F2.lit(1_000_000_000))
+
+    src = str(tmp_path / "fsrc")
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+    flat = str(tmp_path / "fflat")
+    os.makedirs(flat)
+    base = time.time() - 100
+    for i, f in enumerate(sorted(glob.glob(src + "/f*/part-*.parquet"))):
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    stream = funnel_stream(read_event_stream(spark, flat, max_files_per_trigger=1))
+    run_available_now(stream, "funnel_s", str(tmp_path / "fckpt"),
+                      output_mode="append")
+    rows = spark.table("funnel_s").collect()
+    by_event = {r["event_id"]: r["funnel_step"] for r in rows}
+    assert by_event[1] == 1 and by_event[2] == 2      # key 7 progression
+    assert by_event[6] == 3                            # full funnel
+    assert by_event[3] == 0                            # click before view
+    assert by_event[4] == 1                            # first view anchors
+    assert by_event[5] == 1                            # tie: NOT strictly after
+    assert by_event[7] is None                         # late: NULL, no rewrite
+    assert by_event[8] == 2                            # click after anchor
+
+    # final per-key step equals the batch twin over the in-order events
+    # (the late event 7 is excluded from both sides' integrated history)
+    final = {7: 3, 8: 2}
+    last = {}
+    for r in sorted(rows, key=lambda r: (r["ts"] or 0, r["event_id"])):
+        if r["funnel_step"] is not None:
+            last[r["user_id"]] = r["funnel_step"]
+    assert last == final
