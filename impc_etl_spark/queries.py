@@ -8690,3 +8690,108 @@ SELECT CAST(10 AS INT) AS k, CAST(1 AS INT) AS nprobe,
        count(*) AS n_hits, count(*)::DOUBLE / 10.0 AS recall
 FROM exact JOIN approx USING (vec_id)
 """
+
+
+def docs_hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion — the standard way a
+    training-data curation stack combines lexical and semantic search:
+    BM25 top-10 (probe terms) and exact cosine top-10 (probe vector,
+    vec_id == doc_id in the synthetic corpus) each contribute
+    1/(60 + rank); the fused top-10 re-ranks by the sum. Both arms are
+    the existing replay-exact constructions; the fusion itself is
+    integer-rank arithmetic (exactly rounded divisions, fixed two-term
+    sum), so the oracle replays both searches AND the fusion. The rank
+    windows run over 10-row arm results — bounded regardless of corpus
+    size; the corpus never shuffles (BM25 = row-local tfs + 1-row stats;
+    cosine = TakeOrdered)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = text_ops.bm25_topk(
+        docs, ["spark", "window", "stream"], "text", "doc_id", top_k=10
+    ).withColumn(
+        "br",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.desc("bm25"), "doc_id")
+        ),
+    )
+    cs = sim_ops.cosine_topk(emb, _query_vec(spark, sf_dir), k=10).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    ).withColumn(
+        "cr",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.desc("cos_sim"), "doc_id")
+        ),
+    )
+    fused = bm.select("doc_id", "br").join(
+        cs.select("doc_id", "cr"), "doc_id", "full_outer"
+    ).select(
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("br")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("cr")), F.lit(0.0))
+        ).alias("rrf"),
+        F.col("br").alias("bm25_rank"),
+        F.col("cr").alias("cosine_rank"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+QUERIES["docs_hybrid_rrf_search"] = docs_hybrid_rrf_search
+
+ORACLE["docs_hybrid_rrf_search"] = """
+WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+d AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, x -> x = 'spark')) AS tf0,
+         len(list_filter(toks, x -> x = 'stream')) AS tf1,
+         len(list_filter(toks, x -> x = 'window')) AS tf2
+  FROM tok),
+st AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM d),
+scored AS (
+  SELECT doc_id,
+         floor((0.0
+           + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+             * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+             * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+             * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ) * 1000000 + 0.5) / 1000000 AS bm25
+  FROM d CROSS JOIN st)
+, bmr AS (
+  SELECT doc_id, rn AS br FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+    FROM scored WHERE bm25 > 0) WHERE rn <= 10)
+, qv AS (
+  SELECT unnest(embedding)::DOUBLE AS qe, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0)
+, ev AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS ve, generate_subscripts(embedding, 1) AS i
+  FROM embeddings)
+, dv AS (
+  SELECT vec_id, sum(ve * qe) AS dp, sum(ve * ve) AS nv, sum(qe * qe) AS nq
+  FROM ev JOIN qv USING (i) GROUP BY vec_id)
+, cor AS (
+  SELECT vec_id AS doc_id, rn AS cr FROM (
+    SELECT vec_id,
+           row_number() OVER (
+             ORDER BY floor((dp / (sqrt(nv) * sqrt(nq))) * 1000000 + 0.5)
+                        / 1000000 DESC, vec_id) AS rn
+    FROM dv) WHERE rn <= 10)
+, fused AS (
+  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+         coalesce(1.0 / (60.0 + b.br), 0.0)
+           + coalesce(1.0 / (60.0 + c.cr), 0.0) AS rrf,
+         b.br AS bm25_rank, c.cr AS cosine_rank
+  FROM bmr b FULL OUTER JOIN cor c ON b.doc_id = c.doc_id)
+SELECT doc_id, rrf, CAST(bm25_rank AS INT) AS bm25_rank,
+       CAST(cosine_rank AS INT) AS cosine_rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
