@@ -241,3 +241,44 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_iterations: int = 16,
+) -> DataFrame:
+    """Single-source/multi-source BFS hop distances by frontier
+    expansion: round i joins the frontier to the edge list, anti-joins
+    already-settled nodes, and settles the survivors at distance i.
+    O(diameter) rounds — the right shape for the low-diameter graphs
+    co-purchase/link networks actually are (for deep DAG reachability
+    use `transitive_closure`'s path doubling instead). Each round is one
+    key join + one anti join over the FRONTIER (not the settled set);
+    localCheckpoint keeps lineage flat, and the per-round isEmpty action
+    is bounded by ``max_iterations`` — the same iterative-algorithm
+    contract as `connected_components`. Pass a symmetrized edge list for
+    undirected graphs. Reference analog: the ontology closure walk
+    (jobs/extract/ontology_hierarchy_extractor.py:193-367), generalized
+    from ancestor reachability to hop distance."""
+    dist = sources.select(
+        F.col(node_col).alias("node"), F.lit(0).alias("dist")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = dist
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    for i in range(1, max_iterations + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"), F.lit(i).alias("dist"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

@@ -8795,3 +8795,54 @@ SELECT doc_id, rrf, CAST(bm25_rank AS INT) AS bm25_rank,
        CAST(cosine_rank AS INT) AS cosine_rank
 FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
 """
+
+
+def customer_graph_bfs(spark, sf_dir):
+    """Hop-distance BFS over an undirected network — the graph family's
+    missing shortest-path member (closure, PageRank, triangles, CC all
+    exist): nodes are customers <= 200, edges are the binary-tree links
+    (k <-> k//2) PLUS +97 modular shortcuts, so distances are genuinely
+    graph-shaped (shortcuts beat tree paths for far nodes). Frontier
+    expansion settles each node at its first reach — O(diameter) rounds,
+    each one frontier-sized join + anti-join (graph.bfs_distances). The
+    oracle replays it as a bounded recursive CTE taking min(d). Source:
+    node 1."""
+    from impc_etl_spark.operators.graph import bfs_distances
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    tree = cust.where(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 2).cast("bigint").alias("dst"),
+    )
+    cut = cust.where(F.col("c_custkey") + 97 <= 200).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") + 97).alias("dst"),
+    )
+    directed = tree.unionByName(cut)
+    undirected = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = cust.where(F.col("c_custkey") == 1).select(
+        F.col("c_custkey").alias("node")
+    )
+    return bfs_distances(undirected, sources, max_iterations=16)
+
+
+QUERIES["customer_graph_bfs"] = customer_graph_bfs
+
+ORACLE["customer_graph_bfs"] = """
+WITH RECURSIVE base AS (
+  SELECT c_custkey AS k FROM customer WHERE c_custkey <= 200),
+e AS (
+  SELECT k AS src, (k // 2)::BIGINT AS dst FROM base WHERE k >= 2
+  UNION ALL
+  SELECT k AS src, k + 97 AS dst FROM base WHERE k + 97 <= 200),
+u AS (
+  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+walk(node, d) AS (
+  SELECT k, 0 FROM base WHERE k = 1
+  UNION
+  SELECT u.dst, w.d + 1 FROM walk w JOIN u ON u.src = w.node
+  WHERE w.d < 16)
+SELECT node, CAST(min(d) AS INT) AS dist FROM walk GROUP BY node
+"""

@@ -3052,3 +3052,23 @@ def test_salt_expr_all_map_columns_raises(spark):
     df2 = df.withColumn("pos", F.monotonically_increasing_id())
     out = df2.select(_salt_expr(df2, 16, "pos").alias("s")).collect()
     assert all(0 <= r["s"] < 16 for r in out)
+
+
+def test_bfs_distances_frontier_semantics(spark):
+    from impc_etl_spark.operators.graph import bfs_distances
+
+    # path 1-2-3-4, triangle shortcut 1-4, island 9
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["src", "dst"]
+    )
+    und = e.union(e.selectExpr("dst as src", "src as dst"))
+    src = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(und, src).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2}  # shortcut beats the path; 9 absent
+
+    # max_iterations caps settlement depth
+    capped = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(und, src, max_iterations=1).collect()
+    }
+    assert capped == {1: 0, 2: 1, 4: 1}
