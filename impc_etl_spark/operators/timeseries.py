@@ -274,3 +274,64 @@ def ewma(
         .applyInPandas(compute, schema=schema_ddl)
         .select(*in_cols, out)
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    tiebreak_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Holt double exponential smoothing per key — the trend-aware
+    sibling of `ewma` (EWMA lags a drifting series; Holt carries an
+    explicit trend term and forecasts ahead): seeded l₀ = v₀, b₀ = 0,
+    then lₜ = α·vₜ + (1−α)·(lₜ₋₁+bₜ₋₁) and bₜ = β·(lₜ−lₜ₋₁) + (1−β)·bₜ₋₁.
+    Same custom-op contract as `ewma`: one key shuffle, Arrow-batched
+    per-key O(n) recurrence, NULL values emit NULL and are skipped with
+    state carried over. The recurrences are evaluated LITERALLY in the
+    exact double operation order a recursive-CTE oracle performs (the
+    trend step recomputes lₜ's expression rather than trusting an
+    engine's common-subexpression choices to match). Adds ``level``,
+    ``trend``, and the one-step-ahead ``forecast`` = lₜ + bₜ."""
+    import pandas as pd
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    tb = list(tiebreak_cols or [])
+    sort_cols = [ts_col, *tb]
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", `level` double, `trend` double, `forecast` double"
+    a_c, b_c = 1.0 - alpha, 1.0 - beta
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        lvl_out, trd_out, fc_out = [], [], []
+        lvl = trd = None
+        for v in pdf[value_col].astype("float64").to_list():
+            if v is None or v != v:  # NULL/NaN: skip, state carries over
+                lvl_out.append(None)
+                trd_out.append(None)
+                fc_out.append(None)
+                continue
+            if lvl is None:
+                lvl, trd = v, 0.0
+            else:
+                prev = lvl
+                lvl = alpha * v + a_c * (prev + trd)
+                trd = beta * (lvl - prev) + b_c * trd
+            lvl_out.append(lvl)
+            trd_out.append(trd)
+            fc_out.append(lvl + trd)
+        pdf = pdf.copy()
+        pdf["level"] = pd.array(lvl_out, dtype="float64")
+        pdf["trend"] = pd.array(trd_out, dtype="float64")
+        pdf["forecast"] = pd.array(fc_out, dtype="float64")
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(compute, schema=schema_ddl)

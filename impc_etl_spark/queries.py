@@ -8846,3 +8846,56 @@ walk(node, d) AS (
   WHERE w.d < 16)
 SELECT node, CAST(min(d) AS INT) AS dist FROM walk GROUP BY node
 """
+
+
+def events_holt_linear(spark, sf_dir):
+    """Holt double exponential smoothing per user (α=0.3, β=0.2) — the
+    trend-aware online feature EWMA can't provide on drifting series;
+    emits level/trend/one-step forecast per event. One key shuffle +
+    Arrow per-key recurrence (timeseries.holt_linear); the oracle
+    replays both recurrences as a recursive CTE in the identical double
+    operation order, NULL rows skipped with state carried (the EWMA
+    contract)."""
+    from impc_etl_spark.operators.timeseries import holt_linear
+
+    ev = _events(spark, sf_dir)
+    out = holt_linear(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["user_id"], "ts", "value", alpha=0.3, beta=0.2,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _rnd("level", 6).alias("level"),
+        _rnd("trend", 6).alias("trend"),
+        _rnd("forecast", 6).alias("forecast"),
+    )
+
+
+QUERIES["events_holt_linear"] = events_holt_linear
+
+ORACLE["events_holt_linear"] = """
+WITH RECURSIVE o AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+walk(user_id, rn, event_id, l, b) AS (
+  SELECT user_id, rn, event_id, CAST(value AS DOUBLE), CAST(0.0 AS DOUBLE)
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.event_id,
+         0.3 * o.value + (1.0 - 0.3) * (w.l + w.b),
+         0.2 * ((0.3 * o.value + (1.0 - 0.3) * (w.l + w.b)) - w.l)
+           + (1.0 - 0.2) * w.b
+  FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1)
+SELECT event_id, user_id,
+       floor(l * 1000000 + 0.5) / 1000000 AS level,
+       floor(b * 1000000 + 0.5) / 1000000 AS trend,
+       floor((l + b) * 1000000 + 0.5) / 1000000 AS forecast
+FROM walk
+UNION ALL
+SELECT event_id, user_id, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE)
+FROM events WHERE value IS NULL
+"""
