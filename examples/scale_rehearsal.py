@@ -217,6 +217,10 @@ def main() -> int:
         "emb_cosine_topk", "emb_batch_topk", "docs_dup_spans",
         "docs_bm25_search",
     ]
+    # optional 4th arg: extra comma-separated query names (e.g. the
+    # round's new operators) measured after the standard headline set
+    if len(sys.argv) > 4 and sys.argv[4]:
+        headline += [n for n in sys.argv[4].split(",") if n]
 
     spark.read.parquet(f"{dst}/region.parquet").count()  # session warm
     results = {}
