@@ -125,3 +125,48 @@ def logreg_score(
     return df.withColumn(score_col, score).withColumn(
         f"{score_col}_pred", (F.col(score_col) >= 0.5).cast("int")
     )
+
+
+def linreg_fit_2d(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    round_to: int = 6,
+) -> tuple[float, float, float, list[float]]:
+    """Closed-form two-feature OLS via CENTERED normal equations — the
+    exact-solve sibling of the iterative `logreg_fit`: pass 1 reduces
+    the corpus to the three means, pass 2 (with the ROUNDED means as
+    literals — the rounding is what lets a SQL oracle replay the
+    centering bit-for-bit) reduces it to the five centered second-moment
+    sums, and a 2x2 Cramer solve on the driver yields the coefficients.
+    Centering first avoids the catastrophic cancellation the raw
+    (nΣxy − ΣxΣy) form suffers at real magnitudes. Both passes are
+    map-side-combined scalar aggregates — one tiny row each regardless
+    of corpus size. Returns (w1, w2, intercept, [m1, m2, my]) all
+    rounded to ``round_to`` decimals."""
+    means = df.agg(
+        F.avg(x1).alias("m1"), F.avg(x2).alias("m2"), F.avg(y).alias("my")
+    ).first()
+    if means is None or means["my"] is None:
+        raise ValueError("linreg_fit_2d: no rows to fit")
+    m1 = _round_to(means["m1"], round_to)
+    m2 = _round_to(means["m2"], round_to)
+    my = _round_to(means["my"], round_to)
+    c1 = F.col(x1) - F.lit(m1)
+    c2 = F.col(x2) - F.lit(m2)
+    cy = F.col(y) - F.lit(my)
+    s = df.agg(
+        F.sum(c1 * c1).alias("s11"),
+        F.sum(c1 * c2).alias("s12"),
+        F.sum(c2 * c2).alias("s22"),
+        F.sum(c1 * cy).alias("s1y"),
+        F.sum(c2 * cy).alias("s2y"),
+    ).first()
+    det = s["s11"] * s["s22"] - s["s12"] * s["s12"]
+    if det == 0.0:
+        raise ValueError("linreg_fit_2d: singular design (collinear features)")
+    w1 = _round_to((s["s1y"] * s["s22"] - s["s2y"] * s["s12"]) / det, round_to)
+    w2 = _round_to((s["s2y"] * s["s11"] - s["s1y"] * s["s12"]) / det, round_to)
+    b = _round_to(my - w1 * m1 - w2 * m2, round_to)
+    return w1, w2, b, [m1, m2, my]

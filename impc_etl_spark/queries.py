@@ -8899,3 +8899,142 @@ SELECT event_id, user_id, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE)
 FROM events WHERE value IS NULL
 """
+
+
+def lineitem_fk_integrity(spark, sf_dir):
+    """Release-gate referential integrity: orphan counts of each lineitem
+    foreign key (order, part, supplier) plus total rows, in one row —
+    the cross-table expectation a publish step checks before writing a
+    release. Three LEFT ANTI joins against key-projected dims (the dims
+    broadcast; the fact never shuffles) unioned into one summary.
+    Reference analog: the cross-dataset existence checks in the clean
+    ops — formalized as a one-row contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    orphans_o = li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_anti"
+    ).count()
+    orphans_p = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey, "left_anti"
+    ).count()
+    orphans_s = li.join(
+        F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_anti"
+    ).count()
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(orphans_o).cast("bigint").alias("orphan_orderkeys"),
+        F.lit(orphans_p).cast("bigint").alias("orphan_partkeys"),
+        F.lit(orphans_s).cast("bigint").alias("orphan_suppkeys"),
+        (F.lit(orphans_o + orphans_p + orphans_s) == 0).cast("int").alias(
+            "fk_clean"
+        ),
+    )
+
+
+QUERIES["lineitem_fk_integrity"] = lineitem_fk_integrity
+
+ORACLE["lineitem_fk_integrity"] = """
+SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+       (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))
+         AS orphan_orderkeys,
+       (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM part p
+                           WHERE p.p_partkey = l.l_partkey))
+         AS orphan_partkeys,
+       (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                           WHERE s.s_suppkey = l.l_suppkey))
+         AS orphan_suppkeys,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)
+                OR NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)
+                OR NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey)) = 0 AS INT)
+         AS fk_clean
+"""
+
+
+def lineitem_price_regression(spark, sf_dir):
+    """Closed-form OLS end-to-end — the exact-solve sibling of the
+    gradient-descent scorer, SELF-CHECKING by construction: the target
+    is the TPC-H discounted charge l_extendedprice·(1−l_discount), and
+    the regressors are its exact components (x1 = extendedprice,
+    x2 = extendedprice·discount), so the solver must recover
+    w ≈ (1, −1), intercept ≈ 0, R² = 1.000000 — a wrong normal-equation
+    or Cramer step cannot hide. learn.linreg_fit_2d: two
+    map-side-reduced passes + a driver-side 2x2 Cramer solve, every
+    intermediate floor-rounded to 6dp so the oracle replays means →
+    centered moments → solve → R² bit-for-bit; one more scan computes
+    the fit quality. Output: one row of coefficients + R²."""
+    from impc_etl_spark.operators import learn
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x1"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("x2"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "y"
+        ),
+    )
+    w1, w2, b, (m1, m2, my) = learn.linreg_fit_2d(li, "x1", "x2", "y")
+    pred = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+    resid = F.col("y") - pred
+    tot = F.col("y") - F.lit(my)
+    return li.agg(
+        F.lit(w1).alias("w_price"),
+        F.lit(w2).alias("w_price_discount"),
+        F.lit(b).alias("intercept"),
+        (
+            F.floor(
+                (F.lit(1.0) - F.sum(resid * resid) / F.sum(tot * tot))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("r2"),
+    )
+
+
+QUERIES["lineitem_price_regression"] = lineitem_price_regression
+
+ORACLE["lineitem_price_regression"] = """
+WITH f AS (
+  SELECT l_extendedprice AS x1,
+         l_extendedprice * l_discount AS x2,
+         l_extendedprice * (1.0 - l_discount) AS y
+  FROM lineitem),
+m AS (
+  SELECT floor(avg(x1) * 1000000 + 0.5) / 1000000 AS m1,
+         floor(avg(x2) * 1000000 + 0.5) / 1000000 AS m2,
+         floor(avg(y) * 1000000 + 0.5) / 1000000 AS my
+  FROM f),
+s AS (
+  SELECT sum((x1 - m1) * (x1 - m1)) AS s11,
+         sum((x1 - m1) * (x2 - m2)) AS s12,
+         sum((x2 - m2) * (x2 - m2)) AS s22,
+         sum((x1 - m1) * (y - my)) AS s1y,
+         sum((x2 - m2) * (y - my)) AS s2y
+  FROM f, m),
+w AS (
+  SELECT floor(((s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12))
+               * 1000000 + 0.5) / 1000000 AS w1,
+         floor(((s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12))
+               * 1000000 + 0.5) / 1000000 AS w2
+  FROM s),
+bb AS (
+  SELECT floor((m.my - w.w1 * m.m1 - w.w2 * m.m2) * 1000000 + 0.5) / 1000000
+           AS b
+  FROM w, m)
+SELECT w.w1 AS w_price, w.w2 AS w_price_discount, bb.b AS intercept,
+       floor((1.0 - sum((y - (bb.b + w.w1 * x1 + w.w2 * x2))
+                        * (y - (bb.b + w.w1 * x1 + w.w2 * x2)))
+                  / sum((y - m.my) * (y - m.my)))
+             * 1000000 + 0.5) / 1000000 AS r2
+FROM f, w, bb, m
+GROUP BY w.w1, w.w2, bb.b
+"""

@@ -68,3 +68,20 @@ def test_fast_sigmoid_matches_python_replay(spark):
     ]
     want = [0.5 + 0.5 * m / (1.0 + abs(m)) for m in sorted((-3.0, -0.5, 0.0, 0.25, 4.0))]
     assert got == want  # bit-exact: only IEEE add/mul/div/abs involved
+
+
+def test_linreg_fit_2d_recovers_plane_and_guards(spark):
+    df = spark.createDataFrame(
+        [(float(i), float((i * 7) % 5), 2.0 * i + 3.0 * ((i * 7) % 5) + 10.0)
+         for i in range(50)],
+        ["x1", "x2", "y"],
+    )
+    w1, w2, b, _means = learn.linreg_fit_2d(df, "x1", "x2", "y")
+    assert (w1, w2, b) == (2.0, 3.0, 10.0)  # exact plane, exact recovery
+
+    # collinear design must raise, not divide by zero
+    col = df.withColumn("x2", df.x1 * 2.0)
+    with pytest.raises(ValueError, match="singular"):
+        learn.linreg_fit_2d(col, "x1", "x2", "y")
+    with pytest.raises(ValueError, match="no rows"):
+        learn.linreg_fit_2d(df.where("x1 < 0"), "x1", "x2", "y")
