@@ -1070,6 +1070,62 @@ def image_dhash(
     )
 
 
+def color_histogram(
+    df: DataFrame,
+    content_col: str = "content",
+    bins: int = 4,
+) -> DataFrame:
+    """Per-channel color histogram over REAL decoded pixels — the
+    standard cheap visual-content feature (filter black/blank frames,
+    bucket near-monochrome scans, stratify crawl images by palette).
+    Decode (PIL when importable, else the pure decoders — including the
+    4:2:0 JPEG path), bucket each channel value by v // (256/bins)
+    (integer floor, exactly replayable), and emit each channel's counts
+    as a comma-joined string (the driver-hashable scalar form; grayscale
+    replicates its channel). Undecodable payloads yield NULLs, never a
+    thrown batch. One narrow Arrow map; no shuffle."""
+    if not 1 <= bins <= 256 or 256 % bins:
+        raise ValueError(f"bins must divide 256, got {bins}")
+    width = 256 // bins
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rs, gs, bs, ws, hs = [], [], [], [], []
+            for p in pdf[content_col]:
+                hr = hg = hb = w = h = None
+                try:
+                    w, h, samples = decode_image(bytes(p))
+                    bpp = len(samples) // (w * h)
+                    chans = ([samples[c::3] for c in range(3)]
+                             if bpp == 3 else [samples] * 3)
+                    hists = []
+                    for ch in chans:
+                        counts = [0] * bins
+                        for v in ch:
+                            counts[v // width] += 1
+                        hists.append(",".join(str(c) for c in counts))
+                    hr, hg, hb = hists
+                except Exception:
+                    hr = hg = hb = w = h = None
+                rs.append(hr)
+                gs.append(hg)
+                bs.append(hb)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "hist_r": rs, "hist_g": gs, "hist_b": bs,
+            })
+
+    return df.mapInPandas(
+        compute,
+        schema=("media_id bigint, width int, height int, "
+                "hist_r string, hist_g string, hist_b string"),
+    )
+
+
 def synth_mp4(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Deterministic video-container synthesis: each payload becomes a
     real minimal MP4 whose duration (digest u32 % 3_600_000 ticks at

@@ -9038,3 +9038,77 @@ SELECT w.w1 AS w_price, w.w2 AS w_price_discount, bb.b AS intercept,
 FROM f, w, bb, m
 GROUP BY w.w1, w.w2, bb.b
 """
+
+
+def media_color_histogram(spark, sf_dir):
+    """Color histogram over the REAL 4:2:0 JPEG decode path — the cheap
+    visual feature (blank/black-frame triage, palette stratification)
+    run on the dominant crawl form: every document becomes the same
+    constant-block 32x16 subsampled color JPEG as `media_jpeg_subsampled`,
+    decoded through the MCU loop + chroma upsampling, then each RGB
+    channel buckets into 4 ranges by integer floor (media.color_histogram;
+    counts emitted as comma-joined strings, the driver-hashable form).
+    Constant blocks reconstruct integer-exactly, so the oracle replays
+    every pixel from md5(text) and re-buckets. Two narrow Arrow maps; no
+    shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, color_histogram, synth_color_jpeg_subsampled,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    jpegs = synth_color_jpeg_subsampled(attach_binary(docs, "text", "doc_id"))
+    return color_histogram(jpegs, bins=4)
+
+
+QUERIES["media_color_histogram"] = media_color_histogram
+
+ORACLE["media_color_histogram"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+db AS (
+  SELECT media_id, i,
+         GREATEST(0, LEAST(255,
+           2 * CAST(floor((8 * (CAST(concat('0x', substring(hx, 2 * i + 1, 2))
+                                    AS INT) - 128)) / 16.0 + 0.5) AS INT)
+           + 128)) AS yv,
+         GREATEST(0, LEAST(255,
+           2 * CAST(floor((8 * (CAST(concat('0x',
+                 substring(hx, 2 * (8 + (i % 4) // 2) + 1, 2))
+                                    AS INT) - 128)) / 16.0 + 0.5) AS INT)
+           + 128)) - 128 AS cb,
+         GREATEST(0, LEAST(255,
+           2 * CAST(floor((8 * (CAST(concat('0x',
+                 substring(hx, 2 * (10 + (i % 4) // 2) + 1, 2))
+                                    AS INT) - 128)) / 16.0 + 0.5) AS INT)
+           + 128)) - 128 AS cr
+  FROM h CROSS JOIN (SELECT unnest(range(8)) AS i) t),
+px AS (
+  SELECT media_id,
+         CAST(GREATEST(0, LEAST(255, floor(yv + 1.402 * cr + 0.5)))
+              AS INT) // 64 AS rb,
+         CAST(GREATEST(0, LEAST(255, floor(yv - 0.344136 * cb
+                                              - 0.714136 * cr + 0.5)))
+              AS INT) // 64 AS gb,
+         CAST(GREATEST(0, LEAST(255, floor(yv + 1.772 * cb + 0.5)))
+              AS INT) // 64 AS bb
+  FROM db),
+grid AS (
+  SELECT h.media_id, t.b
+  FROM h CROSS JOIN (SELECT unnest(range(4)) AS b) t),
+nr AS (SELECT media_id, rb AS b, 64 * count(*) AS n FROM px GROUP BY 1, 2),
+ng AS (SELECT media_id, gb AS b, 64 * count(*) AS n FROM px GROUP BY 1, 2),
+nb AS (SELECT media_id, bb AS b, 64 * count(*) AS n FROM px GROUP BY 1, 2),
+hist AS (
+  SELECT g.media_id, g.b,
+         coalesce(nr.n, 0) AS n_r,
+         coalesce(ng.n, 0) AS n_g,
+         coalesce(nb.n, 0) AS n_b
+  FROM grid g
+  LEFT JOIN nr ON nr.media_id = g.media_id AND nr.b = g.b
+  LEFT JOIN ng ON ng.media_id = g.media_id AND ng.b = g.b
+  LEFT JOIN nb ON nb.media_id = g.media_id AND nb.b = g.b)
+SELECT media_id, CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+       string_agg(CAST(n_r AS VARCHAR), ',' ORDER BY b) AS hist_r,
+       string_agg(CAST(n_g AS VARCHAR), ',' ORDER BY b) AS hist_g,
+       string_agg(CAST(n_b AS VARCHAR), ',' ORDER BY b) AS hist_b
+FROM hist GROUP BY media_id
+"""
