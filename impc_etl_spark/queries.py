@@ -9112,3 +9112,99 @@ SELECT media_id, CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
        string_agg(CAST(n_b AS VARCHAR), ',' ORDER BY b) AS hist_b
 FROM hist GROUP BY media_id
 """
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def docs_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2022, §A1.1) as NAMED per-doc
+    flags — the recognizable rule-set form reviewers audit, rather than
+    one opaque composite: word-count bounds [50, 100k], mean word length
+    [3, 10], >= 80% alphabetic words, symbol-to-word ratio <= 0.1
+    ('#'/'...'), and the >= 2-of-8 stopword test; plus the conjunction.
+    (The two line-shape rules need real newlines the synthetic corpus
+    lacks — the C4 query covers line-level filtering.) All row-local
+    integer/ratio Column algebra replayed verbatim by the oracle; at
+    100 TB this is scan speed, zero shuffle. Reference analog: the
+    composite in text.quality_features — exploded into its named
+    contract."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    wc = F.size(words)
+    wc_d = F.greatest(wc, F.lit(1)).cast("double")
+    mwl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / wc_d
+    alpha_frac = (
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / wc_d
+    )
+    hashes = F.length(F.col("text")) - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    dots = (
+        F.length(F.col("text"))
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    sym_ratio = (hashes + dots).cast("double") / wc_d
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+            lambda s: F.array_contains(words, s),
+        )
+    )
+    flags = docs.select(
+        "doc_id",
+        ((wc >= 50) & (wc <= 100000)).cast("int").alias("ok_word_count"),
+        ((mwl >= 3.0) & (mwl <= 10.0)).cast("int").alias("ok_mean_word_len"),
+        (alpha_frac >= 0.8).cast("int").alias("ok_alpha_words"),
+        (sym_ratio <= 0.1).cast("int").alias("ok_symbol_ratio"),
+        (stop_hits >= 2).cast("int").alias("ok_stopwords"),
+    )
+    return flags.withColumn(
+        "gopher_pass",
+        (
+            F.col("ok_word_count")
+            * F.col("ok_mean_word_len")
+            * F.col("ok_alpha_words")
+            * F.col("ok_symbol_ratio")
+            * F.col("ok_stopwords")
+        ).cast("int"),
+    )
+
+
+QUERIES["docs_gopher_rules"] = docs_gopher_rules
+
+ORACLE["docs_gopher_rules"] = """
+WITH f AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS words,
+         greatest(len(string_split(text, ' ')), 1)::DOUBLE AS wc_d,
+         len(string_split(text, ' ')) AS wc,
+         length(replace(text, ' ', ''))::DOUBLE
+           / greatest(len(string_split(text, ' ')), 1) AS mwl,
+         len(list_filter(string_split(text, ' '),
+                         x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / greatest(len(string_split(text, ' ')), 1) AS alpha_frac,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+           / greatest(len(string_split(text, ' ')), 1) AS sym_ratio,
+         len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                          'with'],
+                         s -> list_contains(string_split(text, ' '), s)))
+           AS stop_hits
+  FROM documents)
+SELECT doc_id,
+       CAST(wc >= 50 AND wc <= 100000 AS INT) AS ok_word_count,
+       CAST(mwl >= 3.0 AND mwl <= 10.0 AS INT) AS ok_mean_word_len,
+       CAST(alpha_frac >= 0.8 AS INT) AS ok_alpha_words,
+       CAST(sym_ratio <= 0.1 AS INT) AS ok_symbol_ratio,
+       CAST(stop_hits >= 2 AS INT) AS ok_stopwords,
+       CAST((wc >= 50 AND wc <= 100000)
+            AND (mwl >= 3.0 AND mwl <= 10.0)
+            AND alpha_frac >= 0.8
+            AND sym_ratio <= 0.1
+            AND stop_hits >= 2 AS INT) AS gopher_pass
+FROM f
+"""
