@@ -9208,3 +9208,32 @@ SELECT doc_id,
             AND stop_hits >= 2 AS INT) AS gopher_pass
 FROM f
 """
+
+
+def region_revenue_sql(spark, sf_dir):
+    """The SQL API surface, proven end-to-end: the flagship join chain
+    expressed as pure `spark.sql` over registered temp views (with
+    broadcast hints in SQL comment syntax) — a user of the engine can
+    run ANSI SQL verbatim and get the identical Catalyst plan the
+    DataFrame form gets; the oracle is byte-for-byte the same statement
+    DuckDB runs. Views are session-scoped; registration is idempotent
+    per (sf_dir) so repeated calls are safe."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT /*+ BROADCAST(c), BROADCAST(n), BROADCAST(r) */
+               r.r_name, n.n_name,
+               floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+                 / 100 AS revenue,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM v_lineitem l
+        JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN v_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """)
+
+
+QUERIES["region_revenue_sql"] = region_revenue_sql
+ORACLE["region_revenue_sql"] = ORACLE["region_revenue"]
