@@ -9237,3 +9237,63 @@ def region_revenue_sql(spark, sf_dir):
 
 QUERIES["region_revenue_sql"] = region_revenue_sql
 ORACLE["region_revenue_sql"] = ORACLE["region_revenue"]
+
+
+def docs_curriculum_order(spark, sf_dir):
+    """Curriculum construction — order the corpus easy -> hard for
+    staged training without any global sort: phase boundaries come from
+    the EXACT length distribution (a value-histogram aggregate, bounded
+    by the distinct-length domain, broadcast back), so each document
+    gets phase = floor(4 · rank-below-its-length / N) from arithmetic
+    alone; within a phase the training order is the md5 rank key
+    (emitted as the sort key itself, the `docs_epoch_shuffle` pattern —
+    materializing row numbers would need a per-phase global window, a
+    4-partition skew at 100 TB). Deterministic, nested, replayable;
+    one tiny aggregate + one broadcast join."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.groupBy(F.length("text").alias("len_v")).agg(
+        F.count(F.lit(1)).alias("n_v")
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.partitionBy().orderBy("len_v")
+    bounds = hist.select(
+        "len_v",
+        (F.sum("n_v").over(wcum) - F.col("n_v")).alias("cum_before"),
+        F.sum("n_v").over(
+            Window.partitionBy().orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    phased = docs.select("doc_id", F.length("text").alias("len_v")).join(
+        F.broadcast(bounds), "len_v"
+    )
+    return phased.select(
+        "doc_id",
+        F.col("len_v").alias("doc_len"),
+        F.floor(F.lit(4) * F.col("cum_before") / F.col("n_total"))
+        .cast("int")
+        .alias("phase"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#cur"))).alias(
+            "order_key"
+        ),
+    )
+
+
+QUERIES["docs_curriculum_order"] = docs_curriculum_order
+
+ORACLE["docs_curriculum_order"] = """
+WITH h AS (
+  SELECT length(text) AS len_v, count(*) AS n_v
+  FROM documents GROUP BY 1),
+b AS (
+  SELECT len_v,
+         sum(n_v) OVER (ORDER BY len_v) - n_v AS cum_before,
+         sum(n_v) OVER () AS n_total
+  FROM h)
+SELECT d.doc_id, length(d.text) AS doc_len,
+       CAST(floor(4 * b.cum_before / b.n_total) AS INT) AS phase,
+       md5(concat(CAST(d.doc_id AS VARCHAR), '#cur')) AS order_key
+FROM documents d JOIN b ON length(d.text) = b.len_v
+"""

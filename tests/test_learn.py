@@ -85,3 +85,41 @@ def test_linreg_fit_2d_recovers_plane_and_guards(spark):
         learn.linreg_fit_2d(col, "x1", "x2", "y")
     with pytest.raises(ValueError, match="no rows"):
         learn.linreg_fit_2d(df.where("x1 < 0"), "x1", "x2", "y")
+
+
+def test_c4_and_extract_never_raise_and_are_idempotent(spark):
+    """Hostile-input hardening for the round's text cleaners: arbitrary
+    junk lines/markup must filter cleanly (no throw), and re-running the
+    C4 filter on its own output keeps it fixed (idempotence — the filter
+    is a pure per-line predicate)."""
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.operators.text import c4_line_filter, extract_main_content
+
+    junk = [
+        (1, ["", " ", "{weird", 'ends ok with four words."', "\t\n", "a."]),
+        (2, []),
+        (3, [None]),  # NULL line inside the array
+        (4, ["<<<>>>", "N" * 5000 + ".", "cookie jar is a phrase here."]),
+    ]
+    df = spark.createDataFrame(junk, ["id", "lines"])
+    once = df.select("id", c4_line_filter("lines").alias("kept"))
+    twice = once.select("id", c4_line_filter("kept").alias("kept"))
+    assert [r["kept"] for r in once.orderBy("id").collect()] == [
+        r["kept"] for r in twice.orderBy("id").collect()
+    ]
+
+    html = [
+        (1, "<p>" + "x" * 40 + "</p><div><a href=x>" + "y" * 50 + "</a></div>"),
+        (2, ""),
+        (3, "no tags at all but long enough to keep as a single block ok"),
+        (4, "<script>while(1){}</script><p>short</p>"),
+        (5, None),
+    ]
+    hdf = spark.createDataFrame(html, ["id", "html"])
+    out = hdf.select("id", extract_main_content("html").alias("t")).collect()
+    got = {r["id"]: r["t"] for r in out}
+    assert got[3].startswith("no tags at all")   # tag-free text survives
+    assert "y" * 50 not in got[1]                # anchor-dense block dropped
+    assert "while(1)" not in got[4]              # script dropped wholesale
+    assert got[5] is None                        # NULL in -> NULL out
