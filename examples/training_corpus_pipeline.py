@@ -13,6 +13,10 @@
             ─ features (multimodal payload features via mapInPandas)
             ─ epoch_order (deterministic per-epoch shuffle keys)
             ─ embedding_model (PCA/whitening from moment partials)
+            ─ extracted (jusText main-content + C4 line filter front door)
+            ─ gopher_gate (named rule audit) ─ quality_model (learned scorer)
+            ─ mixed (temperature n^0.5 language mixing)
+            ─ curriculum (length-phase staged order, no global sort)
 
 Run:  python examples/training_corpus_pipeline.py [sf_dir] [out_dir]
 """
@@ -183,6 +187,107 @@ def build(spark, sf_dir: str, out_dir: str):
             ).alias("pca_whitened"),
         )
 
+    @p.task("extracted", inputs=["documents"])
+    def extracted(s, docs):
+        # crawl front door: jusText-style main-content extraction from a
+        # page shell, then C4 line filtering of the recovered text
+        html = F.concat(
+            F.lit('<div class="nav"><a href="/">Home</a></div><p>'),
+            F.col("text"),
+            F.lit('</p><div class="footer"><a href="/l">Legal</a></div>'),
+        )
+        main = docs.select(
+            "doc_id", T.extract_main_content(html).alias("main_text")
+        )
+        lines = main.select(
+            "doc_id", F.split(F.col("main_text"), "\n").alias("page_lines")
+        )
+        return T.c4_clean(lines, "page_lines", min_lines=1)
+
+    @p.task("gopher_gate", inputs=["clean_corpus"])
+    def gopher_gate(s, corpus):
+        # named-rule audit: word-count / mean-word-length / stopword tests
+        words = F.split(F.col("text"), " ")
+        wc = F.size(words)
+        mwl = F.length(
+            F.replace(F.col("text"), F.lit(" "), F.lit(""))
+        ).cast("double") / F.greatest(wc, F.lit(1)).cast("double")
+        return corpus.where(
+            (wc >= 20) & (mwl >= 3.0) & (mwl <= 10.0)
+        )
+
+    @p.task("quality_model", inputs=["clean_corpus"])
+    def quality_model(s, corpus):
+        # distill the heuristic quality score into a learned linear model
+        # (the fastText/CCNet pattern), then score every doc with it
+        from impc_etl_spark.operators import learn
+
+        L = F.length("text").cast("double")
+        feats = corpus.select(
+            "doc_id",
+            (F.least(L, F.lit(600.0)) / F.lit(600.0)).alias("f_len"),
+            (F.col("quality_score") >= 0.5).cast("int").alias("label"),
+        )
+        w, b = learn.logreg_fit(feats, ["f_len"], "label", iterations=8,
+                                lr=8.0)
+        return learn.logreg_score(feats, ["f_len"], w, b,
+                                  score_col="learned_quality")
+
+    @p.task("mixed", inputs=["selected"])
+    def mixed(s, corpus):
+        # temperature-scaled language mixing (share ∝ n^0.5): quotas from
+        # the observed counts, filled by deterministic md5 rank
+        from pyspark.sql import Window
+
+        counts = corpus.groupBy("lang").agg(F.count(F.lit(1)).alias("n_d"))
+        quotas = counts.select(
+            "lang",
+            F.floor(
+                F.lit(200.0) * F.sqrt(F.col("n_d").cast("double"))
+                / F.sum(F.sqrt(F.col("n_d").cast("double"))).over(
+                    Window.partitionBy()
+                ) + F.lit(0.5)
+            ).cast("int").alias("quota"),
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#mix"))),
+                "doc_id",
+            )
+        )
+        return corpus.join(F.broadcast(quotas), "lang").withColumn(
+            "mix_rank", rk
+        ).where(F.col("mix_rank") <= F.col("quota"))
+
+    @p.task("curriculum", inputs=["selected"])
+    def curriculum(s, corpus):
+        # easy -> hard staged order: exact length-histogram phases +
+        # md5 within-phase order keys (no global sort, no phase windows)
+        from pyspark.sql import Window
+
+        hist = corpus.groupBy(F.length("text").alias("len_v")).agg(
+            F.count(F.lit(1)).alias("n_v")
+        )
+        bounds = hist.select(
+            "len_v",
+            (F.sum("n_v").over(Window.partitionBy().orderBy("len_v"))
+             - F.col("n_v")).alias("cum_before"),
+            F.sum("n_v").over(
+                Window.partitionBy().orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n_total"),
+        )
+        return corpus.select(
+            "doc_id", F.length("text").alias("len_v")
+        ).join(F.broadcast(bounds), "len_v").select(
+            "doc_id",
+            F.floor(F.lit(4) * F.col("cum_before") / F.col("n_total"))
+            .cast("int").alias("phase"),
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit("#cur"))).alias("order_key"),
+        )
+
     @p.task("url_keys", inputs=["documents"])
     def url_keys(s, docs):
         # crawl-level dedup keys: canonical URL + registrable domain (the
@@ -210,7 +315,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     p = build(spark, sf_dir, out_dir)
     statuses = p.run("profile", "indexed", "packed", "features",
-                     "tokenizer", "splits")
+                     "tokenizer", "splits", "extracted", "gopher_gate",
+                     "quality_model", "mixed", "curriculum")
     for task, st in statuses.items():
         print(f"{task:15s} {st:6s} rows={p.read(task).count()}")
     packs = p.read("packed").groupBy("pack_id").agg(F.sum("n_tokens").alias("t"))
