@@ -24,6 +24,7 @@ BNL_ALLOWED = {
     "emb_positive_pairs",  # corpus × broadcast anchor table, same-label predicate
     "docs_tfidf_terms",  # cross join with a broadcast 1-ROW scalar (corpus N)
     "docs_bm25_search",  # cross join with a broadcast 1-ROW stats row (N, avgdl, dfs)
+    "docs_hybrid_rrf_search",  # same 1-ROW BM25 stats broadcast inside the lexical arm
     "docs_unigram_logprob",  # cross join with a broadcast 1-ROW scalar (N, V)
     "docs_bigram_logprob",  # cross join with a broadcast 1-ROW scalar (V)
     "docs_collocations",  # cross join with a broadcast 1-ROW scalar (N, B)
