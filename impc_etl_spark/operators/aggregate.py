@@ -459,3 +459,105 @@ def bloom_filter_probe(
         item_col,
         F.col("__missing").isNull().alias("maybe_present"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_basket: int | None = None,
+    min_support: int = 2,
+    top_k: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Market-basket association rules on top of the pair counts:
+    (antecedent → consequent, support, confidence, lift) for BOTH
+    directions of every co-occurring pair. Confidence = n_ab / n_a,
+    lift = n_ab·N / (n_a·n_b) — every operand an integer count, so the
+    rounded ratios are IEEE-exact on any engine.
+
+    Plan: baskets (distinct sorted per-group item sets, same
+    ``max_basket`` cap as `co_occurrence_pairs`) are built ONCE and
+    feed both the row-local pair expansion and the per-item counts;
+    the group total N is a 1-row aggregate broadcast into the rule
+    projection (the sanctioned scalar cross-join pattern). Two counting
+    aggregates + one pair-keyed join — no self-join of the input."""
+    items = F.array_sort(F.collect_set(item_col))
+    if max_basket is not None:
+        items = F.slice(items, 1, max_basket)
+    baskets = df.groupBy(group_col).agg(items.alias("__items")).localCheckpoint(
+        eager=True
+    )
+    arr = F.col("__items")
+    pairs_expr = F.flatten(
+        F.transform(
+            arr,
+            lambda a, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda b: F.struct(a.alias("item_a"), b.alias("item_b")),
+            ),
+        )
+    )
+    pair_counts = (
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .groupBy("p.item_a", "p.item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    item_counts = (
+        baskets.select(F.explode(arr).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_total"))
+    directed = pair_counts.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pair_counts.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_ab",
+        )
+    )
+    q = 10 ** round_to
+    rules = (
+        directed.join(
+            F.broadcast(item_counts.withColumnRenamed("n_item", "n_ante")),
+            directed.antecedent == F.col("item"),
+        )
+        .drop("item")
+        .join(
+            F.broadcast(item_counts.withColumnRenamed("n_item", "n_cons")),
+            directed.consequent == F.col("item"),
+        )
+        .drop("item")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_ab").alias("support"),
+            (
+                F.floor(
+                    F.col("n_ab").cast("double") / F.col("n_ante") * q
+                    + F.lit(0.5)
+                )
+                / q
+            ).alias("confidence"),
+            (
+                F.floor(
+                    (F.col("n_ab") * F.col("n_total")).cast("double")
+                    / (F.col("n_ante") * F.col("n_cons"))
+                    * q
+                    + F.lit(0.5)
+                )
+                / q
+            ).alias("lift"),
+        )
+    )
+    if top_k is None:
+        return rules
+    return rules.orderBy(
+        F.col("support").desc(), "antecedent", "consequent"
+    ).limit(top_k)

@@ -9297,3 +9297,101 @@ SELECT d.doc_id, length(d.text) AS doc_len,
        md5(concat(CAST(d.doc_id AS VARCHAR), '#cur')) AS order_key
 FROM documents d JOIN b ON length(d.text) = b.len_v
 """
+
+
+def part_association_rules(spark, sf_dir):
+    """Association-rule mining over order baskets — the
+    confidence/lift layer on the co-occurrence counts (which parts
+    PREDICT which): both directions of every pair with support >= 3,
+    top-100 by support. Every ratio is a quotient of integer counts
+    (floor-rounded), so the result is IEEE-exact; baskets build once
+    and feed pairs + item counts; the order total is a 1-row broadcast
+    (agg_ops.association_rules). The oracle replays the capped-basket
+    construction, both counting aggregates, and the rule math."""
+    li = _t(spark, sf_dir, "lineitem")
+    return agg_ops.association_rules(
+        li, "l_orderkey", "l_partkey", max_basket=16, min_support=3,
+        top_k=100,
+    )
+
+
+QUERIES["part_association_rules"] = part_association_rules
+
+ORACLE["part_association_rules"] = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+capped AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM b) WHERE rn <= 16),
+pc AS (
+  SELECT x.l_partkey AS item_a, y.l_partkey AS item_b, count(*) AS n_ab
+  FROM capped x JOIN capped y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+ic AS (SELECT l_partkey AS item, count(*) AS n_item FROM capped GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM capped),
+directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, n_ab FROM pc
+  UNION ALL
+  SELECT item_b AS antecedent, item_a AS consequent, n_ab FROM pc),
+rules AS (
+  SELECT d.antecedent, d.consequent, d.n_ab AS support,
+         floor(d.n_ab::DOUBLE / a.n_item * 1000000 + 0.5) / 1000000
+           AS confidence,
+         floor((d.n_ab * t.n_total)::DOUBLE / (a.n_item * c.n_item)
+               * 1000000 + 0.5) / 1000000 AS lift
+  FROM directed d
+  JOIN ic a ON a.item = d.antecedent
+  JOIN ic c ON c.item = d.consequent
+  CROSS JOIN tot t)
+SELECT antecedent, consequent, support, confidence, lift FROM (
+  SELECT *, row_number() OVER (
+      ORDER BY support DESC, antecedent, consequent) AS rk
+  FROM rules) WHERE rk <= 100
+"""
+
+
+def customer_retention_cohorts(spark, sf_dir):
+    """Retention cohort analysis — the canonical growth rollup: cohort =
+    month of a customer's FIRST order, activity = distinct (customer,
+    month), retention cell = distinct active customers per (cohort,
+    months since). Two key shuffles (first-order aggregate, cell
+    aggregate) + one join back; month arithmetic on month-truncated
+    timestamps is integer-exact in both engines. Output months format
+    as strings so the hash compares across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_m")
+    )
+    active = orders.select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("act_m")
+    ).distinct()
+    cells = active.join(first, "o_custkey").groupBy(
+        "cohort_m",
+        F.months_between(F.col("act_m"), F.col("cohort_m"))
+        .cast("int")
+        .alias("months_since"),
+    ).agg(F.count_distinct("o_custkey").alias("n_active"))
+    return cells.select(
+        F.date_format("cohort_m", "yyyy-MM").alias("cohort_month"),
+        "months_since",
+        "n_active",
+    )
+
+
+QUERIES["customer_retention_cohorts"] = customer_retention_cohorts
+
+ORACLE["customer_retention_cohorts"] = """
+WITH first_o AS (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY o_custkey),
+active AS (
+  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS act_m
+  FROM orders)
+SELECT strftime(f.cohort_m, '%Y-%m') AS cohort_month,
+       CAST(datediff('month', f.cohort_m, a.act_m) AS INT) AS months_since,
+       count(DISTINCT a.o_custkey) AS n_active
+FROM active a JOIN first_o f USING (o_custkey)
+GROUP BY 1, 2
+"""

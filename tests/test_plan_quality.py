@@ -29,6 +29,7 @@ BNL_ALLOWED = {
     "docs_bigram_logprob",  # cross join with a broadcast 1-ROW scalar (V)
     "docs_collocations",  # cross join with a broadcast 1-ROW scalar (N, B)
     "orders_skew_report",  # cross join of two 1-ROW stat frames per column
+    "part_association_rules",  # cross join with a broadcast 1-ROW basket total (lift's N)
     "orders_price_histogram",  # cross join with a broadcast 1-ROW min/max bounds
     "orders_zorder_key",  # cross join with a broadcast 1-ROW per-column bounds frame
     "corpus_vocab",  # cross join with a broadcast 1-ROW total token mass
