@@ -9395,3 +9395,124 @@ SELECT strftime(f.cohort_m, '%Y-%m') AS cohort_month,
 FROM active a JOIN first_o f USING (o_custkey)
 GROUP BY 1, 2
 """
+
+
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quartile scores)
+    WITHOUT a global ntile window: each dimension's quartile boundaries
+    come from an exact value histogram over a BOUNDED domain (recency
+    days, order counts, floor(monetary/1000) buckets — all bounded at
+    any corpus size), broadcast back so the score is pure arithmetic —
+    the curriculum-phase pattern applied three ways. The recency anchor
+    (max order date) is a 1-row broadcast. Scores: r_score 4 = most
+    recent quartile, f/m_score 4 = heaviest quartile; rfm = the three
+    digits concatenated. The oracle replays histograms and scoring."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor_d"))
+    per_c = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("anchor_d"), F.max("o_orderdate")).alias("r_days"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("m_raw"),
+        )
+        .withColumn("m_bucket", F.floor(F.col("m_raw") / 1000).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _phase(col: str):
+        hist = per_c.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("n_v")
+        )
+        return hist.select(
+            "v",
+            F.floor(
+                F.lit(4)
+                * (
+                    F.sum("n_v").over(Window.partitionBy().orderBy("v"))
+                    - F.col("n_v")
+                )
+                / F.sum("n_v").over(
+                    Window.partitionBy()
+                    .orderBy(F.lit(1))
+                    .rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+            )
+            .cast("int")
+            .alias(f"{col}_phase"),
+        )
+
+    out = (
+        per_c.join(
+            F.broadcast(_phase("r_days")), per_c.r_days == F.col("v")
+        ).drop("v")
+        .join(F.broadcast(_phase("n_orders")), per_c.n_orders == F.col("v"))
+        .drop("v")
+        .join(F.broadcast(_phase("m_bucket")), per_c.m_bucket == F.col("v"))
+        .drop("v")
+    )
+    r_score = F.lit(4) - F.col("r_days_phase")
+    f_score = F.col("n_orders_phase") + F.lit(1)
+    m_score = F.col("m_bucket_phase") + F.lit(1)
+    return out.select(
+        "o_custkey",
+        "r_days",
+        "n_orders",
+        _rnd("m_raw", 2).alias("monetary"),
+        r_score.cast("int").alias("r_score"),
+        f_score.cast("int").alias("f_score"),
+        m_score.cast("int").alias("m_score"),
+        F.concat(
+            r_score.cast("string"), f_score.cast("string"),
+            m_score.cast("string"),
+        ).alias("rfm"),
+    )
+
+
+QUERIES["customer_rfm_segments"] = customer_rfm_segments
+
+ORACLE["customer_rfm_segments"] = """
+WITH anchor AS (SELECT max(o_orderdate) AS anchor_d FROM orders),
+per_c AS (
+  SELECT o_custkey,
+         datediff('day', max(o_orderdate), (SELECT anchor_d FROM anchor))
+           AS r_days,
+         count(*) AS n_orders,
+         sum(o_totalprice) AS m_raw,
+         CAST(floor(sum(o_totalprice) / 1000) AS BIGINT) AS m_bucket
+  FROM orders GROUP BY o_custkey),
+rh AS (
+  SELECT v, CAST(floor(4 * cb / nt) AS INT) AS ph FROM (
+    SELECT r_days AS v,
+           sum(count(*)) OVER (ORDER BY r_days) - count(*) AS cb,
+           sum(count(*)) OVER () AS nt
+    FROM per_c GROUP BY r_days)),
+fh AS (
+  SELECT v, CAST(floor(4 * cb / nt) AS INT) AS ph FROM (
+    SELECT n_orders AS v,
+           sum(count(*)) OVER (ORDER BY n_orders) - count(*) AS cb,
+           sum(count(*)) OVER () AS nt
+    FROM per_c GROUP BY n_orders)),
+mh AS (
+  SELECT v, CAST(floor(4 * cb / nt) AS INT) AS ph FROM (
+    SELECT m_bucket AS v,
+           sum(count(*)) OVER (ORDER BY m_bucket) - count(*) AS cb,
+           sum(count(*)) OVER () AS nt
+    FROM per_c GROUP BY m_bucket))
+SELECT p.o_custkey, p.r_days, p.n_orders,
+       floor(p.m_raw * 100 + 0.5) / 100 AS monetary,
+       CAST(4 - rh.ph AS INT) AS r_score,
+       CAST(fh.ph + 1 AS INT) AS f_score,
+       CAST(mh.ph + 1 AS INT) AS m_score,
+       concat(CAST(4 - rh.ph AS VARCHAR), CAST(fh.ph + 1 AS VARCHAR),
+              CAST(mh.ph + 1 AS VARCHAR)) AS rfm
+FROM per_c p
+JOIN rh ON rh.v = p.r_days
+JOIN fh ON fh.v = p.n_orders
+JOIN mh ON mh.v = p.m_bucket
+"""
