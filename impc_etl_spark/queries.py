@@ -9516,3 +9516,29 @@ JOIN rh ON rh.v = p.r_days
 JOIN fh ON fh.v = p.n_orders
 JOIN mh ON mh.v = p.m_bucket
 """
+
+
+def orders_exact_percentiles(spark, sf_dir):
+    """EXACT per-group order statistics (median / p90 by order status) —
+    the sort-based complement of the mergeable Greenwald-Khanna sketch
+    query (`lineitem_quantile_sketch`): when a group fits its executor
+    (statuses do), Spark's `percentile` computes the true interpolated
+    quantile. Interpolation is (1-g)·a + g·b on exact doubles, the same
+    formula DuckDB's quantile_cont uses, so values match bit-for-bit
+    after rounding. One group shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _rnd(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        _rnd(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+QUERIES["orders_exact_percentiles"] = orders_exact_percentiles
+
+ORACLE["orders_exact_percentiles"] = """
+SELECT o_orderstatus, count(*) AS n,
+       floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+       floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000 AS p90
+FROM orders GROUP BY o_orderstatus
+"""
