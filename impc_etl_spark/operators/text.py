@@ -1367,3 +1367,23 @@ def extract_main_content(
         & (s["link_density"] <= F.lit(max_link_density)),
     )
     return F.array_join(F.transform(kept, lambda s: s["txt"]), "\n")
+
+
+def luhn_check(col: str | Column) -> Column:
+    """Luhn checksum validation (ISO/IEC 7812) for card-number-shaped
+    strings — the standard false-positive filter a PII scrubber runs
+    before redacting 16-digit tokens (most random digit runs fail the
+    checksum; real PANs never do). From the RIGHT, every second digit
+    doubles (minus 9 when > 9); valid iff the sum divides by 10 and the
+    string is 12-19 digits. Pure Column algebra: one `aggregate` over a
+    per-row index sequence — scan speed, no UDF, exactly replayable."""
+    c = F.col(col) if isinstance(col, str) else col
+    r = F.reverse(c)
+
+    def step(acc: Column, j: Column) -> Column:
+        d = r.substr(j, F.lit(1)).cast("int")
+        doubled = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        return acc + F.when(j % 2 == 0, doubled).otherwise(d)
+
+    total = F.aggregate(F.sequence(F.lit(1), F.length(r)), F.lit(0), step)
+    return c.rlike("^[0-9]{12,19}$") & (total % 10 == 0)

@@ -9542,3 +9542,97 @@ SELECT o_orderstatus, count(*) AS n,
        floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000 AS p90
 FROM orders GROUP BY o_orderstatus
 """
+
+
+def docs_luhn_card_scrub(spark, sf_dir):
+    """Checksum-validated PII redaction — the false-positive filter the
+    plain regex scrubber lacks: each document carries a synthesized
+    16-digit card candidate (15 md5-derived digits + a check digit
+    that's CORRECT for even doc_ids and off-by-one otherwise), and
+    `text.luhn_check` passes exactly the valid half, so only those get
+    redacted. Pure Column algebra (per-row index aggregate, no UDF);
+    the oracle replays digit synthesis, the Luhn sum, and the
+    conditional redaction."""
+    docs = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.col("text"))
+    digits = F.transform(
+        F.sequence(F.lit(0), F.lit(14)),
+        lambda i: (
+            F.conv(hx.substr(i * 2 + 1, F.lit(2)), 16, 10).cast("int") % 10
+        ).cast("string"),
+    )
+    body = F.array_join(digits, "")
+    s15 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(15)),
+        F.lit(0),
+        lambda acc, j: acc
+        + F.when(
+            j % 2 == 1,  # final card position j+1 (even from right): doubled
+            F.when(
+                F.reverse(body).substr(j, F.lit(1)).cast("int") * 2 > 9,
+                F.reverse(body).substr(j, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(
+                F.reverse(body).substr(j, F.lit(1)).cast("int") * 2
+            ),
+        ).otherwise(F.reverse(body).substr(j, F.lit(1)).cast("int")),
+    )
+    good_check = (F.lit(10) - s15 % 10) % 10
+    check = F.when(
+        F.col("doc_id") % 2 == 0, good_check
+    ).otherwise((good_check + 1) % 10)
+    card = F.concat(body, check.cast("string"))
+    valid = text_ops.luhn_check(card)
+    return docs.select(
+        "doc_id",
+        card.alias("card"),
+        valid.cast("int").alias("luhn_valid"),
+        F.when(
+            valid, F.concat(F.lit("<CARD>"), card.substr(F.lit(13), F.lit(4)))
+        ).otherwise(card).alias("redacted"),
+    )
+
+
+QUERIES["docs_luhn_card_scrub"] = docs_luhn_card_scrub
+
+ORACLE["docs_luhn_card_scrub"] = """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+d AS (
+  SELECT doc_id,
+         string_agg(
+           CAST(CAST(concat('0x', substring(hx, i * 2 + 1, 2)) AS INT) % 10
+                AS VARCHAR), '' ORDER BY i) AS body
+  FROM h CROSS JOIN (SELECT unnest(range(15)) AS i) t
+  GROUP BY doc_id),
+s AS (
+  SELECT d.doc_id, d.body,
+         sum(CASE WHEN j % 2 = 1 THEN
+               CASE WHEN CAST(substring(reverse(body), j, 1) AS INT) * 2 > 9
+                    THEN CAST(substring(reverse(body), j, 1) AS INT) * 2 - 9
+                    ELSE CAST(substring(reverse(body), j, 1) AS INT) * 2
+               END
+             ELSE CAST(substring(reverse(body), j, 1) AS INT) END) AS s15
+  FROM d CROSS JOIN (SELECT unnest(range(1, 16)) AS j) t
+  GROUP BY d.doc_id, d.body),
+c AS (
+  SELECT doc_id, body,
+         CASE WHEN doc_id % 2 = 0 THEN (10 - s15 % 10) % 10
+              ELSE ((10 - s15 % 10) % 10 + 1) % 10 END AS chk
+  FROM s),
+card AS (
+  SELECT doc_id, concat(body, CAST(chk AS VARCHAR)) AS card FROM c),
+v AS (
+  SELECT card.doc_id, card.card,
+         (sum(CASE WHEN j % 2 = 0 THEN
+                CASE WHEN CAST(substring(reverse(card), j, 1) AS INT) * 2 > 9
+                     THEN CAST(substring(reverse(card), j, 1) AS INT) * 2 - 9
+                     ELSE CAST(substring(reverse(card), j, 1) AS INT) * 2
+                END
+              ELSE CAST(substring(reverse(card), j, 1) AS INT) END) % 10 = 0)
+           AND regexp_matches(card.card, '^[0-9]{12,19}$') AS valid
+  FROM card CROSS JOIN (SELECT unnest(range(1, 17)) AS j) t
+  GROUP BY card.doc_id, card.card)
+SELECT doc_id, card, CAST(valid AS INT) AS luhn_valid,
+       CASE WHEN valid THEN concat('<CARD>', substring(card, 13, 4))
+            ELSE card END AS redacted
+FROM v
+"""

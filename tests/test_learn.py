@@ -123,3 +123,22 @@ def test_c4_and_extract_never_raise_and_are_idempotent(spark):
     assert "y" * 50 not in got[1]                # anchor-dense block dropped
     assert "while(1)" not in got[4]              # script dropped wholesale
     assert got[5] is None                        # NULL in -> NULL out
+
+
+def test_luhn_check_known_numbers(spark):
+    from impc_etl_spark.operators.text import luhn_check
+
+    cases = [
+        ("4111111111111111", True),    # canonical test PAN
+        ("4111111111111112", False),   # off-by-one check digit
+        ("79927398713", False),        # valid Luhn but 11 digits (< 12 min)
+        ("799273987130", False),       # 12 digits, bad checksum
+        ("not-a-number-16", False),
+        ("", False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["s"])
+    got = {
+        r["s"]: bool(r["v"])
+        for r in df.select("s", luhn_check("s").alias("v")).collect()
+    }
+    assert got == {s: want for s, want in cases}
