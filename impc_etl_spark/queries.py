@@ -9636,3 +9636,77 @@ SELECT doc_id, card, CAST(valid AS INT) AS luhn_valid,
             ELSE card END AS redacted
 FROM v
 """
+
+
+def docs_inverted_index(spark, sf_dir):
+    """Search-index construction — the posting-list artifact BM25 serving
+    reads: one tokenize + explode + distinct, then per-term sorted doc-id
+    posting lists with document frequency, capped at the 200 most
+    frequent terms (deterministic (df desc, term) cut). Lists emit as
+    comma-joined strings (driver-hashable). One explode shuffle + one
+    term aggregate; posting arrays are collect_set-bounded by df. The
+    oracle replays tokenization, dedup, ordering, and the cut."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text_ops.tokens("text")).alias("term")
+    ).distinct()
+    postings = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.array_sort(F.collect_list("doc_id")), ","
+        ).alias("postings"),
+    )
+    return postings.orderBy(F.desc("df"), "term").limit(200)
+
+
+QUERIES["docs_inverted_index"] = docs_inverted_index
+
+ORACLE["docs_inverted_index"] = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+           AS term
+  FROM documents),
+p AS (
+  SELECT term, count(*) AS df,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+  FROM tok GROUP BY term)
+SELECT term, df, postings FROM (
+  SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rk FROM p)
+WHERE rk <= 200
+"""
+
+
+def docs_schema_evolution_roundtrip(spark, sf_dir):
+    """Schema evolution proven end-to-end: two release batches with
+    DIFFERENT schemas (an early batch without the later `quality`
+    column, a later batch that adds it) land in one parquet dataset;
+    `mergeSchema` reads them back as the union schema with NULLs where a
+    batch predates a column — the append-only table-evolution contract a
+    long-lived 100 TB store depends on. The oracle replays the union
+    from the table."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="schema_evo_") + "/docs"
+    old = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    new = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", (F.length("text") >= 280).cast("int").alias("quality")
+    )
+    old.write.mode("overwrite").parquet(path + "/batch=0")
+    new.write.mode("overwrite").parquet(path + "/batch=1")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.select("doc_id", "lang", "quality", "batch")
+
+
+QUERIES["docs_schema_evolution_roundtrip"] = docs_schema_evolution_roundtrip
+
+ORACLE["docs_schema_evolution_roundtrip"] = """
+SELECT doc_id, lang, CAST(NULL AS INT) AS quality, 0 AS batch
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, CAST(length(text) >= 280 AS INT) AS quality, 1 AS batch
+FROM documents WHERE doc_id % 2 = 1
+"""
