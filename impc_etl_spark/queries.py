@@ -7938,6 +7938,35 @@ _R6_WINDOW = [
 ]
 _set_window(_R6_WINDOW)
 
+# Round-7 window plan (for the next builder — do NOT apply this round; the
+# r6 driver must check _R6_WINDOW). After r6's driver run, 60 queries will
+# still lack a driver CORRECTNESS row (full list verified green in this
+# session's 230-query sf0.01 mimic sweep). Flip by renaming to _R7_WINDOW,
+# putting observations_pipeline + the first 49 below in the front slots,
+# and queueing the remaining 11 for r8:
+#   docs_quality_topfrac, docs_containment_dups, emb_rp_topk,
+#   events_value_zscore, lineitem_metrics_unpivot, emb_hard_negatives,
+#   orders_zorder_key, emb_positive_pairs, docs_minhash_jaccard_est,
+#   emb_ann_multiprobe_topk, docs_bpe_segments, emb_kmeans_assign,
+#   emb_pq_codes, emb_pq_adc_topk, orders_heavy_customers_cms,
+#   media_adpcm_audio, media_flac_probe, media_avi_frames,
+#   media_audio_spectrum, docs_unicode_normalize, docs_zip_roundtrip,
+#   docs_tar_roundtrip, media_bmp_decode, media_pnm_decode, media_mp3_scan,
+#   media_adts_scan, media_ico_decode, media_tga_decode, media_svg_probe,
+#   media_gif_frames, emb_covariance, docs_url_canonical,
+#   media_jpeg_progressive_subsampled, media_exif_orientation,
+#   docs_quality_logreg, docs_c4_clean, docs_boilerplate_extract,
+#   events_trend_slope, docs_orc_roundtrip, media_binaryfile_ingest,
+#   media_image_dhash_dedup, events_funnel, docs_temperature_mix,
+#   emb_ann_recall, docs_hybrid_rrf_search, customer_graph_bfs,
+#   events_holt_linear, lineitem_fk_integrity, lineitem_price_regression,
+#   media_color_histogram,
+#   -- r8 queue: docs_gopher_rules, region_revenue_sql,
+#   docs_curriculum_order, part_association_rules,
+#   customer_retention_cohorts, customer_rfm_segments,
+#   orders_exact_percentiles, docs_luhn_card_scrub, docs_inverted_index,
+#   docs_schema_evolution_roundtrip
+
 
 def media_jpeg_progressive_subsampled(spark, sf_dir):
     """PROGRESSIVE 4:2:0 chroma-subsampled color JPEG decode end-to-end —
