@@ -148,8 +148,11 @@ def linreg_fit_2d(
     means = df.agg(
         F.avg(x1).alias("m1"), F.avg(x2).alias("m2"), F.avg(y).alias("my")
     ).first()
-    if means is None or means["my"] is None:
-        raise ValueError("linreg_fit_2d: no rows to fit")
+    if means is None or any(means[k] is None for k in ("m1", "m2", "my")):
+        raise ValueError(
+            "linreg_fit_2d: no rows to fit (empty input or an all-NULL "
+            "feature/target column)"
+        )
     m1 = _round_to(means["m1"], round_to)
     m2 = _round_to(means["m2"], round_to)
     my = _round_to(means["my"], round_to)

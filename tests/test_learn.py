@@ -142,3 +142,41 @@ def test_luhn_check_known_numbers(spark):
         for r in df.select("s", luhn_check("s").alias("v")).collect()
     }
     assert got == {s: want for s, want in cases}
+
+
+def test_holt_linear_matches_python_replay_and_skips_nulls(spark):
+    """The Holt recurrences must equal a literal Python replay bit-for-bit
+    (the contract the recursive-CTE oracle relies on), including NULL
+    skip-with-state-carry."""
+    import math
+
+    from impc_etl_spark.operators.timeseries import holt_linear
+
+    series = [3.0, 7.5, None, 2.25, 9.0, float("nan"), 4.5]
+    rows = [(i, 1, float(i), v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "event_id int, k int, ts double, v double")
+    out = {
+        r["event_id"]: (r["level"], r["trend"], r["forecast"])
+        for r in holt_linear(df, ["k"], "ts", "v", alpha=0.3, beta=0.2,
+                             tiebreak_cols=["event_id"]).collect()
+    }
+    lvl = trd = None
+    for i, v in enumerate(series):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            assert out[i] == (None, None, None)
+            continue
+        if lvl is None:
+            lvl, trd = v, 0.0
+        else:
+            prev = lvl
+            lvl = 0.3 * v + 0.7 * (prev + trd)
+            trd = 0.2 * (lvl - prev) + 0.8 * trd
+        assert out[i] == (lvl, trd, lvl + trd)  # bit-exact
+
+
+def test_linreg_all_null_feature_raises(spark):
+    df = spark.createDataFrame(
+        [(None, 1.0, 2.0), (None, 2.0, 3.0)], "x1 double, x2 double, y double"
+    )
+    with pytest.raises(ValueError, match="all-NULL"):
+        learn.linreg_fit_2d(df, "x1", "x2", "y")
