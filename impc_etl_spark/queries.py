@@ -9739,3 +9739,32 @@ UNION ALL
 SELECT doc_id, lang, CAST(length(text) >= 280 AS INT) AS quality, 1 AS batch
 FROM documents WHERE doc_id % 2 = 1
 """
+
+
+def docs_provenance_stamp(spark, sf_dir):
+    """Ingest provenance — the lineage stamp every release row should
+    carry: the source file (basename of `input_file_name()`, stable
+    across environments), a 16-byte content fingerprint, and a
+    deterministic ingest batch id derived from (file, fingerprint).
+    Row-local projection at scan speed; the oracle replays basename and
+    hashes from the table (single-file-per-table testdata layout)."""
+    docs = _t(spark, sf_dir, "documents")
+    src_file = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    fp = F.md5(F.col("text"))
+    return docs.select(
+        "doc_id",
+        src_file.alias("source_file"),
+        fp.alias("content_fp"),
+        F.md5(F.concat(src_file, F.lit(":"), fp)).alias("ingest_id"),
+    )
+
+
+QUERIES["docs_provenance_stamp"] = docs_provenance_stamp
+
+ORACLE["docs_provenance_stamp"] = """
+SELECT doc_id,
+       'documents.parquet' AS source_file,
+       md5(text) AS content_fp,
+       md5(concat('documents.parquet', ':', md5(text))) AS ingest_id
+FROM documents
+"""

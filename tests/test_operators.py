@@ -3072,3 +3072,41 @@ def test_bfs_distances_frontier_semantics(spark):
         for r in bfs_distances(und, src, max_iterations=1).collect()
     }
     assert capped == {1: 0, 2: 1, 4: 1}
+
+
+def test_association_rules_match_bruteforce(spark):
+    from itertools import combinations
+
+    from impc_etl_spark.operators.aggregate import association_rules
+
+    baskets = {
+        1: {10, 20, 30},
+        2: {10, 20},
+        3: {10, 30},
+        4: {20, 30},
+        5: {10, 20, 30, 40},
+    }
+    rows = [(g, i) for g, items in baskets.items() for i in items]
+    # duplicates inside a basket must not inflate counts
+    rows += [(1, 10), (1, 10)]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["support"], r["confidence"], r["lift"]
+        )
+        for r in association_rules(df, "g", "item", min_support=2).collect()
+    }
+    n = len(baskets)
+    item_n = {i: sum(1 for b in baskets.values() if i in b)
+              for i in {10, 20, 30, 40}}
+    import math
+    want = {}
+    for a, b in combinations(sorted({10, 20, 30, 40}), 2):
+        n_ab = sum(1 for s in baskets.values() if a in s and b in s)
+        if n_ab < 2:
+            continue
+        for x, y in ((a, b), (b, a)):
+            conf = math.floor(n_ab / item_n[x] * 1e6 + 0.5) / 1e6
+            lift = math.floor(n_ab * n / (item_n[x] * item_n[y]) * 1e6 + 0.5) / 1e6
+            want[(x, y)] = (n_ab, conf, lift)
+    assert got == want
