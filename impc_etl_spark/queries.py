@@ -9768,3 +9768,185 @@ SELECT doc_id,
        md5(concat('documents.parquet', ':', md5(text))) AS ingest_id
 FROM documents
 """
+
+
+def events_psi_drift(spark, sf_dir):
+    """Population-stability-index drift monitor — the observability check
+    a live pipeline runs against its training-time reference: bucket the
+    metric (floor(value/50), capped at 9), compare the reference window
+    (first half of 2024) against the live window per event_type, and
+    report PSI = Σ (p_live − p_ref)·ln(p_live/p_ref) with ±0.5-count
+    Laplace smoothing so empty buckets stay finite. Two bounded
+    (type × 10-bucket) aggregates joined on the grid — the corpus never
+    shuffles twice; ln() rounds to 6dp before the sum (the BM25
+    precedent for transcendentals). Flags drift at the standard 0.2
+    threshold."""
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    split = F.col("ts") < F.lit("2024-04-01").cast("timestamp")
+    counts = ev.groupBy(
+        "event_type", bucket.alias("b")
+    ).agg(
+        F.sum(split.cast("long")).alias("n_ref"),
+        F.sum((~split).cast("long")).alias("n_live"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    probs = counts.select(
+        "event_type",
+        "b",
+        (
+            (F.col("n_ref") + F.lit(0.5))
+            / (F.sum("n_ref").over(w) + F.lit(5.0))
+        ).alias("p_ref"),
+        (
+            (F.col("n_live") + F.lit(0.5))
+            / (F.sum("n_live").over(w) + F.lit(5.0))
+        ).alias("p_live"),
+    )
+    term = (F.col("p_live") - F.col("p_ref")) * (
+        F.floor(F.log(F.col("p_live") / F.col("p_ref")) * 1000000 + F.lit(0.5))
+        / 1000000
+    )
+    out = probs.groupBy("event_type").agg(
+        (F.floor(F.sum(term) * 1000000 + F.lit(0.5)) / 1000000).alias("psi")
+    )
+    return out.select(
+        "event_type", "psi", (F.col("psi") > 0.2).cast("int").alias("drifted")
+    )
+
+
+QUERIES["events_psi_drift"] = events_psi_drift
+
+ORACLE["events_psi_drift"] = """
+WITH e AS (
+  SELECT event_type,
+         least(CAST(floor(value / 50) AS INT), 9) AS b,
+         CASE WHEN ts < TIMESTAMP '2024-04-01' THEN 1 ELSE 0 END AS is_ref
+  FROM events WHERE value IS NOT NULL),
+c AS (
+  SELECT event_type, b,
+         sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_live
+  FROM e GROUP BY 1, 2),
+p AS (
+  SELECT event_type, b,
+         (n_ref + 0.5)
+           / (sum(n_ref) OVER (PARTITION BY event_type) + 5.0) AS p_ref,
+         (n_live + 0.5)
+           / (sum(n_live) OVER (PARTITION BY event_type) + 5.0) AS p_live
+  FROM c),
+s AS (
+  SELECT event_type,
+         floor(sum((p_live - p_ref)
+                   * (floor(ln(p_live / p_ref) * 1000000 + 0.5) / 1000000))
+               * 1000000 + 0.5) / 1000000 AS psi
+  FROM p GROUP BY event_type)
+SELECT event_type, psi, CAST(psi > 0.2 AS INT) AS drifted FROM s
+"""
+
+
+def docs_lsh_recall(spark, sf_dir):
+    """Self-checking LSH quality measurement — the dedup sibling of
+    `emb_ann_recall`: against a corpus with PLANTED near-duplicates
+    (each of the first 100 docs gets a tail-mutated twin), compare
+    MinHash-LSH candidate pairs (12 hashes, 4 bands) to the exact
+    Jaccard >= 0.5 ground truth and report candidate precision/recall
+    as one row. Both arms are the replay-exact constructions the dedup
+    family already oracles, so the MEASUREMENT itself is verified —
+    the banding theory's promised recall is executed, not narrated."""
+    from impc_etl_spark.operators.dedup import (
+        lsh_candidate_pairs, ngram_jaccard_pairs,
+    )
+
+    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    variants = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" common tail words appended here")
+        ).alias("text"),
+    )
+    corpus = base.unionByName(variants).localCheckpoint(eager=True)
+    truth = ngram_jaccard_pairs(corpus, threshold=0.5).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(corpus).localCheckpoint(eager=True)
+    tp = truth.join(cand, ["doc_a", "doc_b"])
+    q = 1000000
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_tp")))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_tp",
+            (
+                F.floor(
+                    F.col("n_tp")
+                    / F.greatest(F.col("n_candidates"), F.lit(1))
+                    * q
+                    + F.lit(0.5)
+                )
+                / q
+            ).alias("precision"),
+            (
+                F.floor(
+                    F.col("n_tp") / F.greatest(F.col("n_truth"), F.lit(1)) * q
+                    + F.lit(0.5)
+                )
+                / q
+            ).alias("recall"),
+        )
+    )
+
+
+QUERIES["docs_lsh_recall"] = docs_lsh_recall
+
+ORACLE["docs_lsh_recall"] = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000,
+         text || ' common tail words appended here' FROM base),
+tok AS (SELECT doc_id, {_TOKS.format(col="text")} AS toks FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES3}) AS shingle
+  FROM tok WHERE len(toks) >= 3),
+mh AS (
+  SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) s
+  GROUP BY doc_id, s.seed),
+bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, seed // 3),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+  FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT c.doc_a, c.doc_b
+  FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a
+                JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE c.i::DOUBLE / (sa.n + sb.n - c.i) >= 0.5),
+m AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM truth t JOIN cand c
+            ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_tp)
+SELECT n_truth, n_candidates, n_tp,
+       floor(n_tp::DOUBLE / greatest(n_candidates, 1) * 1000000 + 0.5)
+         / 1000000 AS precision,
+       floor(n_tp::DOUBLE / greatest(n_truth, 1) * 1000000 + 0.5)
+         / 1000000 AS recall
+FROM m
+"""
