@@ -25,6 +25,7 @@ BNL_ALLOWED = {
     "docs_tfidf_terms",  # cross join with a broadcast 1-ROW scalar (corpus N)
     "docs_bm25_search",  # cross join with a broadcast 1-ROW stats row (N, avgdl, dfs)
     "docs_hybrid_rrf_search",  # same 1-ROW BM25 stats broadcast inside the lexical arm
+    "docs_lsh_recall",  # cross join of three 1-ROW count frames (the measurement row)
     "docs_unigram_logprob",  # cross join with a broadcast 1-ROW scalar (N, V)
     "docs_bigram_logprob",  # cross join with a broadcast 1-ROW scalar (V)
     "docs_collocations",  # cross join with a broadcast 1-ROW scalar (N, B)
