@@ -603,15 +603,60 @@ def _paeth(a: int, b: int, c: int) -> int:
 _PNG_MODES = {0: ("L", 1), 2: ("RGB", 3), 4: ("LA", 2), 6: ("RGBA", 4)}
 
 
+def _png_unfilter(raw, width: int, height: int, bpp: int, offset: int):
+    """Reverse the per-scanline filters (None/Sub/Up/Average/Paeth —
+    ISO/IEC 15948 §9) for one image plane or one Adam7 pass starting at
+    ``offset`` in the inflated stream. Returns the plane bytes or None
+    on an unknown filter type."""
+    stride = width * bpp
+    out = bytearray(height * stride)
+    for r in range(height):
+        pos = offset + r * (stride + 1)
+        ftype = raw[pos]
+        line = raw[pos + 1 : pos + 1 + stride]
+        base = r * stride
+        prev = out[base - stride : base] if r else bytes(stride)
+        if ftype == 0:
+            out[base : base + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[base + x - bpp] if x >= bpp else 0
+                out[base + x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                out[base + x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[base + x - bpp] if x >= bpp else 0
+                out[base + x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = out[base + x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                out[base + x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        else:
+            return None
+    return out
+
+
+# Adam7 pass layout (ISO/IEC 15948 §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes) -> tuple[int, int, str, bytearray] | None:
-    """REAL pure-stdlib PNG decode for 8-bit non-interlaced gray / RGB /
-    gray+alpha / RGBA images: walk chunks, zlib-inflate the concatenated
-    IDAT stream, and reverse the per-scanline filters (None/Sub/Up/
-    Average/Paeth — the full public filter set, ISO/IEC 15948 §9).
-    Returns (width, height, mode, samples) with ``samples`` the raw
-    channel bytes in scan order, or None for anything unrecognized,
-    unsupported (palette/16-bit/interlaced), or corrupt — crawl payloads
-    are hostile, so this never raises."""
+    """REAL pure-stdlib PNG decode for 8-bit gray / RGB / gray+alpha /
+    RGBA / PALETTE images, BOTH progressive-download (Adam7 interlaced,
+    each pass filtered independently then scattered — ISO/IEC 15948
+    §8.2) and sequential: walk chunks, zlib-inflate the concatenated
+    IDAT stream (bounded at the header-implied size so a deflate bomb
+    cannot materialize), reverse the per-scanline filters, expand PLTE
+    indices to RGB. Returns (width, height, mode, samples) with
+    ``samples`` the raw channel bytes in scan order, or None for
+    anything unrecognized, unsupported (16-bit/sub-byte depths), or
+    corrupt — crawl payloads are hostile, so this never raises."""
     import struct
     import zlib
 
@@ -622,6 +667,9 @@ def decode_png(payload: bytes) -> tuple[int, int, str, bytearray] | None:
         width = height = None
         mode = None
         bpp = 0
+        ilace = 0
+        ctype = -1
+        plte = None
         idat = bytearray()
         while i + 8 <= n:
             clen = int.from_bytes(payload[i : i + 4], "big")
@@ -631,16 +679,22 @@ def decode_png(payload: bytes) -> tuple[int, int, str, bytearray] | None:
                 width, height, depth, ctype, comp, filt, ilace = struct.unpack(
                     ">IIBBBBB", data
                 )
-                if depth != 8 or ilace != 0 or comp != 0 or filt != 0:
+                if depth != 8 or comp != 0 or filt != 0 or ilace not in (0, 1):
                     return None
                 if width == 0 or height == 0:  # degenerate: no pixels
                     return None
-                if width * height * _PNG_MODES.get(ctype, ("", 4))[1] \
-                        > MAX_DECODE_SAMPLES:
-                    return None  # header-claimed size: decode bomb
-                if ctype not in _PNG_MODES:
+                if ctype == 3:
+                    mode, bpp = "RGB", 1  # palette indices; expand later
+                elif ctype in _PNG_MODES:
+                    mode, bpp = _PNG_MODES[ctype]
+                else:
                     return None
-                mode, bpp = _PNG_MODES[ctype]
+                if width * height * max(bpp, 3) > MAX_DECODE_SAMPLES:
+                    return None  # header-claimed size: decode bomb
+            elif tag == b"PLTE":
+                if clen % 3 or clen > 768:
+                    return None
+                plte = bytes(data)
             elif tag == b"IDAT":
                 idat.extend(data)
             elif tag == b"IEND":
@@ -648,40 +702,47 @@ def decode_png(payload: bytes) -> tuple[int, int, str, bytearray] | None:
             i += 12 + clen  # len + tag + data + crc
         if width is None or not idat:
             return None
-        stride = width * bpp
-        want = height * (stride + 1)
+        if ctype == 3 and plte is None:
+            return None
+        if ilace == 0:
+            passes = [(0, 0, 1, 1, width, height)]
+        else:
+            passes = []
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw > 0 and ph > 0:
+                    passes.append((x0, y0, dx, dy, pw, ph))
+        want = sum(ph * (pw * bpp + 1) for *_x, pw, ph in passes)
         # bound the inflate at want+1 bytes: a deflate bomb (tiny IDAT
-        # expanding to GBs) must not materialize before the length check —
-        # one hostile crawl payload would OOM the executor, not just fail
+        # expanding to GBs) must not materialize before the length check
         raw = zlib.decompressobj().decompress(bytes(idat), want + 1)
         if len(raw) != want:
             return None
-        out = bytearray(height * stride)
-        for r in range(height):
-            ftype = raw[r * (stride + 1)]
-            line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
-            base = r * stride
-            prev = out[base - stride : base] if r else bytes(stride)
-            if ftype == 0:
-                out[base : base + stride] = line
-            elif ftype == 1:  # Sub
-                for x in range(stride):
-                    left = out[base + x - bpp] if x >= bpp else 0
-                    out[base + x] = (line[x] + left) & 0xFF
-            elif ftype == 2:  # Up
-                for x in range(stride):
-                    out[base + x] = (line[x] + prev[x]) & 0xFF
-            elif ftype == 3:  # Average
-                for x in range(stride):
-                    left = out[base + x - bpp] if x >= bpp else 0
-                    out[base + x] = (line[x] + (left + prev[x]) // 2) & 0xFF
-            elif ftype == 4:  # Paeth
-                for x in range(stride):
-                    left = out[base + x - bpp] if x >= bpp else 0
-                    ul = prev[x - bpp] if x >= bpp else 0
-                    out[base + x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
-            else:
+        out = bytearray(height * width * bpp)
+        offset = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            plane = _png_unfilter(raw, pw, ph, bpp, offset)
+            if plane is None:
                 return None
+            offset += ph * (pw * bpp + 1)
+            if (dx, dy) == (1, 1) and (x0, y0) == (0, 0):
+                out[:] = plane
+                continue
+            for y in range(ph):
+                ty = y0 + y * dy
+                for x in range(pw):
+                    d = (ty * width + x0 + x * dx) * bpp
+                    s = (y * pw + x) * bpp
+                    out[d : d + bpp] = plane[s : s + bpp]
+        if ctype == 3:
+            rgb = bytearray(width * height * 3)
+            pmax = len(plte) // 3
+            for j, idx in enumerate(out):
+                if idx >= pmax:
+                    return None  # index past palette: corrupt
+                rgb[j * 3 : j * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+            return (width, height, "RGB", rgb)
         return (width, height, mode, out)
     except Exception:
         return None

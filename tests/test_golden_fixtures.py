@@ -52,6 +52,10 @@ def _golden(name: str) -> tuple[bytes, bytes]:
     "name,dec,w,h,mode",
     [
         ("jdk_noise.png", decode_png, 37, 23, "RGB"),
+        # Adam7 interlaced (odd dims stress per-pass edges) and PLTE
+        # palette forms — r6: both decode byte-exactly vs the JDK
+        ("jdk_ilace.png", decode_png, 13, 11, "RGB"),
+        ("jdk_palette.png", decode_png, 9, 7, "RGB"),
         ("jdk_grad.bmp", decode_bmp, 48, 32, "RGB"),
         ("jdk_gray.gif", decode_gif, 33, 21, "L"),
     ],
