@@ -590,6 +590,57 @@ def synth_gray_png(
     return df.mapInPandas(compute, schema=PNG_SCHEMA)
 
 
+def _png_gray_interlaced(pixels: bytes, width: int, height: int) -> bytes:
+    """Grayscale PNG with Adam7 interlacing (ISO/IEC 15948 §8.2): the
+    seven passes' scanlines (filter 0 each) are laid out in pass order —
+    the progressive-download form crawled PNGs often arrive in. Same
+    chunk/CRC layout as `_png_gray`."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    stream = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for y in range(ph):
+            stream.append(0)
+            for x in range(pw):
+                stream.append(pixels[(y0 + y * dy) * width + (x0 + x * dx)])
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_gray_png_interlaced(
+    df: DataFrame,
+    content_col: str = "content",
+    width: int = 5,
+    height: int = 4,
+) -> DataFrame:
+    """Deterministic Adam7-interlaced PNG synthesis — digest pixels
+    through the real progressive writer, same oracle-replayable contract
+    as `synth_gray_png`. Narrow map."""
+    n_px = width * height
+    return _synth_digest_media(
+        df, content_col, lambda px: _png_gray_interlaced(px, width, height),
+        n_px,
+    )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)

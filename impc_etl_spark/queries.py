@@ -9950,3 +9950,42 @@ SELECT n_truth, n_candidates, n_tp,
          / 1000000 AS recall
 FROM m
 """
+
+
+def media_png_interlaced(spark, sf_dir):
+    """Adam7 INTERLACED PNG decode end-to-end — the progressive-download
+    form crawled PNGs often arrive in, previously rejected: digest
+    pixels go through the real seven-pass interlaced writer and come
+    back through `decode_png`'s per-pass unfilter + scatter (ISO/IEC
+    15948 §8.2; byte-exact vs JDK ImageIO in the golden fixtures). The
+    5x4 shape leaves several passes empty or edge-clipped, stressing the
+    pass-layout arithmetic. Exact replay from md5(text) digest tiling.
+    Two narrow Arrow maps; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_image_features, synth_gray_png_interlaced,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pngs = synth_gray_png_interlaced(
+        attach_binary(docs, "text", "doc_id"), width=5, height=4
+    )
+    return decode_image_features(pngs).select(
+        "media_id", "width", "height", "img_mode",
+        _rnd("mean_luminance", 6).alias("mean_luminance"),
+    )
+
+
+QUERIES["media_png_interlaced"] = media_png_interlaced
+
+ORACLE["media_png_interlaced"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+px AS (
+  SELECT media_id,
+         CAST(concat('0x', substring(hx, 2 * (i % 16) + 1, 2)) AS INT) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(20)) AS i) t)
+SELECT media_id,
+       CAST(5 AS INT) AS width, CAST(4 AS INT) AS height,
+       'L' AS img_mode,
+       floor(avg(v) * 1000000 + 0.5) / 1000000 AS mean_luminance
+FROM px GROUP BY media_id
+"""
