@@ -7965,7 +7965,8 @@ _set_window(_R6_WINDOW)
 #   docs_curriculum_order, part_association_rules,
 #   customer_retention_cohorts, customer_rfm_segments,
 #   orders_exact_percentiles, docs_luhn_card_scrub, docs_inverted_index,
-#   docs_schema_evolution_roundtrip
+#   docs_schema_evolution_roundtrip, docs_provenance_stamp,
+#   events_psi_drift, docs_lsh_recall, media_png_interlaced
 
 
 def media_jpeg_progressive_subsampled(spark, sf_dir):
