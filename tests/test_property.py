@@ -1389,3 +1389,82 @@ def test_progressive_equals_baseline_property(data):
     base = decode_jpeg(encode_jpeg_gray(px, w, h))
     prog = decode_jpeg(encode_jpeg_gray_progressive(px, w, h))
     assert prog is not None and prog == base
+
+
+# --- r6 operators: Luhn, C4 filter, BFS ------------------------------------
+
+def _py_luhn(s: str) -> bool:
+    if not (s.isdigit() and 12 <= len(s) <= 19):
+        return False
+    total = 0
+    for i, ch in enumerate(reversed(s), start=1):
+        d = int(ch)
+        if i % 2 == 0:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="0123456789a", min_size=0, max_size=22),
+                min_size=1, max_size=20))
+def test_luhn_check_equals_python_reference(spark, strings):
+    from impc_etl_spark.operators.text import luhn_check
+
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = {r["s"]: bool(r["v"]) for r in
+           df.select("s", luhn_check("s").alias("v")).collect()}
+    for s in strings:
+        assert got[s] == _py_luhn(s), s
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet=" abc.{!", min_size=0, max_size=30),
+                min_size=0, max_size=15),
+       st.integers(min_value=1, max_value=6))
+def test_c4_filter_subset_and_monotone_in_min_words(spark, lines, mw):
+    """Kept lines are a sublist of the input, and raising min_words only
+    ever drops MORE (nested filters — the same monotonicity contract the
+    sampling family guarantees)."""
+    from impc_etl_spark.operators.text import c4_line_filter
+
+    df = spark.createDataFrame([(1, lines)], "id int, lines array<string>")
+    loose = df.select(c4_line_filter("lines", min_words=mw).alias("k")).first()["k"]
+    tight = df.select(c4_line_filter("lines", min_words=mw + 1).alias("k")).first()["k"]
+    # subsequence-of-input check
+    it = iter(lines)
+    assert all(any(x == y for y in it) for x in loose)
+    assert set(tight) <= set(loose)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                min_size=1, max_size=30),
+       st.integers(min_value=0, max_value=12))
+def test_bfs_distances_equal_python_bfs(spark, edges, source):
+    from collections import deque
+
+    from impc_etl_spark.operators.graph import bfs_distances
+
+    und = edges + [(b, a) for a, b in edges]
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+    want = {source: 0}
+    dq = deque([source])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+
+    e = spark.createDataFrame(und, ["src", "dst"])
+    s = spark.createDataFrame([(source,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, s).collect()}
+    assert got == want
