@@ -9990,3 +9990,96 @@ SELECT media_id,
        floor(avg(v) * 1000000 + 0.5) / 1000000 AS mean_luminance
 FROM px GROUP BY media_id
 """
+
+
+def events_trending_topk(spark, sf_dir):
+    """Trending analysis — top-3 event types per 6-hour tumbling window
+    by count: the windowed-rank rollup every activity dashboard runs.
+    One (window, type) aggregate + a per-window rank (WindowGroupLimit
+    pre-trims at scale); window start ships as epoch seconds (integer
+    arithmetic both engines — no timezone formatting in the compared
+    output). The streaming twin is `streaming.windowed_counts` over the
+    same window expression."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    win_start = (
+        F.floor(F.unix_micros("ts") / F.lit(21_600_000_000)).cast("bigint")
+        * 21600
+    )
+    counts = ev.groupBy(
+        win_start.alias("window_start_s"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        Window.partitionBy("window_start_s").orderBy(
+            F.desc("n"), "event_type"
+        )
+    )
+    return counts.withColumn("rank", rk).where(F.col("rank") <= 3)
+
+
+QUERIES["events_trending_topk"] = events_trending_topk
+
+ORACLE["events_trending_topk"] = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start_s,
+         event_type, count(*) AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY window_start_s ORDER BY n DESC, event_type) AS rank
+  FROM c)
+SELECT window_start_s, event_type, n, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+def docs_corrupt_json_ingest(spark, sf_dir):
+    """Dead-letter ingestion contract proven end-to-end: a JSON-lines
+    batch where every 7th line is planted malformed (truncated JSON) is
+    read PERMISSIVE with `columnNameOfCorruptRecord` — good rows parse,
+    bad rows land intact in the corrupt column for a dead-letter sink
+    instead of killing the job (the other half of S3's DROPMALFORMED
+    contract). Output: doc_id (NULL for corrupt rows), lang, is_corrupt.
+    The oracle replays the planted corruption rule from the table."""
+    import tempfile
+
+    import pandas as pd_
+
+    docs = _t(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        # truncated record: unparseable, lands in the corrupt column
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+                 F.lit(', "lang": "')),
+    ).otherwise(
+        F.concat(
+            F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+            F.lit(', "lang": "'), F.col("lang"), F.lit('"}'),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="corrupt_json_") + "/lines"
+    docs.select(line.alias("value")).write.mode("overwrite").format(
+        "text"
+    ).save(path)
+    schema = "doc_id BIGINT, lang STRING, _bad STRING"
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return back.select(
+        "doc_id", "lang", F.col("_bad").isNotNull().cast("int").alias("is_corrupt")
+    )
+
+
+QUERIES["docs_corrupt_json_ingest"] = docs_corrupt_json_ingest
+
+ORACLE["docs_corrupt_json_ingest"] = """
+SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END AS doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+       CAST(doc_id % 7 = 0 AS INT) AS is_corrupt
+FROM documents
+"""
