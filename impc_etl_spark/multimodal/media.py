@@ -936,6 +936,20 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]] | None:
             samples = list(struct.unpack(f"<{n_samp}h", data[: n_samp * 2]))
         elif tag == 1 and bits == 8:
             samples = [b - 128 for b in data]
+        elif tag == 3 and bits == 32:
+            # IEEE float PCM (WAVE_FORMAT_IEEE_FLOAT): normalize [-1, 1)
+            # floats to the 16-bit integer scale with the exact
+            # floor(x·32768 + 0.5) mapping (clamped) — v/32768 inputs
+            # round-trip bit-exactly, so oracles replay it
+            import math as _math2
+
+            n_samp = len(data) // 4
+            fl = struct.unpack(f"<{n_samp}f", data[: n_samp * 4])
+            samples = [
+                max(-32768, min(32767, int(_math2.floor(f * 32768.0 + 0.5))))
+                if f == f else 0
+                for f in fl
+            ]
         else:
             return None
         # truncate ragged tails to whole frames
@@ -955,6 +969,40 @@ def _wav_pcm16(samples: list[int], sample_rate: int) -> bytes:
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_float32(samples: list[float], sample_rate: int) -> bytes:
+    """Minimal valid mono IEEE-float WAV (format tag 3, 32-bit) — the
+    float sibling of `_wav_pcm16`. Pure byte layout."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}f", *samples)
+    fmt = struct.pack("<HHIIHH", 3, 1, sample_rate, sample_rate * 4, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_float_wav(
+    df: DataFrame, content_col: str = "content", sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic IEEE-float WAV synthesis: the digest's 8 int16
+    values scaled to v/32768 floats — exactly representable in float32,
+    so the decoder's floor(f·32768 + 0.5) normalization recovers the
+    integers bit-exactly and the PCM16 oracle replays unchanged."""
+    import struct
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                digest = hashlib.md5(bytes(p)).digest()
+                ints = struct.unpack("<8h", digest)
+                out.append(_wav_float32(
+                    [v / 32768.0 for v in ints], sample_rate))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)
 
 
 def synth_wav(

@@ -7966,7 +7966,8 @@ _set_window(_R6_WINDOW)
 #   customer_retention_cohorts, customer_rfm_segments,
 #   orders_exact_percentiles, docs_luhn_card_scrub, docs_inverted_index,
 #   docs_schema_evolution_roundtrip, docs_provenance_stamp,
-#   events_psi_drift, docs_lsh_recall, media_png_interlaced
+#   events_psi_drift, docs_lsh_recall, media_png_interlaced,
+#   events_trending_topk, docs_corrupt_json_ingest, media_float_wav_audio
 
 
 def media_jpeg_progressive_subsampled(spark, sf_dir):
@@ -10083,3 +10084,27 @@ SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END AS doc_id,
        CAST(doc_id % 7 = 0 AS INT) AS is_corrupt
 FROM documents
 """
+
+
+def media_float_wav_audio(spark, sf_dir):
+    """IEEE-float WAV decode end-to-end (WAVE_FORMAT_IEEE_FLOAT, the
+    studio/DAW export form): digest int16 values scaled to exactly
+    representable v/32768 float32 samples, really encoded (format tag 3)
+    and normalized back to the integer scale by `decode_wav`'s exact
+    floor(f·32768 + 0.5) mapping — bit-exact recovery, so the PCM16
+    feature oracle replays unchanged. Two narrow Arrow maps; no
+    shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_audio_features, synth_float_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wavs = synth_float_wav(attach_binary(docs, "text", "doc_id"))
+    return decode_audio_features(wavs).select(
+        "media_id", "sample_rate", "n_channels", "n_frames", "duration_sec",
+        _rnd("rms", 6).alias("rms"), "peak", _rnd("zcr", 6).alias("zcr"),
+    )
+
+
+QUERIES["media_float_wav_audio"] = media_float_wav_audio
+ORACLE["media_float_wav_audio"] = ORACLE["media_audio_features"]
