@@ -641,6 +641,134 @@ def synth_gray_png_interlaced(
     )
 
 
+def synth_apng(
+    df: DataFrame,
+    content_col: str = "content",
+    width: int = 4,
+    height: int = 4,
+) -> DataFrame:
+    """Deterministic APNG synthesis: a real animated PNG (acTL after
+    IHDR, per-frame fcTL, first frame as IDAT, later frames as fdAT with
+    running sequence numbers — the public APNG spec layout, CRC-correct
+    chunks) whose frame count (digest[0] % 4 + 2), loop count
+    (digest[1] % 3) and per-frame centisecond delays (digest[2+i]) are
+    all functions of md5(payload) an oracle can replay. Narrow map."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    n_px = width * height
+
+    def build(digest: bytes) -> bytes:
+        n_frames = digest[0] % 4 + 2
+        n_plays = digest[1] % 3
+        pixels = (digest * (n_px // 16 + 1))[:n_px]
+        raw = b"".join(
+            b"\x00" + pixels[r * width : (r + 1) * width]
+            for r in range(height)
+        )
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        out = bytearray(b"\x89PNG\r\n\x1a\n")
+        out += chunk(b"IHDR", ihdr)
+        out += chunk(b"acTL", struct.pack(">II", n_frames, n_plays))
+        seq = 0
+        for f in range(n_frames):
+            fctl = struct.pack(
+                ">IIIIIHHBB", seq, width, height, 0, 0,
+                digest[2 + (f % 14)], 100, 0, 0,
+            )
+            out += chunk(b"fcTL", fctl)
+            seq += 1
+            if f == 0:
+                out += chunk(b"IDAT", zlib.compress(raw))
+            else:
+                out += chunk(
+                    b"fdAT", struct.pack(">I", seq) + zlib.compress(raw)
+                )
+                seq += 1
+        out += chunk(b"IEND", b"")
+        return bytes(out)
+
+    return _synth_digest_media(
+        df, content_col, lambda px: build(bytes(px[:16])), 16
+    )
+
+
+def probe_apng(payload: bytes) -> tuple[int, int, int, int] | None:
+    """APNG animation probe — header-only chunk walk (no pixel decode,
+    the GIF frame-walk sibling): returns (is_animated, n_frames,
+    n_plays, total_delay_cs) with the total normalized to integer
+    centiseconds (num·100 // den, den 0 meaning 1/100s per the spec).
+    Plain PNGs report (0, 1, 0, 0); None for non-PNG/corrupt bytes
+    (never raises)."""
+    try:
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        i, n = 8, len(payload)
+        n_frames = n_plays = None
+        total_cs = 0
+        seen_fctl = 0
+        while i + 8 <= n:
+            clen = int.from_bytes(payload[i : i + 4], "big")
+            tag = payload[i + 4 : i + 8]
+            data = payload[i + 8 : i + 8 + clen]
+            if tag == b"acTL" and clen >= 8:
+                n_frames = int.from_bytes(data[0:4], "big")
+                n_plays = int.from_bytes(data[4:8], "big")
+                if n_frames > 1_000_000:  # header bomb: reject
+                    return None
+            elif tag == b"fcTL" and clen >= 26:
+                num = int.from_bytes(data[20:22], "big")
+                den = int.from_bytes(data[22:24], "big")
+                total_cs += num * 100 // (den if den else 100)
+                seen_fctl += 1
+            elif tag == b"IEND":
+                break
+            i += 12 + clen
+        if n_frames is None:
+            return (0, 1, 0, 0)
+        if seen_fctl != n_frames:
+            return None  # inconsistent animation control: corrupt
+        return (1, n_frames, n_plays, total_cs)
+    except Exception:
+        return None
+
+
+def apng_probe_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Animation triage over APNG payloads: one narrow Arrow map, probe
+    only (no pixel decode) — the PNG sibling of the animated-GIF frame
+    walk. NULLs for unparseable bytes."""
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": pdf["media_id"], "is_animated": [],
+                    "n_frames": [], "n_plays": [], "total_delay_cs": []}
+            for p in pdf[content_col]:
+                r = probe_apng(bytes(p))
+                if r is None:
+                    r = (None, None, None, None)
+                rows["is_animated"].append(r[0])
+                rows["n_frames"].append(r[1])
+                rows["n_plays"].append(r[2])
+                rows["total_delay_cs"].append(r[3])
+            out = pd.DataFrame(rows)
+            for c in ("is_animated", "n_frames", "n_plays", "total_delay_cs"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return df.mapInPandas(
+        compute,
+        schema=("media_id bigint, is_animated bigint, n_frames bigint, "
+                "n_plays bigint, total_delay_cs bigint"),
+    )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)

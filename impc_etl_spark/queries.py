@@ -7967,7 +7967,8 @@ _set_window(_R6_WINDOW)
 #   orders_exact_percentiles, docs_luhn_card_scrub, docs_inverted_index,
 #   docs_schema_evolution_roundtrip, docs_provenance_stamp,
 #   events_psi_drift, docs_lsh_recall, media_png_interlaced,
-#   events_trending_topk, docs_corrupt_json_ingest, media_float_wav_audio
+#   events_trending_topk, docs_corrupt_json_ingest, media_float_wav_audio,
+#   docs_k_anonymity, media_apng_probe
 
 
 def media_jpeg_progressive_subsampled(spark, sf_dir):
@@ -10108,3 +10109,88 @@ def media_float_wav_audio(spark, sf_dir):
 
 QUERIES["media_float_wav_audio"] = media_float_wav_audio
 ORACLE["media_float_wav_audio"] = ORACLE["media_audio_features"]
+
+
+def docs_k_anonymity(spark, sf_dir):
+    """k-anonymity audit — the privacy gate a release runs before
+    publishing joined quasi-identifiers: bucket each doc's
+    quasi-identifier tuple (lang, source, length-band), count group
+    sizes, and flag every row whose group has fewer than k=5 members as
+    re-identifiable. One group aggregate + one broadcast join back
+    (the QI-combination table is bounded by the attribute domain, not
+    the corpus). Output: doc_id, the QI tuple, group size, at_risk.
+    The oracle replays the bucketing and the threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    band = (F.floor(F.col("n_chars") / 100) * 100).cast("int")
+    qi = docs.select(
+        "doc_id", "lang", "source", band.alias("len_band")
+    )
+    sizes = qi.groupBy("lang", "source", "len_band").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return qi.join(
+        F.broadcast(sizes), ["lang", "source", "len_band"]
+    ).select(
+        "doc_id", "lang", "source", "len_band", "group_size",
+        (F.col("group_size") < 5).cast("int").alias("at_risk"),
+    )
+
+
+QUERIES["docs_k_anonymity"] = docs_k_anonymity
+
+ORACLE["docs_k_anonymity"] = """
+WITH qi AS (
+  SELECT doc_id, lang, source,
+         CAST((n_chars // 100) * 100 AS INT) AS len_band
+  FROM documents),
+s AS (
+  SELECT lang, source, len_band, count(*) AS group_size
+  FROM qi GROUP BY 1, 2, 3)
+SELECT q.doc_id, q.lang, q.source, q.len_band, s.group_size,
+       CAST(s.group_size < 5 AS INT) AS at_risk
+FROM qi q JOIN s USING (lang, source, len_band)
+"""
+
+
+def media_apng_probe(spark, sf_dir):
+    """APNG animation probe end-to-end — the PNG sibling of the animated
+    GIF frame walk: every document becomes a REAL animated PNG (acTL +
+    per-frame fcTL + IDAT/fdAT with running sequence numbers, all
+    CRC-correct), and `probe_apng` walks headers only (no pixel decode)
+    to report frame count, loop count, and total duration in integer
+    centiseconds — frame count digest[0] % 4 + 2, loops digest[1] % 3,
+    per-frame delays digest[2+i], all replayed from md5(text) by the
+    oracle. Two narrow Arrow maps; no shuffle."""
+    from impc_etl_spark.multimodal.media import (
+        apng_probe_features, attach_binary, synth_apng,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    apngs = synth_apng(attach_binary(docs, "text", "doc_id"))
+    return apng_probe_features(apngs)
+
+
+QUERIES["media_apng_probe"] = media_apng_probe
+
+ORACLE["media_apng_probe"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+p AS (
+  SELECT media_id,
+         CAST(concat('0x', substring(hx, 1, 2)) AS INT) % 4 + 2 AS n_frames,
+         CAST(concat('0x', substring(hx, 3, 2)) AS INT) % 3 AS n_plays,
+         hx
+  FROM h),
+d AS (
+  SELECT media_id, n_frames, n_plays,
+         sum(CAST(concat('0x',
+               substring(hx, 2 * (2 + (f % 14)) + 1, 2)) AS INT))
+           AS total_delay_cs
+  FROM p CROSS JOIN (SELECT unnest(range(8)) AS f) t
+  WHERE f < n_frames
+  GROUP BY media_id, n_frames, n_plays)
+SELECT media_id, CAST(1 AS BIGINT) AS is_animated,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_plays AS BIGINT) AS n_plays,
+       CAST(total_delay_cs AS BIGINT) AS total_delay_cs
+FROM d
+"""
