@@ -7968,7 +7968,7 @@ _set_window(_R6_WINDOW)
 #   docs_schema_evolution_roundtrip, docs_provenance_stamp,
 #   events_psi_drift, docs_lsh_recall, media_png_interlaced,
 #   events_trending_topk, docs_corrupt_json_ingest, media_float_wav_audio,
-#   docs_k_anonymity, media_apng_probe
+#   docs_k_anonymity, media_apng_probe, events_markov_transitions
 
 
 def media_jpeg_progressive_subsampled(spark, sf_dir):
@@ -10193,4 +10193,57 @@ SELECT media_id, CAST(1 AS BIGINT) AS is_animated,
        CAST(n_plays AS BIGINT) AS n_plays,
        CAST(total_delay_cs AS BIGINT) AS total_delay_cs
 FROM d
+"""
+
+
+def events_markov_transitions(spark, sf_dir):
+    """User-journey Markov transition matrix — P(next event type |
+    current) from per-user event sequences: one lead() over the
+    (user, time) window pairs consecutive events, then transition
+    counts normalize within each source state. Probabilities are
+    integer-count quotients (floor-rounded) — IEEE-exact on any engine.
+    One user_id window exchange + one bounded (type × type) aggregate.
+    The window tie-break is (ts, event_id), total order, so the pairing
+    replays deterministically."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wtot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.floor(
+                F.col("n").cast("double") / F.sum("n").over(wtot) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("p"),
+    )
+
+
+QUERIES["events_markov_transitions"] = events_markov_transitions
+
+ORACLE["events_markov_transitions"] = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events WHERE ts IS NOT NULL),
+c AS (
+  SELECT event_type AS from_type, to_type, count(*) AS n
+  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       floor(n::DOUBLE / sum(n) OVER (PARTITION BY from_type) * 1000000
+             + 0.5) / 1000000 AS p
+FROM c
 """
