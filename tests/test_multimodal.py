@@ -2435,3 +2435,35 @@ def test_image_dhash_duplicates_and_hostile_bytes(spark):
     )
     bad = {r["media_id"]: r for r in image_dhash(hostile).collect()}
     assert bad[9]["dhash"] is None and bad[10]["dhash"] is None  # never raises
+
+
+def test_apng_probe_hostile_and_plain(spark):
+    from impc_etl_spark.multimodal.media import (
+        apng_probe_features, probe_apng, synth_apng, _png_gray,
+    )
+
+    # plain (non-animated) PNG: 1 frame, not animated
+    assert probe_apng(_png_gray(bytes(range(16)), 4, 4)) == (0, 1, 0, 0)
+    # header bomb: million-frame acTL rejected
+    import struct, zlib
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + chunk(b"acTL", struct.pack(">II", 2_000_000, 0))
+            + chunk(b"IEND", b""))
+    assert probe_apng(bomb) is None
+    # fcTL/acTL count mismatch: corrupt
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+           + chunk(b"acTL", struct.pack(">II", 3, 0))
+           + chunk(b"fcTL", struct.pack(">IIIIIHHBB", 0, 4, 4, 0, 0, 5, 100, 0, 0))
+           + chunk(b"IEND", b""))
+    assert probe_apng(bad) is None
+
+    hostile = spark.createDataFrame(
+        [(1, bytearray(b"\x00notpng"))], ["media_id", "content"])
+    row = apng_probe_features(hostile).first()
+    assert row["is_animated"] is None  # never raises
