@@ -961,3 +961,83 @@ def pca_project(
         F.col(vec_col), mu, lambda x, m: x.cast("double") - m
     )
     return df.withColumn(out, bind(centered, proj))
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_vec,
+    k: int = 5,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_col: str = "cos_sim",
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    — diversity-aware selection over an ALREADY-BOUNDED candidate set
+    (the top-N of a first-stage search): greedily pick
+    argmax(λ·relevance − (1−λ)·max-similarity-to-selected), k times.
+
+    The candidate set is search-result-sized (tens of rows), so each
+    greedy round is a tiny candidates × selected join — never
+    corpus-sized work; the expensive stage stays the first-stage top-N.
+    All similarities floor-round to ``round_to`` decimals BEFORE each
+    argmax (ties → smallest id), so the whole greedy trajectory replays
+    exactly in a chained-CTE oracle. Returns (id, mmr_rank, mmr_score)
+    for the k selected rows."""
+    q = 10 ** round_to
+    rel = candidates.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        (F.floor(F.col(score_col) * q + F.lit(0.5)) / q).alias("rel"),
+    ).localCheckpoint(eager=True)
+
+    def pair_sim(a: Column, b: Column) -> Column:
+        dot_ab = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        na = F.sqrt(F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0),
+            lambda acc, v: acc + v))
+        nb = F.sqrt(F.aggregate(
+            F.transform(b, lambda x: x * x), F.lit(0.0),
+            lambda acc, v: acc + v))
+        return F.floor(dot_ab / (na * nb) * q + F.lit(0.5)) / q
+
+    picked: list[tuple] = []  # (id, score) literals, grows to k
+    remaining = rel
+    for rank in range(1, k + 1):
+        if rank == 1:
+            scored = remaining.select(
+                "cid", "cvec", F.col("rel").alias("mmr")
+            )
+        else:
+            sel = rel.where(
+                F.col("cid").isin([p[0] for p in picked])
+            ).select(
+                F.col("cid").alias("sid"), F.col("cvec").alias("svec")
+            )
+            scored = remaining.crossJoin(F.broadcast(sel)).groupBy(
+                "cid", "cvec", "rel"
+            ).agg(F.max(pair_sim(F.col("cvec"), F.col("svec"))).alias("msim"))
+            scored = scored.select(
+                "cid", "cvec",
+                (
+                    F.floor(
+                        (F.lit(lam) * F.col("rel")
+                         - F.lit(1.0 - lam) * F.col("msim")) * q + F.lit(0.5)
+                    ) / q
+                ).alias("mmr"),
+            )
+        top = scored.orderBy(F.desc("mmr"), "cid").first()
+        if top is None:
+            break
+        picked.append((top["cid"], float(top["mmr"])))
+        remaining = remaining.where(F.col("cid") != top["cid"])
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        [(int(i), r + 1, s) for r, (i, s) in enumerate(picked)],
+        f"{id_col} bigint, mmr_rank int, mmr_score double",
+    )

@@ -7968,7 +7968,8 @@ _set_window(_R6_WINDOW)
 #   docs_schema_evolution_roundtrip, docs_provenance_stamp,
 #   events_psi_drift, docs_lsh_recall, media_png_interlaced,
 #   events_trending_topk, docs_corrupt_json_ingest, media_float_wav_audio,
-#   docs_k_anonymity, media_apng_probe, events_markov_transitions
+#   docs_k_anonymity, media_apng_probe, events_markov_transitions,
+#   emb_mmr_diversified
 
 
 def media_jpeg_progressive_subsampled(spark, sf_dir):
@@ -10247,3 +10248,69 @@ SELECT from_type, to_type, n,
              + 0.5) / 1000000 AS p
 FROM c
 """
+
+
+def emb_mmr_diversified(spark, sf_dir):
+    """Diversity-aware retrieval (Maximal Marginal Relevance): the exact
+    cosine top-20 first stage feeds a greedy MMR re-rank that picks 5
+    results trading relevance against similarity-to-already-selected
+    (λ=0.7) — the standard fix for near-duplicate-stuffed search
+    results. Every greedy round works on the BOUNDED candidate set
+    (20 rows), never the corpus; all similarities round to 6dp before
+    each argmax (ties → smallest id), so the oracle replays the entire
+    selection trajectory as chained CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cands = sim_ops.cosine_topk(emb, qv, k=20)
+    with_vecs = cands.join(emb.select("vec_id", "embedding"), "vec_id")
+    return sim_ops.mmr_rerank(with_vecs, qv, k=5, lam=0.7)
+
+
+QUERIES["emb_mmr_diversified"] = emb_mmr_diversified
+
+
+def _mmr_oracle(k: int = 5, lam: float = 0.7) -> str:
+    parts = [f"""qv AS (
+  SELECT unnest(embedding)::DOUBLE AS qe, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0),
+ev AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS ve,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+dall AS (
+  SELECT e.vec_id, sum(e.ve * q.qe) AS dp,
+         sum(e.ve * e.ve) AS nv, sum(q.qe * q.qe) AS nq
+  FROM ev e JOIN qv q USING (i) GROUP BY e.vec_id),
+cand AS (
+  SELECT vec_id AS cid,
+         floor((dp / (sqrt(nv) * sqrt(nq))) * 1000000 + 0.5) / 1000000 AS rel
+  FROM dall ORDER BY rel DESC, vec_id LIMIT 20),
+pv AS (
+  SELECT vec_id, ve, i FROM ev WHERE vec_id IN (SELECT cid FROM cand)),
+ps AS (
+  SELECT a.vec_id AS aid, b.vec_id AS bid,
+         floor(sum(a.ve * b.ve)
+               / (sqrt(sum(a.ve * a.ve)) * sqrt(sum(b.ve * b.ve)))
+               * 1000000 + 0.5) / 1000000 AS s
+  FROM pv a JOIN pv b USING (i) WHERE a.vec_id != b.vec_id
+  GROUP BY 1, 2),
+sel1 AS (
+  SELECT cid, rel AS mmr FROM cand ORDER BY rel DESC, cid LIMIT 1)"""]
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT cid FROM sel{j}" for j in range(1, r))
+        parts.append(f"""sel{r} AS (
+  SELECT c.cid,
+         floor(({lam} * c.rel - {round(1.0 - lam, 10)} * max(ps.s))
+               * 1000000 + 0.5) / 1000000 AS mmr
+  FROM cand c JOIN ps ON ps.aid = c.cid AND ps.bid IN ({prev})
+  WHERE c.cid NOT IN ({prev})
+  GROUP BY c.cid, c.rel
+  ORDER BY mmr DESC, c.cid LIMIT 1)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT cid AS vec_id, CAST({r} AS INT) AS mmr_rank, mmr AS mmr_score FROM sel{r}"
+        for r in range(1, k + 1)
+    )
+    return ",\n".join(parts) + "\n" + finals
+
+
+ORACLE["emb_mmr_diversified"] = "WITH " + _mmr_oracle(5, 0.7)
