@@ -1152,3 +1152,59 @@ def funnel_stream(
         F.col("k").alias(key), "event_id", "ts",
         F.col("etype").alias("event_type"), "funnel_step",
     )
+
+
+def psi_report(
+    spark,
+    store_dir: str,
+    reference_counts: DataFrame,
+    group_col: str = "event_type",
+    bucket_col: str = "b",
+    count_col: str = "n",
+    smoothing: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Drift observability over a continuously maintained store: PSI of
+    the LIVE bucket counts (an `incremental_agg_sink` store keyed on
+    (group, bucket) with a count aggregate — exact after any number of
+    micro-batches, so stream maintenance ≡ batch recount by
+    construction) against a FIXED reference histogram. Laplace
+    smoothing keeps empty buckets finite; the union of both sides'
+    buckets forms the grid so a bucket seen by only one side still
+    contributes. ln() rounds to ``round_to`` before the sum (the BM25
+    transcendental convention). Both inputs are bucket-grid-sized —
+    the corpus never re-shuffles at report time."""
+    live = read_store(spark, store_dir).select(
+        F.col(group_col).alias("g"), F.col(bucket_col).alias("b"),
+        F.col(count_col).alias("n_live"),
+    )
+    ref = reference_counts.select(
+        F.col(group_col).alias("g"), F.col(bucket_col).alias("b"),
+        F.col(count_col).alias("n_ref"),
+    )
+    grid = (
+        live.select("g", "b").unionByName(ref.select("g", "b")).distinct()
+        .join(live, ["g", "b"], "left")
+        .join(ref, ["g", "b"], "left")
+        .fillna(0, subset=["n_live", "n_ref"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g")
+    q = 10 ** round_to
+    n_buckets = F.count(F.lit(1)).over(w).cast("double")
+    probs = grid.select(
+        "g", "b",
+        ((F.col("n_ref") + F.lit(smoothing))
+         / (F.sum("n_ref").over(w) + F.lit(smoothing) * n_buckets)
+         ).alias("p_ref"),
+        ((F.col("n_live") + F.lit(smoothing))
+         / (F.sum("n_live").over(w) + F.lit(smoothing) * n_buckets)
+         ).alias("p_live"),
+    )
+    term = (F.col("p_live") - F.col("p_ref")) * (
+        F.floor(F.log(F.col("p_live") / F.col("p_ref")) * q + F.lit(0.5)) / q
+    )
+    return probs.groupBy(F.col("g").alias(group_col)).agg(
+        (F.floor(F.sum(term) * q + F.lit(0.5)) / q).alias("psi")
+    )

@@ -1161,3 +1161,74 @@ def test_funnel_stream_matches_batch_and_drops_late(spark, tmp_path):
         if r["funnel_step"] is not None:
             last[r["user_id"]] = r["funnel_step"]
     assert last == final
+
+
+def test_psi_report_over_maintained_store_matches_batch(spark, tmp_path):
+    """Two micro-batches maintain the live bucket counts via
+    incremental_agg_sink; psi_report over the store must equal the same
+    PSI computed directly over everything ingested (the store is exact,
+    so stream maintenance ≡ batch recount), and a shifted live
+    distribution must score a larger PSI than an identical one."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    import pyspark.sql.functions as F2
+
+    from impc_etl_spark.streaming.jobs import (
+        incremental_agg_sink, psi_report, read_event_stream,
+    )
+
+    schema = ("event_id bigint, ts bigint, user_id bigint, "
+              "event_type string, value double, props string")
+    rows1 = [(i, 100 + i, 1, "m", float(i % 4), "{}") for i in range(20)]
+    rows2 = [(100 + i, 200 + i, 1, "m", 3.0, "{}") for i in range(20)]  # shifted
+    b1 = spark.createDataFrame(rows1, schema).withColumn(
+        "ts", F2.col("ts") * F2.lit(1_000_000_000))
+    b2 = spark.createDataFrame(rows2, schema).withColumn(
+        "ts", F2.col("ts") * F2.lit(1_000_000_000))
+    src = str(tmp_path / "psrc")
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+    flat = str(tmp_path / "pflat")
+    os.makedirs(flat)
+    base = time.time() - 100
+    for i, f in enumerate(sorted(glob.glob(src + "/f*/part-*.parquet"))):
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    bucketed = read_event_stream(spark, flat, max_files_per_trigger=1).select(
+        "event_type", F2.floor(F2.col("value")).cast("int").alias("b"))
+    store = str(tmp_path / "pstore")
+    incremental_agg_sink(
+        bucketed, store, str(tmp_path / "pckpt"),
+        keys=["event_type", "b"], aggs={"n": ("count", "b")},
+    )
+
+    # uniform reference over buckets 0..3
+    ref = spark.createDataFrame(
+        [("m", i, 10) for i in range(4)], "event_type string, b int, n long")
+    got = {r["event_type"]: r["psi"]
+           for r in psi_report(spark, store, ref).collect()}
+
+    # batch twin: same formula over ALL ingested rows
+    all_rows = b1.unionByName(b2).select(
+        "event_type", F2.floor(F2.col("value")).cast("int").alias("b"))
+    live = all_rows.groupBy("event_type", "b").agg(F2.count(F2.lit(1)).alias("n"))
+    import math
+    lc = {(r["event_type"], r["b"]): r["n"] for r in live.collect()}
+    rc = {("m", i): 10 for i in range(4)}
+    buckets = sorted({b for _, b in set(lc) | set(rc)})
+    nb = len(buckets)
+    sl = sum(lc.values()) + 0.5 * nb
+    sr = sum(rc.values()) + 0.5 * nb
+    want = 0.0
+    for b in buckets:
+        pl = (lc.get(("m", b), 0) + 0.5) / sl
+        pr = (rc.get(("m", b), 0) + 0.5) / sr
+        want += (pl - pr) * (math.floor(math.log(pl / pr) * 1e6 + 0.5) / 1e6)
+    want = math.floor(want * 1e6 + 0.5) / 1e6
+    assert got["m"] == want
+    assert got["m"] > 0.2  # the planted shift is flagged as drift
