@@ -965,7 +965,6 @@ def pca_project(
 
 def mmr_rerank(
     candidates: DataFrame,
-    query_vec,
     k: int = 5,
     lam: float = 0.7,
     vec_col: str = "embedding",

@@ -10263,7 +10263,7 @@ def emb_mmr_diversified(spark, sf_dir):
     qv = _query_vec(spark, sf_dir)
     cands = sim_ops.cosine_topk(emb, qv, k=20)
     with_vecs = cands.join(emb.select("vec_id", "embedding"), "vec_id")
-    return sim_ops.mmr_rerank(with_vecs, qv, k=5, lam=0.7)
+    return sim_ops.mmr_rerank(with_vecs, k=5, lam=0.7)
 
 
 QUERIES["emb_mmr_diversified"] = emb_mmr_diversified
