@@ -7969,7 +7969,7 @@ _set_window(_R6_WINDOW)
 #   events_psi_drift, docs_lsh_recall, media_png_interlaced,
 #   events_trending_topk, docs_corrupt_json_ingest, media_float_wav_audio,
 #   docs_k_anonymity, media_apng_probe, events_markov_transitions,
-#   emb_mmr_diversified
+#   emb_mmr_diversified, orders_benford_check, events_dau_mau_stickiness
 
 
 def media_jpeg_progressive_subsampled(spark, sf_dir):
@@ -10314,3 +10314,122 @@ sel1 AS (
 
 
 ORACLE["emb_mmr_diversified"] = "WITH " + _mmr_oracle(5, 0.7)
+
+
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}  # floor(log10(1+1/d)·1e6+0.5)/1e6 — precomputed so neither engine runs log10
+
+
+def orders_benford_check(spark, sf_dir):
+    """Benford's-law audit of o_totalprice first digits — the classic
+    anomaly screen for fabricated or truncated numeric columns: observed
+    first-digit shares vs the precomputed Benford expectations (6dp
+    literals on BOTH engines — no runtime transcendental), with the
+    absolute deviation per digit. One bounded 9-row aggregate; the
+    digit extraction is string head of the integer part (exact)."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.groupBy(d.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy())
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )
+    out = counts.select(
+        "digit",
+        "n",
+        (F.floor(F.col("n") / total * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "obs_p"
+        ),
+        exp_map[F.col("digit")].alias("benford_p"),
+    )
+    return out.withColumn(
+        "abs_dev",
+        F.floor(
+            F.abs(F.col("obs_p") - F.col("benford_p")) * 1000000 + F.lit(0.5)
+        )
+        / 1000000,
+    )
+
+
+QUERIES["orders_benford_check"] = orders_benford_check
+
+_BENFORD_SQL = ", ".join(f"({d}, {p})" for d, p in _BENFORD.items())
+
+ORACLE["orders_benford_check"] = f"""
+WITH c AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                        1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+b(digit, benford_p) AS (VALUES {_BENFORD_SQL})
+SELECT c.digit, c.n,
+       floor(c.n::DOUBLE / sum(c.n) OVER () * 1000000 + 0.5) / 1000000
+         AS obs_p,
+       b.benford_p::DOUBLE AS benford_p,
+       floor(abs(floor(c.n::DOUBLE / sum(c.n) OVER () * 1000000 + 0.5)
+                 / 1000000 - b.benford_p::DOUBLE) * 1000000 + 0.5) / 1000000
+         AS abs_dev
+FROM c JOIN b USING (digit)
+"""
+
+
+def events_dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness — the engagement ratio every product report
+    carries: per month, average daily distinct users ÷ monthly distinct
+    users (exact count_distinct at this granularity; the HLL rollup
+    query is the sketch path for when exact is too big). Two bounded
+    aggregates; the ratio is an exact integer quotient, floor-rounded."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    monthly = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month")
+    ).agg(F.count_distinct("user_id").alias("mau"))
+    avg_dau = daily.groupBy("month").agg(
+        F.sum("dau").alias("dau_sum"), F.count(F.lit(1)).alias("n_days")
+    )
+    return avg_dau.join(monthly, "month").select(
+        "month",
+        "dau_sum",
+        "n_days",
+        "mau",
+        (
+            F.floor(
+                F.col("dau_sum").cast("double")
+                / F.col("n_days")
+                / F.col("mau")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("stickiness"),
+    )
+
+
+QUERIES["events_dau_mau_stickiness"] = events_dau_mau_stickiness
+
+ORACLE["events_dau_mau_stickiness"] = """
+WITH d AS (
+  SELECT strftime(ts, '%Y-%m') AS month, CAST(ts AS DATE) AS day,
+         count(DISTINCT user_id) AS dau
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+m AS (
+  SELECT strftime(ts, '%Y-%m') AS month, count(DISTINCT user_id) AS mau
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+a AS (
+  SELECT month, sum(dau) AS dau_sum, count(*) AS n_days FROM d GROUP BY 1)
+SELECT a.month, a.dau_sum, a.n_days, m.mau,
+       floor(a.dau_sum::DOUBLE / a.n_days / m.mau * 1000000 + 0.5) / 1000000
+         AS stickiness
+FROM a JOIN m USING (month)
+"""
