@@ -1144,3 +1144,50 @@ def minhash_jaccard_estimate(
             ).alias(out),
         )
     )
+
+
+def contamination_score(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document contamination REPORT — the score `decontaminate`
+    thresholds internally, surfaced for auditing: fraction of each doc's
+    distinct k-token shingles that appear in the benchmark set, plus the
+    raw counts. Same 100 TB shape as the filter: the benchmark's hashed
+    shingle table broadcasts, the corpus scans once, the only aggregate
+    is (id)-keyed counts over 16-byte hashes. Returns
+    (id, n_shingles, n_hits, contamination)."""
+    def sh(col):
+        return word_shingles(tokens(col), k)
+
+    bench_sh = F.broadcast(
+        benchmark.select(F.explode(sh(bench_text_col)).alias("__s"))
+        .select(F.md5("__s").alias("__h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_sh = fan_out(df).select(
+        F.col(id_col), F.explode(F.array_distinct(sh(text_col))).alias("__s")
+    ).select(id_col, F.md5("__s").alias("__h"))
+    q = 10 ** round_to
+    return (
+        doc_sh.join(bench_sh, "__h", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_hits"),
+        )
+        .withColumn(
+            "contamination",
+            F.floor(
+                F.col("n_hits").cast("double") / F.col("n_shingles") * q
+                + F.lit(0.5)
+            )
+            / q,
+        )
+    )

@@ -7969,7 +7969,9 @@ _set_window(_R6_WINDOW)
 #   events_psi_drift, docs_lsh_recall, media_png_interlaced,
 #   events_trending_topk, docs_corrupt_json_ingest, media_float_wav_audio,
 #   docs_k_anonymity, media_apng_probe, events_markov_transitions,
-#   emb_mmr_diversified, orders_benford_check, events_dau_mau_stickiness
+#   emb_mmr_diversified, orders_benford_check, events_dau_mau_stickiness,
+#   docs_contamination_score, customer_spend_percentile,
+#   emb_late_interaction_topk
 
 
 def media_jpeg_progressive_subsampled(spark, sf_dir):
@@ -10432,4 +10434,173 @@ SELECT a.month, a.dau_sum, a.n_days, m.mau,
        floor(a.dau_sum::DOUBLE / a.n_days / m.mau * 1000000 + 0.5) / 1000000
          AS stickiness
 FROM a JOIN m USING (month)
+"""
+
+
+def docs_contamination_score(spark, sf_dir):
+    """Contamination AUDIT — the per-doc overlap fraction the drop-filter
+    (`docs_decontaminate`) thresholds internally, surfaced for report
+    review: share of each training doc's distinct 8-gram shingles that
+    appear in the benchmark slice (every 97th doc). The benchmark's
+    hashed shingles broadcast; the corpus scans once
+    (dedup.contamination_score). Docs shorter than one shingle are
+    absent (no shingles to score) — the oracle replays that too."""
+    from impc_etl_spark.operators.dedup import contamination_score
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_score(docs, bench, k=8)
+
+
+QUERIES["docs_contamination_score"] = docs_contamination_score
+
+ORACLE["docs_contamination_score"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS.format(col="text")} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(toks[i:i+7], ' ')
+                 FOR i IN range(1, len(toks) - 6)]) AS s
+  FROM tok WHERE len(toks) >= 8),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+j AS (
+  SELECT sh.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM sh LEFT JOIN bench b USING (s)
+  GROUP BY sh.doc_id)
+SELECT doc_id, n_shingles, n_hits,
+       floor(n_hits::DOUBLE / n_shingles * 1000000 + 0.5) / 1000000
+         AS contamination
+FROM j
+"""
+
+
+def customer_spend_percentile(spark, sf_dir):
+    """Analytic-function breadth (§2.5 family): percent_rank and
+    cume_dist of each customer's ORDER COUNT within their nation —
+    integer-ordered so ranks are deterministic and engine-portable
+    (ordering by a floating spend sum would let last-ulp differences
+    flip near-ties). Nation-keyed windows partition naturally at scale."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    joined = cust.join(
+        counts, cust.c_custkey == counts.o_custkey
+    ).select("c_custkey", "c_nationkey", "n_orders")
+    w = Window.partitionBy("c_nationkey").orderBy("n_orders")
+    return joined.select(
+        "c_custkey",
+        "c_nationkey",
+        "n_orders",
+        (
+            F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5)) / 1000000
+        ).alias("pct_rank"),
+        (
+            F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5)) / 1000000
+        ).alias("cume"),
+    )
+
+
+QUERIES["customer_spend_percentile"] = customer_spend_percentile
+
+ORACLE["customer_spend_percentile"] = """
+WITH c AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+j AS (
+  SELECT cu.c_custkey, cu.c_nationkey, c.n_orders
+  FROM customer cu JOIN c ON c.o_custkey = cu.c_custkey)
+SELECT c_custkey, c_nationkey, n_orders,
+       floor(percent_rank() OVER (
+           PARTITION BY c_nationkey ORDER BY n_orders) * 1000000 + 0.5)
+         / 1000000 AS pct_rank,
+       floor(cume_dist() OVER (
+           PARTITION BY c_nationkey ORDER BY n_orders) * 1000000 + 0.5)
+         / 1000000 AS cume
+FROM j
+"""
+
+
+def emb_late_interaction_topk(spark, sf_dir):
+    """Late-interaction (ColBERT-style MaxSim) retrieval — the
+    multi-vector scoring modern retrievers use: each 64-d embedding is
+    treated as FOUR 16-d token vectors (PQ-style contiguous blocks);
+    score(q, d) = Σ over q's sub-vectors of the MAX cosine against d's
+    sub-vectors. The query's sub-vectors and norms ship as literals;
+    each of the 16 block-pair cosines rounds to 6dp before max/sum, so
+    the whole scoring expression is row-local whole-stage codegen and
+    replays exactly. Top-10 via TakeOrdered — the corpus never
+    shuffles."""
+    import math as _m
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in _query_vec(spark, sf_dir)]
+    blocks = [qv[i * 16 : (i + 1) * 16] for i in range(4)]
+    qn = [
+        _m.sqrt(sum(x * x for x in b)) for b in blocks
+    ]
+
+    def block_cos(qi: int, di: int):
+        dvec = F.slice(F.col("embedding"), di * 16 + 1, 16)
+        dot_qd = F.aggregate(
+            F.zip_with(
+                dvec,
+                F.array(*[F.lit(x) for x in blocks[qi]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dn = F.sqrt(
+            F.aggregate(
+                F.transform(dvec, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        return (
+            F.floor(dot_qd / (dn * F.lit(qn[qi])) * 1000000 + F.lit(0.5))
+            / 1000000
+        )
+
+    score = None
+    for qi in range(4):
+        best = F.greatest(*[block_cos(qi, di) for di in range(4)])
+        score = best if score is None else score + best
+    out = emb.select("vec_id", score.alias("maxsim"))
+    return out.orderBy(F.desc("maxsim"), "vec_id").limit(10)
+
+
+QUERIES["emb_late_interaction_topk"] = emb_late_interaction_topk
+
+ORACLE["emb_late_interaction_topk"] = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+blocks AS (
+  SELECT vec_id, (i - 1) // 16 AS blk, v,
+         (i - 1) % 16 AS j
+  FROM e),
+qb AS (
+  SELECT blk, j, v FROM blocks WHERE vec_id = 0),
+qn AS (SELECT blk, sqrt(sum(v * v)) AS n FROM qb GROUP BY blk),
+pairs AS (
+  SELECT d.vec_id, q.blk AS qblk, d.blk AS dblk,
+         floor(sum(d.v * q.v)
+               / (sqrt(sum(d.v * d.v)) * max(qn.n))
+               * 1000000 + 0.5) / 1000000 AS c
+  FROM blocks d
+  JOIN qb q ON q.j = d.j
+  JOIN qn ON qn.blk = q.blk
+  GROUP BY d.vec_id, q.blk, d.blk),
+best AS (
+  SELECT vec_id, qblk, max(c) AS b FROM pairs GROUP BY vec_id, qblk),
+scored AS (
+  SELECT vec_id, sum(b) AS maxsim FROM best GROUP BY vec_id)
+SELECT vec_id, maxsim FROM (
+  SELECT *, row_number() OVER (ORDER BY maxsim DESC, vec_id) AS rk
+  FROM scored) WHERE rk <= 10
 """
