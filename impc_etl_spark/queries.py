@@ -7971,7 +7971,7 @@ _set_window(_R6_WINDOW)
 #   docs_k_anonymity, media_apng_probe, events_markov_transitions,
 #   emb_mmr_diversified, orders_benford_check, events_dau_mau_stickiness,
 #   docs_contamination_score, customer_spend_percentile,
-#   emb_late_interaction_topk
+#   emb_late_interaction_topk, orders_seasonality, part_revenue_abc
 
 
 def media_jpeg_progressive_subsampled(spark, sf_dir):
@@ -10603,4 +10603,124 @@ scored AS (
 SELECT vec_id, maxsim FROM (
   SELECT *, row_number() OVER (ORDER BY maxsim DESC, vec_id) AS rk
   FROM scored) WHERE rk <= 10
+"""
+
+
+def orders_seasonality(spark, sf_dir):
+    """Seasonality report — monthly order counts with month-over-month
+    and year-over-year ratios (lag 1 and lag 12 over the bounded month
+    series): the rowsBetween/lag family exercised on a real rollup.
+    Counts are integers, so the ratios are exact quotients; the month
+    series is calendar-bounded at any scale."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy().orderBy("month")
+    mom = F.lag("n", 1).over(w)
+    yoy = F.lag("n", 12).over(w)
+    q = 1000000
+    return monthly.select(
+        "month",
+        "n",
+        F.when(
+            mom.isNotNull(),
+            F.floor(F.col("n").cast("double") / mom * q + F.lit(0.5)) / q,
+        ).alias("mom_ratio"),
+        F.when(
+            yoy.isNotNull(),
+            F.floor(F.col("n").cast("double") / yoy * q + F.lit(0.5)) / q,
+        ).alias("yoy_ratio"),
+    )
+
+
+QUERIES["orders_seasonality"] = orders_seasonality
+
+ORACLE["orders_seasonality"] = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+  FROM orders GROUP BY 1)
+SELECT month, n,
+       CASE WHEN lag(n, 1) OVER (ORDER BY month) IS NOT NULL
+            THEN floor(n::DOUBLE / lag(n, 1) OVER (ORDER BY month)
+                       * 1000000 + 0.5) / 1000000 END AS mom_ratio,
+       CASE WHEN lag(n, 12) OVER (ORDER BY month) IS NOT NULL
+            THEN floor(n::DOUBLE / lag(n, 12) OVER (ORDER BY month)
+                       * 1000000 + 0.5) / 1000000 END AS yoy_ratio
+FROM m
+"""
+
+
+def part_revenue_abc(spark, sf_dir):
+    """Pareto / ABC inventory classification WITHOUT a global ranking
+    window: per-part revenue buckets (floor(rev/1000) — a bounded
+    domain at any corpus size) roll up to a bucket histogram whose
+    descending cumulative revenue share assigns classes (A: top 70% of
+    revenue, B: next 20%, C: tail); parts join their bucket's class by
+    broadcast — the RFM/curriculum histogram trick applied to the
+    classic 80/20 analysis. Output: part, revenue (2dp), bucket, class."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    bucketed = rev.withColumn(
+        "bucket", F.floor(F.col("revenue") / 1000).cast("bigint")
+    ).localCheckpoint(eager=True)
+    hist = bucketed.groupBy("bucket").agg(F.sum("revenue").alias("brev"))
+    w = Window.partitionBy().orderBy(F.desc("bucket"))
+    wall = Window.partitionBy().orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shares = hist.select(
+        "bucket",
+        (F.sum("brev").over(w) / F.sum("brev").over(wall)).alias("cum_share"),
+    )
+    classed = shares.select(
+        "bucket",
+        F.when(F.col("cum_share") <= 0.7, "A")
+        .when(F.col("cum_share") <= 0.9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return bucketed.join(F.broadcast(classed), "bucket").select(
+        "l_partkey",
+        _rnd("revenue", 2).alias("revenue"),
+        "bucket",
+        "abc_class",
+    )
+
+
+QUERIES["part_revenue_abc"] = part_revenue_abc
+
+ORACLE["part_revenue_abc"] = """
+WITH r AS (
+  SELECT l_partkey,
+         sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem GROUP BY l_partkey),
+b AS (
+  SELECT l_partkey, revenue,
+         CAST(floor(revenue / 1000) AS BIGINT) AS bucket
+  FROM r),
+h AS (SELECT bucket, sum(revenue) AS brev FROM b GROUP BY bucket),
+s AS (
+  SELECT bucket,
+         sum(brev) OVER (ORDER BY bucket DESC) / sum(brev) OVER ()
+           AS cum_share
+  FROM h),
+c AS (
+  SELECT bucket,
+         CASE WHEN cum_share <= 0.7 THEN 'A'
+              WHEN cum_share <= 0.9 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM s)
+SELECT b.l_partkey,
+       floor(b.revenue * 100 + 0.5) / 100 AS revenue,
+       b.bucket, c.abc_class
+FROM b JOIN c USING (bucket)
 """
