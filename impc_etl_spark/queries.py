@@ -7971,7 +7971,8 @@ _set_window(_R6_WINDOW)
 #   docs_k_anonymity, media_apng_probe, events_markov_transitions,
 #   emb_mmr_diversified, orders_benford_check, events_dau_mau_stickiness,
 #   docs_contamination_score, customer_spend_percentile,
-#   emb_late_interaction_topk, orders_seasonality, part_revenue_abc
+#   emb_late_interaction_topk, orders_seasonality, part_revenue_abc,
+#   emb_cluster_silhouette
 
 
 def media_jpeg_progressive_subsampled(spark, sf_dir):
@@ -10723,4 +10724,88 @@ SELECT b.l_partkey,
        floor(b.revenue * 100 + 0.5) / 100 AS revenue,
        b.bucket, c.abc_class
 FROM b JOIN c USING (bucket)
+"""
+
+
+def emb_cluster_silhouette(spark, sf_dir):
+    """Cluster-quality measurement — simplified (centroid-based)
+    silhouette per vector over the replay-exact Lloyd clustering:
+    a = distance to own centroid, b = nearest OTHER centroid,
+    s = (b − a) / max(a, b) — the standard 'are these clusters real'
+    audit, the clustering sibling of the ANN/LSH recall measurements.
+    Distances are sq-rooted sums rounded to 6dp before the ratio; the
+    oracle replays the full Lloyd trajectory (the emb_kmeans_assign
+    CTEs) plus the silhouette arithmetic. Centroids are literals, so
+    scoring is one corpus-free-shuffle projection + one 4-row
+    broadcast."""
+    import math as _m
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = sim_ops.ivf_build(emb, nlist=4, iterations=2, round_to=6)
+
+    def dist_to(ci: int):
+        c = cents[ci]
+        return F.floor(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
+            * 1000000
+            + F.lit(0.5)
+        ) / 1000000
+
+    own = None
+    other = None
+    for ci in range(4):
+        d = dist_to(ci)
+        is_own = F.col("ivf_cluster") == ci
+        own = d if own is None else F.when(is_own, d).otherwise(own)
+        o = F.when(is_own, F.lit(None)).otherwise(d)
+        other = o if other is None else F.least(
+            F.coalesce(other, o), F.coalesce(o, other)
+        )
+    out = assigned.select(
+        "vec_id", "ivf_cluster", own.alias("a"), other.alias("b")
+    )
+    return out.select(
+        "vec_id",
+        "ivf_cluster",
+        (
+            F.floor(
+                (F.col("b") - F.col("a"))
+                / F.greatest(F.col("a"), F.col("b"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("silhouette"),
+    )
+
+
+QUERIES["emb_cluster_silhouette"] = emb_cluster_silhouette
+
+ORACLE["emb_cluster_silhouette"] = f"""
+WITH {_kmeans_ctes(4, 2)},
+dists AS (
+  SELECT e.vec_id, c.c,
+         floor(sqrt(sum((e.v - c.v) * (e.v - c.v))) * 1000000 + 0.5)
+           / 1000000 AS d
+  FROM eb e JOIN c2 c USING (i) GROUP BY e.vec_id, c.c),
+ab AS (
+  SELECT d.vec_id, a.c AS ivf_cluster,
+         max(CASE WHEN d.c = a.c THEN d.d END) AS a_dist,
+         min(CASE WHEN d.c != a.c THEN d.d END) AS b_dist
+  FROM dists d JOIN af a ON a.vec_id = d.vec_id
+  GROUP BY d.vec_id, a.c)
+SELECT vec_id, CAST(ivf_cluster AS INT) AS ivf_cluster,
+       floor((b_dist - a_dist) / greatest(a_dist, b_dist) * 1000000 + 0.5)
+         / 1000000 AS silhouette
+FROM ab
 """
