@@ -7972,7 +7972,7 @@ _set_window(_R6_WINDOW)
 #   emb_mmr_diversified, orders_benford_check, events_dau_mau_stickiness,
 #   docs_contamination_score, customer_spend_percentile,
 #   emb_late_interaction_topk, orders_seasonality, part_revenue_abc,
-#   emb_cluster_silhouette
+#   emb_cluster_silhouette, user_session_conversion
 
 
 def media_jpeg_progressive_subsampled(spark, sf_dir):
@@ -10808,4 +10808,56 @@ SELECT vec_id, CAST(ivf_cluster AS INT) AS ivf_cluster,
        floor((b_dist - a_dist) / greatest(a_dist, b_dist) * 1000000 + 0.5)
          / 1000000 AS silhouette
 FROM ab
+"""
+
+
+def user_session_conversion(spark, sf_dir):
+    """Session-level funnel conversion — the composition of the two
+    event-analytics families: 10-minute session windows (the
+    user_sessions construction) with an in-session ordered check,
+    converted = first view strictly before some later purchase,
+    expressed as ONE conditional aggregate per session
+    (min(ts | view) < max(ts | purchase) — no second pass). One
+    session_window aggregation; the oracle replays the gaps-and-islands
+    sessionization plus the same conditional bounds."""
+    ev = _events(spark, sf_dir)
+    converted = (
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        < F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    )
+    out = ts_ops.sessionize(
+        ev,
+        "ts",
+        "10 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(converted, F.lit(False)).cast("int").alias("converted"),
+        ],
+    )
+    return out.select("user_id", "session_start", "n_events", "converted")
+
+
+QUERIES["user_session_conversion"] = user_session_conversion
+
+ORACLE["user_session_conversion"] = """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start,
+       count(*) AS n_events,
+       CAST(coalesce(
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           < max(CASE WHEN event_type = 'purchase' THEN ts END),
+         FALSE) AS INT) AS converted
+FROM s GROUP BY user_id, sid
 """
