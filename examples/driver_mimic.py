@@ -8,7 +8,6 @@ Usage: python examples/driver_mimic.py [N] [SF_DIR]
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 
@@ -27,11 +26,23 @@ def _norm(v):
     # "unhashable type". Reproduce that rejection here so an array-typed
     # output column fails the mimic BEFORE it fails the driver.
     hash(v)
+    # pandas renders missing cells as NaN/NaT/None depending on dtype;
+    # collapse all of them to None like the driver's factorizer does
+    if v is None or v != v:  # NaN/NaT are not equal to themselves
+        return None
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
         return f"{v + 0.0:.6f}"
     return v
+
+
+def _pandas_rows(pdf):
+    """Flatten a pandas frame to plain-Python row tuples the way the
+    driver's canonicalizer sees them: dtype-preserving (an int64 column
+    yields ints, a float64 column yields floats — so a DuckDB HUGEINT
+    that pandas renders as float64 DIFFERS from Spark's int64, exactly
+    as in the driver; r6's docs_sized_json_roundtrip red row)."""
+    cols = [pdf[c].tolist() for c in pdf.columns]
+    return list(zip(*cols)) if cols else [()] * len(pdf)
 
 
 def _canon(rows, colnames):
@@ -66,9 +77,12 @@ def main() -> int:
                 results[name] = {"rows": len(spark_rows), "oracle": None}
                 print(f"{name}: NO-ORACLE rows={len(spark_rows)}", flush=True)
                 continue
-            rel = con.sql(q.ORACLE[name])
-            duck_cols = rel.columns
-            duck_rows = rel.fetchall()
+            # .df(): go through pandas like the real driver does —
+            # fetchall() yields Python ints for HUGEINT and hides the
+            # int-vs-float rendering divergence that cost r6 a red row
+            pdf = con.sql(q.ORACLE[name]).df()
+            duck_cols = list(pdf.columns)
+            duck_rows = _pandas_rows(pdf)
             rows_match = len(spark_rows) == len(duck_rows)
             schema_match = sorted(spark_cols) == sorted(duck_cols)
             hash_match = False

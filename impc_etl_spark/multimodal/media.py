@@ -1384,8 +1384,20 @@ def color_histogram(
                 try:
                     w, h, samples = decode_image(bytes(p))
                     bpp = len(samples) // (w * h)
-                    chans = ([samples[c::3] for c in range(3)]
-                             if bpp == 3 else [samples] * 3)
+                    # interleaved layouts: 1=gray, 2=LA, 3=RGB, 4=RGBA —
+                    # alpha is never histogrammed, and anything else is
+                    # reported as undecodable rather than mis-binned as
+                    # gray (r6 ADVICE item 2)
+                    if bpp == 1:
+                        chans = [samples] * 3
+                    elif bpp == 2:
+                        chans = [samples[0::2]] * 3
+                    elif bpp == 3:
+                        chans = [samples[c::3] for c in range(3)]
+                    elif bpp == 4:
+                        chans = [samples[c::4] for c in range(3)]
+                    else:
+                        raise ValueError(f"unsupported channel count {bpp}")
                     hists = []
                     for ch in chans:
                         counts = [0] * bins

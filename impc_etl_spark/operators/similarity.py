@@ -983,7 +983,13 @@ def mmr_rerank(
     All similarities floor-round to ``round_to`` decimals BEFORE each
     argmax (ties → smallest id), so the whole greedy trajectory replays
     exactly in a chained-CTE oracle. Returns (id, mmr_rank, mmr_score)
-    for the k selected rows."""
+    for the k selected rows.
+
+    Cost contract: the greedy argmax is inherently sequential, so this
+    runs k driver-side rounds (k+1 small Spark jobs over the
+    checkpointed candidate set). Fine for retrieval-sized k (5-50);
+    for large k keep the selection in the first stage instead. The id
+    column keeps its input type (string doc ids work — r6 ADVICE 4)."""
     q = 10 ** round_to
     rel = candidates.select(
         F.col(id_col).alias("cid"),
@@ -1036,7 +1042,8 @@ def mmr_rerank(
         picked.append((top["cid"], float(top["mmr"])))
         remaining = remaining.where(F.col("cid") != top["cid"])
     spark = candidates.sparkSession
+    id_type = candidates.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
-        [(int(i), r + 1, s) for r, (i, s) in enumerate(picked)],
-        f"{id_col} bigint, mmr_rank int, mmr_score double",
+        [(i, r + 1, s) for r, (i, s) in enumerate(picked)],
+        f"{id_col} {id_type}, mmr_rank int, mmr_score double",
     )

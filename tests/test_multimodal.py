@@ -2467,3 +2467,44 @@ def test_apng_probe_hostile_and_plain(spark):
         [(1, bytearray(b"\x00notpng"))], ["media_id", "content"])
     row = apng_probe_features(hostile).first()
     assert row["is_animated"] is None  # never raises
+
+
+def test_color_histogram_alpha_stripped(spark):
+    """LA (bpp=2) and RGBA (bpp=4) decodes must histogram CHANNELS, not
+    raw interleaved bytes — alpha never reaches the counts (r6 ADVICE
+    item 2: these layouts previously fell into the grayscale branch)."""
+    import struct
+    import zlib
+
+    from impc_etl_spark.multimodal.media import color_histogram
+
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    def png(ctype, bpp, pixel):
+        w = h = 4
+        row = b"\x00" + bytes(pixel) * w
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(row * h))
+                + chunk(b"IEND", b""))
+
+    # LA: L=64 (bucket 1), A=255 (bucket 3 — must NOT appear)
+    la = png(4, 2, (64, 255))
+    # RGBA: R=0 (bucket 0), G=128 (bucket 2), B=255 (bucket 3), A=0
+    rgba = png(6, 4, (0, 128, 255, 0))
+    df = spark.createDataFrame(
+        [(1, bytearray(la)), (2, bytearray(rgba))], ["media_id", "content"])
+    rows = {r["media_id"]: r for r in color_histogram(df, bins=4).collect()}
+
+    assert rows[1]["width"] == 4 and rows[1]["height"] == 4
+    # all 16 luma samples in bucket 1; identical across the 3 channels
+    assert rows[1]["hist_r"] == "0,16,0,0"
+    assert rows[1]["hist_g"] == "0,16,0,0"
+    assert rows[1]["hist_b"] == "0,16,0,0"
+    # RGBA: each channel lands in its own bucket, alpha(0) leaks nowhere
+    assert rows[2]["hist_r"] == "16,0,0,0"
+    assert rows[2]["hist_g"] == "0,0,16,0"
+    assert rows[2]["hist_b"] == "0,0,0,16"

@@ -3110,3 +3110,25 @@ def test_association_rules_match_bruteforce(spark):
             lift = math.floor(n_ab * n / (item_n[x] * item_n[y]) * 1e6 + 0.5) / 1e6
             want[(x, y)] = (n_ab, conf, lift)
     assert got == want
+
+
+def test_mmr_rerank_preserves_id_type(spark):
+    """mmr_rerank keeps the id column's input type — string doc ids must
+    work (r6 ADVICE item 4: the schema was hardcoded bigint and ids were
+    int()-coerced, so any non-integer id raised at createDataFrame)."""
+    from impc_etl_spark.operators.similarity import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [
+            ("doc-a", [1.0, 0.0], 0.90),
+            ("doc-b", [0.99, 0.14], 0.88),  # near-clone of doc-a
+            ("doc-c", [0.0, 1.0], 0.50),
+        ],
+        "vec_id string, embedding array<double>, cos_sim double",
+    )
+    out = mmr_rerank(cands, k=2, lam=0.5)
+    assert dict(out.dtypes)["vec_id"] == "string"
+    rows = sorted(out.collect(), key=lambda r: r["mmr_rank"])
+    assert rows[0]["vec_id"] == "doc-a"  # highest relevance first
+    # diversity term: the orthogonal doc-c beats the near-clone doc-b
+    assert rows[1]["vec_id"] == "doc-c"

@@ -8,8 +8,6 @@ this passes at sf0.001 it should pass the driver's sf0.01 check identically.
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
@@ -28,12 +26,26 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    # reject unhashable cells (lists/dicts) the way the driver's pandas
+    # factorizer does
+    hash(v)
+    # pandas renders missing cells as NaN/NaT/None depending on dtype;
+    # collapse them all to None
+    if v is None or v != v:
+        return None
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
         # collapse -0.0/0.0 and represent at fixed precision
         return f"{v + 0.0:.6f}"
     return v
+
+
+def _pandas_rows(pdf):
+    """Flatten a pandas frame to plain-Python row tuples the way the
+    driver's canonicalizer sees them — dtype-preserving, so a DuckDB
+    HUGEINT rendered as float64 DIFFERS from Spark's int64 exactly as
+    it does in the driver (r6's docs_sized_json_roundtrip red row)."""
+    cols = [pdf[c].tolist() for c in pdf.columns]
+    return list(zip(*cols)) if cols else [()] * len(pdf)
 
 
 def _canon(rows, colnames):
@@ -61,9 +73,11 @@ def test_query_matches_oracle(spark, name):
     spark_cols = sdf.columns
 
     con = _duck(SF_SMOKE)
-    rel = con.sql(q.ORACLE[name])
-    duck_cols = rel.columns
-    duck_rows = rel.fetchall()
+    # .df(): go through pandas like the real driver — fetchall() yields
+    # Python ints for HUGEINT and hides int-vs-float rendering bugs
+    pdf = con.sql(q.ORACLE[name]).df()
+    duck_cols = list(pdf.columns)
+    duck_rows = _pandas_rows(pdf)
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
