@@ -98,7 +98,7 @@ def main() -> int:
         sf_val = sf
     # self-describing methodology (round-4 verdict item 6): per-query rep
     # counts and the warmup setting, so cross-round comparisons are honest
-    print(json.dumps({
+    out = {
         "metric": "headline_total_sec",
         "value": round(total, 3),
         "unit": "sec",
@@ -107,7 +107,19 @@ def main() -> int:
         "reps": rep_counts,
         "estimator": "min",
         "warmup": os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0",
-    }))
+    }
+    # Same-machine cross-round pair (r6 verdict item 8): wall-clock varies
+    # 30-60% with machine state between rounds, so the only honest
+    # cross-round delta is the previous round's FINAL tree re-benched
+    # back-to-back with this tree on the same idle machine. That pair is
+    # recorded in BENCH_PAIR.json by examples/bench_pair.py at round end
+    # and embedded here so the delta is machine-readable in BENCH_r{N}.
+    pair_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PAIR.json")
+    if os.path.exists(pair_path):
+        with open(pair_path) as fh:
+            out["same_machine_pair"] = json.load(fh)
+    print(json.dumps(out))
     return 0
 
 

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Record the same-machine cross-round bench pair (r6 verdict item 8).
+
+Wall-clock varies 30-60% with machine state between rounds, so the only
+honest cross-round delta is: bench the PREVIOUS round's final tree and
+the CURRENT tree back-to-back on the same idle machine, same process
+count, nothing else running. This script does exactly that and writes
+the result to BENCH_PAIR.json, which bench.py embeds in its JSON line
+as ``same_machine_pair`` — making the honest delta machine-readable in
+the driver's BENCH_r{N} artifact instead of living in SCALE.md prose.
+
+Usage:
+    python3 examples/bench_pair.py <prev_commit> [round_label]
+
+Each tree is benched in its own subprocess (fresh JVM) via its own
+bench.py, so the previous tree runs its own code, not ours.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _bench(tree: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(tree, "bench.py")],
+        cwd=tree, capture_output=True, text=True, timeout=3600,
+        env={**os.environ, "PYTHONPATH": tree},
+    )
+    last = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
+
+
+def main() -> int:
+    prev_commit = sys.argv[1]
+    label = sys.argv[2] if len(sys.argv) > 2 else ""
+    prev_tree = f"/tmp/bench_prev_{prev_commit[:8]}"
+
+    if not os.path.exists(prev_tree):
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", prev_tree, prev_commit],
+            cwd=REPO, check=True,
+        )
+
+    prev = _bench(prev_tree)
+    cur = _bench(REPO)
+    pair = {
+        "same_machine_prev_tree_sec": prev["value"],
+        "same_machine_this_tree_sec": cur["value"],
+        "prev_tree_commit": prev_commit,
+        "sf": cur.get("sf"),
+        "label": label,
+    }
+    with open(os.path.join(REPO, "BENCH_PAIR.json"), "w") as fh:
+        json.dump(pair, fh, indent=2)
+        fh.write("\n")
+    print(json.dumps(pair))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

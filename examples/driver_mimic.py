@@ -71,8 +71,15 @@ def main() -> int:
     for name in names:
         try:
             sdf = q.QUERIES[name](spark, sf_dir)
-            spark_rows = [tuple(r) for r in sdf.collect()]
-            spark_cols = sdf.columns
+            # toPandas, NOT collect: the driver canonicalizes BOTH sides
+            # through pandas, so an int column WITH nulls upcasts to
+            # float64 on both sides and matches (driver-green precedent:
+            # purchase_attribution_asof), while a no-null int64 against a
+            # HUGEINT-induced float64 mismatches (r6's red row). collect()
+            # would get both cases wrong.
+            spdf = sdf.toPandas()
+            spark_rows = _pandas_rows(spdf)
+            spark_cols = list(spdf.columns)
             if name not in q.ORACLE:
                 results[name] = {"rows": len(spark_rows), "oracle": None}
                 print(f"{name}: NO-ORACLE rows={len(spark_rows)}", flush=True)

@@ -218,9 +218,15 @@ def main() -> int:
         "docs_bm25_search",
     ]
     # optional 4th arg: extra comma-separated query names (e.g. the
-    # round's new operators) measured after the standard headline set
+    # round's new operators) measured after the standard headline set;
+    # prefix with "only:" to run JUST the listed names (targeted
+    # re-confirmation runs, r6 verdict item 4)
     if len(sys.argv) > 4 and sys.argv[4]:
-        headline += [n for n in sys.argv[4].split(",") if n]
+        extra = sys.argv[4]
+        if extra.startswith("only:"):
+            headline = [n for n in extra[5:].split(",") if n]
+        else:
+            headline += [n for n in extra.split(",") if n]
 
     spark.read.parquet(f"{dst}/region.parquet").count()  # session warm
     results = {}

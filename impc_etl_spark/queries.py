@@ -8649,6 +8649,11 @@ def docs_hybrid_rrf_search(spark, sf_dir):
             Window.partitionBy().orderBy(F.desc("cos_sim"), "doc_id")
         ),
     )
+    # rank 0 = "absent from this arm": a NULL int output column renders
+    # as float64 on the DuckDB/pandas side (NaN forces the upcast) but
+    # stays int on the Spark side — ambiguous under the driver's hash.
+    # Compared outputs must never carry NULL integers (r7; the pandas-
+    # path mimic caught this).
     fused = bm.select("doc_id", "br").join(
         cs.select("doc_id", "cr"), "doc_id", "full_outer"
     ).select(
@@ -8657,8 +8662,8 @@ def docs_hybrid_rrf_search(spark, sf_dir):
             F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("br")), F.lit(0.0))
             + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("cr")), F.lit(0.0))
         ).alias("rrf"),
-        F.col("br").alias("bm25_rank"),
-        F.col("cr").alias("cosine_rank"),
+        F.coalesce(F.col("br"), F.lit(0)).alias("bm25_rank"),
+        F.coalesce(F.col("cr"), F.lit(0)).alias("cosine_rank"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
 
@@ -8716,8 +8721,8 @@ scored AS (
            + coalesce(1.0 / (60.0 + c.cr), 0.0) AS rrf,
          b.br AS bm25_rank, c.cr AS cosine_rank
   FROM bmr b FULL OUTER JOIN cor c ON b.doc_id = c.doc_id)
-SELECT doc_id, rrf, CAST(bm25_rank AS INT) AS bm25_rank,
-       CAST(cosine_rank AS INT) AS cosine_rank
+SELECT doc_id, rrf, CAST(coalesce(bm25_rank, 0) AS INT) AS bm25_rank,
+       CAST(coalesce(cosine_rank, 0) AS INT) AS cosine_rank
 FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
 """
 

@@ -69,8 +69,14 @@ def test_query_matches_oracle(spark, name):
     from impc_etl_spark import queries as q
 
     sdf = q.QUERIES[name](spark, SF_SMOKE)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = sdf.columns
+    # toPandas, NOT collect: the driver canonicalizes BOTH sides through
+    # pandas — an int column WITH nulls upcasts to float64 on both sides
+    # and matches (driver-green precedent: purchase_attribution_asof),
+    # while a no-null int64 against a HUGEINT-induced float64 mismatches
+    # (r6's red row). collect() would get both cases wrong.
+    spdf = sdf.toPandas()
+    spark_rows = _pandas_rows(spdf)
+    spark_cols = list(spdf.columns)
 
     con = _duck(SF_SMOKE)
     # .df(): go through pandas like the real driver — fetchall() yields
