@@ -10,8 +10,8 @@ registered query+oracle pair on a PERTURBED copy of sf0.001:
 
 - events: 3% NULL ts, 3% NULL value, 2% NULL user_id (disjoint rows)
 - documents: 3% NULL lang, 1% empty text, 1% whitespace-only text
-- orders: 2% NULL o_comment
-- lineitem: 2% NULL l_comment
+- orders: 2% NULL o_orderpriority
+- lineitem: 2% NULL l_returnflag
 
 Primary keys and join keys stay intact (NULL PKs are not a contract any
 pipeline accepts). A pair that disagrees here has a LATENT divergence
@@ -40,45 +40,48 @@ TABLES = (
 WORK = "/tmp/hostile_sf0.001"
 
 
-def build_hostile(spark, src: str, dst: str) -> None:
-    from pyspark.sql import functions as F
-
+def build_hostile(src: str, dst: str) -> None:
+    """Write the perturbed copy with DuckDB so each table lands as ONE
+    file named exactly {t}.parquet, like the driver's testdata —
+    input_file_name()-based queries (provenance stamps) must see the
+    same basename the oracle hardcodes."""
     os.makedirs(dst, exist_ok=True)
+    mutate = {
+        "events": """
+            SELECT event_id,
+                   CASE WHEN event_id % 100 < 3 THEN NULL ELSE ts END AS ts,
+                   CASE WHEN event_id % 100 BETWEEN 6 AND 7
+                        THEN NULL ELSE user_id END AS user_id,
+                   event_type,
+                   CASE WHEN event_id % 100 BETWEEN 3 AND 5
+                        THEN NULL ELSE value END AS value,
+                   props""",
+        "documents": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 100 = 3 THEN ''
+                        WHEN doc_id % 100 = 4 THEN '   \t  '
+                        ELSE text END AS text,
+                   CASE WHEN doc_id % 100 < 3 THEN NULL ELSE lang END AS lang,
+                   source, n_chars""",
+        "orders": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate,
+                   CASE WHEN o_orderkey % 100 < 2
+                        THEN NULL ELSE o_orderpriority END AS o_orderpriority""",
+        "lineitem": """
+            SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                   l_quantity, l_extendedprice, l_discount, l_tax,
+                   CASE WHEN (l_orderkey * 7 + l_linenumber) % 100 < 2
+                        THEN NULL ELSE l_returnflag END AS l_returnflag,
+                   l_linestatus, l_shipdate""",
+    }
+    con = duckdb.connect()
     for t in TABLES:
-        df = spark.read.parquet(f"{src}/{t}.parquet")
-        if t == "events":
-            # disjoint deterministic row slices keyed on the PK
-            m = F.pmod(F.col("event_id"), F.lit(100))
-            df = df.withColumn(
-                "ts", F.when(m < 3, F.lit(None)).otherwise(F.col("ts"))
-            ).withColumn(
-                "value",
-                F.when((m >= 3) & (m < 6), F.lit(None)).otherwise(F.col("value")),
-            ).withColumn(
-                "user_id",
-                F.when((m >= 6) & (m < 8), F.lit(None)).otherwise(F.col("user_id")),
-            )
-        elif t == "documents":
-            m = F.pmod(F.col("doc_id"), F.lit(100))
-            df = df.withColumn(
-                "lang", F.when(m < 3, F.lit(None)).otherwise(F.col("lang"))
-            ).withColumn(
-                "text",
-                F.when((m >= 3) & (m < 4), F.lit(""))
-                .when((m >= 4) & (m < 5), F.lit("   \t  "))
-                .otherwise(F.col("text")),
-            )
-        elif t == "orders":
-            m = F.pmod(F.col("o_orderkey"), F.lit(100))
-            df = df.withColumn(
-                "o_comment", F.when(m < 2, F.lit(None)).otherwise(F.col("o_comment"))
-            )
-        elif t == "lineitem":
-            m = F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber"), F.lit(100))
-            df = df.withColumn(
-                "l_comment", F.when(m < 2, F.lit(None)).otherwise(F.col("l_comment"))
-            )
-        df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        body = mutate.get(t, "SELECT *")
+        con.sql(
+            f"COPY ({body} FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
 
 
 def main() -> int:
@@ -91,7 +94,7 @@ def main() -> int:
 
     spark = get_spark()
     if not os.path.exists(f"{WORK}/events.parquet"):
-        build_hostile(spark, src, WORK)
+        build_hostile(src, WORK)
         print(json.dumps({"built": WORK}), flush=True)
 
     con = duckdb.connect()
@@ -111,8 +114,10 @@ def main() -> int:
     for name in names:
         try:
             sdf = q.QUERIES[name](spark, WORK)
-            spark_rows = [tuple(r) for r in sdf.collect()]
-            spark_cols = sdf.columns
+            # toPandas on BOTH sides, like the driver (see driver_mimic)
+            spdf = sdf.toPandas()
+            spark_rows = _pandas_rows(spdf)
+            spark_cols = list(spdf.columns)
             pdf = con.sql(q.ORACLE[name]).df()
             duck_cols = list(pdf.columns)
             duck_rows = _pandas_rows(pdf)

@@ -295,8 +295,11 @@ def priority_customer_lookup(spark, sf_dir):
 
 
 def purchase_attribution_asof(spark, sf_dir):
-    """J8 as-of join: latest click at-or-before each purchase, per user."""
-    ev = _events(spark, sf_dir)
+    """J8 as-of join: latest click at-or-before each purchase, per user.
+    NULL ts rows are excluded on both engines — a time join needs a
+    time, and DuckDB's ASOF sort treats NULLs differently from Spark's
+    window scan (r7 hostile hardening)."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("click_ts")
@@ -317,8 +320,10 @@ def purchase_attribution_windowed(spark, sf_dir):
     """J8 full as-of semantics: nearest click within ±30 minutes of each
     purchase, ties broken toward the EARLIER click then by event id — the
     body-weight-association shape (±N-day window + priority tie-breaks,
-    experiment_bw_age_calculator.py:291-396) on the events table."""
-    ev = _events(spark, sf_dir)
+    experiment_bw_age_calculator.py:291-396) on the events table.
+    NULL ts rows excluded on both engines (see purchase_attribution_asof;
+    r7 hostile hardening)."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
@@ -447,8 +452,9 @@ def customer_order_rollup(spark, sf_dir):
 
 
 def hourly_event_stats(spark, sf_dir):
-    """Tumbling window aggregation over events (batch window())."""
-    ev = _events(spark, sf_dir)
+    """Tumbling window aggregation over events (batch window()). NULL ts
+    rows are excluded explicitly on both engines (r7 hardening)."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     return ts_ops.tumbling_window_agg(
         ev,
         "ts",
@@ -459,8 +465,9 @@ def hourly_event_stats(spark, sf_dir):
 
 
 def sliding_event_counts(spark, sf_dir):
-    """Sliding window aggregation (1h window, 30m slide)."""
-    ev = _events(spark, sf_dir)
+    """Sliding window aggregation (1h window, 30m slide). NULL ts rows
+    are excluded explicitly on both engines (r7 hardening)."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     return ts_ops.sliding_window_agg(
         ev,
         "ts",
@@ -472,8 +479,10 @@ def sliding_event_counts(spark, sf_dir):
 
 
 def user_sessions(spark, sf_dir):
-    """Session windows (10-minute gap) per user, batch session_window."""
-    ev = _events(spark, sf_dir)
+    """Session windows (10-minute gap) per user, batch session_window.
+    NULL ts rows are excluded explicitly on both engines (r7
+    hardening)."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     out = ts_ops.sessionize(
         ev,
         "ts",
@@ -2856,13 +2865,16 @@ LEFT JOIN customer c2 ON c2.c_custkey = o.o_custkey
 SELECT p.event_id, p.user_id,
        floor(epoch(p.ts))::BIGINT AS purchase_epoch,
        floor(epoch(c.ts))::BIGINT AS click_epoch
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+ASOF LEFT JOIN (SELECT * FROM events
+                WHERE event_type = 'click' AND ts IS NOT NULL) c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """,
     "purchase_attribution_windowed": """
-WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase' AND ts IS NOT NULL),
+c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+      WHERE event_type = 'click' AND ts IS NOT NULL),
 cand AS (
   SELECT p.event_id, c.click_id, c.click_ts,
          row_number() OVER (
@@ -2938,16 +2950,16 @@ FROM inner_agg GROUP BY o_custkey
     "hourly_event_stats": """
 SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS window_start,
        event_type, count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """,
     "sliding_event_counts": """
 SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS window_start,
        event_type, count(*) AS n_events
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 UNION ALL
 SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')))::BIGINT,
        event_type, count(*)
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """,
     "user_sessions": """
 WITH o AS (
@@ -2955,7 +2967,7 @@ WITH o AS (
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
               THEN 1 ELSE 0 END AS brk
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 s AS (
   SELECT user_id, ts,
          sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
@@ -3223,7 +3235,8 @@ calls AS (
          (CASE WHEN n_items >= 40 THEN 0.01
                WHEN n_items >= 10 THEN 0.2 ELSE 1.0 END)::DOUBLE AS p_value
   FROM agg)
-SELECT md5(l_suppkey::VARCHAR || '-' || l_returnflag || '-' || status) AS doc_id,
+SELECT md5(l_suppkey::VARCHAR || '-' || coalesce(l_returnflag, '') || '-'
+           || status) AS doc_id,
        l_suppkey, l_returnflag, n_items, sum_qty, status, p_value,
        p_value < 0.05 AS significant,
        s_name AS supplier_name, s_nationkey AS supplier_nation
@@ -3374,7 +3387,7 @@ SELECT doc_id, q_n_tokens,
 FROM sig
 """,
     "docs_fingerprint": f"""
-SELECT doc_id, md5(array_to_string({_DOC_TOKS}, ' ')) AS fp FROM documents
+SELECT doc_id, md5(coalesce(array_to_string({_DOC_TOKS}, ' '), '')) AS fp FROM documents
 """,
     "docs_bpe_token_count": (
         "SELECT doc_id,\n"
@@ -3386,7 +3399,8 @@ SELECT doc_id, md5(array_to_string({_DOC_TOKS}, ' ')) AS fp FROM documents
     ),
     "docs_winnowing": f"""
 WITH t AS (
-  SELECT doc_id, array_to_string({_DOC_TOKS}, ' ') AS txt FROM documents),
+  SELECT doc_id, coalesce(array_to_string({_DOC_TOKS}, ' '), '') AS txt
+  FROM documents),
 h AS (
   SELECT doc_id,
          [md5(substr(txt, i, 8)) FOR i IN range(1, length(txt) - 6)] AS hs
@@ -3398,7 +3412,7 @@ m AS (
               WHEN len(hs) > 0 THEN [list_min(hs)]
               ELSE hs END AS mins
   FROM h)
-SELECT doc_id, array_to_string(list_sort(list_distinct(mins)), ',') AS fp FROM m
+SELECT doc_id, coalesce(array_to_string(list_sort(list_distinct(mins)), ','), '') AS fp FROM m
 """,
     "media_feature_extract": """
 WITH h AS (
@@ -4336,7 +4350,11 @@ WHERE CAST(concat('0x', substring(md5(concat_ws('|', 'mix', doc_id::VARCHAR)), 1
 """
 
 
-_NORM_FP = "md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' '))"
+# coalesce: DuckDB array_to_string(empty list) is NULL while Spark
+# array_join(empty) is '' — an empty/whitespace doc must fingerprint as
+# md5('') on both engines, and a NULL inside a NOT IN poisons the whole
+# predicate (hostile-parity hardening, r7)
+_NORM_FP = "md5(coalesce(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' '), ''))"
 ORACLE["docs_incremental_dedup"] = f"""
 SELECT doc_id, source FROM documents
 WHERE doc_id >= 250
@@ -4981,10 +4999,10 @@ FROM s
 ORACLE["docs_crawl_diff"] = f"""
 WITH oldd AS (
   SELECT doc_id,
-         md5(array_to_string({_TOKS.format(col="CASE WHEN doc_id % 7 = 0 THEN 'legacy edition ' || text ELSE text END")}, ' ')) AS old_fingerprint
+         md5(coalesce(array_to_string({_TOKS.format(col="CASE WHEN doc_id % 7 = 0 THEN 'legacy edition ' || text ELSE text END")}, ' '), '')) AS old_fingerprint
   FROM documents WHERE doc_id % 10 <> 0),
 newd AS (
-  SELECT doc_id, md5(array_to_string({_DOC_TOKS}, ' ')) AS new_fingerprint
+  SELECT doc_id, md5(coalesce(array_to_string({_DOC_TOKS}, ' '), '')) AS new_fingerprint
   FROM documents WHERE doc_id % 13 <> 0)
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        old_fingerprint, new_fingerprint,
@@ -5280,8 +5298,11 @@ def events_value_zscore(spark, sf_dir):
     """Trailing-window anomaly scores: each event's value z-scored against
     the preceding 20 same-type events (timeseries.rolling_zscore — one
     key-partitioned ordered window, bounded row frame, no whole-group
-    buffering)."""
-    ev = _events(spark, sf_dir)
+    buffering). NULL ts rows are excluded on BOTH engines: they cannot
+    participate in a time ordering, and Spark sorts NULLS FIRST while
+    DuckDB sorts NULLS LAST, silently shifting every trailing frame
+    (hostile-parity hardening, r7)."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     scored = ts_ops.rolling_zscore(
         ev.select("event_id", "event_type", "ts", "value"),
         ["event_type"], "ts", "value", n=20, threshold=3.0,
@@ -5304,6 +5325,7 @@ WITH w AS (
          stddev_samp(value) OVER fr AS sd,
          count(value) OVER fr AS c
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
 SELECT event_id, event_type,
@@ -7365,11 +7387,14 @@ WITH u AS (
   FROM documents WHERE n_chars > 0),
 p AS (SELECT *, CAST(n_chars AS DOUBLE) / uu AS prio FROM u),
 r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY prio DESC, doc_id) AS rk FROM p),
-t AS (SELECT lang, max(CASE WHEN rk = 11 THEN prio END) AS tau FROM r GROUP BY lang)
-SELECT r.lang, r.doc_id, r.n_chars,
-       floor(r.prio * 10000 + 0.5) / 10000 AS priority,
-       floor(greatest(CAST(r.n_chars AS DOUBLE), coalesce(t.tau, 0.0)) * 10000 + 0.5) / 10000 AS est_weight
-FROM r JOIN t USING (lang) WHERE r.rk <= 10
+-- tau via a window, NOT a JOIN USING (lang): an equi-join drops the
+-- NULL-lang stratum that Spark's PARTITION BY keeps (r7 hardening)
+w AS (SELECT *, max(CASE WHEN rk = 11 THEN prio END)
+               OVER (PARTITION BY lang) AS tau FROM r)
+SELECT lang, doc_id, n_chars,
+       floor(prio * 10000 + 0.5) / 10000 AS priority,
+       floor(greatest(CAST(n_chars AS DOUBLE), coalesce(tau, 0.0)) * 10000 + 0.5) / 10000 AS est_weight
+FROM w WHERE rk <= 10
 """
 
 
@@ -7422,8 +7447,13 @@ def events_value_ewma(spark, sf_dir):
     Arrow-batched applyInPandas pass per user series
     (``timeseries.ewma``). The oracle replays the recurrence with a
     recursive CTE; both sides evaluate literally α·v + (1−α)·e with
-    computed 1−α, so the doubles agree bit-for-bit."""
-    ev = _events(spark, sf_dir)
+    computed 1−α, so the doubles agree bit-for-bit. NULL ts / NULL
+    user_id rows are excluded on BOTH engines: a keyed time recurrence
+    needs both, and the oracle's recursive equi-join drops NULL keys
+    that Spark's shuffle groups together while NULL ts order differs
+    across engines (hostile-parity hardening, r7)."""
+    ev = _events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     out = ts_ops.ewma(
         ev.select("event_id", "user_id", "ts", "value"),
         ["user_id"], "ts", "value", alpha=0.3,
@@ -7440,7 +7470,8 @@ ORACLE["events_value_ewma"] = """
 WITH RECURSIVE o AS (
   SELECT event_id, user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE value IS NOT NULL),
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
 walk(user_id, rn, event_id, e) AS (
   SELECT user_id, rn, event_id, CAST(value AS DOUBLE) FROM o WHERE rn = 1
   UNION ALL
@@ -7453,7 +7484,8 @@ UNION ALL
 -- ewma for them; mirror by excluding them from the recursive walk above
 -- and appending them here
 SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS ewma
-FROM events WHERE value IS NULL
+FROM events
+WHERE value IS NULL AND ts IS NOT NULL AND user_id IS NOT NULL
 """
 
 
@@ -7695,9 +7727,12 @@ def docs_xml_roundtrip(spark, sf_dir):
     from impc_etl_spark.sources.readers import read_xml_entities
 
     docs = _t(spark, sf_dir, "documents")
+    # NULL-robust serialization: a NULL lang becomes an empty element
+    # (which the XML reader parses back to NULL), never a NULL fragment
+    # that would poison the whole concat (hostile-parity hardening, r7)
     frag = docs.select(F.concat(
         F.lit("<centre><doc_id>"), F.col("doc_id").cast("string"),
-        F.lit("</doc_id><lang>"), F.col("lang"),
+        F.lit("</doc_id><lang>"), F.coalesce(F.col("lang"), F.lit("")),
         F.lit("</lang><metric>"), F.length("text").cast("string"),
         F.lit("</metric><metric>"),
         F.pmod(F.length("text"), F.lit(7)).cast("string"),
@@ -7706,7 +7741,7 @@ def docs_xml_roundtrip(spark, sf_dir):
     def to_doc(batches):
         parts = []
         for pdf in batches:
-            parts.extend(pdf["x"].tolist())
+            parts.extend(p for p in pdf["x"].tolist() if p is not None)
         yield pd_.DataFrame(
             {"value": ["<centres>" + "".join(parts) + "</centres>"]})
 
@@ -7752,9 +7787,14 @@ def docs_tsv_roundtrip(spark, sf_dir):
     from impc_etl_spark.sources.readers import read_tsv
 
     docs = _t(spark, sf_dir, "documents")
+    # concat, not concat_ws: concat_ws SKIPS null fields, silently
+    # shifting the column layout of any NULL-lang row so DROPMALFORMED
+    # eats it — a NULL must serialize as an EMPTY field (reads back as
+    # NULL under the CSV reader's default nullValue) (r7 hardening)
     rows = docs.select(
-        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("lang"),
-                    F.length("text").cast("string")).alias("value"))
+        F.concat(F.col("doc_id").cast("string"), F.lit("\t"),
+                 F.coalesce(F.col("lang"), F.lit("")), F.lit("\t"),
+                 F.length("text").cast("string")).alias("value"))
     hdr = spark.range(1).select(
         F.lit("doc_id\tlang\tn_chars").alias("value"))
     bad = spark.range(1).select(
@@ -8099,7 +8139,7 @@ k AS (
             AND NOT contains(lower(trim(x)), 'privacy policy')) AS kept
   FROM pg)
 SELECT doc_id,
-       array_to_string(kept, chr(10)) AS clean_text,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
        CAST(len(kept) AS INT) AS n_lines_kept,
        CAST(len(page_lines) AS INT) AS n_lines_total,
        CAST(len(kept) >= 3 AS INT) AS doc_kept
@@ -8178,13 +8218,13 @@ sc AS (
   FROM b),
 k AS (
   SELECT doc_id, text,
-         array_to_string(
+         coalesce(array_to_string(
            list_transform(
              list_filter(scored, sct ->
                length(sct.txt) >= 30
                AND sct.span::DOUBLE / greatest(length(sct.txt), 1) <= 0.3),
              sct -> sct.txt),
-           chr(10)) AS main_text
+           chr(10)), '') AS main_text
   FROM sc)
 SELECT doc_id, main_text,
        CAST(main_text = text AS INT) AS exact_recovery
@@ -8290,7 +8330,10 @@ def media_binaryfile_ingest(spark, sf_dir):
     in. Filenames carry the id; the query parses it back, checks length
     and md5 of the bytes against the table. Both stages are narrow; the
     binaryFile scan distributes one file per task slot at scale. Oracle:
-    doc_id, byte length = length(text) (ASCII corpus), md5(text).
+    doc_id, byte length = length(text) (ASCII corpus), md5(text), for
+    non-empty payloads — Spark's binaryFile source silently SKIPS
+    zero-byte files (verified empirically), so the oracle excludes them
+    too; an ingest that must keep empties needs a manifest join.
 
     The staging directory MUST be visible to every executor AND the
     driver: on a real cluster set ``SPARK_GRAFT_SHARED_TMP`` to a shared
@@ -8334,7 +8377,7 @@ QUERIES["media_binaryfile_ingest"] = media_binaryfile_ingest
 ORACLE["media_binaryfile_ingest"] = """
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5
-FROM documents
+FROM documents WHERE length(text) > 0
 """
 
 
@@ -8419,10 +8462,15 @@ def events_funnel(spark, sf_dir):
     predicate references the previous stage's anchor), then the
     per-user dedup reuses the same partitioning. At 100 TB this is one
     key shuffle; no self-joins. The oracle computes the same anchors
-    with chained filtered aggregates (semantically identical form)."""
+    with chained filtered aggregates (semantically identical form).
+    NULL user_id rows are excluded on BOTH engines: a per-user funnel
+    needs a user key, and the oracle's equi-joins would silently drop
+    NULL users that Spark's window groups together (hostile-parity
+    hardening, r7)."""
     from pyspark.sql import Window
 
-    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    ev = _events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     w = Window.partitionBy("user_id")
     s1 = ev.withColumn(
         "t1",
@@ -8472,7 +8520,8 @@ ORACLE["events_funnel"] = """
 WITH g1 AS (
   SELECT user_id,
          min(CASE WHEN event_type = 'view' THEN ts END) AS t1
-  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id),
 g2 AS (
   SELECT e.user_id, min(e.ts) AS t2
   FROM events e JOIN g1 USING (user_id)
@@ -8785,10 +8834,13 @@ def events_holt_linear(spark, sf_dir):
     Arrow per-key recurrence (timeseries.holt_linear); the oracle
     replays both recurrences as a recursive CTE in the identical double
     operation order, NULL rows skipped with state carried (the EWMA
-    contract)."""
+    contract). NULL ts / NULL user_id rows are excluded on BOTH engines
+    (same rationale as events_value_ewma; hostile-parity hardening,
+    r7)."""
     from impc_etl_spark.operators.timeseries import holt_linear
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     out = holt_linear(
         ev.select("event_id", "user_id", "ts", "value"),
         ["user_id"], "ts", "value", alpha=0.3, beta=0.2,
@@ -8809,7 +8861,8 @@ ORACLE["events_holt_linear"] = """
 WITH RECURSIVE o AS (
   SELECT event_id, user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE value IS NOT NULL),
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
 walk(user_id, rn, event_id, l, b) AS (
   SELECT user_id, rn, event_id, CAST(value AS DOUBLE), CAST(0.0 AS DOUBLE)
   FROM o WHERE rn = 1
@@ -8827,7 +8880,8 @@ FROM walk
 UNION ALL
 SELECT event_id, user_id, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE)
-FROM events WHERE value IS NULL
+FROM events
+WHERE value IS NULL AND ts IS NOT NULL AND user_id IS NOT NULL
 """
 
 
@@ -9952,6 +10006,12 @@ def docs_corrupt_json_ingest(spark, sf_dir):
     import pandas as pd_
 
     docs = _t(spark, sf_dir, "documents")
+    # NULL lang serializes as JSON null — a NULL inside concat would
+    # NULL the whole line and the text writer would drop the row
+    # (r7 hostile hardening)
+    lang_json = F.when(
+        F.col("lang").isNull(), F.lit("null")
+    ).otherwise(F.concat(F.lit('"'), F.col("lang"), F.lit('"')))
     line = F.when(
         F.col("doc_id") % 7 == 0,
         # truncated record: unparseable, lands in the corrupt column
@@ -9960,7 +10020,7 @@ def docs_corrupt_json_ingest(spark, sf_dir):
     ).otherwise(
         F.concat(
             F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
-            F.lit(', "lang": "'), F.col("lang"), F.lit('"}'),
+            F.lit(', "lang": '), lang_json, F.lit("}"),
         )
     )
     path = tempfile.mkdtemp(prefix="corrupt_json_") + "/lines"
@@ -10723,8 +10783,9 @@ def user_session_conversion(spark, sf_dir):
     expressed as ONE conditional aggregate per session
     (min(ts | view) < max(ts | purchase) — no second pass). One
     session_window aggregation; the oracle replays the gaps-and-islands
-    sessionization plus the same conditional bounds."""
-    ev = _events(spark, sf_dir)
+    sessionization plus the same conditional bounds. NULL ts rows are
+    excluded explicitly on both engines (r7 hardening)."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
     converted = (
         F.min(F.when(F.col("event_type") == "view", F.col("ts")))
         < F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
@@ -10751,7 +10812,7 @@ WITH o AS (
                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                       >= INTERVAL '10 minutes'
               THEN 1 ELSE 0 END AS brk
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 s AS (
   SELECT user_id, ts, event_type,
          sum(brk) OVER (PARTITION BY user_id ORDER BY ts
@@ -10783,9 +10844,12 @@ def docs_csv_roundtrip(spark, sf_dir):
     from impc_etl_spark.sources.readers import read_csv
 
     docs = _t(spark, sf_dir, "documents")
+    # concat, not concat_ws: a NULL lang must serialize as an EMPTY
+    # field, not silently shift the column layout (see docs_tsv_roundtrip)
     rows = docs.select(
-        F.concat_ws(",", F.col("doc_id").cast("string"), F.col("lang"),
-                    F.length("text").cast("string")).alias("value"))
+        F.concat(F.col("doc_id").cast("string"), F.lit(","),
+                 F.coalesce(F.col("lang"), F.lit("")), F.lit(","),
+                 F.length("text").cast("string")).alias("value"))
     hdr = spark.range(1).select(
         F.lit("doc_id,lang,n_chars").alias("value"))
     bad = spark.range(1).select(
@@ -10875,8 +10939,11 @@ def docs_single_text_roundtrip(spark, sf_dir):
     from impc_etl_spark.sources.sinks import write_single_text
 
     docs = _t(spark, sf_dir, "documents")
+    # coalesce: a NULL lang yields ':md5' — the text sink cannot write a
+    # NULL line, and the oracle replays the same coalesce (r7 hardening)
     lines = docs.select(
-        F.concat(F.col("lang"), F.lit(":"), F.md5(F.col("text"))).alias("line"))
+        F.concat(F.coalesce(F.col("lang"), F.lit("")), F.lit(":"),
+                 F.md5(F.col("text"))).alias("line"))
     path = tempfile.mkdtemp(prefix="single_text_") + "/blob"
     write_single_text(lines, path, "line")
     back = spark.read.text(path).withColumn("__file", F.input_file_name())
@@ -10896,9 +10963,9 @@ ORACLE["docs_single_text_roundtrip"] = """
 SELECT CAST(1 AS BIGINT) AS n_files,
        CAST(1 AS BIGINT) AS expected_n_files,
        count(*) AS n_lines,
-       count(DISTINCT lang) AS n_langs,
-       min(lang || ':' || md5(text)) AS first_line,
-       max(lang || ':' || md5(text)) AS last_line
+       count(DISTINCT coalesce(lang, '')) AS n_langs,
+       min(coalesce(lang, '') || ':' || md5(text)) AS first_line,
+       max(coalesce(lang, '') || ':' || md5(text)) AS last_line
 FROM documents
 """
 
