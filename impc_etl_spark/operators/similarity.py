@@ -12,6 +12,16 @@ The embeddings table is (vec_id, embedding array<float>, label). Two paths:
 
 Hyperplanes are generated from a seeded PRNG on the driver and inlined as
 literal arrays (a few KB) — broadcast-free determinism.
+
+Input contract: operators here assume non-NULL, finite vectors of one
+uniform dimensionality (zero-norm vectors make cosine undefined —
+IEEE division yields inf/NaN, and engines disagree on downstream
+rounding). Enforce upstream with the conformance ops (P1/P2:
+``clean.drop_null_rows`` + a ``size(embedding) = D`` /
+``exists(embedding, isnan)`` filter); ``fit_pca`` filters hostile
+vectors in-plan and ``infer_dim`` raises a clear error on empty/NULL
+input (r5 ADVICE) — the search operators themselves do not re-validate
+per row, which would double the scan cost of every query.
 """
 
 from __future__ import annotations
