@@ -47,14 +47,23 @@ def main() -> int:
             cwd=REPO, check=True,
         )
 
-    prev = _bench(prev_tree)
-    cur = _bench(REPO)
+    # two alternating rounds, min per tree: the first subprocess after a
+    # busy session pays a cold-cache penalty that would masquerade as a
+    # cross-round regression (observed: 22.1 s first run vs 14.7 s second
+    # for an identical tree)
+    prev_secs, cur_secs = [], []
+    for _ in range(2):
+        prev_secs.append(_bench(prev_tree)["value"])
+        cur_secs.append(_bench(REPO)["value"])
+    cur = _bench(REPO)  # keep one full record for sf metadata
+    cur_secs.append(cur["value"])
     pair = {
-        "same_machine_prev_tree_sec": prev["value"],
-        "same_machine_this_tree_sec": cur["value"],
+        "same_machine_prev_tree_sec": min(prev_secs),
+        "same_machine_this_tree_sec": min(cur_secs),
         "prev_tree_commit": prev_commit,
         "sf": cur.get("sf"),
         "label": label,
+        "estimator": "min of 2+ alternating runs per tree",
     }
     with open(os.path.join(REPO, "BENCH_PAIR.json"), "w") as fh:
         json.dump(pair, fh, indent=2)
