@@ -8,7 +8,8 @@ exactly this in events_psi_drift: Spark's sum(bool.cast) drops NULL-ts
 rows, the oracle's CASE WHEN counted them). This sweep re-runs EVERY
 registered query+oracle pair on a PERTURBED copy of sf0.001:
 
-- events: 3% NULL ts, 3% NULL value, 2% NULL user_id (disjoint rows)
+- events: 3% NULL ts, 3% NULL value, 2% NULL user_id, 2% malformed
+  props JSON + 1% NULL props (disjoint rows)
 - documents: 3% NULL lang, 1% empty text, 1% whitespace-only text
 - orders: 2% NULL o_orderpriority
 - lineitem: 2% NULL l_returnflag
@@ -55,7 +56,9 @@ def build_hostile(src: str, dst: str) -> None:
                    event_type,
                    CASE WHEN event_id % 100 BETWEEN 3 AND 5
                         THEN NULL ELSE value END AS value,
-                   props""",
+                   CASE WHEN event_id % 100 BETWEEN 8 AND 9 THEN '{bad json'
+                        WHEN event_id % 100 = 10 THEN NULL
+                        ELSE props END AS props""",
         "documents": """
             SELECT doc_id,
                    CASE WHEN doc_id % 100 = 3 THEN ''

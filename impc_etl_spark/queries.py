@@ -494,7 +494,10 @@ def user_sessions(spark, sf_dir):
 
 
 def events_json_extract(spark, sf_dir):
-    """§2.8 JSON surface: get_json_object over the props column."""
+    """§2.8 JSON surface: get_json_object over the props column.
+    Malformed/NULL props parse to NULL (Spark's permissive contract);
+    the oracle replays it with a json_valid guard — DuckDB's extractor
+    THROWS on bad JSON (r7 hostile hardening)."""
     ev = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return (
@@ -1094,7 +1097,9 @@ def segment_status_rollup(spark, sf_dir):
 def statpacket_restructure(spark, sf_dir):
     """S6 statpacket-style ingest: schema-driven from_json over a raw JSON
     string column, restructured through a named struct and re-flattened
-    (replaces the reference's RDD+json.loads restructuring loop)."""
+    (replaces the reference's RDD+json.loads restructuring loop).
+    Malformed props parse to NULL fields (from_json PERMISSIVE); the
+    oracle replays it with a json_valid guard (r7 hostile hardening)."""
     ev = _t(spark, sf_dir, "events")
     parsed = ev.withColumn("p", F.from_json(F.col("props"), "k int"))
     packet = parsed.select(
@@ -2976,7 +2981,8 @@ SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, count(*) AS n_ev
 FROM s GROUP BY user_id, sid
 """,
     "events_json_extract": """
-SELECT json_extract_string(props, '$.k')::INT AS k,
+SELECT CASE WHEN json_valid(props)
+            THEN json_extract_string(props, '$.k')::INT END AS k,
        count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
 FROM events GROUP BY 1
 """,
@@ -3130,7 +3136,8 @@ GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
 """,
     "statpacket_restructure": """
 SELECT event_id,
-       json_extract_string(props, '$.k')::INT AS param_id,
+       CASE WHEN json_valid(props)
+            THEN json_extract_string(props, '$.k')::INT END AS param_id,
        event_type AS kind,
        floor((value) * 10000 + 0.5) / 10000 AS value
 FROM events

@@ -11,6 +11,7 @@ divergence classes:
 - oracle equi-joins / recursive CTEs drop NULL keys that Spark's
   PARTITION BY groups together
 - DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+- DuckDB json_extract throws on malformed JSON, Spark parses to NULL
 
 The comparison path is the driver-faithful one (both sides through
 pandas — see tests/test_oracle_parity.py).
@@ -45,6 +46,9 @@ SENSITIVE = [
     "docs_hybrid_rrf_search", "docs_provenance_stamp",
     "docs_schema_evolution_roundtrip", "null_tolerant_join",
     "customer_order_gaps",
+    # malformed-JSON props: Spark parses to NULL, DuckDB's extractor
+    # throws — oracles carry a json_valid guard
+    "events_json_extract", "statpacket_restructure",
 ]
 
 
