@@ -58,8 +58,15 @@ def read_event_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(source_dir)
     if dict(raw.dtypes).get("ts") == "bigint":
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        out = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # NULL event times are dropped at the source boundary: every job
+    # downstream watermarks on ts (a NULL event-time row is meaningless
+    # to windowed/stateful processing), and the batch twins apply the
+    # same guard — stream ≡ batch parity holds on hostile input too
+    # (r7 hardening).
+    return out.where(F.col("ts").isNotNull())
 
 
 def windowed_counts(

@@ -1232,3 +1232,49 @@ def test_psi_report_over_maintained_store_matches_batch(spark, tmp_path):
     want = math.floor(want * 1e6 + 0.5) / 1e6
     assert got["m"] == want
     assert got["m"] > 0.2  # the planted shift is flagged as drift
+
+
+def test_stream_matches_batch_on_hostile_events(spark, tmp_path):
+    """Stream ≡ batch parity must hold on HOSTILE input too: NULL ts rows
+    are dropped at the stream source boundary (read_event_stream) exactly
+    as the batch twins' explicit guard drops them (r7 hardening) — a
+    windowed aggregation over events with planted NULL ts / NULL value
+    agrees between the drained stream and the guarded batch plan."""
+    import shutil as sh
+
+    from examples.hostile_parity import build_hostile
+    from impc_etl_spark.streaming.jobs import (
+        read_event_stream, run_available_now, windowed_counts,
+    )
+
+    hostile = tmp_path / "hostile"
+    build_hostile(SF_SMOKE, str(hostile))
+    src = tmp_path / "events_src"
+    src.mkdir()
+    sh.copy(hostile / "events.parquet", src / "part-0.parquet")
+
+    stream = windowed_counts(read_event_stream(spark, str(src)))
+    run_available_now(stream, "wc_hostile", str(tmp_path / "ckpt"))
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"],
+                                               round(r["sum_value"] or 0.0, 6))
+        for r in spark.table("wc_hostile").collect()
+    }
+
+    from impc_etl_spark.queries import _events
+
+    batch = (
+        _events(spark, str(hostile))
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"],
+                                               round(r["sum_value"] or 0.0, 6))
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
