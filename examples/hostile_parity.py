@@ -38,7 +38,6 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-WORK = "/tmp/hostile_sf0.001"
 
 
 def build_hostile(src: str, dst: str) -> None:
@@ -90,20 +89,21 @@ def build_hostile(src: str, dst: str) -> None:
 def main() -> int:
     sel = sys.argv[1] if len(sys.argv) > 1 else "all"
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    work = "/tmp/hostile_" + os.path.basename(src.rstrip("/"))
 
     from impc_etl_spark.session import get_spark
     from impc_etl_spark import queries as q
     from examples.driver_mimic import _canon, _pandas_rows
 
     spark = get_spark()
-    if not os.path.exists(f"{WORK}/events.parquet"):
-        build_hostile(src, WORK)
-        print(json.dumps({"built": WORK}), flush=True)
+    if not os.path.exists(f"{work}/events.parquet"):
+        build_hostile(src, work)
+        print(json.dumps({"built": work}), flush=True)
 
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{WORK}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{work}/{t}.parquet')"
         )
 
     if sel == "all":
@@ -116,7 +116,7 @@ def main() -> int:
     results = {}
     for name in names:
         try:
-            sdf = q.QUERIES[name](spark, WORK)
+            sdf = q.QUERIES[name](spark, work)
             # toPandas on BOTH sides, like the driver (see driver_mimic)
             spdf = sdf.toPandas()
             spark_rows = _pandas_rows(spdf)
