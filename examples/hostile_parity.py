@@ -13,6 +13,8 @@ registered query+oracle pair on a PERTURBED copy of sf0.001:
 - documents: 3% NULL lang, 1% empty text, 1% whitespace-only text
 - orders: 2% NULL o_orderpriority
 - lineitem: 2% NULL l_returnflag
+- customer: 2% NULL c_name, 2% NULL c_mktsegment (disjoint)
+- part: 2% NULL p_type
 
 Primary keys and join keys stay intact (NULL PKs are not a contract any
 pipeline accepts). A pair that disagrees here has a LATENT divergence
@@ -70,6 +72,18 @@ def build_hostile(src: str, dst: str) -> None:
                    o_orderdate,
                    CASE WHEN o_orderkey % 100 < 2
                         THEN NULL ELSE o_orderpriority END AS o_orderpriority""",
+        "customer": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 100 < 2 THEN NULL ELSE c_name END
+                     AS c_name,
+                   c_nationkey, c_acctbal,
+                   CASE WHEN c_custkey % 100 BETWEEN 2 AND 3
+                        THEN NULL ELSE c_mktsegment END AS c_mktsegment""",
+        "part": """
+            SELECT p_partkey, p_name, p_brand,
+                   CASE WHEN p_partkey % 100 < 2 THEN NULL ELSE p_type END
+                     AS p_type,
+                   p_size, p_retailprice""",
         "lineitem": """
             SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
                    l_quantity, l_extendedprice, l_discount, l_tax,

@@ -2861,7 +2861,13 @@ SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
 """,
     "priority_customer_lookup": """
-SELECT o.o_orderkey, coalesce(c1.c_name, c2.c_name) AS c_name
+SELECT o.o_orderkey,
+       -- match-level priority, NOT per-column coalesce: a matched row
+       -- whose c_name is NULL must supply that NULL, never fall through
+       -- to the lower-priority key (the operator's struct-coalesce
+       -- contract; caught by the r7 hostile sweep)
+       CASE WHEN c1.c_custkey IS NOT NULL THEN c1.c_name
+            ELSE c2.c_name END AS c_name
 FROM orders o
 LEFT JOIN customer c1 ON c1.c_custkey = o.o_custkey * 2
 LEFT JOIN customer c2 ON c2.c_custkey = o.o_custkey
@@ -3002,9 +3008,11 @@ FROM orders GROUP BY 1
     "clerk_string_surface": """
 SELECT p_partkey,
        regexp_replace(p_name, '^forest ', '') AS name_stripped,
-       coalesce(regexp_extract(p_type, '^(\\S+) (\\S+)', 2), '') AS type_mid,
+       CASE WHEN p_type IS NULL THEN NULL
+            ELSE coalesce(regexp_extract(p_type, '^(\\S+) (\\S+)', 2), '')
+       END AS type_mid,
        coalesce(regexp_extract('/data/parts/' || p_name, '([^/]+)$', 1), '') AS base,
-       lower(substr(p_name, 1, 5)) || '::' || p_type AS composed
+       concat_ws('::', lower(substr(p_name, 1, 5)), p_type) AS composed
 FROM part
 """,
     "order_mean_of_increments": """

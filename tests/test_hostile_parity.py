@@ -49,6 +49,10 @@ SENSITIVE = [
     # malformed-JSON props: Spark parses to NULL, DuckDB's extractor
     # throws — oracles carry a json_valid guard
     "events_json_extract", "statpacket_restructure",
+    # NULL dimension strings: match-level join priority (a matched row's
+    # NULL value must not fall through), NULL-in vs no-match regex
+    # extraction, concat_ws NULL-skip
+    "priority_customer_lookup", "clerk_string_surface",
 ]
 
 
