@@ -29,12 +29,31 @@ def read_csv(
     sep: str = ",",
     mode: str = "DROPMALFORMED",
 ) -> DataFrame:
+    """CSV ingest (S4). Under DROPMALFORMED the scan is pinned to
+    FULL-ROW parsing: Spark's CSV column pruning makes malformed-row
+    detection depend on the columns a query happens to project — a bare
+    ``count()`` parses no columns, detects nothing, and silently counts
+    the malformed rows the same read drops when all columns are selected
+    (observed: 50,001 vs 50,000 on one planted bad line). DROPMALFORMED
+    semantically means "the ROW failed to parse", so every field must be
+    parsed regardless of projection; the always-true filter below
+    references every schema column to block the pruner. Cost: no column
+    pruning on DROPMALFORMED scans — which full-row validation requires
+    anyway; use PERMISSIVE + a dead-letter column when projection
+    pruning matters more than eager validation."""
     reader = spark.read.option("header", header).option("sep", sep).option("mode", mode)
     if schema is not None:
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", True)
-    return reader.csv(path)
+    out = reader.csv(path)
+    if mode.upper() == "DROPMALFORMED" and schema is not None:
+        touch_all = F.coalesce(
+            F.concat_ws("", *[F.col(f.name).cast("string") for f in schema.fields]),
+            F.lit(""),
+        )
+        out = out.where(F.length(touch_all) >= 0)
+    return out
 
 
 def read_tsv(

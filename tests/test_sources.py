@@ -854,3 +854,25 @@ def test_tar_midwalk_truncation_contributes_no_rows(spark):
     rows = tar_entries_df(df).collect()
     assert {r["media_id"] for r in rows} == {2}
     assert sorted(r["member_name"] for r in rows) == ["a.txt", "b.txt"]
+
+
+def test_dropmalformed_count_matches_projection(spark, tmp_path):
+    """DROPMALFORMED must drop the same rows whatever a query projects:
+    Spark's CSV column pruning makes malformed detection depend on the
+    projected columns, so a bare count() would silently include rows a
+    full select drops — read_csv pins full-row parsing (r7)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from impc_etl_spark.sources.readers import read_csv
+
+    p = tmp_path / "rows.csv"
+    p.write_text("id,name,n\n1,a,10\nnot-a-long,b,20\n3,c,30\n")
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("n", LongType()),
+    ])
+    df = read_csv(spark, str(p), schema=schema)
+    assert df.count() == 2                      # count-only plan
+    assert len(df.collect()) == 2               # full projection
+    assert df.select("name").count() == 2       # partial projection
