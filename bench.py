@@ -114,11 +114,43 @@ def main() -> int:
     # back-to-back with this tree on the same idle machine. That pair is
     # recorded in BENCH_PAIR.json by examples/bench_pair.py at round end
     # and embedded here so the delta is machine-readable in BENCH_r{N}.
+    # A pair recorded against an older tree (earlier round, other machine)
+    # must not be stamped into later rounds' artifacts. The pair carries
+    # the commit it was benched at; committing BENCH_PAIR.json itself moves
+    # HEAD, so the staleness test is "did any benchmark-relevant source
+    # (impc_etl_spark/, bench.py) change between the stamp and HEAD", not
+    # exact commit equality. Unknown/missing stamp → skip.
     pair_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_PAIR.json")
     if os.path.exists(pair_path):
         with open(pair_path) as fh:
-            out["same_machine_pair"] = json.load(fh)
+            pair = json.load(fh)
+        stamp = pair.get("this_tree_commit", "")
+        changed: list[str] | None = None
+        if stamp:
+            try:
+                import subprocess
+
+                proc = subprocess.run(
+                    ["git", "diff", "--name-only", f"{stamp}..HEAD"],
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    capture_output=True, text=True, timeout=30,
+                )
+                if proc.returncode == 0:
+                    changed = [
+                        p for p in proc.stdout.splitlines()
+                        if p == "bench.py" or p.startswith("impc_etl_spark/")
+                    ]
+            except Exception:
+                changed = None
+        if changed == []:
+            out["same_machine_pair"] = pair
+        else:
+            out["same_machine_pair_skipped"] = (
+                f"BENCH_PAIR.json stamped at {stamp or 'unknown'!r}; "
+                "benchmark-relevant source changed since (or stamp "
+                "unresolvable) — stale pair not embedded"
+            )
     print(json.dumps(out))
     return 0
 

@@ -100,10 +100,27 @@ def build_hostile(src: str, dst: str) -> None:
         )
 
 
+def _mutate_fingerprint() -> str:
+    """Hash of build_hostile's source so the work dir is keyed to the
+    CURRENT mutate rules — editing them invalidates the cached copy
+    instead of silently sweeping stale perturbations (r7 ADVICE)."""
+    import hashlib
+    import inspect
+
+    return hashlib.sha256(
+        inspect.getsource(build_hostile).encode()
+    ).hexdigest()[:12]
+
+
 def main() -> int:
     sel = sys.argv[1] if len(sys.argv) > 1 else "all"
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
-    work = "/tmp/hostile_" + os.path.basename(src.rstrip("/"))
+    work = (
+        "/tmp/hostile_"
+        + os.path.basename(src.rstrip("/"))
+        + "_"
+        + _mutate_fingerprint()
+    )
 
     from impc_etl_spark.session import get_spark
     from impc_etl_spark import queries as q

@@ -7807,17 +7807,22 @@ def docs_tsv_roundtrip(spark, sf_dir):
     # eats it — a NULL must serialize as an EMPTY field (reads back as
     # NULL under the CSV reader's default nullValue) (r7 hardening)
     rows = docs.select(
+        F.lit(2).alias("ord"),
         F.concat(F.col("doc_id").cast("string"), F.lit("\t"),
                  F.coalesce(F.col("lang"), F.lit("")), F.lit("\t"),
                  F.length("text").cast("string")).alias("value"))
     hdr = spark.range(1).select(
-        F.lit("doc_id\tlang\tn_chars").alias("value"))
+        F.lit(0).alias("ord"), F.lit("doc_id\tlang\tn_chars").alias("value"))
     bad = spark.range(1).select(
-        F.lit("not-a-long\toops").alias("value"))
+        F.lit(1).alias("ord"), F.lit("not-a-long\toops").alias("value"))
     path = tempfile.mkdtemp(prefix="tsv_roundtrip_") + "/docs"
-    # single file: header line must precede data rows
-    hdr.unionAll(bad).unionAll(rows.coalesce(1)) \
-        .coalesce(1).write.mode("overwrite").format("text").save(path)
+    # single file with the header line FIRST — made explicit with a sort
+    # key inside the single partition; union order preserving child
+    # partition layout is a Spark implementation detail, not a contract
+    # (r7 ADVICE)
+    hdr.unionAll(bad).unionAll(rows) \
+        .coalesce(1).sortWithinPartitions("ord").select("value") \
+        .write.mode("overwrite").format("text").save(path)
     schema = StructType([
         StructField("doc_id", LongType()),
         StructField("lang", StringType()),
@@ -10862,17 +10867,22 @@ def docs_csv_roundtrip(spark, sf_dir):
     # concat, not concat_ws: a NULL lang must serialize as an EMPTY
     # field, not silently shift the column layout (see docs_tsv_roundtrip)
     rows = docs.select(
+        F.lit(2).alias("ord"),
         F.concat(F.col("doc_id").cast("string"), F.lit(","),
                  F.coalesce(F.col("lang"), F.lit("")), F.lit(","),
                  F.length("text").cast("string")).alias("value"))
     hdr = spark.range(1).select(
-        F.lit("doc_id,lang,n_chars").alias("value"))
+        F.lit(0).alias("ord"), F.lit("doc_id,lang,n_chars").alias("value"))
     bad = spark.range(1).select(
-        F.lit("not-a-long,oops").alias("value"))
+        F.lit(1).alias("ord"), F.lit("not-a-long,oops").alias("value"))
     path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/docs"
-    # single file: header line must precede data rows
-    hdr.unionAll(bad).unionAll(rows.coalesce(1)) \
-        .coalesce(1).write.mode("overwrite").format("text").save(path)
+    # single file with the header line FIRST — explicit sort key inside
+    # the single partition instead of relying on union preserving child
+    # partition order (a Spark implementation detail, not a contract —
+    # r7 ADVICE)
+    hdr.unionAll(bad).unionAll(rows) \
+        .coalesce(1).sortWithinPartitions("ord").select("value") \
+        .write.mode("overwrite").format("text").save(path)
     schema = StructType([
         StructField("doc_id", LongType()),
         StructField("lang", StringType()),

@@ -48,8 +48,16 @@ def read_csv(
         reader = reader.option("inferSchema", True)
     out = reader.csv(path)
     if mode.upper() == "DROPMALFORMED" and schema is not None:
+        # Backtick-escape each name: a bare F.col(name) (or out[name])
+        # parses dots/backticks in a column name as a nested-field path
+        # and fails analysis on schemas with such names.
+        def _esc(name: str) -> str:
+            return "`" + name.replace("`", "``") + "`"
+
         touch_all = F.coalesce(
-            F.concat_ws("", *[F.col(f.name).cast("string") for f in schema.fields]),
+            F.concat_ws(
+                "", *[F.col(_esc(f.name)).cast("string") for f in schema.fields]
+            ),
             F.lit(""),
         )
         out = out.where(F.length(touch_all) >= 0)
