@@ -408,6 +408,131 @@ def image_header_features(df: DataFrame, content_col: str = "content") -> DataFr
     return df.mapInPandas(compute, schema=HEADER_SCHEMA)
 
 
+CORRUPT_PROBE_SCHEMA = (
+    "media_id bigint, status string, width int, height int, n_bytes bigint"
+)
+
+
+def classify_media_or_deadletter(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Total (never-raising) per-payload decode triage — the dead-letter
+    boundary a 100 TB crawl ingest needs: every blob gets exactly one row
+    with a failure class instead of a task failure poisoning its whole
+    partition (reference posture: FAILFAST/DROPMALFORMED ingest,
+    jobs/extract/xml_extraction_helper.py:22-81, applied to binary media).
+
+    Classes (mutually exclusive, checked in order):
+      ``empty``          zero-byte payload
+      ``unknown_format`` no recognized image magic
+      ``header_bomb``    header parses but declares dimensions over
+                         MAX_DECODE_SAMPLES (attacker-controlled alloc)
+      ``corrupt_body``   magic + sane header, but full decode fails
+                         (truncation, bad CRC, mangled stream)
+      ``ok``             full decode succeeded (width/height filled)
+
+    Uses the pure-stdlib decode chain ONLY (no PIL dispatch): the class a
+    blob lands in must be identical on every worker of a heterogeneous
+    cluster, and PIL accepts some payloads the pure chain rejects. Narrow
+    Arrow-batched map; no shuffle."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            statuses, ws, hs, sizes = [], [], [], []
+            for p in pdf[content_col]:
+                raw = bytes(p) if p is not None else b""
+                w = h = None
+                try:
+                    if len(raw) == 0:
+                        status = "empty"
+                    else:
+                        probed = probe_image_header(raw)
+                        if probed is None:
+                            status = "unknown_format"
+                        elif (
+                            probed[1] <= 0
+                            or probed[2] <= 0
+                            or probed[1] * probed[2] > MAX_DECODE_SAMPLES
+                        ):
+                            status = "header_bomb"
+                        else:
+                            decoded = _decode_any_image(raw)
+                            if decoded is None:
+                                status = "corrupt_body"
+                            else:
+                                status = "ok"
+                                w, h = decoded[0], decoded[1]
+                except Exception:  # noqa: BLE001 — triage must be total
+                    status = "corrupt_body"
+                statuses.append(status)
+                ws.append(w)
+                hs.append(h)
+                sizes.append(len(raw))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "status": statuses,
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "n_bytes": sizes,
+            })
+
+    return df.mapInPandas(compute, schema=CORRUPT_PROBE_SCHEMA)
+
+
+def synth_corrupt_media_mix(
+    df: DataFrame,
+    content_col: str = "content",
+    width: int = 4,
+    height: int = 4,
+) -> DataFrame:
+    """Deterministic hostile-blob synthesis: each input payload becomes
+    FIVE media rows — one per triage class of
+    ``classify_media_or_deadletter`` — so a corrupt-ingest query has a
+    literal, oracle-replayable expected table:
+
+      variant 0  valid grayscale PNG (digest pixels)         → ok
+      variant 1  the same PNG truncated right after IHDR     → corrupt_body
+      variant 2  zero-byte blob                              → empty
+      variant 3  PNG whose IHDR declares 65535×65535         → header_bomb
+      variant 4  0x00 + md5 digest (matches no image magic)  → unknown_format
+
+    ``media_id`` = id*5 + variant. Narrow Arrow-batched map; the 5×
+    expansion happens inside the map (no join, no shuffle)."""
+    import struct
+    import zlib
+
+    def _chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 65535, 65535, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    n_px = width * height
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, p in zip(pdf["media_id"], pdf[content_col]):
+                digest = hashlib.md5(bytes(p)).digest()
+                pixels = (digest * (n_px // len(digest) + 1))[:n_px]
+                png = _png_gray(pixels, width, height)
+                variants = [png, png[:33], b"", bomb, b"\x00" + digest]
+                for v, blob in enumerate(variants):
+                    ids.append(int(mid) * 5 + v)
+                    blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.mapInPandas(compute, schema=PNG_SCHEMA)
+
+
 def wav_header_features(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Per-payload audio metadata (channels, sample rate, bit depth) via
     the real RIFF/WAVE chunk walker — same narrow-map shape."""

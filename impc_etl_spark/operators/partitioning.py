@@ -43,6 +43,51 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def shuffle_partitions_for(
+    df: DataFrame,
+    target_mb: int = 128,
+    expansion: float = 1.0,
+    min_partitions: int | None = None,
+    max_partitions: int = 200_000,
+) -> int:
+    """Derive a shuffle-partition count from the MEASURED input bytes —
+    the engine-computed replacement for hand-tuned constants (the
+    reference hard-codes ``repartition(10000)`` per job,
+    jobs/load/solr/stats_results_mapper.py:158).
+
+    Reads the plan's file listing (no job launched): partition count =
+    input bytes × ``expansion`` / ``target_mb``, floored at the session's
+    default parallelism (or ``min_partitions``). ``expansion`` scales for
+    operators whose shuffle is bigger than their input (an explode of
+    k-token windows multiplies bytes ~k×). For non-file-backed plans the
+    listing is empty and the floor is returned — AQE's
+    initialPartitionNum + advisory coalesce (session.py) covers those.
+
+    Sessions created by ``get_spark`` rarely need this: AQE starts wide
+    and coalesces from measured map output. Use it for explicit
+    ``repartition(n, cols)`` calls, which AQE must respect as-is.
+    """
+    sc = df.sparkSession.sparkContext
+    floor = min_partitions or sc.defaultParallelism
+    try:
+        # Catalyst's size estimate: file-listing-based for scans (works on
+        # any filesystem scheme), no job launched.
+        total = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        total = 0
+    if total > (1 << 50):
+        # non-file plans (LogicalRDD from createDataFrame, some RDD-backed
+        # scans) report spark.sql.defaultSizeInBytes = Long.MaxValue for
+        # "unknown" — deriving from that would build a max_partitions-wide
+        # shuffle on tiny data; treat anything over 1 PiB as unknown and
+        # fall back to the floor.
+        total = 0
+    derived = int(total * float(expansion) // (target_mb * 1024 * 1024)) + 1
+    return max(floor, min(derived, max_partitions))
+
+
 def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     """Cut the lineage and materialize ``df`` once so multiple consumers
     (or iteration rounds) don't re-execute its plan — the in-plan

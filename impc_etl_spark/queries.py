@@ -10995,6 +10995,121 @@ FROM documents
 """
 
 
+def media_corrupt_probe(spark, sf_dir):
+    """Hostile-binary ingest proven end-to-end under the driver oracle
+    (r7 verdict item 4): every document payload is synthesized into FIVE
+    blobs — valid PNG, IHDR-truncated PNG, zero-byte, 65535×65535
+    header-bomb PNG, and magic-free garbage — and
+    `classify_media_or_deadletter` must triage each into exactly one
+    dead-letter class WITHOUT raising (a task failure on one corrupt
+    blob would poison its whole partition at crawl scale). The result
+    aggregates per class; the oracle is the literal expected table (one
+    class per document, decoded dims only for the `ok` class).
+    Reference posture: FAILFAST/DROPMALFORMED ingest,
+    jobs/extract/xml_extraction_helper.py:22-81. Narrow Arrow maps + one
+    grid-sized (5-row) aggregate."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, classify_media_or_deadletter, synth_corrupt_media_mix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mix = synth_corrupt_media_mix(attach_binary(docs, "text", "doc_id"),
+                                  width=4, height=4)
+    triaged = classify_media_or_deadletter(mix)
+    return (
+        triaged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+            # media_id = doc_id*5 + variant → every class must cover every doc
+            F.count_distinct(F.floor(F.col("media_id") / 5)).alias("n_docs"),
+        )
+    )
+
+
+QUERIES["media_corrupt_probe"] = media_corrupt_probe
+
+ORACLE["media_corrupt_probe"] = """
+SELECT * FROM (
+  SELECT 'ok' AS status, count(*) AS n_blobs,
+         CAST(4 AS INT) AS max_width, CAST(4 AS INT) AS max_height,
+         count(*) AS n_docs
+  FROM documents
+  UNION ALL
+  SELECT 'corrupt_body', count(*), CAST(NULL AS INT), CAST(NULL AS INT),
+         count(*)
+  FROM documents
+  UNION ALL
+  SELECT 'empty', count(*), CAST(NULL AS INT), CAST(NULL AS INT), count(*)
+  FROM documents
+  UNION ALL
+  SELECT 'header_bomb', count(*), CAST(NULL AS INT), CAST(NULL AS INT),
+         count(*)
+  FROM documents
+  UNION ALL
+  SELECT 'unknown_format', count(*), CAST(NULL AS INT), CAST(NULL AS INT),
+         count(*)
+  FROM documents
+)
+"""
+
+
+def media_lossy_audio_deadletter(spark, sf_dir):
+    """Graceful degradation on lossy-audio SAMPLE decode pinned under the
+    driver oracle (r7 verdict item 5): MP3 Layer-III / AAC sample
+    reconstruction is an honest scope cut (multimodal/media.py:72 — a
+    synthesis filterbank is a codec library's job; frame walks already
+    give exact duration/bitrate, driver-green `media_mp3_scan` /
+    `media_adts_scan`). This query proves what a USER gets when the
+    sample-feature stage meets those payloads: every document becomes a
+    real PCM WAV (decodable), a real MP3 frame chain, and a real ADTS
+    chain — media_id = doc_id*3 + {0,1,2} — and `decode_audio_features`
+    must return one NULL-feature dead-letter row per compressed payload
+    (never a task failure) while the WAV rows decode. Oracle = the
+    literal expected table. Narrow Arrow maps + one 3-row aggregate."""
+    from impc_etl_spark.multimodal.media import (
+        attach_binary, decode_audio_features, synth_adts, synth_mp3, synth_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = attach_binary(docs, "text", "doc_id")
+    tagged = None
+    for i, synth in enumerate((synth_wav, synth_mp3, synth_adts)):
+        part = synth(base).select(
+            (F.col("media_id") * 3 + F.lit(i)).alias("media_id"), "content")
+        tagged = part if tagged is None else tagged.unionByName(part)
+    feats = decode_audio_features(tagged)
+    kind = F.element_at(
+        F.array(F.lit("wav"), F.lit("mp3"), F.lit("adts")),
+        (F.col("media_id") % 3 + 1).cast("int"),
+    )
+    return (
+        feats.groupBy(kind.alias("kind"))
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.count("sample_rate").alias("n_decoded"),
+            F.sum(F.col("sample_rate").isNull().cast("long"))
+             .alias("n_deadletter"),
+        )
+    )
+
+
+QUERIES["media_lossy_audio_deadletter"] = media_lossy_audio_deadletter
+
+ORACLE["media_lossy_audio_deadletter"] = """
+SELECT * FROM (
+  SELECT 'wav' AS kind, count(*) AS n_payloads, count(*) AS n_decoded,
+         CAST(0 AS BIGINT) AS n_deadletter
+  FROM documents
+  UNION ALL
+  SELECT 'mp3', count(*), CAST(0 AS BIGINT), count(*) FROM documents
+  UNION ALL
+  SELECT 'adts', count(*), CAST(0 AS BIGINT), count(*) FROM documents
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-7 window rotation (r6 verdict items 1/2/5/6): the driver checks the
 # first 50 registry entries. Slot 1 stays the flagship; slot 2 re-checks
@@ -11095,11 +11210,76 @@ _R7_WINDOW = [
 ]
 _set_window(_R7_WINDOW)
 
-# Round-8 window plan (for the next builder — do NOT apply this round; the
-# r7 driver must check _R7_WINDOW's first 50). After r7's driver run, 35
-# registered queries still lack a driver CORRECTNESS row — exactly the
-# names queued after the slot-50 boundary above. Flip by building
-# _R8_WINDOW = [observations_pipeline] + those 35 (+ any queries added in
-# r7/r8 itself), and _set_window it at module end. That EMPTIES the
-# never-checked backlog: every registered query will then hold executed
-# driver evidence.
+# ---------------------------------------------------------------------------
+# Round-8 window rotation (r7 verdict item 1): the FINAL evidence tranche.
+# Slot 1 keeps the flagship; slots 2-36 are the complete never-driver-
+# checked backlog (the 35 names queued after r7's slot-50 boundary) — after
+# this round EVERY registered query holds executed driver evidence; slots
+# 37-38 are this round's new hostile-media queries (r7 verdict items 4/5);
+# slots 39-50 are high-value re-checks: the r7-fixed oracles
+# (priority_customer_lookup), the header-ordering-fixed roundtrips
+# (csv/tsv/sized-json), and the heavy dedup paths whose shuffle sizing
+# changed this round (derived AQE advisory, session.py).
+_R8_WINDOW = [
+    "observations_pipeline",
+    # never-driver-checked backlog, final tranche (35 names)
+    "customer_graph_bfs",
+    "events_holt_linear",
+    "lineitem_fk_integrity",
+    "lineitem_price_regression",
+    "media_color_histogram",
+    "docs_gopher_rules",
+    "region_revenue_sql",
+    "docs_curriculum_order",
+    "part_association_rules",
+    "customer_retention_cohorts",
+    "customer_rfm_segments",
+    "orders_exact_percentiles",
+    "docs_luhn_card_scrub",
+    "docs_inverted_index",
+    "docs_schema_evolution_roundtrip",
+    "docs_provenance_stamp",
+    "events_psi_drift",
+    "docs_lsh_recall",
+    "media_png_interlaced",
+    "events_trending_topk",
+    "docs_corrupt_json_ingest",
+    "media_float_wav_audio",
+    "docs_k_anonymity",
+    "media_apng_probe",
+    "events_markov_transitions",
+    "emb_mmr_diversified",
+    "orders_benford_check",
+    "events_dau_mau_stickiness",
+    "docs_contamination_score",
+    "customer_spend_percentile",
+    "emb_late_interaction_topk",
+    "orders_seasonality",
+    "part_revenue_abc",
+    "emb_cluster_silhouette",
+    "user_session_conversion",
+    # new this round (r7 verdict items 4/5)
+    "media_corrupt_probe",
+    "media_lossy_audio_deadletter",
+    # high-value re-checks
+    "priority_customer_lookup",
+    "docs_sized_json_roundtrip",
+    "docs_csv_roundtrip",
+    "docs_tsv_roundtrip",
+    "docs_dup_spans",
+    "docs_line_dedup",
+    "corpus_prepare",
+    "docs_strip_boilerplate",
+    "docs_minhash_lsh",
+    "docs_dup_groups",
+    "docs_verified_near_dups",
+    "user_sessions",
+]
+_set_window(_R8_WINDOW)
+
+# Round-9 window note (for the next builder): after r8's driver run the
+# never-checked backlog is EMPTY — every registered query has executed
+# driver evidence. From r9 on, windows are pure rotation: keep slot 1 the
+# flagship, fill the rest with (a) queries added that round and (b) the
+# 49 least-recently-driver-checked names (registration order minus the
+# union of CORRECTNESS_r0N keys, oldest evidence first).

@@ -2508,3 +2508,65 @@ def test_color_histogram_alpha_stripped(spark):
     assert rows[2]["hist_r"] == "16,0,0,0"
     assert rows[2]["hist_g"] == "0,0,16,0"
     assert rows[2]["hist_b"] == "0,0,0,16"
+
+
+def test_classify_media_or_deadletter_is_total(spark):
+    """The corrupt-blob triage NEVER raises and lands every blob in
+    exactly one class (r7 verdict item 4) — including blobs nastier than
+    the synth mix: bad-CRC PNG, mid-IDAT truncation, magic-only stubs."""
+    import struct
+    import zlib
+
+    from impc_etl_spark.multimodal.media import (
+        classify_media_or_deadletter, _png_gray,
+    )
+
+    good = _png_gray(bytes(range(16)), 4, 4)
+    big = _png_gray(bytes(range(256)) * 4, 32, 32)
+    mid_idat = big[:60]                     # signature+IHDR end at byte 33,
+    # so byte 60 cuts deep inside the IDAT stream — pixels unrecoverable
+    magic_only = b"\x89PNG\r\n\x1a\n"       # signature, no IHDR
+    neg_bmp = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack(
+        "<ii", -3, 5) + b"\x00" * 20        # negative width BMP header
+    bomb_gif = b"GIF89a" + struct.pack("<HH", 65535, 65535)
+    blobs = [
+        (0, bytearray(good)),          # ok
+        (1, bytearray(mid_idat)),      # corrupt_body (truncated stream)
+        (2, bytearray(b"")),           # empty
+        (3, bytearray(magic_only)),    # unknown_format (probe needs IHDR)
+        (4, bytearray(neg_bmp)),       # unknown_format (probe rejects)
+        (5, bytearray(bomb_gif)),      # header_bomb (65535^2 > cap)
+        (6, bytearray(b"\x00" * 64)),  # unknown_format
+    ]
+    df = spark.createDataFrame(blobs, ["media_id", "content"])
+    rows = {r["media_id"]: r for r in classify_media_or_deadletter(df).collect()}
+    assert len(rows) == len(blobs)           # one row per blob, none dropped
+    assert rows[0]["status"] == "ok" and rows[0]["width"] == 4
+    assert rows[1]["status"] == "corrupt_body"
+    assert rows[2]["status"] == "empty"
+    assert rows[3]["status"] == "unknown_format"
+    assert rows[4]["status"] == "unknown_format"
+    assert rows[5]["status"] == "header_bomb"
+    assert rows[6]["status"] == "unknown_format"
+    # non-ok rows carry NULL dims (dead-letter rows stay inspectable)
+    assert rows[1]["width"] is None and rows[5]["width"] is None
+
+
+def test_synth_corrupt_media_mix_covers_every_class(spark):
+    """The hostile-mix synthesizer emits exactly the five triage classes
+    per input payload, with media_id = doc_id*5 + variant."""
+    from impc_etl_spark.multimodal.media import (
+        classify_media_or_deadletter, synth_corrupt_media_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(7, bytearray(b"payload-a")), (9, bytearray(b"payload-b"))],
+        ["media_id", "content"])
+    mix = synth_corrupt_media_mix(df)
+    triaged = classify_media_or_deadletter(mix).collect()
+    assert len(triaged) == 10
+    by_doc = {}
+    for r in triaged:
+        by_doc.setdefault(r["media_id"] // 5, set()).add(r["status"])
+    expected = {"ok", "corrupt_body", "empty", "header_bomb", "unknown_format"}
+    assert by_doc == {7: expected, 9: expected}
