@@ -34,6 +34,7 @@ from pyspark.sql.types import DoubleType, IntegerType, StringType
 
 from impc_etl_spark.operators.conform import conform_to_schema, contract, union_conform
 from impc_etl_spark.operators.explode import explode_params
+from impc_etl_spark.operators.partitioning import shuffle_partitions_for
 
 #: The fixed observation contract (a compact analog of the reference's
 #: 66-column OBSERVATION_COLUMNS, config/constants.py:360-426).
@@ -79,7 +80,23 @@ def nest_experiments(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.col("l_linenumber").alias("increment"),
         F.col("l_extendedprice").alias("value"),
     )
-    nested = lineitem.groupBy("l_orderkey").agg(
+    # The nest shuffle carries EVERY lineitem row into per-order arrays —
+    # collect_list has no map-side reduction, so this is the plan's widest
+    # exchange (~2 GB at the sf10-equivalent rehearsal) and AQE's
+    # parallelism-first coalescing would hand it to defaultParallelism
+    # reducers (~65 MB wire ≈ 400 MB of array-building heap each → 3.6 GB
+    # of graceful spill measured). Pin the width from the measured scan
+    # size at the session's memory-derived advisory bytes instead
+    # (expansion=3: row objects + struct headers off snappy parquet;
+    # measured ~2×, 3 adds margin). Partitioning by the groupBy key means
+    # no second exchange, and the orders join below inherits it.
+    advisory_mb = max(
+        1, int(lineitem.sparkSession.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(64 << 20))) >> 20)
+    width = shuffle_partitions_for(
+        lineitem, target_mb=advisory_mb, expansion=3.0)
+    nested = lineitem.repartition(width, "l_orderkey").groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list(entry)).alias("simpleParameter"),
         F.sort_array(F.collect_list(series_entry)).alias("seriesParameter"),
     )

@@ -41,6 +41,15 @@ _BASE_CONF = {
     # explicitly via shuffle_partitions_for (operators/dedup.py) — the
     # engine derives those from measured input size, not a constant.
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
+    # Derived exchange widths (shuffle_partitions_for) land in the
+    # hundreds — just past the 200 default above which the map side
+    # switches to the SORT shuffle writer and spills its whole output
+    # (measured: a 265-wide pinned exchange spilled 1.25 GB map-side at
+    # the sf10-equivalent rehearsal; the 177-wide one bypassed and spilled
+    # nothing). 1024 keeps the bypass writer (one buffered file per
+    # reduce partition, no sort) for that regime while still guarding the
+    # many-thousand-reducer case where per-map fd/buffer cost dominates.
+    "spark.shuffle.sort.bypassMergeThreshold": "1024",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
