@@ -1057,3 +1057,100 @@ def mmr_rerank(
         [(i, r + 1, s) for r, (i, s) in enumerate(picked)],
         f"{id_col} {id_type}, mmr_rank int, mmr_score double",
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    nlist: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.4,
+    round_to: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): k-means-partition the
+    embedding space, then inside each cluster drop every vector that has a
+    more-senior (smaller-id) neighbor with cosine >= ``threshold`` — the
+    embedding-space sibling of MinHash near-dedup that catches paraphrases
+    exact n-gram methods miss. Returns one row per input vector:
+    (id, ivf_cluster, is_dup).
+
+    Determinism/replayability: clustering is ``ivf_build``'s rounded Lloyd
+    trajectory (engine-replayable for a fixed ``round_to``), and the
+    cosine is floor(x*10^6+0.5)/10^6-rounded BEFORE the threshold compare,
+    so the keep/drop decision reproduces bit-stably in ANSI SQL.
+
+    Scale shape: the cluster is the candidate-blocking unit — pair
+    expansion is row-local over each cluster's sorted id array (same
+    combination-generation primitive as MinHash-LSH buckets, no self-join,
+    no BroadcastNestedLoopJoin), and exact cosine runs on candidates only.
+    SemDeDup's own contract is that ``nlist`` grows with the corpus so
+    clusters stay ~10^3-10^4 vectors (the paper uses 50k clusters for
+    LAION); ``max_cluster_size`` is the same mega-bucket star-edge guard
+    the LSH paths expose — an over-full cluster (embedding-collapsed spam)
+    emits representative star edges instead of O(n²) pairs, keeping the
+    drop decision for members similar to the cluster head and giving up
+    only pair completeness inside the pathological cluster. One
+    materialized pass feeds the bucket build and both vector join-backs.
+    """
+    from impc_etl_spark.operators.dedup import _bucket_pairs
+
+    assigned, _ = ivf_build(
+        df, nlist=nlist, iterations=iterations,
+        vec_col=vec_col, id_col=id_col, round_to=round_to,
+    )
+    side = (
+        fan_out(assigned)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            norm(F.col(vec_col)).alias("__n"),
+            F.col("ivf_cluster"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    buckets = (
+        side.groupBy("ivf_cluster")
+        .agg(F.sort_array(F.collect_set("__id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = _bucket_pairs(buckets, max_bucket_size=max_cluster_size)
+    q = F.lit(10.0 ** 6)
+    sim = (
+        pairs.join(
+            side.select(
+                F.col("__id").alias("doc_a"),
+                F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            side.select(
+                F.col("__id").alias("doc_b"),
+                F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_b",
+            (
+                F.floor(
+                    F.try_divide(
+                        dot(F.col("__va"), F.col("__vb")),
+                        F.col("__na") * F.col("__nb"),
+                    ) * q + F.lit(0.5)
+                ) / q
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )
+    dups = sim.select(F.col("doc_b").alias("__dup")).distinct()
+    return (
+        side.join(dups, side["__id"] == dups["__dup"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("ivf_cluster"),
+            F.col("__dup").isNotNull().alias("is_dup"),
+        )
+    )

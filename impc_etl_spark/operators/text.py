@@ -371,6 +371,92 @@ def bigram_logprob(
     return scored.groupBy(id_col).agg(F.avg("__lp").alias(out))
 
 
+def kn_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    out: str = "avg_kn_logprob",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring: mean log10 p_KN(tᵢ | tᵢ₋₁)
+    per document, where
+
+        p_KN(y|x) = max(c(x,y) − D, 0)/c(x·) + (D·N₁₊(x·)/c(x·))·p_cont(y)
+        p_cont(y) = N₁₊(·y) / |distinct bigram types|
+
+    — absolute discounting that backs off to CONTINUATION counts ("how
+    many contexts does y follow?") instead of raw frequency, the standard
+    n-gram smoothing (Kneser & Ney 1995; Chen & Goodman 1999) and what a
+    real KenLM filter computes. Unlike the additive ``bigram_logprob``
+    proxy it doesn't over-reward high-frequency tokens glued to the wrong
+    context ("the the" scores low even though "the" is common).
+
+    Scale shape: ONE corpus pass builds the bigram-type table (one
+    explode→groupBy shuffle, materialized once); head counts c(x·)/N₁₊(x·),
+    continuation counts N₁₊(·y), and the type total T all derive from that
+    table by re-aggregation — type-count-sized, far below corpus size.
+    Scoring joins the exploded corpus to the three model tables (broadcast
+    when ``broadcast_model``; merge-hinted otherwise — see
+    ``unigram_logprob`` on why a data-sized count table must never
+    auto-broadcast) and ends in one groupBy(doc) average. Every model
+    quantity is an integer count, so only the final avg(log10) is
+    float-ordering-sensitive — round the result for cross-engine compares.
+    Docs with < 2 tokens produce no row. D must be in (0, 1].
+    """
+    bigr = word_shingles(tokens(text_col), 2)
+    # bigram TYPE table: key, split tokens, count — one shuffle, then
+    # materialize: four consumers (heads, continuations, total, scoring
+    # join) would otherwise re-execute the corpus explode four times
+    parts = (
+        df.select(F.explode(bigr).alias("big"))
+        .groupBy("big")
+        .agg(F.count(F.lit(1)).alias("__c12"))
+        .select(
+            "big",
+            F.split("big", " ").getItem(0).alias("__w1"),
+            F.split("big", " ").getItem(1).alias("__w2"),
+            "__c12",
+        )
+        .localCheckpoint(eager=True)
+    )
+    heads = parts.groupBy("__w1").agg(
+        F.sum("__c12").alias("__c1"), F.count(F.lit(1)).alias("__n1")
+    )
+    conts = parts.groupBy("__w2").agg(F.count(F.lit(1)).alias("__r2"))
+    tot = parts.agg(F.count(F.lit(1)).alias("__t"))
+    big_counts = parts.select("big", "__c12")
+    if broadcast_model:
+        big_counts = F.broadcast(big_counts)
+        heads = F.broadcast(heads)
+        conts = F.broadcast(conts)
+    else:
+        big_counts = big_counts.hint("merge")
+        heads = heads.hint("merge")
+        conts = conts.hint("merge")
+    d = float(discount)
+    tok_tbl = (
+        df.select(F.col(id_col), F.explode(bigr).alias("big"))
+        .withColumn("__w1", F.split(F.col("big"), " ").getItem(0))
+        .withColumn("__w2", F.split(F.col("big"), " ").getItem(1))
+        .crossJoin(F.broadcast(tot))
+    )
+    scored = (
+        tok_tbl.join(big_counts, "big")
+        .join(heads, "__w1")
+        .join(conts, "__w2")
+        .select(
+            F.col(id_col),
+            F.log10(
+                F.greatest(F.col("__c12") - F.lit(d), F.lit(0.0)) / F.col("__c1")
+                + (F.lit(d) * F.col("__n1") / F.col("__c1"))
+                * (F.col("__r2") / F.col("__t"))
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.avg("__lp").alias(out))
+
+
 def bigram_pmi(
     df: DataFrame,
     text_col: str = "text",

@@ -11210,6 +11210,97 @@ _R7_WINDOW = [
 ]
 _set_window(_R7_WINDOW)
 
+def emb_kmeans_semdedup(spark, sf_dir):
+    """Paper-faithful SemDeDup (Abbas et al., arXiv:2303.09540): k-means-
+    cluster the embedding space (replay-exact rounded Lloyd, nlist=4, 2
+    iterations) — the paper's own blocking, complete WITHIN each cluster
+    (the sibling `emb_semantic_dedup` blocks by banded LSH instead:
+    probabilistic recall across the whole space, no clustering step),
+    then drop every vector whose CLUSTER contains a more-senior
+    (smaller-id) neighbor at rounded cosine >= 0.4 — semantic near-dedup
+    that catches paraphrases n-gram MinHash can't see. Cluster-bounded
+    row-local pair expansion (no self-join, no BNLJ); exact cosine on
+    candidates only; the 6dp floor-rounding makes every keep/drop
+    decision engine-portable. At scale nlist grows with the corpus
+    (SemDeDup's own contract) and the mega-cluster star guard bounds
+    pathological clusters (operators/similarity.py:semantic_dedup)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.semantic_dedup(
+        emb, nlist=4, iterations=2, threshold=0.4, round_to=6
+    )
+    return out.select("vec_id", "ivf_cluster", "is_dup")
+
+
+QUERIES["emb_kmeans_semdedup"] = emb_kmeans_semdedup
+
+ORACLE["emb_kmeans_semdedup"] = f"""
+WITH {_kmeans_ctes(4, 2)},
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM eb GROUP BY vec_id),
+pr AS (
+  SELECT a1.vec_id AS va, a2.vec_id AS vb
+  FROM af a1 JOIN af a2 ON a1.c = a2.c AND a1.vec_id < a2.vec_id),
+dots AS (
+  SELECT p.va, p.vb, sum(a.v * b.v) AS dp
+  FROM pr p
+  JOIN eb a ON a.vec_id = p.va
+  JOIN eb b ON b.vec_id = p.vb AND b.i = a.i
+  GROUP BY p.va, p.vb),
+sim AS (
+  SELECT d.vb,
+         CASE WHEN na.n * nb.n = 0 THEN NULL
+              ELSE floor((d.dp / (na.n * nb.n)) * 1000000 + 0.5) / 1000000
+         END AS cs
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.va
+  JOIN nrm nb ON nb.vec_id = d.vb),
+dups AS (SELECT DISTINCT vb FROM sim WHERE cs >= 0.4)
+SELECT a.vec_id, CAST(a.c AS INTEGER) AS ivf_cluster,
+       (d.vb IS NOT NULL) AS is_dup
+FROM af a LEFT JOIN dups d ON d.vb = a.vec_id
+"""
+
+
+def docs_kn_bigram_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995; the
+    smoothing a real KenLM filter uses): mean log10 p_KN(t_i | t_{i-1})
+    per document, absolute discount D=0.75 backing off to CONTINUATION
+    counts. One bigram-type shuffle; heads/continuations/total derive
+    from the type table by re-aggregation; model tables merge-hinted (a
+    data-sized bigram count table must never auto-broadcast). Every
+    model quantity is an integer count, so only the final avg(log10) is
+    float-ordering-sensitive — rounded to 4dp like the other LM scores."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    out = text_ops.kn_bigram_logprob(
+        docs, "text", "doc_id", discount=0.75, broadcast_model=False
+    )
+    return out.select(
+        "doc_id", _rnd(F.col("avg_kn_logprob"), 4).alias("avg_kn_logprob")
+    )
+
+
+QUERIES["docs_kn_bigram_logprob"] = docs_kn_bigram_logprob
+
+ORACLE["docs_kn_bigram_logprob"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+bgi AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 2),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM bgi),
+cbg AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+hd AS (SELECT w1, sum(c12) AS c1, count(*) AS n1 FROM cbg GROUP BY w1),
+ct AS (SELECT w2, count(*) AS r2 FROM cbg GROUP BY w2),
+tot AS (SELECT count(*) AS t FROM cbg),
+sc AS (
+  SELECT bg.doc_id,
+         log10(greatest(c12 - 0.75, 0) / c1
+               + (0.75 * n1 / c1) * (r2 * 1.0 / t)) AS lp
+  FROM bg JOIN cbg USING (w1, w2) JOIN hd USING (w1) JOIN ct USING (w2)
+  CROSS JOIN tot)
+SELECT doc_id, floor(avg(lp) * 10000 + 0.5) / 10000 AS avg_kn_logprob
+FROM sc GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-8 window rotation (r7 verdict item 1): the FINAL evidence tranche.
 # Slot 1 keeps the flagship; slots 2-36 are the complete never-driver-
@@ -11219,7 +11310,10 @@ _set_window(_R7_WINDOW)
 # slots 39-50 are high-value re-checks: the r7-fixed oracles
 # (priority_customer_lookup), the header-ordering-fixed roundtrips
 # (csv/tsv/sized-json), and the heavy dedup paths whose shuffle sizing
-# changed this round (derived AQE advisory, session.py).
+# changed this round (derived AQE advisory, session.py). Two re-check
+# slots (docs_strip_boilerplate, user_sessions — both unchanged this
+# round and shape-covered by line_dedup/events rows) are given to the
+# round's new queries so they enter with driver evidence immediately.
 _R8_WINDOW = [
     "observations_pipeline",
     # never-driver-checked backlog, final tranche (35 names)
@@ -11269,11 +11363,12 @@ _R8_WINDOW = [
     "docs_dup_spans",
     "docs_line_dedup",
     "corpus_prepare",
-    "docs_strip_boilerplate",
     "docs_minhash_lsh",
     "docs_dup_groups",
     "docs_verified_near_dups",
-    "user_sessions",
+    # new this round: SemDeDup + Kneser-Ney LM scoring
+    "emb_kmeans_semdedup",
+    "docs_kn_bigram_logprob",
 ]
 _set_window(_R8_WINDOW)
 

@@ -3187,3 +3187,107 @@ def test_mmr_rerank_preserves_id_type(spark):
     assert rows[0]["vec_id"] == "doc-a"  # highest relevance first
     # diversity term: the orthogonal doc-c beats the near-clone doc-b
     assert rows[1]["vec_id"] == "doc-c"
+
+
+def test_kn_bigram_logprob_matches_hand_model_and_sums_to_one(spark):
+    import math
+    from collections import Counter
+
+    from impc_etl_spark.operators.text import kn_bigram_logprob
+
+    docs = [(1, "a b a b c"), (2, "b a b b"), (3, "solo")]
+    corpus = spark.createDataFrame(docs, "doc_id int, text string")
+    # hand-build the interpolated-KN model over the pooled bigrams
+    bgs = []
+    for _, text in docs:
+        toks = text.split()
+        bgs += list(zip(toks, toks[1:]))
+    c12 = Counter(bgs)
+    c1 = Counter(x for x, _ in bgs)
+    n1 = Counter(x for x, _ in set(bgs))          # distinct continuations
+    r2 = Counter(y for _, y in set(bgs))          # distinct left contexts
+    T = len(set(bgs))
+    D = 0.75
+
+    def p(x, y):
+        return max(c12[(x, y)] - D, 0.0) / c1[x] + (D * n1[x] / c1[x]) * (
+            r2[y] / T
+        )
+
+    out = {r.doc_id: r.avg_kn_logprob for r in kn_bigram_logprob(corpus).collect()}
+    for doc_id, text in docs[:2]:
+        toks = text.split()
+        exp = sum(math.log10(p(x, y)) for x, y in zip(toks, toks[1:])) / (
+            len(toks) - 1
+        )
+        assert abs(out[doc_id] - exp) < 1e-12, doc_id
+    # a <2-token doc has no bigrams and no output row
+    assert 3 not in out
+    # KN correctness invariant: for every context x, p(·|x) sums to 1
+    # over the full right-vocab (the discounted mass exactly funds the
+    # continuation back-off)
+    right_vocab = set(y for _, y in bgs)
+    for x in c1:
+        assert abs(sum(p(x, y) for y in right_vocab) - 1.0) < 1e-12, x
+    # merge-hinted path scores identically to the broadcast path
+    alt = {
+        r.doc_id: r.avg_kn_logprob
+        for r in kn_bigram_logprob(corpus, broadcast_model=False).collect()
+    }
+    assert alt == out
+
+
+def test_semantic_dedup_drops_exactly_junior_near_neighbors(spark):
+    import math
+
+    from impc_etl_spark.operators.similarity import semantic_dedup
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+        (5, [0.01, 0.0, 0.0, 0.999]),   # near-dup of 4
+        (6, [-1.0, 0.0, 0.0, 0.0]),     # anti-parallel to 0: NOT a dup
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, nlist=3, iterations=2, threshold=0.95).collect()
+    got = {r.vec_id: (r.ivf_cluster, r.is_dup) for r in out}
+    assert len(got) == len(vecs)
+    # replay the drop rule brute-force inside the operator's own clusters
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return math.floor(d / (na * nb) * 1e6 + 0.5) / 1e6
+
+    by_id = dict(vecs)
+    for vid, (cl, is_dup) in got.items():
+        senior = any(
+            o != vid and o < vid and got[o][0] == cl
+            and cos(by_id[o], by_id[vid]) >= 0.95
+            for o in got
+        )
+        assert is_dup == senior, vid
+    # the planted near-dups are dropped, their seniors kept
+    assert got[1][1] and not got[0][1]
+    assert got[5][1] and not got[4][1]
+    assert not got[6][1]  # opposite direction, cosine ~ -1
+
+
+def test_semantic_dedup_star_guard_keeps_representative_links(spark):
+    from impc_etl_spark.operators.similarity import semantic_dedup
+
+    # 6 identical vectors: one cluster, all cosine 1.0
+    rows = [(i, [1.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = semantic_dedup(df, nlist=1, iterations=1, threshold=0.99)
+    star = semantic_dedup(
+        df, nlist=1, iterations=1, threshold=0.99, max_cluster_size=3
+    )
+    # star edges still connect every junior member to the cluster head,
+    # so the keep/drop outcome is unchanged for this collapsed cluster
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, star.collect()))
+    kept = [r.vec_id for r in full.collect() if not r.is_dup]
+    assert kept == [0]

@@ -28,6 +28,7 @@ BNL_ALLOWED = {
     "docs_lsh_recall",  # cross join of three 1-ROW count frames (the measurement row)
     "docs_unigram_logprob",  # cross join with a broadcast 1-ROW scalar (N, V)
     "docs_bigram_logprob",  # cross join with a broadcast 1-ROW scalar (V)
+    "docs_kn_bigram_logprob",  # cross join with a broadcast 1-ROW scalar (T)
     "docs_collocations",  # cross join with a broadcast 1-ROW scalar (N, B)
     "orders_skew_report",  # cross join of two 1-ROW stat frames per column
     "part_association_rules",  # cross join with a broadcast 1-ROW basket total (lift's N)
