@@ -41,15 +41,17 @@ _BASE_CONF = {
     # explicitly via shuffle_partitions_for (operators/dedup.py) — the
     # engine derives those from measured input size, not a constant.
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
-    # Derived exchange widths (shuffle_partitions_for) land in the
-    # hundreds — just past the 200 default above which the map side
-    # switches to the SORT shuffle writer and spills its whole output
-    # (measured: a 265-wide pinned exchange spilled 1.25 GB map-side at
-    # the sf10-equivalent rehearsal; the 177-wide one bypassed and spilled
-    # nothing). 1024 keeps the bypass writer (one buffered file per
-    # reduce partition, no sort) for that regime while still guarding the
-    # many-thousand-reducer case where per-map fd/buffer cost dominates.
-    "spark.shuffle.sort.bypassMergeThreshold": "1024",
+    # bypassMergeThreshold stays at Spark's DEFAULT (200) — do not raise
+    # it to cover the initialPartitionNum above. Raising it to 1024 made
+    # every 512-wide exchange take the BYPASS writer (one open stream +
+    # 32 KB buffer per reduce partition per map task: 512 concurrent
+    # files × 32 running tasks), and the steady-state sf0.1 bench paid
+    # 2.5× across every shuffle-bearing query (same-machine A/B:
+    # 11.7 s → 4.7 s over the six worst queries just by restoring 200).
+    # What 1024 bought was one GRACEFUL 1.25 GB map-side sort-writer
+    # spill on a 265-wide pinned exchange at the sf10-equivalent
+    # rehearsal — sequential spill files, zero OOM, the sort writer
+    # working as designed. Wrong trade; the default stands.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
