@@ -756,6 +756,149 @@ def dup_spans(
     )
 
 
+def dup_span_ranges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicate-span RANGE extraction: where ``dup_spans`` scores each
+    document, this returns the actual cuttable intervals — every maximal
+    run of overlapping/adjacent k-token windows that occur in >=
+    ``min_docs`` distinct documents, merged gaps-and-islands style. This
+    is the output shape of suffix-array substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022): the
+    downstream pass CUTS these token ranges out of the text instead of
+    dropping whole documents.
+
+    Returns ``(id, range_id, range_start, range_end, n_windows)`` —
+    token offsets, 0-based, end exclusive; ``range_id`` numbers a doc's
+    ranges in order. Two windows merge when their starts differ by <= k
+    (overlap or exact adjacency).
+
+    Scale shape: three data-sized exchanges, each on a narrow key —
+    (1) the positioned span table (id, pos, 16-byte hash) groups by hash
+    to find corpus-duplicated spans (pre-aggregated to (hash, doc)
+    first, same as dup_spans); (2) the flagged-hash table joins back
+    MERGE-HINTED (data-sized aggregate, never broadcast — see dup_spans'
+    OOM note); (3) the per-doc interval merge windows on the doc key
+    (lag + running-sum islands: two window functions over ONE
+    partitioning+ordering, a single exchange). Positions ride the
+    exchanges as one int beside the hash — the price of ranges over
+    scores, and still never the text itself.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    sp = fan_out(df).select(
+        F.col(id_col),
+        F.posexplode(word_shingles(toks, k)).alias("__pos", "__s"),
+    ).select(id_col, "__pos", F.md5("__s").alias("__h"))
+    # corpus-duplicated hashes: (hash, doc) pre-agg -> ndocs filter
+    dup_h = (
+        sp.select("__h", id_col)
+        .groupBy("__h", id_col).agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__h").agg(F.count("*").alias("__ndocs"))
+        .where(F.col("__ndocs") >= min_docs)
+        .select("__h")
+    )
+    flagged = sp.join(dup_h.hint("merge"), "__h").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    brk = F.when(
+        F.col("__pos") - F.lag("__pos").over(w) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = flagged.withColumn("__brk", brk).withColumn(
+        "__island", F.sum("__brk").over(w)
+    )
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("__pos").alias("range_start"),
+            (F.max("__pos") + F.lit(k)).alias("range_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            id_col,
+            F.col("__island").cast("long").alias("range_id"),
+            F.col("range_start").cast("long").alias("range_start"),
+            F.col("range_end").cast("long").alias("range_end"),
+            "n_windows",
+        )
+    )
+
+
+def cut_span_ranges(
+    df: DataFrame,
+    ranges: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Apply substring-dedup CUTS: remove every token covered by a
+    duplicate range (``dup_span_ranges`` output, or computed here when
+    ``ranges`` is None) and reassemble the surviving text — the final
+    step of the Lee et al. 2022 loop (score → locate → CUT), keeping the
+    unique remainder of documents that whole-doc dedup would drop
+    entirely.
+
+    Returns one row per document with >= 1 token:
+    ``(id, n_tokens, n_removed, clean_text)`` where ``clean_text`` is
+    the kept tokens joined by single spaces (canonical token form — the
+    cut operates on the tokenized view, like the reference dedup cuts
+    byte ranges of the normalized text).
+
+    Scale shape: the ranges table aggregates to one array row per doc
+    (ranges per doc are few — islands, not windows) and joins back
+    MERGE-HINTED; the cut itself is row-local higher-order functions
+    (indexed transform → exists-filter → array_join), zero additional
+    shuffle beyond the ranges derivation.
+    """
+    if ranges is None:
+        ranges = dup_span_ranges(
+            df, text_col, id_col, k=k, min_docs=min_docs
+        )
+    rng = ranges.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("range_start").alias("s"), F.col("range_end").alias("e"))
+        ).alias("__rngs")
+    )
+    joined = df.join(rng.hint("merge"), id_col, "left").withColumn(
+        "__rngs", F.coalesce(F.col("__rngs"), F.array())
+    )
+    toks = tokens(text_col)
+    kept = bind(
+        F.filter(
+            F.transform(
+                toks, lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+            ),
+            lambda st: ~F.exists(
+                F.col("__rngs"),
+                lambda r: (st["i"] >= r["s"]) & (st["i"] < r["e"]),
+            ),
+        ),
+        lambda kp: F.struct(
+            F.transform(kp, lambda st: st["t"]).alias("toks"),
+            F.size(kp).alias("n"),
+        ),
+    )
+    return (
+        joined.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            kept.alias("__kept"),
+        )
+        .where(F.col("n_tokens") >= 1)
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.col("__kept.n")).cast("long").alias("n_removed"),
+            F.array_join("__kept.toks", " ").alias("clean_text"),
+        )
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

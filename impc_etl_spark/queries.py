@@ -11301,6 +11301,89 @@ FROM sc GROUP BY doc_id
 """
 
 
+def docs_dup_span_ranges(spark, sf_dir):
+    """Duplicate-span RANGE extraction (Lee et al. 2022 output shape):
+    maximal merged token intervals of corpus-duplicated 8-token windows,
+    per document — the cuttable ranges a substring-dedup pass removes,
+    where docs_dup_spans only scores. Gaps-and-islands merge: two window
+    functions over one per-doc exchange; span hashes 16-byte, text never
+    shuffles (operators/dedup.py:dup_span_ranges)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.dup_span_ranges(docs, "text", "doc_id", k=8, min_docs=2)
+
+
+QUERIES["docs_dup_span_ranges"] = docs_dup_span_ranges
+
+ORACLE["docs_dup_span_ranges"] = f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sp AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        FROM tok WHERE len(toks) >= 8)),
+pd AS (SELECT h, doc_id FROM sp GROUP BY 1, 2),
+nd AS (SELECT h FROM pd GROUP BY h HAVING count(*) >= 2),
+f AS (SELECT doc_id, pos FROM sp JOIN nd USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS brk
+  FROM f),
+g AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl)
+SELECT doc_id, CAST(island AS BIGINT) AS range_id,
+       CAST(min(pos) AS BIGINT) AS range_start,
+       CAST(max(pos) + 8 AS BIGINT) AS range_end,
+       count(*) AS n_windows
+FROM g GROUP BY doc_id, island
+"""
+
+
+def docs_substring_dedup_cut(spark, sf_dir):
+    """Substring-dedup CUT (the final Lee et al. 2022 step): remove every
+    token covered by a corpus-duplicated 8-token range and reassemble the
+    surviving text — keeps the unique remainder of documents whole-doc
+    dedup would drop. Ranges join back merge-hinted as one array row per
+    doc; the cut is row-local HOFs (indexed transform → exists-filter →
+    array_join), zero extra shuffle (operators/dedup.py:cut_span_ranges)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.cut_span_ranges(docs, text_col="text", id_col="doc_id",
+                                     k=8, min_docs=2)
+
+
+QUERIES["docs_substring_dedup_cut"] = docs_substring_dedup_cut
+
+ORACLE["docs_substring_dedup_cut"] = f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sp AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        FROM tok WHERE len(toks) >= 8)),
+pd AS (SELECT h, doc_id FROM sp GROUP BY 1, 2),
+nd AS (SELECT h FROM pd GROUP BY h HAVING count(*) >= 2),
+f AS (SELECT doc_id, pos FROM sp JOIN nd USING (h)),
+cov AS (
+  SELECT DISTINCT doc_id, cp
+  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS cp FROM f)),
+idx AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS j, toks
+  FROM tok WHERE len(toks) >= 1),
+kept AS (
+  SELECT i.doc_id, i.j, i.toks[i.j] AS tk
+  FROM idx i LEFT JOIN cov c ON c.doc_id = i.doc_id AND c.cp = i.j - 1
+  WHERE c.cp IS NULL),
+base AS (SELECT doc_id, len(toks) AS n FROM tok WHERE len(toks) >= 1)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(b.n - count(k.j) AS BIGINT) AS n_removed,
+       coalesce(
+         array_to_string(list(k.tk ORDER BY k.j) FILTER (WHERE k.j IS NOT NULL), ' '),
+         '') AS clean_text
+FROM base b LEFT JOIN kept k USING (doc_id)
+GROUP BY b.doc_id, b.n
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-8 window rotation (r7 verdict item 1): the FINAL evidence tranche.
 # Slot 1 keeps the flagship; slots 2-36 are the complete never-driver-
@@ -11363,12 +11446,12 @@ _R8_WINDOW = [
     "docs_dup_spans",
     "docs_line_dedup",
     "corpus_prepare",
-    "docs_minhash_lsh",
     "docs_dup_groups",
-    "docs_verified_near_dups",
-    # new this round: SemDeDup + Kneser-Ney LM scoring
+    # new this round: SemDeDup, Kneser-Ney LM scoring, span ranges + cut
     "emb_kmeans_semdedup",
     "docs_kn_bigram_logprob",
+    "docs_dup_span_ranges",
+    "docs_substring_dedup_cut",
 ]
 _set_window(_R8_WINDOW)
 

@@ -3291,3 +3291,91 @@ def test_semantic_dedup_star_guard_keeps_representative_links(spark):
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, star.collect()))
     kept = [r.vec_id for r in full.collect() if not r.is_dup]
     assert kept == [0]
+
+
+def test_dup_span_ranges_merges_overlapping_windows(spark):
+    from impc_etl_spark.operators.dedup import dup_span_ranges
+
+    # 12-token shared run inside otherwise-unique docs: k=4 windows at
+    # positions 2..9 of doc 1 (offset 2) and 0..8 of doc 2 duplicate;
+    # they must merge into ONE maximal range per doc.
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"
+    rows = [
+        (1, "u1 u2 " + shared + " u3"),
+        (2, shared + " v1 v2 v3"),
+        (3, "w1 w2 w3 w4 w5"),  # unique: no ranges
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = dup_span_ranges(df, "text", "doc_id", k=4, min_docs=2).collect()
+    got = {(r.doc_id, r.range_start, r.range_end, r.n_windows) for r in out}
+    # doc 1: windows start at 2..10 (tokens 2..13 inclusive of 'u3'? no —
+    # shared spans tokens 2..13; its k=4 windows start at 2..10, all
+    # duplicated in doc 2 EXCEPT those crossing into u3. Duplicated
+    # window starts: 2..10 where window text matches doc 2's 0..8 run.
+    assert {r.doc_id for r in out} == {1, 2}
+    d1 = [r for r in out if r.doc_id == 1]
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d1) == 1 and len(d2) == 1
+    # doc 2's shared run: window starts 0..8 -> one island [0, 12)
+    assert (d2[0].range_start, d2[0].range_end, d2[0].n_windows) == (0, 12, 9)
+    # doc 1's: starts 2..10 -> island [2, 14)
+    assert (d1[0].range_start, d1[0].range_end, d1[0].n_windows) == (2, 14, 9)
+
+
+def test_dup_span_ranges_splits_disjoint_islands(spark):
+    from impc_etl_spark.operators.dedup import dup_span_ranges
+
+    # two shared 4-token runs separated by >k unique tokens -> 2 ranges
+    a = "a1 a2 a3 a4"
+    b = "b1 b2 b3 b4"
+    rows = [
+        (1, a + " x1 x2 x3 x4 x5 " + b),
+        (2, a + " y1 y2 y3 y4 y5 " + b),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = dup_span_ranges(df, "text", "doc_id", k=4, min_docs=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(
+            (r.range_id, r.range_start, r.range_end, r.n_windows)
+        )
+    for doc_id in (1, 2):
+        rs = sorted(per_doc[doc_id])
+        assert len(rs) == 2
+        assert rs[0][1:] == (0, 4, 1)   # first island: one window [0,4)
+        assert rs[1][1:] == (9, 13, 1)  # second island at token 9
+        assert rs[0][0] + 1 == rs[1][0]  # range ids consecutive
+
+
+def test_cut_span_ranges_removes_covered_tokens_only(spark):
+    from impc_etl_spark.operators.dedup import cut_span_ranges
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    rows = [
+        (1, "u1 u2 " + shared + " u3 u4"),
+        (2, shared + " v1"),
+        (3, "w1 w2 w3"),          # unique doc: untouched
+        (4, "   "),               # whitespace-only: no tokens, no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in cut_span_ranges(df, k=4, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].clean_text == "u1 u2 u3 u4"
+    assert (out[1].n_tokens, out[1].n_removed) == (12, 8)
+    assert out[2].clean_text == "v1"
+    assert (out[2].n_tokens, out[2].n_removed) == (9, 8)
+    assert out[3].clean_text == "w1 w2 w3"
+    assert (out[3].n_tokens, out[3].n_removed) == (3, 0)
+    # a doc that is ENTIRELY duplicated text keeps an empty remainder row
+    df2 = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id int, text string"
+    )
+    out2 = {r.doc_id: r for r in cut_span_ranges(df2, k=4, min_docs=2).collect()}
+    assert out2[1].clean_text == "" and out2[1].n_removed == 8
+    # precomputed-ranges path gives the same answer as the in-op path
+    from impc_etl_spark.operators.dedup import dup_span_ranges
+
+    pre = dup_span_ranges(df, k=4, min_docs=2)
+    alt = {r.doc_id: r for r in cut_span_ranges(df, ranges=pre, k=4).collect()}
+    assert {k: (v.n_tokens, v.n_removed, v.clean_text) for k, v in out.items()} \
+        == {k: (v.n_tokens, v.n_removed, v.clean_text) for k, v in alt.items()}
