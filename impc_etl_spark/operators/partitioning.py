@@ -85,7 +85,26 @@ def shuffle_partitions_for(
         # fall back to the floor.
         total = 0
     derived = int(total * float(expansion) // (target_mb * 1024 * 1024)) + 1
-    return max(floor, min(derived, max_partitions))
+    width = max(floor, min(derived, max_partitions))
+    # Snap widths landing JUST past the bypass-merge boundary back onto
+    # it: at threshold+1 the map side switches from the bypass writer
+    # (one buffered stream per reducer, no sort) to the sort writer,
+    # which spills its ENTIRE output once — a cliff, not a slope
+    # (measured: a 265-wide exchange spilled byte-for-byte its 1.25 GB
+    # write; 200-wide bypassed with zero spill). Within (t, 2t] the snap
+    # costs < 2× reducer size — cheaper than a full map-side sort pass —
+    # while widths beyond 2t keep the sort writer, whose sequential
+    # spill is the designed behavior for genuinely wide exchanges
+    # (raising the threshold itself session-wide was a measured 2.5×
+    # steady-state mistake; see session.py).
+    try:
+        t = int(df.sparkSession.conf.get(
+            "spark.shuffle.sort.bypassMergeThreshold", "200"))
+    except Exception:
+        t = 200
+    if floor <= t < width <= 2 * t:
+        width = t
+    return width
 
 
 def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:

@@ -404,6 +404,17 @@ def test_shuffle_partitions_for_derives_from_input_size(spark):
     # "unknown" stats — must fall back to the floor, never the cap
     local = spark.createDataFrame([(1, "a")], ["id", "t"])
     assert shuffle_partitions_for(local, target_mb=1, expansion=100.0) == floor
+    # bypass-boundary snap: a width landing JUST past the
+    # bypassMergeThreshold (t, 2t] snaps back to t (the sort writer's
+    # full-output spill cliff costs more than <2x reducer growth);
+    # beyond 2t the derived width stands
+    t = 200
+    mb = 1024 * 1024
+    exp_mid = (int(t * 1.25) * mb) / size_b      # derived ≈ 1.25t
+    assert shuffle_partitions_for(li, target_mb=1, expansion=exp_mid) == t
+    exp_high = (int(t * 2.5) * mb) / size_b      # derived ≈ 2.5t
+    got = shuffle_partitions_for(li, target_mb=1, expansion=exp_high)
+    assert got > 2 * t
 
 
 def test_session_derives_shuffle_width_via_aqe(spark):
