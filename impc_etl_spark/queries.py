@@ -11384,6 +11384,77 @@ GROUP BY b.doc_id, b.n
 """
 
 
+def emb_ivf_store_topk(spark, sf_dir):
+    """IVF made real ON DISK: the coarse-quantized corpus is WRITTEN as a
+    parquet store partitioned by ivf_cluster, and the query probes it by
+    READING BACK through a cluster predicate — partition pruning turns
+    nprobe into "open only those directories", the property that makes
+    IVF work at billion-vector scale (unprobed clusters are never
+    scanned; plan-asserted in tests). The scanned-directory count is
+    verified IN-PLAN from input_file_name() (1 probed cluster →
+    n_clusters_scanned = 1 beside its expected twin, self-diagnosing
+    like the sink roundtrips). Clustering is the replay-exact rounded
+    Lloyd (nlist=4, 2 iterations), so the oracle reproduces assignment,
+    probe choice, and the in-cluster exact-cosine ranking. On a cluster
+    the store path must be shared storage (here: driver-local tmp, same
+    caveat as media_binaryfile_ingest)."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = sim_ops.ivf_build(
+        emb, nlist=4, iterations=2, round_to=6
+    )
+    path = tempfile.mkdtemp(prefix="ivf_store_") + "/emb"
+    assigned.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
+    store = spark.read.parquet(path)
+    qv = [float(x) for x in _query_vec(spark, sf_dir)]
+    probe = min(
+        range(len(centroids)),
+        key=lambda j: (
+            sum((q - c) ** 2 for q, c in zip(qv, centroids[j])), j,
+        ),
+    )
+    probed = store.where(F.col("ivf_cluster") == int(probe))
+    top = sim_ops.cosine_topk(probed, qv, k=10)
+    scanned = probed.select(
+        F.regexp_extract(
+            F.input_file_name(), r"ivf_cluster=(\d+)", 1
+        ).alias("__pc")
+    ).agg(
+        F.count_distinct("__pc").alias("n_clusters_scanned"),
+        F.lit(1).cast("long").alias("expected_n_clusters"),
+    )
+    return top.crossJoin(F.broadcast(scanned)).withColumn(
+        "probed_cluster", F.lit(int(probe)).cast("int")
+    )
+
+
+QUERIES["emb_ivf_store_topk"] = emb_ivf_store_topk
+
+ORACLE["emb_ivf_store_topk"] = f"""
+WITH {_kmeans_ctes(4, 2)},
+qd AS (
+  SELECT c.c, sum((q.v - c.v) * (q.v - c.v)) AS d
+  FROM c2 c JOIN eb q ON q.i = c.i AND q.vec_id = 0 GROUP BY c.c),
+probe AS (
+  SELECT c FROM (
+    SELECT c, row_number() OVER (ORDER BY d, c) AS rn FROM qd) WHERE rn = 1),
+mem AS (SELECT a.vec_id FROM af a JOIN probe p ON a.c = p.c),
+qv AS (SELECT v AS qe, i FROM eb WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, sum(e.v * q.qe) AS dp,
+         sum(e.v * e.v) AS nv, sum(q.qe * q.qe) AS nq
+  FROM eb e JOIN mem m ON m.vec_id = e.vec_id JOIN qv q USING (i)
+  GROUP BY e.vec_id)
+SELECT vec_id,
+       floor((dp / (sqrt(nv) * sqrt(nq))) * 1000000 + 0.5) / 1000000 AS cos_sim,
+       CAST(1 AS BIGINT) AS n_clusters_scanned,
+       CAST(1 AS BIGINT) AS expected_n_clusters,
+       (SELECT CAST(c AS INTEGER) FROM probe) AS probed_cluster
+FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-8 window rotation (r7 verdict item 1): the FINAL evidence tranche.
 # Slot 1 keeps the flagship; slots 2-36 are the complete never-driver-
@@ -11442,7 +11513,6 @@ _R8_WINDOW = [
     "priority_customer_lookup",
     "docs_sized_json_roundtrip",
     "docs_csv_roundtrip",
-    "docs_tsv_roundtrip",
     "docs_dup_spans",
     "docs_line_dedup",
     "corpus_prepare",
@@ -11452,6 +11522,7 @@ _R8_WINDOW = [
     "docs_kn_bigram_logprob",
     "docs_dup_span_ranges",
     "docs_substring_dedup_cut",
+    "emb_ivf_store_topk",
 ]
 _set_window(_R8_WINDOW)
 

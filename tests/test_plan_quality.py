@@ -26,6 +26,7 @@ BNL_ALLOWED = {
     "docs_bm25_search",  # cross join with a broadcast 1-ROW stats row (N, avgdl, dfs)
     "docs_hybrid_rrf_search",  # same 1-ROW BM25 stats broadcast inside the lexical arm
     "docs_lsh_recall",  # cross join of three 1-ROW count frames (the measurement row)
+    "emb_ivf_store_topk",  # cross join with a broadcast 1-ROW scanned-partitions frame
     "docs_unigram_logprob",  # cross join with a broadcast 1-ROW scalar (N, V)
     "docs_bigram_logprob",  # cross join with a broadcast 1-ROW scalar (V)
     "docs_kn_bigram_logprob",  # cross join with a broadcast 1-ROW scalar (T)
@@ -103,6 +104,21 @@ def test_filter_pushdown_reaches_scan(spark):
 
     plan = q.QUERIES["pricing_summary"](spark, SF_SMOKE)._jdf.queryExecution().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_ivf_store_probe_prunes_partitions(spark):
+    """The IVF store read must carry the cluster predicate as a PARTITION
+    filter (directory pruning), not a post-scan data filter — the
+    property that makes the on-disk IVF store a real index."""
+    from impc_etl_spark import queries as q
+
+    plan = (
+        q.QUERIES["emb_ivf_store_topk"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*ivf_cluster", plan)
+    assert m, f"no partition filter on ivf_cluster in plan:\n{plan[:2000]}"
 
 
 def test_explain_summary_shapes(spark):
