@@ -160,16 +160,28 @@ def interval_join(
     clicks: DataFrame,
     window: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: every click by the same user within
-    ``window`` BEFORE a purchase (ad-attribution shape). Both sides carry
-    watermarks and the join condition carries the time range — that pair
-    is what lets Spark evict join state; without them state grows forever.
+    """Stream-stream join: every click by the same user within ``window``
+    BEFORE a purchase (ad-attribution shape). Both sides carry watermarks
+    and the join condition carries the time range — that pair is what
+    lets Spark evict join state; without them state grows forever.
+
+    ``how='left_outer'`` additionally emits each UNMATCHED purchase once
+    with NULL click columns — the organic-conversion set an attribution
+    pipeline needs alongside the attributed one. Outer rows surface only
+    when the watermark passes the purchase's match window (Spark must
+    prove no matching click can still arrive), so they trail the inner
+    results by up to ``watermark`` of event time — the streaming price of
+    a closed-world answer; plan a late-binding consumer or a batch
+    backfill for the tail when the stream idles.
 
     (The batch as-of join keeps only the nearest click; stream-stream
     joins emit ALL matches in the window — the nearest-selection is a
     downstream aggregation if needed.)
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError("interval_join supports how='inner'|'left_outer'")
     p = purchases.select(
         F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
@@ -183,6 +195,7 @@ def interval_join(
         F.expr(
             f"p_user = c_user AND c_ts >= p_ts - INTERVAL {window} AND c_ts <= p_ts"
         ),
+        how,
     ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
 
 

@@ -1278,3 +1278,82 @@ def test_stream_matches_batch_on_hostile_events(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_interval_join_left_outer_emits_unmatched_on_watermark(spark, tmp_path):
+    """how='left_outer': an unmatched purchase must surface ONCE with NULL
+    click columns — but only after the watermark proves no matching click
+    can still arrive. Batch 1 carries a matched purchase (user 8) and an
+    unmatched one (user 7); batch 2 is a far-future click by an unrelated
+    user that pushes the watermark past user 7's match window."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    import pyspark.sql.functions as F2
+
+    from impc_etl_spark.streaming.jobs import (
+        interval_join, read_event_stream, run_available_now,
+    )
+
+    t0 = 1_000_000_000_000_000  # µs epoch
+    mins = 60 * 1_000_000
+    b1 = spark.createDataFrame(
+        [
+            (1, t0, 7, "purchase", 5.0, "{}"),              # no click: organic
+            (2, t0 - 10 * mins, 8, "click", 1.0, "{}"),
+            (3, t0, 8, "purchase", 9.0, "{}"),              # attributed
+        ],
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+    )
+    # two watermark pushers: the first advances the watermark PAST user
+    # 7's match window; eviction happens at the start of the NEXT batch
+    # (watermark used by batch N = max event time of batch N-1 − delay),
+    # so a second far-future batch is what actually flushes the outer row
+    far = t0 + 14_400 * 1_000_000 * 10
+    # the global watermark is the MIN across both watermarked inputs, so
+    # the pusher batch must advance BOTH sides: a far-future click alone
+    # leaves the purchase-side watermark at t0 and nothing ever evicts
+    b2 = spark.createDataFrame(
+        [
+            (9, far, 99, "click", 0.0, "{}"),
+            (11, far, 98, "purchase", 0.0, "{}"),
+        ],
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+    )
+    b3 = spark.createDataFrame(
+        [(10, far + 60 * 1_000_000, 98, "click", 0.0, "{}")],
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+    )
+    src_dir = str(tmp_path / "src")
+    b1.withColumn("ts", F2.col("ts") * 1000).coalesce(1).write.parquet(src_dir + "/f1")
+    b2.withColumn("ts", F2.col("ts") * 1000).coalesce(1).write.parquet(src_dir + "/f2")
+    b3.withColumn("ts", F2.col("ts") * 1000).coalesce(1).write.parquet(src_dir + "/f3")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    base = time.time() - 100
+    for i, f in enumerate(sorted(glob.glob(src_dir + "/f*/part-*.parquet"))):
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+
+    src = read_event_stream(spark, flat, max_files_per_trigger=1)
+    stream = interval_join(
+        src.where(F.col("event_type") == "purchase"),
+        src.where(F.col("event_type") == "click"),
+        how="left_outer",
+    )
+    run_available_now(
+        stream, "ij_outer", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    rows = spark.table("ij_outer").collect()
+    got = {(r["purchase_id"], r["click_id"]) for r in rows}
+    # exactly one attributed pair and one NULL-click organic purchase;
+    # the pusher click never surfaces (right side) and the pusher
+    # purchase (11) stays in state — the watermark never passes ITS
+    # window before the stream drains, exactly the trailing-tail caveat
+    # the operator documents
+    assert got == {(3, 2), (1, None)}
+    organic = [r for r in rows if r["purchase_id"] == 1][0]
+    assert organic["c_ts"] is None and organic["p_user"] == 7
