@@ -11461,13 +11461,14 @@ FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10
 # checked backlog (the 35 names queued after r7's slot-50 boundary) — after
 # this round EVERY registered query holds executed driver evidence; slots
 # 37-38 are this round's new hostile-media queries (r7 verdict items 4/5);
-# slots 39-50 are high-value re-checks: the r7-fixed oracles
-# (priority_customer_lookup), the header-ordering-fixed roundtrips
-# (csv/tsv/sized-json), and the heavy dedup paths whose shuffle sizing
-# changed this round (derived AQE advisory, session.py). Two re-check
-# slots (docs_strip_boilerplate, user_sessions — both unchanged this
-# round and shape-covered by line_dedup/events rows) are given to the
-# round's new queries so they enter with driver evidence immediately.
+# then high-value re-checks (the r7-fixed priority_customer_lookup
+# oracle, the header-ordering-fixed csv/sized-json roundtrips, and the
+# heavy dedup paths whose shuffle sizing changed this round), and the
+# final six slots are the round's NEW queries (SemDeDup, Kneser-Ney,
+# span ranges + cut, IVF store) so they enter with driver evidence
+# immediately — the re-checks they displaced (strip_boilerplate,
+# user_sessions, verified_near_dups, minhash_lsh, tsv_roundtrip) are
+# unchanged this round and shape-covered by the kept dedup rows.
 _R8_WINDOW = [
     "observations_pipeline",
     # never-driver-checked backlog, final tranche (35 names)
