@@ -335,3 +335,86 @@ def holt_linear(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(compute, schema=schema_ddl)
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    tiebreak_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing per key — the
+    seasonal sibling of `holt_linear` (level + trend + an m-slot seasonal
+    cycle; the classic forecaster for daily/weekly-periodic series):
+
+        lt = a*(vt - s[t-m]) + (1-a)*(l[t-1] + b[t-1])
+        bt = B*(lt - l[t-1]) + (1-B)*b[t-1]
+        st = g*(vt - lt) + (1-g)*s[t-m]
+        forecast (one step) = lt + bt + s[t+1-m]
+
+    Seeding is the replay-exact degenerate form: l0 = v0, b0 = 0, and the
+    seasonal cycle starts all-zero (it converges within a few periods;
+    classic first-season averaging seeds are a fit choice, not a
+    semantics one, and this one reproduces bit-stably in a recursive-CTE
+    oracle whose recursion state carries the m-slot list). Same custom-op
+    contract as `ewma`/`holt_linear`: one key shuffle, Arrow-batched
+    per-key O(n) recurrence, NULL values emit NULL and are skipped with
+    state carried; every double operation is evaluated in the literal
+    order the oracle performs (the trend and seasonal steps RECOMPUTE
+    the level expression rather than trusting CSE). State per key is
+    O(period) — watermark-analog bounded, never row history.
+    """
+    import pandas as pd
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError(f"gamma must be in [0, 1], got {gamma}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    tb = list(tiebreak_cols or [])
+    sort_cols = [ts_col, *tb]
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", `level` double, `trend` double, `seasonal` double, `forecast` double"
+    a_c, b_c, g_c = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        lvl_out, trd_out, sea_out, fc_out = [], [], [], []
+        lvl = trd = None
+        s = [0.0] * period  # s[0] is s_{t-period}, s[-1] is s_{t-1}
+        for v in pdf[value_col].astype("float64").to_list():
+            if v is None or v != v:  # NULL/NaN: skip, state carries over
+                lvl_out.append(None)
+                trd_out.append(None)
+                sea_out.append(None)
+                fc_out.append(None)
+                continue
+            if lvl is None:
+                lvl, trd = v, 0.0
+            else:
+                prev = lvl
+                lvl = alpha * (v - s[0]) + a_c * (prev + trd)
+                trd = beta * (lvl - prev) + b_c * trd
+            snew = gamma * (v - lvl) + g_c * s[0]
+            s = s[1:] + [snew]
+            lvl_out.append(lvl)
+            trd_out.append(trd)
+            sea_out.append(snew)
+            fc_out.append(lvl + trd + s[0])
+        pdf = pdf.copy()
+        pdf["level"] = pd.array(lvl_out, dtype="float64")
+        pdf["trend"] = pd.array(trd_out, dtype="float64")
+        pdf["seasonal"] = pd.array(sea_out, dtype="float64")
+        pdf["forecast"] = pd.array(fc_out, dtype="float64")
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(compute, schema=schema_ddl)

@@ -11455,6 +11455,73 @@ FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def events_holt_winters(spark, sf_dir):
+    """Holt-Winters ADDITIVE triple exponential smoothing per user
+    (α=0.3, β=0.2, γ=0.25, period=4) — the seasonal forecaster on top of
+    events_holt_linear, for series with a repeating cycle. One key
+    shuffle + Arrow per-key O(n) recurrence whose state is (level,
+    trend, m-slot seasonal ring); the oracle replays all three coupled
+    recurrences as a recursive CTE whose recursion state CARRIES THE
+    SEASONAL LIST, in the identical double operation order (level
+    expression recomputed in the trend/seasonal steps, not aliased).
+    NULL value rows emit NULL with state carried; NULL ts / user_id rows
+    excluded on both engines (the ewma/holt contract)."""
+    from impc_etl_spark.operators.timeseries import holt_winters_additive
+
+    ev = _events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    out = holt_winters_additive(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["user_id"], "ts", "value",
+        alpha=0.3, beta=0.2, gamma=0.25, period=4,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _rnd("level", 6).alias("level"),
+        _rnd("trend", 6).alias("trend"),
+        _rnd("seasonal", 6).alias("seasonal"),
+        _rnd("forecast", 6).alias("forecast"),
+    )
+
+
+QUERIES["events_holt_winters"] = events_holt_winters
+
+ORACLE["events_holt_winters"] = """
+WITH RECURSIVE o AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
+walk(user_id, rn, event_id, l, b, s) AS (
+  SELECT user_id, rn, event_id, CAST(value AS DOUBLE), CAST(0.0 AS DOUBLE),
+         [0.0, 0.0, 0.0,
+          0.25 * (value - value) + (1.0 - 0.25) * 0.0]::DOUBLE[]
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.event_id,
+         0.3 * (o.value - w.s[1]) + (1.0 - 0.3) * (w.l + w.b),
+         0.2 * ((0.3 * (o.value - w.s[1]) + (1.0 - 0.3) * (w.l + w.b)) - w.l)
+           + (1.0 - 0.2) * w.b,
+         w.s[2:4] || [0.25 * (o.value
+             - (0.3 * (o.value - w.s[1]) + (1.0 - 0.3) * (w.l + w.b)))
+           + (1.0 - 0.25) * w.s[1]]
+  FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1)
+SELECT event_id, user_id,
+       floor(l * 1000000 + 0.5) / 1000000 AS level,
+       floor(b * 1000000 + 0.5) / 1000000 AS trend,
+       floor(s[4] * 1000000 + 0.5) / 1000000 AS seasonal,
+       floor((l + b + s[1]) * 1000000 + 0.5) / 1000000 AS forecast
+FROM walk
+UNION ALL
+SELECT event_id, user_id, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM events
+WHERE value IS NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-8 window rotation (r7 verdict item 1): the FINAL evidence tranche.
 # Slot 1 keeps the flagship; slots 2-36 are the complete never-driver-
@@ -11516,7 +11583,6 @@ _R8_WINDOW = [
     "docs_csv_roundtrip",
     "docs_dup_spans",
     "docs_line_dedup",
-    "corpus_prepare",
     "docs_dup_groups",
     # new this round: SemDeDup, Kneser-Ney LM scoring, span ranges + cut
     "emb_kmeans_semdedup",
@@ -11524,6 +11590,7 @@ _R8_WINDOW = [
     "docs_dup_span_ranges",
     "docs_substring_dedup_cut",
     "emb_ivf_store_topk",
+    "events_holt_winters",
 ]
 _set_window(_R8_WINDOW)
 

@@ -3390,3 +3390,50 @@ def test_cut_span_ranges_removes_covered_tokens_only(spark):
     alt = {r.doc_id: r for r in cut_span_ranges(df, ranges=pre, k=4).collect()}
     assert {k: (v.n_tokens, v.n_removed, v.clean_text) for k, v in out.items()} \
         == {k: (v.n_tokens, v.n_removed, v.clean_text) for k, v in alt.items()}
+
+
+def test_holt_winters_additive_matches_hand_recurrence(spark):
+    from impc_etl_spark.operators.timeseries import holt_winters_additive
+
+    vals = [10.0, 12.0, 8.0, 11.0, 13.0, None, 9.0, 12.5]
+    rows = [(i, 1, i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.event_id: (r.level, r.trend, r.seasonal, r.forecast)
+        for r in holt_winters_additive(
+            df, ["user_id"], "ts", "value",
+            alpha=0.3, beta=0.2, gamma=0.25, period=4,
+            tiebreak_cols=["event_id"],
+        ).collect()
+    }
+    # hand replay in the exact same operation order
+    a, b_, g, m = 0.3, 0.2, 0.25, 4
+    lvl = trd = None
+    s = [0.0] * m
+    want = {}
+    for i, v in enumerate(vals):
+        if v is None:
+            want[i] = (None, None, None, None)
+            continue
+        if lvl is None:
+            lvl, trd = v, 0.0
+        else:
+            prev = lvl
+            lvl = a * (v - s[0]) + (1 - a) * (prev + trd)
+            trd = b_ * (lvl - prev) + (1 - b_) * trd
+        snew = g * (v - lvl) + (1 - g) * s[0]
+        s = s[1:] + [snew]
+        want[i] = (lvl, trd, snew, lvl + trd + s[0])
+    for i, w in want.items():
+        got = out[i]
+        for x, y in zip(got, w):
+            if y is None:
+                assert x is None, (i, got, w)
+            else:
+                assert abs(x - y) < 1e-12, (i, got, w)
+    # the seasonal ring repeats: once seeded, s reacts with period-4 memory
+    assert out[4][2] is not None
+    # NULL row skipped with state carried: event 6 continues from event 4's state
+    assert out[6][0] is not None and out[5][0] is None
