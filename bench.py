@@ -79,13 +79,18 @@ def main() -> int:
         fn = QUERIES[name]
         best = float("inf")
         done = 0
-        # sub-second queries are scheduler-noise dominated: give them up
-        # to 2 extra reps (they're cheap) so the reported min stabilizes;
-        # reps=1 keeps strict single-shot semantics (no extras)
-        while done < reps or (reps > 1 and best < 1.0 and done < reps + 2):
+        measured = 0.0
+        # sub-second queries are scheduler-noise dominated (r8 pair showed
+        # ±19% swings on unchanged code at 0.3-0.5 s × 3-5 reps): keep
+        # repeating until we've accumulated ≥2 s of measured time (cap 15
+        # reps) so the reported min stabilizes; reps=1 keeps strict
+        # single-shot semantics (no extras)
+        while done < reps or (reps > 1 and measured < 2.0 and done < 15):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            measured += dt
             done += 1
         timings[name] = round(best, 3)
         rep_counts[name] = done
@@ -104,7 +109,6 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        "reps": rep_counts,
         "estimator": "min",
         "warmup": os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0",
     }
@@ -122,6 +126,7 @@ def main() -> int:
     # exact commit equality. Unknown/missing stamp → skip.
     pair_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_PAIR.json")
+    detail: dict[str, object] = {"metric": "bench_detail"}
     if os.path.exists(pair_path):
         with open(pair_path) as fh:
             pair = json.load(fh)
@@ -144,13 +149,26 @@ def main() -> int:
             except Exception:
                 changed = None
         if changed == []:
-            out["same_machine_pair"] = pair
+            detail["same_machine_pair"] = pair
+            # one scalar summary rides the headline line (tiny, parseable)
+            prev = pair.get("same_machine_prev_tree_sec")
+            this = pair.get("same_machine_this_tree_sec")
+            if prev and this:
+                out["pair_ratio"] = round(this / prev, 3)
         else:
-            out["same_machine_pair_skipped"] = (
+            detail["same_machine_pair_skipped"] = (
                 f"BENCH_PAIR.json stamped at {stamp or 'unknown'!r}; "
                 "benchmark-relevant source changed since (or stamp "
                 "unresolvable) — stale pair not embedded"
             )
+    # Driver contract: the FINAL stdout line must be the compact headline
+    # JSON and must fit the driver's 2,000-char tail capture (BENCH_r08 had
+    # parsed:null because the embedded pair map pushed the single line past
+    # that; r8 verdict item 1). Bulky detail (per-query rep counts, the
+    # same-machine pair map) goes on an EARLIER line; full pair data also
+    # lives in BENCH_PAIR.json.
+    detail["reps"] = rep_counts
+    print(json.dumps(detail))
     print(json.dumps(out))
     return 0
 

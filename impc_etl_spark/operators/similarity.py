@@ -74,9 +74,14 @@ def cosine_topk(
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    raw = F.try_divide(dot(F.col(vec_col), q), norm(F.col(vec_col)) * F.lit(qnorm))
+    # floor(x·1e6 + 0.5)/1e6, not F.round: one tie rule (toward +inf on
+    # exact half-ties) shared with every DuckDB oracle and semantic_dedup —
+    # F.round's decimal HALF_UP diverges on negative half-ties at the 7th
+    # decimal
     scored = fan_out(df).select(
         F.col(id_col),
-        F.round(F.try_divide(dot(F.col(vec_col), q), norm(F.col(vec_col)) * F.lit(qnorm)), 6).alias("cos_sim"),
+        (F.floor(raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -110,7 +115,11 @@ def cosine_topk_pandas(
         norms = np.linalg.norm(m, axis=1)
         zero = norms == 0.0
         safe = np.where(zero, 1.0, norms)
-        out = pd.Series(np.round(dots / (safe * qn), 6)).astype("Float64")
+        # same floor tie rule as the JVM cosine_topk (np.round is
+        # HALF_EVEN; the oracles are floor(x·1e6+0.5)/1e6)
+        out = pd.Series(
+            np.floor(dots / (safe * qn) * 1e6 + 0.5) / 1e6
+        ).astype("Float64")
         # zero-norm vectors score NULL, matching the JVM path's
         # divide-by-null semantics (NULL sorts LAST under desc) — a 0.0
         # score would rank them above negative-similarity rows

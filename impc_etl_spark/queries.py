@@ -11398,13 +11398,20 @@ def emb_ivf_store_topk(spark, sf_dir):
     probe choice, and the in-cluster exact-cosine ranking. On a cluster
     the store path must be shared storage (here: driver-local tmp, same
     caveat as media_binaryfile_ingest)."""
+    import hashlib
+    import os
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
     assigned, centroids = sim_ops.ivf_build(
         emb, nlist=4, iterations=2, round_to=6
     )
-    path = tempfile.mkdtemp(prefix="ivf_store_") + "/emb"
+    # one deterministic store per (user, sf_dir), overwritten in place —
+    # a fresh mkdtemp per invocation leaked an orphaned parquet copy of
+    # the embeddings table into /tmp on every replay/bench rep (r8 ADVICE)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"ivf_store_{os.getuid()}_{key}", "emb")
     assigned.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
     store = spark.read.parquet(path)
     qv = [float(x) for x in _query_vec(spark, sf_dir)]
