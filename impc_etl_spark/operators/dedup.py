@@ -777,16 +777,22 @@ def dup_span_ranges(
     ranges in order. Two windows merge when their starts differ by <= k
     (overlap or exact adjacency).
 
-    Scale shape: three data-sized exchanges, each on a narrow key —
-    (1) the positioned span table (id, pos, 16-byte hash) groups by hash
-    to find corpus-duplicated spans (pre-aggregated to (hash, doc)
-    first, same as dup_spans); (2) the flagged-hash table joins back
-    MERGE-HINTED (data-sized aggregate, never broadcast — see dup_spans'
-    OOM note); (3) the per-doc interval merge windows on the doc key
-    (lag + running-sum islands: two window functions over ONE
-    partitioning+ordering, a single exchange). Positions ride the
-    exchanges as one int beside the hash — the price of ranges over
-    scores, and still never the text itself.
+    Scale shape (two-phase, r8 verdict item 3): positions cross exactly
+    ONE exchange. Phase 1 runs entirely in the position-free 16-byte
+    regime of ``dup_spans`` — the (hash, doc) pre-agg on a derived-width
+    hash exchange feeds both the ndocs filter and (merge-joined, never
+    broadcast — see dup_spans' OOM note) the per-doc DUPLICATED-PAIR
+    table ``(id, hash)``, with no further exchange (everything stays
+    hash-partitioned). Phase 2 repartitions the positioned span table by
+    the DOC key — the very partitioning the island window needs — and
+    sort-merge-joins the dup-pair table on (id, hash) with both sides
+    co-partitioned on id, so neither the join nor the window adds an
+    exchange. The previous one-phase plan shuffled the full positioned
+    table on the hash key and then re-shuffled the flagged subset on the
+    doc key (9.1 GB shuffle / 8.7 GB spill at the sf30-equivalent
+    rehearsal); here the full table moves once and everything else is
+    16-byte rows. The per-doc interval merge is lag + running-sum
+    islands: two window functions over ONE partitioning+ordering.
     """
     from pyspark.sql import Window
 
@@ -795,15 +801,49 @@ def dup_span_ranges(
         F.col(id_col),
         F.posexplode(word_shingles(toks, k)).alias("__pos", "__s"),
     ).select(id_col, "__pos", F.md5("__s").alias("__h"))
-    # corpus-duplicated hashes: (hash, doc) pre-agg -> ndocs filter
-    dup_h = (
+    advisory_mb = max(
+        1, int(df.sparkSession.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(64 << 20))) >> 20)
+    # phase 1 — position-free: (hash, doc) pre-agg on a derived-width
+    # exchange (same expansion as dup_spans: one 32-hex-md5 row per
+    # k-token window off compressed parquet text), then ndocs filter and
+    # the dup-pair join, all without leaving the hash partitioning
+    w_h = shuffle_partitions_for(df, target_mb=advisory_mb, expansion=32.0)
+    pairs = (
         sp.select("__h", id_col)
+        .repartition(w_h, "__h")
         .groupBy("__h", id_col).agg(F.count(F.lit(1)).alias("__c"))
-        .groupBy("__h").agg(F.count("*").alias("__ndocs"))
+    )
+    dup_h = (
+        pairs.groupBy("__h").agg(F.count("*").alias("__ndocs"))
         .where(F.col("__ndocs") >= min_docs)
         .select("__h")
     )
-    flagged = sp.join(dup_h.hint("merge"), "__h").select(id_col, "__pos")
+    dup_pairs = pairs.join(dup_h.hint("merge"), "__h").select(id_col, "__h")
+    # phase 2 — the ONE position-bearing exchange: spans move to the doc
+    # key (expansion 40: pos int rides beside the hash). The dup-pair
+    # side collapses to ONE SET ROW PER DOC so the join key is id ALONE —
+    # a (id, __h) two-key join would trip requireAllClusterKeysForCo-
+    # Partition and re-exchange (observed: the planner rewrote subset-key
+    # repartitions to full-key ones and stacked a window exchange on
+    # top). Single-key co-partitioning at the same width satisfies both
+    # the sort-merge join and the island window, so neither adds an
+    # exchange; the hash-membership test is a row-local array_contains
+    # over the doc's dup-set (bounded by tokens-per-doc; codegen drops
+    # the set column right after the fused filter+project). The inner
+    # join also drops no-dup docs before they reach the window.
+    w_id = shuffle_partitions_for(df, target_mb=advisory_mb, expansion=40.0)
+    dup_sets = (
+        dup_pairs.repartition(w_id, id_col)
+        .groupBy(id_col).agg(F.collect_set("__h").alias("__dupset"))
+    )
+    flagged = (
+        sp.repartition(w_id, id_col)
+        .join(dup_sets.hint("merge"), id_col)
+        .where(F.array_contains(F.col("__dupset"), F.col("__h")))
+        .select(id_col, "__pos")
+    )
     w = Window.partitionBy(id_col).orderBy("__pos")
     brk = F.when(
         F.col("__pos") - F.lag("__pos").over(w) <= k, F.lit(0)

@@ -392,24 +392,41 @@ def kn_bigram_logprob(
     proxy it doesn't over-reward high-frequency tokens glued to the wrong
     context ("the the" scores low even though "the" is common).
 
-    Scale shape: ONE corpus pass builds the bigram-type table (one
-    explode→groupBy shuffle, materialized once); head counts c(x·)/N₁₊(x·),
-    continuation counts N₁₊(·y), and the type total T all derive from that
-    table by re-aggregation — type-count-sized, far below corpus size.
-    Scoring joins the exploded corpus to the three model tables (broadcast
-    when ``broadcast_model``; merge-hinted otherwise — see
-    ``unigram_logprob`` on why a data-sized count table must never
-    auto-broadcast) and ends in one groupBy(doc) average. Every model
+    Scale shape (r8 verdict item 4): ONE corpus pass builds the
+    bigram-type table on a DERIVED-WIDTH exchange (one explode→groupBy
+    shuffle, materialized once); head counts c(x·)/N₁₊(x·), continuation
+    counts N₁₊(·y), and the type total T all derive from that table by
+    re-aggregation — type-count-sized, far below corpus size. p_KN
+    depends only on the bigram TYPE, so the full probability is
+    assembled on the TYPE table first (type-sized joins; broadcast when
+    ``broadcast_model``, merge-hinted otherwise — see ``unigram_logprob``
+    on why a data-sized count table must never auto-broadcast) and the
+    exploded corpus then joins ONCE on the bigram key — the previous
+    shape joined the corpus three times (big, w1, w2), three corpus-sized
+    string exchanges that sort-spilled 3.0 GB at the sf30-equivalent
+    rehearsal. The final groupBy(doc) partial-aggregates map-side to
+    (id, sum, count), so its exchange is doc-count-sized. Every model
     quantity is an integer count, so only the final avg(log10) is
-    float-ordering-sensitive — round the result for cross-engine compares.
-    Docs with < 2 tokens produce no row. D must be in (0, 1].
+    float-ordering-sensitive — round the result for cross-engine
+    compares. Docs with < 2 tokens produce no row. D must be in (0, 1].
     """
+    from impc_etl_spark.operators.partitioning import shuffle_partitions_for
+
     bigr = word_shingles(tokens(text_col), 2)
-    # bigram TYPE table: key, split tokens, count — one shuffle, then
-    # materialize: four consumers (heads, continuations, total, scoring
-    # join) would otherwise re-execute the corpus explode four times
+    advisory_mb = max(
+        1, int(df.sparkSession.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(64 << 20))) >> 20)
+    # one ~2-word string row per token position off compressed parquet
+    # text: measured ~16× the scan estimate (spans' 32-hex rows measured
+    # ~30×; bigram rows are about half as wide)
+    w_big = shuffle_partitions_for(df, target_mb=advisory_mb, expansion=16.0)
+    # bigram TYPE table: key, split tokens, count — one pinned-width
+    # shuffle, then materialize: four consumers (heads, continuations,
+    # total, model join) would otherwise re-execute the corpus explode
     parts = (
         df.select(F.explode(bigr).alias("big"))
+        .repartition(w_big, "big")
         .groupBy("big")
         .agg(F.count(F.lit(1)).alias("__c12"))
         .select(
@@ -425,28 +442,17 @@ def kn_bigram_logprob(
     )
     conts = parts.groupBy("__w2").agg(F.count(F.lit(1)).alias("__r2"))
     tot = parts.agg(F.count(F.lit(1)).alias("__t"))
-    big_counts = parts.select("big", "__c12")
-    if broadcast_model:
-        big_counts = F.broadcast(big_counts)
-        heads = F.broadcast(heads)
-        conts = F.broadcast(conts)
-    else:
-        big_counts = big_counts.hint("merge")
+    if not broadcast_model:
         heads = heads.hint("merge")
         conts = conts.hint("merge")
     d = float(discount)
-    tok_tbl = (
-        df.select(F.col(id_col), F.explode(bigr).alias("big"))
-        .withColumn("__w1", F.split(F.col("big"), " ").getItem(0))
-        .withColumn("__w2", F.split(F.col("big"), " ").getItem(1))
-        .crossJoin(F.broadcast(tot))
-    )
-    scored = (
-        tok_tbl.join(big_counts, "big")
-        .join(heads, "__w1")
+    # per-TYPE probability: joins among type-sized tables only
+    model = (
+        parts.join(heads, "__w1")
         .join(conts, "__w2")
+        .crossJoin(F.broadcast(tot))
         .select(
-            F.col(id_col),
+            "big",
             F.log10(
                 F.greatest(F.col("__c12") - F.lit(d), F.lit(0.0)) / F.col("__c1")
                 + (F.lit(d) * F.col("__n1") / F.col("__c1"))
@@ -454,6 +460,13 @@ def kn_bigram_logprob(
             ).alias("__lp"),
         )
     )
+    model = F.broadcast(model) if broadcast_model else model.hint("merge")
+    # expansion 24: the corpus side carries (id, bigram string) per token
+    corpus = df.select(F.col(id_col), F.explode(bigr).alias("big")).repartition(
+        shuffle_partitions_for(df, target_mb=advisory_mb, expansion=24.0),
+        "big",
+    )
+    scored = corpus.join(model, "big").select(F.col(id_col), "__lp")
     return scored.groupBy(id_col).agg(F.avg("__lp").alias(out))
 
 
