@@ -319,6 +319,8 @@ def interval_point_join(
     bin_width: int = 86400,
     closed: str = "both",
     how: str = "inner",
+    max_per_bin: int | None = None,
+    report_overflow: bool = False,
 ) -> DataFrame:
     """Point-in-interval join WITHOUT a nested loop: bin both sides onto a
     shared time grid so Catalyst plans a hash join on ``(on…, bin)``, then
@@ -343,16 +345,57 @@ def interval_point_join(
     data co-locates; hot buckets (flash-sale days) are ordinary key skew,
     handled by AQE skew-join. Unbounded intervals must be clamped upstream,
     exactly like watermarking bounds stream state.
+
+    ``max_per_bin`` (default None = exact) is the dense-bin guard, the
+    interval-join analog of LSH's mega-bucket cap: per-point work is the
+    interval fan-in of its bin, so a hostile/skewed distribution piling
+    intervals onto one bin makes the join quadratic at 100×. With the cap
+    set, each (on…, bin) keeps only the first ``max_per_bin`` interval
+    copies by a DETERMINISTIC priority (earliest start, then end, then a
+    content hash) and drops the rest — points in an overflowing bin can
+    miss matches (bounded loss, like LSH's star degradation), which is
+    why the default is off. ``report_overflow=True`` adds a
+    ``bin_dropped`` column (interval copies dropped from that point's
+    bin; 0 elsewhere) so the loss is visible in-plan, the same
+    self-diagnosing shape as the IVF store's scanned-cluster twin.
     """
     if how not in ("inner", "left_outer", "left_semi", "left_anti"):
         # the intervals side is exploded: interval-preserving outer joins
         # would emit one row per unmatched bucket — disallow them.
         raise ValueError("interval_point_join supports inner/left_outer/left_semi/left_anti")
+    if report_overflow and max_per_bin is None:
+        raise ValueError("report_overflow requires max_per_bin")
     p_bin = _bin_of(points, point_col, bin_width)
     s_bin = _bin_of(intervals, start_col, bin_width)
     e_bin = _bin_of(intervals, end_col, bin_width)
     p = points.withColumn("__bin", p_bin).alias("__p")
-    iv = intervals.withColumn("__bin", F.explode(F.sequence(s_bin, e_bin))).alias("__i")
+    iv = intervals.withColumn("__bin", F.explode(F.sequence(s_bin, e_bin)))
+    if max_per_bin is not None:
+        from pyspark.sql import Window
+
+        # deterministic keep-priority; the window shuffles on the same
+        # (on…, bin) key the join exchanges on anyway
+        wcap = Window.partitionBy(*on, "__bin").orderBy(
+            F.col(start_col), F.col(end_col),
+            F.xxhash64(*[F.col(c) for c in intervals.columns]),
+        )
+        ranked = iv.withColumn("__rn", F.row_number().over(wcap))
+        if report_overflow:
+            overflow = (
+                ranked.where(F.col("__rn") > max_per_bin)
+                .groupBy(*on, "__bin")
+                .agg(F.count(F.lit(1)).alias("bin_dropped"))
+            )
+            p = (
+                p.join(overflow.hint("merge"), [*on, "__bin"], "left")
+                .withColumn(
+                    "bin_dropped",
+                    F.coalesce(F.col("bin_dropped"), F.lit(0)),
+                )
+                .alias("__p")
+            )
+        iv = ranked.where(F.col("__rn") <= max_per_bin).drop("__rn")
+    iv = iv.alias("__i")
     cond = F.col("__p.__bin") == F.col("__i.__bin")
     for k in on:
         cond = cond & (F.col(f"__p.{k}") == F.col(f"__i.{k}"))
@@ -360,10 +403,11 @@ def interval_point_join(
         F.col(f"__p.{point_col}"), F.col(f"__i.{start_col}"), F.col(f"__i.{end_col}"), closed
     )
     joined = p.join(iv, cond, how)
+    p_cols = list(points.columns) + (["bin_dropped"] if report_overflow else [])
     if how in ("left_semi", "left_anti"):
-        return joined.select(*[F.col(f"__p.{c}").alias(c) for c in points.columns])
+        return joined.select(*[F.col(f"__p.{c}").alias(c) for c in p_cols])
     return joined.select(
-        *[F.col(f"__p.{c}").alias(c) for c in points.columns],
+        *[F.col(f"__p.{c}").alias(c) for c in p_cols],
         *[F.col(f"__i.{c}").alias(c) for c in intervals.columns if c not in set(points.columns)],
     )
 
@@ -378,6 +422,7 @@ def interval_overlap_join(
     on: Sequence[str] = (),
     bin_width: int = 86400,
     how: str = "inner",
+    max_per_bin: int | None = None,
 ) -> DataFrame:
     """Interval-overlap join (closed intervals: ``l.start <= r.end AND
     r.start <= l.end``) on the same binned-grid plan as
@@ -388,6 +433,14 @@ def interval_overlap_join(
     overlap — each pair is kept only in the FIRST common bucket
     (``bin == greatest(bin(l.start), bin(r.start))``), which both sides are
     guaranteed to contain. One hash join, no dedup shuffle, no nested loop.
+
+    ``max_per_bin`` (default None = exact) caps EACH side's copies per
+    (on…, bin) by the same deterministic priority as
+    ``interval_point_join``'s dense-bin guard — a dense bin otherwise
+    produces |l|·|r| candidate pairs, workload-inherent quadratic growth
+    (campaign_order_attribution at the sf10-equivalent rehearsal). Pairs
+    whose first-common-bucket copy is dropped are lost (bounded loss;
+    default off preserves exact semantics).
     """
     if how != "inner":
         # both sides are exploded: any outer variant would emit one row per
@@ -395,16 +448,31 @@ def interval_overlap_join(
         raise ValueError("interval_overlap_join supports how='inner' only")
     ls_bin, le_bin = _bin_of(left, left_start, bin_width), _bin_of(left, left_end, bin_width)
     rs_bin, re_bin = _bin_of(right, right_start, bin_width), _bin_of(right, right_end, bin_width)
-    l = (
+
+    def _cap(df: DataFrame, start: str, end: str, cols: list[str]) -> DataFrame:
+        if max_per_bin is None:
+            return df
+        from pyspark.sql import Window
+
+        wcap = Window.partitionBy(*on, "__bin").orderBy(
+            F.col(start), F.col(end), F.xxhash64(*[F.col(c) for c in cols])
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(wcap))
+            .where(F.col("__rn") <= max_per_bin)
+            .drop("__rn")
+        )
+
+    l = _cap(
         left.withColumn("__sbin", ls_bin)
-        .withColumn("__bin", F.explode(F.sequence(F.col("__sbin"), le_bin)))
-        .alias("__l")
-    )
-    r = (
+        .withColumn("__bin", F.explode(F.sequence(F.col("__sbin"), le_bin))),
+        left_start, left_end, list(left.columns),
+    ).alias("__l")
+    r = _cap(
         right.withColumn("__sbin", rs_bin)
-        .withColumn("__bin", F.explode(F.sequence(F.col("__sbin"), re_bin)))
-        .alias("__r")
-    )
+        .withColumn("__bin", F.explode(F.sequence(F.col("__sbin"), re_bin))),
+        right_start, right_end, list(right.columns),
+    ).alias("__r")
     cond = F.col("__l.__bin") == F.col("__r.__bin")
     for k in on:
         cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))

@@ -977,6 +977,52 @@ def test_interval_overlap_join_matches_naive_no_dups(spark):
                                     how="left_outer")
 
 
+def test_interval_point_join_max_per_bin_caps_and_reports(spark):
+    """Dense-bin guard: cap keeps the earliest-start interval copies per
+    bin deterministically, overflow is reported per point, and a cap
+    above the fan-in reproduces the exact result."""
+    from impc_etl_spark.operators import joins
+
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0)], "pid INT, t DOUBLE")
+    ivs = spark.createDataFrame(
+        [(1, 0.0, 9.0), (2, 1.0, 9.0), (3, 2.0, 9.0), (4, 10.0, 19.0)],
+        "iid INT, s DOUBLE, e DOUBLE")
+    capped = joins.interval_point_join(
+        pts, ivs, "t", "s", "e", bin_width=10, max_per_bin=2,
+        report_overflow=True)
+    rows = sorted((r.pid, r.iid, r.bin_dropped) for r in capped.collect())
+    # bin 0 holds iids 1,2,3 -> cap 2 keeps 1,2 (earliest starts), drops 1
+    assert rows == [(1, 1, 1), (1, 2, 1), (2, 4, 0)]
+    # cap >= fan-in == exact
+    exact = joins.interval_point_join(
+        pts, ivs, "t", "s", "e", bin_width=10)
+    assert sorted((r.pid, r.iid) for r in joins.interval_point_join(
+        pts, ivs, "t", "s", "e", bin_width=10, max_per_bin=5,
+    ).collect()) == sorted((r.pid, r.iid) for r in exact.collect())
+    with pytest.raises(ValueError):
+        joins.interval_point_join(
+            pts, ivs, "t", "s", "e", report_overflow=True)
+
+
+def test_interval_overlap_join_max_per_bin(spark):
+    from impc_etl_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 8.0), (2, 1.0, 8.0), (3, 2.0, 8.0)],
+        "lid INT, ls DOUBLE, le DOUBLE")
+    right = spark.createDataFrame(
+        [(9, 0.0, 9.0)], "rid INT, rs DOUBLE, re DOUBLE")
+    capped = sorted((r.lid, r.rid) for r in joins.interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bin_width=10, max_per_bin=2,
+    ).collect())
+    assert capped == [(1, 9), (2, 9)]
+    exact = sorted((r.lid, r.rid) for r in joins.interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bin_width=10, max_per_bin=10,
+    ).collect())
+    assert exact == [(1, 9), (2, 9), (3, 9)]
+
+
 def test_per_key_sample_cap_nested_and_stable(spark):
     from impc_etl_spark.operators import sampling
 
