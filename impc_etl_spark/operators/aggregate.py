@@ -561,3 +561,147 @@ def association_rules(
     return rules.orderBy(
         F.col("support").desc(), "antecedent", "consequent"
     ).limit(top_k)
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test — the A/B comparison a
+    release or experiment pipeline runs per segment (Welch 1947; the
+    default two-sample test precisely because it does NOT assume equal
+    variances):
+
+        t  = (x̄a − x̄b) / sqrt(va/na + vb/nb)
+        df = (va/na + vb/nb)² / ((va/na)²/(na−1) + (vb/nb)²/(nb−1))
+
+    Moments come from sufficient statistics (n, Σx, Σx²) so a SQL oracle
+    computes the IDENTICAL double expressions: mean = Σx/n and sample
+    variance = (Σx² − Σx²/n)/(n−1) — not an engine's var_samp, whose
+    streaming update order differs in the last ulp. Output one row per
+    ``by`` group: (by…, n_a, mean_a, n_b, mean_b, t_stat, welch_df).
+    Groups need n >= 2 on both sides (others emit NULL t/df via
+    try_divide semantics — zero-variance pairs likewise).
+
+    Scale shape: one partial-aggregated groupBy — three doubles per
+    (by…, group) cell cross the exchange; the A/B pivot is a conditional
+    aggregate, not a join. NULL values and rows outside the two groups
+    are excluded.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        g.isin([group_a, group_b]) & F.col(value_col).isNotNull()
+    )
+
+    def side(tag, match):
+        flt = F.when(match, v)
+        return [
+            F.count(flt).alias(f"n_{tag}"),
+            F.sum(flt).alias(f"s_{tag}"),
+            F.sum(flt * flt).alias(f"q_{tag}"),
+        ]
+
+    stats = base.groupBy(*by).agg(
+        *side("a", g == group_a), *side("b", g == group_b)
+    )
+
+    def moments(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        s, q = F.col(f"s_{tag}"), F.col(f"q_{tag}")
+        mean = s / n
+        var = F.try_divide(q - s * s / n, n - F.lit(1.0))
+        return n, mean, var
+
+    na, ma, va = moments("a")
+    nb, mb, vb = moments("b")
+    sea, seb = va / na, vb / nb
+    t = F.try_divide(ma - mb, F.sqrt(sea + seb))
+    dof = F.try_divide(
+        (sea + seb) * (sea + seb),
+        sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0)),
+    )
+    return stats.select(
+        *by,
+        F.col("n_a"),
+        ma.alias("mean_a"),
+        F.col("n_b"),
+        mb.alias("mean_b"),
+        t.alias("t_stat"),
+        dof.alias("welch_df"),
+    )
+
+
+def ks_binned(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    label_a,
+    label_b,
+    bins: int = 200,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance on a SHARED equal-width
+    grid: D̂ = max over bin edges of |F̂a − F̂b| — the distribution-drift
+    check (train/serve skew, release-to-release shift) evaluated the
+    scale-safe way. The exact KS statistic needs a globally sorted
+    merge of both samples (a single-partition sort at 100 TB); binning
+    evaluates the ECDF difference only at ``bins`` grid edges, a
+    standard discretization that UNDERESTIMATES D by at most the
+    largest per-bin probability mass — companion of the PSI drift
+    check, which weights the same histogram differences by log-ratio.
+
+    Scale shape: one 1-row min/max aggregate broadcast back (the
+    value_histogram pattern), one partial-aggregated (label, bin)
+    groupBy — grid-sized — then the cumulative sums run on the ≤bins-row
+    table (a single-partition window over a GRID, not data). Output one
+    row: (n_a, n_b, ks_stat). NULL values and other labels excluded;
+    degenerate min==max puts everything in bin 0 and D̂ = 0.
+    """
+    from pyspark.sql import Window
+
+    lbl = F.col(label_col)
+    base = df.where(
+        lbl.isin([label_a, label_b]) & F.col(value_col).isNotNull()
+    ).select(lbl.alias("__lbl"), F.col(value_col).cast("double").alias("__v"))
+    bounds = base.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        "__lbl",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor((F.col("__v") - F.col("__lo")) / width),
+                F.lit(bins - 1),
+            )
+        ).cast("int").alias("__bin"),
+    )
+    counts = binned.groupBy("__bin").agg(
+        F.count(F.when(F.col("__lbl") == label_a, 1)).alias("__ca"),
+        F.count(F.when(F.col("__lbl") == label_b, 1)).alias("__cb"),
+    )
+    w = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = counts.select(
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+    )
+    totals = counts.agg(
+        F.sum("__ca").alias("n_a"), F.sum("__cb").alias("n_b")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("__cuma").cast("double") / F.col("n_a").cast("double")
+                    - F.col("__cumb").cast("double") / F.col("n_b").cast("double")
+                )
+            ).alias("ks_stat"),
+        )
+    )

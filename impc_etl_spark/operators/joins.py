@@ -488,6 +488,60 @@ def interval_overlap_join(
     )
 
 
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    text_col: str,
+    id_col: str,
+    max_distance: int = 3,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Blocked fuzzy record linkage: candidate pairs meet only inside a
+    blocking key, then survive an edit-distance bar — the classic
+    blocking+comparison design (Fellegi-Sunter style) that makes
+    approximate string matching tractable: an unblocked fuzzy join is
+    O(n²) string comparisons, a scale-killer no cluster survives.
+
+    Emits one row per unordered pair ``(id_a < id_b)`` sharing every
+    ``block_cols`` value with ``levenshtein(text_a, text_b) <=
+    max_distance``, plus the distance. The Spark side evaluates the
+    BANDED form (``F.levenshtein(..., threshold)``): the DP matrix walk
+    abandons a pair the moment its distance provably exceeds the bar, so
+    the common non-match case costs O(d·len) not O(len²).
+
+    Scale shape: one shuffle of each (projected) side on the block key;
+    pair growth is quadratic IN THE BLOCK, which is the point — the
+    block key is the operator's contract (pick one selective enough that
+    blocks stay small; name-prefix + category is the standard recipe).
+    ``max_block_size`` is the guard for hostile/skewed keys, same family
+    as LSH's mega-bucket cap and the interval joins' dense-bin guard:
+    blocks larger than it are EXCLUDED entirely (count them upstream if
+    you need the audit; a partial block would silently bias the linkage).
+    """
+    if max_block_size is not None:
+        sizes = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+        keep = sizes.where(F.col("__bsz") <= max_block_size).select(*block_cols)
+        # block-key tables are data-sized aggregates: merge, never broadcast
+        df = df.join(keep.hint("merge"), list(block_cols), "left_semi")
+    a = df.select(
+        *block_cols,
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+    )
+    b = df.select(
+        *block_cols,
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+    )
+    pairs = a.join(b, list(block_cols)).where(F.col("id_a") < F.col("id_b"))
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"), int(max_distance))
+    return (
+        pairs.withColumn("edit_dist", dist)
+        # banded levenshtein returns -1 when the bar is exceeded
+        .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_distance))
+    )
+
+
 def release_diff(
     current: DataFrame,
     previous: DataFrame,

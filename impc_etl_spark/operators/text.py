@@ -1486,3 +1486,75 @@ def luhn_check(col: str | Column) -> Column:
 
     total = F.aggregate(F.sequence(F.lit(1), F.length(r)), F.lit(0), step)
     return c.rlike("^[0-9]{12,19}$") & (total % 10 == 0)
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS of
+    ln(count) on ln(rank) for the ``top_n`` most frequent tokens —
+    natural text follows count ∝ rank^s with s ≈ −1 (Zipf 1949), and the
+    fitted slope is a cheap corpus-health diagnostic (template/spam
+    corpora flatten it, boilerplate floods steepen it; Piantadosi 2014
+    reviews the ranges). Returns ONE row: (n_tokens, vocab_size, slope,
+    intercept, r2).
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),   x=ln(rank), y=ln(c)
+
+    Rank order is (count desc, token asc) — fully deterministic, so an
+    oracle replays the same cut and ranks.
+
+    Scale shape: one token groupBy (map-side combined, vocab-sized
+    exchange); the top-n cut is orderBy+limit = TakeOrdered (per-
+    partition heap, k rows to the driver stage, never a global sort);
+    ranks and the OLS sums run on the ≤top_n-row table. The corpus
+    ships only its token stream.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    counts = (
+        fan_out(df).select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = counts.agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    top = counts.orderBy(F.col("__c").desc(), "tok").limit(top_n)
+    ranked = top.withColumn(
+        "__r",
+        F.row_number().over(Window.orderBy(F.col("__c").desc(), "tok")),
+    ).select(
+        F.log(F.col("__r").cast("double")).alias("__x"),
+        F.log(F.col("__c").cast("double")).alias("__y"),
+    )
+    fit = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxx, syy, sxy = F.col("__sxx"), F.col("__syy"), F.col("__sxy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.try_divide(cov_n, var_x)
+    intercept = (sy - slope * sx) / n
+    r2 = F.try_divide(cov_n * cov_n, var_x * var_y)
+    return (
+        fit.crossJoin(F.broadcast(totals))
+        .select(
+            "n_tokens",
+            "vocab_size",
+            slope.alias("slope"),
+            intercept.alias("intercept"),
+            r2.alias("r2"),
+        )
+    )

@@ -418,3 +418,78 @@ def holt_winters_additive(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(compute, schema=schema_ddl)
+
+
+def cusum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+    reset_on_alarm: bool = True,
+    tiebreak_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection per key (Page 1954) — the
+    classic sequential drift detector telemetry/quality pipelines run on
+    per-entity series:
+
+        s⁺t = max(0, s⁺[t-1] + (vt − target − slack))
+        s⁻t = max(0, s⁻[t-1] + (target − vt − slack))
+        alarm when s⁺t > threshold OR s⁻t > threshold
+
+    ``reset_on_alarm`` (default) zeroes BOTH statistics after an alarm
+    row, the standard restart that lets one series flag multiple
+    changepoints; with it off, the statistics keep accumulating and
+    every post-drift row alarms. ``target`` is an explicit constant:
+    deriving it in-plan (per-key mean) would feed an order-sensitive
+    float into a threshold comparison and flip alarms between engines —
+    callers that want a data-derived target compute and round it first.
+
+    Same custom-op contract as ``ewma``: windowed aggregates cannot
+    express the max(0, ·) clamp recurrence, so one shuffle on
+    ``key_cols`` then an Arrow-batched per-key O(n) loop whose state is
+    two doubles; NULL values emit NULL rows and are skipped with state
+    carried over. Ordering inside a key is (ts, tiebreak_cols) and must
+    be total for determinism. Adds ``cusum_pos``, ``cusum_neg``,
+    ``alarm`` (int 0/1).
+    """
+    import pandas as pd
+
+    if threshold <= 0.0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    if slack < 0.0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+    tb = list(tiebreak_cols or [])
+    sort_cols = [ts_col, *tb]
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", `cusum_pos` double, `cusum_neg` double, `alarm` int"
+    tgt, k, h = float(target), float(slack), float(threshold)
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        pos_out, neg_out, alarm_out = [], [], []
+        sp = sn = 0.0
+        for v in pdf[value_col].astype("float64").to_list():
+            if v is None or v != v:  # NULL/NaN: skip, state carries over
+                pos_out.append(None)
+                neg_out.append(None)
+                alarm_out.append(None)
+                continue
+            sp = max(0.0, sp + (v - tgt - k))
+            sn = max(0.0, sn + (tgt - v - k))
+            alarm = 1 if (sp > h or sn > h) else 0
+            pos_out.append(sp)
+            neg_out.append(sn)
+            alarm_out.append(alarm)
+            if alarm and reset_on_alarm:
+                sp = sn = 0.0
+        pdf = pdf.copy()
+        pdf["cusum_pos"] = pd.array(pos_out, dtype="float64")
+        pdf["cusum_neg"] = pd.array(neg_out, dtype="float64")
+        pdf["alarm"] = pd.array(alarm_out, dtype="Int32")
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(compute, schema=schema_ddl)

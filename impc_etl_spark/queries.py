@@ -11607,3 +11607,352 @@ _set_window(_R8_WINDOW)
 # flagship, fill the rest with (a) queries added that round and (b) the
 # 49 least-recently-driver-checked names (registration order minus the
 # union of CORRECTNESS_r0N keys, oldest evidence first).
+
+
+# ---------------------------------------------------------------------------
+# Round 9 additions: record linkage, changepoints, A/B stats, drift, Zipf
+# ---------------------------------------------------------------------------
+
+
+def part_fuzzy_name_pairs(spark, sf_dir):
+    """Blocked fuzzy record linkage over part names: candidate pairs meet
+    only inside the p_brand block, then survive a levenshtein <= 3 bar
+    (banded DP via F.levenshtein's threshold arg — abandons a pair the
+    moment the bar is provably exceeded), exact-equal names excluded so
+    the output is the NEAR-duplicate linkage exact dedup can't see. The
+    Fellegi-Sunter blocking+comparison design: an unblocked fuzzy join
+    is O(n^2) string comparisons. One block-key shuffle per side;
+    reference analog: the reference's exact-key colony/specimen merges
+    (jobs/transform/specimen_cross_ref.py) which a fuzzy layer would sit
+    on top of."""
+    part = _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_name")
+    pairs = join_ops.fuzzy_blocked_pairs(
+        part, block_cols=["p_brand"], text_col="p_name",
+        id_col="p_partkey", max_distance=3,
+    )
+    return pairs.where(F.col("text_a") != F.col("text_b")).select(
+        "p_brand",
+        F.col("id_a").alias("part_a"),
+        F.col("id_b").alias("part_b"),
+        F.col("edit_dist").cast("long").alias("edit_dist"),
+    )
+
+
+QUERIES["part_fuzzy_name_pairs"] = part_fuzzy_name_pairs
+
+ORACLE["part_fuzzy_name_pairs"] = """
+SELECT a.p_brand,
+       a.p_partkey AS part_a,
+       b.p_partkey AS part_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
+"""
+
+
+def events_cusum_changepoints(spark, sf_dir):
+    """Two-sided CUSUM changepoint detection per user (Page 1954):
+    s+ accumulates (value - 50 - 5), s- accumulates (50 - value - 5),
+    both clamped at 0; a row alarms when either exceeds 200 and the
+    statistics reset after the alarm (the standard restart). The target
+    is an explicit constant — a data-derived mean would feed an
+    order-sensitive float into a threshold comparison and flip alarms
+    between engines. One key shuffle + Arrow per-key O(n) recurrence
+    (timeseries.cusum, two doubles of state); the oracle replays the
+    clamp recurrence as a recursive CTE in the identical double
+    operation order, alarm-reset included. NULL values emit NULL with
+    state carried; NULL ts / user_id rows excluded on both engines (the
+    ewma/holt contract)."""
+    ev = _events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    out = ts_ops.cusum(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["user_id"], "ts", "value",
+        target=50.0, slack=5.0, threshold=200.0,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _rnd("cusum_pos", 6).alias("cusum_pos"),
+        _rnd("cusum_neg", 6).alias("cusum_neg"),
+        "alarm",
+    )
+
+
+QUERIES["events_cusum_changepoints"] = events_cusum_changepoints
+
+ORACLE["events_cusum_changepoints"] = """
+WITH RECURSIVE o AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
+walk(user_id, rn, event_id, sp, sn, alarm) AS (
+  SELECT user_id, rn, event_id,
+         greatest(0.0, 0.0 + (value - 50.0 - 5.0)),
+         greatest(0.0, 0.0 + (50.0 - value - 5.0)),
+         CASE WHEN greatest(0.0, 0.0 + (value - 50.0 - 5.0)) > 200.0
+                OR greatest(0.0, 0.0 + (50.0 - value - 5.0)) > 200.0
+              THEN 1 ELSE 0 END
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.event_id,
+         greatest(0.0, (CASE WHEN w.alarm = 1 THEN 0.0 ELSE w.sp END)
+                       + (o.value - 50.0 - 5.0)),
+         greatest(0.0, (CASE WHEN w.alarm = 1 THEN 0.0 ELSE w.sn END)
+                       + (50.0 - o.value - 5.0)),
+         CASE WHEN greatest(0.0, (CASE WHEN w.alarm = 1 THEN 0.0 ELSE w.sp END)
+                                 + (o.value - 50.0 - 5.0)) > 200.0
+                OR greatest(0.0, (CASE WHEN w.alarm = 1 THEN 0.0 ELSE w.sn END)
+                                 + (50.0 - o.value - 5.0)) > 200.0
+              THEN 1 ELSE 0 END
+  FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1)
+SELECT event_id, user_id,
+       floor(sp * 1000000 + 0.5) / 1000000 AS cusum_pos,
+       floor(sn * 1000000 + 0.5) / 1000000 AS cusum_neg,
+       alarm
+FROM walk
+UNION ALL
+SELECT event_id, user_id, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS INTEGER)
+FROM events
+WHERE value IS NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+"""
+
+
+def orders_ab_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance two-sample t-test per order status:
+    '1-URGENT' vs '5-LOW' o_totalprice — the A/B comparison a release
+    pipeline runs per segment. Moments from sufficient statistics
+    (n, sum, sum-of-squares) in ONE partial-aggregated groupBy (three
+    doubles per cell cross the exchange; the A/B split is a conditional
+    aggregate, not a join), so the oracle computes the IDENTICAL double
+    expressions — never an engine's var_samp, whose streaming update
+    order differs in the last ulp."""
+    orders = _t(spark, sf_dir, "orders")
+    out = agg_ops.welch_ttest(
+        orders, "o_totalprice", "o_orderpriority",
+        "1-URGENT", "5-LOW", by=["o_orderstatus"],
+    )
+    return out.select(
+        "o_orderstatus",
+        "n_a",
+        _rnd("mean_a", 4).alias("mean_a"),
+        "n_b",
+        _rnd("mean_b", 4).alias("mean_b"),
+        _rnd("t_stat", 6).alias("t_stat"),
+        _rnd("welch_df", 4).alias("welch_df"),
+    )
+
+
+QUERIES["orders_ab_welch_ttest"] = orders_ab_welch_ttest
+
+ORACLE["orders_ab_welch_ttest"] = """
+WITH s AS (
+  SELECT o_orderstatus,
+         CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS n_a,
+         sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS s_a,
+         sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice * o_totalprice END) AS q_a,
+         CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS n_b,
+         sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END) AS s_b,
+         sum(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN o_totalprice * o_totalprice END) AS q_b
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY o_orderstatus),
+m AS (
+  SELECT o_orderstatus, n_a, n_b,
+         s_a / CAST(n_a AS DOUBLE) AS mean_a,
+         s_b / CAST(n_b AS DOUBLE) AS mean_b,
+         (q_a - s_a * s_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+             / CAST(n_a AS DOUBLE) AS se_a,
+         (q_b - s_b * s_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)
+             / CAST(n_b AS DOUBLE) AS se_b
+  FROM s)
+SELECT o_orderstatus, n_a,
+       floor(mean_a * 10000 + 0.5) / 10000 AS mean_a,
+       n_b,
+       floor(mean_b * 10000 + 0.5) / 10000 AS mean_b,
+       floor((mean_a - mean_b) / sqrt(se_a + se_b) * 1000000 + 0.5) / 1000000
+           AS t_stat,
+       floor((se_a + se_b) * (se_a + se_b)
+             / (se_a * se_a / (CAST(n_a AS DOUBLE) - 1.0)
+                + se_b * se_b / (CAST(n_b AS DOUBLE) - 1.0)) * 10000 + 0.5)
+           / 10000 AS welch_df
+FROM m
+"""
+
+
+def orders_ks_yearly_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift between 1995 and 1996
+    o_totalprice distributions on a shared 100-bin equal-width grid —
+    the scale-safe KS evaluation (exact KS needs a single-partition
+    global sort; the grid underestimates D by at most the largest
+    per-bin mass). One 1-row min/max broadcast, one grid-sized (bin)
+    groupBy with conditional counts, cumulative sums over the <=100-row
+    grid table. Companion of events_psi_drift (same histograms,
+    sup-norm instead of log-ratio weighting)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate"))
+    out = agg_ops.ks_binned(
+        orders.where(F.col("yr").isin(1995, 1996)),
+        "o_totalprice", "yr", 1995, 1996, bins=100,
+    )
+    return out.select(
+        "n_a", "n_b", _rnd("ks_stat", 6).alias("ks_stat"))
+
+
+QUERIES["orders_ks_yearly_drift"] = orders_ks_yearly_drift
+
+ORACLE["orders_ks_yearly_drift"] = """
+WITH base AS (
+  SELECT year(o_orderdate) AS yr, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE year(o_orderdate) IN (1995, 1996) AND o_totalprice IS NOT NULL),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+binned AS (
+  SELECT yr,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE CAST(least(floor((v - b.lo) / ((b.hi - b.lo) / 100.0)),
+                              99) AS INT) END AS bin
+  FROM base CROSS JOIN bounds b),
+counts AS (
+  SELECT bin,
+         count(CASE WHEN yr = 1995 THEN 1 END) AS ca,
+         count(CASE WHEN yr = 1996 THEN 1 END) AS cb
+  FROM binned GROUP BY bin),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM counts),
+cdf AS (
+  SELECT sum(ca) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+         sum(cb) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+  FROM counts)
+SELECT t.n_a, t.n_b,
+       floor(max(abs(CAST(cuma AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+                     - CAST(cumb AS DOUBLE) / CAST(t.n_b AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS ks_stat
+FROM cdf CROSS JOIN tot t
+GROUP BY t.n_a, t.n_b
+"""
+
+
+def docs_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS of
+    ln(count) on ln(rank) for the top 500 tokens (count desc, token asc
+    — a fully deterministic cut) — the corpus-health diagnostic
+    (natural text gives slope near -1; template/spam corpora flatten
+    it). One vocab-sized token groupBy; the top-n cut is
+    orderBy+limit = TakeOrdered (never a global sort); ranks + OLS sums
+    run on the <=500-row table."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text_ops.zipf_fit(docs, "text", top_n=500)
+    return out.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        _rnd("slope", 6).alias("slope"),
+        _rnd("intercept", 6).alias("intercept"),
+        _rnd("r2", 6).alias("r2"),
+    )
+
+
+QUERIES["docs_zipf_fit"] = docs_zipf_fit
+
+ORACLE["docs_zipf_fit"] = f"""
+WITH tok AS (
+  SELECT unnest({_DOC_TOKS}) AS tok FROM documents),
+vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab_size
+  FROM vocab),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+  FROM vocab ORDER BY c DESC, tok LIMIT 500),
+pts AS (
+  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM top),
+fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pts)
+SELECT t.n_tokens, t.vocab_size,
+       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000 + 0.5)
+           / 1000000 AS slope,
+       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             * 1000000 + 0.5) / 1000000 AS intercept,
+       floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             * 1000000 + 0.5) / 1000000 AS r2
+FROM fit CROSS JOIN tot t
+"""
+
+
+# Round-9 window: slot 1 flagship; then the five r9 additions; then
+# re-checks of every query whose code path changed this round (span-range
+# two-phase plan, KN-bigram single-corpus-join, cosine floor tie rule,
+# interval-join guard); then pure LRU rotation — the 38 least-recently-
+# driver-checked names (all 27 r1 rows + the 11 oldest r2 rows; their
+# last executed evidence is 7-8 rounds old). emb_near_dup_pairs (r2) and
+# the r3 block lead the r10 rotation.
+_R9_WINDOW = [
+    "observations_pipeline",
+    # new this round
+    "part_fuzzy_name_pairs",
+    "events_cusum_changepoints",
+    "orders_ab_welch_ttest",
+    "orders_ks_yearly_drift",
+    "docs_zipf_fit",
+    # re-checks: code changed this round
+    "docs_dup_span_ranges",
+    "docs_substring_dedup_cut",
+    "docs_kn_bigram_logprob",
+    "emb_ivf_store_topk",
+    "emb_cosine_topk",
+    "campaign_order_attribution",
+    # LRU rotation (oldest driver evidence first)
+    "purchase_attribution_windowed",
+    "segment_big_spenders",
+    "nation_segments_bundle",
+    "top_lineitem_per_order",
+    "supplier_lineitem_window",
+    "segment_rewrite",
+    "part_type_prefix",
+    "null_required_filter",
+    "nation_blocklist",
+    "part_type_tokens",
+    "order_quantity_auc",
+    "order_date_parts",
+    "hourly_event_stats",
+    "sliding_event_counts",
+    "events_json_extract",
+    "reference_range_selection",
+    "order_mean_of_increments",
+    "nation_bounded_segments",
+    "orders_valid_dates",
+    "segment_price_quantiles",
+    "orders_profile",
+    "orders_release_diff",
+    "salted_segment_bundles",
+    "null_tolerant_join",
+    "array_membership_join",
+    "customer_order_gaps",
+    "segment_status_rollup",
+    "user_event_funnel",
+    "order_extreme_lines",
+    "emb_batch_topk",
+    "corpus_budget_select",
+    "docs_chunks",
+    "mongo_doc_shape",
+    "user_cohort_retention",
+    "shipment_transit_overlap",
+    "docs_simhash_pairs",
+    "docs_token_stats",
+    "docs_quality_weighted_sample",
+]
+_set_window(_R9_WINDOW)

@@ -3483,3 +3483,111 @@ def test_holt_winters_additive_matches_hand_recurrence(spark):
     assert out[4][2] is not None
     # NULL row skipped with state carried: event 6 continues from event 4's state
     assert out[6][0] is not None and out[5][0] is None
+
+
+def test_fuzzy_blocked_pairs_matches_naive(spark):
+    from impc_etl_spark.operators import joins
+
+    df = spark.createDataFrame(
+        [(1, "b1", "red widget"), (2, "b1", "red widgets"),
+         (3, "b1", "blue bolt"), (4, "b2", "red widget"),
+         (5, "b2", "red wadget"), (6, "b2", "green gear")],
+        "id INT, blk STRING, name STRING")
+    got = sorted((r.id_a, r.id_b, r.edit_dist) for r in joins.fuzzy_blocked_pairs(
+        df, ["blk"], "name", "id", max_distance=2).collect())
+    # pairs must share blk: (1,2) dist 1; (4,5) dist 1; cross-block (1,4) never
+    assert got == [(1, 2, 1), (4, 5, 1)]
+    # max_block_size excludes oversized blocks entirely
+    capped = joins.fuzzy_blocked_pairs(
+        df, ["blk"], "name", "id", max_distance=2, max_block_size=2)
+    assert capped.count() == 0
+
+
+def test_cusum_recurrence_and_reset(spark):
+    from impc_etl_spark.operators.timeseries import cusum
+
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 10, 25, 10, 10])]
+    df = spark.createDataFrame(rows, "k INT, t INT, v DOUBLE")
+    out = {r.t: (r.cusum_pos, r.cusum_neg, r.alarm) for r in cusum(
+        df, ["k"], "t", "v", target=10.0, slack=0.0, threshold=10.0,
+    ).collect()}
+    # t0/t1: at target, both stats 0;  t2: +15 -> alarm, reset
+    assert out[0] == (0.0, 0.0, 0)
+    assert out[2] == (15.0, 0.0, 1)
+    # post-reset state restarts from zero
+    assert out[3] == (0.0, 0.0, 0)
+    # no-reset variant keeps accumulating
+    keep = {r.t: r.cusum_pos for r in cusum(
+        df, ["k"], "t", "v", target=10.0, threshold=10.0,
+        reset_on_alarm=False).collect()}
+    assert keep[3] == 15.0
+    # NULL value: NULL outputs, state carried
+    df2 = spark.createDataFrame(
+        [(1, 0, 20.0), (1, 1, None), (1, 2, 20.0)], "k INT, t INT, v DOUBLE")
+    got = {r.t: (r.cusum_pos, r.alarm) for r in cusum(
+        df2, ["k"], "t", "v", target=10.0, threshold=100.0).collect()}
+    assert got[1] == (None, None)
+    assert got[2] == (20.0, 0)
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    import math
+
+    from impc_etl_spark.operators.aggregate import welch_ttest
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [2.5, 3.5, 4.5, 9.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b] + [("c", 99.0)],
+        "g STRING, v DOUBLE")
+    row = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    dof = (va / na + vb / nb) ** 2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert abs(row.t_stat - t) < 1e-9
+    assert abs(row.welch_df - dof) < 1e-9
+
+
+def test_ks_binned_matches_naive(spark):
+    from impc_etl_spark.operators.aggregate import ks_binned
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [3.0, 4.0, 5.0, 6.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g STRING, v DOUBLE")
+    row = ks_binned(df, "v", "g", "a", "b", bins=5).collect()[0]
+    # grid over [1,6], width 1: bins a->[0,1,2,3], b->[2,3,4,4]
+    # cdf_a = 1/4,2/4,3/4,4/4,4/4 ; cdf_b = 0,0,1/4,2/4,4/4 -> D = 0.5
+    assert (row.n_a, row.n_b) == (4, 4)
+    assert abs(row.ks_stat - 0.5) < 1e-12
+    # degenerate min==max: everything in bin 0, D = 0
+    same = spark.createDataFrame(
+        [("a", 2.0), ("b", 2.0)], "g STRING, v DOUBLE")
+    assert ks_binned(same, "v", "g", "a", "b").collect()[0].ks_stat == 0.0
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    import math
+
+    from impc_etl_spark.operators.text import zipf_fit
+
+    # plant an exact power law: count(rank) = round(1000 * rank^-1) over
+    # distinct tokens; OLS on the exact values recovers slope ~ -1
+    docs = []
+    did = 0
+    for r in range(1, 21):
+        c = max(1, round(1000 * r ** -1.0))
+        for _ in range(c):
+            docs.append((did, f"tok{r:02d}"))
+            did += 1
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    row = zipf_fit(df, "text", top_n=20).collect()[0]
+    assert row.vocab_size == 20
+    assert row.n_tokens == sum(max(1, round(1000 * r ** -1.0)) for r in range(1, 21))
+    assert abs(row.slope - (-1.0)) < 0.01
+    assert row.r2 > 0.999

@@ -43,6 +43,8 @@ BNL_ALLOWED = {
     "orders_status_overlap_hll",  # cross join of two 1-ROW aggregate frames (exact × HLL)
     "emb_covariance",  # cross join with a broadcast 1-ROW total-count frame
     "emb_pca_whiten",  # cross join of 1-ROW count × 1-ROW invariant-checks frames
+    "orders_ks_yearly_drift",  # cross joins with broadcast 1-ROW bounds/totals frames
+    "docs_zipf_fit",  # cross join with a broadcast 1-ROW (n_tokens, vocab_size) frame
 }
 
 
