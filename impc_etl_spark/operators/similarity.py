@@ -1163,3 +1163,54 @@ def semantic_dedup(
             F.col("__dup").isNotNull().alias("is_dup"),
         )
     )
+
+
+def int8_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 4× memory
+    compression every large vector store applies before ANN serving
+    (FAISS SQ8 / ScaNN int8): ``scale = max|v| / 127``, ``code_i =
+    clamp(floor(v_i/scale + 0.5), -127, 127)``, dequant ``code·scale``.
+    Emits per vector the scale, the quantization round-trip MSE (the
+    quality number that decides whether SQ8 is safe for a given
+    embedding space), and the code extremes as a sanity contract.
+
+    Pure row-local higher-order Column algebra (aggregate for max|v|,
+    transform/zip for codes and error) — scan speed, zero shuffle, and
+    every double op is replayable in SQL. The floor(x+0.5) form is the
+    engine-portable round (ties toward +inf on both engines); zero
+    vectors get scale 0 / codes 0 / mse 0.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = bind(amax / F.lit(127.0), lambda s: s)
+
+    def quantize(s: Column) -> Column:
+        def code(x: Column) -> Column:
+            return F.when(s == 0.0, F.lit(0.0)).otherwise(
+                F.greatest(
+                    F.lit(-127.0),
+                    F.least(F.lit(127.0), F.floor(x / s + F.lit(0.5))),
+                )
+            )
+        codes = F.transform(v, code)
+        err = F.zip_with(v, codes, lambda x, c: (x - c * s) * (x - c * s))
+        n = F.size(v).cast("double")
+        return F.struct(
+            s.alias("scale"),
+            (F.aggregate(err, F.lit(0.0), lambda a, e: a + e) / n).alias("mse"),
+            F.array_max(codes).cast("long").alias("max_code"),
+            F.array_min(codes).cast("long").alias("min_code"),
+        )
+
+    q = bind(scale, quantize)
+    return fan_out(df).select(
+        F.col(id_col),
+        q["scale"].alias("scale"),
+        q["mse"].alias("mse"),
+        q["max_code"].alias("max_code"),
+        q["min_code"].alias("min_code"),
+    )

@@ -1558,3 +1558,49 @@ def zipf_fit(
             r2.alias("r2"),
         )
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-``top_n``
+    vocabulary — the tokenizer-coverage diagnostic run before committing a
+    vocab size (docs with high OOV under the candidate vocabulary will
+    fragment into byte-fallback tokens and train poorly). Vocabulary cut
+    is (count desc, token asc): fully deterministic, same contract as
+    ``zipf_fit``.
+
+    Returns ``(id, n_tokens, n_oov, oov_rate)`` for every doc with >= 1
+    token; rate uses the portable floor rounding.
+
+    Scale shape: one vocab-sized token groupBy; the top-n cut is
+    orderBy+limit = TakeOrdered, and the resulting <=top_n-row table is
+    BOUNDED BY CONSTRUCTION, so broadcasting it is safe (unlike a full
+    data-sized vocab — see unigram_logprob's merge-hint note); the
+    membership probe is then a map-side left join over one corpus scan,
+    and the per-doc rollup partial-aggregates to (id, two longs).
+    """
+    toks = tokens(text_col)
+    vocab = (
+        fan_out(df).select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), "tok")
+        .limit(top_n)
+        .select("tok", F.lit(1).alias("__known"))
+    )
+    tok_tbl = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    flagged = tok_tbl.join(F.broadcast(vocab), "tok", "left")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("__known").isNull(), 1)).alias("n_oov"),
+        (
+            F.floor(
+                F.count(F.when(F.col("__known").isNull(), 1))
+                / F.count(F.lit(1)) * 1000000 + F.lit(0.5)
+            ) / 1000000
+        ).alias("oov_rate"),
+    )

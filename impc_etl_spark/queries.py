@@ -11893,6 +11893,83 @@ FROM fit CROSS JOIN tot t
 """
 
 
+def emb_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 scalar quantization (FAISS-SQ8 shape):
+    scale = max|v|/127, codes clamp(floor(v/scale + 0.5), -127, 127) —
+    reports per vector the scale, the quantization round-trip MSE (the
+    number that decides whether SQ8 is safe for this embedding space)
+    and the code extremes. Pure row-local higher-order Column algebra,
+    zero shuffle; floor(x+0.5) is the engine-portable round, replayed
+    verbatim by the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.int8_quantize(emb)
+    return out.select(
+        "vec_id",
+        _rnd("scale", 6).alias("scale"),
+        _rnd("mse", 9).alias("mse"),
+        "max_code",
+        "min_code",
+    )
+
+
+QUERIES["emb_int8_quantize"] = emb_int8_quantize
+
+ORACLE["emb_int8_quantize"] = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+s AS (
+  SELECT vec_id, max(abs(v)) / 127.0 AS scale FROM e GROUP BY vec_id),
+c AS (
+  SELECT e.vec_id, e.v, s.scale,
+         CASE WHEN s.scale = 0.0 THEN 0.0
+              ELSE greatest(-127.0, least(127.0, floor(e.v / s.scale + 0.5)))
+         END AS code
+  FROM e JOIN s USING (vec_id))
+SELECT vec_id,
+       floor(max(scale) * 1000000 + 0.5) / 1000000 AS scale,
+       floor(avg((v - code * scale) * (v - code * scale)) * 1000000000 + 0.5)
+           / 1000000000 AS mse,
+       CAST(max(code) AS BIGINT) AS max_code,
+       CAST(min(code) AS BIGINT) AS min_code
+FROM c GROUP BY vec_id
+"""
+
+
+def docs_oov_rate(spark, sf_dir):
+    """Per-document OOV rate against the corpus top-1000 vocabulary
+    (count desc, token asc cut — deterministic, same contract as
+    docs_zipf_fit): the tokenizer-coverage diagnostic for vocab sizing.
+    One vocab groupBy + TakeOrdered cut; the <=1000-row vocabulary is
+    bounded BY CONSTRUCTION so it broadcasts safely (a full data-sized
+    vocab never would — unigram_logprob's merge-hint rule); map-side
+    membership probe, per-doc rollup partial-aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.oov_rate(docs, "text", "doc_id", top_n=1000)
+
+
+QUERIES["docs_oov_rate"] = docs_oov_rate
+
+ORACLE["docs_oov_rate"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ORDER BY c DESC, tok LIMIT 1000)),
+flagged AS (
+  SELECT t.doc_id,
+         CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       floor(CAST(sum(oov) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+           AS oov_rate
+FROM flagged GROUP BY doc_id
+"""
+
+
 # Round-9 window: slot 1 flagship; then the five r9 additions; then
 # re-checks of every query whose code path changed this round (span-range
 # two-phase plan, KN-bigram single-corpus-join, cosine floor tie rule,
@@ -11952,7 +12029,9 @@ _R9_WINDOW = [
     "user_cohort_retention",
     "shipment_transit_overlap",
     "docs_simhash_pairs",
-    "docs_token_stats",
-    "docs_quality_weighted_sample",
+    # two late-r9 additions displace the two newest LRU rows
+    # (docs_token_stats, docs_quality_weighted_sample lead the r10 fill)
+    "emb_int8_quantize",
+    "docs_oov_rate",
 ]
 _set_window(_R9_WINDOW)

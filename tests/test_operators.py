@@ -3591,3 +3591,39 @@ def test_zipf_fit_recovers_planted_slope(spark):
     assert row.n_tokens == sum(max(1, round(1000 * r ** -1.0)) for r in range(1, 21))
     assert abs(row.slope - (-1.0)) < 0.01
     assert row.r2 > 0.999
+
+
+def test_int8_quantize_roundtrip_and_edges(spark):
+    from impc_etl_spark.operators.similarity import int8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 4.0]), (2, [0.0, 0.0, 0.0]), (3, [-5.0, 5.0, 2.5])],
+        "vec_id INT, embedding ARRAY<DOUBLE>")
+    rows = {r.vec_id: r for r in int8_quantize(df).collect()}
+    # vec 1: scale 4/127; codes floor(v/s+0.5) = [32, -63, 127]
+    s1 = 4.0 / 127.0
+    assert abs(rows[1].scale - s1) < 1e-12
+    assert (rows[1].max_code, rows[1].min_code) == (127, -63)
+    import math
+    exp_mse = sum((v - c * s1) ** 2 for v, c in [(1.0, 32), (-2.0, -63), (4.0, 127)]) / 3
+    assert abs(rows[1].mse - exp_mse) < 1e-12
+    # zero vector: scale 0, codes 0, mse 0 (no division crash)
+    assert (rows[2].scale, rows[2].mse, rows[2].max_code) == (0.0, 0.0, 0)
+    # symmetric extremes hit exactly +/-127
+    assert (rows[3].max_code, rows[3].min_code) == (127, -127)
+
+
+def test_oov_rate_against_bounded_vocab(spark):
+    from impc_etl_spark.operators.text import oov_rate
+
+    df = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa zz"), (3, "zz yy xx")],
+        "doc_id INT, text STRING")
+    # top_n=2 vocab by (count desc, tok): aa(3), bb(1)... ties bb/zz/yy/xx
+    # at count -> bb wins lexicographically after aa? counts: aa=3, bb=1,
+    # zz=2, yy=1, xx=1 -> top2 = aa, zz
+    rows = {r.doc_id: r for r in oov_rate(df, top_n=2).collect()}
+    assert rows[1].n_tokens == 3 and rows[1].n_oov == 1  # bb is OOV
+    assert rows[2].n_oov == 0
+    assert rows[3].n_oov == 2  # yy, xx
+    assert abs(rows[3].oov_rate - 0.666667) < 1e-6
