@@ -53,6 +53,9 @@ SENSITIVE = [
     # NULL value must not fall through), NULL-in vs no-match regex
     # extraction, concat_ws NULL-skip
     "priority_customer_lookup", "clerk_string_surface",
+    # r9: NULL-ts/value recurrence state carry (the ewma contract) and
+    # the NULL-int alarm rendering
+    "events_cusum_changepoints",
 ]
 
 
