@@ -609,3 +609,119 @@ def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame
     when only key membership matters (anti join avoids the full-row
     distinct-compare shuffle of EXCEPT)."""
     return left.join(right, on=list(on), how="left_anti")
+
+
+def interval_agg_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    interval_key: Sequence[str],
+    value_cols: Sequence[str] = (),
+    on: Sequence[str] = (),
+    bin_width: int = 86400,
+    closed: str = "both",
+) -> DataFrame:
+    """Per-interval point AGGREGATES (count + sums) via hierarchical
+    binning — the aggregation-pushdown form of ``interval_point_join``
+    for the common "count/sum the points in each window" query.
+
+    The flat form joins every (point, interval) candidate pair and then
+    aggregates: per-pair work, quadratic in dense bins (a K=300
+    rehearsal measured the flat campaign-attribution join dominated by
+    a handful of straggler bins). This operator exploits that count/sum
+    are DECOMPOSABLE: any bin lying STRICTLY inside an interval's bin
+    span contributes a whole per-bin pre-aggregate (one row per (on…,
+    bin) — computed once for all intervals), and only the two EDGE bins
+    (the interval's first and last, where the exact predicate can cut a
+    bin in half) touch point rows. For w-bin windows the point-level
+    work drops from w bins to 2 — the segment-tree idea flattened to
+    one level, sized by ``bin_width``.
+
+    Correctness of the split needs no predicate on full bins: every
+    point in bin b with s_bin < b < e_bin satisfies start <= p <= end
+    for ANY ``closed`` mode (start lives in bin s_bin <= b-1, so
+    start < bin_start(b) <= p, strictly — boundary values only ever
+    live in edge bins). The exact ``closed`` predicate is re-checked on
+    edge-bin pairs, identical to ``interval_point_join``.
+
+    Returns one row per interval WITH >= 1 matching point (inner-join
+    semantics, matching the flat form + groupBy): ``interval_key`` +
+    ``n_points`` + ``sum_<col>`` per value column. ``interval_key``
+    must uniquely identify interval rows. NULL point/start/end rows
+    drop on both paths (explode of a NULL sequence emits nothing; the
+    per-bin pre-agg keys on the non-NULL bin).
+
+    Scale shape: one (on…, bin) groupBy over the points (grid+key
+    sized), one explode of intervals over their INTERIOR bins joined to
+    that pre-agg (per-bin rows, not per-point), one edge join against
+    the points pre-filtered to edge bins only, one final per-interval
+    combine. Every join is an equi hash/merge join; AQE skew handling
+    applies to the edge join exactly as to the flat form.
+    """
+    if closed not in ("both", "left", "right", "neither"):
+        raise ValueError(f"unknown closed mode {closed!r}")
+    keys = list(interval_key)
+    vals = list(value_cols)
+    p_bin = _bin_of(points, point_col, bin_width)
+    s_bin = _bin_of(intervals, start_col, bin_width)
+    e_bin = _bin_of(intervals, end_col, bin_width)
+
+    # phase 0: per-(on…, bin) pre-aggregate of the points
+    pts = points.where(F.col(point_col).isNotNull()).withColumn("__bin", p_bin)
+    binagg = pts.groupBy(*on, "__bin").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        *[F.sum(F.col(v)).alias(f"sum_{v}") for v in vals],
+    )
+    iv = intervals.withColumn("__sbin", s_bin).withColumn("__ebin", e_bin)
+    # phase 1: interior bins take whole pre-aggregates (no predicate).
+    # The when-guard matters: sequence(a, b) auto-steps BACKWARD when
+    # a > b, so a 0/1-bin interval would fabricate descending "interior"
+    # bins and double-count its edges; an empty array explodes to nothing.
+    interior = (
+        iv.select(
+            *keys, *on,
+            F.explode(
+                F.when(
+                    F.col("__ebin") - 1 >= F.col("__sbin") + 1,
+                    F.sequence(F.col("__sbin") + 1, F.col("__ebin") - 1),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("__bin"),
+        )
+        .join(binagg, [*on, "__bin"])
+        .select(*keys, "n_points", *[f"sum_{v}" for v in vals])
+    )
+    # phase 2: edge bins re-check the exact predicate on point rows
+    edge_bins = iv.select(
+        *keys, *on, "__sbin", "__ebin",
+        F.col(start_col).alias("__s"), F.col(end_col).alias("__e"),
+        F.explode(
+            F.array_distinct(F.array(F.col("__sbin"), F.col("__ebin")))
+        ).alias("__bin"),
+    )
+    e = edge_bins.alias("__i")
+    p = pts.alias("__p")
+    cond = F.col("__p.__bin") == F.col("__i.__bin")
+    for k in on:
+        cond = cond & (F.col(f"__p.{k}") == F.col(f"__i.{k}"))
+    cond = cond & _point_pred(
+        F.col(f"__p.{point_col}"), F.col("__i.__s"), F.col("__i.__e"), closed
+    )
+    edge = (
+        p.join(e, cond)
+        .groupBy(*[F.col(f"__i.{k}").alias(k) for k in keys])
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            *[F.sum(F.col(f"__p.{v}")).alias(f"sum_{v}") for v in vals],
+        )
+    )
+    # phase 3: combine partials per interval
+    return (
+        interior.unionByName(edge)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            *[F.sum(f"sum_{v}").alias(f"sum_{v}") for v in vals],
+        )
+    )

@@ -11970,13 +11970,49 @@ FROM flagged GROUP BY doc_id
 """
 
 
-# Round-9 window: slot 1 flagship; then the five r9 additions; then
-# re-checks of every query whose code path changed this round (span-range
-# two-phase plan, KN-bigram single-corpus-join, cosine floor tie rule,
-# interval-join guard); then pure LRU rotation — the 38 least-recently-
-# driver-checked names (all 27 r1 rows + the 11 oldest r2 rows; their
-# last executed evidence is 7-8 rounds old). emb_near_dup_pairs (r2) and
-# the r3 block lead the r10 rotation.
+def campaign_window_totals(spark, sf_dir):
+    """The SAME campaign attribution answer as campaign_order_attribution,
+    computed by hierarchical interval AGGREGATION (interval_agg_join):
+    count/sum are decomposable, so every 7-day bin strictly inside a
+    campaign window takes a whole per-bin pre-aggregate and only the two
+    edge bins touch order rows — per-pair work collapses from
+    O(orders-in-window) to O(edge-orders) per campaign (the flat join's
+    dense-bin pair growth dominated the sf30-equivalent rehearsal).
+    Shares campaign_order_attribution's oracle verbatim: same rows, same
+    values, different physical plan — the point."""
+    orders = _t(spark, sf_dir, "orders")
+    camp = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000)
+    ).select(
+        F.col("o_orderkey").alias("campaign_id"),
+        F.col("o_orderdate").alias("camp_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 13 DAYS")).alias("camp_end"),
+    )
+    pts = orders.select("o_orderdate", "o_totalprice")
+    agg = join_ops.interval_agg_join(
+        pts, camp, "o_orderdate", "camp_start", "camp_end",
+        interval_key=["campaign_id"], value_cols=["o_totalprice"],
+        bin_width=7 * 86400, closed="both",
+    )
+    return agg.select(
+        "campaign_id",
+        F.col("n_points").alias("n_orders"),
+        _rnd(F.col("sum_o_totalprice"), 2).alias("window_revenue"),
+    )
+
+
+QUERIES["campaign_window_totals"] = campaign_window_totals
+ORACLE["campaign_window_totals"] = ORACLE["campaign_order_attribution"]
+
+
+# Round-9 window: slot 1 flagship; then the seven r9 additions (five
+# here + two appended above the list); then re-checks of every query
+# whose code path changed this round (span-range binary keys, KN-bigram
+# single-corpus-join, cosine floor tie rule, interval-join guard); then
+# pure LRU rotation — the 36 least-recently-driver-checked names (all
+# 27 r1 rows + the 9 oldest r2 rows; their last executed evidence is
+# 7-8 rounds old). docs_token_stats, docs_quality_weighted_sample,
+# emb_near_dup_pairs (r2) and the r3 block lead the r10 rotation.
 _R9_WINDOW = [
     "observations_pipeline",
     # new this round
@@ -11992,6 +12028,7 @@ _R9_WINDOW = [
     "emb_ivf_store_topk",
     "emb_cosine_topk",
     "campaign_order_attribution",
+    "campaign_window_totals",
     # LRU rotation (oldest driver evidence first)
     "purchase_attribution_windowed",
     "segment_big_spenders",
@@ -12028,8 +12065,7 @@ _R9_WINDOW = [
     "mongo_doc_shape",
     "user_cohort_retention",
     "shipment_transit_overlap",
-    "docs_simhash_pairs",
-    # two late-r9 additions displace the two newest LRU rows
+    # three late-r9 additions displace the three newest LRU rows
     # (docs_token_stats, docs_quality_weighted_sample lead the r10 fill)
     "emb_int8_quantize",
     "docs_oov_rate",

@@ -3627,3 +3627,37 @@ def test_oov_rate_against_bounded_vocab(spark):
     assert rows[2].n_oov == 0
     assert rows[3].n_oov == 2  # yy, xx
     assert abs(rows[3].oov_rate - 0.666667) < 1e-6
+
+
+def test_interval_agg_join_matches_flat_form(spark):
+    """Hierarchical (interior-bins + edge-bins) aggregation must equal the
+    flat join+groupBy on every closed mode, across bin widths that do and
+    don't align with interval lengths, including single-bin intervals."""
+    import itertools
+
+    from impc_etl_spark.operators import joins
+
+    pts = spark.createDataFrame(
+        [(i, float(v), float(v) * 2) for i, v in enumerate(
+            [0, 1, 5, 9, 10, 11, 14, 15, 20, 29, 30, 31, 45, 100])],
+        "pid INT, t DOUBLE, amt DOUBLE")
+    ivs = spark.createDataFrame(
+        [(1, 0.0, 15.0), (2, 10.0, 10.0), (3, 14.0, 31.0),
+         (4, 50.0, 60.0), (5, 3.0, 4.0)],
+        "iid INT, s DOUBLE, e DOUBLE")
+    for closed, w in itertools.product(
+            ["both", "left", "right", "neither"], [4, 7, 16]):
+        flat = {
+            (r.iid,): (r.n, r.sa) for r in joins.interval_point_join(
+                pts, ivs, "t", "s", "e", bin_width=w, closed=closed,
+            ).groupBy("iid").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("amt").alias("sa")
+            ).collect()
+        }
+        fast = {
+            (r.iid,): (r.n_points, r.sum_amt) for r in joins.interval_agg_join(
+                pts, ivs, "t", "s", "e", ["iid"], value_cols=["amt"],
+                bin_width=w, closed=closed,
+            ).collect()
+        }
+        assert fast == flat, f"closed={closed} w={w}"
