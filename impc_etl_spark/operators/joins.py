@@ -622,6 +622,7 @@ def interval_agg_join(
     on: Sequence[str] = (),
     bin_width: int = 86400,
     closed: str = "both",
+    assume_aligned: bool = False,
 ) -> DataFrame:
     """Per-interval point AGGREGATES (count + sums) via hierarchical
     binning — the aggregation-pushdown form of ``interval_point_join``
@@ -659,6 +660,18 @@ def interval_agg_join(
     the points pre-filtered to edge bins only, one final per-interval
     combine. Every join is an equi hash/merge join; AQE skew handling
     applies to the edge join exactly as to the flat form.
+
+    ``assume_aligned=True`` is the degenerate-and-fastest case: the
+    CALLER asserts every interval endpoint lies exactly on a bin
+    boundary span (date columns on a day grid with closed='both' — the
+    campaign/retention/cohort shape). Then EVERY bin in [s_bin, e_bin]
+    is fully covered, the edge phase disappears, and the whole answer
+    is intervals × bins-per-interval rows joined against the grid-sized
+    pre-agg — zero point-row pair work, the prefix-sum regime. The
+    K=300 rehearsal made the difference brutal: the flat pair join ran
+    >60 min on one straggler bin; the aligned form is seconds. Passing
+    it when endpoints do NOT align silently miscounts the edge bins —
+    it is a caller contract, not an inference.
     """
     if closed not in ("both", "left", "right", "neither"):
         raise ValueError(f"unknown closed mode {closed!r}")
@@ -675,6 +688,24 @@ def interval_agg_join(
         *[F.sum(F.col(v)).alias(f"sum_{v}") for v in vals],
     )
     iv = intervals.withColumn("__sbin", s_bin).withColumn("__ebin", e_bin)
+    if assume_aligned:
+        # every bin fully covered: one explode + one grid join, done
+        aligned = (
+            iv.select(
+                *keys, *on,
+                F.explode(
+                    F.when(
+                        F.col("__ebin") >= F.col("__sbin"),
+                        F.sequence(F.col("__sbin"), F.col("__ebin")),
+                    ).otherwise(F.array().cast("array<long>"))
+                ).alias("__bin"),
+            )
+            .join(binagg, [*on, "__bin"])
+        )
+        return aligned.groupBy(*keys).agg(
+            F.sum("n_points").alias("n_points"),
+            *[F.sum(f"sum_{v}").alias(f"sum_{v}") for v in vals],
+        )
     # phase 1: interior bins take whole pre-aggregates (no predicate).
     # The when-guard matters: sequence(a, b) auto-steps BACKWARD when
     # a > b, so a 0/1-bin interval would fabricate descending "interior"

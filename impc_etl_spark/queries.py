@@ -11989,10 +11989,15 @@ def campaign_window_totals(spark, sf_dir):
         (F.col("o_orderdate") + F.expr("INTERVAL 13 DAYS")).alias("camp_end"),
     )
     pts = orders.select("o_orderdate", "o_totalprice")
+    # day grid + assume_aligned: every endpoint is a DATE, so each
+    # day-bin is either wholly in or wholly out of the window — the
+    # entire answer is campaigns x 14 bins against the per-day
+    # pre-aggregate, ZERO order-row pair work (the flat form's dense-bin
+    # pair stream ran >60 min on one straggler task at K=300)
     agg = join_ops.interval_agg_join(
         pts, camp, "o_orderdate", "camp_start", "camp_end",
         interval_key=["campaign_id"], value_cols=["o_totalprice"],
-        bin_width=7 * 86400, closed="both",
+        bin_width=86400, closed="both", assume_aligned=True,
     )
     return agg.select(
         "campaign_id",

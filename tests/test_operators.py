@@ -3661,3 +3661,31 @@ def test_interval_agg_join_matches_flat_form(spark):
             ).collect()
         }
         assert fast == flat, f"closed={closed} w={w}"
+
+
+def test_interval_agg_join_aligned_matches_flat(spark):
+    """assume_aligned on a unit grid (every endpoint on a bin boundary)
+    must equal the flat form; single-point intervals included."""
+    from impc_etl_spark.operators import joins
+
+    pts = spark.createDataFrame(
+        [(i, float(v), float(v) * 3) for i, v in enumerate(
+            [0, 1, 2, 5, 9, 10, 11, 15, 20, 21, 22, 30])],
+        "pid INT, t DOUBLE, amt DOUBLE")
+    ivs = spark.createDataFrame(
+        [(1, 0.0, 9.0), (2, 10.0, 10.0), (3, 15.0, 22.0), (4, 40.0, 50.0)],
+        "iid INT, s DOUBLE, e DOUBLE")
+    flat = {
+        r.iid: (r.n, r.sa) for r in joins.interval_point_join(
+            pts, ivs, "t", "s", "e", bin_width=1, closed="both",
+        ).groupBy("iid").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("amt").alias("sa")
+        ).collect()
+    }
+    fast = {
+        r.iid: (r.n_points, r.sum_amt) for r in joins.interval_agg_join(
+            pts, ivs, "t", "s", "e", ["iid"], value_cols=["amt"],
+            bin_width=1, closed="both", assume_aligned=True,
+        ).collect()
+    }
+    assert fast == flat
