@@ -29,7 +29,9 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from impc_etl_spark.operators.partitioning import fan_out, shuffle_partitions_for
+from impc_etl_spark.operators.partitioning import (
+    advisory_mb, fan_out, shuffle_partitions_for,
+)
 from impc_etl_spark.operators.text import re_escape
 from impc_etl_spark.operators.text import bind, fingerprint, tokens, word_shingles
 
@@ -710,11 +712,8 @@ def dup_spans(
     # the (__h, id) clustering of the groupBy, so no second exchange; at
     # small sf the helper floors at defaultParallelism so nothing
     # under-parallelizes.
-    advisory_mb = max(
-        1, int(df.sparkSession.conf.get(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            str(64 << 20))) >> 20)
-    width = shuffle_partitions_for(df, target_mb=advisory_mb, expansion=20.0)
+    width = shuffle_partitions_for(
+        df, target_mb=advisory_mb(df.sparkSession), expansion=20.0)
     per_doc = (
         spans.repartition(width, "__h")
         .groupBy("__h", id_col).agg(F.count("*").alias("__c"))
@@ -811,14 +810,11 @@ def dup_span_ranges(
         F.col(id_col),
         F.posexplode(word_shingles(toks, k)).alias("__pos", "__s"),
     ).select(id_col, "__pos", F.unhex(F.md5("__s")).alias("__h"))
-    advisory_mb = max(
-        1, int(df.sparkSession.conf.get(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            str(64 << 20))) >> 20)
     # one width for both hash-keyed exchanges: the positioned side is the
     # wider of the two ((id, pos, 16B) vs (id, 16B) per window), so size
     # for it and let the pre-agg side ride the same partitioning
-    width = shuffle_partitions_for(df, target_mb=advisory_mb, expansion=24.0)
+    width = shuffle_partitions_for(
+        df, target_mb=advisory_mb(df.sparkSession), expansion=24.0)
     # corpus-duplicated hashes: (hash, doc) pre-agg -> ndocs filter
     dup_h = (
         sp.select("__h", id_col)

@@ -571,19 +571,40 @@ def release_diff(
     graceful spill is the right trade here (measured 63 s / 7.8 GB
     spill / zero OOM at K=100).
     """
-    from impc_etl_spark.operators.partitioning import shuffle_partitions_for
+    from impc_etl_spark.operators.partitioning import (
+        advisory_mb, shuffle_partitions_for,
+    )
 
     tag = lambda df, c, p: df.select(*keys).withColumn(  # noqa: E731
         "__cur", F.lit(c)).withColumn("__prev", F.lit(p))
     tagged = tag(current, 1, 0).unionByName(tag(previous, 0, 1))
-    advisory_mb = max(
-        1, int(current.sparkSession.conf.get(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            str(64 << 20))) >> 20)
+    # NULL-key rows bypass the aggregate: groupBy treats NULLs as equal,
+    # but the anti-join semantics this op replaces (and the NOT-EXISTS
+    # oracle) never match on NULL — a NULL key tuple present in BOTH
+    # releases must still emit BOTH an added and a removed row. Route
+    # them around the aggregate (per-side distinct, always emitted) and
+    # keep the aggregate NULL-free (r9 review finding).
+    any_null = None
+    for k in keys:
+        c = F.col(k).isNull()
+        any_null = c if any_null is None else (any_null | c)
+    null_rows = (
+        tag(current.where(any_null), 1, 0).distinct()
+        .withColumn("change", F.lit("added"))
+        .unionByName(
+            tag(previous.where(any_null), 0, 1).distinct()
+            .withColumn("change", F.lit("removed"))
+        )
+        .select(*keys, "change")
+    )
+    # width derived from the UNION (both sides cross the exchange), not
+    # current alone — a small-current/huge-previous diff would otherwise
+    # undersize it (r9 review finding)
     width = shuffle_partitions_for(
-        current, target_mb=advisory_mb, expansion=4.0)
+        tagged, target_mb=advisory_mb(current.sparkSession), expansion=4.0)
     agg = (
-        tagged.repartition(width, *[F.col(k) for k in keys])
+        tagged.where(~any_null)
+        .repartition(width, *[F.col(k) for k in keys])
         .groupBy(*keys)
         .agg(F.max("__cur").alias("__c"), F.max("__prev").alias("__p"))
     )
@@ -595,6 +616,7 @@ def release_diff(
         )
         .where(F.col("change").isNotNull())
         .select(*keys, "change")
+        .unionByName(null_rows)
     )
 
 

@@ -43,6 +43,20 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def advisory_mb(spark) -> int:
+    """The session's AQE advisory partition size in MB (floor 1) — the
+    per-reducer byte target every derived-width call sites against.
+    Centralized because five operators were carrying copy-pasted
+    extraction blocks (r9 review)."""
+    try:
+        raw = int(spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(64 << 20)))
+    except Exception:
+        raw = 64 << 20
+    return max(1, raw >> 20)
+
+
 def shuffle_partitions_for(
     df: DataFrame,
     target_mb: int = 128,

@@ -1182,11 +1182,13 @@ def int8_quantize(
     transform/zip for codes and error) — scan speed, zero shuffle, and
     every double op is replayable in SQL. The floor(x+0.5) form is the
     engine-portable round (ties toward +inf on both engines); zero
-    vectors get scale 0 / codes 0 / mse 0.
+    vectors get scale 0 / codes 0 / mse 0. NULL and EMPTY vectors emit
+    no row — the similarity-module input contract plus the fact that an
+    unnest-style SQL replay produces zero rows for them (emitting a
+    NULL-stats row here would row-count-diverge from any such oracle).
     """
     v = F.col(vec_col)
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = bind(amax / F.lit(127.0), lambda s: s)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
 
     def quantize(s: Column) -> Column:
         def code(x: Column) -> Column:
@@ -1207,7 +1209,9 @@ def int8_quantize(
         )
 
     q = bind(scale, quantize)
-    return fan_out(df).select(
+    return fan_out(df).where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).select(
         F.col(id_col),
         q["scale"].alias("scale"),
         q["mse"].alias("mse"),

@@ -410,17 +410,16 @@ def kn_bigram_logprob(
     float-ordering-sensitive — round the result for cross-engine
     compares. Docs with < 2 tokens produce no row. D must be in (0, 1].
     """
-    from impc_etl_spark.operators.partitioning import shuffle_partitions_for
+    from impc_etl_spark.operators.partitioning import (
+        advisory_mb, shuffle_partitions_for,
+    )
 
     bigr = word_shingles(tokens(text_col), 2)
-    advisory_mb = max(
-        1, int(df.sparkSession.conf.get(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            str(64 << 20))) >> 20)
+    adv = advisory_mb(df.sparkSession)
     # one ~2-word string row per token position off compressed parquet
     # text: measured ~16× the scan estimate (spans' 32-hex rows measured
     # ~30×; bigram rows are about half as wide)
-    w_big = shuffle_partitions_for(df, target_mb=advisory_mb, expansion=16.0)
+    w_big = shuffle_partitions_for(df, target_mb=adv, expansion=16.0)
     # bigram TYPE table: key, split tokens, count — one pinned-width
     # shuffle, then materialize: four consumers (heads, continuations,
     # total, model join) would otherwise re-execute the corpus explode
@@ -460,12 +459,19 @@ def kn_bigram_logprob(
             ).alias("__lp"),
         )
     )
-    model = F.broadcast(model) if broadcast_model else model.hint("merge")
-    # expansion 24: the corpus side carries (id, bigram string) per token
-    corpus = df.select(F.col(id_col), F.explode(bigr).alias("big")).repartition(
-        shuffle_partitions_for(df, target_mb=advisory_mb, expansion=24.0),
-        "big",
-    )
+    corpus = df.select(F.col(id_col), F.explode(bigr).alias("big"))
+    if broadcast_model:
+        # broadcast hash join needs no exchange — repartitioning here
+        # would ADD a corpus-sized shuffle to the fast path (r9 review)
+        model = F.broadcast(model)
+    else:
+        model = model.hint("merge")
+        # expansion 24: the corpus side carries (id, bigram string) per
+        # token across the merge join's exchange
+        corpus = corpus.repartition(
+            shuffle_partitions_for(df, target_mb=adv, expansion=24.0),
+            "big",
+        )
     scored = corpus.join(model, "big").select(F.col(id_col), "__lp")
     return scored.groupBy(id_col).agg(F.avg("__lp").alias(out))
 

@@ -11406,12 +11406,16 @@ def emb_ivf_store_topk(spark, sf_dir):
     assigned, centroids = sim_ops.ivf_build(
         emb, nlist=4, iterations=2, round_to=6
     )
-    # one deterministic store per (user, sf_dir), overwritten in place —
-    # a fresh mkdtemp per invocation leaked an orphaned parquet copy of
-    # the embeddings table into /tmp on every replay/bench rep (r8 ADVICE)
+    # one deterministic store per (user, session, sf_dir), overwritten in
+    # place — a fresh mkdtemp per invocation leaked an orphaned parquet
+    # copy of the embeddings table into /tmp on every replay/bench rep
+    # (r8 ADVICE); the applicationId component keeps CONCURRENT processes
+    # (pytest beside bench.py) from racing overwrite-against-read on one
+    # shared path (r9 review) at the cost of one leftover dir per session
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    app = spark.sparkContext.applicationId
     path = os.path.join(
-        tempfile.gettempdir(), f"ivf_store_{os.getuid()}_{key}", "emb")
+        tempfile.gettempdir(), f"ivf_store_{os.getuid()}_{app}_{key}", "emb")
     assigned.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
     store = spark.read.parquet(path)
     qv = [float(x) for x in _query_vec(spark, sf_dir)]
@@ -11768,20 +11772,25 @@ m AS (
   SELECT o_orderstatus, n_a, n_b,
          s_a / CAST(n_a AS DOUBLE) AS mean_a,
          s_b / CAST(n_b AS DOUBLE) AS mean_b,
-         (q_a - s_a * s_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
-             / CAST(n_a AS DOUBLE) AS se_a,
-         (q_b - s_b * s_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)
-             / CAST(n_b AS DOUBLE) AS se_b
+         (q_a - s_a * s_a / nullif(CAST(n_a AS DOUBLE), 0.0))
+             / nullif(CAST(n_a AS DOUBLE) - 1.0, 0.0)
+             / nullif(CAST(n_a AS DOUBLE), 0.0) AS se_a,
+         (q_b - s_b * s_b / nullif(CAST(n_b AS DOUBLE), 0.0))
+             / nullif(CAST(n_b AS DOUBLE) - 1.0, 0.0)
+             / nullif(CAST(n_b AS DOUBLE), 0.0) AS se_b
   FROM s)
 SELECT o_orderstatus, n_a,
        floor(mean_a * 10000 + 0.5) / 10000 AS mean_a,
        n_b,
        floor(mean_b * 10000 + 0.5) / 10000 AS mean_b,
-       floor((mean_a - mean_b) / sqrt(se_a + se_b) * 1000000 + 0.5) / 1000000
-           AS t_stat,
+       -- nullif: degenerate cells (n<2 or zero variance) are NULL on the
+       -- Spark side via try_divide; DuckDB plain /0.0 would give inf/NaN
+       floor((mean_a - mean_b) / nullif(sqrt(se_a + se_b), 0.0)
+             * 1000000 + 0.5) / 1000000 AS t_stat,
        floor((se_a + se_b) * (se_a + se_b)
-             / (se_a * se_a / (CAST(n_a AS DOUBLE) - 1.0)
-                + se_b * se_b / (CAST(n_b AS DOUBLE) - 1.0)) * 10000 + 0.5)
+             / nullif(se_a * se_a / nullif(CAST(n_a AS DOUBLE) - 1.0, 0.0)
+                      + se_b * se_b / nullif(CAST(n_b AS DOUBLE) - 1.0, 0.0),
+                      0.0) * 10000 + 0.5)
            / 10000 AS welch_df
 FROM m
 """
@@ -11835,8 +11844,11 @@ cdf AS (
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
   FROM counts)
 SELECT t.n_a, t.n_b,
-       floor(max(abs(CAST(cuma AS DOUBLE) / CAST(t.n_a AS DOUBLE)
-                     - CAST(cumb AS DOUBLE) / CAST(t.n_b AS DOUBLE)))
+       -- nullif: an absent label (n=0) is NULL on the Spark side
+       -- (non-ANSI /0 -> NULL); DuckDB plain /0.0 would give inf
+       floor(max(abs(CAST(cuma AS DOUBLE) / nullif(CAST(t.n_a AS DOUBLE), 0.0)
+                     - CAST(cumb AS DOUBLE)
+                       / nullif(CAST(t.n_b AS DOUBLE), 0.0)))
              * 1000000 + 0.5) / 1000000 AS ks_stat
 FROM cdf CROSS JOIN tot t
 GROUP BY t.n_a, t.n_b
@@ -11882,12 +11894,14 @@ fit AS (
          sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
   FROM pts)
 SELECT t.n_tokens, t.vocab_size,
-       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000 + 0.5)
-           / 1000000 AS slope,
-       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-             * 1000000 + 0.5) / 1000000 AS intercept,
+       -- nullif: a degenerate fit (var_x or var_y exactly 0) is NULL on
+       -- the Spark side via try_divide; plain /0.0 would give inf/NaN
+       floor((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)
+             * 1000000 + 0.5) / 1000000 AS slope,
+       floor((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) * sx)
+             / n * 1000000 + 0.5) / 1000000 AS intercept,
        floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0)
              * 1000000 + 0.5) / 1000000 AS r2
 FROM fit CROSS JOIN tot t
 """

@@ -3286,12 +3286,17 @@ def test_kn_bigram_logprob_matches_hand_model_and_sums_to_one(spark):
     right_vocab = set(y for _, y in bgs)
     for x in c1:
         assert abs(sum(p(x, y) for y in right_vocab) - 1.0) < 1e-12, x
-    # merge-hinted path scores identically to the broadcast path
+    # merge-hinted path scores the same docs to last-ulp tolerance: the
+    # two paths partition the scored rows differently (the merge path
+    # repartitions by bigram, the broadcast path does not — r9), so the
+    # avg's summation ORDER differs; query outputs round to 4dp anyway
     alt = {
         r.doc_id: r.avg_kn_logprob
         for r in kn_bigram_logprob(corpus, broadcast_model=False).collect()
     }
-    assert alt == out
+    assert set(alt) == set(out)
+    for k in out:
+        assert abs(alt[k] - out[k]) < 1e-12, k
 
 
 def test_semantic_dedup_drops_exactly_junior_near_neighbors(spark):
@@ -3689,3 +3694,20 @@ def test_interval_agg_join_aligned_matches_flat(spark):
         ).collect()
     }
     assert fast == flat
+
+
+def test_release_diff_null_keys_emit_both_sides(spark):
+    """Anti-join semantics on NULL keys: a NULL key tuple present in BOTH
+    releases must emit BOTH an added and a removed row (NULL never
+    matches), unlike a groupBy which would treat the NULLs as equal."""
+    from impc_etl_spark.operators.joins import release_diff
+
+    cur = spark.createDataFrame(
+        [(1,), (2,), (None,)], "k INT")
+    prev = spark.createDataFrame(
+        [(2,), (3,), (None,)], "k INT")
+    rows = sorted(
+        ((r.k, r.change) for r in release_diff(cur, prev, ["k"]).collect()),
+        key=lambda t: (t[0] is None, t[0], t[1]))
+    assert rows == [
+        (1, "added"), (3, "removed"), (None, "added"), (None, "removed")]
