@@ -12090,3 +12090,16 @@ _R9_WINDOW = [
     "docs_oov_rate",
 ]
 _set_window(_R9_WINDOW)
+
+# Round-10 window note (for the next builder): pure LRU rotation
+# continues. After r9's driver run, fill slots with (a) queries added in
+# r10 and (b) the least-recently-driver-checked names — the front of the
+# r10 fill is docs_token_stats, docs_quality_weighted_sample,
+# docs_simhash_pairs, emb_near_dup_pairs (r2 evidence), then the whole
+# r3 block (docs_ngram_jaccard, docs_strip_boilerplate,
+# docs_unigram_logprob, emb_label_centroids, docs_importance_resample,
+# nation_trade_pagerank, orders_cdc_apply, docs_quality,
+# supplier_rule_calls, docs_bm25_search, customer_order_rollup,
+# emb_semantic_dedup), then r4. Recompute exactly as r9 did: latest
+# CORRECTNESS_r0N round per name, oldest first, registration order as
+# tie-break. Also queue re-checks for any operator whose code changes.
