@@ -766,12 +766,22 @@ def part_required_tokens_join(spark, sf_dir):
 
 
 def campaign_order_attribution(spark, sf_dir):
-    """Binned interval join (point-in-range, NO nested loop): every order
-    attributed to each 'campaign' — an urgent big-ticket order — whose
-    14-day window contains its date. The interval side explodes onto a
-    7-day grid, the point side lands in exactly one bucket, and Catalyst
-    plans a plain hash join on the bucket; the exact range predicate
-    re-checks on the original timestamps."""
+    """Per-campaign order attribution — every order counted/summed into
+    each 'campaign' (an urgent big-ticket order) whose 14-day window
+    contains its date — computed by HIERARCHICAL interval aggregation
+    (interval_agg_join, assume_aligned): endpoints are DATEs on a day
+    grid, so every day-bin is wholly in or out of a window and the
+    whole answer is campaigns x 14 bins against a per-day pre-aggregate
+    — ZERO order-row pair work.
+
+    History (r9/r10): this query originally ran the FLAT binned pair
+    join (interval_point_join + groupBy). Correct, but per-pair work is
+    O(orders-in-window) per campaign and both factors grow with scale:
+    at K=300 one dense bin's pair stream ran >60 min on a single
+    straggler task and was aborted (SCALE.md r9). count/sum are
+    decomposable, so the aggregate form is semantics-preserving — the
+    oracle is unchanged and the flat operator keeps its own pytest
+    property/guard coverage (max_per_bin, report_overflow)."""
     orders = _t(spark, sf_dir, "orders")
     camp = orders.where(
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000)
@@ -780,14 +790,16 @@ def campaign_order_attribution(spark, sf_dir):
         F.col("o_orderdate").alias("camp_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 13 DAYS")).alias("camp_end"),
     )
-    pts = orders.select("o_orderkey", "o_orderdate", "o_totalprice")
-    hits = join_ops.interval_point_join(
+    pts = orders.select("o_orderdate", "o_totalprice")
+    agg = join_ops.interval_agg_join(
         pts, camp, "o_orderdate", "camp_start", "camp_end",
-        bin_width=7 * 86400, closed="both",
+        interval_key=["campaign_id"], value_cols=["o_totalprice"],
+        bin_width=86400, closed="both", assume_aligned=True,
     )
-    return hits.groupBy("campaign_id").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        _rnd(F.sum("o_totalprice"), 2).alias("window_revenue"),
+    return agg.select(
+        "campaign_id",
+        F.col("n_points").alias("n_orders"),
+        _rnd(F.col("sum_o_totalprice"), 2).alias("window_revenue"),
     )
 
 
@@ -11986,14 +11998,19 @@ FROM flagged GROUP BY doc_id
 
 def campaign_window_totals(spark, sf_dir):
     """The SAME campaign attribution answer as campaign_order_attribution,
-    computed by hierarchical interval AGGREGATION (interval_agg_join):
-    count/sum are decomposable, so every 7-day bin strictly inside a
-    campaign window takes a whole per-bin pre-aggregate and only the two
-    edge bins touch order rows — per-pair work collapses from
-    O(orders-in-window) to O(edge-orders) per campaign (the flat join's
-    dense-bin pair growth dominated the sf30-equivalent rehearsal).
-    Shares campaign_order_attribution's oracle verbatim: same rows, same
-    values, different physical plan — the point."""
+    computed by the GENERAL interior+edge decomposition of
+    interval_agg_join (assume_aligned=False): 7-day bins strictly inside
+    a window take whole per-bin pre-aggregates; only the two EDGE bins
+    re-check the exact predicate on order rows. This is the path that
+    stays correct for arbitrary (timestamp) endpoints — the aligned fast
+    path campaign_order_attribution now runs is a caller assertion this
+    twin does NOT make, so the general interior/edge machinery keeps its
+    own driver evidence. Shares campaign_order_attribution's oracle
+    verbatim: same rows, same values, third physical plan (flat pair
+    join / aligned prefix-sum / interior+edge) — the point. Edge-phase
+    pair work is bounded by 2 bins per interval (vs len/bin_width for
+    the flat form); at K=300 the edge join is the residual cost and
+    bin_width is the knob that trades it against interior explode width."""
     orders = _t(spark, sf_dir, "orders")
     camp = orders.where(
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000)
@@ -12003,15 +12020,10 @@ def campaign_window_totals(spark, sf_dir):
         (F.col("o_orderdate") + F.expr("INTERVAL 13 DAYS")).alias("camp_end"),
     )
     pts = orders.select("o_orderdate", "o_totalprice")
-    # day grid + assume_aligned: every endpoint is a DATE, so each
-    # day-bin is either wholly in or wholly out of the window — the
-    # entire answer is campaigns x 14 bins against the per-day
-    # pre-aggregate, ZERO order-row pair work (the flat form's dense-bin
-    # pair stream ran >60 min on one straggler task at K=300)
     agg = join_ops.interval_agg_join(
         pts, camp, "o_orderdate", "camp_start", "camp_end",
         interval_key=["campaign_id"], value_cols=["o_totalprice"],
-        bin_width=86400, closed="both", assume_aligned=True,
+        bin_width=7 * 86400, closed="both",
     )
     return agg.select(
         "campaign_id",
