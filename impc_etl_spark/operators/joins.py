@@ -542,6 +542,203 @@ def fuzzy_blocked_pairs(
     )
 
 
+def passjoin_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 3,
+    block_cols: Sequence[str] = (),
+    min_seg_len: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Edit-distance similarity self-join via pigeonhole segment
+    signatures (the PassJoin family, Li/Deng/Feng ICDE 2012) — the
+    SUB-QUADRATIC replacement for block-then-all-pairs fuzzy linkage:
+    ``fuzzy_blocked_pairs`` compares every pair inside a block, so its
+    candidate stream grows as (rows-per-block)² — quadratic in scale
+    factor unless the block key's cardinality grows with the data,
+    which dimension-like keys (brand, category) never do.
+
+    Emits one row per unordered pair ``(id_a < id_b)`` sharing every
+    ``block_cols`` value with ``levenshtein(text_a, text_b) <=
+    max_distance`` — the SAME output contract as ``fuzzy_blocked_pairs``
+    (complete, no approximation), different candidate generation:
+
+    - Each string of length L is cut into ``d+1`` contiguous segments
+      (d = max_distance), boundaries a pure function of L. By
+      PIGEONHOLE, <= d edits leave at least one segment untouched, and
+      an untouched segment of the SHORTER string appears verbatim in
+      the other string shifted by at most d (net indels before it
+      can't exceed the edit budget). So every true pair shares at
+      least one (segment-index, target-length, substring) signature.
+    - INDEX role: every row emits its d+1 own segments keyed
+      (block…, L, j, segment).
+    - PROBE role: every row emits, for each candidate partner length
+      Lt in [L-d, L], each segment slot j, each shift in [-d, d], the
+      substring of ITSELF at the partner's expected segment position —
+      <= (d+1)²(2d+1) keys per row (112 at d=3), deduplicated per row
+      before the explode. Equal-length pairs match in both directions;
+      the canonical (least, greatest) id ordering + distinct collapses
+      them.
+    - Candidates join on the exact signature (an equi hash join — the
+      whole point), then the banded ``levenshtein(…, threshold)``
+      verifies; its DP walk abandons a pair the moment the bar is
+      provably exceeded.
+
+    Strings shorter than ``(d+1)*min_seg_len`` would cut into segments
+    so short every bucket collides; they route to a SHORT POOL compared
+    all-pairs against strings within d of that bound — bounded work on
+    natural text (few very-short keys), but a hostile corpus of
+    millions of near-empty strings per block degrades it; keep
+    ``block_cols`` selective for such data.
+
+    ``max_bucket`` is the low-entropy guard (same family as LSH's
+    mega-bucket cap): template corpora where thousands of strings share
+    a segment create quadratic signature buckets; with the cap set,
+    larger buckets are EXCLUDED entirely (bounded loss — a pair can
+    still meet in its other untouched segments' buckets). Default off:
+    exact.
+
+    Scale shape: explode-factor-bounded key streams (4 index + <=112
+    probe keys/row at d=3), one signature hash join, one candidate-pair
+    distinct, two id-keyed text lookups, verify. All shuffles are
+    linear in rows x constant; pair work is linear in TRUE near-matches
+    plus signature false positives (substring entropy-bounded), never
+    in block size. NULL texts drop.
+    """
+    d = int(max_distance)
+    if d < 1:
+        raise ValueError(f"max_distance must be >= 1, got {d}")
+    nseg = d + 1
+    short_min = nseg * int(min_seg_len)
+    blocks = list(block_cols)
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            *blocks,
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__t"),
+            F.length(text_col).alias("__L"),
+        )
+    )
+
+    def seg_start(L: Column, j: int) -> Column:
+        # 1-based start of segment j (1..nseg) of a length-L string:
+        # even partition via floor((j-1)*L/nseg)+1 — exact integer math
+        return (L * F.lit(j - 1) - (L * F.lit(j - 1)) % nseg) / nseg + 1
+
+    def seg_len(L: Column, j: int) -> Column:
+        return seg_start(L, j + 1) - seg_start(L, j)
+
+    long_side = base.where(F.col("__L") >= short_min)
+    L = F.col("__L")
+
+    index_keys = long_side.select(
+        *blocks,
+        F.col("__id"),
+        F.col("__L").alias("__kL"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.substring(
+                        "__t", seg_start(L, j).cast("int"), seg_len(L, j).cast("int")
+                    ).alias("s"),
+                )
+                for j in range(1, nseg + 1)
+            ])
+        ).alias("__k"),
+    ).select(*blocks, "__id", "__kL", F.col("__k.j").alias("__kj"),
+             F.col("__k.s").alias("__ks"))
+    if max_bucket is not None:
+        sizes = index_keys.groupBy(*blocks, "__kL", "__kj", "__ks").agg(
+            F.count(F.lit(1)).alias("__bsz"))
+        keep = sizes.where(F.col("__bsz") <= int(max_bucket)).drop("__bsz")
+        # signature-bucket tables are data-sized aggregates: never broadcast
+        index_keys = index_keys.join(
+            keep.hint("merge"), [*blocks, "__kL", "__kj", "__ks"], "left_semi")
+
+    probe_elems = []
+    for dl in range(0, d + 1):          # partner length Lt = L - dl
+        lt = L - F.lit(dl)
+        for j in range(1, nseg + 1):
+            st, ln = seg_start(lt, j), seg_len(lt, j)
+            for delta in range(-d, d + 1):
+                pos = st + F.lit(delta)
+                valid = (
+                    (lt >= F.lit(short_min))
+                    & (pos >= F.lit(1))
+                    & (pos + ln - 1 <= L)
+                )
+                probe_elems.append(
+                    F.when(
+                        valid,
+                        F.struct(
+                            lt.cast("int").alias("kL"),
+                            F.lit(j).alias("j"),
+                            F.substring(
+                                "__t", pos.cast("int"), ln.cast("int")
+                            ).alias("s"),
+                        ),
+                    )
+                )
+    probe_keys = long_side.select(
+        *blocks,
+        F.col("__id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.array(*probe_elems), lambda x: x.isNotNull())
+            )
+        ).alias("__k"),
+    ).select(*blocks, "__id", F.col("__k.kL").alias("__kL"),
+             F.col("__k.j").alias("__kj"), F.col("__k.s").alias("__ks"))
+
+    p = probe_keys.alias("__p")
+    i = index_keys.alias("__i")
+    cond = (
+        (F.col("__p.__kL") == F.col("__i.__kL"))
+        & (F.col("__p.__kj") == F.col("__i.__kj"))
+        & (F.col("__p.__ks") == F.col("__i.__ks"))
+        & (F.col("__p.__id") != F.col("__i.__id"))
+    )
+    for b in blocks:
+        cond = cond & (F.col(f"__p.{b}") == F.col(f"__i.{b}"))
+    sig_cand = p.join(i, cond).select(
+        *[F.col(f"__p.{b}").alias(b) for b in blocks],
+        F.least(F.col("__p.__id"), F.col("__i.__id")).alias("id_a"),
+        F.greatest(F.col("__p.__id"), F.col("__i.__id")).alias("id_b"),
+    )
+
+    # short pool: strings too short to cut — all-pairs against partners
+    # within d of the bound (|len diff| > d can never pass the verify)
+    shorts = base.where(F.col("__L") < short_min).alias("__s")
+    nears = base.where(F.col("__L") < short_min + d).alias("__n")
+    scond = F.col("__s.__id") != F.col("__n.__id")
+    for b in blocks:
+        scond = scond & (F.col(f"__s.{b}") == F.col(f"__n.{b}"))
+    short_cand = shorts.join(nears, scond).select(
+        *[F.col(f"__s.{b}").alias(b) for b in blocks],
+        F.least(F.col("__s.__id"), F.col("__n.__id")).alias("id_a"),
+        F.greatest(F.col("__s.__id"), F.col("__n.__id")).alias("id_b"),
+    )
+
+    cand = sig_cand.unionByName(short_cand).distinct()
+    texts = base.select(F.col("__id"), F.col("__t"))
+    pairs = (
+        cand.join(texts.select(F.col("__id").alias("id_a"),
+                               F.col("__t").alias("text_a")), "id_a")
+        .join(texts.select(F.col("__id").alias("id_b"),
+                           F.col("__t").alias("text_b")), "id_b")
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"), d)
+    return (
+        pairs.withColumn("edit_dist", dist)
+        # banded levenshtein returns -1 when the bar is exceeded
+        .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= d))
+        .select(*blocks, "id_a", "id_b", "text_a", "text_b", "edit_dist")
+    )
+
+
 def release_diff(
     current: DataFrame,
     previous: DataFrame,

@@ -11631,20 +11631,27 @@ _set_window(_R8_WINDOW)
 
 
 def part_fuzzy_name_pairs(spark, sf_dir):
-    """Blocked fuzzy record linkage over part names: candidate pairs meet
-    only inside the p_brand block, then survive a levenshtein <= 3 bar
-    (banded DP via F.levenshtein's threshold arg — abandons a pair the
-    moment the bar is provably exceeded), exact-equal names excluded so
-    the output is the NEAR-duplicate linkage exact dedup can't see. The
-    Fellegi-Sunter blocking+comparison design: an unblocked fuzzy join
-    is O(n^2) string comparisons. One block-key shuffle per side;
-    reference analog: the reference's exact-key colony/specimen merges
-    (jobs/transform/specimen_cross_ref.py) which a fuzzy layer would sit
-    on top of."""
+    """Fuzzy record linkage over part names via PIGEONHOLE SEGMENT
+    signatures (passjoin_pairs): same-brand near-duplicate name pairs
+    under a levenshtein <= 3 bar, exact-equal names excluded — the
+    NEAR-duplicate linkage exact dedup can't see.
+
+    History (r9/r10): r9 registered this on fuzzy_blocked_pairs with
+    p_brand as the only block key — 25 distinct brands, so in-block
+    candidate pairs grow as (n/25)², quadratic in scale factor (r9
+    ADVICE). The PassJoin rewrite keeps the OUTPUT contract (complete,
+    same oracle) but generates candidates from exact signature-bucket
+    joins: <=d edits leave >=1 of the d+1 segments untouched, so every
+    true pair meets in a (length, slot, substring) bucket — candidate
+    volume tracks true near-matches, not block size (sub-quadratic;
+    measured in SCALE.md r10). p_brand stays in the key as the linkage
+    scope, no longer the scaling crutch. Reference analog: the exact-key
+    colony/specimen merges (jobs/transform/specimen_cross_ref.py) a
+    fuzzy layer would sit on top of."""
     part = _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_name")
-    pairs = join_ops.fuzzy_blocked_pairs(
-        part, block_cols=["p_brand"], text_col="p_name",
-        id_col="p_partkey", max_distance=3,
+    pairs = join_ops.passjoin_pairs(
+        part, text_col="p_name", id_col="p_partkey",
+        max_distance=3, block_cols=["p_brand"],
     )
     return pairs.where(F.col("text_a") != F.col("text_b")).select(
         "p_brand",

@@ -3508,6 +3508,89 @@ def test_fuzzy_blocked_pairs_matches_naive(spark):
     assert capped.count() == 0
 
 
+def _naive_lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_passjoin_pairs_matches_naive(spark):
+    """Pigeonhole-signature join is COMPLETE: identical pair set to the
+    brute-force all-pairs edit-distance scan, on a corpus spanning the
+    short pool (len < 8 at d=3), boundary lengths, and long strings."""
+    import itertools
+    import random
+
+    from impc_etl_spark.operators import joins
+
+    rng = random.Random(7)
+    alpha = "abcde"
+
+    def mutate(s, k):
+        s = list(s)
+        for _ in range(k):
+            op = rng.choice("ids") if s else "i"
+            p = rng.randrange(len(s) + (op == "i"))
+            if op == "i":
+                s.insert(p, rng.choice(alpha))
+            elif op == "d":
+                del s[p]
+            else:
+                s[p] = rng.choice(alpha)
+        return "".join(s)
+
+    rows = []
+    idc = 0
+    for c in range(25):
+        seed = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 22)))
+        for _ in range(rng.randrange(1, 4)):
+            rows.append((idc, "blk%d" % (c % 2), mutate(seed, rng.randrange(0, 5))))
+            idc += 1
+    df = spark.createDataFrame(rows, "id INT, blk STRING, txt STRING")
+    for blocks in ([], ["blk"]):
+        expect = sorted(
+            (min(i1, i2), max(i1, i2), _naive_lev(t1, t2))
+            for (i1, b1, t1), (i2, b2, t2) in itertools.combinations(rows, 2)
+            if (not blocks or b1 == b2) and _naive_lev(t1, t2) <= 3
+        )
+        got = sorted(
+            (r.id_a, r.id_b, r.edit_dist)
+            for r in joins.passjoin_pairs(
+                df, "txt", "id", max_distance=3, block_cols=blocks
+            ).collect()
+        )
+        assert got == expect, f"blocks={blocks}"
+
+
+def test_passjoin_pairs_guards(spark):
+    from impc_etl_spark.operators import joins
+
+    # NULL texts drop; same output contract as fuzzy_blocked_pairs
+    df = spark.createDataFrame(
+        [(1, "red widgetries"), (2, "red widgetrees"), (3, None),
+         (4, "unrelated string")],
+        "id INT, txt STRING")
+    got = [(r.id_a, r.id_b, r.edit_dist)
+           for r in joins.passjoin_pairs(df, "txt", "id", 2).collect()]
+    assert got == [(1, 2, 1)]
+    # max_bucket: a template corpus where EVERY segment bucket collides
+    # (identical strings) is excluded entirely under the cap — bounded
+    # loss, like the LSH mega-bucket cap
+    tmpl = spark.createDataFrame(
+        [(i, "aaaabbbbccccdddd") for i in range(6)], "id INT, txt STRING")
+    assert joins.passjoin_pairs(tmpl, "txt", "id", 3).count() == 15
+    assert joins.passjoin_pairs(
+        tmpl, "txt", "id", 3, max_bucket=3).count() == 0
+    # d >= 1 contract
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        joins.passjoin_pairs(df, "txt", "id", 0)
+
+
 def test_cusum_recurrence_and_reset(spark):
     from impc_etl_spark.operators.timeseries import cusum
 
