@@ -55,8 +55,9 @@ def build_hostile(src: str, dst: str) -> None:
                    CASE WHEN event_id % 100 BETWEEN 6 AND 7
                         THEN NULL ELSE user_id END AS user_id,
                    event_type,
-                   CASE WHEN event_id % 100 BETWEEN 3 AND 5
-                        THEN NULL ELSE value END AS value,
+                   CASE WHEN event_id % 100 BETWEEN 3 AND 5 THEN NULL
+                        WHEN event_id % 100 = 11 THEN CAST('NaN' AS DOUBLE)
+                        ELSE value END AS value,
                    CASE WHEN event_id % 100 BETWEEN 8 AND 9 THEN '{bad json'
                         WHEN event_id % 100 = 10 THEN NULL
                         ELSE props END AS props""",

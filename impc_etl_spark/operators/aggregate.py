@@ -699,9 +699,20 @@ def ks_binned(
             F.max("n_b").alias("n_b"),
             F.max(
                 F.abs(
-                    F.col("__cuma").cast("double") / F.col("n_a").cast("double")
-                    - F.col("__cumb").cast("double") / F.col("n_b").cast("double")
+                    # try_divide: an absent label (n=0) must yield NULL,
+                    # not an ANSI divide-by-zero crash (r10; the oracle's
+                    # nullif(…, 0.0) mirrors it)
+                    F.try_divide(
+                        F.col("__cuma").cast("double"), F.col("n_a").cast("double")
+                    )
+                    - F.try_divide(
+                        F.col("__cumb").cast("double"), F.col("n_b").cast("double")
+                    )
                 )
             ).alias("ks_stat"),
         )
+        # EMPTY input (both labels absent): the global agg would emit one
+        # all-NULL row while a SQL oracle's GROUP BY over the empty grid
+        # emits zero — drop it so both engines agree (r9 ADVICE)
+        .where(F.col("n_a").isNotNull() | F.col("n_b").isNotNull())
     )

@@ -229,9 +229,11 @@ def ewma(
     Arrow-batched ``applyInPandas`` runs each key's series through an
     O(n) explicit-recurrence loop — per-group memory is one key's series
     (bounded: per-entity event history, never the whole corpus). NULL
-    values emit a NULL ewma and are SKIPPED by the recurrence (the state
-    carries over), so one bad telemetry point cannot NaN-poison the rest
-    of the series.
+    values — and real NaN values, treated EXACTLY like NULL by this
+    whole recurrence family (ewma/holt/holt_winters/cusum) — emit a NULL
+    ewma and are SKIPPED by the recurrence (the state carries over), so
+    one bad telemetry point cannot NaN-poison the rest of the series;
+    SQL oracles must mirror the NaN skip with ``OR isnan(value)``.
 
     Ordering inside a key is (ts, tiebreak_cols) ascending and must be
     total for determinism — pass ``tiebreak_cols`` when timestamps can
@@ -450,10 +452,12 @@ def cusum(
     Same custom-op contract as ``ewma``: windowed aggregates cannot
     express the max(0, ·) clamp recurrence, so one shuffle on
     ``key_cols`` then an Arrow-batched per-key O(n) loop whose state is
-    two doubles; NULL values emit NULL rows and are skipped with state
-    carried over. Ordering inside a key is (ts, tiebreak_cols) and must
-    be total for determinism. Adds ``cusum_pos``, ``cusum_neg``,
-    ``alarm`` (int 0/1).
+    two doubles; NULL values — and real NaN values, which this operator
+    treats EXACTLY like NULL (a NaN would otherwise poison both clamp
+    statistics forever) — emit NULL rows and are skipped with state
+    carried over; SQL oracles must mirror with ``OR isnan(value)``.
+    Ordering inside a key is (ts, tiebreak_cols) and must be total for
+    determinism. Adds ``cusum_pos``, ``cusum_neg``, ``alarm`` (int 0/1).
     """
     import pandas as pd
 

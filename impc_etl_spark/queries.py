@@ -455,12 +455,17 @@ def hourly_event_stats(spark, sf_dir):
     """Tumbling window aggregation over events (batch window()). NULL ts
     rows are excluded explicitly on both engines (r7 hardening)."""
     ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    # nanvl: a NaN telemetry value is a bad point — treated like NULL
+    # (excluded from the sum, still counted), the engine-wide contract
+    # the recurrence family (ewma/holt/cusum) pins; floor(NaN) diverges
+    # between engines otherwise (r10 hostile NaN sweep)
+    val = F.nanvl(F.col("value"), F.lit(None).cast("double"))
     return ts_ops.tumbling_window_agg(
         ev,
         "ts",
         "1 hour",
         ["event_type"],
-        [F.count(F.lit(1)).alias("n_events"), _rnd(F.sum("value"), 2).alias("sum_value")],
+        [F.count(F.lit(1)).alias("n_events"), _rnd(F.sum(val), 2).alias("sum_value")],
     ).select("window_start", "event_type", "n_events", "sum_value")
 
 
@@ -500,10 +505,13 @@ def events_json_extract(spark, sf_dir):
     THROWS on bad JSON (r7 hostile hardening)."""
     ev = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    # nanvl: NaN value treated like NULL (the engine-wide bad-point
+    # contract) — floor(NaN) diverges between engines otherwise
+    val = F.nanvl(F.col("value"), F.lit(None).cast("double"))
     return (
         ev.withColumn("k", k)
         .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n_events"), _rnd(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _rnd(F.sum(val), 2).alias("sum_value"))
     )
 
 
@@ -2972,7 +2980,9 @@ FROM inner_agg GROUP BY o_custkey
 """,
     "hourly_event_stats": """
 SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS window_start,
-       event_type, count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+       event_type, count(*) AS n_events,
+       -- NaN value = bad point: NULL in the sum, still counted
+       floor((sum(CASE WHEN isnan(value) THEN NULL ELSE value END)) * 100 + 0.5) / 100 AS sum_value
 FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """,
     "sliding_event_counts": """
@@ -3001,7 +3011,8 @@ FROM s GROUP BY user_id, sid
     "events_json_extract": """
 SELECT CASE WHEN json_valid(props)
             THEN json_extract_string(props, '$.k')::INT END AS k,
-       count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+       count(*) AS n_events,
+       floor((sum(CASE WHEN isnan(value) THEN NULL ELSE value END)) * 100 + 0.5) / 100 AS sum_value
 FROM events GROUP BY 1
 """,
     "reference_range_selection": """
@@ -5330,6 +5341,10 @@ def events_value_zscore(spark, sf_dir):
     DuckDB sorts NULLS LAST, silently shifting every trailing frame
     (hostile-parity hardening, r7)."""
     ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    # nanvl: a NaN value would poison the trailing mean/stddev frame for
+    # the next 20 rows — treated like NULL (the engine-wide bad-point
+    # contract; DuckDB's stddev_samp ERRORS on NaN input)
+    ev = ev.withColumn("value", F.nanvl(F.col("value"), F.lit(None).cast("double")))
     scored = ts_ops.rolling_zscore(
         ev.select("event_id", "event_type", "ts", "value"),
         ["event_type"], "ts", "value", n=20, threshold=3.0,
@@ -5346,13 +5361,18 @@ def events_value_zscore(spark, sf_dir):
 QUERIES["events_value_zscore"] = events_value_zscore
 
 ORACLE["events_value_zscore"] = """
-WITH w AS (
+WITH nn AS (
+  -- NaN value = bad point, treated like NULL (engine-wide contract)
+  SELECT event_id, event_type, ts,
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+  FROM events
+  WHERE ts IS NOT NULL),
+w AS (
   SELECT event_id, event_type, value,
          avg(value) OVER fr AS m,
          stddev_samp(value) OVER fr AS sd,
          count(value) OVER fr AS c
-  FROM events
-  WHERE ts IS NOT NULL
+  FROM nn
   WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
 SELECT event_id, event_type,
@@ -7498,7 +7518,8 @@ WITH RECURSIVE o AS (
   SELECT event_id, user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
-  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND ts IS NOT NULL AND user_id IS NOT NULL),
 walk(user_id, rn, event_id, e) AS (
   SELECT user_id, rn, event_id, CAST(value AS DOUBLE) FROM o WHERE rn = 1
   UNION ALL
@@ -7512,7 +7533,8 @@ UNION ALL
 -- and appending them here
 SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS ewma
 FROM events
-WHERE value IS NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+WHERE (value IS NULL OR isnan(value))
+  AND ts IS NOT NULL AND user_id IS NOT NULL
 """
 
 
@@ -8276,8 +8298,10 @@ def events_trend_slope(spark, sf_dir):
     aggregate is sums of centered products, map-side combined."""
     from pyspark.sql import Window
 
+    # ~isnan: a NaN value row would NaN every centered sum for its user
+    # — excluded like NULL (the engine-wide bad-point contract)
     ev = _events(spark, sf_dir).where(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
     )
     x = F.unix_micros(F.col("ts")).cast("double") / F.lit(1000000.0)
     w = Window.partitionBy("user_id")
@@ -8306,7 +8330,8 @@ QUERIES["events_trend_slope"] = events_trend_slope
 ORACLE["events_trend_slope"] = """
 WITH e AS (
   SELECT user_id, epoch_us(ts)::DOUBLE / 1000000.0 AS x, value AS y
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL),
 c AS (
   SELECT user_id, x, y,
          avg(x) OVER (PARTITION BY user_id) AS xb,
@@ -8894,7 +8919,8 @@ WITH RECURSIVE o AS (
   SELECT event_id, user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
-  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND ts IS NOT NULL AND user_id IS NOT NULL),
 walk(user_id, rn, event_id, l, b) AS (
   SELECT user_id, rn, event_id, CAST(value AS DOUBLE), CAST(0.0 AS DOUBLE)
   FROM o WHERE rn = 1
@@ -8913,7 +8939,8 @@ UNION ALL
 SELECT event_id, user_id, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE)
 FROM events
-WHERE value IS NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+WHERE (value IS NULL OR isnan(value))
+  AND ts IS NOT NULL AND user_id IS NOT NULL
 """
 
 
@@ -9771,8 +9798,10 @@ def events_psi_drift(spark, sf_dir):
     sum(split.cast('long')) silently drops them from both windows while
     a CASE WHEN would count them as live, so the guard must be explicit
     (r6 ADVICE item 3)."""
+    # ~isnan: floor(NaN) buckets diverge between engines (Spark NULLs,
+    # DuckDB errors on the INT cast) — NaN is a bad point, excluded
     ev = _events(spark, sf_dir).where(
-        F.col("value").isNotNull() & F.col("ts").isNotNull())
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull())
     bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
     split = F.col("ts") < F.lit("2024-04-01").cast("timestamp")
     counts = ev.groupBy(
@@ -9815,7 +9844,8 @@ WITH e AS (
   SELECT event_type,
          least(CAST(floor(value / 50) AS INT), 9) AS b,
          CASE WHEN ts < TIMESTAMP '2024-04-01' THEN 1 ELSE 0 END AS is_ref
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL),
 c AS (
   SELECT event_type, b,
          sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_live
@@ -11516,7 +11546,8 @@ WITH RECURSIVE o AS (
   SELECT event_id, user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
-  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND ts IS NOT NULL AND user_id IS NOT NULL),
 walk(user_id, rn, event_id, l, b, s) AS (
   SELECT user_id, rn, event_id, CAST(value AS DOUBLE), CAST(0.0 AS DOUBLE),
          [0.0, 0.0, 0.0,
@@ -11541,7 +11572,8 @@ UNION ALL
 SELECT event_id, user_id, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM events
-WHERE value IS NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+WHERE (value IS NULL OR isnan(value))
+  AND ts IS NOT NULL AND user_id IS NOT NULL
 """
 
 
@@ -11708,10 +11740,14 @@ QUERIES["events_cusum_changepoints"] = events_cusum_changepoints
 
 ORACLE["events_cusum_changepoints"] = """
 WITH RECURSIVE o AS (
+  -- NOT isnan: the operator treats real NaN values exactly like NULL
+  -- (skip, state carried, NULL outputs) — without this a NaN would
+  -- enter the recursive walk and poison sp/sn forever (r9 ADVICE)
   SELECT event_id, user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
-  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND ts IS NOT NULL AND user_id IS NOT NULL),
 walk(user_id, rn, event_id, sp, sn, alarm) AS (
   SELECT user_id, rn, event_id,
          greatest(0.0, 0.0 + (value - 50.0 - 5.0)),
@@ -11741,7 +11777,8 @@ UNION ALL
 SELECT event_id, user_id, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS INTEGER)
 FROM events
-WHERE value IS NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+WHERE (value IS NULL OR isnan(value))
+  AND ts IS NOT NULL AND user_id IS NOT NULL
 """
 
 
@@ -11774,15 +11811,23 @@ QUERIES["orders_ab_welch_ttest"] = orders_ab_welch_ttest
 
 ORACLE["orders_ab_welch_ttest"] = """
 WITH s AS (
+  -- CAST AS DOUBLE inside the sums: the Spark side casts BEFORE
+  -- summing (doubles in partial-agg order); a decimal-exact DuckDB
+  -- accumulation would differ at the ulp, and ~6 digits of
+  -- cancellation in q - s*s/n can push that across a rounding floor
   SELECT o_orderstatus,
          CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS n_a,
-         sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS s_a,
          sum(CASE WHEN o_orderpriority = '1-URGENT'
-                  THEN o_totalprice * o_totalprice END) AS q_a,
+                  THEN CAST(o_totalprice AS DOUBLE) END) AS s_a,
+         sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(o_totalprice AS DOUBLE)
+                       * CAST(o_totalprice AS DOUBLE) END) AS q_a,
          CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS n_b,
-         sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END) AS s_b,
          sum(CASE WHEN o_orderpriority = '5-LOW'
-                  THEN o_totalprice * o_totalprice END) AS q_b
+                  THEN CAST(o_totalprice AS DOUBLE) END) AS s_b,
+         sum(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN CAST(o_totalprice AS DOUBLE)
+                       * CAST(o_totalprice AS DOUBLE) END) AS q_b
   FROM orders
   WHERE o_totalprice IS NOT NULL
     AND o_orderpriority IN ('1-URGENT', '5-LOW')

@@ -56,6 +56,12 @@ SENSITIVE = [
     # r9: NULL-ts/value recurrence state carry (the ewma contract) and
     # the NULL-int alarm rendering
     "events_cusum_changepoints",
+    # r10: the hostile fixture now injects real NaN into events.value
+    # (event_id % 100 == 11) — the pairs the NaN sweep flagged are fixed
+    # by the NaN-as-NULL bad-point contract (nanvl / NOT isnan on both
+    # engines) and mostly already pinned above; trend_slope is the one
+    # NaN-sensitive pair not previously in this list
+    "events_trend_slope",
 ]
 
 

@@ -3657,6 +3657,14 @@ def test_ks_binned_matches_naive(spark):
     same = spark.createDataFrame(
         [("a", 2.0), ("b", 2.0)], "g STRING, v DOUBLE")
     assert ks_binned(same, "v", "g", "a", "b").collect()[0].ks_stat == 0.0
+    # EMPTY input (both labels absent): zero rows, not one all-NULL row —
+    # matches a SQL oracle's GROUP BY over the empty grid (r9 ADVICE)
+    empty = spark.createDataFrame(
+        [("c", 2.0), ("d", None)], "g STRING, v DOUBLE")
+    assert ks_binned(empty, "v", "g", "a", "b").count() == 0
+    # one label absent still emits its row (n for the absent side = 0)
+    one = ks_binned(df.where("g = 'a'"), "v", "g", "a", "b").collect()
+    assert len(one) == 1 and (one[0].n_a, one[0].n_b) == (4, 0)
 
 
 def test_zipf_fit_recovers_planted_slope(spark):
