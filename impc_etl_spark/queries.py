@@ -11426,6 +11426,49 @@ GROUP BY b.doc_id, b.n
 """
 
 
+_IVF_CLEANUP_REGISTERED: set = set()
+
+
+def _ivf_store_dir(spark, key: str, stale_after_sec: float = 6 * 3600) -> str:
+    """One deterministic on-disk IVF store root per (user, session, key),
+    with the two-sided lifecycle the r8/r9 ADVICE loop converged on:
+
+    - OWN dir: removed at interpreter exit (atexit) — a clean session
+      leaves nothing behind.
+    - FOREIGN dirs (other appIds — crashed or killed sessions whose
+      atexit never ran): pruned here, but only past ``stale_after_sec``,
+      so a LIVE concurrent process (pytest beside bench.py) can never
+      have its store deleted mid-read; sessions live minutes, the
+      cutoff is hours.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    root = tempfile.gettempdir()
+    prefix = f"ivf_store_{os.getuid()}_"
+    app = spark.sparkContext.applicationId
+    mine = os.path.join(root, f"{prefix}{app}_{key}")
+    cutoff = time.time() - stale_after_sec
+    try:
+        for d in os.listdir(root):
+            if d.startswith(prefix) and f"_{app}_" not in d:
+                p = os.path.join(root, d)
+                try:
+                    if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    if mine not in _IVF_CLEANUP_REGISTERED:
+        _IVF_CLEANUP_REGISTERED.add(mine)
+        atexit.register(shutil.rmtree, mine, True)
+    return mine
+
+
 def emb_ivf_store_topk(spark, sf_dir):
     """IVF made real ON DISK: the coarse-quantized corpus is WRITTEN as a
     parquet store partitioned by ivf_cluster, and the query probes it by
@@ -11442,7 +11485,6 @@ def emb_ivf_store_topk(spark, sf_dir):
     caveat as media_binaryfile_ingest)."""
     import hashlib
     import os
-    import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
     assigned, centroids = sim_ops.ivf_build(
@@ -11453,11 +11495,11 @@ def emb_ivf_store_topk(spark, sf_dir):
     # copy of the embeddings table into /tmp on every replay/bench rep
     # (r8 ADVICE); the applicationId component keeps CONCURRENT processes
     # (pytest beside bench.py) from racing overwrite-against-read on one
-    # shared path (r9 review) at the cost of one leftover dir per session
+    # shared path (r9 review); _ivf_store_dir closes the lifecycle (r9
+    # ADVICE): own dir removed at exit, crashed sessions' dirs pruned
+    # once stale
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    app = spark.sparkContext.applicationId
-    path = os.path.join(
-        tempfile.gettempdir(), f"ivf_store_{os.getuid()}_{app}_{key}", "emb")
+    path = os.path.join(_ivf_store_dir(spark, key), "emb")
     assigned.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
     store = spark.read.parquet(path)
     qv = [float(x) for x in _query_vec(spark, sf_dir)]

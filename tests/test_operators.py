@@ -277,6 +277,35 @@ def test_rule_calls_first_match_wins(spark):
     assert got == {"s1": "high", "s2": "normal"}
 
 
+def test_ivf_store_dir_lifecycle(spark, tmp_path, monkeypatch):
+    """The on-disk IVF store's lifecycle (r9 ADVICE): the session's own
+    dir is atexit-registered exactly once; foreign (crashed-session)
+    dirs are pruned only once STALE, never while a live concurrent
+    process could still be reading them."""
+    import os
+    import tempfile
+
+    from impc_etl_spark import queries as q
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    uid = os.getuid()
+    fresh = tmp_path / f"ivf_store_{uid}_otherapp_aaa"
+    stale = tmp_path / f"ivf_store_{uid}_deadapp_bbb"
+    fresh.mkdir()
+    stale.mkdir()
+    os.utime(stale, (0, 0))  # epoch mtime: long past any cutoff
+
+    before = len(q._IVF_CLEANUP_REGISTERED)
+    mine = q._ivf_store_dir(spark, "k1")
+    assert stale.name not in os.listdir(tmp_path)   # stale foreign: pruned
+    assert fresh.name in os.listdir(tmp_path)       # fresh foreign: kept
+    assert spark.sparkContext.applicationId in mine
+    assert len(q._IVF_CLEANUP_REGISTERED) == before + 1
+    # idempotent: same path, no duplicate atexit registration
+    assert q._ivf_store_dir(spark, "k1") == mine
+    assert len(q._IVF_CLEANUP_REGISTERED) == before + 1
+
+
 def test_ivf_recall_and_full_probe_exact(spark):
     from impc_etl_spark.operators.similarity import cosine_topk, ivf_build, ivf_topk
 
