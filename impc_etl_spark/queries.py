@@ -12197,15 +12197,72 @@ _R9_WINDOW = [
 ]
 _set_window(_R9_WINDOW)
 
-# Round-10 window note (for the next builder): pure LRU rotation
-# continues. After r9's driver run, fill slots with (a) queries added in
-# r10 and (b) the least-recently-driver-checked names — the front of the
-# r10 fill is docs_token_stats, docs_quality_weighted_sample,
-# docs_simhash_pairs, emb_near_dup_pairs (r2 evidence), then the whole
-# r3 block (docs_ngram_jaccard, docs_strip_boilerplate,
-# docs_unigram_logprob, emb_label_centroids, docs_importance_resample,
-# nation_trade_pagerank, orders_cdc_apply, docs_quality,
-# supplier_rule_calls, docs_bm25_search, customer_order_rollup,
-# emb_semantic_dedup), then r4. Recompute exactly as r9 did: latest
-# CORRECTNESS_r0N round per name, oldest first, registration order as
-# tie-break. Also queue re-checks for any operator whose code changes.
+# Round-10 window: slot 1 flagship; slots 2-17 re-checks of every query
+# whose code path changed this round (hierarchical campaign attribution
+# both paths, PassJoin fuzzy linkage, the NaN-as-NULL drift/recurrence
+# family + welch/ks oracle hardening, IVF store lifecycle, KN-bigram
+# window-model + shuffle-hash rewrite); the rest is pure LRU — the 4 r2
+# names, the whole r3 block, then the 17 oldest r4 names (latest
+# CORRECTNESS_r0N round per name, oldest first, registry order as
+# tie-break — exactly the committed r9 procedure).
+_R10_WINDOW = [
+    "observations_pipeline",
+    "campaign_order_attribution",
+    "campaign_window_totals",
+    "part_fuzzy_name_pairs",
+    "orders_ab_welch_ttest",
+    "orders_ks_yearly_drift",
+    "events_cusum_changepoints",
+    "events_value_ewma",
+    "events_holt_linear",
+    "events_holt_winters",
+    "events_json_extract",
+    "hourly_event_stats",
+    "events_value_zscore",
+    "events_trend_slope",
+    "events_psi_drift",
+    "emb_ivf_store_topk",
+    "docs_kn_bigram_logprob",
+    "docs_simhash_pairs",
+    "docs_token_stats",
+    "docs_quality_weighted_sample",
+    "emb_near_dup_pairs",
+    "docs_ngram_jaccard",
+    "docs_strip_boilerplate",
+    "docs_unigram_logprob",
+    "emb_label_centroids",
+    "docs_importance_resample",
+    "nation_trade_pagerank",
+    "orders_cdc_apply",
+    "docs_quality",
+    "supplier_rule_calls",
+    "docs_bm25_search",
+    "customer_order_rollup",
+    "emb_semantic_dedup",
+    "docs_exact_dedup",
+    "media_decode_features",
+    "priority_map_normalize",
+    "docs_lang_id",
+    "clerk_string_surface",
+    "part_token_stats",
+    "modal_priority_per_segment",
+    "segment_term_chooser",
+    "solr_doc_shape",
+    "union_customers_suppliers",
+    "statpacket_restructure",
+    "best_customer_per_nation",
+    "date_cascade_parse",
+    "media_feature_extract",
+    "computed_key_join",
+    "orders_status_overlap_hll",
+    "region_revenue",
+]
+_set_window(_R10_WINDOW)
+
+# Round-11 window note (for the next builder): pure LRU rotation
+# continues. After r10's driver run the stalest evidence is r4 (the
+# remaining ~4 r4 names lead the r11 fill: top_customers_per_nation,
+# customers_without_orders, segment_status_pivot, date parsing twins —
+# recompute exactly as r9/r10 did: latest CORRECTNESS_r0N round per
+# name, oldest first, registry order as tie-break). Also queue re-checks
+# for any operator whose code changes in r11.
