@@ -1119,8 +1119,11 @@ def statpacket_restructure(spark, sf_dir):
     string column, restructured through a named struct and re-flattened
     (replaces the reference's RDD+json.loads restructuring loop).
     Malformed props parse to NULL fields (from_json PERMISSIVE); the
-    oracle replays it with a json_valid guard (r7 hostile hardening)."""
+    oracle replays it with a json_valid guard (r7 hostile hardening).
+    NaN value → NULL (the engine-wide bad-point contract: Spark
+    floor(NaN·10⁴) longs to 0 while DuckDB propagates NaN — r10 fix)."""
     ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("value", F.nanvl(F.col("value"), F.lit(None).cast("double")))
     parsed = ev.withColumn("p", F.from_json(F.col("props"), "k int"))
     packet = parsed.select(
         "event_id",
@@ -3170,7 +3173,8 @@ SELECT event_id,
        CASE WHEN json_valid(props)
             THEN json_extract_string(props, '$.k')::INT END AS param_id,
        event_type AS kind,
-       floor((value) * 10000 + 0.5) / 10000 AS value
+       floor((CASE WHEN isnan(value) THEN NULL ELSE value END) * 10000 + 0.5)
+           / 10000 AS value
 FROM events
 """,
     "customer_order_bundle": """
