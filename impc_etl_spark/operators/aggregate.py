@@ -716,3 +716,212 @@ def ks_binned(
         # emits zero — drop it so both engines agree (r9 ADVICE)
         .where(F.col("n_a").isNotNull() | F.col("n_b").isNotNull())
     )
+
+
+def rank_sum_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum — the NONPARAMETRIC two-sample
+    test (Mann & Whitney 1947): compares whole distributions by rank, so
+    it sees median/shape shifts Welch's mean-based t misses and is immune
+    to the heavy tails that dominate revenue-like columns. Average ranks
+    for ties, normal approximation with the standard tie correction:
+
+        U_a = R_a − na(na+1)/2
+        z   = (U_a − na·nb/2) / sqrt(na·nb/12 · ((n+1) − Σ(t³−t)/(n(n−1))))
+
+    EXACT ranks at scale without a global sort: ranks are computed on the
+    DISTINCT-VALUE count table (one partial-aggregated groupBy), and the
+    running count C(<v) each average rank needs comes from
+    ``ranged_prefix_sums`` — range-partitioned local windows plus a
+    numPartitions-row offset broadcast, never a single-partition window.
+    Rank arithmetic stays in BIGINT (2·avgrank = 2·C(<v) + t + 1 is
+    integer) so a SQL oracle reproduces it bit-exactly; the test statistic
+    converts to double only at the end. Output one row:
+    (n_a, n_b, r_a, u_stat, z_stat); empty input emits zero rows. NULL
+    and NaN values are excluded (the engine-wide bad-point contract);
+    rows outside the two groups are ignored. Degenerate cases (either
+    side empty, or all values tied so the variance is 0) yield NULL z
+    via try_divide.
+    """
+    from impc_etl_spark.operators.partitioning import ranged_prefix_sums
+
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        g.isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(v)
+    ).select(g.alias("__g"), v.alias("__v"))
+    counts = base.groupBy("__v").agg(
+        F.count(F.when(F.col("__g") == group_a, 1)).alias("__na_v"),
+        F.count(F.lit(1)).alias("__t"),
+    )
+    cum = ranged_prefix_sums(counts, ["__v"], ["__t"])
+    # 2·avgrank(v) = 2·C(<v) + t(v) + 1  (integer — halved at the end)
+    r2 = cum.select(
+        (F.col("__na_v") * (2 * F.col("__cum___t") + F.col("__t") + 1)).alias(
+            "__r2a"
+        ),
+        F.col("__na_v"),
+        (F.col("__t") - F.col("__na_v")).alias("__nb_v"),
+        (F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).alias(
+            "__ties"
+        ),
+    )
+    stats = r2.agg(
+        F.sum("__r2a").alias("__r2a"),
+        F.sum("__na_v").alias("n_a"),
+        F.sum("__nb_v").alias("n_b"),
+        F.sum("__ties").alias("__ties"),
+    ).where(F.col("n_a").isNotNull())  # empty input → zero rows, not NULLs
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    ra = F.col("__r2a").cast("double") / F.lit(2.0)
+    u = ra - na * (na + F.lit(1.0)) / F.lit(2.0)
+    var = (
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("__ties").cast("double")
+           / (n * (n - F.lit(1.0))))
+    )
+    z = F.try_divide(u - na * nb / F.lit(2.0), F.sqrt(var))
+    return stats.select(
+        "n_a", "n_b",
+        ra.alias("r_a"),
+        u.alias("u_stat"),
+        z.alias("z_stat"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Pearson chi-squared test of independence over a contingency table,
+    plus Cramér's V (the [0,1] effect size χ²/(n·min(r−1,c−1)) — the
+    categorical-association check a feature-selection or drift pipeline
+    runs between label-like columns:
+
+        χ² = Σ_cells (O − E)²/E,   E = row_total · col_total / n
+
+    Scale shape: ONE partial-aggregated groupBy builds the observed
+    cell counts (grid-sized: |x|·|y| rows); row/column totals are
+    windows PARTITIONED by the respective category over that grid table,
+    never over data; the final χ² is a scalar aggregate. Everything
+    after the first exchange runs on the grid. Output one row:
+    (n, n_rows, n_cols, dof, chi2, cramers_v); empty input emits zero
+    rows; NULL categories are excluded. A single-category axis gives
+    dof = 0 and NULL chi2/V via try_divide.
+    """
+    from pyspark.sql import Window
+
+    base = df.where(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+    cells = base.groupBy(
+        F.col(col_x).alias("__x"), F.col(col_y).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    rw = Window.partitionBy("__x")
+    cw = Window.partitionBy("__y")
+    gw = Window.partitionBy()  # global — over the GRID table, not data
+    with_tot = cells.select(
+        "__o",
+        F.sum("__o").over(rw).alias("__rt"),
+        F.sum("__o").over(cw).alias("__ct"),
+        F.sum("__o").over(gw).alias("__n"),
+        # DISTINCT aggregates are unsupported in windows — collect_set
+        # over the grid-sized frame is the standard substitute
+        F.size(F.collect_set("__x").over(gw)).cast("bigint").alias("__nx"),
+        F.size(F.collect_set("__y").over(gw)).cast("bigint").alias("__ny"),
+    )
+    # E = rt·ct/n; (O − E)²/E with the algebra ordered so both engines
+    # evaluate the identical double expression tree
+    e = (
+        F.col("__rt").cast("double")
+        * F.col("__ct").cast("double")
+        / F.col("__n").cast("double")
+    )
+    o = F.col("__o").cast("double")
+    out = with_tot.agg(
+        F.sum("__o").alias("n"),
+        F.max("__nx").alias("n_rows"),
+        F.max("__ny").alias("n_cols"),
+        F.sum((o - e) * (o - e) / e).alias("chi2"),
+    ).where(F.col("n").isNotNull())
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    v = F.sqrt(
+        F.try_divide(
+            F.col("chi2"),
+            F.col("n").cast("double")
+            * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1).cast("double"),
+        )
+    )
+    return out.select(
+        "n", "n_rows", "n_cols",
+        dof.alias("dof"),
+        F.try_divide(F.col("chi2"), F.when(dof > 0, F.lit(1.0))).alias("chi2"),
+        v.alias("cramers_v"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    key_cols: Sequence[str],
+    q: float = 0.1,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg 1995)
+    over a table of hypotheses — the multiple-testing correction a
+    screen of per-segment tests needs before acting on 'significant'
+    segments: sort the m p-values ascending, find the LARGEST k with
+    p_(k) ≤ k·q/m, reject hypotheses 1..k.
+
+    Scale shape: the ranks come from ``ranged_prefix_sums`` over the
+    hypothesis table (range-partitioned local windows — no global
+    single-partition sort even when 'hypotheses' means millions of
+    segments), and the step-up cutoff reduces to ONE broadcast scalar:
+    ties cannot straddle k (if p_(k+1) = p_(k) then p_(k+1) ≤ k·q/m <
+    (k+1)·q/m would extend k), so 'rank ≤ k' is EXACTLY 'p ≤ p_(k)' and
+    rejection is a row-local compare against max(p among passing rows).
+    ``key_cols`` must uniquely identify hypotheses (rank tie-break).
+    Output: key_cols, p_value, bh_rank, m, bh_threshold, rejected. NULL
+    and NaN p-values are excluded.
+    """
+    from impc_etl_spark.operators.partitioning import ranged_prefix_sums
+
+    p = F.col(p_col).cast("double")
+    base = df.where(p.isNotNull() & ~F.isnan(p)).select(
+        *key_cols, p.alias("__p"), F.lit(1).alias("__one")
+    )
+    ranked = ranged_prefix_sums(base, ["__p", *key_cols], ["__one"]).select(
+        *key_cols,
+        "__p",
+        (F.col("__cum___one") + 1).alias("__rank"),
+    )
+    m = base.agg(F.count(F.lit(1)).alias("__m"))
+    with_m = ranked.crossJoin(F.broadcast(m))
+    thresh = (
+        F.col("__rank").cast("double")
+        * F.lit(float(q))
+        / F.col("__m").cast("double")
+    )
+    flagged = with_m.withColumn("__pass", F.col("__p") <= thresh)
+    cutoff = flagged.agg(
+        F.max(F.when(F.col("__pass"), F.col("__p"))).alias("__cut")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(cutoff))
+        .select(
+            *key_cols,
+            F.col("__p").alias("p_value"),
+            F.col("__rank").alias("bh_rank"),
+            F.col("__m").alias("m"),
+            thresh.alias("bh_threshold"),
+            F.coalesce(F.col("__p") <= F.col("__cut"), F.lit(False)).alias(
+                "rejected"
+            ),
+        )
+    )

@@ -206,6 +206,74 @@ def assign_global_ids(
     )
 
 
+def ranged_prefix_sums(
+    df: DataFrame,
+    order_by: Sequence[str],
+    sum_cols: Sequence[str],
+    num_partitions: int | None = None,
+    prefix: str = "__cum_",
+) -> DataFrame:
+    """EXCLUSIVE running totals of ``sum_cols`` in global ``order_by``
+    order WITHOUT a single-partition window — the scalable prefix-sum
+    every order-statistics operator needs (global ranks, ECDFs, rank-sum
+    tests, weighted quantiles). ``Window.orderBy(...)`` with no
+    PARTITION BY funnels the whole table through ONE task; this is the
+    classic two-phase alternative, declarative end to end:
+
+    1. range-repartition + sort on ``order_by`` (the same first phase a
+       global sort pays), stamp ``spark_partition_id()`` and freeze it
+       with ``localCheckpoint`` (pids must not float across recompute —
+       the assign_global_ids precedent; pass a reliable checkpoint dir
+       upstream for multi-hour cluster jobs);
+    2. LOCAL exclusive cumsums per partition (window PARTITIONED by pid
+       — never global);
+    3. per-partition column totals aggregate to a numPartitions-row
+       table whose own exclusive prefix-sum window runs on that tiny
+       table only, broadcast-joined back as offsets.
+
+    ``order_by`` must be a unique key (ties would make the running total
+    nondeterministic). Output = input columns + ``<prefix><col>`` for
+    each of ``sum_cols``, exclusive (row's own value NOT included).
+    """
+    from pyspark.sql import Window
+
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_part, *[F.col(c) for c in order_by])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = ranged
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{prefix}{c}", F.coalesce(F.sum(c).over(local_w), F.lit(0))
+        )
+    totals = ranged.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
+    )
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__tot_{c}").over(off_w), F.lit(0)).alias(
+                f"__off_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    out = out.join(F.broadcast(offsets), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{prefix}{c}", F.col(f"{prefix}{c}") + F.col(f"__off_{c}")
+        ).drop(f"__off_{c}")
+    return out.drop("__pid")
+
+
 def z_order_key(
     df: DataFrame,
     cols: Sequence[str],

@@ -12134,6 +12134,204 @@ QUERIES["campaign_window_totals"] = campaign_window_totals
 ORACLE["campaign_window_totals"] = ORACLE["campaign_order_attribution"]
 
 
+def orders_mannwhitney_u(spark, sf_dir):
+    """Mann-Whitney U rank-sum: '1-URGENT' vs '5-LOW' o_totalprice —
+    the NONPARAMETRIC companion of orders_ab_welch_ttest (rank-based, so
+    heavy revenue tails can't dominate it the way they dominate a mean
+    test). Exact tie-averaged ranks WITHOUT a global sort: the rank
+    cumulatives run per-range with a numPartitions-row offset broadcast
+    (ranged_prefix_sums) over the DISTINCT-VALUE count table; all rank
+    arithmetic is BIGINT (2·avgrank is integer) so the oracle replays it
+    bit-exactly, doubles only in the final statistic."""
+    orders = _t(spark, sf_dir, "orders")
+    out = agg_ops.rank_sum_test(
+        orders, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW")
+    return out.select(
+        "n_a", "n_b",
+        _rnd("r_a", 2).alias("r_a"),
+        _rnd("u_stat", 2).alias("u_stat"),
+        _rnd("z_stat", 6).alias("z_stat"),
+    )
+
+
+QUERIES["orders_mannwhitney_u"] = orders_mannwhitney_u
+
+ORACLE["orders_mannwhitney_u"] = """
+WITH base AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+    AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+counts AS (
+  SELECT v,
+         CAST(count(CASE WHEN g = '1-URGENT' THEN 1 END) AS BIGINT) AS na_v,
+         CAST(count(*) AS BIGINT) AS t
+  FROM base GROUP BY v),
+cum AS (
+  SELECT na_v, t,
+         CAST(coalesce(sum(t) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS c
+  FROM counts),
+s AS (
+  SELECT CAST(sum(na_v * (2 * c + t + 1)) AS BIGINT) AS r2a,
+         CAST(sum(na_v) AS BIGINT) AS n_a,
+         CAST(sum(t - na_v) AS BIGINT) AS n_b,
+         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+  FROM cum),
+m AS (
+  SELECT n_a, n_b,
+         CAST(r2a AS DOUBLE) / 2.0 AS r_a,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+         CAST(ties AS DOUBLE) AS ties_d
+  FROM s WHERE n_a IS NOT NULL)
+SELECT n_a, n_b,
+       floor(r_a * 100 + 0.5) / 100 AS r_a,
+       floor((r_a - na * (na + 1.0) / 2.0) * 100 + 0.5) / 100 AS u_stat,
+       -- nullif: a degenerate variance (either side empty or all values
+       -- tied) is NULL on the Spark side via try_divide
+       floor((r_a - na * (na + 1.0) / 2.0 - na * nb / 2.0)
+             / nullif(sqrt(na * nb / 12.0
+                           * ((n + 1.0) - ties_d / (n * (n - 1.0)))), 0.0)
+             * 1000000 + 0.5) / 1000000 AS z_stat
+FROM m
+"""
+
+
+def orders_priority_status_chi2(spark, sf_dir):
+    """Pearson chi-squared independence of o_orderpriority ×
+    o_orderstatus plus Cramér's V — the categorical-association /
+    label-drift check. One grid-sized contingency groupBy; row/column
+    totals are windows over the GRID table (never data); scalar χ²
+    aggregate. The oracle replays the identical (O−E)²/E double tree."""
+    orders = _t(spark, sf_dir, "orders")
+    out = agg_ops.chi2_independence(
+        orders, "o_orderpriority", "o_orderstatus")
+    return out.select(
+        "n", "n_rows", "n_cols", "dof",
+        _rnd("chi2", 4).alias("chi2"),
+        _rnd("cramers_v", 6).alias("cramers_v"),
+    )
+
+
+QUERIES["orders_priority_status_chi2"] = orders_priority_status_chi2
+
+ORACLE["orders_priority_status_chi2"] = """
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY x, y),
+tot AS (
+  SELECT CAST(o AS DOUBLE) AS o,
+         CAST(sum(o) OVER (PARTITION BY x) AS DOUBLE) AS rt,
+         CAST(sum(o) OVER (PARTITION BY y) AS DOUBLE) AS ct,
+         CAST(sum(o) OVER () AS DOUBLE) AS nn
+  FROM cells),
+dims AS (
+  SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT y) AS BIGINT) AS n_cols
+  FROM cells),
+s AS (
+  SELECT CAST(sum(CAST(o AS BIGINT)) AS BIGINT) AS n,
+         sum((o - rt * ct / nn) * (o - rt * ct / nn) / (rt * ct / nn))
+             AS chi2
+  FROM tot)
+SELECT s.n, d.n_rows, d.n_cols,
+       (d.n_rows - 1) * (d.n_cols - 1) AS dof,
+       -- a 0-dof table (single row or column category) reports NULL χ²
+       -- (Spark: try_divide against a NULL-when-0 guard)
+       CASE WHEN (d.n_rows - 1) * (d.n_cols - 1) > 0
+            THEN floor(s.chi2 * 10000 + 0.5) / 10000 END AS chi2,
+       floor(sqrt(s.chi2 / nullif(CAST(s.n AS DOUBLE)
+                  * CAST(least(d.n_rows - 1, d.n_cols - 1) AS DOUBLE), 0.0))
+             * 1000000 + 0.5) / 1000000 AS cramers_v
+FROM s CROSS JOIN dims d
+WHERE s.n IS NOT NULL
+"""
+
+
+def customer_urgent_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR screen over per-customer urgency rates: each
+    customer's share of '1-URGENT' orders is tested against the global
+    share with the two-sided Hoeffding bound p = min(1, 2·exp(−2n·d²))
+    (a conservative closed-form p-value both engines can compute —
+    erf/normal CDF is in neither builtin set), then BH step-up at
+    q = 0.1 decides which customers survive multiple testing. P-values are
+    floor-quantized to 1e-6 BEFORE the step-up so a cross-engine exp()
+    ulp difference cannot flip a threshold comparison. Ranks come from
+    ranged_prefix_sums (no single-partition sort even with millions of
+    hypothesis segments); the step-up cutoff is ONE broadcast scalar
+    (ties cannot straddle the k boundary — see bh_fdr)."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.where(F.col("o_custkey").isNotNull()).groupBy(
+        "o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("k"),
+    )
+    glob = orders.agg(
+        (F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1))
+         .cast("double") / F.count(F.lit(1)).cast("double")).alias("p0")
+    )
+    d = (F.col("k").cast("double") / F.col("n").cast("double")
+         - F.col("p0"))
+    p_raw = F.least(
+        F.lit(1.0),
+        F.lit(2.0) * F.exp(F.lit(-2.0) * F.col("n").cast("double") * (d * d)),
+    )
+    hyp = per_cust.crossJoin(F.broadcast(glob)).select(
+        "o_custkey", "n", _rnd(p_raw, 6).alias("p_val"))
+    out = agg_ops.bh_fdr(hyp, "p_val", ["o_custkey"], q=0.1)
+    return out.select(
+        "o_custkey",
+        F.col("p_value").alias("p_value"),
+        "bh_rank", "m",
+        _rnd("bh_threshold", 8).alias("bh_threshold"),
+        "rejected",
+    )
+
+
+QUERIES["customer_urgent_bh_fdr"] = customer_urgent_bh_fdr
+
+ORACLE["customer_urgent_bh_fdr"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+              AS BIGINT) AS k
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+g0 AS (
+  SELECT CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS p0
+  FROM orders),
+hyp AS (
+  SELECT o_custkey,
+         floor(least(1.0,
+                     2.0 * exp(-2.0 * CAST(n AS DOUBLE)
+                               * ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) - p0)
+                                  * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE) - p0))))
+               * 1000000 + 0.5) / 1000000 AS p
+  FROM per_cust CROSS JOIN g0),
+ranked AS (
+  SELECT o_custkey, p,
+         CAST(row_number() OVER (ORDER BY p, o_custkey) AS BIGINT) AS r,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM hyp),
+flagged AS (
+  SELECT *, p <= CAST(r AS DOUBLE) * 0.1 / CAST(m AS DOUBLE) AS pass
+  FROM ranked),
+cutoff AS (SELECT max(CASE WHEN pass THEN p END) AS cut FROM flagged)
+SELECT o_custkey, p AS p_value, r AS bh_rank, m,
+       floor(CAST(r AS DOUBLE) * 0.1 / CAST(m AS DOUBLE) * 100000000 + 0.5)
+           / 100000000 AS bh_threshold,
+       coalesce(p <= c.cut, FALSE) AS rejected
+FROM flagged CROSS JOIN cutoff c
+"""
+
+
 # Round-9 window: slot 1 flagship; then the seven r9 additions (five
 # here + two appended above the list); then re-checks of every query
 # whose code path changed this round (span-range binary keys, KN-bigram

@@ -3831,3 +3831,142 @@ def test_release_diff_null_keys_emit_both_sides(spark):
         key=lambda t: (t[0] is None, t[0], t[1]))
     assert rows == [
         (1, "added"), (3, "removed"), (None, "added"), (None, "removed")]
+
+
+def test_ranged_prefix_sums_matches_global_window(spark):
+    """Exclusive running totals from the range-partitioned two-phase plan
+    must equal the single-partition window they replace, across several
+    partition counts (including more partitions than rows)."""
+    import random
+
+    from impc_etl_spark.operators.partitioning import ranged_prefix_sums
+
+    rng = random.Random(7)
+    rows = [(float(v), rng.randint(1, 9)) for v in rng.sample(range(1000), 60)]
+    df = spark.createDataFrame(rows, "k DOUBLE, c INT")
+    expected = {}
+    acc = 0
+    for k, c in sorted(rows):
+        expected[k] = acc
+        acc += c
+    for n_part in (1, 4, 128):
+        got = {
+            r.k: r["__cum_c"]
+            for r in ranged_prefix_sums(
+                df, ["k"], ["c"], num_partitions=n_part
+            ).collect()
+        }
+        assert got == expected, f"n_part={n_part}"
+
+
+def test_rank_sum_matches_bruteforce(spark):
+    """U and z against a pure-Python tie-averaged rank computation,
+    including tied values across groups."""
+    import math
+
+    a = [1.0, 2.0, 2.0, 5.0, 7.0]
+    b = [2.0, 3.0, 5.0, 5.0, 8.0, 9.0]
+    from impc_etl_spark.operators.aggregate import rank_sum_test
+
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b] + [("x", 0.0)],
+        "g STRING, v DOUBLE")
+    row = rank_sum_test(df, "v", "g", "a", "b").collect()[0]
+    allv = sorted(a + b)
+    ranks = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        for _ in range(i, j):
+            ranks.setdefault(allv[i], []).append((i + j + 1) / 2.0)
+        i = j
+    r_a = sum(ranks[v][0] for v in a)
+    na, nb = len(a), len(b)
+    n = na + nb
+    u = r_a - na * (na + 1) / 2.0
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(allv).values())
+    var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - na * nb / 2.0) / math.sqrt(var)
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert abs(row.r_a - r_a) < 1e-9
+    assert abs(row.u_stat - u) < 1e-9
+    assert abs(row.z_stat - z) < 1e-9
+    # empty input: zero rows, not an all-NULL row
+    empty = spark.createDataFrame([], "g STRING, v DOUBLE")
+    assert rank_sum_test(empty, "v", "g", "a", "b").count() == 0
+    # NaN values excluded (engine-wide bad-point contract)
+    withnan = df.union(
+        spark.createDataFrame([("a", float("nan"))], "g STRING, v DOUBLE"))
+    row2 = rank_sum_test(withnan, "v", "g", "a", "b").collect()[0]
+    assert (row2.n_a, row2.n_b) == (na, nb)
+
+
+def test_chi2_independence_matches_bruteforce(spark):
+    import math
+
+    from impc_etl_spark.operators.aggregate import chi2_independence
+
+    rows = [
+        ("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"),
+        ("b", "y"), ("b", "y"), ("b", "y"), ("c", "x"),
+        ("c", "x"), ("c", "y"), (None, "x"), ("a", None),
+    ]
+    df = spark.createDataFrame(rows, "x STRING, y STRING")
+    row = chi2_independence(df, "x", "y").collect()[0]
+    clean = [(x, y) for x, y in rows if x is not None and y is not None]
+    n = len(clean)
+    from collections import Counter
+
+    cells = Counter(clean)
+    rt = Counter(x for x, _ in clean)
+    ct = Counter(y for _, y in clean)
+    chi2 = sum(
+        (o - rt[x] * ct[y] / n) ** 2 / (rt[x] * ct[y] / n)
+        for (x, y), o in cells.items())
+    v = math.sqrt(chi2 / (n * min(len(rt) - 1, len(ct) - 1)))
+    assert row.n == n
+    assert (row.n_rows, row.n_cols) == (len(rt), len(ct))
+    assert row.dof == (len(rt) - 1) * (len(ct) - 1)
+    assert abs(row.chi2 - chi2) < 1e-9
+    assert abs(row.cramers_v - v) < 1e-9
+    # single-category axis: dof 0, NULL chi2/V
+    one = spark.createDataFrame(
+        [("a", "x"), ("a", "y")], "x STRING, y STRING")
+    r1 = chi2_independence(one, "x", "y").collect()[0]
+    assert r1.dof == 0 and r1.chi2 is None and r1.cramers_v is None
+    # empty input: zero rows
+    empty = spark.createDataFrame([], "x STRING, y STRING")
+    assert chi2_independence(empty, "x", "y").count() == 0
+
+
+def test_bh_fdr_matches_bruteforce(spark):
+    from impc_etl_spark.operators.aggregate import bh_fdr
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+          0.212, 0.216, 0.222, 0.251, 0.269, 0.275, 0.34, 0.341,
+          0.569, 0.594, 0.696, 0.762, 0.94, 0.942, 0.975, 0.986, None,
+          float("nan")]
+    df = spark.createDataFrame(
+        [(f"h{i:02d}", p) for i, p in enumerate(ps)], "h STRING, p DOUBLE")
+    out = {r.h: r for r in bh_fdr(df, "p", ["h"], q=0.25).collect()}
+    clean = sorted(
+        (p, f"h{i:02d}") for i, p in enumerate(ps)
+        if p is not None and p == p)
+    m = len(clean)
+    k = max((i + 1 for i, (p, _) in enumerate(clean)
+             if p <= (i + 1) * 0.25 / m), default=0)
+    assert k == 6  # p=0.06 <= 6*0.25/24 extends the rejection set
+    assert len(out) == m  # NULL and NaN p excluded
+    for i, (p, h) in enumerate(clean):
+        r = out[h]
+        assert r.bh_rank == i + 1 and r.m == m
+        assert r.rejected == (i + 1 <= k)
+    # nothing passes: rejected all-False (cutoff is NULL, coalesced)
+    high = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.95)], "h STRING, p DOUBLE")
+    assert all(
+        not r.rejected for r in bh_fdr(high, "p", ["h"], q=0.1).collect())
