@@ -155,6 +155,108 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) with a FIXED iteration
+    count → (node, hub, authority). The directed-graph complement of
+    `pagerank`: authorities are pointed AT by good hubs, hubs point AT
+    good authorities —
+
+        a_{t+1}(v) = Σ_{u→v} h_t(u) · w(u,v)     then L1-normalize
+        h_{t+1}(u) = Σ_{u→v} a_{t+1}(v) · w(u,v) then L1-normalize
+
+    L1 normalization (divide by the Σ|·| over nodes) instead of the
+    textbook L2: the normalizer is ONE broadcast scalar either way, but
+    L1 keeps every replayed double a plain sum/divide so an unrolled SQL
+    oracle reproduces the exact expression tree (no sqrt into the
+    divisor). Fixed iterations, same rationale as pagerank: exactly
+    replayable, and how production schedules the job anyway.
+
+    Scale shape per round: TWO shuffles (join scores to edges on one
+    endpoint + groupBy the other), each with map-side partial sums; the
+    normalizer rides a 1-row broadcast. Score state is (node, score),
+    checkpointed per round (`checkpoint_dir` switches executor-local to
+    reliable). Nodes nobody points at keep authority 0; nodes with no
+    out-edges keep hub 0 (an isolated side contributes nothing — by
+    construction, not by special-casing).
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ck(frame: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return frame.checkpoint(eager=True)
+        return frame.localCheckpoint(eager=True)
+
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = _ck(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+        )
+    )
+    nodes = _ck(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    hubs = _ck(
+        nodes.crossJoin(n_row).select(
+            "node", (F.lit(1.0) / F.col("__n")).alias("h")
+        )
+    )
+    auths = None
+    for _ in range(iterations):
+        raw_a = (
+            e.join(hubs, e.src == hubs.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("h") * F.col("w")).alias("__a"))
+        )
+        anorm = F.broadcast(raw_a.agg(F.sum(F.abs(F.col("__a"))).alias("__z")))
+        auths = _ck(
+            nodes.join(raw_a, nodes.node == raw_a.dst, "left_outer")
+            .crossJoin(anorm)
+            .select(
+                "node",
+                F.coalesce(
+                    F.try_divide(F.col("__a"), F.col("__z")), F.lit(0.0)
+                ).alias("a"),
+            )
+        )
+        raw_h = (
+            e.join(auths, e.dst == auths.node)
+            .groupBy("src")
+            .agg(F.sum(F.col("a") * F.col("w")).alias("__h"))
+        )
+        hnorm = F.broadcast(raw_h.agg(F.sum(F.abs(F.col("__h"))).alias("__z")))
+        hubs = _ck(
+            nodes.join(raw_h, nodes.node == raw_h.src, "left_outer")
+            .crossJoin(hnorm)
+            .select(
+                "node",
+                F.coalesce(
+                    F.try_divide(F.col("__h"), F.col("__z")), F.lit(0.0)
+                ).alias("h"),
+            )
+        )
+    return (
+        hubs.join(auths.withColumnRenamed("node", "__n2"),
+                  hubs.node == F.col("__n2"))
+        .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
+    )
+
+
 def ancestor_arrays(closure: DataFrame) -> DataFrame:
     """Per-node sorted ancestor id array (the reference's
     *_term_id list columns) from the closure pair table."""

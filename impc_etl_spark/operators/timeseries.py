@@ -497,3 +497,72 @@ def cusum(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(compute, schema=schema_ddl)
+
+def acf(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lags: Sequence[int],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Sample autocorrelation function at the requested ``lags`` — the
+    seasonality/memory diagnostic a forecasting pipeline runs before
+    choosing model structure (a daily cycle shows as a spike at lag 24
+    on hourly data). Full-series-mean centering, the standard estimator:
+
+        r_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+
+    (biased denominator — every lag shares the same Σ(x−x̄)², which keeps
+    r monotone-comparable across lags and the SQL replay a single
+    expression).
+
+    Intended input is an ALREADY-AGGREGATED regular series (hourly/daily
+    rollup — grid-sized), exactly like `bh_fdr`'s hypothesis table: with
+    ``by`` empty the mean/denominator windows span one partition, which
+    is only safe because a time grid is bounded (100 years of hours is
+    876 k rows); per-key use partitions by ``by``. ``ts_col`` must be
+    unique per key (a regular grid is). NULL and NaN values are excluded
+    before lagging (bad-point contract) — lags are positional over the
+    REMAINING series, the same convention an imputation-then-ACF
+    pipeline produces. Output: (by…, lag, n, acf); a zero denominator
+    (constant series) yields NULL acf via try_divide; series shorter
+    than a lag emit that lag with NULL acf.
+    """
+    from pyspark.sql import Window
+
+    keys = list(by)
+    v = F.col(value_col).cast("double")
+    base = df.where(F.col(value_col).isNotNull() & ~F.isnan(v)).select(
+        *keys, F.col(ts_col).alias("__ts"), v.alias("__v")
+    )
+    full = Window.partitionBy(*keys)
+    ordered = Window.partitionBy(*keys).orderBy("__ts")
+    centered = base.select(
+        *keys,
+        "__ts",
+        (F.col("__v") - F.avg("__v").over(full)).alias("__c"),
+    )
+    lag_cols = [
+        F.lag("__c", int(k)).over(ordered).alias(f"__c_{k}") for k in lags
+    ]
+    with_lags = centered.select(*keys, "__c", *lag_cols)
+    per_key = with_lags.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__den"),
+        *[
+            F.sum(F.col("__c") * F.col(f"__c_{k}")).alias(f"__num_{k}")
+            for k in lags
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(int(k)).alias("lag"),
+                F.try_divide(F.col(f"__num_{k}"), F.col("__den")).alias("acf"),
+            )
+            for k in lags
+        ]
+    )
+    return per_key.select(
+        *keys, "n", F.explode(pairs).alias("__p")
+    ).select(*keys, F.col("__p.lag").alias("lag"), "n", F.col("__p.acf").alias("acf"))

@@ -12332,6 +12332,146 @@ FROM flagged CROSS JOIN cutoff c
 """
 
 
+
+
+def hourly_events_acf(spark, sf_dir):
+    """Sample autocorrelation of the hourly event-count series at lags
+    1, 2, 3 and 24 — the seasonality/memory diagnostic run before
+    choosing forecast structure (hourly data with a daily cycle spikes
+    at lag 24). The ACF windows span ONE partition only because the
+    input is the grid-sized hourly rollup (the bh_fdr 'hypothesis
+    table' contract), never raw events; the rollup itself is one
+    partial-aggregated groupBy."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = ts_ops.acf(hourly, "hour", "n_events", [1, 2, 3, 24])
+    return out.select(
+        "lag", "n", _rnd("acf", 6).alias("acf"))
+
+
+QUERIES["hourly_events_acf"] = hourly_events_acf
+
+ORACLE["hourly_events_acf"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+cen AS (
+  SELECT h, CAST(n AS DOUBLE) - avg(CAST(n AS DOUBLE)) OVER () AS c
+  FROM hourly),
+lagd AS (
+  SELECT c,
+         lag(c, 1) OVER (ORDER BY h) AS c1,
+         lag(c, 2) OVER (ORDER BY h) AS c2,
+         lag(c, 3) OVER (ORDER BY h) AS c3,
+         lag(c, 24) OVER (ORDER BY h) AS c24
+  FROM cen),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(c * c) AS den,
+         sum(c * c1) AS n1, sum(c * c2) AS n2,
+         sum(c * c3) AS n3, sum(c * c24) AS n24
+  FROM lagd)
+SELECT lag, n,
+       floor(num / nullif(den, 0.0) * 1000000 + 0.5) / 1000000 AS acf
+FROM (
+  SELECT 1 AS lag, n, n1 AS num, den FROM s
+  UNION ALL SELECT 2, n, n2, den FROM s
+  UNION ALL SELECT 3, n, n3, den FROM s
+  UNION ALL SELECT 24, n, n24, den FROM s)
+"""
+
+
+def nation_trade_hits(spark, sf_dir):
+    """HITS hubs-and-authorities over the nation trade graph (customer
+    nation -> supplier nation, weight = lineitem count) — the directed
+    complement of nation_trade_pagerank: importer nations score as
+    hubs, exporter nations as authorities. Fixed 3 iterations, L1
+    normalization (one broadcast scalar per half-step, and every
+    replayed double is a plain sum/divide), replayed exactly by an
+    unrolled SQL oracle (operators/graph.py:hits)."""
+    from impc_etl_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            cust.c_nationkey.alias("src"), supp.s_nationkey.alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    out = hits(edges, "src", "dst", weight_col="w", iterations=3)
+    return out.select(
+        F.col("node").alias("nationkey"),
+        _rnd("hub", 6).alias("hub"),
+        _rnd("authority", 6).alias("authority"),
+    )
+
+
+QUERIES["nation_trade_hits"] = nation_trade_hits
+
+ORACLE["nation_trade_hits"] = """
+WITH e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         count(*)::DOUBLE AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION SELECT dst FROM e)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+h0 AS (SELECT node, 1.0 / nn.n AS h FROM nodes CROSS JOIN nn),
+ra1 AS (SELECT e.dst, sum(h0.h * e.w) AS ra
+        FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+za1 AS (SELECT sum(abs(ra)) AS z FROM ra1),
+a1 AS (SELECT nodes.node,
+              coalesce(ra1.ra / nullif(za1.z, 0.0), 0.0) AS a
+       FROM nodes LEFT JOIN ra1 ON nodes.node = ra1.dst CROSS JOIN za1),
+rh1 AS (SELECT e.src, sum(a1.a * e.w) AS rh
+        FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+zh1 AS (SELECT sum(abs(rh)) AS z FROM rh1),
+h1 AS (SELECT nodes.node,
+              coalesce(rh1.rh / nullif(zh1.z, 0.0), 0.0) AS h
+       FROM nodes LEFT JOIN rh1 ON nodes.node = rh1.src CROSS JOIN zh1),
+ra2 AS (SELECT e.dst, sum(h1.h * e.w) AS ra
+        FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+za2 AS (SELECT sum(abs(ra)) AS z FROM ra2),
+a2 AS (SELECT nodes.node,
+              coalesce(ra2.ra / nullif(za2.z, 0.0), 0.0) AS a
+       FROM nodes LEFT JOIN ra2 ON nodes.node = ra2.dst CROSS JOIN za2),
+rh2 AS (SELECT e.src, sum(a2.a * e.w) AS rh
+        FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+zh2 AS (SELECT sum(abs(rh)) AS z FROM rh2),
+h2 AS (SELECT nodes.node,
+              coalesce(rh2.rh / nullif(zh2.z, 0.0), 0.0) AS h
+       FROM nodes LEFT JOIN rh2 ON nodes.node = rh2.src CROSS JOIN zh2),
+ra3 AS (SELECT e.dst, sum(h2.h * e.w) AS ra
+        FROM e JOIN h2 ON e.src = h2.node GROUP BY e.dst),
+za3 AS (SELECT sum(abs(ra)) AS z FROM ra3),
+a3 AS (SELECT nodes.node,
+              coalesce(ra3.ra / nullif(za3.z, 0.0), 0.0) AS a
+       FROM nodes LEFT JOIN ra3 ON nodes.node = ra3.dst CROSS JOIN za3),
+rh3 AS (SELECT e.src, sum(a3.a * e.w) AS rh
+        FROM e JOIN a3 ON e.dst = a3.node GROUP BY e.src),
+zh3 AS (SELECT sum(abs(rh)) AS z FROM rh3),
+h3 AS (SELECT nodes.node,
+              coalesce(rh3.rh / nullif(zh3.z, 0.0), 0.0) AS h
+       FROM nodes LEFT JOIN rh3 ON nodes.node = rh3.src CROSS JOIN zh3)
+SELECT h3.node AS nationkey,
+       floor(h3.h * 1000000 + 0.5) / 1000000 AS hub,
+       floor(a3.a * 1000000 + 0.5) / 1000000 AS authority
+FROM h3 JOIN a3 ON h3.node = a3.node
+"""
+
+
 # Round-9 window: slot 1 flagship; then the seven r9 additions (five
 # here + two appended above the list); then re-checks of every query
 # whose code path changed this round (span-range binary keys, KN-bigram

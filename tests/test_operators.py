@@ -3970,3 +3970,69 @@ def test_bh_fdr_matches_bruteforce(spark):
         [("a", 0.9), ("b", 0.95)], "h STRING, p DOUBLE")
     assert all(
         not r.rejected for r in bh_fdr(high, "p", ["h"], q=0.1).collect())
+
+
+def test_acf_matches_bruteforce(spark):
+    from impc_etl_spark.operators.timeseries import acf
+
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    rows = [(i, v) for i, v in enumerate(xs)]
+    rows += [(99, None), (98, float("nan"))]  # excluded (bad points)
+    df = spark.createDataFrame(rows, "t INT, v DOUBLE")
+    got = {r.lag: (r.n, r.acf) for r in acf(df, "t", "v", [1, 3]).collect()}
+    xbar = sum(xs) / len(xs)
+    c = [x - xbar for x in xs]
+    den = sum(ci * ci for ci in c)
+    for k in (1, 3):
+        num = sum(c[i] * c[i - k] for i in range(k, len(c)))
+        n, a = got[k]
+        assert n == len(xs)
+        assert abs(a - num / den) < 1e-12, k
+    # constant series: zero denominator -> NULL acf
+    const = spark.createDataFrame([(i, 2.0) for i in range(5)], "t INT, v DOUBLE")
+    assert all(r.acf is None for r in acf(const, "t", "v", [1]).collect())
+    # lag longer than the series: NULL acf (no pairs)
+    short = spark.createDataFrame([(0, 1.0), (1, 5.0)], "t INT, v DOUBLE")
+    out = {r.lag: r.acf for r in acf(short, "t", "v", [1, 10]).collect()}
+    assert out[10] is None and out[1] is not None
+    # per-key partitioning
+    two = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(xs)]
+        + [("b", i, v) for i, v in enumerate(reversed(xs))],
+        "k STRING, t INT, v DOUBLE")
+    per = {(r.k, r.lag): r.acf
+           for r in acf(two, "t", "v", [1], by=["k"]).collect()}
+    num1 = sum(c[i] * c[i - 1] for i in range(1, len(c)))
+    cr = [x - xbar for x in reversed(xs)]
+    numr = sum(cr[i] * cr[i - 1] for i in range(1, len(cr)))
+    assert abs(per[("a", 1)] - num1 / den) < 1e-12
+    assert abs(per[("b", 1)] - numr / den) < 1e-12
+
+
+def test_hits_matches_bruteforce(spark):
+    from impc_etl_spark.operators.graph import hits
+
+    edges = [(1, 2, 1.0), (1, 3, 2.0), (2, 3, 1.0), (4, 1, 1.0)]
+    df = spark.createDataFrame(edges, "src INT, dst INT, w DOUBLE")
+    got = {r.node: (r.hub, r.authority)
+           for r in hits(df, "src", "dst", "w", iterations=3).collect()}
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    h = {v: 1.0 / len(nodes) for v in nodes}
+    a = {}
+    for _ in range(3):
+        raw_a = {}
+        for u, v, w in edges:
+            raw_a[v] = raw_a.get(v, 0.0) + h[u] * w
+        z = sum(abs(x) for x in raw_a.values())
+        a = {v: raw_a.get(v, 0.0) / z if z else 0.0 for v in nodes}
+        raw_h = {}
+        for u, v, w in edges:
+            raw_h[u] = raw_h.get(u, 0.0) + a[v] * w
+        z = sum(abs(x) for x in raw_h.values())
+        h = {v: raw_h.get(v, 0.0) / z if z else 0.0 for v in nodes}
+    for v in nodes:
+        assert abs(got[v][0] - h[v]) < 1e-12, ("hub", v)
+        assert abs(got[v][1] - a[v]) < 1e-12, ("auth", v)
+    # node 3 is a pure sink: top authority, zero hub; node 4 pure source
+    assert got[3][1] == max(x[1] for x in got.values())
+    assert got[3][0] == 0.0 and got[4][1] == 0.0
