@@ -76,11 +76,19 @@ def windowed_counts(
     keys: tuple[str, ...] = ("event_type",),
 ) -> DataFrame:
     """Watermarked tumbling-window counts/sums per key — the streaming twin
-    of timeseries.tumbling_window_agg."""
+    of timeseries.tumbling_window_agg. NaN values are treated as NULL
+    (counted, excluded from the sum) — the engine-wide bad-point contract
+    the batch twin pins (see queries.hourly_event_stats): one NaN event
+    would otherwise poison its window's running sum forever."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_len), *keys)
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.nanvl(F.col("value"), F.lit(None).cast("double"))).alias(
+                "sum_value"
+            ),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             *keys,

@@ -1268,7 +1268,9 @@ def test_stream_matches_batch_on_hostile_events(spark, tmp_path):
         .where(F.col("ts").isNotNull())
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.sum("value").alias("sum_value"))
+             # nanvl mirrors the job's NaN-as-NULL bad-point contract
+             F.sum(F.nanvl(F.col("value"), F.lit(None).cast("double")))
+             .alias("sum_value"))
         .select(F.col("window.start").alias("window_start"), "event_type",
                 "n_events", "sum_value")
     )
