@@ -497,6 +497,120 @@ def kn_bigram_logprob(
     return scored.groupBy(id_col).agg(F.avg("__lp").alias(out))
 
 
+def backoff_trigram_logprob(
+    df: DataFrame,
+    model_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    smoothing: float = 0.5,
+    out: str = "avg_backoff_logprob",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Stupid-backoff trigram scoring (Brants et al., EMNLP 2007 — 'Large
+    Language Models in Machine Translation'): mean log10 S(t₃ | t₁t₂)
+    per document under a model fit on ``model_df`` (a REFERENCE corpus —
+    held-out split, previous release, trusted source), which is what
+    makes backoff meaningful: scoring a corpus with a model fit on
+    itself never backs off (every observed trigram has count ≥ 1).
+
+        S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)          if the trigram is known
+                   = α · c(w₂w₃)/c(w₂)           else if the bigram is
+                   = α² · (c(w₃)+a)/(N + a·(V+1)) else (additive-smoothed
+                                                  unigram; the +1 class
+                                                  absorbs OOV tokens)
+
+    Unnormalized scores by design — Brants' point is that at corpus
+    scale the α-backoff ladder matches Kneser-Ney quality without the
+    normalization passes.
+
+    Scale shape (the KN-bigram lesson, r9/r10): the ladder is assembled
+    on the SCORED corpus's trigram TYPE table — five model lookups
+    (trigram, context bigram, backoff bigram, context unigram, tail
+    unigram) + one 1-row (N, V) broadcast all join a types-sized frame —
+    and the corpus positions join the finished score table ONCE. Model
+    counts are RAW n-gram counts (three explode passes over the
+    reference corpus, each one partial-aggregated shuffle — the honest
+    model-build cost). With ``broadcast_model=False`` every data-sized
+    model join is merge-hinted (never broadcast off a bad estimate).
+    Docs with < 3 tokens produce no row.
+    """
+    tri = word_shingles(tokens(text_col), 3)
+    big = word_shingles(tokens(text_col), 2)
+    c3 = (
+        model_df.select(F.explode(tri).alias("tri"))
+        .groupBy("tri").agg(F.count(F.lit(1)).alias("__c3"))
+    )
+    c2 = (
+        model_df.select(F.explode(big).alias("big"))
+        .groupBy("big").agg(F.count(F.lit(1)).alias("__c2"))
+    )
+    c1 = (
+        model_df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("__c1"))
+    )
+    nv = model_df.select(F.explode(tokens(text_col)).alias("tok")).agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.count_distinct("tok").alias("__V"),
+    )
+
+    def prep(m):
+        return F.broadcast(m) if broadcast_model else m.hint("merge")
+
+    # assemble the ladder on the scored corpus's trigram TYPE table
+    types = df.select(F.explode(tri).alias("tri")).distinct()
+    parts = F.split(F.col("tri"), " ")
+    typed = types.select(
+        "tri",
+        F.concat_ws(" ", parts.getItem(0), parts.getItem(1)).alias("__ctx2"),
+        F.concat_ws(" ", parts.getItem(1), parts.getItem(2)).alias("__back2"),
+        parts.getItem(1).alias("__ctx1"),
+        parts.getItem(2).alias("__w3"),
+    )
+    a = float(smoothing)
+    al = float(alpha)
+    model = (
+        typed.join(prep(c3), "tri", "left")
+        .join(prep(c2.withColumnRenamed("big", "__ctx2")
+                     .withColumnRenamed("__c2", "__cctx2")), "__ctx2", "left")
+        .join(prep(c2.withColumnRenamed("big", "__back2")
+                     .withColumnRenamed("__c2", "__cback2")), "__back2", "left")
+        .join(prep(c1.withColumnRenamed("tok", "__ctx1")
+                     .withColumnRenamed("__c1", "__cctx1")), "__ctx1", "left")
+        .join(prep(c1.withColumnRenamed("tok", "__w3")
+                     .withColumnRenamed("__c1", "__cw3")), "__w3", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "tri",
+            F.log10(
+                # a known trigram implies its context bigram is known
+                # (raw counts: the trigram contains that adjacent pair),
+                # likewise backoff bigram → context unigram
+                F.when(
+                    F.col("__c3").isNotNull(),
+                    F.col("__c3").cast("double")
+                    / F.col("__cctx2").cast("double"),
+                )
+                .when(
+                    F.col("__cback2").isNotNull(),
+                    F.lit(al) * F.col("__cback2").cast("double")
+                    / F.col("__cctx1").cast("double"),
+                )
+                .otherwise(
+                    F.lit(al) * F.lit(al)
+                    * (F.coalesce(F.col("__cw3"), F.lit(0)).cast("double")
+                       + F.lit(a))
+                    / (F.col("__N").cast("double")
+                       + F.lit(a) * (F.col("__V").cast("double") + F.lit(1.0)))
+                )
+            ).alias("__lp"),
+        )
+    )
+    corpus = df.select(F.col(id_col), F.explode(tri).alias("tri"))
+    scored = corpus.join(prep(model), "tri").select(F.col(id_col), "__lp")
+    return scored.groupBy(id_col).agg(F.avg("__lp").alias(out))
+
+
 def bigram_pmi(
     df: DataFrame,
     text_col: str = "text",

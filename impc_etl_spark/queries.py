@@ -12472,6 +12472,75 @@ FROM h3 JOIN a3 ON h3.node = a3.node
 """
 
 
+
+
+def docs_backoff_trigram_logprob(spark, sf_dir):
+    """Stupid-backoff trigram scoring (Brants 2007) of the WHOLE corpus
+    under a model fit on the even-doc_id half (the held-out reference
+    that makes backoff actually fire — self-fit models never back off):
+    S = c3/c2 -> 0.4*c2/c1 -> 0.16*smoothed-unigram. The ladder is
+    assembled on the scored corpus's trigram TYPE table and the corpus
+    positions join the finished score ONCE (the KN-bigram one-join
+    lesson); model counts are raw n-gram counts from three explode
+    passes over the reference half."""
+    docs = _t(spark, sf_dir, "documents")
+    model = docs.where(F.col("doc_id") % 2 == 0)
+    out = text_ops.backoff_trigram_logprob(docs, model)
+    return out.select(
+        "doc_id", _rnd("avg_backoff_logprob", 4).alias("avg_backoff_logprob"))
+
+
+QUERIES["docs_backoff_trigram_logprob"] = docs_backoff_trigram_logprob
+
+ORACLE["docs_backoff_trigram_logprob"] = f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+model AS (SELECT toks FROM tok WHERE doc_id % 2 = 0),
+m3 AS (
+  SELECT unnest([array_to_string(toks[i:i+2], ' ')
+                 FOR i IN range(1, len(toks) - 1)]) AS tri
+  FROM model WHERE len(toks) >= 3),
+c3 AS (SELECT tri, CAST(count(*) AS BIGINT) AS c3 FROM m3 GROUP BY 1),
+m2 AS (
+  SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                 FOR i IN range(1, len(toks))]) AS big
+  FROM model WHERE len(toks) >= 2),
+c2 AS (SELECT big, CAST(count(*) AS BIGINT) AS c2 FROM m2 GROUP BY 1),
+m1 AS (SELECT unnest(toks) AS t FROM model),
+c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM m1 GROUP BY 1),
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(count(DISTINCT t) AS DOUBLE) AS v FROM m1),
+pos AS (
+  SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, len(toks) - 1)]) AS tri
+  FROM tok WHERE len(toks) >= 3),
+sc AS (
+  SELECT doc_id,
+         log10(CASE
+           WHEN c3.c3 IS NOT NULL
+             THEN CAST(c3.c3 AS DOUBLE) / CAST(cc2.c2 AS DOUBLE)
+           WHEN cb2.c2 IS NOT NULL
+             THEN 0.4 * CAST(cb2.c2 AS DOUBLE) / CAST(cc1.c1 AS DOUBLE)
+           ELSE 0.4 * 0.4
+                * (CAST(coalesce(cw3.c1, 0) AS DOUBLE) + 0.5)
+                / (nv.n + 0.5 * (nv.v + 1.0))
+         END) AS lp
+  FROM pos
+  LEFT JOIN c3 ON pos.tri = c3.tri
+  LEFT JOIN c2 cc2
+    ON split_part(pos.tri, ' ', 1) || ' ' || split_part(pos.tri, ' ', 2)
+       = cc2.big
+  LEFT JOIN c2 cb2
+    ON split_part(pos.tri, ' ', 2) || ' ' || split_part(pos.tri, ' ', 3)
+       = cb2.big
+  LEFT JOIN c1 cc1 ON split_part(pos.tri, ' ', 2) = cc1.t
+  LEFT JOIN c1 cw3 ON split_part(pos.tri, ' ', 3) = cw3.t
+  CROSS JOIN nv)
+SELECT doc_id,
+       floor(avg(lp) * 10000 + 0.5) / 10000 AS avg_backoff_logprob
+FROM sc GROUP BY doc_id
+"""
+
+
 # Round-9 window: slot 1 flagship; then the seven r9 additions (five
 # here + two appended above the list); then re-checks of every query
 # whose code path changed this round (span-range binary keys, KN-bigram

@@ -4036,3 +4036,45 @@ def test_hits_matches_bruteforce(spark):
     # node 3 is a pure sink: top authority, zero hub; node 4 pure source
     assert got[3][1] == max(x[1] for x in got.values())
     assert got[3][0] == 0.0 and got[4][1] == 0.0
+
+
+def test_backoff_trigram_ladder_all_rungs(spark):
+    """Hand-computed stupid backoff on a 2-doc corpus where the scored
+    doc exercises all three rungs: known trigram, bigram backoff, and
+    smoothed-unigram fallback (including an OOV token)."""
+    import math
+
+    from impc_etl_spark.operators.text import backoff_trigram_logprob
+
+    model = spark.createDataFrame(
+        [(0, "the cat sat on the mat")], "doc_id INT, text STRING")
+    # trigram "the cat sat" known; "cat sat down": unseen trigram but
+    # bigram "sat down"? not in model -> check ladder per position
+    scored = spark.createDataFrame(
+        [(1, "the cat sat on zzz")], "doc_id INT, text STRING")
+    out = backoff_trigram_logprob(scored, model).collect()
+    # model counts: toks = the cat sat on the mat (N=6, V=5)
+    # trigrams: "the cat sat","cat sat on","sat on the","on the mat"
+    # bigrams: "the cat","cat sat","sat on","on the","the mat"
+    # unigrams: the:2 cat:1 sat:1 on:1 mat:1
+    # scored trigrams of "the cat sat on zzz":
+    #  "the cat sat": known -> c3/c2("the cat") = 1/1
+    #  "cat sat on":  known -> 1/1
+    #  "sat on zzz":  trigram unseen, backoff bigram "on zzz" unseen ->
+    #                 0.16*(c1("zzz")+0.5)/(6+0.5*(5+1)) = 0.16*0.5/9
+    s3 = 0.4 * 0.4 * (0.0 + 0.5) / (6.0 + 0.5 * 6.0)
+    want = (math.log10(1.0) + math.log10(1.0) + math.log10(s3)) / 3.0
+    assert len(out) == 1
+    assert abs(out[0].avg_backoff_logprob - want) < 1e-12
+    # middle rung: "sat on the" seen as trigram in model; craft a doc
+    # whose trigram is unseen but whose backoff bigram IS seen:
+    # "zzz the cat": tri unseen, back2 "the cat" seen ->
+    #   0.4 * c2("the cat")/c1("the") = 0.4 * 1/2
+    scored2 = spark.createDataFrame(
+        [(2, "zzz the cat")], "doc_id INT, text STRING")
+    out2 = backoff_trigram_logprob(scored2, model).collect()
+    assert abs(out2[0].avg_backoff_logprob
+               - math.log10(0.4 * 1.0 / 2.0)) < 1e-12
+    # < 3 tokens: no row
+    tiny = spark.createDataFrame([(3, "one two")], "doc_id INT, text STRING")
+    assert backoff_trigram_logprob(tiny, model).count() == 0

@@ -31,6 +31,7 @@ BNL_ALLOWED = {
     "docs_bigram_logprob",  # cross join with a broadcast 1-ROW scalar (V)
     "docs_kn_bigram_logprob",  # cross join with a broadcast 1-ROW scalar (T)
     "customer_urgent_bh_fdr",  # three broadcast 1-ROW scalars (p0, m, BH cutoff)
+    "docs_backoff_trigram_logprob",  # broadcast 1-ROW scalar (model N, V)
     "docs_collocations",  # cross join with a broadcast 1-ROW scalar (N, B)
     "orders_skew_report",  # cross join of two 1-ROW stat frames per column
     "part_association_rules",  # cross join with a broadcast 1-ROW basket total (lift's N)
