@@ -1019,6 +1019,91 @@ def bm25_topk(
     )
 
 
+def ndcg_at_k(
+    results: DataFrame,
+    relevance: DataFrame,
+    order_cols: Sequence[Column],
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    k: int = 10,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """nDCG@k ranking-quality evaluation (Järvelin & Kekäläinen 2002) —
+    the retrieval scorecard a curation pipeline keeps while tuning its
+    search/dedup rankers: DCG@k = Σ_{i≤k} (2^relᵢ − 1)/log2(i+1) over
+    the ranked ``results`` (ordered by ``order_cols`` per ``by`` group),
+    normalized by the IDEAL DCG from the ``relevance`` table
+    (by…, id, graded rel).
+
+    The IDCG side never sorts the corpus: ideal ranking of GRADED labels
+    only needs per-grade counts — grades fill positions greedily from
+    the highest, so (by, grade) counts (grid-sized) + an exclusive
+    prefix over the ≤#grades rows per group + a ≤k position explode
+    reproduce the ideal prefix exactly. The DCG side's window runs on
+    ``results``, which is top-k-sized by construction (the ranker's
+    output, not the corpus). Results missing a relevance row score
+    rel 0; a group with no relevant docs at all yields NULL ndcg via
+    try_divide. Output: (by…, dcg, idcg, ndcg).
+    """
+    from pyspark.sql import Window
+
+    keys = list(by)
+    rw = Window.partitionBy(*keys).orderBy(*order_cols)
+    ranked = (
+        results.withColumn("__pos", F.row_number().over(rw))
+        .where(F.col("__pos") <= k)
+        .join(relevance.select(*keys, id_col, rel_col), [*keys, id_col], "left")
+        .withColumn("__rel", F.coalesce(F.col(rel_col), F.lit(0)).cast("double"))
+    )
+    dcg = ranked.groupBy(*keys).agg(
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("__rel")) - F.lit(1.0))
+            / F.log2(F.col("__pos").cast("double") + F.lit(1.0))
+        ).alias("dcg")
+    )
+    gcnt = (
+        relevance.where(F.col(rel_col) > 0)
+        .groupBy(*keys, F.col(rel_col).alias("__g"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    gw = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__g").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ideal_pos = (
+        gcnt.withColumn(
+            "__before", F.coalesce(F.sum("__cnt").over(gw), F.lit(0))
+        )
+        .where(F.col("__before") < k)
+        .select(
+            *keys,
+            F.col("__g").cast("double").alias("__g"),
+            F.explode(
+                F.sequence(
+                    F.col("__before") + 1,
+                    F.least(F.lit(k).cast("long"), F.col("__before") + F.col("__cnt")),
+                )
+            ).alias("__pos"),
+        )
+    )
+    idcg = ideal_pos.groupBy(*keys).agg(
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("__g")) - F.lit(1.0))
+            / F.log2(F.col("__pos").cast("double") + F.lit(1.0))
+        ).alias("idcg")
+    )
+    return (
+        dcg.join(idcg, keys, "left")
+        .select(
+            *keys,
+            "dcg",
+            F.coalesce(F.col("idcg"), F.lit(0.0)).alias("idcg"),
+            F.try_divide(F.col("dcg"), F.col("idcg")).alias("ndcg"),
+        )
+    )
+
+
 def collapse_repeats(
     df: DataFrame,
     text_col: str = "text",

@@ -12541,6 +12541,174 @@ FROM sc GROUP BY doc_id
 """
 
 
+
+
+def docs_ndcg_eval(spark, sf_dir):
+    """nDCG@10 retrieval scorecard over three fixed BM25 probe queries,
+    with graded relevance = number of distinct query terms a document
+    contains (0-2) — the ranking-quality loop a curation pipeline keeps
+    while tuning its searchers. DCG runs on the top-10-sized ranker
+    output; the IDEAL side never sorts the corpus — graded labels fill
+    positions greedily from the top grade, so per-grade counts + a
+    <=10-position explode reproduce the ideal prefix exactly
+    (operators/text.py:ndcg_at_k)."""
+    docs = _t(spark, sf_dir, "documents")
+    probes = [('q_hash_join', ['hash', 'join']), ('q_window_sort', ['sort', 'window']), ('q_stream_batch', ['batch', 'stream'])]
+    results = None
+    for qid, terms in probes:
+        r = text_ops.bm25_topk(docs, terms, top_k=10).select(
+            F.lit(qid).alias("qid"), "doc_id", "bm25")
+        results = r if results is None else results.unionByName(r)
+    toks = text_ops.tokens("text")
+    rel_parts = []
+    for qid, terms in probes:
+        rel_parts.append(docs.select(
+            F.lit(qid).alias("qid"),
+            "doc_id",
+            (F.array_contains(toks, terms[0]).cast("int")
+             + F.array_contains(toks, terms[1]).cast("int")).alias("rel"),
+        ))
+    rel = rel_parts[0]
+    for p in rel_parts[1:]:
+        rel = rel.unionByName(p)
+    out = text_ops.ndcg_at_k(
+        results, rel, [F.col("bm25").desc(), F.col("doc_id")],
+        k=10, by=["qid"])
+    return out.select(
+        "qid",
+        _rnd("dcg", 6).alias("dcg"),
+        _rnd("idcg", 6).alias("idcg"),
+        _rnd("ndcg", 6).alias("ndcg"),
+    )
+
+
+QUERIES["docs_ndcg_eval"] = docs_ndcg_eval
+
+ORACLE["docs_ndcg_eval"] = f"""
+WITH tok AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+results AS (
+(
+    SELECT 'q_hash_join' AS qid, doc_id, bm25 FROM (
+      SELECT doc_id,
+             floor((0.0
+             + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ) * 1000000 + 0.5) / 1000000 AS bm25
+      FROM (
+        SELECT doc_id, len(toks) AS dl,
+           len(list_filter(toks, x -> x = 'hash')) AS tf0,
+           len(list_filter(toks, x -> x = 'join')) AS tf1
+        FROM tok) d_q_hash_join
+      CROSS JOIN (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+           sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+        FROM (SELECT len(toks) AS dl,
+           len(list_filter(toks, x -> x = 'hash')) AS tf0,
+           len(list_filter(toks, x -> x = 'join')) AS tf1
+              FROM tok) dd_q_hash_join) st_q_hash_join)
+    WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10)
+  UNION ALL
+(
+    SELECT 'q_window_sort' AS qid, doc_id, bm25 FROM (
+      SELECT doc_id,
+             floor((0.0
+             + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ) * 1000000 + 0.5) / 1000000 AS bm25
+      FROM (
+        SELECT doc_id, len(toks) AS dl,
+           len(list_filter(toks, x -> x = 'sort')) AS tf0,
+           len(list_filter(toks, x -> x = 'window')) AS tf1
+        FROM tok) d_q_window_sort
+      CROSS JOIN (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+           sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+        FROM (SELECT len(toks) AS dl,
+           len(list_filter(toks, x -> x = 'sort')) AS tf0,
+           len(list_filter(toks, x -> x = 'window')) AS tf1
+              FROM tok) dd_q_window_sort) st_q_window_sort)
+    WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10)
+  UNION ALL
+(
+    SELECT 'q_stream_batch' AS qid, doc_id, bm25 FROM (
+      SELECT doc_id,
+             floor((0.0
+             + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ) * 1000000 + 0.5) / 1000000 AS bm25
+      FROM (
+        SELECT doc_id, len(toks) AS dl,
+           len(list_filter(toks, x -> x = 'batch')) AS tf0,
+           len(list_filter(toks, x -> x = 'stream')) AS tf1
+        FROM tok) d_q_stream_batch
+      CROSS JOIN (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+           sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+        FROM (SELECT len(toks) AS dl,
+           len(list_filter(toks, x -> x = 'batch')) AS tf0,
+           len(list_filter(toks, x -> x = 'stream')) AS tf1
+              FROM tok) dd_q_stream_batch) st_q_stream_batch)
+    WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10)),
+rel AS (
+    SELECT 'q_hash_join' AS qid, doc_id,
+           CAST(list_contains(toks, 'hash') AS INT)
+           + CAST(list_contains(toks, 'join') AS INT) AS rel
+    FROM tok
+    UNION ALL
+    SELECT 'q_window_sort' AS qid, doc_id,
+           CAST(list_contains(toks, 'sort') AS INT)
+           + CAST(list_contains(toks, 'window') AS INT) AS rel
+    FROM tok
+    UNION ALL
+    SELECT 'q_stream_batch' AS qid, doc_id,
+           CAST(list_contains(toks, 'batch') AS INT)
+           + CAST(list_contains(toks, 'stream') AS INT) AS rel
+    FROM tok),
+ranked AS (
+  SELECT r.qid, r.doc_id,
+         row_number() OVER (PARTITION BY r.qid
+                            ORDER BY r.bm25 DESC, r.doc_id) AS pos
+  FROM results r),
+dcg AS (
+  SELECT k.qid,
+         sum((pow(2.0, CAST(coalesce(v.rel, 0) AS DOUBLE)) - 1.0)
+             / log2(CAST(k.pos AS DOUBLE) + 1.0)) AS dcg
+  FROM ranked k LEFT JOIN rel v ON k.qid = v.qid AND k.doc_id = v.doc_id
+  WHERE k.pos <= 10 GROUP BY k.qid),
+gcnt AS (
+  SELECT qid, rel AS g, CAST(count(*) AS BIGINT) AS cnt
+  FROM rel WHERE rel > 0 GROUP BY qid, rel),
+gpos AS (
+  SELECT qid, CAST(g AS DOUBLE) AS g,
+         unnest(range(before + 1, least(10, before + cnt) + 1)) AS pos
+  FROM (
+    SELECT qid, g, cnt,
+           CAST(coalesce(sum(cnt) OVER (PARTITION BY qid ORDER BY g DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS before
+    FROM gcnt)
+  WHERE before < 10),
+idcg AS (
+  SELECT qid,
+         sum((pow(2.0, g) - 1.0) / log2(CAST(pos AS DOUBLE) + 1.0)) AS idcg
+  FROM gpos GROUP BY qid)
+SELECT d.qid,
+       floor(d.dcg * 1000000 + 0.5) / 1000000 AS dcg,
+       floor(coalesce(i.idcg, 0.0) * 1000000 + 0.5) / 1000000 AS idcg,
+       floor(d.dcg / nullif(i.idcg, 0.0) * 1000000 + 0.5) / 1000000 AS ndcg
+FROM dcg d LEFT JOIN idcg i ON d.qid = i.qid
+"""
+
+
 # Round-9 window: slot 1 flagship; then the seven r9 additions (five
 # here + two appended above the list); then re-checks of every query
 # whose code path changed this round (span-range binary keys, KN-bigram

@@ -4078,3 +4078,37 @@ def test_backoff_trigram_ladder_all_rungs(spark):
     # < 3 tokens: no row
     tiny = spark.createDataFrame([(3, "one two")], "doc_id INT, text STRING")
     assert backoff_trigram_logprob(tiny, model).count() == 0
+
+
+def test_ndcg_at_k_matches_bruteforce(spark):
+    """nDCG@k against a hand-computed ideal: graded labels, a result list
+    with an irrelevant doc, k shorter than the relevant set, and a
+    no-relevant-docs group (NULL ndcg)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from impc_etl_spark.operators.text import ndcg_at_k
+
+    results = spark.createDataFrame(
+        [("q1", 1, 9.0), ("q1", 2, 8.0), ("q1", 3, 7.0), ("q1", 4, 6.0),
+         ("q2", 1, 5.0), ("q2", 2, 4.0)],
+        "qid STRING, doc_id INT, score DOUBLE")
+    rel = spark.createDataFrame(
+        [("q1", 1, 2), ("q1", 3, 1), ("q1", 5, 2), ("q1", 6, 1),
+         ("q2", 1, 0), ("q2", 2, 0)],
+        "qid STRING, doc_id INT, rel INT")
+    out = {r.qid: r for r in ndcg_at_k(
+        results, rel, [F.col("score").desc(), F.col("doc_id")],
+        k=3, by=["qid"]).collect()}
+    # q1 ranked top-3: docs 1 (rel 2), 2 (rel 0), 3 (rel 1)
+    dcg = (2**2 - 1) / math.log2(2) + 0.0 + (2**1 - 1) / math.log2(4)
+    # ideal grades: two 2s then two 1s -> positions 1,2 grade 2; pos 3 grade 1
+    idcg = (2**2 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) \
+        + (2**1 - 1) / math.log2(4)
+    assert abs(out["q1"].dcg - dcg) < 1e-12
+    assert abs(out["q1"].idcg - idcg) < 1e-12
+    assert abs(out["q1"].ndcg - dcg / idcg) < 1e-12
+    # q2 has no relevant docs anywhere: dcg 0, idcg 0, ndcg NULL
+    assert out["q2"].dcg == 0.0 and out["q2"].idcg == 0.0
+    assert out["q2"].ndcg is None
