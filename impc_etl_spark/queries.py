@@ -12709,6 +12709,58 @@ FROM dcg d LEFT JOIN idcg i ON d.qid = i.qid
 """
 
 
+
+
+def part_fuzzy_entities(spark, sf_dir):
+    """Entity resolution end-to-end: PassJoin segment-signature linkage
+    (levenshtein <= 3 within brand, sub-quadratic candidates) feeds
+    pointer-doubling connected components, and every part gets a
+    canonical entity_id = min partkey of its fuzzy cluster (parts with
+    no near-duplicate name are their own entity). The full
+    dedup-by-linkage pipeline a master-data or training-corpus dedup
+    runs: pairs -> clusters -> canonical key. Reference analog: the
+    exact-key specimen/colony merges (jobs/transform/
+    specimen_cross_ref.py) with the fuzzy layer on top."""
+    from impc_etl_spark.operators.dedup import connected_components
+
+    part = _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_name")
+    pairs = join_ops.passjoin_pairs(
+        part, text_col="p_name", id_col="p_partkey",
+        max_distance=3, block_cols=["p_brand"],
+    )
+    groups = connected_components(
+        pairs.select("id_a", "id_b"), "id_a", "id_b")
+    return (
+        part.join(groups, part.p_partkey == groups.doc_id, "left")
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("group_id"), F.col("p_partkey"))
+            .alias("entity_id"),
+        )
+    )
+
+
+QUERIES["part_fuzzy_entities"] = part_fuzzy_entities
+
+ORACLE["part_fuzzy_entities"] = """
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS pa, b.p_partkey AS pb
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION SELECT pb, pa FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+grp AS (SELECT id, min(lbl) AS g FROM walk GROUP BY id)
+SELECT p.p_partkey, coalesce(grp.g, p.p_partkey) AS entity_id
+FROM part p LEFT JOIN grp ON p.p_partkey = grp.id
+"""
+
+
 # Round-9 window: slot 1 flagship; then the seven r9 additions (five
 # here + two appended above the list); then re-checks of every query
 # whose code path changed this round (span-range binary keys, KN-bigram
@@ -12826,22 +12878,31 @@ _R10_WINDOW = [
     "part_token_stats",
     "modal_priority_per_segment",
     "segment_term_chooser",
-    "solr_doc_shape",
-    "union_customers_suppliers",
     "statpacket_restructure",
-    "best_customer_per_nation",
-    "date_cascade_parse",
-    "media_feature_extract",
-    "computed_key_join",
-    "orders_status_overlap_hll",
-    "region_revenue",
+    # the 8 r10 additions displace the 8 newest LRU rows (solr_doc_shape,
+    # union_customers_suppliers, best_customer_per_nation,
+    # date_cascade_parse, media_feature_extract, computed_key_join,
+    # orders_status_overlap_hll, region_revenue — all r4-evidence, they
+    # lead the r11 fill)
+    "orders_mannwhitney_u",
+    "orders_priority_status_chi2",
+    "customer_urgent_bh_fdr",
+    "hourly_events_acf",
+    "nation_trade_hits",
+    "docs_backoff_trigram_logprob",
+    "docs_ndcg_eval",
+    "part_fuzzy_entities",
 ]
 _set_window(_R10_WINDOW)
 
 # Round-11 window note (for the next builder): pure LRU rotation
-# continues. After r10's driver run the stalest evidence is r4 (the
-# remaining ~4 r4 names lead the r11 fill: top_customers_per_nation,
-# customers_without_orders, segment_status_pivot, date parsing twins —
-# recompute exactly as r9/r10 did: latest CORRECTNESS_r0N round per
-# name, oldest first, registry order as tie-break). Also queue re-checks
-# for any operator whose code changes in r11.
+# continues. After r10's driver run the stalest evidence is r4; the r11
+# fill leads with the 8 names the r10 additions displaced
+# (solr_doc_shape, union_customers_suppliers, best_customer_per_nation,
+# date_cascade_parse, media_feature_extract, computed_key_join,
+# orders_status_overlap_hll, region_revenue) followed by the remaining
+# r4 names (top_customers_per_nation, customers_without_orders,
+# segment_status_pivot, date parsing twins — recompute exactly as
+# r9/r10 did: latest CORRECTNESS_r0N round per name, oldest first,
+# registry order as tie-break). Also queue re-checks for any operator
+# whose code changes in r11.
