@@ -873,12 +873,14 @@ def interval_agg_join(
     drop on both paths (explode of a NULL sequence emits nothing; the
     per-bin pre-agg keys on the non-NULL bin).
 
-    Scale shape: one (on…, bin) groupBy over the points (grid+key
-    sized), one explode of intervals over their INTERIOR bins joined to
-    that pre-agg (per-bin rows, not per-point), one edge join against
-    the points pre-filtered to edge bins only, one final per-interval
-    combine. Every join is an equi hash/merge join; AQE skew handling
-    applies to the edge join exactly as to the flat form.
+    Scale shape: ONE scan of the points feeding a (on…, bin, exact
+    value) pre-aggregate (the edge side — pair work bounded by DISTINCT
+    values per bin, r10) re-aggregated to the (on…, bin) grid (the
+    interior/aligned side), one explode of intervals over their
+    INTERIOR bins joined to the grid, one edge join against the
+    per-value pre-agg, one final per-interval combine. Every join is an
+    equi hash/merge join; AQE skew handling applies to the edge join
+    exactly as to the flat form.
 
     ``assume_aligned=True`` is the degenerate-and-fastest case: the
     CALLER asserts every interval endpoint lies exactly on a bin
@@ -900,11 +902,29 @@ def interval_agg_join(
     s_bin = _bin_of(intervals, start_col, bin_width)
     e_bin = _bin_of(intervals, end_col, bin_width)
 
-    # phase 0: per-(on…, bin) pre-aggregate of the points
+    # phase 0: per-(on…, bin, EXACT point value) pre-aggregate — the
+    # r10 fix for the edge phase's own dense-bin wall: when interval
+    # density grows but the time range doesn't (the K=300 campaign
+    # rehearsal: 300× campaigns over the same ~360 weekly bins), edge
+    # pair work = points-per-bin × edge-bin-rows-per-bin exploded to
+    # ~10¹¹ CPU-bound SMJ pairs (measured: >20 min, aborted). The edge
+    # predicate only reads the point VALUE, and count/sum are
+    # decomposable at any granularity — so collapsing equal-valued
+    # points first bounds edge pair work by DISTINCT values per bin
+    # (≤7 dates per weekly bin on date data) instead of rows. The
+    # per-bin table (interior/aligned phases) re-aggregates from this
+    # one, so points are still scanned exactly once; worst case
+    # (all-distinct timestamps) costs one extra exchange and removes
+    # nothing — never worse than a constant, and the dense case drops
+    # from quadratic to grid-sized.
     pts = points.where(F.col(point_col).isNotNull()).withColumn("__bin", p_bin)
-    binagg = pts.groupBy(*on, "__bin").agg(
-        F.count(F.lit(1)).alias("n_points"),
-        *[F.sum(F.col(v)).alias(f"sum_{v}") for v in vals],
+    ptagg = pts.groupBy(*on, "__bin", F.col(point_col).alias("__pt")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.col(v)).alias(f"__s_{v}") for v in vals],
+    )
+    binagg = ptagg.groupBy(*on, "__bin").agg(
+        F.sum("__n").alias("n_points"),
+        *[F.sum(f"__s_{v}").alias(f"sum_{v}") for v in vals],
     )
     iv = intervals.withColumn("__sbin", s_bin).withColumn("__ebin", e_bin)
     if assume_aligned:
@@ -951,19 +971,19 @@ def interval_agg_join(
         ).alias("__bin"),
     )
     e = edge_bins.alias("__i")
-    p = pts.alias("__p")
+    p = ptagg.alias("__p")
     cond = F.col("__p.__bin") == F.col("__i.__bin")
     for k in on:
         cond = cond & (F.col(f"__p.{k}") == F.col(f"__i.{k}"))
     cond = cond & _point_pred(
-        F.col(f"__p.{point_col}"), F.col("__i.__s"), F.col("__i.__e"), closed
+        F.col("__p.__pt"), F.col("__i.__s"), F.col("__i.__e"), closed
     )
     edge = (
         p.join(e, cond)
         .groupBy(*[F.col(f"__i.{k}").alias(k) for k in keys])
         .agg(
-            F.count(F.lit(1)).alias("n_points"),
-            *[F.sum(F.col(f"__p.{v}")).alias(f"sum_{v}") for v in vals],
+            F.sum(F.col("__p.__n")).alias("n_points"),
+            *[F.sum(F.col(f"__p.__s_{v}")).alias(f"sum_{v}") for v in vals],
         )
     )
     # phase 3: combine partials per interval
