@@ -101,6 +101,24 @@ def scale_tables(spark, src: str, dst: str, k: int) -> None:
                 col, (F.col(col) + F.col("__r") * F.lit(anchors[anchor]))
                 .cast(dict(base.dtypes)[col])
             )
+        if tbl == "part":
+            # p_name gets the same per-replica consonant rotation as
+            # documents.text (r10): replicas otherwise carry VERBATIM
+            # name copies, so any edit-distance/fuzzy query's TRUE
+            # answer grows as K² exact-duplicate pairs (20k names ×
+            # C(300,2) ≈ 10⁹ d=0 pairs at K=300) — an artifact of the
+            # replication scheme, not a workload property. Rotation is
+            # length-preserving and deterministic, so name structure
+            # (5 color words) and near-dup density per replica survive.
+            cons = "bcdfghjklmnpqrstvwxyz"
+            crot = F.pmod(F.col("__r"), F.lit(len(cons))).cast("int")
+            nexpr = F.col("p_name")
+            for r in range(1, min(k, len(cons))):
+                tgt = cons[r:] + cons[:r]
+                nexpr = F.when(
+                    crot == r, F.translate(F.col("p_name"), cons, tgt)
+                ).otherwise(nexpr)
+            df = df.withColumn("p_name", nexpr)
         if tbl == "documents":
             # per-replica vowel x consonant rotations: length-preserving,
             # changes every shingle for i>0 (replica 0 stays the

@@ -12712,32 +12712,45 @@ FROM dcg d LEFT JOIN idcg i ON d.qid = i.qid
 
 
 def part_fuzzy_entities(spark, sf_dir):
-    """Entity resolution end-to-end: PassJoin segment-signature linkage
-    (levenshtein <= 3 within brand, sub-quadratic candidates) feeds
-    pointer-doubling connected components, and every part gets a
-    canonical entity_id = min partkey of its fuzzy cluster (parts with
-    no near-duplicate name are their own entity). The full
-    dedup-by-linkage pipeline a master-data or training-corpus dedup
-    runs: pairs -> clusters -> canonical key. Reference analog: the
-    exact-key specimen/colony merges (jobs/transform/
-    specimen_cross_ref.py) with the fuzzy layer on top."""
+    """Entity resolution end-to-end with the DENSE-DUPLICATE collapse the
+    pair form can't have: exact (brand, name) duplicates collapse to one
+    representative node FIRST (the part table carries only 64 distinct
+    names at any sf, so any complete per-part fuzzy join owes a
+    Θ(multiplicity²) true pair set — collapsing makes the linkage graph
+    distinct-name-sized and this query's output LINEAR, one row per
+    part). PassJoin links the representatives (levenshtein <= 3 within
+    brand), pointer-doubling CC clusters them, and every part inherits
+    entity_id = min partkey of its name's cluster (identical answer to
+    per-part linkage: an exact-duplicate group is a d=0 clique, so
+    collapsing it to its min-key representative changes nothing). Parts
+    with NULL name or brand resolve to themselves (the linkage scope
+    rule: NULL never matches). Reference analog: the exact-key
+    specimen/colony merges (jobs/transform/specimen_cross_ref.py) with
+    the fuzzy layer on top."""
     from impc_etl_spark.operators.dedup import connected_components
 
     part = _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_name")
+    ok = part.where(F.col("p_name").isNotNull() & F.col("p_brand").isNotNull())
+    passthru = part.where(
+        F.col("p_name").isNull() | F.col("p_brand").isNull()
+    ).select("p_partkey", F.col("p_partkey").alias("entity_id"))
+    name_nodes = ok.groupBy("p_brand", "p_name").agg(
+        F.min("p_partkey").alias("rep"))
     pairs = join_ops.passjoin_pairs(
-        part, text_col="p_name", id_col="p_partkey",
+        name_nodes, text_col="p_name", id_col="rep",
         max_distance=3, block_cols=["p_brand"],
     )
     groups = connected_components(
         pairs.select("id_a", "id_b"), "id_a", "id_b")
-    return (
-        part.join(groups, part.p_partkey == groups.doc_id, "left")
-        .select(
-            "p_partkey",
-            F.coalesce(F.col("group_id"), F.col("p_partkey"))
-            .alias("entity_id"),
-        )
+    reps = name_nodes.join(
+        groups, name_nodes.rep == groups.doc_id, "left"
+    ).select(
+        "p_brand", "p_name",
+        F.coalesce(F.col("group_id"), F.col("rep")).alias("entity_id"),
     )
+    resolved = ok.join(reps, ["p_brand", "p_name"]).select(
+        "p_partkey", "entity_id")
+    return resolved.unionByName(passthru)
 
 
 QUERIES["part_fuzzy_entities"] = part_fuzzy_entities
