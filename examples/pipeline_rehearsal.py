@@ -27,15 +27,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from examples.scale_rehearsal import _stage_totals, scale_tables  # noqa: E402
 
 
-def run_instrumented(p, goals, ui, app) -> list[dict]:
+def run_instrumented(p, goals, ui, app, reap: bool = True) -> list[dict]:
     """Run the pipeline task-by-task in topological order (each task's
     parents already materialized by the previous iterations) and measure
-    REST stage-metric deltas around each parquet-to-parquet stage."""
+    REST stage-metric deltas around each parquet-to-parquet stage.
+
+    ``reap`` (r10): delete a parent task's parquet once EVERY consumer
+    in this run has completed (goals are never reaped) — the retention
+    policy any production DAG store applies. Without it a K=300 release
+    run accumulates >50 GB of dead interior checkpoints alongside the
+    live shuffle dirs and exhausts this box's disk; peak footprint with
+    reaping is the live frontier, which is also the honest 100 TB
+    posture (nobody keeps every interior stage of a petabyte DAG)."""
+    order = p._toposort(goals)
+    consumers: dict[str, set] = {}
+    for name in order:
+        for dep in p._tasks[name].inputs:
+            consumers.setdefault(dep, set()).add(name)
+    goal_set = set(goals)
+    done: set = set()
     rows = []
-    for name in p._toposort(goals):
+    for name in order:
         before = _stage_totals(ui, app)
         t0 = time.time()
-        status = p.run(name, force=[name])[name]
+        # execute the task body DIRECTLY (not p.run(name), whose full
+        # ancestry walk would silently re-materialize reaped
+        # grandparents): parents are guaranteed live here because a
+        # task's parents always count it as a not-yet-done consumer
+        t = p._tasks[name]
+        parents = [p.spark.read.parquet(p.target(i)) for i in t.inputs]
+        t.fn(p.spark, *parents).write.mode("overwrite").parquet(
+            p.target(name))
+        status = "ran"
         dt = time.time() - t0
         after = _stage_totals(ui, app)
         delta = {k: after[k] - before[k] for k in before}
@@ -48,6 +71,11 @@ def run_instrumented(p, goals, ui, app) -> list[dict]:
             "spill_disk_mb": round(delta["diskBytesSpilled"] / 1e6, 1),
             "input_mb": round(delta["inputBytes"] / 1e6, 1),
         }
+        done.add(name)
+        if reap:
+            for dep in p._tasks[name].inputs:
+                if dep not in goal_set and consumers.get(dep, set()) <= done:
+                    shutil.rmtree(p.target(dep), ignore_errors=True)
         rows.append(rec)
         print(json.dumps(rec), flush=True)
     return rows

@@ -867,6 +867,76 @@ def chi2_independence(
     )
 
 
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation ρ — Pearson on tie-averaged ranks, the
+    monotone-association check that ignores the heavy tails and
+    nonlinearity Pearson-on-values chokes on (price vs quantity,
+    quality-score vs human label). Exact ranks WITHOUT a global sort,
+    the `rank_sum_test` recipe applied per column: each column's ranks
+    come from its DISTINCT-VALUE count table + ``ranged_prefix_sums``,
+    joined back to the rows on the value (merge-hinted — a data-sized
+    rank table must never broadcast). All rank arithmetic uses the
+    INTEGER 2·avgrank (Pearson is scale-invariant, so ρ(2rx, 2ry) =
+    ρ(rx, ry) and the oracle replays the same BIGINT ranks); the moment
+    sums convert to double (n·Σr² overflows BIGINT past ~2M rows).
+
+    Output one row: (n, rho); empty input emits zero rows; NULL/NaN in
+    EITHER column drops the row (pairwise-complete, the bad-point
+    contract); a constant column (zero rank variance) yields NULL rho
+    via try_divide.
+
+    Scale shape: two distinct-value groupBys + two grid prefix passes +
+    two merge joins back to the rows + ONE moment aggregate (six
+    doubles cross the final exchange).
+    """
+    from impc_etl_spark.operators.partitioning import ranged_prefix_sums
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(
+        F.col(x_col).isNotNull() & ~F.isnan(x)
+        & F.col(y_col).isNotNull() & ~F.isnan(y)
+    ).select(x.alias("__x"), y.alias("__y"))
+
+    def rank2_table(col: str, out: str) -> DataFrame:
+        counts = base.groupBy(col).agg(F.count(F.lit(1)).alias("__t"))
+        cum = ranged_prefix_sums(counts, [col], ["__t"])
+        return cum.select(
+            col,
+            (2 * F.col("__cum___t") + F.col("__t") + 1).alias(out),
+        )
+
+    rx = rank2_table("__x", "__rx")
+    ry = rank2_table("__y", "__ry")
+    ranked = (
+        base.join(rx.hint("merge"), "__x")
+        .join(ry.hint("merge"), "__y")
+        .select(
+            F.col("__rx").cast("double").alias("__rx"),
+            F.col("__ry").cast("double").alias("__ry"),
+        )
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sxy"),
+    ).where(F.col("__sx").isNotNull())  # empty input → zero rows
+    n = F.col("n").cast("double")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.sqrt(
+        (n * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        * (n * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    )
+    return stats.select("n", F.try_divide(num, den).alias("rho"))
+
+
 def bh_fdr(
     df: DataFrame,
     p_col: str,

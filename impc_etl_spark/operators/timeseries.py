@@ -566,3 +566,102 @@ def acf(
     return per_key.select(
         *keys, "n", F.explode(pairs).alias("__p")
     ).select(*keys, F.col("__p.lag").alias("lag"), "n", F.col("__p.acf").alias("acf"))
+
+def seasonal_decompose_additive(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Classic additive seasonal decomposition (the moving-average
+    method behind STL's initial pass): value = trend + seasonal +
+    residual — the forecasting diagnostic that turns 'orders dip every
+    January' from folklore into a column.
+
+    - trend: centered moving average of one full ``period``; for even
+      periods the standard 2×m trick (the mean of the two half-offset
+      m-windows, i.e. half weight on both end points) keeps the window
+      centered. Positions without a FULL window get NULL trend (count
+      guard — partial-window averages would leak level shifts into the
+      seasonal means).
+    - seasonal: per-phase (position mod period) mean of the detrended
+      series, re-centered so one cycle sums to 0 (the level stays in
+      the trend).
+    - residual = value − trend − seasonal.
+
+    Same input contract as `acf`: an ALREADY-AGGREGATED regular grid
+    series (hourly/monthly rollup — grid-sized), ``ts_col`` unique per
+    key; the phase index comes from the row's POSITION in the series
+    (row_number), so gaps in the grid are the caller's responsibility
+    (resample_ffill first). NULL/NaN values are excluded before
+    positioning (bad-point contract). Output: (by…, ts, value, trend,
+    seasonal, residual).
+    """
+    from pyspark.sql import Window
+
+    keys = list(by)
+    v = F.col(value_col).cast("double")
+    base = df.where(F.col(value_col).isNotNull() & ~F.isnan(v)).select(
+        *keys, F.col(ts_col).alias("__ts"), v.alias("__v")
+    )
+    ordered = Window.partitionBy(*keys).orderBy("__ts")
+    pos = base.withColumn("__i", F.row_number().over(ordered) - 1)
+    m = int(period)
+    if m < 2:
+        raise ValueError(f"period must be >= 2, got {m}")
+    if m % 2 == 1:
+        h = (m - 1) // 2
+        w1 = ordered.rowsBetween(-h, h)
+        trend = F.when(
+            F.count(F.lit(1)).over(w1) == m, F.avg("__v").over(w1)
+        )
+    else:
+        h = m // 2
+        wa = ordered.rowsBetween(-h, h - 1)
+        wb = ordered.rowsBetween(-h + 1, h)
+        trend = F.when(
+            (F.count(F.lit(1)).over(wa) == m)
+            & (F.count(F.lit(1)).over(wb) == m),
+            (F.avg("__v").over(wa) + F.avg("__v").over(wb)) / F.lit(2.0),
+        )
+    with_trend = pos.withColumn("__trend", trend).withColumn(
+        "__phase", F.pmod(F.col("__i"), F.lit(m))
+    )
+    # phase means as a SEPARATE ≤period-row aggregate per key (a per-row
+    # unbounded collect_list window would be O(n²)); the re-center
+    # subtracts the unweighted mean of the phase means — not the
+    # row-weighted mean, phases can differ in row count — so one cycle
+    # of the seasonal component sums to ~0 and the level stays in the
+    # trend. Phases whose every window is partial (series ≈ period)
+    # have NULL praw and drop out of the centering average.
+    pm = with_trend.groupBy(*keys, "__phase").agg(
+        F.avg(F.col("__v") - F.col("__trend")).alias("__praw")
+    )
+    center = pm.groupBy(*keys).agg(F.avg("__praw").alias("__center"))
+    if keys:
+        # keyed: the phase/center tables are keys-sized DERIVED
+        # aggregates — never broadcast off an estimate (engine rule)
+        pm = pm.join(center.hint("merge"), keys)
+        seas_tbl = pm.select(
+            *keys, "__phase",
+            (F.col("__praw") - F.col("__center")).alias("__seas"),
+        )
+        with_seas = with_trend.join(
+            seas_tbl.hint("merge"), [*keys, "__phase"], "left"
+        )
+    else:
+        # global series: ≤period-row seasonal table, 1-row center
+        pm = pm.crossJoin(F.broadcast(center))
+        seas_tbl = pm.select(
+            "__phase", (F.col("__praw") - F.col("__center")).alias("__seas")
+        )
+        with_seas = with_trend.join(F.broadcast(seas_tbl), ["__phase"], "left")
+    return with_seas.select(
+        *keys,
+        F.col("__ts").alias(ts_col),
+        F.col("__v").alias(value_col),
+        F.col("__trend").alias("trend"),
+        F.col("__seas").alias("seasonal"),
+        (F.col("__v") - F.col("__trend") - F.col("__seas")).alias("residual"),
+    )

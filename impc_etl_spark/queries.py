@@ -12774,6 +12774,118 @@ FROM part p LEFT JOIN grp ON p.p_partkey = grp.id
 """
 
 
+
+
+def lineitem_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation of l_quantity vs l_extendedprice — the
+    monotone-association check that ignores the price column's heavy
+    tail. Exact tie-averaged ranks per column WITHOUT a global sort
+    (distinct-value count tables + ranged_prefix_sums, the rank_sum_test
+    recipe), BIGINT 2·avgrank joined back merge-hinted, one six-double
+    moment aggregate; Pearson-on-ranks is scale-invariant so both
+    engines replay the identical integer ranks."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg_ops.spearman_corr(li, "l_quantity", "l_extendedprice")
+    return out.select("n", _rnd("rho", 6).alias("rho"))
+
+
+QUERIES["lineitem_spearman_corr"] = lineitem_spearman_corr
+
+ORACLE["lineitem_spearman_corr"] = """
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+    AND l_extendedprice IS NOT NULL
+    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+rx AS (
+  SELECT x, CAST(2 * coalesce(sum(t) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + t + 1 AS BIGINT) AS r2x
+  FROM (SELECT x, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY x)),
+ry AS (
+  SELECT y, CAST(2 * coalesce(sum(t) OVER (ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + t + 1 AS BIGINT) AS r2y
+  FROM (SELECT y, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY y)),
+ranked AS (
+  SELECT CAST(r2x AS DOUBLE) AS dx, CAST(r2y AS DOUBLE) AS dy
+  FROM base JOIN rx USING (x) JOIN ry USING (y)),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(dx) AS sx, sum(dy) AS sy,
+         sum(dx * dx) AS sxx, sum(dy * dy) AS syy,
+         sum(dx * dy) AS sxy
+  FROM ranked)
+SELECT n,
+       floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / nullif(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                           * (CAST(n AS DOUBLE) * syy - sy * sy)), 0.0)
+             * 1000000 + 0.5) / 1000000 AS rho
+FROM s WHERE sx IS NOT NULL
+"""
+
+
+def orders_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of the monthly order-count series
+    (period 12): trend = centered 2x12 moving average (full windows
+    only), seasonal = re-centered per-phase mean of the detrended
+    series, residual = the rest. Runs on the grid-sized monthly rollup
+    (the acf/bh input contract); the oracle replays the identical
+    window frames."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
+    monthly = orders.groupBy(
+        F.trunc("o_orderdate", "month").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    out = ts_ops.seasonal_decompose_additive(monthly, "month", "n_orders", 12)
+    return out.select(
+        "month",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        _rnd("trend", 4).alias("trend"),
+        _rnd("seasonal", 4).alias("seasonal"),
+        _rnd("residual", 4).alias("residual"),
+    )
+
+
+QUERIES["orders_seasonal_decompose"] = orders_seasonal_decompose
+
+ORACLE["orders_seasonal_decompose"] = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+pos AS (
+  SELECT month, n,
+         row_number() OVER (ORDER BY month) - 1 AS i,
+         CAST(n AS DOUBLE) AS v
+  FROM monthly),
+tr AS (
+  SELECT month, n, i, v,
+         CASE WHEN count(*) OVER (ORDER BY i
+                  ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) = 12
+               AND count(*) OVER (ORDER BY i
+                  ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) = 12
+              THEN (avg(v) OVER (ORDER BY i
+                      ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+                    + avg(v) OVER (ORDER BY i
+                        ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)) / 2.0
+         END AS trend,
+         i % 12 AS phase
+  FROM pos),
+pm AS (
+  SELECT phase, avg(v - trend) AS praw FROM tr GROUP BY phase),
+ctr AS (SELECT avg(praw) AS c FROM pm),
+seas AS (SELECT phase, praw - ctr.c AS s FROM pm CROSS JOIN ctr)
+SELECT tr.month,
+       tr.n AS n_orders,
+       floor(tr.trend * 10000 + 0.5) / 10000 AS trend,
+       floor(seas.s * 10000 + 0.5) / 10000 AS seasonal,
+       floor((tr.v - tr.trend - seas.s) * 10000 + 0.5) / 10000 AS residual
+FROM tr LEFT JOIN seas ON tr.phase = seas.phase
+"""
+
+
 # Round-9 window: slot 1 flagship; then the seven r9 additions (five
 # here + two appended above the list); then re-checks of every query
 # whose code path changed this round (span-range binary keys, KN-bigram

@@ -4112,3 +4112,76 @@ def test_ndcg_at_k_matches_bruteforce(spark):
     # q2 has no relevant docs anywhere: dcg 0, idcg 0, ndcg NULL
     assert out["q2"].dcg == 0.0 and out["q2"].idcg == 0.0
     assert out["q2"].ndcg is None
+
+
+def test_spearman_matches_bruteforce(spark):
+    from impc_etl_spark.operators.aggregate import spearman_corr
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 8.0, 9.0]
+    ys = [2.0, 1.0, 4.0, 4.0, 6.0, 9.0, 8.0, 9.0]
+    rows = list(zip(xs, ys)) + [(None, 1.0), (1.0, float("nan"))]
+    df = spark.createDataFrame(rows, "x DOUBLE, y DOUBLE")
+    row = spearman_corr(df, "x", "y").collect()[0]
+
+    def ranks(vals):
+        order = sorted(vals)
+        out = []
+        for v in vals:
+            lo = order.index(v)
+            hi = len(order) - 1 - order[::-1].index(v)
+            out.append((lo + hi) / 2.0 + 1.0)
+        return out
+
+    rx, ry = ranks(xs), ranks(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(r * r for r in rx)
+    syy = sum(r * r for r in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    import math
+
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert row.n == n
+    assert abs(row.rho - rho) < 1e-12
+    # perfect monotone: rho = 1; constant column: NULL
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(1, 9)], "x DOUBLE, y DOUBLE")
+    assert abs(spearman_corr(mono, "x", "y").collect()[0].rho - 1.0) < 1e-12
+    const = spark.createDataFrame(
+        [(float(i), 7.0) for i in range(5)], "x DOUBLE, y DOUBLE")
+    assert spearman_corr(const, "x", "y").collect()[0].rho is None
+    empty = spark.createDataFrame([], "x DOUBLE, y DOUBLE")
+    assert spearman_corr(empty, "x", "y").count() == 0
+
+
+def test_seasonal_decompose_recovers_planted_structure(spark):
+    from impc_etl_spark.operators.timeseries import seasonal_decompose_additive
+
+    # planted: linear trend + period-4 seasonal (sums to 0) + zero noise
+    seas = [3.0, -1.0, -2.0, 0.0]
+    rows = [(i, 10.0 + 0.5 * i + seas[i % 4]) for i in range(24)]
+    df = spark.createDataFrame(rows, "t INT, v DOUBLE")
+    out = {r.t: r for r in seasonal_decompose_additive(
+        df, "t", "v", 4).collect()}
+    assert len(out) == 24
+    # even period: first h and last h positions have NULL trend
+    for t in (0, 1, 22, 23):
+        assert out[t].trend is None and out[t].residual is None
+    # interior: 2x4 MA of a linear+balanced-seasonal series is the trend
+    for t in range(2, 22):
+        assert abs(out[t].trend - (10.0 + 0.5 * t)) < 1e-9, t
+        assert abs(out[t].seasonal - seas[t % 4]) < 1e-9, t
+        assert abs(out[t].residual) < 1e-9, t
+    # seasonal sums to ~0 over one cycle
+    assert abs(sum(out[t].seasonal for t in range(4))) < 1e-9
+    # odd period path
+    seas3 = [1.0, -1.0, 0.0]
+    rows3 = [(i, 5.0 + seas3[i % 3]) for i in range(12)]
+    d3 = spark.createDataFrame(rows3, "t INT, v DOUBLE")
+    o3 = {r.t: r for r in seasonal_decompose_additive(
+        d3, "t", "v", 3).collect()}
+    for t in range(1, 11):
+        assert abs(o3[t].trend - 5.0) < 1e-9
+        assert abs(o3[t].seasonal - seas3[t % 3]) < 1e-9
+    assert o3[0].trend is None and o3[11].trend is None
