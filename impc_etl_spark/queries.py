@@ -12836,7 +12836,10 @@ def orders_seasonal_decompose(spark, sf_dir):
     window frames."""
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
     monthly = orders.groupBy(
-        F.trunc("o_orderdate", "month").alias("month")
+        # string month key — the orders_seasonality convention (a DATE
+        # comes back as pandas datetime64 from DuckDB but datetime.date
+        # from Spark and the driver's canonicalizer hash-mismatches)
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
     ).agg(F.count(F.lit(1)).alias("n_orders"))
     out = ts_ops.seasonal_decompose_additive(monthly, "month", "n_orders", 12)
     return out.select(
@@ -12852,7 +12855,7 @@ QUERIES["orders_seasonal_decompose"] = orders_seasonal_decompose
 
 ORACLE["orders_seasonal_decompose"] = """
 WITH monthly AS (
-  SELECT date_trunc('month', o_orderdate) AS month,
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
          CAST(count(*) AS BIGINT) AS n
   FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
 pos AS (
@@ -13001,14 +13004,13 @@ _R10_WINDOW = [
     "docs_lang_id",
     "clerk_string_surface",
     "part_token_stats",
-    "modal_priority_per_segment",
-    "segment_term_chooser",
     "statpacket_restructure",
-    # the 8 r10 additions displace the 8 newest LRU rows (solr_doc_shape,
-    # union_customers_suppliers, best_customer_per_nation,
-    # date_cascade_parse, media_feature_extract, computed_key_join,
-    # orders_status_overlap_hll, region_revenue — all r4-evidence, they
-    # lead the r11 fill)
+    # the 10 r10 additions displace the 10 newest LRU rows
+    # (solr_doc_shape, union_customers_suppliers,
+    # best_customer_per_nation, date_cascade_parse,
+    # media_feature_extract, computed_key_join, orders_status_overlap_hll,
+    # region_revenue, modal_priority_per_segment, segment_term_chooser —
+    # all r4-evidence, they lead the r11 fill)
     "orders_mannwhitney_u",
     "orders_priority_status_chi2",
     "customer_urgent_bh_fdr",
@@ -13017,15 +13019,18 @@ _R10_WINDOW = [
     "docs_backoff_trigram_logprob",
     "docs_ndcg_eval",
     "part_fuzzy_entities",
+    "lineitem_spearman_corr",
+    "orders_seasonal_decompose",
 ]
 _set_window(_R10_WINDOW)
 
 # Round-11 window note (for the next builder): pure LRU rotation
 # continues. After r10's driver run the stalest evidence is r4; the r11
-# fill leads with the 8 names the r10 additions displaced
+# fill leads with the 10 names the r10 additions displaced
 # (solr_doc_shape, union_customers_suppliers, best_customer_per_nation,
 # date_cascade_parse, media_feature_extract, computed_key_join,
-# orders_status_overlap_hll, region_revenue) followed by the remaining
+# orders_status_overlap_hll, region_revenue, modal_priority_per_segment,
+# segment_term_chooser) followed by the remaining
 # r4 names (top_customers_per_nation, customers_without_orders,
 # segment_status_pivot, date parsing twins — recompute exactly as
 # r9/r10 did: latest CORRECTNESS_r0N round per name, oldest first,

@@ -33,6 +33,7 @@ BNL_ALLOWED = {
     "customer_urgent_bh_fdr",  # three broadcast 1-ROW scalars (p0, m, BH cutoff)
     "docs_backoff_trigram_logprob",  # broadcast 1-ROW scalar (model N, V)
     "docs_ndcg_eval",  # bm25_topk's 1-ROW stats broadcast, once per probe
+    "orders_seasonal_decompose",  # 1-ROW center broadcast x <=period-row grid
     "docs_collocations",  # cross join with a broadcast 1-ROW scalar (N, B)
     "orders_skew_report",  # cross join of two 1-ROW stat frames per column
     "part_association_rules",  # cross join with a broadcast 1-ROW basket total (lift's N)
