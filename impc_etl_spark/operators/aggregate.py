@@ -995,3 +995,172 @@ def bh_fdr(
             ),
         )
     )
+
+
+def survival_km(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier
+    1958) over right-censored subject lifetimes — the churn/retention
+    curve: one input row per subject with an integer ``duration_col``
+    (time observed) and ``event_col`` 1 if the terminal event was seen,
+    0 if the subject was censored at that duration.
+
+    Scale shape: ONE groupBy collapses N subjects to the distinct-
+    duration GRID (bounded by the time range, not the data); everything
+    after — at-risk counts, the product-limit itself — runs on that
+    grid, so the only data-sized work is the first partial-aggregated
+    shuffle. The at-risk count n(t) = N − Σ_{u<t}(d_u + c_u) and the
+    survival product both come from grid windows.
+
+    Cross-engine determinism: running SUM over ordered doubles is NOT
+    portable (Spark evaluates the frame sequentially, DuckDB by segment
+    tree — different float addition order), so the product Π(1 − d/n)
+    is carried in log-space QUANTIZED TO INTEGER MICRO-UNITS: each
+    factor's ln is floored to an exact multiple of 1e-12 held in BIGINT,
+    the window sum is integer (bit-exact in any evaluation order), and
+    exp() is applied once per row. The quantization bias is ≤ grid_rows
+    · 5e-13 — far below the 6-dp reporting precision — and an oracle
+    replays the identical integers. Once the at-risk set hits d == n
+    the curve is exactly 0 from that row on (min-over-window guard, no
+    ln(0) on either engine).
+
+    Output per distinct duration: duration, n_risk, n_events,
+    n_censored, survival. Empty input → zero rows. NULL durations are
+    dropped; event values are clamped to {0,1} via (event != 0).
+    """
+    dur = F.col(duration_col)
+    ev = F.when(F.col(event_col).cast("int") != 0, 1).otherwise(0)
+    base = df.where(dur.isNotNull()).select(
+        dur.alias("__dur"), ev.alias("__ev")
+    )
+    grid = base.groupBy("__dur").agg(
+        F.sum("__ev").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("__ev")).cast("bigint").alias("n_censored"),
+    )
+    total = base.agg(F.count(F.lit(1)).alias("__n"))
+    w_prev = Window.orderBy("__dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("__dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = (
+        grid.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("__n")
+                - F.coalesce(
+                    F.sum(F.col("n_events") + F.col("n_censored")).over(
+                        w_prev
+                    ),
+                    F.lit(0),
+                )
+            ).cast("bigint"),
+        )
+        .drop("__n")
+    )
+    surv_n = F.col("n_risk") - F.col("n_events")  # survivors this step
+    li = F.when(surv_n <= 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(
+            F.log(surv_n.cast("double") / F.col("n_risk").cast("double"))
+            * 1e12
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    out = risk.withColumn("__li", li)
+    zero_hit = F.min(F.when(surv_n <= 0, 0).otherwise(1)).over(w_cum)
+    cum_li = F.sum(
+        F.when(surv_n <= 0, F.lit(0).cast("bigint")).otherwise(F.col("__li"))
+    ).over(w_cum)
+    survival = F.when(zero_hit == 0, F.lit(0.0)).otherwise(
+        F.exp(cum_li.cast("double") / F.lit(1e12))
+    )
+    return out.select(
+        F.col("__dur").alias("duration"),
+        "n_risk",
+        "n_events",
+        "n_censored",
+        survival.alias("survival"),
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Per-group inequality / concentration profile: Gini coefficient,
+    Herfindahl-Hirschman index, and top-1 share of a non-negative value
+    (spend, revenue, token counts per domain) — the 'how concentrated
+    is this distribution' triple a corpus-mix or revenue audit asks.
+
+    Gini uses the rank formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over
+    values sorted ascending WITHIN each group. Per-group ranks are
+    computed WITHOUT a per-group single-task window (a PARTITION BY
+    with millions of rows per group funnels each group through one
+    task): one global ``ranged_prefix_sums`` pass ordered
+    (group, value, key) yields global exclusive row counts, and a
+    second, GROUP-COUNT-sized prefix pass yields each group's starting
+    offset; rank-in-group is their difference — two range shuffles
+    regardless of group fan-out. Σ i·xᵢ is invariant to tie order
+    within equal values (consecutive ranks × the same x), so the
+    (value, key) sort is deterministic AND tie-order-proof, and an
+    oracle's row_number() replays it exactly.
+
+    ``key_col`` must be unique within a group. NULL/NaN/negative values
+    are dropped (Gini is defined for non-negative supports). Output per
+    group: n, total, gini, hhi (Σ shares²), top_share. Groups with zero
+    total emit NULL ratios via try_divide.
+    """
+    from impc_etl_spark.operators.partitioning import ranged_prefix_sums
+
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        v.isNotNull() & ~F.isnan(v) & (v >= 0)
+    ).select(*group_cols, v.alias("__v"), F.col(key_col).alias("__k"))
+    ranked = ranged_prefix_sums(
+        base.withColumn("__one", F.lit(1)),
+        [*group_cols, "__v", "__k"],
+        ["__one"],
+    )
+    gcounts = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__gc")
+    )
+    goff = ranged_prefix_sums(gcounts, list(group_cols), ["__gc"]).select(
+        *group_cols, F.col("__cum___gc").alias("__goff")
+    )
+    # goff is GROUP-COUNT-sized (not data-sized): leave the strategy to
+    # AQE — broadcast when small, shuffle join when the group fan-out is
+    # itself huge. Forcing merge here would reshuffle the data-sized side
+    # into group-count partitions (25 nations → 25 tasks: skew by design).
+    with_rank = ranked.join(goff, list(group_cols)).select(
+        *group_cols,
+        "__v",
+        (F.col("__cum___one") - F.col("__goff") + 1).alias("__rank"),
+    )
+    agg = with_rank.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__v").alias("__sum"),
+        F.sum(F.col("__rank").cast("double") * F.col("__v")).alias("__srx"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__sxx"),
+        F.max("__v").alias("__mx"),
+    )
+    n = F.col("n").cast("double")
+    gini = F.try_divide(
+        F.lit(2.0) * F.col("__srx"), n * F.col("__sum")
+    ) - (n + 1) / n
+    hhi = F.try_divide(F.col("__sxx"), F.col("__sum") * F.col("__sum"))
+    top = F.try_divide(F.col("__mx"), F.col("__sum"))
+    return agg.select(
+        *group_cols,
+        "n",
+        F.col("__sum").alias("total"),
+        gini.alias("gini"),
+        hhi.alias("hhi"),
+        top.alias("top_share"),
+    )

@@ -665,3 +665,77 @@ def seasonal_decompose_additive(
         F.col("__seas").alias("seasonal"),
         (F.col("__v") - F.col("__trend") - F.col("__seas")).alias("residual"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall nonparametric trend test (Mann 1945, Kendall 1975)
+    on a SERIES — the 'is this KPI drifting' companion to the OLS slope
+    (`trend_slope`): S = Σ_{i<j} sign(x_j − x_i) over all time-ordered
+    pairs, with the normal approximation z = (S ∓ 1)/√Var(S) and the
+    tie-corrected variance Var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18.
+    Rank-based, so a single outlier month cannot fake or hide a trend
+    the way it moves a least-squares slope.
+
+    GRID-SIZED contract (the `seasonal_decompose` discipline): the
+    caller aggregates the raw stream to one row per period FIRST — that
+    groupBy is the scalable, data-sized step — and this operator's
+    O(g²) pair self-join runs on the period grid only (g ≈ months or
+    days of history: thousands, not rows). Feed it raw event rows and
+    the self-join is quadratic in DATA — don't.
+
+    Cross-engine determinism: prefer an integer-valued series (counts);
+    then S and every tie count are BIGINT-exact on any engine. Doubles
+    work but sign() near exact pair-equality is ulp-sensitive. NULL/NaN
+    values are dropped; n < 2 emits the degenerate row with NULL z via
+    try_divide. Output one row: n, s_stat, var_s, z_stat.
+    """
+    t = F.col(time_col)
+    v = F.col(value_col)
+    base = df.where(
+        t.isNotNull() & v.isNotNull() & ~F.isnan(v.cast("double"))
+    ).select(t.alias("__t"), v.alias("__v"))
+    a = base.alias("a")
+    b = base.alias("b")
+    # grid-sized by contract: broadcast the right copy explicitly so the
+    # non-equi pair join plans as BNL-against-broadcast, never Cartesian
+    pairs = a.join(F.broadcast(b), F.col("a.__t") < F.col("b.__t")).select(
+        F.signum(
+            F.col("b.__v").cast("double") - F.col("a.__v").cast("double")
+        ).cast("bigint").alias("__sgn")
+    )
+    s = pairs.agg(F.coalesce(F.sum("__sgn"), F.lit(0)).alias("s_stat"))
+    nrow = base.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        base.groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__tc"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__tc")
+                    * (F.col("__tc") - 1)
+                    * (2 * F.col("__tc") + 5)
+                ),
+                F.lit(0),
+            ).alias("__tie_term")
+        )
+    )
+    out = (
+        nrow.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .where(F.col("n") > 0)
+    )
+    n = F.col("n").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("__tie_term").cast("double")
+    ) / F.lit(18.0)
+    zn = F.when(F.col("s_stat") > 0, F.col("s_stat") - 1).otherwise(
+        F.when(F.col("s_stat") < 0, F.col("s_stat") + 1).otherwise(F.lit(0))
+    )
+    z = F.when(F.col("s_stat") == 0, F.lit(0.0)).otherwise(
+        F.try_divide(zn.cast("double"), F.sqrt(var_s))
+    )
+    return out.select("n", "s_stat", var_s.alias("var_s"), z.alias("z_stat"))

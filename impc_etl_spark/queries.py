@@ -13030,9 +13030,235 @@ _set_window(_R10_WINDOW)
 # (solr_doc_shape, union_customers_suppliers, best_customer_per_nation,
 # date_cascade_parse, media_feature_extract, computed_key_join,
 # orders_status_overlap_hll, region_revenue, modal_priority_per_segment,
-# segment_term_chooser) followed by the remaining
+# segment_term_chooser), then the three names the late-r10 statistics
+# additions displaced (part_token_stats, clerk_string_surface,
+# docs_lang_id), followed by the remaining
 # r4 names (top_customers_per_nation, customers_without_orders,
 # segment_status_pivot, date parsing twins — recompute exactly as
 # r9/r10 did: latest CORRECTNESS_r0N round per name, oldest first,
 # registry order as tie-break). Also queue re-checks for any operator
 # whose code changes in r11.
+
+
+# --------------------------------------------------------------------------
+# Late-r10 additions: survival analysis, inequality/concentration, and
+# nonparametric trend — three statistics families the registry did not
+# cover (KM churn curves for retention cohorts; Gini/HHI concentration
+# for corpus-mix and revenue audits; Mann-Kendall as the rank-based
+# companion of trend_slope). Registered late-session, rotated into the
+# driver window below (_R10B_WINDOW), displacing the newest LRU rows.
+
+
+def customer_survival_km(spark, sf_dir):
+    """Kaplan-Meier churn-survival curve over customer order lifespans:
+    duration = days between a customer's first and last order; the
+    'event' (churn observed) fires when the last order is >365 days
+    before the dataset's end, else the customer is right-censored at
+    observation end. The per-customer rollup is the only data-sized
+    step; the product-limit runs on the distinct-duration GRID with
+    BIGINT-quantized log-space running sums so DuckDB's segment-tree
+    window evaluation replays Spark's sequential one bit-for-bit
+    (`survival_km` docstring). Survival-analysis twin of the
+    `customer_retention_cohorts` share table."""
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("__mx"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("__first"),
+            F.max(F.to_date("o_orderdate")).alias("__last"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("__last", "__first").alias("__dur"),
+            F.when(F.datediff("__mx", "__last") > 365, 1)
+            .otherwise(0)
+            .alias("__ev"),
+        )
+    )
+    km = agg_ops.survival_km(cust, "__dur", "__ev")
+    return km.select(
+        F.col("duration").alias("duration_days"),
+        "n_risk",
+        "n_events",
+        "n_censored",
+        _rnd("survival", 6).alias("survival"),
+    )
+
+
+QUERIES["customer_survival_km"] = customer_survival_km
+
+ORACLE["customer_survival_km"] = """
+WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+cust AS (
+  SELECT date_diff('day', min(CAST(o_orderdate AS DATE)),
+                   max(CAST(o_orderdate AS DATE))) AS dur,
+         CASE WHEN date_diff('day', max(CAST(o_orderdate AS DATE)),
+                             (SELECT mxd FROM mx)) > 365
+              THEN 1 ELSE 0 END AS ev
+  FROM orders GROUP BY o_custkey),
+grid AS (
+  SELECT dur, CAST(sum(ev) AS BIGINT) AS n_events,
+         CAST(sum(1 - ev) AS BIGINT) AS n_censored
+  FROM cust GROUP BY dur),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+risk AS (
+  SELECT dur, n_events, n_censored,
+         (SELECT n FROM tot)
+           - CAST(coalesce(sum(n_events + n_censored) OVER
+               (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS n_risk
+  FROM grid),
+q AS (
+  SELECT dur, n_risk, n_events, n_censored,
+         CASE WHEN n_risk - n_events <= 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE) / n_risk)
+                              * 1e12 + 0.5) AS BIGINT)
+         END AS li,
+         CASE WHEN n_risk - n_events <= 0 THEN 0 ELSE 1 END AS ok
+  FROM risk)
+SELECT dur AS duration_days, n_risk, n_events, n_censored,
+       floor(CASE WHEN min(ok) OVER w = 0 THEN 0.0
+                  ELSE exp(CAST(sum(li) OVER w AS DOUBLE) / 1e12)
+             END * 1000000 + 0.5) / 1000000 AS survival
+FROM q
+WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def nation_spend_concentration(spark, sf_dir):
+    """Per-nation revenue-concentration profile — Gini coefficient, HHI
+    and top-1 share over per-customer lifetime revenue (customers with
+    >=1 order). The inequality rollup a corpus-mix audit runs on
+    tokens-per-domain and a revenue audit runs on spend-per-account.
+    Ranks-within-nation come from TWO ranged_prefix_sums passes (global
+    + group offsets), never a per-nation single-task window — 25
+    nations x 24 M customers each at sf100 would otherwise be 25 tasks
+    (`gini_by_group` docstring)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("double")).alias("__rev")
+    )
+    base = (
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .select("n_name", "__rev", "c_custkey")
+    )
+    out = agg_ops.gini_by_group(base, ["n_name"], "__rev", "c_custkey")
+    return out.select(
+        "n_name",
+        "n",
+        _rnd("total", 2).alias("total"),
+        _rnd("gini", 6).alias("gini"),
+        _rnd("hhi", 6).alias("hhi"),
+        _rnd("top_share", 6).alias("top_share"),
+    )
+
+
+QUERIES["nation_spend_concentration"] = nation_spend_concentration
+
+ORACLE["nation_spend_concentration"] = """
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DOUBLE)) AS v
+  FROM orders GROUP BY o_custkey),
+base AS (
+  SELECT n.n_name, r.v, c.c_custkey AS k
+  FROM rev r
+  JOIN customer c ON r.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE r.v IS NOT NULL AND NOT isnan(r.v) AND r.v >= 0),
+ranked AS (
+  SELECT n_name, v,
+         row_number() OVER (PARTITION BY n_name ORDER BY v, k) AS rk
+  FROM base),
+agg AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+         sum(rk * v) AS srx, sum(v * v) AS sxx, max(v) AS mx
+  FROM ranked GROUP BY n_name)
+SELECT n_name, n,
+       floor(s * 100 + 0.5) / 100 AS total,
+       floor((CASE WHEN s > 0 THEN 2.0 * srx / (CAST(n AS DOUBLE) * s)
+              ELSE NULL END
+              - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS gini,
+       floor(CASE WHEN s > 0 THEN sxx / (s * s) ELSE NULL END
+             * 1000000 + 0.5) / 1000000 AS hhi,
+       floor(CASE WHEN s > 0 THEN mx / s ELSE NULL END
+             * 1000000 + 0.5) / 1000000 AS top_share
+FROM agg
+"""
+
+
+def orders_trend_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test on the MONTHLY ORDER-COUNT series — the
+    nonparametric 'is volume drifting' check beside the least-squares
+    `events_trend_slope`: sign-of-pairs S statistic, tie-corrected
+    variance, normal-approximation z. The data-sized step is the
+    month groupBy; the O(g^2) pair join runs on the <=100-row month
+    grid against a BROADCAST copy of itself (mann_kendall docstring —
+    grid-sized contract). Counts are BIGINT so S and the tie terms are
+    integer-exact on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    series = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("__m")
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    out = ts_ops.mann_kendall(series, "__m", "__cnt")
+    return out.select(
+        "n",
+        "s_stat",
+        _rnd("var_s", 4).alias("var_s"),
+        _rnd("z_stat", 6).alias("z_stat"),
+    )
+
+
+QUERIES["orders_trend_mann_kendall"] = orders_trend_mann_kendall
+
+ORACLE["orders_trend_mann_kendall"] = """
+WITH series AS (
+  SELECT date_trunc('month', o_orderdate) AS m, CAST(count(*) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+pairs AS (
+  SELECT CAST(sign(b.v - a.v) AS BIGINT) AS sgn
+  FROM series a JOIN series b ON a.m < b.m),
+s AS (SELECT CAST(coalesce(sum(sgn), 0) AS BIGINT) AS s_stat FROM pairs),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM series),
+ties AS (
+  SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT)
+             AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS tc FROM series GROUP BY v)),
+f AS (
+  SELECT n, s_stat,
+         (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+          - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s
+  FROM nn, s, ties WHERE n > 0)
+SELECT n, s_stat,
+       floor(var_s * 10000 + 0.5) / 10000 AS var_s,
+       floor(CASE WHEN s_stat = 0 THEN 0.0
+                  ELSE (CASE WHEN s_stat > 0 THEN s_stat - 1
+                        ELSE s_stat + 1 END)
+                       / nullif(sqrt(var_s), 0)
+             END * 1000000 + 0.5) / 1000000 AS z_stat
+FROM f
+"""
+
+
+# Late-r10 window extension: the three statistics-family additions above
+# take driver slots, displacing the three newest LRU rows of _R10_WINDOW
+# (part_token_stats, clerk_string_surface, docs_lang_id — all r4
+# evidence; they move to the head of the r11 fill). Re-setting the
+# window is idempotent over the earlier _set_window calls.
+_R10B_WINDOW = [
+    n
+    for n in _R10_WINDOW
+    if n not in {"part_token_stats", "clerk_string_surface", "docs_lang_id"}
+] + [
+    "customer_survival_km",
+    "nation_spend_concentration",
+    "orders_trend_mann_kendall",
+]
+_set_window(_R10B_WINDOW)

@@ -4185,3 +4185,95 @@ def test_seasonal_decompose_recovers_planted_structure(spark):
         assert abs(o3[t].trend - 5.0) < 1e-9
         assert abs(o3[t].seasonal - seas3[t % 3]) < 1e-9
     assert o3[0].trend is None and o3[11].trend is None
+
+
+def test_survival_km_known_curve(spark):
+    """Hand-computed Kaplan-Meier on the classic 5-subject example:
+    durations [6,6,6,7,10], events [1,1,0,1,0] → S(6)=0.6, S(7)=0.3,
+    S(10)=0.3 (censoring at 6 leaves 2 at risk for the t=7 event)."""
+    from impc_etl_spark.operators.aggregate import survival_km
+
+    df = spark.createDataFrame(
+        [(6, 1), (6, 1), (6, 0), (7, 1), (10, 0)], "dur int, ev int"
+    )
+    rows = {
+        r["duration"]: r
+        for r in survival_km(df, "dur", "ev").collect()
+    }
+    assert rows[6]["n_risk"] == 5 and rows[6]["n_events"] == 2
+    assert rows[6]["n_censored"] == 1
+    assert abs(rows[6]["survival"] - 0.6) < 1e-9
+    assert rows[7]["n_risk"] == 2
+    assert abs(rows[7]["survival"] - 0.3) < 1e-9
+    assert rows[10]["n_risk"] == 1 and rows[10]["n_events"] == 0
+    assert abs(rows[10]["survival"] - 0.3) < 1e-9
+
+
+def test_survival_km_zero_and_edge(spark):
+    from impc_etl_spark.operators.aggregate import survival_km
+
+    # all subjects die at t=3: curve hits exactly 0 and stays there
+    df = spark.createDataFrame(
+        [(3, 1), (3, 1), (5, 0)], "dur int, ev int"
+    )
+    rows = {r["duration"]: r for r in survival_km(df, "dur", "ev").collect()}
+    assert abs(rows[3]["survival"] - (1 / 3)) < 1e-9
+    # at t=5 the lone survivor is censored; survival stays 1/3
+    assert abs(rows[5]["survival"] - (1 / 3)) < 1e-9
+    df0 = spark.createDataFrame([(2, 1), (2, 1)], "dur int, ev int")
+    r0 = survival_km(df0, "dur", "ev").collect()
+    assert len(r0) == 1 and r0[0]["survival"] == 0.0
+    # empty input → zero rows; NULL durations dropped
+    empty = spark.createDataFrame([], "dur int, ev int")
+    assert survival_km(empty, "dur", "ev").count() == 0
+    withnull = spark.createDataFrame([(None, 1), (4, 1)], "dur int, ev int")
+    out = survival_km(withnull, "dur", "ev").collect()
+    assert len(out) == 1 and out[0]["duration"] == 4
+
+
+def test_gini_by_group_known_values(spark):
+    from impc_etl_spark.operators.aggregate import gini_by_group
+
+    rows = (
+        [("eq", float(1), i) for i in range(4)]
+        + [("con", 0.0, 10), ("con", 0.0, 11), ("con", 0.0, 12), ("con", 4.0, 13)]
+        + [("mix", 1.0, 20), ("mix", 2.0, 21), ("mix", 3.0, 22)]
+        + [("bad", float("nan"), 30), ("bad", -1.0, 31), ("bad", 2.0, 32)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double, k long")
+    out = {r["g"]: r for r in gini_by_group(df, ["g"], "v", "k").collect()}
+    # equal values → gini 0, hhi 1/n, top_share 1/n
+    assert abs(out["eq"]["gini"]) < 1e-9
+    assert abs(out["eq"]["hhi"] - 0.25) < 1e-9
+    assert abs(out["eq"]["top_share"] - 0.25) < 1e-9
+    # one holder of everything → gini (n-1)/n, hhi 1, top 1
+    assert abs(out["con"]["gini"] - 0.75) < 1e-9
+    assert abs(out["con"]["hhi"] - 1.0) < 1e-9
+    assert abs(out["con"]["top_share"] - 1.0) < 1e-9
+    # 1,2,3 → G = 2*(1+4+9)/(3*6) - 4/3 = 28/18 - 24/18 = 2/9
+    assert abs(out["mix"]["gini"] - 2 / 9) < 1e-9
+    # NaN and negative values dropped: 'bad' keeps only v=2 → gini 0, n=1
+    assert out["bad"]["n"] == 1 and abs(out["bad"]["gini"]) < 1e-9
+
+
+def test_mann_kendall_known_series(spark):
+    from impc_etl_spark.operators.timeseries import mann_kendall
+
+    # strictly increasing, no ties: S = C(5,2) = 10,
+    # Var = 5*4*15/18 = 50/3, z = 9/sqrt(50/3)
+    inc = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 6)], "t int, v double"
+    )
+    r = mann_kendall(inc, "t", "v").collect()[0]
+    assert r["n"] == 5 and r["s_stat"] == 10
+    assert abs(r["var_s"] - 50 / 3) < 1e-9
+    assert abs(r["z_stat"] - 9 / (50 / 3) ** 0.5) < 1e-9
+    # constant series: S=0, tie term kills the variance, z defined as 0
+    const = spark.createDataFrame(
+        [(i, 7.0) for i in range(1, 5)], "t int, v double"
+    )
+    rc = mann_kendall(const, "t", "v").collect()[0]
+    assert rc["s_stat"] == 0 and rc["z_stat"] == 0.0 and rc["var_s"] == 0.0
+    # empty input → zero rows
+    empty = spark.createDataFrame([], "t int, v double")
+    assert mann_kendall(empty, "t", "v").count() == 0

@@ -49,6 +49,8 @@ BNL_ALLOWED = {
     "emb_pca_whiten",  # cross join of 1-ROW count × 1-ROW invariant-checks frames
     "orders_ks_yearly_drift",  # cross joins with broadcast 1-ROW bounds/totals frames
     "docs_zipf_fit",  # cross join with a broadcast 1-ROW (n_tokens, vocab_size) frame
+    "customer_survival_km",  # cross join with a broadcast 1-ROW total-subjects frame
+    "orders_trend_mann_kendall",  # month-grid pair join against a broadcast copy of the grid
 }
 
 
