@@ -17,7 +17,7 @@ damage of an unexpectedly deep graph.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -384,3 +384,67 @@ def bfs_distances(
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) with a FIXED iteration count → (node, community). Each
+    round every node adopts the most frequent label among its NEIGHBORS,
+    ties broken by the smallest label — fully deterministic, so a SQL
+    oracle can replay the rounds as chained CTEs (the same
+    fixed-iterations-over-epsilon contract as `pagerank` / `hits`;
+    synchronous sweeps can oscillate on bipartite structures, which a
+    fixed count renders harmless AND replayable). Labels start as the
+    node ids, so communities come out keyed by their smallest-reachable
+    member in practice.
+
+    Scale shape per round: ONE shuffle joining labels to the edge list
+    on ``src`` + one (node, label) counting groupBy with map-side
+    combine + an argmax window PARTITIONED BY node whose input is the
+    per-node DISTINCT NEIGHBOR LABEL list (bounded by degree — never a
+    global or per-community task). Label state is (node, label),
+    localCheckpoint-ed each round to keep lineage flat. Pass a
+    symmetrized edge list for undirected graphs — this function uses
+    edges as directed 'src informs dst' messages.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(
+        F.col("__c").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        msgs = (
+            e.join(labels, e["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        winner = (
+            msgs.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+        # nodes with no in-edges keep their current label
+        labels = (
+            labels.select("node", F.col("label").alias("__old"))
+            .join(winner, "node", "left")
+            .select(
+                "node", F.coalesce("label", "__old").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

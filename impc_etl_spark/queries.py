@@ -13262,3 +13262,199 @@ _R10B_WINDOW = [
     "orders_trend_mann_kendall",
 ]
 _set_window(_R10B_WINDOW)
+
+
+def part_copurchase_communities(spark, sf_dir):
+    """Label-propagation community detection on the strong co-purchase
+    graph (part pairs sharing >=2 orders, the `part_copurchase_pairs`
+    basket contract with its 16-item cap): three synchronous LPA rounds,
+    most-frequent-neighbor-label with min-label tie-break — the
+    'which product families hang together' clustering that connected
+    components (one giant blob) and triangles (local density only)
+    don't answer. Pair generation is ROW-LOCAL (no self-join); each LPA
+    round is one src-keyed join + one counting groupBy + a degree-
+    bounded argmax window (`graph.label_propagation`). The oracle
+    replays the three rounds as chained CTEs."""
+    from impc_etl_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = agg_ops.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", max_basket=16
+    )
+    strong = pairs.where(F.col("n_groups") >= 2).select("item_a", "item_b")
+    edges = strong.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).union(
+        strong.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    out = label_propagation(edges, iterations=3)
+    return out.select(F.col("node").alias("p_partkey"), "community")
+
+
+QUERIES["part_copurchase_communities"] = part_copurchase_communities
+
+ORACLE["part_copurchase_communities"] = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+capped AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM b) WHERE rn <= 16),
+p AS (
+  SELECT x.l_partkey AS u, y.l_partkey AS v
+  FROM capped x JOIN capped y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+e0 AS (SELECT u, v FROM p GROUP BY u, v HAVING count(*) >= 2),
+e AS (SELECT u AS src, v AS dst FROM e0
+      UNION ALL SELECT v, u FROM e0),
+labels0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+m1 AS (
+  SELECT e.dst AS node, l.label, count(*) AS c
+  FROM e JOIN labels0 l ON e.src = l.node GROUP BY e.dst, l.label),
+labels1 AS (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+        PARTITION BY node ORDER BY c DESC, label) AS rn FROM m1)
+  WHERE rn = 1),
+m2 AS (
+  SELECT e.dst AS node, l.label, count(*) AS c
+  FROM e JOIN labels1 l ON e.src = l.node GROUP BY e.dst, l.label),
+labels2 AS (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+        PARTITION BY node ORDER BY c DESC, label) AS rn FROM m2)
+  WHERE rn = 1),
+m3 AS (
+  SELECT e.dst AS node, l.label, count(*) AS c
+  FROM e JOIN labels2 l ON e.src = l.node GROUP BY e.dst, l.label),
+labels3 AS (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+        PARTITION BY node ORDER BY c DESC, label) AS rn FROM m3)
+  WHERE rn = 1)
+SELECT node AS p_partkey, label AS community FROM labels3
+"""
+
+
+def part_item_item_cf(spark, sf_dir):
+    """Item-item collaborative filtering (Sarwar et al. 2001 /
+    Linden et al. 2003 'item-to-item'): per-part top-3 neighbors by
+    co-occurrence cosine c_ij / sqrt(c_i * c_j) over order baskets —
+    the 'customers who bought X also bought' recommender built purely
+    from integer co-counts, so every cosine is computed from identical
+    BIGINTs on both engines. Same capped-basket contract as
+    `part_copurchase_pairs` (per-item counts come from the SAME capped
+    baskets as the pair counts — consistent support); the per-item
+    count table is a DATA-SIZED derived aggregate, so its two probe
+    joins pin sort-merge (the dup_spans broadcast-OOM rule). Ranking
+    (cosine desc, neighbor asc) is a degree-bounded per-item window."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    capped = (
+        b.withColumn("__rn", F.row_number().over(wcap))
+        .where(F.col("__rn") <= 16)
+        .drop("__rn")
+    )
+    ci = capped.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__c"))
+    pairs = agg_ops.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", max_basket=16
+    ).where(F.col("n_groups") >= 2)
+    sym = pairs.select(
+        F.col("item_a").alias("i"),
+        F.col("item_b").alias("j"),
+        F.col("n_groups").alias("n_both"),
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("i"),
+            F.col("item_a").alias("j"),
+            F.col("n_groups").alias("n_both"),
+        )
+    )
+    scored = (
+        sym.join(
+            ci.hint("merge").select(
+                F.col("l_partkey").alias("i"), F.col("__c").alias("__ci")
+            ),
+            "i",
+        )
+        .join(
+            ci.hint("merge").select(
+                F.col("l_partkey").alias("j"), F.col("__c").alias("__cj")
+            ),
+            "j",
+        )
+        .withColumn(
+            "__cos",
+            F.col("n_both").cast("double")
+            / F.sqrt(F.col("__ci").cast("double") * F.col("__cj")),
+        )
+    )
+    wtop = Window.partitionBy("i").orderBy(F.col("__cos").desc(), F.col("j"))
+    return (
+        scored.withColumn("__rnk", F.row_number().over(wtop))
+        .where(F.col("__rnk") <= 3)
+        .select(
+            F.col("i").alias("p_partkey"),
+            F.col("j").alias("neighbor"),
+            "n_both",
+            _rnd("__cos", 6).alias("cosine"),
+            F.col("__rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+QUERIES["part_item_item_cf"] = part_item_item_cf
+
+ORACLE["part_item_item_cf"] = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+capped AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM b) WHERE rn <= 16),
+ci AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+  FROM capped GROUP BY l_partkey),
+p AS (
+  SELECT x.l_partkey AS item_a, y.l_partkey AS item_b
+  FROM capped x JOIN capped y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+cij AS (
+  SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM p GROUP BY item_a, item_b HAVING count(*) >= 2),
+sym AS (
+  SELECT item_a AS i, item_b AS j, n_both FROM cij
+  UNION ALL SELECT item_b, item_a, n_both FROM cij),
+scored AS (
+  SELECT s.i, s.j, s.n_both,
+         CAST(s.n_both AS DOUBLE) / sqrt(CAST(a.c AS DOUBLE) * b2.c) AS cos
+  FROM sym s
+  JOIN ci a ON s.i = a.l_partkey
+  JOIN ci b2 ON s.j = b2.l_partkey)
+SELECT i AS p_partkey, j AS neighbor, n_both,
+       floor(cos * 1000000 + 0.5) / 1000000 AS cosine,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT i, j, n_both, cos, row_number() OVER (
+      PARTITION BY i ORDER BY cos DESC, j) AS rnk
+  FROM scored)
+WHERE rnk <= 3
+"""
+
+
+# Second late-r10 window extension: community detection + item-item CF
+# displace two more of _R10_WINDOW's newest LRU rows (statpacket_restructure
+# keeps its slot — its code changed this round; priority_map_normalize and
+# docs_exact_dedup move to the r11 fill head instead).
+_R10C_WINDOW = [
+    n
+    for n in _R10B_WINDOW
+    if n not in {"priority_map_normalize", "docs_exact_dedup"}
+] + [
+    "part_copurchase_communities",
+    "part_item_item_cf",
+]
+_set_window(_R10C_WINDOW)

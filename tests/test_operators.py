@@ -4277,3 +4277,29 @@ def test_mann_kendall_known_series(spark):
     # empty input → zero rows
     empty = spark.createDataFrame([], "t int, v double")
     assert mann_kendall(empty, "t", "v").count() == 0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must keep them as
+    two communities labelled by their min member; iteration determinism
+    pinned by re-running."""
+    from impc_etl_spark.operators.graph import label_propagation
+
+    cl1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    e0 = cl1 + cl2 + [(4, 10)]
+    edges = spark.createDataFrame(
+        e0 + [(b, a) for a, b in e0], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert len({out[n] for n in (1, 2, 3)}) == 1
+    assert len({out[n] for n in (11, 12, 13)}) == 1
+    assert out[1] != out[11]
+    out2 = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert out == out2
