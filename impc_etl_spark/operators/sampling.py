@@ -560,3 +560,113 @@ def epoch_shuffle(
         )
     )
     return df.withColumn(out, key)
+
+
+#: cumulative Poisson(λ=1) CDF values P(X <= k), k = 0..9 — shared
+#: verbatim by the DuckDB oracle so the inverse-CDF draws are identical
+#: integers on both engines (see poisson_weight / bootstrap_mean_ci)
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033254,
+    0.9999988747993286,
+    0.9999999885770609,
+)
+
+
+def poisson_weight(u: Column) -> Column:
+    """Inverse-CDF Poisson(1) draw from a uniform column — the resample
+    weight of the Poissonized bootstrap (multinomial counts → independent
+    Poisson(1) approximation, the only form that needs no global n).
+    Chained comparisons against the shared CDF literals; u quantized to
+    bucket midpoints upstream, so every engine lands the same integer."""
+    expr = F.when(u < POISSON1_CDF[0], 0)
+    for k in range(1, len(POISSON1_CDF)):
+        expr = expr.when(u < POISSON1_CDF[k], k)
+    return expr.otherwise(len(POISSON1_CDF)).cast("bigint")
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str | Column,
+    key_cols: Sequence[str],
+    replicates: int = 100,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poissonized-bootstrap confidence interval for the MEAN — the
+    error bar a metrics pipeline should put on every headline average:
+    R resample replicates where row i's multiplicity in replicate r is
+    an independent Poisson(1) draw (the n→∞ limit of multinomial
+    resampling; Chamandy et al., 'Estimating Uncertainty for Massive
+    Data Streams', the Poisson-bootstrap half of the BLB family).
+
+    Scale shape: ONE pass over the data exploding each row to its R
+    (replicate, weight) contributions — R× map CPU, but the counting
+    groupBy partial-aggregates, so the shuffle is R rows per input
+    partition and the replicate-means table is R rows total; the
+    percentile runs on those R rows. Pick R to trade CPU for CI
+    resolution — the standard Poisson-bootstrap cost model.
+
+    Determinism: weights are pure functions of (key, replicate, salt) —
+    md5 → bucket-midpoint uniform → shared-literal inverse CDF — so
+    re-runs, stragglers and the SQL oracle produce identical INTEGER
+    weights; only the final means/quantiles are floats. NULL/NaN values
+    are dropped. Output one row: n, n_replicates, mean, ci_lo, ci_hi
+    (percentile interpolation = the (1−g)a + gb linear rule both Spark
+    `percentile` and DuckDB `quantile_cont` implement).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    v = v.cast("double")
+    base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        v.alias("__v"),
+        F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias(
+            "__k"
+        ),
+    )
+    reps = base.select(
+        "__v",
+        "__k",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(replicates) - 1))
+        ).alias("__r"),
+    )
+    u = (
+        hash_bucket(
+            [F.concat_ws("|", F.col("__k"), F.col("__r").cast("string"))],
+            salt=salt,
+            num_buckets=1_000_000,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    weighted = reps.select(
+        "__r", "__v", poisson_weight(u).alias("__w")
+    )
+    means = (
+        weighted.groupBy("__r")
+        .agg(
+            F.sum(F.col("__w") * F.col("__v")).alias("__swv"),
+            F.sum("__w").alias("__sw"),
+        )
+        .select(F.try_divide("__swv", F.col("__sw").cast("double")).alias("__m"))
+        .where(F.col("__m").isNotNull())
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__v").alias("mean")
+    )
+    ci = means.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.expr(f"percentile(__m, {lo!r})").alias("ci_lo"),
+        F.expr(f"percentile(__m, {hi!r})").alias("ci_hi"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(ci))
+        .where(F.col("n") > 0)
+        .select("n", "n_replicates", "mean", "ci_lo", "ci_hi")
+    )

@@ -1830,3 +1830,53 @@ def oov_rate(
             ) / 1000000
         ).alias("oov_rate"),
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str,
+    id_cols: Sequence[str],
+) -> DataFrame:
+    """Flesch reading-ease scoring (Flesch 1948) with the standard
+    regex-surrogate counts — the readability axis of corpus quality
+    filtering (Gopher/C4 filter on length and symbol ratios; reading
+    ease separates encyclopedic prose from keyword soup at equal
+    length): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+
+    Counting is pure regexp projection, zero shuffle, and engine-
+    portable: words = the corpus tokenizer's [a-z0-9]+ runs; sentences
+    = [.!?]+ runs (floored at 1 — headlines have no terminator);
+    syllables = [aeiouy]+ vowel-group runs of the lowercased text, the
+    classic O(1)-per-char syllable surrogate (exact syllabification
+    needs a dictionary; vowel-run counting is the standard streaming
+    approximation and is what the shared SQL oracle replays). Empty
+    text scores the formula's 206.835 ceiling by the div-guards; NULL
+    text yields NULL counts/score on any engine.
+
+    Output: id_cols, n_words, n_sentences, n_syllables, flesch,
+    reading_level (the conventional 5-band cut).
+    """
+    t = F.col(text_col)
+    words = F.regexp_count(F.lower(t), F.lit("[a-z0-9]+"))
+    sents = F.greatest(F.regexp_count(t, F.lit("[.!?]+")), F.lit(1))
+    syll = F.regexp_count(F.lower(t), F.lit("[aeiouy]+"))
+    wps = words.cast("double") / sents.cast("double")
+    spw = syll.cast("double") / F.greatest(words, F.lit(1)).cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    level = (
+        F.when(flesch >= 90, "very_easy")
+        .when(flesch >= 70, "easy")
+        .when(flesch >= 50, "medium")
+        .when(flesch >= 30, "difficult")
+        .otherwise("very_difficult")
+    )
+    return df.select(
+        *id_cols,
+        words.cast("bigint").alias("n_words"),
+        sents.cast("bigint").alias("n_sentences"),
+        syll.cast("bigint").alias("n_syllables"),
+        flesch.alias("flesch"),
+        F.when(flesch.isNotNull(), level).alias("reading_level"),
+    )

@@ -13458,3 +13458,204 @@ _R10C_WINDOW = [
     "part_item_item_cf",
 ]
 _set_window(_R10C_WINDOW)
+
+
+def orders_dp_priority_counts(spark, sf_dir):
+    """User-level ε-differentially-private counting release: customers
+    per order-priority cell, contribution-capped at 4 cells per customer
+    (L1 sensitivity bound) + Laplace(sensitivity/ε) noise drawn
+    deterministically per cell (md5 → bucket-midpoint uniform →
+    inverse-CDF; `privacy.dp_noisy_counts` docstring spells out the
+    replayable-release-vs-CSPRNG-salt trade). The privacy sibling of
+    `docs_k_anonymity` / `docs_pii_scrub`: aggregate release instead of
+    row suppression. NULL cells are excluded on BOTH engines (the
+    NULLS-FIRST ordering trap would otherwise skew the per-user cap)."""
+    from impc_etl_spark.operators.privacy import dp_noisy_counts
+
+    orders = _t(spark, sf_dir, "orders")
+    out = dp_noisy_counts(
+        orders.where(F.col("o_orderpriority").isNotNull()),
+        ["o_orderpriority"],
+        "o_custkey",
+        epsilon=1.0,
+        max_contrib=4,
+        salt="dp",
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_users",
+        _rnd("noisy_count", 4).alias("noisy_count"),
+        "epsilon",
+        "sensitivity",
+    )
+
+
+QUERIES["orders_dp_priority_counts"] = orders_dp_priority_counts
+
+ORACLE["orders_dp_priority_counts"] = """
+WITH cells AS (
+  SELECT DISTINCT o_orderpriority AS g, o_custkey AS u
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL),
+capped AS (
+  SELECT g FROM (
+    SELECT g, row_number() OVER (PARTITION BY u ORDER BY g) AS rn
+    FROM cells)
+  WHERE rn <= 4),
+counts AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_users FROM capped GROUP BY g),
+noised AS (
+  SELECT g, n_users,
+         (CAST(concat('0x', substring(md5(concat_ws('|', 'dp', g)), 1, 15))
+               AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS uu
+  FROM counts)
+SELECT g AS o_orderpriority, n_users,
+       floor((CAST(n_users AS DOUBLE)
+              + (-4.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)))
+             * 10000 + 0.5) / 10000 AS noisy_count,
+       1.0 AS epsilon, 4.0 AS sensitivity
+FROM noised
+"""
+
+
+def orders_revenue_bootstrap_ci(spark, sf_dir):
+    """Poissonized-bootstrap 95% CI on mean order revenue — the error
+    bar every headline average should carry at any scale: 100 resample
+    replicates whose per-row multiplicities are DETERMINISTIC Poisson(1)
+    draws (md5(key|replicate) → midpoint uniform → shared-literal
+    inverse CDF — identical integers on both engines), replicate means
+    partial-aggregate in one pass, quantiles run on the 100-row means
+    table (`sampling.bootstrap_mean_ci`). R× map CPU, R-row shuffle —
+    the standard Poisson-bootstrap cost model."""
+    orders = _t(spark, sf_dir, "orders")
+    out = sample_ops.bootstrap_mean_ci(
+        orders, "o_totalprice", ["o_orderkey"], replicates=100
+    )
+    return out.select(
+        "n",
+        "n_replicates",
+        _rnd("mean", 4).alias("mean"),
+        _rnd("ci_lo", 4).alias("ci_lo"),
+        _rnd("ci_hi", 4).alias("ci_hi"),
+    )
+
+
+QUERIES["orders_revenue_bootstrap_ci"] = orders_revenue_bootstrap_ci
+
+ORACLE["orders_revenue_bootstrap_ci"] = """
+WITH base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         CAST(o_orderkey AS VARCHAR) AS k
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+reps AS (
+  SELECT v, k, r FROM base, (SELECT unnest(range(100)) AS r) AS rr),
+draws AS (
+  SELECT r, v,
+         (CAST(concat('0x', substring(
+              md5(concat_ws('|', 'boot',
+                            concat_ws('|', k, CAST(r AS VARCHAR)))), 1, 15))
+              AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS u
+  FROM reps),
+weighted AS (
+  SELECT r, v,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              WHEN u < 0.999916758850712 THEN 6
+              WHEN u < 0.9999897508033254 THEN 7
+              WHEN u < 0.9999988747993286 THEN 8
+              WHEN u < 0.9999999885770609 THEN 9
+              ELSE 10 END AS wt
+  FROM draws),
+means AS (
+  SELECT sum(wt * v) / CAST(sum(wt) AS DOUBLE) AS m
+  FROM weighted GROUP BY r),
+good AS (SELECT m FROM means WHERE m IS NOT NULL),
+ci AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+         quantile_cont(m, 0.025) AS ci_lo,
+         quantile_cont(m, 0.975) AS ci_hi
+  FROM good),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(v) AS mean FROM base)
+SELECT n, n_replicates,
+       floor(mean * 10000 + 0.5) / 10000 AS mean,
+       floor(ci_lo * 10000 + 0.5) / 10000 AS ci_lo,
+       floor(ci_hi * 10000 + 0.5) / 10000 AS ci_hi
+FROM stats, ci WHERE n > 0
+"""
+
+
+def docs_readability(spark, sf_dir):
+    """Flesch reading-ease per document with the regex-surrogate counts
+    (vowel-group syllables, [.!?]+ sentences, corpus-tokenizer words) —
+    the readability axis of quality filtering beside `docs_quality` /
+    `docs_gopher_rules`. Pure projection, zero shuffle; every count is
+    an integer so both engines score identical doubles. NULL-text rows
+    are excluded on BOTH sides (readability of nothing is undefined;
+    DuckDB and Spark also disagree on greatest(NULL, 1))."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text_ops.readability_scores(
+        docs.where(F.col("text").isNotNull()), "text", ["doc_id"]
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        _rnd("flesch", 4).alias("flesch"),
+        "reading_level",
+    )
+
+
+QUERIES["docs_readability"] = docs_readability
+
+ORACLE["docs_readability"] = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+             AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+             AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+             AS n_syllables
+  FROM documents WHERE text IS NOT NULL),
+f AS (
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         206.835
+           - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           - 84.6 * (CAST(n_syllables AS DOUBLE)
+                     / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
+  FROM c)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       floor(flesch * 10000 + 0.5) / 10000 AS flesch,
+       CASE WHEN flesch >= 90 THEN 'very_easy'
+            WHEN flesch >= 70 THEN 'easy'
+            WHEN flesch >= 50 THEN 'medium'
+            WHEN flesch >= 30 THEN 'difficult'
+            ELSE 'very_difficult' END AS reading_level
+FROM f
+"""
+
+
+# Third late-r10 window extension: the DP release, bootstrap CI and
+# readability queries displace three more of the newest LRU rows
+# (media_decode_features, supplier_rule_calls, customer_order_rollup —
+# all r4 evidence, they join the r11 fill head).
+_R10D_WINDOW = [
+    n
+    for n in _R10C_WINDOW
+    if n not in {
+        "media_decode_features", "supplier_rule_calls", "customer_order_rollup"
+    }
+] + [
+    "orders_dp_priority_counts",
+    "orders_revenue_bootstrap_ci",
+    "docs_readability",
+]
+_set_window(_R10D_WINDOW)

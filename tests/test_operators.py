@@ -4303,3 +4303,81 @@ def test_label_propagation_two_cliques(spark):
         for r in label_propagation(edges, iterations=3).collect()
     }
     assert out == out2
+
+
+def test_dp_noisy_counts_cap_and_determinism(spark):
+    from impc_etl_spark.operators.privacy import dp_noisy_counts
+
+    # user 1 touches 6 cells → capped to the 4 smallest cell keys;
+    # user 2 touches 2 cells → uncapped
+    rows = [(f"g{i}", 1) for i in range(6)] + [("g0", 2), ("g5", 2)]
+    df = spark.createDataFrame(rows, "g string, u int")
+    out = {
+        r["g"]: r for r in dp_noisy_counts(
+            df, ["g"], "u", epsilon=1.0, max_contrib=4).collect()
+    }
+    # g0..g3 get user 1; g4/g5 lose user 1 to the cap; g5 keeps user 2;
+    # g4 ends with NO users and is absent from the release
+    assert [out[f"g{i}"]["n_users"] for i in range(4)] == [2, 1, 1, 1]
+    assert "g4" not in out
+    assert out["g5"]["n_users"] == 1
+    # noise is nonzero, bounded-ish, and a re-run reproduces it exactly
+    out2 = {
+        r["g"]: r["noisy_count"] for r in dp_noisy_counts(
+            df, ["g"], "u", epsilon=1.0, max_contrib=4).collect()
+    }
+    assert all(out[g]["noisy_count"] == out2[g] for g in out)
+    assert any(abs(out[g]["noisy_count"] - out[g]["n_users"]) > 1e-9
+               for g in out)
+    # a different salt moves the noise
+    out3 = {
+        r["g"]: r["noisy_count"] for r in dp_noisy_counts(
+            df, ["g"], "u", epsilon=1.0, max_contrib=4, salt="x").collect()
+    }
+    assert any(out2[g] != out3[g] for g in out2)
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], "u", epsilon=0.0)
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], "u", max_contrib=0)
+
+
+def test_bootstrap_mean_ci_brackets_mean(spark):
+    from impc_etl_spark.operators.sampling import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, float(100 + (i * 37) % 25)) for i in range(400)],
+        "k int, v double",
+    )
+    r = bootstrap_mean_ci(df, "v", ["k"], replicates=60).collect()[0]
+    assert r["n"] == 400 and r["n_replicates"] == 60
+    # CI is ordered, tight-ish around the true mean for a bounded sample
+    assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+    assert r["ci_hi"] - r["ci_lo"] < 10.0
+    # deterministic across runs
+    r2 = bootstrap_mean_ci(df, "v", ["k"], replicates=60).collect()[0]
+    assert (r["ci_lo"], r["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
+    # empty input → zero rows
+    empty = spark.createDataFrame([], "k int, v double")
+    assert bootstrap_mean_ci(empty, "v", ["k"]).count() == 0
+
+
+def test_readability_known_text(spark):
+    from impc_etl_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, ""), (3, None)],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in readability_scores(df, "text", ["doc_id"]).collect()
+    }
+    r1 = out[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    assert r1["n_syllables"] == 6
+    assert abs(r1["flesch"] - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9
+    assert r1["reading_level"] == "very_easy"
+    # empty text: formula ceiling via the div guards
+    assert abs(out[2]["flesch"] - 206.835) < 1e-9
+    # NULL text: NULL metrics and NULL level
+    assert out[3]["flesch"] is None and out[3]["reading_level"] is None

@@ -51,6 +51,7 @@ BNL_ALLOWED = {
     "docs_zipf_fit",  # cross join with a broadcast 1-ROW (n_tokens, vocab_size) frame
     "customer_survival_km",  # cross join with a broadcast 1-ROW total-subjects frame
     "orders_trend_mann_kendall",  # month-grid pair join against a broadcast copy of the grid
+    "orders_revenue_bootstrap_ci",  # cross join with a broadcast 1-ROW replicate-quantiles frame
 }
 
 
