@@ -13659,3 +13659,192 @@ _R10D_WINDOW = [
     "docs_readability",
 ]
 _set_window(_R10D_WINDOW)
+
+
+def orders_mad_outliers(spark, sf_dir):
+    """Robust outlier profile per order-priority: median, MAD (median
+    absolute deviation), and the count/rate of modified-z outliers
+    (|x − med| > 3.5 · 1.4826 · MAD, Iglewicz-Hoaglin) — the
+    heavy-tail-safe twin of the IQR fence in `orders_price_outliers`
+    (a single 10^9 order would drag a mean/stddev fence, not this one).
+    Two exact grouped percentiles (the `orders_exact_percentiles`
+    group-fits-executor contract) + one grid-sized median broadcast
+    back; every comparison runs on identical doubles both engines
+    (percentile / quantile_cont share the (1−g)a + gb rule)."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.where(
+        F.col("o_totalprice").isNotNull()
+        & ~F.isnan(F.col("o_totalprice").cast("double"))
+        & F.col("o_orderpriority").isNotNull()
+    ).select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("__v")
+    )
+    med = base.groupBy("o_orderpriority").agg(
+        F.expr("percentile(__v, 0.5)").alias("__med")
+    )
+    dev = base.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "__v",
+        "__med",
+        F.abs(F.col("__v") - F.col("__med")).alias("__ad"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(__ad, 0.5)").alias("__mad")
+    )
+    out = (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("__med").alias("__med"),
+            F.max("__mad").alias("__mad"),
+            F.sum(
+                F.when(
+                    F.col("__ad")
+                    > F.lit(3.5) * F.lit(1.4826) * F.col("__mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("__no"),
+        )
+    )
+    return out.select(
+        "o_orderpriority",
+        "n",
+        _rnd("__med", 4).alias("median"),
+        _rnd("__mad", 4).alias("mad"),
+        F.col("__no").cast("bigint").alias("n_outliers"),
+        _rnd(F.col("__no").cast("double") / F.col("n"), 6).alias(
+            "outlier_rate"
+        ),
+    )
+
+
+QUERIES["orders_mad_outliers"] = orders_mad_outliers
+
+ORACLE["orders_mad_outliers"] = """
+WITH base AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+    AND o_orderpriority IS NOT NULL),
+med AS (
+  SELECT o_orderpriority, quantile_cont(v, 0.5) AS m
+  FROM base GROUP BY o_orderpriority),
+dev AS (
+  SELECT b.o_orderpriority, b.v, med.m, abs(b.v - med.m) AS ad
+  FROM base b JOIN med ON b.o_orderpriority = med.o_orderpriority),
+madt AS (
+  SELECT o_orderpriority, quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY o_orderpriority),
+agg AS (
+  SELECT d.o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         max(d.m) AS m,
+         max(madt.mad) AS mad,
+         CAST(sum(CASE WHEN d.ad > 3.5 * 1.4826 * madt.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+  FROM dev d JOIN madt ON d.o_orderpriority = madt.o_orderpriority
+  GROUP BY d.o_orderpriority)
+SELECT o_orderpriority, n,
+       floor(m * 10000 + 0.5) / 10000 AS median,
+       floor(mad * 10000 + 0.5) / 10000 AS mad,
+       n_out AS n_outliers,
+       floor(CAST(n_out AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+           AS outlier_rate
+FROM agg
+"""
+
+
+def orders_trend_sen_slope(spark, sf_dir):
+    """Theil-Sen slope on the monthly order-count series — the robust
+    ESTIMATE beside `orders_trend_mann_kendall`'s robust TEST (the pair
+    they ship as in every drift monitor): slope = median over i<j of
+    (v_j − v_i)/(t_j − t_i), intercept = median(v_i − slope·t_i). Month
+    index = 12·year + month (integer), so every pair slope is the same
+    double on both engines and the grid² pair join runs against a
+    BROADCAST copy of the ≤100-row month grid."""
+    from pyspark.sql import Window as _W  # noqa: F401 (doc parity)
+
+    orders = _t(spark, sf_dir, "orders")
+    series = (
+        orders.where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("__t")
+        )
+        .agg(F.count(F.lit(1)).alias("__v"))
+    )
+    a = series.alias("a")
+    b = series.alias("b")
+    slopes = a.join(
+        F.broadcast(b), F.col("a.__t") < F.col("b.__t")
+    ).select(
+        (
+            (F.col("b.__v") - F.col("a.__v")).cast("double")
+            / (F.col("b.__t") - F.col("a.__t")).cast("double")
+        ).alias("__s")
+    )
+    sen = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(__s, 0.5)").alias("__slope"),
+    )
+    inter = (
+        series.crossJoin(F.broadcast(sen))
+        .select(
+            (
+                F.col("__v").cast("double")
+                - F.col("__slope") * F.col("__t").cast("double")
+            ).alias("__i"),
+        )
+        .agg(F.expr("percentile(__i, 0.5)").alias("__icept"))
+    )
+    return (
+        sen.crossJoin(F.broadcast(inter))
+        .where(F.col("n_pairs") > 0)
+        .select(
+            "n_pairs",
+            _rnd("__slope", 6).alias("sen_slope"),
+            _rnd("__icept", 4).alias("sen_intercept"),
+        )
+    )
+
+
+QUERIES["orders_trend_sen_slope"] = orders_trend_sen_slope
+
+ORACLE["orders_trend_sen_slope"] = """
+WITH series AS (
+  SELECT 12 * year(o_orderdate) + month(o_orderdate) AS t,
+         CAST(count(*) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+slopes AS (
+  SELECT CAST(b.v - a.v AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+  FROM series a JOIN series b ON a.t < b.t),
+sen AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         quantile_cont(s, 0.5) AS slope
+  FROM slopes),
+icept AS (
+  SELECT quantile_cont(CAST(v AS DOUBLE) - (SELECT slope FROM sen)
+                       * CAST(t AS DOUBLE), 0.5) AS icept
+  FROM series)
+SELECT n_pairs,
+       floor(slope * 1000000 + 0.5) / 1000000 AS sen_slope,
+       floor(icept * 10000 + 0.5) / 10000 AS sen_intercept
+FROM sen, icept WHERE n_pairs > 0
+"""
+
+
+# Fourth late-r10 window extension: robust-outlier + Theil-Sen queries
+# displace the two newest remaining LRU rows (docs_bm25_search,
+# emb_semantic_dedup — r4 evidence, to the r11 fill head).
+_R10E_WINDOW = [
+    n
+    for n in _R10D_WINDOW
+    if n not in {"docs_bm25_search", "emb_semantic_dedup"}
+] + [
+    "orders_mad_outliers",
+    "orders_trend_sen_slope",
+]
+_set_window(_R10E_WINDOW)

@@ -52,6 +52,7 @@ BNL_ALLOWED = {
     "customer_survival_km",  # cross join with a broadcast 1-ROW total-subjects frame
     "orders_trend_mann_kendall",  # month-grid pair join against a broadcast copy of the grid
     "orders_revenue_bootstrap_ci",  # cross join with a broadcast 1-ROW replicate-quantiles frame
+    "orders_trend_sen_slope",  # month-grid pair join + two 1-ROW slope/intercept broadcasts
 }
 
 
