@@ -1942,3 +1942,86 @@ def textrank_keywords(
         edges, "src", "dst", weight_col="__w",
         iterations=iterations, damping=damping,
     ).select(F.col("node").alias("word"), "rank")
+
+
+def unigram_divergence(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Corpus-vs-corpus unigram KL / Jensen-Shannon divergence — the
+    'did the new crawl change the language' drift check a corpus
+    refresh runs before retraining (PSI's text sibling: PSI bins a
+    numeric column, this compares token distributions): additive-
+    smoothed unigram distributions over the UNION vocabulary of the two
+    slices, then KL(A‖B), KL(B‖A) and the bounded symmetric JS
+    divergence (nats).
+
+    ONE tokenize+explode pass tags each token with its side, one token
+    groupBy builds the (token, c_a, c_b) table, totals ride a 1-row
+    broadcast, and the divergence is a single aggregate over the
+    vocab-sized table — no join of two separately-built vocabularies.
+    Smoothing covers the union vocab only (tokens outside both slices
+    don't exist for either distribution — the standard add-α contract).
+    Every per-term double derives from integer counts, so both engines
+    score identical terms; only the final vocab-sum is order-sensitive
+    (report rounded). Empty EITHER slice → zero rows (divergence from
+    nothing is undefined).
+    """
+    a = F.when(F.col(label_col) == label_a, 1).otherwise(0)
+    b = F.when(F.col(label_col) == label_b, 1).otherwise(0)
+    toks = (
+        df.where(F.col(label_col).isin(label_a, label_b))
+        .select(
+            a.alias("__a"), b.alias("__b"),
+            F.explode(tokens(text_col)).alias("__tok"),
+        )
+    )
+    counts = toks.groupBy("__tok").agg(
+        F.sum("__a").cast("bigint").alias("__ca"),
+        F.sum("__b").cast("bigint").alias("__cb"),
+    )
+    totals = counts.agg(
+        F.sum("__ca").cast("bigint").alias("__na"),
+        F.sum("__cb").cast("bigint").alias("__nb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    s = float(smoothing)
+    withp = counts.crossJoin(F.broadcast(totals)).select(
+        "__na", "__nb", "__v",
+        (
+            (F.col("__ca").cast("double") + F.lit(s))
+            / (F.col("__na").cast("double") + F.lit(s) * F.col("__v"))
+        ).alias("__p"),
+        (
+            (F.col("__cb").cast("double") + F.lit(s))
+            / (F.col("__nb").cast("double") + F.lit(s) * F.col("__v"))
+        ).alias("__q"),
+    )
+    m = (F.col("__p") + F.col("__q")) / F.lit(2.0)
+    out = withp.agg(
+        F.max("__na").alias("n_tokens_a"),
+        F.max("__nb").alias("n_tokens_b"),
+        F.max("__v").alias("vocab"),
+        F.sum(F.col("__p") * F.log(F.col("__p") / F.col("__q"))).alias(
+            "__kl_ab"
+        ),
+        F.sum(F.col("__q") * F.log(F.col("__q") / F.col("__p"))).alias(
+            "__kl_ba"
+        ),
+        F.sum(
+            F.lit(0.5) * F.col("__p") * F.log(F.col("__p") / m)
+            + F.lit(0.5) * F.col("__q") * F.log(F.col("__q") / m)
+        ).alias("__js"),
+    )
+    return out.where(
+        (F.col("n_tokens_a") > 0) & (F.col("n_tokens_b") > 0)
+    ).select(
+        "n_tokens_a", "n_tokens_b", "vocab",
+        F.col("__kl_ab").alias("kl_ab"),
+        F.col("__kl_ba").alias("kl_ba"),
+        F.col("__js").alias("js"),
+    )

@@ -14103,3 +14103,65 @@ _R10F_WINDOW = [
     "events_markov_entropy_rate",
 ]
 _set_window(_R10F_WINDOW)
+
+
+def docs_lang_unigram_divergence(spark, sf_dir):
+    """Unigram KL/JS divergence between the English and German corpus
+    slices — the token-distribution drift check beside `events_psi_drift`
+    (PSI bins numbers; this compares language): additive-smoothed over
+    the UNION vocab, one tokenize pass, 1-row totals broadcast
+    (`text.unigram_divergence`)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text_ops.unigram_divergence(docs, "text", "lang", "en", "de")
+    return out.select(
+        "n_tokens_a", "n_tokens_b", "vocab",
+        _rnd("kl_ab", 6).alias("kl_ab"),
+        _rnd("kl_ba", 6).alias("kl_ba"),
+        _rnd("js", 6).alias("js"),
+    )
+
+
+QUERIES["docs_lang_unigram_divergence"] = docs_lang_unigram_divergence
+
+ORACLE["docs_lang_unigram_divergence"] = f"""
+WITH toks AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+         CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS b,
+         unnest({_DOC_TOKS}) AS tok
+  FROM documents WHERE lang IN ('en', 'de')),
+counts AS (
+  SELECT tok, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+  FROM toks GROUP BY tok),
+totals AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS v
+  FROM counts),
+withp AS (
+  SELECT t.na, t.nb, t.v,
+         (CAST(c.ca AS DOUBLE) + 0.5)
+             / (CAST(t.na AS DOUBLE) + 0.5 * t.v) AS p,
+         (CAST(c.cb AS DOUBLE) + 0.5)
+             / (CAST(t.nb AS DOUBLE) + 0.5 * t.v) AS q
+  FROM counts c, totals t),
+agg AS (
+  SELECT max(na) AS n_tokens_a, max(nb) AS n_tokens_b, max(v) AS vocab,
+         sum(p * ln(p / q)) AS kl_ab,
+         sum(q * ln(q / p)) AS kl_ba,
+         sum(0.5 * p * ln(p / ((p + q) / 2.0))
+             + 0.5 * q * ln(q / ((p + q) / 2.0))) AS js
+  FROM withp)
+SELECT n_tokens_a, n_tokens_b, vocab,
+       floor(kl_ab * 1000000 + 0.5) / 1000000 AS kl_ab,
+       floor(kl_ba * 1000000 + 0.5) / 1000000 AS kl_ba,
+       floor(js * 1000000 + 0.5) / 1000000 AS js
+FROM agg WHERE n_tokens_a > 0 AND n_tokens_b > 0
+"""
+
+
+# Sixth late-r10 window extension: the unigram-divergence drift check
+# displaces the newest remaining LRU row (docs_importance_resample — r4
+# evidence, to the r11 fill).
+_R10G_WINDOW = [
+    n for n in _R10F_WINDOW if n != "docs_importance_resample"
+] + ["docs_lang_unigram_divergence"]
+_set_window(_R10G_WINDOW)

@@ -4444,3 +4444,29 @@ def test_markov_entropy_rate_deterministic_chain(spark):
     rows = {(r["f"], r["t"]): r["count"] for r in counts.collect()}
     # deterministic transitions only: every source has exactly one target
     assert set(rows) == {("a", "b"), ("b", "a")}
+
+
+def test_unigram_divergence_properties(spark):
+    from impc_etl_spark.operators.text import unigram_divergence
+
+    df = spark.createDataFrame(
+        [(1, "en", "alpha beta gamma alpha"), (2, "de", "alpha beta gamma alpha"),
+         (3, "en", "alpha beta"), (4, "de", "alpha beta"),
+         (5, "fr", "unrelated words here")],
+        "doc_id int, lang string, text string",
+    )
+    # identical slices → all divergences exactly 0
+    r = unigram_divergence(df, "text", "lang", "en", "de").collect()[0]
+    assert r["kl_ab"] == 0.0 and r["kl_ba"] == 0.0 and r["js"] == 0.0
+    assert r["n_tokens_a"] == r["n_tokens_b"] == 6
+    # disjoint-ish slices → positive, JS bounded by ln 2, KLs asymmetric-capable
+    df2 = spark.createDataFrame(
+        [(1, "en", "aa aa aa bb"), (2, "de", "cc cc dd dd dd")],
+        "doc_id int, lang string, text string",
+    )
+    r2 = unigram_divergence(df2, "text", "lang", "en", "de").collect()[0]
+    assert r2["js"] > 0 and r2["js"] < 0.6931472
+    assert r2["kl_ab"] > 0 and r2["kl_ba"] > 0
+    # one empty slice → zero rows
+    r3 = unigram_divergence(df2, "text", "lang", "en", "zz").count()
+    assert r3 == 0

@@ -54,6 +54,7 @@ BNL_ALLOWED = {
     "orders_revenue_bootstrap_ci",  # cross join with a broadcast 1-ROW replicate-quantiles frame
     "orders_trend_sen_slope",  # month-grid pair join + two 1-ROW slope/intercept broadcasts
     "docs_textrank_keywords",  # pagerank's 1-ROW N / dangling-mass broadcasts over the word graph
+    "docs_lang_unigram_divergence",  # cross join with a broadcast 1-ROW totals frame (Na, Nb, V)
 }
 
 
