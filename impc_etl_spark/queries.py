@@ -13513,7 +13513,7 @@ SELECT g AS o_orderpriority, n_users,
        floor((CAST(n_users AS DOUBLE)
               + (-4.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)))
              * 10000 + 0.5) / 10000 AS noisy_count,
-       1.0 AS epsilon, 4.0 AS sensitivity
+       CAST(1.0 AS DOUBLE) AS epsilon, CAST(4.0 AS DOUBLE) AS sensitivity
 FROM noised
 """
 
