@@ -448,3 +448,55 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def bellman_ford(
+    edges: DataFrame,
+    source: object,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    iterations: int = 4,
+) -> DataFrame:
+    """Single-source WEIGHTED shortest paths by ``iterations`` rounds of
+    Bellman-Ford relaxation → (node, dist) for every node reached within
+    that many hops — the weighted companion of `bfs_distances` (hop
+    counts) for cost/latency/transit graphs. Fixed round count, so a SQL
+    oracle replays it as unrolled min-aggregation CTEs (the
+    `pagerank`/`label_propagation` contract; ``iterations`` >= the
+    longest useful hop count gives the exact fixed point on a graph
+    with no negative cycles).
+
+    Determinism: relaxation is min over {d(u) + w(u,v)} — additions of
+    IDENTICAL doubles in identical per-candidate order and an exact min,
+    so by induction every distance is bit-equal on any engine (unlike
+    float running sums, no evaluation-order freedom exists). Per round:
+    one src-keyed join + one min-groupBy over the FRONTIER-adjacent
+    edge set + one coalescing min with the settled table;
+    localCheckpoint keeps lineage flat. Unreached nodes are absent.
+    NULL/NaN weights drop their edge.
+    """
+    w = F.col(weight_col).cast("double")
+    e = edges.where(w.isNotNull() & ~F.isnan(w)).select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    ).localCheckpoint(eager=True)
+    dist = e.sparkSession.createDataFrame(
+        [(source, 0.0)], ["node", "dist"]
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        relaxed = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

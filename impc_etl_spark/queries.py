@@ -14165,3 +14165,103 @@ _R10G_WINDOW = [
     n for n in _R10F_WINDOW if n != "docs_importance_resample"
 ] + ["docs_lang_unigram_divergence"]
 _set_window(_R10G_WINDOW)
+
+
+def nation_trade_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths over the nation trade graph
+    (edge cost = MEAN order→ship transit days between customer and
+    supplier nations; source = nation 0): 4 unrolled Bellman-Ford
+    relaxation rounds (`graph.bellman_ford`) — the weighted companion of
+    `customer_graph_bfs`. Edge costs are exact doubles (integer day
+    sums / integer counts), and min-plus relaxation has no float
+    evaluation-order freedom, so the replay is bit-exact; the oracle
+    unrolls the same rounds as min-aggregation CTEs."""
+    from impc_etl_spark.operators.graph import bellman_ford
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(
+                supplier.select(
+                    "s_suppkey", F.col("s_nationkey").alias("sn")
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .where(
+            F.col("l_shipdate").isNotNull() & F.col("o_orderdate").isNotNull()
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("sn").alias("dst")
+        )
+        .agg(
+            (
+                F.sum(
+                    F.datediff(
+                        F.to_date("l_shipdate"), F.to_date("o_orderdate")
+                    ).cast("double")
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("w")
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    out = bellman_ford(edges, 0, iterations=4)
+    return out.select(
+        F.col("node").cast("bigint").alias("nationkey"),
+        _rnd("dist", 4).alias("dist_days"),
+    )
+
+
+QUERIES["nation_trade_sssp"] = nation_trade_sssp
+
+
+def _sssp_oracle(iterations: int = 4) -> str:
+    head = """
+WITH e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         sum(CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS DOUBLE))
+             / CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+  GROUP BY 1, 2
+  HAVING c.c_nationkey <> s.s_nationkey),
+d0 AS (SELECT 0 AS node, 0.0 AS dist)"""
+    stages = []
+    for t in range(iterations):
+        prev, cur = f"d{t}", f"d{t + 1}"
+        stages.append(f""",
+rx{t} AS (
+  SELECT e.dst AS node, min({prev}.dist + e.w) AS dist
+  FROM {prev} JOIN e ON {prev}.node = e.src GROUP BY e.dst),
+{cur} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL SELECT node, dist FROM rx{t}) GROUP BY node)""")
+    tail = f"""
+SELECT CAST(node AS BIGINT) AS nationkey,
+       floor(dist * 10000 + 0.5) / 10000 AS dist_days
+FROM d{iterations}
+"""
+    return head + "".join(stages) + tail
+
+
+ORACLE["nation_trade_sssp"] = _sssp_oracle()
+
+
+# Seventh late-r10 window extension: weighted SSSP displaces the newest
+# remaining LRU row (emb_label_centroids — r4 evidence, to the r11 fill).
+_R10H_WINDOW = [
+    n for n in _R10G_WINDOW if n != "emb_label_centroids"
+] + ["nation_trade_sssp"]
+_set_window(_R10H_WINDOW)

@@ -4470,3 +4470,19 @@ def test_unigram_divergence_properties(spark):
     # one empty slice → zero rows
     r3 = unigram_divergence(df2, "text", "lang", "en", "zz").count()
     assert r3 == 0
+
+
+def test_bellman_ford_known_graph(spark):
+    """Diamond with a cheaper 2-hop path: direct 1→4 costs 10, the
+    1→2→4 route costs 3; unreached node absent; NaN edge dropped."""
+    from impc_etl_spark.operators.graph import bellman_ford
+
+    edges = spark.createDataFrame(
+        [(1, 4, 10.0), (1, 2, 1.0), (2, 4, 2.0), (3, 5, 1.0),
+         (1, 6, float("nan"))],
+        "src int, dst int, w double",
+    )
+    out = {r["node"]: r["dist"] for r in
+           bellman_ford(edges, 1, iterations=4).collect()}
+    assert out[1] == 0.0 and out[2] == 1.0 and out[4] == 3.0
+    assert 3 not in out and 5 not in out and 6 not in out
