@@ -17,7 +17,7 @@ damage of an unexpectedly deep graph.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -400,8 +400,9 @@ def label_propagation(
     fixed-iterations-over-epsilon contract as `pagerank` / `hits`;
     synchronous sweeps can oscillate on bipartite structures, which a
     fixed count renders harmless AND replayable). Labels start as the
-    node ids, so communities come out keyed by their smallest-reachable
-    member in practice.
+    node ids — which must be NUMERIC (the min-label tie-break rides a
+    negated struct field under max()) — so communities come out keyed
+    by their smallest-reachable member in practice.
 
     Scale shape per round: ONE shuffle joining labels to the edge list
     on ``src`` + one (node, label) counting groupBy with map-side
@@ -423,9 +424,6 @@ def label_propagation(
     labels = nodes.select(
         "node", F.col("node").alias("label")
     ).localCheckpoint(eager=True)
-    w = Window.partitionBy("node").orderBy(
-        F.col("__c").desc(), F.col("label").asc()
-    )
     for _ in range(iterations):
         msgs = (
             e.join(labels, e["src"] == labels["node"])
@@ -433,11 +431,18 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        winner = (
-            msgs.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("node", "label")
-        )
+        # argmax by (count desc, label asc) as a map-side-combining
+        # max_by over a struct ordering — one aggregate exchange instead
+        # of a row_number window's shuffle+sort (K=300: the window sort
+        # was the round's spill source). -label encodes 'smallest label
+        # wins ties' under max(); labels here are the numeric node ids.
+        winner = msgs.groupBy("node").agg(
+            F.max(
+                F.struct(
+                    F.col("__c"), (-F.col("label")).alias("__nl")
+                )
+            ).alias("__best")
+        ).select("node", (-F.col("__best.__nl")).alias("label"))
         # nodes with no in-edges keep their current label
         labels = (
             labels.select("node", F.col("label").alias("__old"))
