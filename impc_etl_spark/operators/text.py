@@ -265,12 +265,20 @@ def unigram_logprob(
     floor a / (N + a·V), so scoring corpus B against corpus A's model is
     well-defined.
 
-    Scale shape: ONE shuffle builds the vocab (explode → groupBy token);
-    N and V ride along as a broadcast 1-row cross join (same pattern as
-    tf-idf's corpus-N). Scoring joins the exploded corpus to the vocab on
-    token — broadcast when ``broadcast_vocab`` (real vocabs are ≤ a few
-    hundred MB even at web scale; disable to let AQE pick a shuffle join)
-    — then one groupBy(doc) average. No collect anywhere.
+    Scale shape: ONE shuffle builds the vocab (explode → groupBy token),
+    which is then MATERIALIZED once (localCheckpoint) and shared by its
+    two consumers — the N/V totals aggregate and the scoring join.
+    Without the materialization Catalyst plans the totals as a second,
+    fully independent copy of the explode→groupBy subtree (no cross-tree
+    CSE), i.e. a third tokenize pass over the corpus plus a second
+    vocab-building shuffle — r10 plan audit: 3 corpus scans / 3 Generate
+    nodes collapse to 2 scans with the checkpoint; the vocab is
+    vocab-sized (≤ a few hundred MB at web scale), so the materialization
+    cost is nil against a corpus pass. N and V ride along as a broadcast
+    1-row cross join (same pattern as tf-idf's corpus-N). Scoring joins
+    the exploded corpus to the vocab on token — broadcast when
+    ``broadcast_vocab`` (disable to let AQE pick a shuffle join) — then
+    one groupBy(doc) average. No collect anywhere.
     """
     src = vocab_df if vocab_df is not None else df
     src_text = vocab_text_col or text_col
@@ -278,6 +286,7 @@ def unigram_logprob(
         src.select(F.explode(tokens(src_text)).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
     )
     totals = vocab.agg(
         F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
@@ -325,16 +334,24 @@ def bigram_logprob(
     can't see); the last rung before a real KenLM.
 
     Scale shape mirrors ``unigram_logprob``: one shuffle builds the
-    bigram-count table (context counts derive from it by first-token
-    re-aggregation — no second corpus pass), V and the context table ride
-    broadcast joins against the exploded corpus, one groupBy(doc) average.
-    Docs with < 2 tokens produce no row.
+    bigram-count table, which is MATERIALIZED (localCheckpoint) because
+    it has two consumers — the first-token context re-aggregation and
+    the scoring join; without the checkpoint Catalyst clones the whole
+    explode→groupBy subtree per consumer (two extra corpus tokenize
+    passes; no cross-tree CSE — r10 plan audit). The context counts then
+    derive from the materialized table with no second corpus pass. V
+    stays its own corpus aggregate: it counts distinct TOKENS (including
+    single-token docs that produce no bigram), so it cannot be derived
+    from the bigram table without changing results. V and the context
+    table ride broadcast joins against the exploded corpus, one
+    groupBy(doc) average. Docs with < 2 tokens produce no row.
     """
     bigr = word_shingles(tokens(text_col), 2)
     big_counts = (
         df.select(F.explode(bigr).alias("big"))
         .groupBy("big")
         .agg(F.count(F.lit(1)).alias("__c2"))
+        .localCheckpoint(eager=True)
     )
     ctx_counts = (
         big_counts.groupBy(F.split(F.col("big"), " ").getItem(0).alias("ctx"))
@@ -974,9 +991,16 @@ def bm25_topk(
 
     Scale shape: per-term tf's are computed ROW-LOCALLY with array
     intersections (the query is a literal — no corpus explode, no
-    (doc x term) shuffle). Corpus stats (N, avgdl, per-term df) reduce to
-    ONE row via map-side-combined conditional counts, broadcast back, and
-    the final top-k is a TakeOrdered — the corpus itself never shuffles.
+    (doc x term) shuffle), then the NARROW per-doc feature frame
+    (id, dl, tf…) — a few ints per document — is MATERIALIZED once
+    (localCheckpoint) and shared by its two consumers, the corpus-stats
+    aggregate and the final scoring. Without that, Catalyst clones the
+    scan+tokenize+tf subtree per consumer (no cross-tree CSE): two full
+    corpus scans and two regex tokenize passes for one query — r10 plan
+    audit measured exactly that shape. Corpus stats (N, avgdl, per-term
+    df) reduce to ONE row via map-side-combined conditional counts,
+    broadcast back, and the final top-k is a TakeOrdered — the corpus
+    itself never shuffles.
     """
     terms = sorted(set(query_terms))
     toks = tokens(text_col)
@@ -989,6 +1013,9 @@ def bm25_topk(
     )
     for i, t in enumerate(terms):
         scored = scored.withColumn(f"__tf{i}", tf_of(t))
+    scored = scored.select(
+        F.col(id_col), "__dl", *[f"__tf{i}" for i in range(len(terms))]
+    ).localCheckpoint(eager=True)
     stats = scored.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg("__dl").alias("__avgdl"),

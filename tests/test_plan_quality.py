@@ -367,3 +367,28 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     # and the pruned plan still computes the right answer
     expected = orders.where(F.col("o_orderstatus") == "F").count()
     assert j.count() == expected
+
+
+def test_lm_scoring_single_corpus_pass(spark):
+    """unigram/bigram/BM25 scoring must evaluate the corpus scan+tokenize
+    subtree at most ONCE in the final plan (r10 optimization): the model /
+    stats side is materialized (localCheckpoint) and re-read as an
+    ExistingRDD, never re-derived from parquet. Without the
+    materialization Catalyst clones the whole explode→groupBy subtree per
+    consumer (no cross-tree CSE) — docs_unigram_logprob planned THREE
+    full tokenize passes over documents.parquet, bm25 two."""
+    import re
+
+    from impc_etl_spark import queries as q
+
+    for name, max_scans in [
+        ("docs_unigram_logprob", 1),
+        ("docs_bigram_logprob", 2),  # scoring pass + the distinct-V pass
+        ("docs_bm25_search", 0),  # stats AND scoring read the checkpoint
+    ]:
+        plan = q.QUERIES[name](spark, SF_SMOKE)._jdf.queryExecution().toString()
+        n = len(re.findall(r"FileScan parquet [^\n]*documents\.parquet", plan))
+        assert n <= max_scans, (
+            f"{name}: {n} documents.parquet scans in final plan "
+            f"(expected <= {max_scans} — duplicate corpus pass regressed)"
+        )
