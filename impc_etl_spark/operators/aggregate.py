@@ -199,12 +199,38 @@ def json_bundle(cols: Sequence[str | Column], sort: bool = True) -> Column:
     return F.to_json(s)
 
 
+def basket_sets(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """(group, __items): each group's DISTINCT sorted item array, capped
+    to the ``max_basket`` SMALLEST items (a deterministic slice — the
+    same set as a row_number()-over-distinct cap ordered by item).
+
+    The shared base of co-occurrence mining: pair generation AND
+    per-item support counts both derive from the capped baskets. When
+    one query needs both, build this frame once, ``localCheckpoint`` it,
+    and pass it to ``co_occurrence_pairs(baskets_df=...)`` — otherwise
+    Catalyst clones the whole distinct+cap shuffle per consumer (no
+    cross-tree CSE; the r10 plan audit caught part_item_item_cf running
+    it three times). NULL items are dropped (collect_set semantics —
+    matches the DuckDB NULLS LAST row_number cap, which never lets a
+    NULL displace a real item from the basket)."""
+    items = F.array_sort(F.collect_set(item_col))
+    if max_basket is not None:
+        items = F.slice(items, 1, max_basket)
+    return df.groupBy(group_col).agg(items.alias("__items"))
+
+
 def co_occurrence_pairs(
     df: DataFrame,
     group_col: str,
     item_col: str,
     max_basket: int | None = None,
     top_k: int | None = None,
+    baskets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Market-basket co-occurrence mining: count how often each UNORDERED
     item pair appears in the same group (order, session, document) →
@@ -220,12 +246,15 @@ def co_occurrence_pairs(
     pathological basket would emit 5·10⁷ pairs; capping keeps the most
     frequent-leading slice deterministic by item order). ``top_k`` cuts
     the result to the heaviest pairs via TakeOrdered (ties broken by
-    (item_a, item_b) so the cut is deterministic).
+    (item_a, item_b) so the cut is deterministic). Pass ``baskets_df``
+    (a — typically materialized — ``basket_sets`` frame) to reuse an
+    existing basket build instead of re-deriving it.
     """
-    items = F.array_sort(F.collect_set(item_col))
-    if max_basket is not None:
-        items = F.slice(items, 1, max_basket)
-    baskets = df.groupBy(group_col).agg(items.alias("__items"))
+    baskets = (
+        baskets_df
+        if baskets_df is not None
+        else basket_sets(df, group_col, item_col, max_basket)
+    )
     arr = F.col("__items")
     pairs = F.flatten(
         F.transform(
@@ -680,10 +709,14 @@ def ks_binned(
             )
         ).cast("int").alias("__bin"),
     )
+    # grid-sized counts MATERIALIZED (r10): two consumers (cdf + totals)
+    # would each re-run the whole bounds+bin subtree — 4 base-table
+    # scans audited in orders_ks_yearly_drift, 2 after (the bounds pass
+    # and the binning pass, the unavoidable pair for data-derived bins)
     counts = binned.groupBy("__bin").agg(
         F.count(F.when(F.col("__lbl") == label_a, 1)).alias("__ca"),
         F.count(F.when(F.col("__lbl") == label_b, 1)).alias("__cb"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
     cdf = counts.select(
         F.sum("__ca").over(w).alias("__cuma"),
@@ -959,13 +992,21 @@ def bh_fdr(
     ``key_cols`` must uniquely identify hypotheses (rank tie-break).
     Output: key_cols, p_value, bh_rank, m, bh_threshold, rejected. NULL
     and NaN p-values are excluded.
+
+    r10: the hypothesis table and the ranked/flagged frame are each
+    MATERIALIZED once — `base` feeds the rank pass AND the m count
+    (each would re-run the caller's data-sized per-segment aggregation:
+    customer_urgent_bh_fdr audited at 4 orders scans, 2 after — the
+    rollup + the global-rate pass), and `flagged` feeds the cutoff
+    aggregate AND the final projection (each would re-sort the
+    hypothesis windows). Both frames are narrow (keys + p + rank).
     """
     from impc_etl_spark.operators.partitioning import ranged_prefix_sums
 
     p = F.col(p_col).cast("double")
     base = df.where(p.isNotNull() & ~F.isnan(p)).select(
         *key_cols, p.alias("__p"), F.lit(1).alias("__one")
-    )
+    ).localCheckpoint(eager=True)
     ranked = ranged_prefix_sums(base, ["__p", *key_cols], ["__one"]).select(
         *key_cols,
         "__p",
@@ -978,7 +1019,9 @@ def bh_fdr(
         * F.lit(float(q))
         / F.col("__m").cast("double")
     )
-    flagged = with_m.withColumn("__pass", F.col("__p") <= thresh)
+    flagged = with_m.withColumn(
+        "__pass", F.col("__p") <= thresh
+    ).localCheckpoint(eager=True)
     cutoff = flagged.agg(
         F.max(F.when(F.col("__pass"), F.col("__p"))).alias("__cut")
     )
@@ -1036,11 +1079,19 @@ def survival_km(
     base = df.where(dur.isNotNull()).select(
         dur.alias("__dur"), ev.alias("__ev")
     )
+    # The grid is MATERIALIZED (localCheckpoint; grid-sized by contract)
+    # and the subject total N derives from it (N = Σ(d_u + c_u) —
+    # identical BIGINT to counting base rows): without this, `base` had
+    # two consumers (grid + total) and the caller's whole data-sized
+    # per-subject rollup ran twice (r10 plan audit:
+    # customer_survival_km scanned orders 4×, 1 after).
     grid = base.groupBy("__dur").agg(
         F.sum("__ev").cast("bigint").alias("n_events"),
         F.sum(1 - F.col("__ev")).cast("bigint").alias("n_censored"),
+    ).localCheckpoint(eager=True)
+    total = grid.agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).alias("__n")
     )
-    total = base.agg(F.count(F.lit(1)).alias("__n"))
     w_prev = Window.orderBy("__dur").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -604,7 +604,11 @@ def passjoin_pairs(
     distinct, two id-keyed text lookups, verify. All shuffles are
     linear in rows x constant; pair work is linear in TRUE near-matches
     plus signature false positives (substring entropy-bounded), never
-    in block size. NULL texts drop.
+    in block size. NULL texts drop. The pruned (blocks, id, text, len)
+    base frame is MATERIALIZED once (localCheckpoint): SIX consumers
+    (index keys, probe keys, the two short-pool sides, both text
+    lookups) would otherwise each re-scan the base table — 6 parquet
+    scans measured in the r10 plan audit, 1 after.
     """
     d = int(max_distance)
     if d < 1:
@@ -620,6 +624,7 @@ def passjoin_pairs(
             F.col(text_col).alias("__t"),
             F.length(text_col).alias("__L"),
         )
+        .localCheckpoint(eager=True)
     )
 
     def seg_start(L: Column, j: int) -> Column:
@@ -945,6 +950,23 @@ def interval_agg_join(
             F.sum("n_points").alias("n_points"),
             *[F.sum(f"sum_{v}").alias(f"sum_{v}") for v in vals],
         )
+    # r10: in the interior+edge decomposition, ptagg feeds TWO consumers
+    # (the interior's per-bin re-aggregate and the edge join) and iv
+    # feeds two (interior explode + edge-bin explode) — without
+    # materialization Catalyst clones each subtree per consumer and the
+    # POINTS and INTERVALS sides are both scanned twice
+    # (campaign_window_totals audited at 4 orders scans, 2 after: one
+    # per side). The checkpoints are the collapsed per-(bin, value)
+    # table and the stamped interval table — both no wider than their
+    # pruned inputs. binagg is rebuilt ON the checkpoint so the interior
+    # phase reads it too. (The aligned fast path above has one consumer
+    # per side — no checkpoint there.)
+    ptagg = ptagg.localCheckpoint(eager=True)
+    binagg = ptagg.groupBy(*on, "__bin").agg(
+        F.sum("__n").alias("n_points"),
+        *[F.sum(f"__s_{v}").alias(f"sum_{v}") for v in vals],
+    )
+    iv = iv.localCheckpoint(eager=True)
     # phase 1: interior bins take whole pre-aggregates (no predicate).
     # The when-guard matters: sequence(a, b) auto-steps BACKWARD when
     # a > b, so a 0/1-bin interval would fabricate descending "interior"

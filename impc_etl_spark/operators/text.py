@@ -548,9 +548,16 @@ def backoff_trigram_logprob(
     and the corpus positions join the finished score table ONCE. Model
     counts are RAW n-gram counts (three explode passes over the
     reference corpus, each one partial-aggregated shuffle — the honest
-    model-build cost). With ``broadcast_model=False`` every data-sized
-    model join is merge-hinted (never broadcast off a bad estimate).
-    Docs with < 3 tokens produce no row.
+    model-build cost). The bigram and unigram count tables each have TWO
+    ladder consumers (context + backoff / context + tail), so they are
+    MATERIALIZED once (localCheckpoint) — without that Catalyst clones
+    each build subtree per consumer and the (N, V) totals re-scan the
+    reference a seventh time: 8 base-table scans measured in the r10
+    plan audit, 5 after (c3 + c2 + c1 + types + corpus). N and V derive
+    from the materialized unigram table (N = Σ counts, V = row count —
+    identical values by construction). With ``broadcast_model=False``
+    every data-sized model join is merge-hinted (never broadcast off a
+    bad estimate). Docs with < 3 tokens produce no row.
     """
     tri = word_shingles(tokens(text_col), 3)
     big = word_shingles(tokens(text_col), 2)
@@ -561,14 +568,16 @@ def backoff_trigram_logprob(
     c2 = (
         model_df.select(F.explode(big).alias("big"))
         .groupBy("big").agg(F.count(F.lit(1)).alias("__c2"))
+        .localCheckpoint(eager=True)
     )
     c1 = (
         model_df.select(F.explode(tokens(text_col)).alias("tok"))
         .groupBy("tok").agg(F.count(F.lit(1)).alias("__c1"))
+        .localCheckpoint(eager=True)
     )
-    nv = model_df.select(F.explode(tokens(text_col)).alias("tok")).agg(
-        F.count(F.lit(1)).alias("__N"),
-        F.count_distinct("tok").alias("__V"),
+    nv = c1.agg(
+        F.sum("__c1").alias("__N"),
+        F.count(F.lit(1)).alias("__V"),
     )
 
     def prep(m):

@@ -692,12 +692,18 @@ def mann_kendall(
     work but sign() near exact pair-equality is ulp-sensitive. NULL/NaN
     values are dropped; n < 2 emits the degenerate row with NULL z via
     try_divide. Output one row: n, s_stat, var_s, z_stat.
+
+    The filtered grid is MATERIALIZED once (localCheckpoint — grid-sized
+    by contract, so trivially cheap): it has FOUR consumers (both pair
+    sides, n, ties) and each would otherwise re-execute the caller's
+    full data-sized aggregation subtree — the r10 plan audit counted 4
+    base-table scans in orders_trend_mann_kendall, 1 after.
     """
     t = F.col(time_col)
     v = F.col(value_col)
     base = df.where(
         t.isNotNull() & v.isNotNull() & ~F.isnan(v.cast("double"))
-    ).select(t.alias("__t"), v.alias("__v"))
+    ).select(t.alias("__t"), v.alias("__v")).localCheckpoint(eager=True)
     a = base.alias("a")
     b = base.alias("b")
     # grid-sized by contract: broadcast the right copy explicitly so the

@@ -13061,13 +13061,21 @@ def customer_survival_km(spark, sf_dir):
     (`survival_km` docstring). Survival-analysis twin of the
     `customer_retention_cohorts` share table."""
     orders = _t(spark, sf_dir, "orders")
-    mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("__mx"))
-    cust = (
+    # r10: ONE orders scan — the per-customer rollup is materialized and
+    # the observation-end date derives from it (max of per-customer max
+    # == global max; max ignores NULLs identically), instead of a
+    # separate full-scan aggregate + a cloned rollup per consumer
+    roll = (
         orders.groupBy("o_custkey")
         .agg(
             F.min(F.to_date("o_orderdate")).alias("__first"),
             F.max(F.to_date("o_orderdate")).alias("__last"),
         )
+        .localCheckpoint(eager=True)
+    )
+    mx = roll.agg(F.max("__last").alias("__mx"))
+    cust = (
+        roll
         .crossJoin(F.broadcast(mx))
         .select(
             F.datediff("__last", "__first").alias("__dur"),
@@ -13274,7 +13282,14 @@ def part_copurchase_communities(spark, sf_dir):
     don't answer. Pair generation is ROW-LOCAL (no self-join); each LPA
     round is one src-keyed join + one counting groupBy + a degree-
     bounded argmax window (`graph.label_propagation`). The oracle
-    replays the three rounds as chained CTEs."""
+    replays the three rounds as chained CTEs.
+
+    r10 optimization: edges are symmetrized by a row-local
+    explode-mirror, not a union of two projections — the union form
+    evaluated the whole pair-counting subtree (the query's dominant
+    cost: 162 s / 6.7 GB shuffle at sf30-equivalent) TWICE before LPA's
+    eager edge checkpoint could help (Catalyst has no cross-tree CSE).
+    Identical edge multiset, one pair-count evaluation."""
     from impc_etl_spark.operators.graph import label_propagation
 
     li = _t(spark, sf_dir, "lineitem")
@@ -13283,10 +13298,17 @@ def part_copurchase_communities(spark, sf_dir):
     )
     strong = pairs.where(F.col("n_groups") >= 2).select("item_a", "item_b")
     edges = strong.select(
-        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
-    ).union(
-        strong.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("item_b").alias("src"), F.col("item_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     out = label_propagation(edges, iterations=3)
     return out.select(F.col("node").alias("p_partkey"), "community")
 
@@ -13347,32 +13369,48 @@ def part_item_item_cf(spark, sf_dir):
     baskets as the pair counts — consistent support); the per-item
     count table is a DATA-SIZED derived aggregate, so its two probe
     joins pin sort-merge (the dup_spans broadcast-OOM rule). Ranking
-    (cosine desc, neighbor asc) is a degree-bounded per-item window."""
+    (cosine desc, neighbor asc) is a degree-bounded per-item window.
+
+    r10 optimization: the capped baskets are built ONCE (basket_sets +
+    localCheckpoint) and feed both ci and the pair generation — the
+    r10 plan audit caught the distinct+cap shuffle running 3× (ci's
+    row_number form once, co_occurrence's collect_set form once, and a
+    clone of ci for its second probe); the symmetrization is a
+    row-local explode-mirror instead of unionAll, which evaluated the
+    whole pair-counting subtree twice (the connected_components edge
+    trick). ci is itself materialized for its two probes. 4 lineitem
+    scans → 1; identical rows (the collect_set cap keeps the 16
+    smallest distinct partkeys, exactly the row_number cap)."""
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    wcap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    capped = (
-        b.withColumn("__rn", F.row_number().over(wcap))
-        .where(F.col("__rn") <= 16)
-        .drop("__rn")
-    )
-    ci = capped.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__c"))
-    pairs = agg_ops.co_occurrence_pairs(
+    baskets = agg_ops.basket_sets(
         li, "l_orderkey", "l_partkey", max_basket=16
+    ).localCheckpoint(eager=True)
+    ci = (
+        baskets.select(F.explode("__items").alias("l_partkey"))
+        .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = agg_ops.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", max_basket=16, baskets_df=baskets
     ).where(F.col("n_groups") >= 2)
     sym = pairs.select(
-        F.col("item_a").alias("i"),
-        F.col("item_b").alias("j"),
-        F.col("n_groups").alias("n_both"),
-    ).unionAll(
-        pairs.select(
-            F.col("item_b").alias("i"),
-            F.col("item_a").alias("j"),
-            F.col("n_groups").alias("n_both"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("i"),
+                    F.col("item_b").alias("j"),
+                    F.col("n_groups").alias("n_both"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("i"),
+                    F.col("item_a").alias("j"),
+                    F.col("n_groups").alias("n_both"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.n_both")
     scored = (
         sym.join(
             ci.hint("merge").select(
@@ -13679,9 +13717,15 @@ def orders_mad_outliers(spark, sf_dir):
     ).select(
         "o_orderpriority", F.col("o_totalprice").cast("double").alias("__v")
     )
+    # r10: the grouped medians are MATERIALIZED (≤5 rows each) — `med`
+    # feeds both the deviation pass and (via dev's clone) the outlier
+    # pass, and without the checkpoint each consumer re-ran the full
+    # median aggregation subtree (4 orders scans audited; 3 after — the
+    # unavoidable pass count for exact grouped MAD: median, abs-dev
+    # median, outlier count, each needing the previous result)
     med = base.groupBy("o_orderpriority").agg(
         F.expr("percentile(__v, 0.5)").alias("__med")
-    )
+    ).localCheckpoint(eager=True)
     dev = base.join(F.broadcast(med), "o_orderpriority").select(
         "o_orderpriority",
         "__v",
@@ -13690,7 +13734,7 @@ def orders_mad_outliers(spark, sf_dir):
     )
     mad = dev.groupBy("o_orderpriority").agg(
         F.expr("percentile(__ad, 0.5)").alias("__mad")
-    )
+    ).localCheckpoint(eager=True)
     out = (
         dev.join(F.broadcast(mad), "o_orderpriority")
         .groupBy("o_orderpriority")
@@ -13763,9 +13807,13 @@ def orders_trend_sen_slope(spark, sf_dir):
     (v_j − v_i)/(t_j − t_i), intercept = median(v_i − slope·t_i). Month
     index = 12·year + month (integer), so every pair slope is the same
     double on both engines and the grid² pair join runs against a
-    BROADCAST copy of the ≤100-row month grid."""
-    from pyspark.sql import Window as _W  # noqa: F401 (doc parity)
+    BROADCAST copy of the ≤100-row month grid.
 
+    r10 optimization: the month grid (a full orders scan reduced to
+    ≤100 rows) has FOUR consumers (both pair-join sides + the intercept
+    pass + sen's clone in the final cross join) — materialize it once;
+    `sen` (1 row) likewise feeds two consumers. 5 orders scans → 1 in
+    the audited plan, identical arithmetic."""
     orders = _t(spark, sf_dir, "orders")
     series = (
         orders.where(F.col("o_orderdate").isNotNull())
@@ -13775,6 +13823,7 @@ def orders_trend_sen_slope(spark, sf_dir):
             ).alias("__t")
         )
         .agg(F.count(F.lit(1)).alias("__v"))
+        .localCheckpoint(eager=True)
     )
     a = series.alias("a")
     b = series.alias("b")
@@ -13789,7 +13838,7 @@ def orders_trend_sen_slope(spark, sf_dir):
     sen = slopes.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.expr("percentile(__s, 0.5)").alias("__slope"),
-    )
+    ).localCheckpoint(eager=True)
     inter = (
         series.crossJoin(F.broadcast(sen))
         .select(
