@@ -347,11 +347,16 @@ def importance_weights(
 
     raw_c = _counts(df, text_col, "__cr")
     tgt_c = _counts(target_df, tcol, "__ct")
+    # ≤buckets-row table MATERIALIZED (r10): two consumers (totals +
+    # score) otherwise clone BOTH corpus explode→groupBy subtrees —
+    # docs_importance_resample audited at 6 documents scans, 4 after
+    # (raw counts, target counts, doc scoring, the resample join — the
+    # DSIR-inherent passes)
     merged = raw_c.join(tgt_c, "__bkt", "full_outer").select(
         "__bkt",
         F.coalesce("__cr", F.lit(0)).alias("__cr"),
         F.coalesce("__ct", F.lit(0)).alias("__ct"),
-    )
+    ).localCheckpoint(eager=True)
     totals = merged.agg(
         F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
     )

@@ -668,6 +668,11 @@ def bigram_pmi(
         .agg(F.count(F.lit(1)).alias("__c2"))
         .where(F.col("__c2") >= min_count)
     )
+    # r10: the unigram table feeds TWO probe joins (__x and __y) —
+    # materialize it once or the corpus explode→groupBy runs twice
+    # (docs_collocations audited at 4 documents scans, 3 after: uni,
+    # big, and the no-explode totals pass)
+    uni = uni.localCheckpoint(eager=True)
     # N and B from ONE scan with no explode: B = Σ max(len-1, 0) is
     # exactly the bigram-occurrence count word_shingles emits
     totals = df.agg(
@@ -955,12 +960,18 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     ex = fan_out(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        ex.select(id_col, "term").distinct()
-        .groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
-    )
-    n = ex.select(id_col).distinct().agg(F.count(F.lit(1)).alias("__n"))
+    # r10: tf is MATERIALIZED and both df(t) and N derive from it —
+    # dfreq(t) = #tf-rows per term (tf has exactly one row per distinct
+    # (doc, term)) and N = distinct ids in tf; identical values to the
+    # previous explode+distinct passes. Before: `ex` had three
+    # consumers, so the corpus explode ran 3× AND dfreq paid its own
+    # full (id, term) distinct shuffle — 3 scans audited, 1 after, one
+    # token-scale shuffle instead of two.
+    tf = ex.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("__n"))
     score = F.col("tf") * (
         F.log((F.col("__n") + F.lit(1.0)) / (F.col("__df") + F.lit(1.0))) + F.lit(1.0)
     )
@@ -1052,6 +1063,87 @@ def bm25_topk(
         .where(F.col("bm25") > 0)
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(top_k)
+    )
+
+
+def bm25_probe_suite(
+    df: DataFrame,
+    probes: Sequence[tuple[str, Sequence[str]]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Multi-probe BM25 (r10): run several fixed-term probe queries off
+    ONE tokenize pass. Returns ``(results, features)``:
+
+    - ``results``: (qid, id, bm25) — each probe's top-k, identical
+      values to per-probe ``bm25_topk`` calls (same term sorting, same
+      stats, same floor-rounding, same (score desc, id) cut);
+    - ``features``: the MATERIALIZED per-doc frame (id, __dl, and one
+      ``__tf_<term>`` per distinct term over all probes) — callers
+      derive graded relevance (term presence == tf > 0) from it instead
+      of re-tokenizing the corpus.
+
+    Why: an evaluation harness scoring P probes via p independent
+    bm25_topk calls pays P corpus scans for the rankings plus P more
+    for relevance labels (docs_ndcg_eval audited at 6 documents scans);
+    every probe's tf's and every label are projections of one feature
+    frame, so one scan + one checkpoint suffices. Per-probe stats are
+    1-row aggregates OVER the checkpoint, broadcast back exactly as in
+    ``bm25_topk``.
+    """
+    all_terms = sorted({t for _, ts in probes for t in ts})
+    tcol = {t: f"__tf_{i}" for i, t in enumerate(all_terms)}
+    toks = tokens(text_col)
+
+    feat = fan_out(df).withColumn("__toks", toks).withColumn(
+        "__dl", F.size(F.col("__toks"))
+    )
+    for t in all_terms:
+        feat = feat.withColumn(
+            tcol[t], F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t)))
+        )
+    feat = feat.select(
+        F.col(id_col), "__dl", *[tcol[t] for t in all_terms]
+    ).localCheckpoint(eager=True)
+
+    results: DataFrame | None = None
+    for qid, raw_terms in probes:
+        terms = sorted(set(raw_terms))
+        stats = feat.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg("__dl").alias("__avgdl"),
+            *[
+                F.sum((F.col(tcol[t]) > 0).cast("long")).alias(f"__df_{tcol[t]}")
+                for t in terms
+            ],
+        )
+        score = F.lit(0.0)
+        for t in terms:
+            tf = F.col(tcol[t]).cast("double")
+            idf = F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col(f"__df_{tcol[t]}") + F.lit(0.5))
+                / (F.col(f"__df_{tcol[t]}") + F.lit(0.5))
+            )
+            norm = tf + F.lit(k1) * (
+                F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+            )
+            score = score + idf * (tf * F.lit(k1 + 1.0)) / norm
+        rounded = F.floor(score * 1000000 + F.lit(0.5)) / 1000000
+        r = (
+            feat.crossJoin(F.broadcast(stats))
+            .select(F.lit(qid).alias("qid"), F.col(id_col), rounded.alias("bm25"))
+            .where(F.col("bm25") > 0)
+            .orderBy(F.col("bm25").desc(), F.col(id_col))
+            .limit(top_k)
+        )
+        results = r if results is None else results.unionByName(r)
+    assert results is not None
+    return results, feat.withColumnsRenamed(
+        {tcol[t]: f"__tf_{t}" for t in all_terms}
     )
 
 

@@ -12551,22 +12551,23 @@ def docs_ndcg_eval(spark, sf_dir):
     output; the IDEAL side never sorts the corpus — graded labels fill
     positions greedily from the top grade, so per-grade counts + a
     <=10-position explode reproduce the ideal prefix exactly
-    (operators/text.py:ndcg_at_k)."""
+    (operators/text.py:ndcg_at_k).
+
+    r10 optimization: all three probes AND the relevance grades come
+    off ONE tokenize pass (text.bm25_probe_suite: a materialized
+    per-doc term-feature frame; term presence == tf > 0, identical to
+    the previous array_contains) — the per-probe bm25_topk + per-probe
+    relevance scan form audited at 6 documents scans."""
     docs = _t(spark, sf_dir, "documents")
     probes = [('q_hash_join', ['hash', 'join']), ('q_window_sort', ['sort', 'window']), ('q_stream_batch', ['batch', 'stream'])]
-    results = None
-    for qid, terms in probes:
-        r = text_ops.bm25_topk(docs, terms, top_k=10).select(
-            F.lit(qid).alias("qid"), "doc_id", "bm25")
-        results = r if results is None else results.unionByName(r)
-    toks = text_ops.tokens("text")
+    results, feat = text_ops.bm25_probe_suite(docs, probes, top_k=10)
     rel_parts = []
     for qid, terms in probes:
-        rel_parts.append(docs.select(
+        rel_parts.append(feat.select(
             F.lit(qid).alias("qid"),
             "doc_id",
-            (F.array_contains(toks, terms[0]).cast("int")
-             + F.array_contains(toks, terms[1]).cast("int")).alias("rel"),
+            ((F.col(f"__tf_{terms[0]}") > 0).cast("int")
+             + (F.col(f"__tf_{terms[1]}") > 0).cast("int")).alias("rel"),
         ))
     rel = rel_parts[0]
     for p in rel_parts[1:]:
