@@ -108,6 +108,17 @@ def cdc_apply(
     one row per key map-side by WindowGroupLimit), then a priority
     window merging change-over-snapshot (shuffle 2). The snapshot never
     joins against the raw stream — only against its deduped head.
+
+    r10: the delete rides THROUGH the priority merge as a null-safe
+    flag on the latest-change row instead of a separate anti join —
+    the per-key winner is the latest change iff one exists (else the
+    snapshot row), and a winner flagged delete is simply dropped.
+    Identical result to the former upsert/anti-join split (the latest
+    op alone decides a key's fate in both forms; a NULL op is an
+    upsert, never a silently-dropped key), but the change stream's
+    window subtree is no longer cloned into two consumers (3 base
+    scans -> 2 in the r10 plan audit) and the anti join's third
+    shuffle disappears.
     """
     order = [F.col(ts_col).desc(), *[F.col(c).desc() for c in tiebreak_cols]]
     latest = (
@@ -119,20 +130,20 @@ def cdc_apply(
         .drop("__rn")
     )
     out_cols = snapshot.columns
-    # null-safe op split: a NULL op is an upsert, not a silently-dropped
-    # key (plain != would evaluate NULL and land the row in NEITHER set)
-    upserts = latest.where(~F.col(op_col).eqNullSafe(delete_op))
-    deletes = latest.where(F.col(op_col).eqNullSafe(delete_op)).select(*key_cols)
-
     tagged = (
-        upserts.select(
+        latest.select(
             *[
                 (F.col(c) if c in latest.columns else F.lit(None)).alias(c)
                 for c in out_cols
-            ]
+            ],
+            F.col(op_col).eqNullSafe(delete_op).alias("__del"),
         )
         .withColumn("__prio", F.lit(0))
-        .unionByName(snapshot.withColumn("__prio", F.lit(1)))
+        .unionByName(
+            snapshot.withColumn("__del", F.lit(False)).withColumn(
+                "__prio", F.lit(1)
+            )
+        )
     )
     merged = (
         tagged.withColumn(
@@ -142,9 +153,8 @@ def cdc_apply(
             ),
         )
         .where(F.col("__rn") == 1)
-        .drop("__prio", "__rn")
     )
-    return merged.join(deletes, list(key_cols), "left_anti")
+    return merged.where(~F.col("__del")).select(*out_cols)
 
 
 def snapshot_diff(

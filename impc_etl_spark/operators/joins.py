@@ -780,24 +780,24 @@ def release_diff(
     tag = lambda df, c, p: df.select(*keys).withColumn(  # noqa: E731
         "__cur", F.lit(c)).withColumn("__prev", F.lit(p))
     tagged = tag(current, 1, 0).unionByName(tag(previous, 0, 1))
-    # NULL-key rows bypass the aggregate: groupBy treats NULLs as equal,
-    # but the anti-join semantics this op replaces (and the NOT-EXISTS
+    # NULL-key rows must keep anti-join semantics: groupBy treats NULLs
+    # as equal, but the anti joins this op replaces (and the NOT-EXISTS
     # oracle) never match on NULL — a NULL key tuple present in BOTH
-    # releases must still emit BOTH an added and a removed row. Route
-    # them around the aggregate (per-side distinct, always emitted) and
-    # keep the aggregate NULL-free (r9 review finding).
+    # releases must still emit BOTH an added and a removed row. r9
+    # routed them around the aggregate with per-side distincts, which
+    # re-scanned BOTH inputs (4 base scans in the r10 plan audit).
+    # r10: fold the routing INTO the one aggregate — NULL-key rows get
+    # a side-unique group disambiguator (1=current, 2=previous), so the
+    # same exchange performs the per-side distinct and a CASE on the
+    # disambiguator labels them unconditionally. Non-NULL rows keep
+    # __side 0 and the exact r9 semantics. 4 scans -> 2, 3 exchanges
+    # (agg + 2 distincts) -> 1.
     any_null = None
     for k in keys:
         c = F.col(k).isNull()
         any_null = c if any_null is None else (any_null | c)
-    null_rows = (
-        tag(current.where(any_null), 1, 0).distinct()
-        .withColumn("change", F.lit("added"))
-        .unionByName(
-            tag(previous.where(any_null), 0, 1).distinct()
-            .withColumn("change", F.lit("removed"))
-        )
-        .select(*keys, "change")
+    side = F.when(~any_null, F.lit(0)).otherwise(
+        F.when(F.col("__cur") == 1, F.lit(1)).otherwise(F.lit(2))
     )
     # width derived from the UNION (both sides cross the exchange), not
     # current alone — a small-current/huge-previous diff would otherwise
@@ -805,20 +805,21 @@ def release_diff(
     width = shuffle_partitions_for(
         tagged, target_mb=advisory_mb(current.sparkSession), expansion=4.0)
     agg = (
-        tagged.where(~any_null)
-        .repartition(width, *[F.col(k) for k in keys])
-        .groupBy(*keys)
+        tagged.withColumn("__side", side)
+        .repartition(width, *[F.col(k) for k in keys], F.col("__side"))
+        .groupBy(*keys, "__side")
         .agg(F.max("__cur").alias("__c"), F.max("__prev").alias("__p"))
     )
     return (
         agg.withColumn(
             "change",
-            F.when((F.col("__c") == 1) & (F.col("__p") == 0), F.lit("added"))
+            F.when(F.col("__side") == 1, F.lit("added"))
+            .when(F.col("__side") == 2, F.lit("removed"))
+            .when((F.col("__c") == 1) & (F.col("__p") == 0), F.lit("added"))
             .when((F.col("__c") == 0) & (F.col("__p") == 1), F.lit("removed")),
         )
         .where(F.col("change").isNotNull())
         .select(*keys, "change")
-        .unionByName(null_rows)
     )
 
 

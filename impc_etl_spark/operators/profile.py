@@ -63,9 +63,15 @@ def skew_report(
     """
     out = None
     for c in columns:
+        # the per-key count table feeds TWO consumers (the 1-row stats
+        # aggregate and the top-k cut) — materialize it once per column
+        # or Catalyst clones the full scan+groupBy subtree per consumer
+        # (2 base scans per column, 4 total for the registered 2-column
+        # report in the r10 plan audit; 2 after). The checkpoint holds
+        # (key, count) rows only — the raw data never materializes.
         counts = df.groupBy(F.col(c).cast("string").alias("__k")).agg(
             F.count(F.lit(1)).alias("__c")
-        )
+        ).localCheckpoint(eager=True)
         stats = counts.agg(
             F.lit(c).alias("column"),
             F.count(F.lit(1)).alias("n_keys"),
@@ -164,7 +170,14 @@ def robust_outliers(
     """
     g = [F.col(c) for c in group_cols]
     v = F.col(value_col).cast("double")
-    med_tbl = df.groupBy(*g).agg(F.expr(f"percentile({value_col}, 0.5)").alias("__med"))
+    # the per-group median table feeds both the MAD aggregation and the
+    # final scoring join — materialize the grid-sized frame once (its
+    # clone re-ran the full percentile scan: 4 base scans in the r10
+    # plan audit, 3 after — the MAD-inherent pass count: median, MAD,
+    # score)
+    med_tbl = df.groupBy(*g).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    ).localCheckpoint(eager=True)
     with_med = (
         df.join(F.broadcast(med_tbl), list(group_cols)) if group_cols
         else df.crossJoin(F.broadcast(med_tbl))

@@ -380,15 +380,21 @@ def ivf_build(
     return ivf_assign(df, centroids, vec_col), centroids
 
 
-def ivf_assign(df: DataFrame, centroids: Sequence[Sequence[float]], vec_col: str = "embedding") -> DataFrame:
-    """Tag each row with its nearest centroid index (0-based), row-local."""
+def ivf_assign_col(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
+    """Nearest-centroid index (0-based) for a vector COLUMN, row-local —
+    centroids are literals in the plan, so the assignment composes into
+    any projection with no join against the data."""
     cents = F.array(*[
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids
     ])
-    dists = F.transform(cents, lambda c: _l2sq(F.col(vec_col), c))
+    dists = F.transform(cents, lambda c: _l2sq(vec, c))
     # bind the distance array so array_min doesn't recompute all distances
-    assigned = bind(dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"))
-    return df.withColumn("ivf_cluster", assigned)
+    return bind(dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"))
+
+
+def ivf_assign(df: DataFrame, centroids: Sequence[Sequence[float]], vec_col: str = "embedding") -> DataFrame:
+    """Tag each row with its nearest centroid index (0-based), row-local."""
+    return df.withColumn("ivf_cluster", ivf_assign_col(F.col(vec_col), centroids))
 
 
 def ivf_topk(
@@ -722,20 +728,29 @@ def pq_build(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     width = dim // m
-    out = df
     codebooks: list[list[list[float]]] = []
     for b in range(m):
         block = df.select(
             id_col, F.slice(vec_col, b * width + 1, width).alias("embedding")
         )
-        assigned, cents = ivf_build(
+        _, cents = ivf_build(
             block, nlist=k, iterations=iterations, id_col=id_col,
             round_to=round_to,
         )
         codebooks.append(cents)
-        out = out.join(
-            assigned.select(id_col, F.col("ivf_cluster").alias(f"code_{b}")),
-            id_col,
+    # r10: codes attach as row-local assignment columns against the
+    # FINAL codebook literals — the former per-block `df JOIN assigned`
+    # re-scanned the corpus per block and shuffled it m times for
+    # nothing (assignment is a pure projection of the row's own vector:
+    # emb_pq_codes planned 3 base scans + 2 joins, 1 scan + 0 joins
+    # after). ivf_build's Lloyd trajectory (collect-bounded centroid
+    # state only) is unchanged, so the codebooks — and therefore every
+    # code — are bit-identical.
+    out = df
+    for b, cents in enumerate(codebooks):
+        out = out.withColumn(
+            f"code_{b}",
+            ivf_assign_col(F.slice(vec_col, b * width + 1, width), cents),
         )
     return out, codebooks
 

@@ -625,9 +625,15 @@ def seasonal_decompose_additive(
             & (F.count(F.lit(1)).over(wb) == m),
             (F.avg("__v").over(wa) + F.avg("__v").over(wb)) / F.lit(2.0),
         )
+    # GRID-SIZED by contract (pre-aggregated series): materialize the
+    # positioned+trended grid once — it feeds the phase-mean aggregate
+    # AND the final assembly join, and its clone re-ran the caller's
+    # full rollup subtree per consumer (orders_seasonal_decompose: 3
+    # base scans in the r10 plan audit, 0 in-plan after — one
+    # materialization pass computes the rollup once)
     with_trend = pos.withColumn("__trend", trend).withColumn(
         "__phase", F.pmod(F.col("__i"), F.lit(m))
-    )
+    ).localCheckpoint(eager=True)
     # phase means as a SEPARATE ≤period-row aggregate per key (a per-row
     # unbounded collect_list window would be O(n²)); the re-center
     # subtracts the unweighted mean of the phase means — not the
@@ -637,7 +643,7 @@ def seasonal_decompose_additive(
     # have NULL praw and drop out of the centering average.
     pm = with_trend.groupBy(*keys, "__phase").agg(
         F.avg(F.col("__v") - F.col("__trend")).alias("__praw")
-    )
+    ).localCheckpoint(eager=True)  # ≤period×keys rows, two consumers
     center = pm.groupBy(*keys).agg(F.avg("__praw").alias("__center"))
     if keys:
         # keyed: the phase/center tables are keys-sized DERIVED

@@ -4985,10 +4985,14 @@ def docs_split_leakage(spark, sf_dir):
         docs, "text", "doc_id", k=3, num_hashes=12, bands=4,
         max_bucket_size=LSH_MAX_BUCKET,
     )
+    # (doc_id, split) feeds both endpoints of the pair join —
+    # materialize the two-column frame once instead of scanning the
+    # corpus for each side (3 documents scans in the r10 plan audit,
+    # 2 after: LSH banding + one split build)
     splits = sample_ops.hash_split(
         docs.select("doc_id"), ["doc_id"],
         {"train": 0.9, "val": 0.05, "test": 0.05}, salt="r2",
-    )
+    ).localCheckpoint(eager=True)
     a = splits.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
     )
@@ -5524,7 +5528,14 @@ def docs_minhash_jaccard_est(spark, sf_dir):
         docs, "text", "doc_id", k=3, num_hashes=12, bands=4,
         max_bucket_size=LSH_MAX_BUCKET,
     )
-    sigs = dedup_ops.minhash_signatures(docs, "text", "doc_id", k=3, num_hashes=12)
+    # the signature table feeds BOTH sides of the pair join (sig_a and
+    # sig_b) — materialize the narrow (doc_id, 12 hashes) frame once or
+    # each side re-runs the full tokenize+minhash corpus pass (3
+    # documents scans in the r10 plan audit, 2 after: LSH banding +
+    # one signature build)
+    sigs = dedup_ops.minhash_signatures(
+        docs, "text", "doc_id", k=3, num_hashes=12
+    ).localCheckpoint(eager=True)
     return dedup_ops.minhash_jaccard_estimate(pairs, sigs)
 
 
@@ -7285,8 +7296,19 @@ def emb_pca_whiten(spark, sf_dir):
     )
     desc_ok = all(a >= b - 1e-12 for a, b in zip(evals, evals[1:]))
     proj = pca_project(emb, mean, comps, out="p")
-    projw = pca_project(emb, mean, comps, out="pw", whiten=evals)
-    both = proj.join(projw.select("vec_id", "pw"), "vec_id")
+    # r10: the whitened projection derives ROW-LOCALLY from the raw one
+    # — pw_j = p_j / sqrt(eval_j + eps) divides the same unrounded dot
+    # product by the same double literal pca_project(whiten=evals)
+    # divides by, so every value is bit-identical while the second
+    # projection pass and the vec_id self-join disappear (3 embeddings
+    # scans + 1 join in the r10 plan audit -> 2 scans + 0 joins; the
+    # remaining second scan is the 1-row count)
+    divisors = F.array(
+        *[F.lit(float(_math.sqrt(float(e) + 1e-9))) for e in evals]
+    )
+    both = proj.withColumn(
+        "pw", F.zip_with("p", divisors, lambda a, d: a / d)
+    )
     per_comp = (
         both.select(F.posexplode("p").alias("j", "v"),
                     F.col("pw"))
@@ -12732,11 +12754,10 @@ def part_fuzzy_entities(spark, sf_dir):
 
     part = _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_name")
     ok = part.where(F.col("p_name").isNotNull() & F.col("p_brand").isNotNull())
-    passthru = part.where(
-        F.col("p_name").isNull() | F.col("p_brand").isNull()
-    ).select("p_partkey", F.col("p_partkey").alias("entity_id"))
+    # distinct-name-sized (64 names × brands) with TWO consumers
+    # (PassJoin's pruned-base build + the reps join) — materialize once
     name_nodes = ok.groupBy("p_brand", "p_name").agg(
-        F.min("p_partkey").alias("rep"))
+        F.min("p_partkey").alias("rep")).localCheckpoint(eager=True)
     pairs = join_ops.passjoin_pairs(
         name_nodes, text_col="p_name", id_col="rep",
         max_distance=3, block_cols=["p_brand"],
@@ -12749,9 +12770,15 @@ def part_fuzzy_entities(spark, sf_dir):
         "p_brand", "p_name",
         F.coalesce(F.col("group_id"), F.col("rep")).alias("entity_id"),
     )
-    resolved = ok.join(reps, ["p_brand", "p_name"]).select(
-        "p_partkey", "entity_id")
-    return resolved.unionByName(passthru)
+    # r10: the NULL-name/brand passthru folds into ONE left join over a
+    # single part scan — every non-NULL (brand, name) matches reps by
+    # construction (name_nodes covers each such combo), NULL keys never
+    # join, and coalesce resolves them to themselves, exactly the old
+    # disjoint-filter union (3 part scans in the r10 plan audit -> 2)
+    return part.join(reps, ["p_brand", "p_name"], "left").select(
+        "p_partkey",
+        F.coalesce(F.col("entity_id"), F.col("p_partkey")).alias("entity_id"),
+    )
 
 
 QUERIES["part_fuzzy_entities"] = part_fuzzy_entities

@@ -392,3 +392,46 @@ def test_lm_scoring_single_corpus_pass(spark):
             f"{name}: {n} documents.parquet scans in final plan "
             f"(expected <= {max_scans} — duplicate corpus pass regressed)"
         )
+
+
+def test_shared_subtree_scan_caps(spark):
+    """r10 duplicate-scan elimination pins: each restructured query's
+    FINAL plan must not regress to cloning shared subtrees (Catalyst has
+    no cross-tree CSE — every extra consumer of an unmaterialized frame
+    re-scans the base table). Caps = the audited post-fix scan counts."""
+    import re
+
+    from impc_etl_spark import queries as q
+
+    for name, table, max_scans in [
+        ("orders_release_diff", "orders", 2),      # was 4: NULL path folded
+        ("orders_cdc_apply", "orders", 2),         # was 3: anti join folded
+        ("orders_skew_report", "orders", 2),       # was 4: counts checkpointed
+        ("orders_price_outliers", "orders", 3),    # was 4: median checkpointed
+        ("orders_seasonal_decompose", "orders", 0),  # was 3: grid checkpointed
+        ("part_fuzzy_entities", "part", 2),        # was 3: passthru folded
+        ("docs_minhash_jaccard_est", "documents", 2),  # was 3: sigs ckpt
+        ("docs_split_leakage", "documents", 2),    # was 3: splits ckpt
+        ("emb_pq_codes", "embeddings", 1),         # was 3: row-local codes
+        ("emb_pq_adc_topk", "embeddings", 1),      # was 3: row-local codes
+        ("emb_pca_whiten", "embeddings", 2),       # was 3: pw derived from p
+    ]:
+        plan = q.QUERIES[name](spark, SF_SMOKE)._jdf.queryExecution().toString()
+        n = len(re.findall(rf"FileScan parquet [^\n]*{table}\.parquet", plan))
+        assert n <= max_scans, (
+            f"{name}: {n} {table}.parquet scans in final plan "
+            f"(expected <= {max_scans} — duplicate-subtree clone regressed)"
+        )
+
+
+def test_pq_and_cdc_plans_join_free(spark):
+    """pq codes are row-local assignments against codebook literals
+    (never a join back to the data); cdc_apply's delete rides the
+    priority-merge window (never a separate anti join)."""
+    from impc_etl_spark import queries as q
+
+    plan = q.QUERIES["emb_pq_codes"](spark, SF_SMOKE)._jdf.queryExecution().toString()
+    for smell in ("Join", "Exchange"):
+        assert smell not in plan, f"emb_pq_codes plan contains {smell}"
+    plan = q.QUERIES["orders_cdc_apply"](spark, SF_SMOKE)._jdf.queryExecution().toString()
+    assert "Join" not in plan, "orders_cdc_apply reintroduced a join"
