@@ -479,8 +479,16 @@ def lsh_candidate_pairs(
     tokens_col: str | None = None,
     max_bucket_size: int | None = None,
     shingles_col: str | None = None,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b), distinct.
+
+    ``sig_df``: a precomputed ``minhash_signatures`` frame (same k /
+    num_hashes) to band instead of rebuilding one — callers that need
+    the signatures AGAIN after banding (Jaccard estimation, recall
+    audits) materialize them once and pass them here, saving a full
+    tokenize+minhash corpus pass (r10: docs_minhash_jaccard_est spent
+    half its sf10-equivalent wall clock on the duplicate pass).
 
     Signature split into ``bands`` bands of ``num_hashes/bands`` rows; band
     key = md5 of the concatenated mins. Docs sharing ANY band key become a
@@ -496,7 +504,7 @@ def lsh_candidate_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    sig = minhash_signatures(
+    sig = sig_df if sig_df is not None else minhash_signatures(
         df, text_col, id_col, k, num_hashes, tokens_col, shingles_col
     )
     banded = band_keys(sig, id_col, num_hashes, bands)

@@ -5524,18 +5524,19 @@ def docs_minhash_jaccard_est(spark, sf_dir):
     the fixed-size triage between banding and exact shingle-set verify;
     pairs and the banding replayed exactly by the oracle."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup_ops.lsh_candidate_pairs(
-        docs, "text", "doc_id", k=3, num_hashes=12, bands=4,
-        max_bucket_size=LSH_MAX_BUCKET,
-    )
-    # the signature table feeds BOTH sides of the pair join (sig_a and
-    # sig_b) — materialize the narrow (doc_id, 12 hashes) frame once or
-    # each side re-runs the full tokenize+minhash corpus pass (3
-    # documents scans in the r10 plan audit, 2 after: LSH banding +
-    # one signature build)
+    # ONE tokenize+minhash pass total (r10): the signature table is
+    # materialized once and feeds (a) the LSH banding via sig_df and
+    # (b) BOTH endpoints of the estimation join — the naive composition
+    # ran the full corpus signature build three times (3 documents
+    # scans in the r10 plan audit; half the sf10-equivalent wall clock
+    # was the duplicate pass)
     sigs = dedup_ops.minhash_signatures(
         docs, "text", "doc_id", k=3, num_hashes=12
     ).localCheckpoint(eager=True)
+    pairs = dedup_ops.lsh_candidate_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=12, bands=4,
+        max_bucket_size=LSH_MAX_BUCKET, sig_df=sigs,
+    )
     return dedup_ops.minhash_jaccard_estimate(pairs, sigs)
 
 

@@ -410,7 +410,7 @@ def test_shared_subtree_scan_caps(spark):
         ("orders_price_outliers", "orders", 3),    # was 4: median checkpointed
         ("orders_seasonal_decompose", "orders", 0),  # was 3: grid checkpointed
         ("part_fuzzy_entities", "part", 2),        # was 3: passthru folded
-        ("docs_minhash_jaccard_est", "documents", 2),  # was 3: sigs ckpt
+        ("docs_minhash_jaccard_est", "documents", 0),  # was 3: ONE sig pass
         ("docs_split_leakage", "documents", 2),    # was 3: splits ckpt
         ("emb_pq_codes", "embeddings", 1),         # was 3: row-local codes
         ("emb_pq_adc_topk", "embeddings", 1),      # was 3: row-local codes
