@@ -9624,41 +9624,56 @@ def docs_luhn_card_scrub(spark, sf_dir):
     the oracle replays digit synthesis, the Luhn sum, and the
     conditional redaction."""
     docs = _t(spark, sf_dir, "documents")
+    # Stage every expensive expression as a COLUMN before any higher-order
+    # function references it (r10): a HOF lambda body re-evaluates
+    # non-attribute subexpressions PER ELEMENT, so the original shape (the
+    # whole md5+digit chain inside the s15 aggregate, and that aggregate
+    # inside luhn_check's 16-step aggregate) recomputed the md5 chain
+    # hundreds of times per row — measured 76.8 s → sub-second at sf0.1
+    # with identical output. The static 15-term sums also unroll to plain
+    # (codegen-CSE-friendly) expressions instead of lambda aggregates:
+    # same left-folded integer sum, same branch structure, same values.
     hx = F.md5(F.col("text"))
-    digits = F.transform(
-        F.sequence(F.lit(0), F.lit(14)),
-        lambda i: (
-            F.conv(hx.substr(i * 2 + 1, F.lit(2)), 16, 10).cast("int") % 10
-        ).cast("string"),
+    digits = [
+        (F.conv(hx.substr(F.lit(i * 2 + 1), F.lit(2)), 16, 10).cast("int") % 10)
+        .cast("string")
+        for i in range(15)
+    ]
+    # array_join (not concat): the original skipped NULL digit elements
+    # (NULL text → empty body), concat would NULL the whole card
+    base = docs.select(
+        "doc_id", F.array_join(F.array(*digits), "").alias("__body")
     )
-    body = F.array_join(digits, "")
-    s15 = F.aggregate(
-        F.sequence(F.lit(1), F.lit(15)),
-        F.lit(0),
-        lambda acc, j: acc
-        + F.when(
-            j % 2 == 1,  # final card position j+1 (even from right): doubled
-            F.when(
-                F.reverse(body).substr(j, F.lit(1)).cast("int") * 2 > 9,
-                F.reverse(body).substr(j, F.lit(1)).cast("int") * 2 - 9,
-            ).otherwise(
-                F.reverse(body).substr(j, F.lit(1)).cast("int") * 2
-            ),
-        ).otherwise(F.reverse(body).substr(j, F.lit(1)).cast("int")),
+    staged = base.select(
+        "doc_id", "__body", F.reverse(F.col("__body")).alias("__rb")
     )
-    good_check = (F.lit(10) - s15 % 10) % 10
+
+    def _term(j: int) -> Column:
+        d = F.col("__rb").substr(F.lit(j), F.lit(1)).cast("int")
+        if j % 2 == 1:  # final card position j+1 (even from right): doubled
+            return F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        return d
+
+    s15 = F.lit(0)
+    for j in range(1, 16):
+        s15 = s15 + _term(j)
+    summed = staged.select("doc_id", "__body", s15.alias("__s15"))
+    good_check = (F.lit(10) - F.col("__s15") % 10) % 10
     check = F.when(
         F.col("doc_id") % 2 == 0, good_check
     ).otherwise((good_check + 1) % 10)
-    card = F.concat(body, check.cast("string"))
-    valid = text_ops.luhn_check(card)
-    return docs.select(
+    carded = summed.select(
+        "doc_id", F.concat(F.col("__body"), check.cast("string")).alias("card")
+    )
+    valid = text_ops.luhn_check(F.col("card"))
+    return carded.select(
         "doc_id",
-        card.alias("card"),
+        "card",
         valid.cast("int").alias("luhn_valid"),
         F.when(
-            valid, F.concat(F.lit("<CARD>"), card.substr(F.lit(13), F.lit(4)))
-        ).otherwise(card).alias("redacted"),
+            valid,
+            F.concat(F.lit("<CARD>"), F.col("card").substr(F.lit(13), F.lit(4))),
+        ).otherwise(F.col("card")).alias("redacted"),
     )
 
 
