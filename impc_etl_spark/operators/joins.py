@@ -663,36 +663,52 @@ def passjoin_pairs(
         index_keys = index_keys.join(
             keep.hint("merge"), [*blocks, "__kL", "__kj", "__ks"], "left_semi")
 
-    probe_elems = []
-    for dl in range(0, d + 1):          # partner length Lt = L - dl
-        lt = L - F.lit(dl)
-        for j in range(1, nseg + 1):
-            st, ln = seg_start(lt, j), seg_len(lt, j)
-            for delta in range(-d, d + 1):
-                pos = st + F.lit(delta)
-                valid = (
-                    (lt >= F.lit(short_min))
-                    & (pos >= F.lit(1))
-                    & (pos + ln - 1 <= L)
-                )
-                probe_elems.append(
-                    F.when(
-                        valid,
-                        F.struct(
-                            lt.cast("int").alias("kL"),
-                            F.lit(j).alias("j"),
-                            F.substring(
-                                "__t", pos.cast("int"), ln.cast("int")
-                            ).alias("s"),
-                        ),
-                    )
-                )
+    # Probe keys as ONE transform over a literal (dl, j, delta) spec
+    # array instead of (d+1)²(2d+1) unrolled when(valid, struct(...))
+    # expressions (112 at d=3, ~6,000 expression nodes): the unrolled
+    # tree cost 16-32 s of driver-side analysis+codegen PER CONSTRUCTION
+    # and pushed the fused stage past JIT limits (r10 measurement);
+    # the lambda is evaluated per spec element with identical integer
+    # arithmetic, same element order, same NULL-filter and dedup — the
+    # emitted key multiset is unchanged.
+    spec_sql = ", ".join(
+        f"struct({dl} AS dl, {j} AS j, {delta} AS delta)"
+        for dl in range(0, d + 1)       # partner length Lt = L - dl
+        for j in range(1, nseg + 1)
+        for delta in range(-d, d + 1)
+    )
+
+    def _probe_key(x: Column) -> Column:
+        lt = L - x["dl"]
+        st = (lt * (x["j"] - F.lit(1)) - (lt * (x["j"] - F.lit(1))) % nseg) / nseg + 1
+        nxt = (lt * x["j"] - (lt * x["j"]) % nseg) / nseg + 1
+        ln = nxt - st
+        pos = st + x["delta"]
+        valid = (
+            (lt >= F.lit(short_min))
+            & (pos >= F.lit(1))
+            & (pos + ln - 1 <= L)
+        )
+        return F.when(
+            valid,
+            F.struct(
+                lt.cast("int").alias("kL"),
+                x["j"].alias("j"),
+                F.substring(
+                    F.col("__t"), pos.cast("int"), ln.cast("int")
+                ).alias("s"),
+            ),
+        )
+
     probe_keys = long_side.select(
         *blocks,
         F.col("__id"),
         F.explode(
             F.array_distinct(
-                F.filter(F.array(*probe_elems), lambda x: x.isNotNull())
+                F.filter(
+                    F.transform(F.expr(f"array({spec_sql})"), _probe_key),
+                    lambda x: x.isNotNull(),
+                )
             )
         ).alias("__k"),
     ).select(*blocks, "__id", F.col("__k.kL").alias("__kL"),

@@ -627,9 +627,16 @@ def bootstrap_mean_ci(
     (percentile interpolation = the (1−g)a + gb linear rule both Spark
     `percentile` and DuckDB `quantile_cont` implement).
     """
+    from impc_etl_spark.operators.partitioning import fan_out
+
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     v = v.cast("double")
-    base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+    # R× md5 draws per row are CPU-dense and row-local: a small parquet
+    # input arrives as ONE split and serializes the whole replicate
+    # explosion on a single core (measured 20.8 s at sf0.1 for 15 M
+    # draws) — fan the scan out first; weights are key-deterministic so
+    # partitioning cannot change any draw
+    base = fan_out(df.where(v.isNotNull() & ~F.isnan(v))).select(
         v.alias("__v"),
         F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias(
             "__k"

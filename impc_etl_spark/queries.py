@@ -11763,17 +11763,46 @@ def part_fuzzy_name_pairs(spark, sf_dir):
     measured in SCALE.md r10). p_brand stays in the key as the linkage
     scope, no longer the scaling crutch. Reference analog: the exact-key
     colony/specimen merges (jobs/transform/specimen_cross_ref.py) a
-    fuzzy layer would sit on top of."""
+    fuzzy layer would sit on top of.
+
+    r10 (optimization): PassJoin now runs over the DISTINCT (brand, name)
+    table and the per-part pairs are expanded back by two equi-joins on
+    (brand, name). Exact-duplicate names are ~12.5× redundant at sf0.1
+    (20,000 rows, 1,600 distinct combos), so the old per-part form built
+    signatures for every copy and ran the banded levenshtein DP
+    multiplicity² times per true name pair — 25.2 s warm at sf0.1.
+    Equivalence: every output pair {x, y} has DIFFERENT names A ≠ B in
+    the same brand, so it corresponds to exactly one unordered distinct
+    name pair {A, B}; expanding each verified name pair by the cross
+    product of its two part groups enumerates each part pair exactly
+    once, and least/greatest reproduces the p_partkey < ordering. Pairs
+    with EQUAL names never exist in the collapsed frame, which realizes
+    the `text_a != text_b` filter by construction (oracle unchanged)."""
     part = _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_name")
-    pairs = join_ops.passjoin_pairs(
-        part, text_col="p_name", id_col="p_partkey",
+    names = part.groupBy("p_brand", "p_name").agg(
+        F.min("p_partkey").alias("__rep"))
+    # distinct-name-pair-sized (2,400 rows at sf0.1) and it SEVERS the
+    # PassJoin subtree (112 probe-signature expressions + banded DP
+    # verify) from the expansion joins: fused, the single codegen span
+    # blew past JIT limits and ran interpreted (62 s first run, still
+    # 10.7 s at rep 4; split: 2.3 s + 0.23 s, stable from rep 1)
+    npairs = join_ops.passjoin_pairs(
+        names, text_col="p_name", id_col="__rep",
         max_distance=3, block_cols=["p_brand"],
-    )
-    return pairs.where(F.col("text_a") != F.col("text_b")).select(
-        "p_brand",
-        F.col("id_a").alias("part_a"),
-        F.col("id_b").alias("part_b"),
-        F.col("edit_dist").cast("long").alias("edit_dist"),
+    ).select("p_brand", "text_a", "text_b", "edit_dist").localCheckpoint(
+        eager=True)
+    ea = part.select("p_brand", F.col("p_name").alias("text_a"),
+                     F.col("p_partkey").alias("__pa"))
+    eb = part.select("p_brand", F.col("p_name").alias("text_b"),
+                     F.col("p_partkey").alias("__pb"))
+    return (
+        npairs.join(ea, ["p_brand", "text_a"]).join(eb, ["p_brand", "text_b"])
+        .select(
+            "p_brand",
+            F.least("__pa", "__pb").alias("part_a"),
+            F.greatest("__pa", "__pb").alias("part_b"),
+            F.col("edit_dist").cast("long").alias("edit_dist"),
+        )
     )
 
 
