@@ -211,6 +211,98 @@ def rolling_zscore(
     )
 
 
+def _series_recurrence_map(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    sort_cols: Sequence[str],
+    value_col: str,
+    extra_cols: Sequence[tuple[str, str, str]],
+    runner,
+) -> DataFrame:
+    """Shared engine for the per-key linear-recurrence family
+    (ewma / holt_linear / holt_winters_additive / cusum).
+
+    The r9 form was ``groupBy(keys).applyInPandas`` — semantically right,
+    but each GROUP pays its own pandas DataFrame build, mergesort,
+    copy and Arrow conversion; with many small keys (1,500 users ×
+    ~67 events at sf0.1) that per-group overhead dominated the O(n)
+    recurrence ~30× (cusum measured 11.0 s → 0.8 s, r10). This runs ONE
+    ``mapInPandas`` per partition instead: hash-repartition by key, sort
+    within partitions by (keys, sort_cols) — NULLS LAST to mirror the
+    old per-group ``sort_values(na_position='last')`` — and stream the
+    Arrow batches through a single mapper that detects key boundaries
+    and carries the trailing (possibly batch-spanning) group to the next
+    batch. Memory stays bounded by one batch + one key's series, the
+    same contract as before. ``runner(values) -> tuple(list, ...)`` is
+    byte-for-byte the old per-group loop, so every output value is
+    bit-identical; only physical grouping changed.
+
+    ``extra_cols``: (name, spark_ddl_type, pandas_dtype) per output col.
+    """
+    import pandas as pd
+
+    keys = list(key_cols)
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + "".join(f", `{n}` {t}" for n, t, _ in extra_cols)
+    out_names = [n for n, _, _ in extra_cols]
+    out_dtypes = [d for _, _, d in extra_cols]
+
+    parted = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *[F.col(k).asc_nulls_last() for k in keys],
+        *[F.col(c).asc_nulls_last() for c in sort_cols],
+    )
+
+    def _key_tuples(pdf: "pd.DataFrame"):
+        cols = [pdf[k].to_list() for k in keys]
+        # NULL keys form ONE group (Spark groupBy semantics): normalize
+        # None/NaN/NaT to None so tuple equality treats them as equal
+        return [
+            tuple(
+                None if (v is None or v != v) else v for v in row
+            )
+            for row in zip(*cols)
+        ]
+
+    def _process(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        kt = _key_tuples(pdf)
+        vals = pdf[value_col].astype("float64").to_list()
+        outs: list[list] = [[] for _ in out_names]
+        start = 0
+        n = len(kt)
+        for i in range(1, n + 1):
+            if i == n or kt[i] != kt[start]:
+                res = runner(vals[start:i])
+                for o, r in zip(outs, res):
+                    o.extend(r)
+                start = i
+        pdf = pdf.copy()
+        for name, dtype, o in zip(out_names, out_dtypes, outs):
+            pdf[name] = pd.array(o, dtype=dtype)
+        return pdf
+
+    def mapper(batches):
+        pend = None
+        for pdf in batches:
+            if pend is not None and len(pend):
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            if not len(pdf):
+                continue
+            kt = _key_tuples(pdf)
+            last = kt[-1]
+            cut = len(kt)
+            while cut > 0 and kt[cut - 1] == last:
+                cut -= 1
+            pend = pdf.iloc[cut:]
+            if cut:
+                yield _process(pdf.iloc[:cut])
+        if pend is not None and len(pend):
+            yield _process(pend)
+
+    return parted.mapInPandas(mapper, schema=schema_ddl)
+
+
 def ewma(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -245,21 +337,13 @@ def ewma(
     ``ewm`` is NOT used because its weight normalization differs in the
     last ulp, which surfaces as rounding flips at scale.
     """
-    import pandas as pd
-
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     tb = list(tiebreak_cols or [])
-    sort_cols = [ts_col, *tb]
     in_cols = df.columns
-    schema_ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + f", `{out}` double"
     beta = 1.0 - alpha
 
-    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        vals = pdf[value_col].astype("float64").to_list()
+    def run(vals: list) -> tuple:
         acc = []
         e = None
         for v in vals:
@@ -268,14 +352,12 @@ def ewma(
                 continue
             e = v if e is None else alpha * v + beta * e
             acc.append(e)
-        pdf[out] = pd.array(acc, dtype="float64")
-        return pdf
+        return (acc,)
 
-    return (
-        df.groupBy(*[F.col(c) for c in key_cols])
-        .applyInPandas(compute, schema=schema_ddl)
-        .select(*in_cols, out)
-    )
+    return _series_recurrence_map(
+        df, key_cols, [ts_col, *tb], value_col,
+        [(out, "double", "float64")], run,
+    ).select(*in_cols, out)
 
 
 def holt_linear(
@@ -298,24 +380,17 @@ def holt_linear(
     trend step recomputes lₜ's expression rather than trusting an
     engine's common-subexpression choices to match). Adds ``level``,
     ``trend``, and the one-step-ahead ``forecast`` = lₜ + bₜ."""
-    import pandas as pd
-
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if not 0.0 <= beta <= 1.0:
         raise ValueError(f"beta must be in [0, 1], got {beta}")
     tb = list(tiebreak_cols or [])
-    sort_cols = [ts_col, *tb]
-    schema_ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", `level` double, `trend` double, `forecast` double"
     a_c, b_c = 1.0 - alpha, 1.0 - beta
 
-    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+    def run(vals: list) -> tuple:
         lvl_out, trd_out, fc_out = [], [], []
         lvl = trd = None
-        for v in pdf[value_col].astype("float64").to_list():
+        for v in vals:
             if v is None or v != v:  # NULL/NaN: skip, state carries over
                 lvl_out.append(None)
                 trd_out.append(None)
@@ -330,13 +405,13 @@ def holt_linear(
             lvl_out.append(lvl)
             trd_out.append(trd)
             fc_out.append(lvl + trd)
-        pdf = pdf.copy()
-        pdf["level"] = pd.array(lvl_out, dtype="float64")
-        pdf["trend"] = pd.array(trd_out, dtype="float64")
-        pdf["forecast"] = pd.array(fc_out, dtype="float64")
-        return pdf
+        return lvl_out, trd_out, fc_out
 
-    return df.groupBy(*key_cols).applyInPandas(compute, schema=schema_ddl)
+    return _series_recurrence_map(
+        df, key_cols, [ts_col, *tb], value_col,
+        [("level", "double", "float64"), ("trend", "double", "float64"),
+         ("forecast", "double", "float64")], run,
+    )
 
 
 def holt_winters_additive(
@@ -371,8 +446,6 @@ def holt_winters_additive(
     the level expression rather than trusting CSE). State per key is
     O(period) — watermark-analog bounded, never row history.
     """
-    import pandas as pd
-
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if not 0.0 <= beta <= 1.0:
@@ -382,18 +455,13 @@ def holt_winters_additive(
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period}")
     tb = list(tiebreak_cols or [])
-    sort_cols = [ts_col, *tb]
-    schema_ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", `level` double, `trend` double, `seasonal` double, `forecast` double"
     a_c, b_c, g_c = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
 
-    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+    def run(vals: list) -> tuple:
         lvl_out, trd_out, sea_out, fc_out = [], [], [], []
         lvl = trd = None
         s = [0.0] * period  # s[0] is s_{t-period}, s[-1] is s_{t-1}
-        for v in pdf[value_col].astype("float64").to_list():
+        for v in vals:
             if v is None or v != v:  # NULL/NaN: skip, state carries over
                 lvl_out.append(None)
                 trd_out.append(None)
@@ -412,14 +480,14 @@ def holt_winters_additive(
             trd_out.append(trd)
             sea_out.append(snew)
             fc_out.append(lvl + trd + s[0])
-        pdf = pdf.copy()
-        pdf["level"] = pd.array(lvl_out, dtype="float64")
-        pdf["trend"] = pd.array(trd_out, dtype="float64")
-        pdf["seasonal"] = pd.array(sea_out, dtype="float64")
-        pdf["forecast"] = pd.array(fc_out, dtype="float64")
-        return pdf
+        return lvl_out, trd_out, sea_out, fc_out
 
-    return df.groupBy(*key_cols).applyInPandas(compute, schema=schema_ddl)
+    return _series_recurrence_map(
+        df, key_cols, [ts_col, *tb], value_col,
+        [("level", "double", "float64"), ("trend", "double", "float64"),
+         ("seasonal", "double", "float64"),
+         ("forecast", "double", "float64")], run,
+    )
 
 
 def cusum(
@@ -459,24 +527,17 @@ def cusum(
     Ordering inside a key is (ts, tiebreak_cols) and must be total for
     determinism. Adds ``cusum_pos``, ``cusum_neg``, ``alarm`` (int 0/1).
     """
-    import pandas as pd
-
     if threshold <= 0.0:
         raise ValueError(f"threshold must be > 0, got {threshold}")
     if slack < 0.0:
         raise ValueError(f"slack must be >= 0, got {slack}")
     tb = list(tiebreak_cols or [])
-    sort_cols = [ts_col, *tb]
-    schema_ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", `cusum_pos` double, `cusum_neg` double, `alarm` int"
     tgt, k, h = float(target), float(slack), float(threshold)
 
-    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+    def run(vals: list) -> tuple:
         pos_out, neg_out, alarm_out = [], [], []
         sp = sn = 0.0
-        for v in pdf[value_col].astype("float64").to_list():
+        for v in vals:
             if v is None or v != v:  # NULL/NaN: skip, state carries over
                 pos_out.append(None)
                 neg_out.append(None)
@@ -490,13 +551,14 @@ def cusum(
             alarm_out.append(alarm)
             if alarm and reset_on_alarm:
                 sp = sn = 0.0
-        pdf = pdf.copy()
-        pdf["cusum_pos"] = pd.array(pos_out, dtype="float64")
-        pdf["cusum_neg"] = pd.array(neg_out, dtype="float64")
-        pdf["alarm"] = pd.array(alarm_out, dtype="Int32")
-        return pdf
+        return pos_out, neg_out, alarm_out
 
-    return df.groupBy(*key_cols).applyInPandas(compute, schema=schema_ddl)
+    return _series_recurrence_map(
+        df, key_cols, [ts_col, *tb], value_col,
+        [("cusum_pos", "double", "float64"),
+         ("cusum_neg", "double", "float64"),
+         ("alarm", "int", "Int32")], run,
+    )
 
 def acf(
     df: DataFrame,

@@ -2561,6 +2561,39 @@ def test_ewma_null_value_skipped_not_poisoning(spark):
     assert got[3] == 0.5 * 3.0 + 0.5 * 1.0   # state skipped the NULL
 
 
+def test_series_recurrence_groups_survive_arrow_batch_splits(spark):
+    """The r10 mapInPandas rewrite of the recurrence family streams
+    partition batches with a carried trailing group: a key whose rows
+    SPAN Arrow batch boundaries must still be one unbroken series.
+    Forces 7-row batches over a 60-row key plus neighbors on both sides
+    and checks every value against the hand recurrence, plus NULL-key
+    rows grouping together (Spark groupBy semantics)."""
+    from impc_etl_spark.operators.timeseries import ewma
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        rows = [(i, 5, i, float(i % 9)) for i in range(60)]          # big key
+        rows += [(100 + i, 1, i, float(i)) for i in range(3)]        # small
+        rows += [(200 + i, None, i, float(2 * i)) for i in range(5)]  # NULLs
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts long, value double"
+        ).coalesce(1)  # one partition → all keys share one batch stream
+        got = {r["event_id"]: r["ewma"]
+               for r in ewma(df, ["user_id"], "ts", "value", alpha=0.3,
+                             tiebreak_cols=["event_id"]).collect()}
+        a, b = 0.3, 0.7
+        for key_rows in ([(i, float(i % 9)) for i in range(60)],
+                         [(100 + i, float(i)) for i in range(3)],
+                         [(200 + i, float(2 * i)) for i in range(5)]):
+            e = None
+            for eid, v in key_rows:
+                e = v if e is None else a * v + b * e
+                assert got[eid] == e, (eid, got[eid], e)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_resample_ffill_grid_survives_dst_transition(spark):
     """Day-stepped resampling across a DST boundary in a non-UTC session
     timezone: the epoch-stepped grid must still align with the
