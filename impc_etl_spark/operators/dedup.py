@@ -997,7 +997,7 @@ def simhash_pairs(
         pairs = F.when(F.size(ids) > max_bucket_size, star).otherwise(pairs)
     expanded = buckets.select(F.explode(pairs).alias("p")).select(
         "p.doc_a", "p.doc_b", "p.h_a", "p.h_b"
-    ).distinct()
+    )
     # exact hamming distance over the bitstrings, row-local: parse each
     # side's '0'/'1' string once into ≤32-bit long chunks and popcount the
     # XOR — identical to the old per-position substr compare (every
@@ -1017,10 +1017,18 @@ def simhash_pairs(
     hamming = chunk_counts[0]
     for c in chunk_counts[1:]:
         hamming = hamming + c
+    # Hamming-filter BEFORE the cross-band dedup (r10): the verify is
+    # row-local integer popcount, so re-running it on a pair's duplicate
+    # band hits is far cheaper than pushing the full candidate stream —
+    # ~19 M rows × two bits-length strings at sf0.1 — through the
+    # distinct's exchange; the distinct then dedups only true matches.
+    # hamming is a pure function of (h_a, h_b), so filter-then-distinct
+    # equals distinct-then-filter exactly.
     return (
         expanded.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

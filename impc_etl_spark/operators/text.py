@@ -2059,13 +2059,22 @@ def textrank_keywords(
         .groupBy("__u", "__v")
         .agg(F.count(F.lit(1)).alias("__w"))
     )
+    # Mirror row-locally (explode of a 2-struct array) instead of a union
+    # of two projections of e0: pagerank checkpoints its edge input ONCE,
+    # but a union's two branches each contain the whole tokenize + bigram
+    # explode + count subtree, so that single materialization still
+    # scanned and tokenized the corpus TWICE (same fix as
+    # connected_components' edge mirroring, r10). Identical edge multiset.
     edges = e0.select(
-        F.col("__u").alias("src"), F.col("__v").alias("dst"), "__w"
-    ).unionAll(
-        e0.select(
-            F.col("__v").alias("src"), F.col("__u").alias("dst"), "__w"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("__u").alias("src"), F.col("__v").alias("dst"),
+                         F.col("__w")),
+                F.struct(F.col("__v").alias("src"), F.col("__u").alias("dst"),
+                         F.col("__w")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.__w")
     return pagerank(
         edges, "src", "dst", weight_col="__w",
         iterations=iterations, damping=damping,

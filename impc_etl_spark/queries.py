@@ -8442,7 +8442,11 @@ def media_binaryfile_ingest(spark, sf_dir):
                 os_.replace(tmp, os_.path.join(outdir, f"{did}.bin"))
             yield pd_.DataFrame({"n": [len(pdf)]})
 
-    docs.select("doc_id", "text").mapInPandas(
+    # fan_out: the per-doc file creation is row-local I/O and the corpus
+    # parquet is ONE split — serial, 50 k file creates on a single task
+    # at sf0.1 (r10 measurement); fanned out it parallelizes across the
+    # session's cores and file contents/names are row-determined either way
+    fan_out(docs.select("doc_id", "text")).mapInPandas(
         write_files, schema="n int"
     ).agg(F.sum("n")).collect()  # materialize the writer stage (1-row collect)
 
