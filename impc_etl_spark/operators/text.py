@@ -1270,24 +1270,36 @@ def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
     """Marker-word language ID: count hits per language's marker set, pick
     the argmax (ties → lexicographically first language; 'und' when no
     marker hits). Pure set-intersection algebra — no model, no UDF."""
-    toks = tokens(text_col)
+    langs = sorted(LANG_MARKERS)
 
-    def _hits(markers: Column) -> Column:
+    def _hits(t: Column, markers: Column) -> Column:
         # count token OCCURRENCES in the marker set (frequency-sensitive);
         # single-arg lambda — a 2-arg lambda would bind (element, index)
-        return F.size(F.filter(toks, lambda x: F.array_contains(markers, x)))
+        return F.size(F.filter(t, lambda x: F.array_contains(markers, x)))
 
-    hit_cols = [
-        (lang, _hits(F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])))
-        for lang in sorted(LANG_MARKERS)
-    ]
+    # Stage the per-language hit counts as ONE column before the argmax
+    # (r10): the old form referenced the tokenize expression once per
+    # language AND nested every earlier language's hit expression inside
+    # the when-chains (best/best_hits trees double per language), so the
+    # regex tokenizer was re-evaluated many times per row. bind evaluates
+    # tokens once; the argmax chain then references only the staged
+    # array attribute. Same strict-> first-wins tie rule, same values.
+    hit_arr = bind(
+        tokens(text_col),
+        lambda t: F.array(*[
+            _hits(t, F.array(*[F.lit(w) for w in LANG_MARKERS[lang]]))
+            for lang in langs
+        ]),
+    )
+    staged = df.withColumn("__lang_hits", hit_arr)
     best = F.lit("und")
     best_hits = F.lit(0)
-    for lang, hits in hit_cols:  # first-wins on ties due to strict >
+    for i, lang in enumerate(langs):  # first-wins on ties due to strict >
+        hits = F.element_at(F.col("__lang_hits"), i + 1)
         is_better = hits > best_hits
         best = F.when(is_better, F.lit(lang)).otherwise(best)
         best_hits = F.when(is_better, hits).otherwise(best_hits)
-    return df.withColumn(out, best)
+    return staged.withColumn(out, best).drop("__lang_hits")
 
 
 def vocab_coverage(

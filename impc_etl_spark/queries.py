@@ -8070,14 +8070,19 @@ def docs_quality_logreg(spark, sf_dir):
     the_hits = (
         L - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit("")))
     ) / F.lit(5.0)
-    feats = docs.select(
+    # narrow (id + 5 doubles) with THIRTEEN consumers — the 12 gradient
+    # scans and the final scoring pass each re-derived the features from
+    # text (split + array_distinct + replace per row, 12×) before this
+    # materialization; fan_out first so the one derivation pass runs on
+    # every core instead of the single parquet split (r10)
+    feats = fan_out(docs).select(
         "doc_id",
         (F.least(L, F.lit(600.0)) / F.lit(600.0)).alias("f_len"),
         (L / wc / F.lit(10.0)).alias("f_mwl"),
         (F.size(F.array_distinct(words)).cast("double") / wc).alias("f_div"),
         (the_hits / nz).alias("f_stop"),
         (L >= 280).cast("int").alias("label"),
-    )
+    ).localCheckpoint(eager=True)
     fcols = ["f_len", "f_mwl", "f_div", "f_stop"]
     w, b = learn.logreg_fit(feats, fcols, "label", iterations=12, lr=8.0)
     scored = learn.logreg_score(feats, fcols, w, b, score_col="quality_score")
