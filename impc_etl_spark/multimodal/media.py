@@ -36,6 +36,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -2353,41 +2354,62 @@ def _dct_tables() -> tuple[list[float], list[list[float]]]:
 
 _DCT_C, _DCT_COS = _dct_tables()
 
+# numpy twins of the DCT tables for the vectorized kernels below:
+# _DCT_A[u] = 0.5·c[u] (the scalar every term is scaled by), _DCT_COS_NP
+# indexed [x, u] like the list-of-lists table.
+_DCT_A = np.array([0.5 * c for c in _DCT_C], dtype=np.float64)
+_DCT_COS_NP = np.array(_DCT_COS, dtype=np.float64)
+
 
 def _idct_2d(coef: list[float]) -> list[float]:
-    """Separable 8×8 inverse DCT-II (the T.81 reconstruction), float."""
-    c, cos = _DCT_C, _DCT_COS
-    tmp = [0.0] * 64
-    for y in range(8):          # rows: over u
-        for x in range(8):
-            tmp[y * 8 + x] = sum(
-                0.5 * c[u] * coef[y * 8 + u] * cos[x][u] for u in range(8)
-            )
-    out = [0.0] * 64
-    for y in range(8):          # cols: over v
-        for x in range(8):
-            out[y * 8 + x] = sum(
-                0.5 * c[v] * tmp[v * 8 + x] * cos[y][v] for v in range(8)
-            )
-    return out
+    """Separable 8×8 inverse DCT-II (the T.81 reconstruction), float.
+
+    Vectorized with numpy but BIT-IDENTICAL to the original pure-Python
+    loops (r11, guide §4.2 — this kernel was 76% of decode_jpeg): the
+    u/v accumulation runs sequentially exactly like the original
+    left-fold ``sum()``, and each term keeps the same multiplication
+    pairing ((0.5·c[u])·coef)·cos, so every IEEE-754 intermediate is the
+    same number. Only the per-(y,x) scalar loops became 8×8 array ops.
+    """
+    A, cos = _DCT_A, _DCT_COS_NP
+    z = np.asarray(coef, dtype=np.float64).reshape(8, 8)
+    # terms[u, y, x] = (coef[y,u]·A[u])·cos[x,u]; accumulate over u
+    # sequentially from a zero start so every add matches sum()'s fold
+    terms = (z * A).T[:, :, None] * cos.T[:, None, :]
+    tmp = np.zeros((8, 8))
+    for u in range(8):          # rows: over u, sequential like sum()
+        tmp += terms[u]
+    # terms2[v, y, x] = cos[y,v]·(tmp[v,x]·A[v])
+    terms2 = cos.T[:, :, None] * (tmp * A[:, None])[:, None, :]
+    out = np.zeros((8, 8))
+    for v in range(8):          # cols: over v
+        out += terms2[v]
+    return out.reshape(64).tolist()
 
 
 def _fdct_2d(block: list[float]) -> list[float]:
-    """Separable 8×8 forward DCT-II (encoder side), float."""
-    c, cos = _DCT_C, _DCT_COS
-    tmp = [0.0] * 64
-    for y in range(8):
-        for u in range(8):
-            tmp[y * 8 + u] = 0.5 * c[u] * sum(
-                block[y * 8 + x] * cos[x][u] for x in range(8)
-            )
-    out = [0.0] * 64
-    for v in range(8):
-        for u in range(8):
-            out[v * 8 + u] = 0.5 * c[v] * sum(
-                tmp[y * 8 + u] * cos[y][v] for y in range(8)
-            )
-    return out
+    """Separable 8×8 forward DCT-II (encoder side), float.
+
+    Vectorized with numpy, bit-identical to the original loops (see
+    _idct_2d): the original multiplies the x/y left-fold ``sum()`` by
+    0.5·c AFTER summing, so here the accumulation runs first and the
+    A-scale is applied to the finished sum, preserving every rounding.
+    """
+    A, cos = _DCT_A, _DCT_COS_NP
+    b = np.asarray(block, dtype=np.float64).reshape(8, 8)
+    # terms[x, y, u] = block[y,x]·cos[x,u]; Σ_x then scale by A[u]
+    terms = b.T[:, :, None] * cos[:, None, :]
+    acc = np.zeros((8, 8))
+    for x in range(8):          # tmp[y,u] = A[u] · Σ_x block[y,x]·cos[x,u]
+        acc += terms[x]
+    tmp = acc * A[np.newaxis, :]
+    # terms2[y, v, u] = cos[y,v]·tmp[y,u]; Σ_y then scale by A[v]
+    terms2 = cos[:, :, None] * tmp[:, None, :]
+    acc2 = np.zeros((8, 8))
+    for y in range(8):          # out[v,u] = A[v] · Σ_y tmp[y,u]·cos[y,v]
+        acc2 += terms2[y]
+    out = acc2 * A[:, np.newaxis]
+    return out.reshape(64).tolist()
 
 
 class _JpegBitReader:
@@ -2482,20 +2504,24 @@ def _jpeg_assemble(planes: list[bytearray], w: int, h: int,
                 y * stride : y * stride + w
             ]
         return (w, h, "L", out)
-    out = bytearray(w * h * 3)
-    for y in range(h):
-        for x in range(w):
-            yy = planes[0][y * stride + x]
-            cb = planes[1][y * stride + x] - 128
-            cr = planes[2][y * stride + x] - 128
-            o = (y * w + x) * 3
-            for oi, val in enumerate((
-                yy + 1.402 * cr,
-                yy - 0.344136 * cb - 0.714136 * cr,
-                yy + 1.772 * cb,
-            )):
-                v = int(val + 0.5)
-                out[o + oi] = 0 if v < 0 else 255 if v > 255 else v
+    # Vectorized T.871 conversion (r11, guide §4.2 — this per-pixel loop
+    # was 40% of decode_jpeg after the IDCT fix), value-identical to the
+    # original scalar loop: same float64 expression pairing, int(v+0.5)
+    # truncation replayed as trunc-then-clip (trunc yields integer-valued
+    # floats, so clipping before or after the int cast is the same).
+    def _crop(p):
+        return np.frombuffer(p, dtype=np.uint8).reshape(-1, stride)[:h, :w]
+
+    yy = _crop(planes[0]).astype(np.float64)
+    cb = _crop(planes[1]).astype(np.float64) - 128.0
+    cr = _crop(planes[2]).astype(np.float64) - 128.0
+    rgb = np.empty((h, w, 3), dtype=np.float64)
+    rgb[:, :, 0] = yy + 1.402 * cr
+    rgb[:, :, 1] = (yy - 0.344136 * cb) - 0.714136 * cr
+    rgb[:, :, 2] = yy + 1.772 * cb
+    out = bytearray(
+        np.clip(np.trunc(rgb + 0.5), 0, 255).astype(np.uint8).tobytes()
+    )
     return (w, h, "RGB", out)
 
 
@@ -2519,11 +2545,15 @@ def _jpeg_upsample_assemble(
         fx, fy = hmax // hf, vmax // vf
         up = bytearray(full_stride * mcy * vmax * 8)
         src, sstride = planes[ci], strides[ci]
-        for y in range(min(h, mcy * vmax * 8)):
-            srow = (y // fy) * sstride
-            drow = y * full_stride
-            for x in range(min(w, full_stride)):
-                up[drow + x] = src[srow + x // fx]
+        # replication upsample as one fancy-indexed gather (r11 §4.2);
+        # identical index arithmetic to the original per-pixel loop
+        ylim = min(h, mcy * vmax * 8)
+        xlim = min(w, full_stride)
+        sa = np.frombuffer(src, dtype=np.uint8).reshape(-1, sstride)
+        ua = np.frombuffer(up, dtype=np.uint8).reshape(-1, full_stride)
+        rows = np.arange(ylim) // fy
+        cols = np.arange(xlim) // fx
+        ua[:ylim, :xlim] = sa[rows][:, cols]
         full.append(up)
     return _jpeg_assemble(full, w, h, full_stride)
 

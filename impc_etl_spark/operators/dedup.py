@@ -1113,6 +1113,13 @@ def connected_components(
         ).head()[0]
 
     prev_sum = _label_sum(labels) if numeric_ids else None
+    if numeric_ids and prev_sum is None:
+        # empty label set (no edges, or all-NULL ids): propagation is a
+        # no-op — skip the loop outright instead of running one round of
+        # empty joins to discover it
+        return labels.select(
+            F.col("id").alias("doc_id"), F.col("lbl").alias("group_id")
+        )
     changed = 0
     for rnd in range(max_iterations):
         neighbor_min = (
@@ -1150,6 +1157,19 @@ def connected_components(
             new_sum = _label_sum(new_labels)
             changed = int(new_sum != prev_sum)
             prev_sum = new_sum
+        elif rnd == 0 and max_iterations > 1:
+            # Round 0 ALWAYS changes labels when any edge exists (for every
+            # edge (a,b) with a<b, node b takes label <= a < b) — so the
+            # round-0 convergence check is a guaranteed-true driver sync.
+            # For string ids that check is a labels⋈labels diff JOIN; skip
+            # it (the r10 verdict's "halve the syncs" item) with provably
+            # zero extra propagation rounds, since round 1's diff is
+            # independent of round 0's. The numeric label-sum check cannot
+            # skip: each round's comparison needs the PREVIOUS round's sum,
+            # and that aggregate over the just-materialized label frame is
+            # already the cheap part. Kept when max_iterations == 1 so the
+            # may-be-split warning below stays exact.
+            changed = 1
         else:
             changed = (
                 new_labels.alias("n")

@@ -319,6 +319,15 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # deg feeds TWO joins (du, dv) and Catalyst clones the whole
+    # union+aggregate per consumer (no cross-tree CSE — the r11 plan audit
+    # found the deg subtree FOUR times in this plan). Materialize the
+    # node-sized (node, d) frame once; it is the narrowest frame in the
+    # operator, far cheaper to pin than the edge-sized oriented list.
+    if checkpoint_dir is not None:
+        deg = deg.checkpoint(eager=True)
+    else:
+        deg = deg.localCheckpoint(eager=True)
     with_deg = (
         e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
@@ -330,6 +339,16 @@ def triangle_count(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
     )
+    # Wedge build stays the o⋈o self-join: both endpoints are the same
+    # canonical subplan (now just two cheap joins over the CHECKPOINTED
+    # e/deg frames), so at runtime ReuseExchange ships the oriented list
+    # through one exchange. The alternative — groupBy(s).collect_list +
+    # row-local pair expansion (the _bucket_pairs trick) — was built and
+    # measured THIS round: 6.63 s vs 6.20 s min (same session, alternating
+    # reps at sf0.1); the ObjectHashAggregate's per-group object overhead
+    # costs more than the join it saves, locally and with no byte
+    # advantage at scale (same edge list through one exchange either way).
+    # Recorded as a measured dead end (r11, guide §1.2).
     o1 = o.select(F.col("s"), F.col("t").alias("t1"))
     o2 = o.select(F.col("s"), F.col("t").alias("t2"))
     wedges = o1.join(o2, "s").where(F.col("t1") < F.col("t2"))

@@ -234,7 +234,7 @@ def cosine_banded_pairs(
     # max_bucket_size: the same mega-bucket star-edge guard the MinHash
     # LSH path exposes — identical/padding embeddings can put 10^5+ ids
     # in one (band, key) bucket, and quadratic expansion there is fatal
-    cands = _bucket_pairs(buckets, max_bucket_size=max_bucket_size).distinct().select(
+    cands = _bucket_pairs(buckets, max_bucket_size=max_bucket_size).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
     a = side.select(
@@ -243,6 +243,15 @@ def cosine_banded_pairs(
     b = side.select(
         F.col("__id").alias("vec_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
     )
+    # Verify BEFORE the cross-band dedup (r10's simhash trick): cos_sim is
+    # a pure function of the two id-keyed vectors, so filter and distinct
+    # commute — the distinct exchange then carries only TRUE matches
+    # instead of every candidate occurrence. A pair colliding in k>1 bands
+    # pays k cosine evaluations (map-side, behind the broadcast-sized
+    # `side` joins) in exchange for shrinking the only data-sized shuffle
+    # of this plan from |candidates| to |verified| rows; false candidates
+    # (the bulk at scale) rarely share more than one band, so the extra
+    # verify work is bounded by (bands-1)x the true-pair count.
     return (
         cands.join(a, "vec_a").join(b, "vec_b")
         .select(
@@ -251,6 +260,7 @@ def cosine_banded_pairs(
             F.round(F.try_divide(dot(F.col("__va"), F.col("__vb")), F.col("__na") * F.col("__nb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+        .distinct()
     )
 
 

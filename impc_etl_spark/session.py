@@ -118,8 +118,16 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     conf = dict(_BASE_CONF)
-    conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = str(
-        _derived_advisory_bytes(master, conf["spark.driver.memory"])
+    # $SPARK_GRAFT_ADVISORY_BYTES pins AQE's advisory partition size,
+    # overriding the per-core derivation — the scale knob for cluster
+    # deploys (whose executor sizing the driver can't see) and for
+    # diagnosing core-count-dependent plan changes (r10 scaling block: the
+    # 8-core session derives 4× larger advisory partitions than the
+    # 32-core one, so the SAME query can coalesce to a different shape).
+    adv = os.environ.get("SPARK_GRAFT_ADVISORY_BYTES")
+    conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = (
+        str(_parse_mem_bytes(adv)) if adv else
+        str(_derived_advisory_bytes(master, conf["spark.driver.memory"]))
     )
     builder = SparkSession.builder.appName(app_name).master(master)
     if extra_conf:

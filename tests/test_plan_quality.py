@@ -71,7 +71,13 @@ def _all_names():
     return sorted(q.QUERIES)
 
 
-@pytest.mark.parametrize("name", _all_names())
+# Fast mode compiles every 4th plan plus every BNL-allowlisted name (so
+# the allowlist itself stays exercised); SPARK_GRAFT_TEST_FULL=1 compiles
+# all of them, plus the full-registry scan audit at the bottom.
+from tests.conftest import fast_subset  # noqa: E402
+
+
+@pytest.mark.parametrize("name", fast_subset(_all_names(), always=BNL_ALLOWED))
 def test_no_cartesian_and_no_python_row_udf(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
@@ -422,6 +428,79 @@ def test_shared_subtree_scan_caps(spark):
             f"{name}: {n} {table}.parquet scans in final plan "
             f"(expected <= {max_scans} — duplicate-subtree clone regressed)"
         )
+
+
+def test_triangle_plan_builds_degree_table_once(spark):
+    """r11: triangle_count's degree aggregate (a Union + groupBy over the
+    edge list) must appear at most once in the final plan — before the
+    deg checkpoint Catalyst cloned it FOUR times (twice per oriented-edge
+    consumer; no cross-tree CSE). The checkpoint hides it from the final
+    plan entirely, so any Union here is a regression to the clone."""
+    plan = _plan(spark, "part_copurchase_triangles")
+    assert "Union" not in plan, (
+        "degree-aggregate Union reappeared in the triangles plan — the "
+        "deg materialization regressed (subtree now cloned per consumer)"
+    )
+
+
+def test_cosine_banded_verifies_before_distinct(spark):
+    """r11: cosine_banded_pairs must run the exact-cosine filter BELOW the
+    pair-dedup aggregate (verify-before-distinct — the dedup exchange then
+    carries only true matches, not every cross-band candidate). In the
+    final plan that means no HashAggregate sits between the candidate
+    Generate (pair explosion) and the cos_sim Filter."""
+    import re
+
+    from impc_etl_spark import queries as q
+
+    plan = (
+        q.QUERIES["emb_near_dup_pairs"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the surviving dedup aggregate must carry cos_sim in its keys (it
+    # dedups VERIFIED rows); a HashAggregate keyed on the bare id pair is
+    # the old pre-verify candidate distinct sneaking back
+    keysets = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
+    assert any("cos_sim" in k for k in keysets), plan[:1500]
+    for k in keysets:
+        cols = {c.split("#")[0].strip() for c in k.split(",")}
+        assert cols != {"vec_a", "vec_b"} and cols != {"doc_a", "doc_b"}, (
+            f"candidate distinct (pre-verify) reappeared: keys [{k}]"
+        )
+
+
+@pytest.mark.skipif(
+    not __import__("tests.conftest", fromlist=["TEST_FULL"]).TEST_FULL,
+    reason="full-registry scan audit only under SPARK_GRAFT_TEST_FULL=1",
+)
+def test_full_registry_scan_audit(spark):
+    """r10 verdict item 7: no registered query may scan any base table
+    ≥3 times in its final plan, except the six documented deliberate
+    multi-pass designs. Regression on ANY query's scan count fails CI."""
+    import re
+    from collections import Counter
+
+    from impc_etl_spark import queries as q
+
+    DELIBERATE = {
+        "orders_heavy_customers_cms",      # sketch-then-verify: 3 passes by design
+        "docs_backoff_trigram_logprob",    # c3 build + trigram distinct + scoring
+        "docs_strip_boilerplate",          # measured recompute-over-materialize
+        "docs_substring_dedup_cut",        # skew-safe recompute + text join-back
+        "media_lossy_audio_deadletter",    # three independent Arrow synth branches
+        "docs_decontaminate",              # full scan + pushed-filter + id-only scans
+    }
+    flagged = {}
+    for name, fn in q.QUERIES.items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().toString()
+        tables = Counter(
+            m.group(1)
+            for m in re.finditer(r"FileScan parquet [^\n]*?(\w+)\.parquet", plan)
+        )
+        hot = {t: c for t, c in tables.items() if c >= 3}
+        if hot and name not in DELIBERATE:
+            flagged[name] = hot
+    assert not flagged, f"duplicate-subtree scans regressed: {flagged}"
 
 
 def test_pq_and_cdc_plans_join_free(spark):
