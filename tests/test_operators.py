@@ -112,6 +112,36 @@ def test_asof_join_tolerance(spark):
     assert got == {10: 8, 100: None}
 
 
+def test_bucket_pairs_uncapped_streams_with_bounded_rows(spark):
+    """r11: the UNCAPPED _bucket_pairs path must (1) emit exactly the
+    same pair set as the flat C(n,2) expansion and (2) plan as the
+    two-level explode — two Generate nodes, so the largest in-flight
+    value is the bucket's id array (O(n)), never the C(n,2) struct array
+    that OOM'd the sf10-equivalent rehearsal on 1.2e4-id buckets."""
+    from itertools import combinations
+
+    from impc_etl_spark.operators.dedup import _bucket_pairs
+
+    rows = [
+        (0, list(range(1, 8))),
+        (1, [10, 20]),
+        (2, [5]),                 # size-1: no pairs
+        (3, [100, 101, 102, 103]),
+    ]
+    buckets = spark.createDataFrame(rows, "bucket int, ids array<bigint>")
+    out = _bucket_pairs(buckets)
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    want = set()
+    for _, ids in rows:
+        want |= set(combinations(ids, 2))
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 2, (
+        "uncapped _bucket_pairs regressed to the single-array expansion:\n"
+        + plan[:1200]
+    )
+
+
 def test_lsh_mega_bucket_cap_bounds_expansion_and_keeps_groups(spark):
     """A boilerplate-heavy corpus (40 copies of one template) with
     max_bucket_size set: candidate expansion collapses from O(n²) pairs to
